@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's parquet tables (TESTDATA.md).
+  *
+  * One function per table so query code never hard-codes paths; `dir` is the
+  * scale-factor directory (e.g. /root/testdata/sf0.01). All reads are plain
+  * parquet scans — Catalyst pushes projections/filters into the scan, so no
+  * manual column selection is needed here.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and truncate to microseconds (floor — same
+    * as DuckDB's epoch_us on a TIMESTAMP_NS, so oracles agree).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}

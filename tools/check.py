@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Reads Spark-written result parquet from OUTDIR/<name>/, runs each oracle SQL
+from OUTDIR/oracle_sql.json in DuckDB over the SFDIR parquet tables, and
+compares: columns sorted by name, rows sorted, exact value match.
+
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json, sys, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(con, rel_sql):
+    df = con.sql(rel_sql).df()
+    df = df[sorted(df.columns)]
+    # stringify for stable compare; normalize floats
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            if v != v:
+                return "NaN"
+            return repr(v)
+        return str(v)
+    rows = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return list(df.columns), rows
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = sorted(p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if not p.endswith(".json"))
+    n_pass = n_fail = 0
+    for name in results:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        spark_sql = f"SELECT * FROM '{outdir}/{name}/*.parquet'"
+        if name not in oracles:
+            n = con.sql(spark_sql).df().shape[0]
+            print(f"ROWS {name}: {n} rows (no oracle)")
+            continue
+        try:
+            scols, srows = canon(con, spark_sql)
+            ocols, orows = canon(con, oracles[name])
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if scols != ocols:
+            print(f"FAIL {name}: columns {scols} != {ocols}")
+            n_fail += 1
+        elif srows != orows:
+            diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            print(f"FAIL {name}: {len(srows)} vs {len(orows)} rows; first diffs: {diffs}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
