@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.{NearDup, TextOps}
+
+/** Training-data-pipeline surface (builder brief): text analysis, document
+  * dedup (exact / MinHash+LSH / SimHash / blocked Jaccard), embedding
+  * similarity search, multimodal plumbing. Hash family is md5-over-strings
+  * everywhere so every operator has a bit-identical DuckDB oracle.
+  */
+object TextSim extends QueryPack {
+
+  // DuckDB fragments shared by several oracles.
+  private val DUCK_TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
+
+  /** 16-bit simhash oracle, generated to mirror NearDup.simhash exactly. */
+  private def simhashSql(bits: Int): String = {
+    val sums = (0 until bits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n               ")
+    val fp = (0 until bits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($DUCK_TOKENS) AS tok FROM documents),
+      hashed AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+      sums AS (
+        SELECT doc_id,
+               $sums
+        FROM hashed GROUP BY doc_id)
+      SELECT doc_id, $fp AS simhash FROM sums"""
+  }
+
+  /** MinHash+LSH oracle mirroring NearDup.minhashLshPairs (k=16, 8 bands). */
+  private def minhashSql(k: Int, bands: Int): String = {
+    val r = k / bands
+    val ms = s"[list_aggregate([md5(s || '|' || g) for g in sh], 'min') for s in range(0, $k)]"
+    val bandHash = (0 until r).map(j => s"ms[$r*b + ${j + 1}]").mkString(" || '#' || ")
+    s"""
+      WITH docs AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, $DUCK_TOKENS AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      sigs AS (SELECT doc_id, sh, $ms AS ms FROM docs),
+      bands AS (
+        SELECT doc_id, sh, b AS band_idx, md5($bandHash) AS band_hash
+        FROM sigs, (SELECT unnest(range(0, $bands)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(da.sh, db.sh))::DOUBLE /
+                   (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))::DOUBLE),
+                   4) AS jaccard
+      FROM cand c
+      JOIN docs da ON da.doc_id = c.id_a
+      JOIN docs db ON db.doc_id = c.id_b"""
+  }
+
+  override val queries: Map[String, Q] = Map(
+
+    // Token counting (whitespace tokenizer; empties dropped).
+    "q30_token_stats" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+                col("n_chars")),
+      Some(s"""
+        SELECT doc_id, len($DUCK_TOKENS) AS n_tokens, n_chars
+        FROM documents""")),
+
+    // Canonical-form document fingerprint (rolling-hash substitute).
+    "q31_fingerprint" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint")),
+      Some("""
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
+        FROM documents""")),
+
+    // Exact dedup by content hash: keeper + multiplicity per hash group.
+    "q32_exact_dedup" -> Q(
+      (s, d) => NearDup.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+      Some("""
+        SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)""")),
+
+    // Language-ID heuristic: marker-token scores, fixed tie-break chain.
+    "q33_lang_id" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang")),
+      Some {
+        def score(ms: Seq[String]) =
+          s"len(list_filter(list_filter(str_split(lower(text), ' '), x -> x <> ''), " +
+            s"t -> list_contains(${ms.map(m => s"'$m'").mkString("[", ",", "]")}, t)))"
+        val (en, de, es, fr) = (score(TextOps.EN_MARKERS), score(TextOps.DE_MARKERS),
+          score(TextOps.ES_MARKERS), score(TextOps.FR_MARKERS))
+        s"""
+        SELECT doc_id,
+          CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+               WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+               WHEN $de >= $es AND $de >= $fr THEN 'de'
+               WHEN $es >= $fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM documents"""
+      }),
+
+    // Quality score: length / punctuation / stopword-density gates.
+    "q34_quality_score" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality")),
+      Some {
+        val nTok = s"len($DUCK_TOKENS)::DOUBLE"
+        val stop = "len(list_filter(list_filter(str_split(lower(text), ' '), x -> x <> '')," +
+          " t -> list_contains(['the','a','of','and','is'], t)))::DOUBLE"
+        s"""
+        SELECT doc_id,
+          round(least($nTok / 100.0, 1.0) * 0.4 +
+                (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))::DOUBLE
+                              / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 1.0)) * 0.3 +
+                least(($stop / greatest($nTok, 1.0)) * 5.0, 1.0) * 0.3, 4) AS quality
+        FROM documents"""
+      }),
+
+    // MinHash (k=16) + LSH (8 bands × 2 rows) candidate pairs with verified
+    // Jaccard on word-3-gram shingle sets.
+    "q35_minhash_lsh" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("sh", TextOps.wordShingles(col("text"), 3))
+          .filter(size(col("sh")) > 0)
+        NearDup.minhashLshPairs(docs, "doc_id", "sh", k = 16, bands = 8)
+      },
+      Some(minhashSql(16, 8))),
+
+    // SimHash fingerprints (16-bit, md5-derived token hashes).
+    "q36_simhash" -> Q(
+      (s, d) => NearDup.simhash(Tables.documents(s, d), "doc_id", "text", bits = 16),
+      Some(simhashSql(16))),
+
+    // Blocked n-gram Jaccard: quadratic only inside (lang, source) blocks.
+    "q37_blocked_jaccard" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("sh", TextOps.charShingles(col("text"), 5))
+        NearDup.blockedJaccardPairs(docs, "doc_id", "sh",
+          Seq("lang", "source"), minJaccard = 0.5)
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, lang, source,
+                 list_distinct([substr(text, i, 5)
+                                for i in range(1, length(text) - 3)]) AS sh
+          FROM documents WHERE length(text) >= 5)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE),
+                     4) AS jaccard
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE),
+                    4) >= 0.5""")),
+
+    // Brute-force cosine top-k (k=5) for the query subset vec_id % 100 = 0.
+    "q38_cosine_topk" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        s AS (SELECT query_id, e.vec_id,
+                     round(list_dot_product(qv, v) /
+                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                           6) AS cosine
+              FROM q, e WHERE e.vec_id <> query_id)
+        SELECT query_id, vec_id, cosine, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+        WHERE rank <= 5""")),
+
+    // ANN scale path: random-hyperplane LSH bucketing (4 planes ⇒ 16
+    // buckets), top-3 among bucket-mates. Deterministic md5-seeded planes;
+    // recall < 1 vs q38 by design (bench comparison, not equality) — but
+    // the output itself is exact, so it still has an oracle.
+    "q39_lsh_ann" -> Q(
+      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        planes = 4, k = 3, queryPred = col("vec_id") % 100 === 0),
+      Some {
+        val planes = 4
+        val proj = (0 until planes).map { p =>
+          val comp = s"((('0x' || substr(md5($p || '_' || i), 1, 8))::BIGINT / 2147483648.0) - 1.0)"
+          s"CASE WHEN list_sum([v[i+1] * $comp for i in range(0, len(v))]) >= 0 THEN ${1L << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        sig AS (SELECT vec_id, v, $proj AS lsh_bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, lsh_bucket FROM sig
+              WHERE vec_id % 100 = 0),
+        s AS (SELECT query_id, sig.vec_id,
+                     round(list_dot_product(qv, v) /
+                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                           6) AS cosine
+              FROM q JOIN sig USING (lsh_bucket)
+              WHERE sig.vec_id <> query_id)
+        SELECT query_id, vec_id, cosine, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+        WHERE rank <= 3"""
+      }),
+
+    // Multimodal plumbing: binary payload + typed mapPartitions decode
+    // (deterministic stub in place of a codec — see Multimodal.decodeStub).
+    "q40_media_features" -> Q(
+      (s, d) => {
+        val media = Tables.documents(s, d).select(
+          col("doc_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.extractFeatures(s, media).toDF()
+      },
+      Some("""
+        SELECT doc_id,
+               ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               ascii(substr(text, 1, 1)) AS head_byte,
+               octet_length(encode(text)) // 256 + 1 AS n_frames
+        FROM documents""")),
+
+    // Frame sampling over the decoded features (every 4th frame index).
+    "q41_frame_sample" -> Q(
+      (s, d) => {
+        val media = Tables.documents(s, d).select(
+          col("doc_id"), lit("video").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+        Multimodal.sampleFrames(
+          Multimodal.extractFeatures(s, media).toDF(), stride = 4)
+      },
+      Some("""
+        SELECT doc_id, 'video' AS media_type,
+               unnest(range(0, octet_length(encode(text)) // 256 + 1, 4))::BIGINT AS frame_idx
+        FROM documents"""))
+  )
+}
