@@ -33,13 +33,17 @@ object Dedup {
     df.dropDuplicates(keys)
 
   /** D3 — year-rollover disambiguation (dischargeobs_write_xl.py:403-404):
-    * the n-th occurrence of the same (yearless) date belongs to year+n-1.
-    * `order` reproduces the source file order.
+    * any NON-FIRST occurrence of the same (yearless) timestamp is shifted
+    * exactly +1 year — pandas `duplicated(keep='first')` flags all
+    * subsequent occurrences and each gets one DateOffset(years=1), not a
+    * cumulative shift. `order` reproduces the source file order.
     */
   def yearRollover(df: DataFrame, dateKey: Seq[String], order: Seq[Column],
                    tsCol: String): DataFrame = {
     val w = Window.partitionBy(dateKey.map(col): _*).orderBy(order: _*)
-    df.withColumn(tsCol,
-      add_months(col(tsCol), (row_number().over(w) - 1) * 12))
+    df.withColumn("__occ", row_number().over(w))
+      .withColumn(tsCol,
+        expr(s"timestampadd(YEAR, CASE WHEN __occ > 1 THEN 1 ELSE 0 END, `$tsCol`)"))
+      .drop("__occ")
   }
 }

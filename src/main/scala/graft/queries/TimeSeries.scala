@@ -281,26 +281,20 @@ object TimeSeries extends QueryPack {
       None),
 
     // D3 — duplicate-date year-rollover (dischargeobs_write_xl.py:403-404):
-    // n-th occurrence of the same month-day per key is shifted n-1 years.
+    // any non-first occurrence of the same month-day per key is shifted
+    // exactly +1 year (pandas duplicated(keep='first') semantics).
     "q24_year_rollover" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("user_id"), col("mmdd"))
-          .orderBy(col("ts"), col("event_id"))
-        Tables.events(s, d)
-          .withColumn("mmdd", date_format(col("ts"), "MM-dd"))
-          .withColumn("occurrence", row_number().over(w))
-          .select(col("event_id"), col("user_id"),
-                  date_format(add_months(to_date(col("ts")),
-                    (col("occurrence") - 1) * 12), "yyyy-MM-dd").as("rolled_date"))
-      },
+      (s, d) => Dedup.yearRollover(
+          Tables.events(s, d).withColumn("mmdd", date_format(col("ts"), "MM-dd")),
+          Seq("user_id", "mmdd"), Seq(col("ts"), col("event_id")), "ts")
+        .select(col("event_id"), col("user_id"),
+                date_format(col("ts"), "yyyy-MM-dd").as("rolled_date")),
       Some("""
         SELECT event_id, user_id,
-               strftime(CAST(ts AS DATE) + to_months(CAST(12 * (occurrence - 1) AS INT)),
+               strftime(ts + to_years(CASE WHEN occurrence > 1 THEN 1 ELSE 0 END),
                         '%Y-%m-%d') AS rolled_date
-        FROM (SELECT *, strftime(ts, '%m-%d') AS mmdd,
-                     row_number() OVER (PARTITION BY user_id, strftime(ts, '%m-%d')
-                                        ORDER BY ts, event_id) AS occurrence
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, strftime(ts, '%m-%d')
+                                           ORDER BY ts, event_id) AS occurrence
               FROM events)"""))
   )
 }
