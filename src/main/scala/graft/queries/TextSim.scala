@@ -36,11 +36,17 @@ object TextSim extends QueryPack {
       SELECT doc_id, $fp AS simhash FROM sums"""
   }
 
-  /** MinHash+LSH oracle mirroring NearDup.minhashLshPairs (k=16, 8 bands). */
+  /** MinHash+LSH oracle mirroring NearDup.minhashLshPairs: double-hashing
+    * family h_i = (h1 + i·h2) mod P from two md5 halves, k mins, banded. */
   private def minhashSql(k: Int, bands: Int): String = {
     val r = k / bands
-    val ms = s"[list_aggregate([md5(s || '|' || g) for g in sh], 'min') for s in range(0, $k)]"
-    val bandHash = (0 until r).map(j => s"ms[$r*b + ${j + 1}]").mkString(" || '#' || ")
+    val P = graft.text.NearDup.P
+    val mins = (0 until k)
+      .map(i => s"min((h1 + $i * h2) % $P) AS m$i").mkString(",\n               ")
+    val bandList = (0 until bands)
+      .map(b => "md5(" + (b * r until (b + 1) * r).map(i => s"m$i")
+        .mkString(" || '#' || ") + ")")
+      .mkString("[", ", ", "]")
     s"""
       WITH docs AS (
         SELECT doc_id,
@@ -48,9 +54,19 @@ object TextSim extends QueryPack {
                               for i in range(1, len(toks) - 1)]) AS sh
         FROM (SELECT doc_id, $DUCK_TOKENS AS toks FROM documents)
         WHERE len(toks) >= 3),
-      sigs AS (SELECT doc_id, sh, $ms AS ms FROM docs),
+      hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT       AS hraw,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT  % $P AS h1,
+               ('0x' || substr(md5(g), 17, 15))::BIGINT % $P AS h2
+        FROM (SELECT doc_id, unnest(sh) AS g FROM docs)),
+      sigs AS (
+        SELECT doc_id,
+               $mins
+        FROM hashed GROUP BY doc_id),
+      sets AS (SELECT doc_id, list(DISTINCT hraw) AS sh FROM hashed GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, sh, b AS band_idx, md5($bandHash) AS band_hash
+        SELECT doc_id, b AS band_idx, ($bandList)[b + 1] AS band_hash
         FROM sigs, (SELECT unnest(range(0, $bands)) AS b)),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -62,8 +78,8 @@ object TextSim extends QueryPack {
                    (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))::DOUBLE),
                    4) AS jaccard
       FROM cand c
-      JOIN docs da ON da.doc_id = c.id_a
-      JOIN docs db ON db.doc_id = c.id_b"""
+      JOIN sets da ON da.doc_id = c.id_a
+      JOIN sets db ON db.doc_id = c.id_b"""
   }
 
   override val queries: Map[String, Q] = Map(
@@ -134,12 +150,9 @@ object TextSim extends QueryPack {
     // MinHash (k=16) + LSH (8 bands × 2 rows) candidate pairs with verified
     // Jaccard on word-3-gram shingle sets.
     "q35_minhash_lsh" -> Q(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("sh", TextOps.wordShingles(col("text"), 3))
-          .filter(size(col("sh")) > 0)
-        NearDup.minhashLshPairs(docs, "doc_id", "sh", k = 16, bands = 8)
-      },
+      (s, d) => NearDup.minhashLshPairsFromRows(
+        TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 3),
+        k = 16, bands = 8),
       Some(minhashSql(16, 8))),
 
     // SimHash fingerprints (16-bit, md5-derived token hashes).
@@ -158,7 +171,7 @@ object TextSim extends QueryPack {
       Some("""
         WITH docs AS (
           SELECT doc_id, lang, source,
-                 list_distinct([substr(text, i, 5)
+                 list_distinct([('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT
                                 for i in range(1, length(text) - 3)]) AS sh
           FROM documents WHERE length(text) >= 5)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

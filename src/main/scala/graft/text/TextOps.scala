@@ -16,17 +16,51 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles (distinct), the unit for MinHash/Jaccard dedup.
-    * Guarded for docs shorter than n tokens (Spark's `sequence(1,0)` would
-    * count DOWN, not return empty).
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED tokens column
+    * (an attribute, not an expression). Guarded for docs shorter than n
+    * tokens (Spark's `sequence(1,0)` would count DOWN, not return empty).
+    *
+    * Perf note: expressions referenced inside a higher-order-function
+    * lambda are re-evaluated PER ELEMENT — passing `tokens(text)` directly
+    * here would re-split the text O(n) times per row (measured 20× slowdown
+    * at sf0.1). Hence the df-level `withWordShingles`, which binds the
+    * token array to a column first; `element_at` keeps each element O(1)
+    * where `slice` would copy O(n).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array()))
+
+  /** Add a word-n-gram shingle column (distinct) for `textCol`. */
+  def withWordShingles(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       n: Int, out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn(out, wordShinglesFromTokens(col("__toks"), n))
+      .drop("__toks")
+
+  /** Word n-gram shingles as ROWS (id, g) — the scale path for MinHash:
+    * posexplode + windowed lead keeps everything in whole-stage codegen
+    * (no array materialization, no per-element lambda re-evaluation; the
+    * only cost is one shuffle on the doc id, which the downstream
+    * signature aggregation needs anyway). Emits one row per OCCURRENCE —
+    * duplicate-insensitive consumers (min-hash, collect_set) see the same
+    * set as the distinct-array form.
+    */
+  def wordShingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val withLeads = (1 until n).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"__t$j", lead(col("tok"), j).over(w))
+    }
+    withLeads.filter(col(s"__t${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"__t$j")): _*).as("g"))
   }
 
   /** Character n-gram shingles (distinct). */

@@ -8,8 +8,8 @@ class TextSpec extends SparkSpec {
 
   test("shingles: short-doc guard returns empty, not a descending sequence") {
     import spark.implicits._
-    val df = Seq("a b", "a b c d").toDF("text")
-      .select(size(TextOps.wordShingles($"text", 3)).as("n"))
+    val df = TextOps.withWordShingles(Seq("a b", "a b c d").toDF("text"), "text", 3, "sh")
+      .select(size($"sh").as("n"))
       .as[Int].collect().toSeq
     assert(df === Seq(0, 2))
   }
@@ -21,7 +21,7 @@ class TextSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog again and again today"),
       (3L, "completely different words about spark catalyst tungsten engine"))
       .toDF("doc_id", "text")
-      .withColumn("sh", TextOps.wordShingles($"text", 3))
+      .transform(d => TextOps.withWordShingles(d, "text", 3, "sh"))
     val pairs = NearDup.minhashLshPairs(docs, "doc_id", "sh")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
