@@ -56,6 +56,32 @@ object PipelineDemo {
     val after = store.read().count()
     println(s"[demo] re-ingest idempotence: before=$before after=$after " +
       (if (before == after) "OK" else "MISMATCH"))
+
+    // streaming tick (T1-T4): drain a staged revision file AvailableNow;
+    // old-wins merge means the revision must NOT overwrite stored cells
+    val staging = Files.createTempDirectory("graft-staging").toString
+    Files.writeString(java.nio.file.Paths.get(s"$staging/revision.csv"),
+      "station,ts,param,value\n08MF005,2023-09-12 08:05:00,Q,7777.0\n" +
+      "08MF005,2023-09-12 08:15:00,Q,1260.0\n")
+    graft.streaming.StreamingIngest.ingestTick(spark, staging, store,
+      s"$staging/ckpt")
+    val cell = store.read()
+      .filter(col("station") === "08MF005" && col("param") === "Q" &&
+        date_format(col("ts"), "HH:mm").isin("08:05", "08:15"))
+      .select(date_format(col("ts"), "HH:mm"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    println(s"[demo] streaming tick: 08:05=${cell.get("08:05")} (expect kept 1234.5), " +
+      s"08:15=${cell.get("08:15")} (expect new 1260.0) " +
+      (if (cell.get("08:05").contains(1234.5) && cell.get("08:15").contains(1260.0)) "OK"
+       else "MISMATCH"))
+
+    // empty tick: nothing new staged → checkpoint makes the drain a no-op
+    val preEmpty = store.read().count()
+    graft.streaming.StreamingIngest.ingestTick(spark, staging, store,
+      s"$staging/ckpt")
+    val postEmpty = store.read().count()
+    println(s"[demo] empty tick no-op: $preEmpty -> $postEmpty " +
+      (if (preEmpty == postEmpty) "OK" else "MISMATCH"))
     spark.stop()
   }
 }

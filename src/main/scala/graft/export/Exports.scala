@@ -1,0 +1,44 @@
+package graft.export
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sink/export boundary (SURVEY §2.2).
+  *
+  * K2 — per-variable/per-station CSV export (discharge_obs_pd.py:357;
+  * ECCC_hourly.py:138-139): single-file CSV via coalesce(1) — an export
+  * convenience for bounded product files, NOT a pattern for bulk data
+  * (bulk writes stay partitioned).
+  * K6 — CSV→parquet converter (discharge_obs_pd.py:267-279).
+  * K3/K4 — Excel workbook writes: the reference renders year-named sheets
+  * with xlsxwriter/openpyxl/xlwt. The workbook CODEC is a driver-side
+  * boundary (no POI in the jar set — SURVEY §7.3); `sheetRows` produces
+  * the exact ordered, label-blanked, NaN-blanked grid the reference writes
+  * cell-by-cell (dischargeobs_write_xl.py:217-233), ready for any codec.
+  * K5 — object-store PUT + version purge: a store-maintenance task on the
+  * driver (AWS SDK), not an engine operator; writes themselves address
+  * s3a:// directly.
+  */
+object Exports {
+
+  /** K2 — write a bounded product frame as ONE headered CSV file. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+
+  /** K6 — round-trip a stored CSV to parquet. */
+  def csvToParquet(spark: SparkSession, csvPath: String, parquetPath: String): Unit =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(csvPath)
+      .write.mode("overwrite").parquet(parquetPath)
+
+  /** K3/K4 — materialize a sheet: ordered rows, nulls rendered as "" (the
+    * reference writes '' for NaN cells, dischargeobs_write_xl.py:229-233).
+    * Collects to the driver — sheets are bounded product exports by
+    * construction (a year of hourly rows × a model's station list).
+    */
+  def sheetRows(df: DataFrame, orderCol: String): (Array[String], Array[Array[String]]) = {
+    val cols = df.columns
+    val rows = df.orderBy(orderCol).collect().map { r =>
+      cols.indices.map(i => if (r.isNullAt(i)) "" else r.get(i).toString).toArray
+    }
+    (cols, rows)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ingest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+/** S1/S2/S3 — driver-side staged download (discharge_obs_pd.py:29-43,
+  * 74-84; constants.py:2-11).
+  *
+  * Network fetch is NOT an engine operator: the reference streams each
+  * remote CSV to a local file and the dataflow starts from those files.
+  * The engine keeps the same boundary — fetchers fill a staging directory,
+  * `spark.read`/`readStream` (StreamingIngest) consume it — so pipelines
+  * are testable by fixture injection and the cluster never blocks on
+  * third-party endpoints.
+  *
+  * URL templates carry strftime-style date fields (the reference's
+  * `%Y%m%d`-templated DataMart layout): `templated(url, now)` expands
+  * them. No concrete service URLs are baked in — they are configuration.
+  */
+object Fetch {
+
+  /** Expand strftime-ish fields (%Y %m %d %H) in a URL template. */
+  def templated(urlTemplate: String, now: LocalDateTime): String =
+    urlTemplate
+      .replace("%Y", now.format(DateTimeFormatter.ofPattern("yyyy")))
+      .replace("%m", now.format(DateTimeFormatter.ofPattern("MM")))
+      .replace("%d", now.format(DateTimeFormatter.ofPattern("dd")))
+      .replace("%H", now.format(DateTimeFormatter.ofPattern("HH")))
+
+  /** Download one URL to the staging dir; skip (None) on non-200, matching
+    * the reference's tolerant status check (discharge_obs_pd.py:40-43).
+    */
+  def toStaging(url: String, stagingDir: String,
+                client: HttpClient = HttpClient.newHttpClient()): Option[Path] = {
+    val fileName = url.split("/").last
+    val dest = Paths.get(stagingDir, fileName)
+    Files.createDirectories(dest.getParent)
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofFile(dest))
+    if (resp.statusCode() == 200) Some(dest)
+    else { Files.deleteIfExists(dest); None }
+  }
+}
