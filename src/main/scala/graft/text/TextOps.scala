@@ -10,9 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empties dropped (multi-space safe). */
+  /** Whitespace tokens, empties dropped (multi-space safe).
+    *
+    * Deliberately LAMBDA-FREE (`array_remove`, not `filter(_, lambda)`):
+    * plans containing lambda expressions do not canonicalize equal, which
+    * blocks ReuseExchange for every subtree above them — the minhash
+    * pipeline would recompute its shingle subtree once per consumer.
+    */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    array_remove(split(text, " +"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
