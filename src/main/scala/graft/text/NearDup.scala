@@ -134,18 +134,23 @@ object NearDup {
   def blockedJaccardPairs(df: DataFrame, idCol: String, shingleCol: String,
                           blockCols: Seq[String], minJaccard: Double): DataFrame = {
     // hash in codegen (explode → md5 → collect_set), not in an interpreted
-    // per-row transform: one codegen'd pass + one map-side-combined shuffle
+    // per-row transform: one codegen'd pass + one map-side-combined
+    // shuffle; arrays SORTED once per doc so the per-pair intersection is
+    // a primitive merge (plans.LongSortedIntersectCount) instead of
+    // array_intersect's boxed per-pair hash set.
     val base = df
       .select(blockCols.map(col) :+ col(idCol).as("id") :+
         explode(col(shingleCol)).as("g"): _*)
       .withColumn("hg", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
       .groupBy(blockCols.map(col) :+ col("id"): _*)
-      .agg(collect_set(col("hg")).as("sh"))
+      .agg(sort_array(collect_set(col("hg"))).as("sh"))
     val a = base.as("a")
     val b = base.as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    a.join(b, blockCond && col("a.id") < col("b.id"))
-      .withColumn("common", size(array_intersect(col("a.sh"), col("b.sh"))).cast("double"))
+    val joined = a.join(b, blockCond && col("a.id") < col("b.id"))
+    joined
+      .withColumn("common",
+        graft.plans.ArrayOps.sortedIntersectCount(joined, "a.sh", "b.sh").cast("double"))
       .withColumn("jaccard", round(col("common") /
         (size(col("a.sh")) + size(col("b.sh")) - col("common")), 4))
       .filter(col("jaccard") >= minJaccard)

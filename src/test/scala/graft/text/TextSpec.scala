@@ -39,6 +39,20 @@ class TextSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
   }
 
+  test("sorted_intersect_count: primitive merge equals array_intersect size") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),   // common {3,9}
+      (Seq.empty[Long], Seq(1L, 2L)),                  // empty side
+      (Seq(7L), Seq(7L)))                              // identical singleton
+      .toDF("x", "y")
+    val out = df.select(
+        graft.plans.ArrayOps.sortedIntersectCount(df, "x", "y").as("c"),
+        size(array_intersect($"x", $"y")).as("ref"))
+      .as[(Int, Int)].collect().toSeq
+    assert(out.forall(p => p._1 == p._2) && out.map(_._1) === Seq(2, 0, 1))
+  }
+
   test("cosine: known vectors") {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
