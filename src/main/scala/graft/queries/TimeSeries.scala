@@ -266,19 +266,35 @@ object TimeSeries extends QueryPack {
         FROM wide""")),
 
     // A3 — rising/falling recurrence (dischargeobs_write_xl.py:120-127).
-    // Inherently sequential per key ⇒ typed flatMapGroups scan; not
-    // SQL-expressible without recursion, so driver does a rows-only check.
+    // Inherently sequential per key ⇒ typed flatMapGroups scan in Spark;
+    // the oracle expresses the same recurrence as a RECURSIVE CTE (null
+    // comparisons false ⇒ take max — identical to the pandas loop).
     "q23_rising_falling" -> Q(
       (s, d) => {
         val hourly = Resample.resample(Tables.events(s, d),
           Seq("user_id"), "ts", "value", "hour")
         Recurrence.risingFalling(s, hourly, "user_id", "bucket",
             "max_value", "last_value")
-          .select(col("key").as("user_id"),
+          .select(col("key").cast("long").as("user_id"),
                   date_format(col("bucket"), HOUR_FMT).as("hour"),
                   round(col("h"), 4).as("h"))
       },
-      None),
+      Some("""
+        WITH RECURSIVE hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS b,
+                 max(value) AS m, arg_max(value, ts) AS l
+          FROM events GROUP BY 1, 2),
+        idx AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY b) AS rn
+                FROM hourly),
+        rec AS (
+          SELECT user_id, b, rn, m AS h FROM idx WHERE rn = 1
+          UNION ALL
+          SELECT i.user_id, i.b, i.rn,
+                 CASE WHEN i.m <= r.h THEN i.l ELSE i.m END
+          FROM idx i JOIN rec r ON i.user_id = r.user_id AND i.rn = r.rn + 1)
+        SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS hour,
+               round(h, 4) AS h
+        FROM rec""")),
 
     // D3 — duplicate-date year-rollover (dischargeobs_write_xl.py:403-404):
     // any non-first occurrence of the same month-day per key is shifted
