@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Advanced analytics beyond the reference's own surface: sessionization,
+  * hierarchical rollups, exact percentiles, as-of alignment. Each maps to
+  * a built-in Spark shape (SURVEY §7.3 preference (a): compose built-ins)
+  * and carries a DuckDB oracle.
+  */
+object Advanced extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+
+    // Sessionization: gaps-and-islands with a 30-minute inactivity timeout.
+    // One shuffle on user_id; the session id is a running sum of gap flags
+    // — the batch shape of Structured Streaming's session_window.
+    "q25_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("gap",
+            when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+                   > 30L * 60 * 1000000, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("gap")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+               round(sum(col("value")), 2).as("session_value"),
+               date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+               ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+                 .cast("long") / lit(1000000L)).cast("long").as("duration_s"))
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                      THEN 1 ELSE 0 END AS gap
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT *, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    ::BIGINT AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 2) AS session_value,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+        FROM sessions GROUP BY 1, 2""")),
+
+    // Hierarchical ROLLUP: revenue at (flag, status), (flag), and grand
+    // total in one pass — Spark expands grouping sets, two-phase agg.
+    "q26_rollup" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+             count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+                col("revenue"), col("n")),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // Exact interpolated percentiles per group (both engines implement the
+    // same linear-interpolation definition: rank = p·(n−1)).
+    "q27_percentiles" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+             round(expr("percentile(value, 0.9)"), 4).as("p90"),
+             round(expr("percentile(value, 0.99)"), 4).as("p99")),
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4)  AS p50,
+               round(quantile_cont(value, 0.9), 4)  AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type""")),
+
+    // As-of (backward) alignment: for every purchase, the value of the
+    // same user's LATEST strictly-earlier click. Implemented without a
+    // range join: one windowed last-non-null with a RANGE frame ending at
+    // -1 µs over the unioned, time-ordered stream — shuffle on user_id
+    // only, no quadratic candidate set. (DuckDB side uses its native
+    // ASOF JOIN — same strictly-earlier semantics.)
+    "q29_asof_join" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("tsu", unix_micros(col("ts")))
+          .withColumn("click_v", when(col("event_type") === "click", col("value")))
+          .withColumn("last_click", last(col("click_v"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"), col("last_click"))
+      },
+      Some("""
+        WITH clicks AS (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'click'),
+             purch  AS (SELECT user_id, ts, event_id, value FROM events
+                        WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.value, c.value AS last_click
+        FROM purch p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts > c.ts"""))
+  )
+}
