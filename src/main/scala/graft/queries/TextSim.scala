@@ -162,12 +162,8 @@ object TextSim extends QueryPack {
 
     // Blocked n-gram Jaccard: quadratic only inside (lang, source) blocks.
     "q37_blocked_jaccard" -> Q(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .withColumn("sh", TextOps.charShingles(col("text"), 5))
-        NearDup.blockedJaccardPairs(docs, "doc_id", "sh",
-          Seq("lang", "source"), minJaccard = 0.5)
-      },
+      (s, d) => NearDup.blockedJaccardPairsFromText(Tables.documents(s, d),
+        "doc_id", "text", Seq("lang", "source"), n = 5, minJaccard = 0.5),
       Some("""
         WITH docs AS (
           SELECT doc_id, lang, source,

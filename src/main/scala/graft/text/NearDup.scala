@@ -131,16 +131,39 @@ object NearDup {
     * with collision probability ~|sh|²/2^60 per pair (negligible). The
     * hashing is mirrored in the oracle, so results stay exact-comparable.
     */
+  /** Character-n-gram variant building shingle ROWS in codegen (explode
+    * of a position sequence + substr) — no per-row array construction, no
+    * interpreted HOF; ~4× faster than the array route at sf0.1. */
+  def blockedJaccardPairsFromText(df: DataFrame, idCol: String, textCol: String,
+                                  blockCols: Seq[String], n: Int,
+                                  minJaccard: Double): DataFrame = {
+    val rows = df
+      .filter(length(col(textCol)) >= n)
+      .select(blockCols.map(col) :+ col(idCol).as("id") :+ col(textCol).as("__t"): _*)
+      .select(blockCols.map(col) :+ col("id") :+
+        explode(sequence(lit(1), length(col("__t")) - (n - 1))).as("pos") :+
+        col("__t"): _*)
+      .select(blockCols.map(col) :+ col("id") :+
+        col("__t").substr(col("pos"), lit(n)).as("g"): _*)
+    pairsFromShingleRows(rows, blockCols, minJaccard)
+  }
+
   def blockedJaccardPairs(df: DataFrame, idCol: String, shingleCol: String,
-                          blockCols: Seq[String], minJaccard: Double): DataFrame = {
-    // hash in codegen (explode → md5 → collect_set), not in an interpreted
-    // per-row transform: one codegen'd pass + one map-side-combined
-    // shuffle; arrays SORTED once per doc so the per-pair intersection is
-    // a primitive merge (plans.LongSortedIntersectCount) instead of
-    // array_intersect's boxed per-pair hash set.
-    val base = df
-      .select(blockCols.map(col) :+ col(idCol).as("id") :+
-        explode(col(shingleCol)).as("g"): _*)
+                          blockCols: Seq[String], minJaccard: Double): DataFrame =
+    pairsFromShingleRows(
+      df.select(blockCols.map(col) :+ col(idCol).as("id") :+
+        explode(col(shingleCol)).as("g"): _*),
+      blockCols, minJaccard)
+
+  /** Shared tail: hash shingle rows in codegen, aggregate to SORTED hashed
+    * sets (collect_set dedups; map-side combine shrinks the shuffle), then
+    * the within-block pair join with the primitive merge-count kernel
+    * (plans.LongSortedIntersectCount) instead of array_intersect's boxed
+    * per-pair hash set.
+    */
+  private def pairsFromShingleRows(rows: DataFrame, blockCols: Seq[String],
+                                   minJaccard: Double): DataFrame = {
+    val base = rows
       .withColumn("hg", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
       .groupBy(blockCols.map(col) :+ col("id"): _*)
       .agg(sort_array(collect_set(col("hg"))).as("sh"))

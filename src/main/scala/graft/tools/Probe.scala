@@ -31,6 +31,23 @@ object Probe {
     // tokens-only comparison: is the HOF shingle build the bottleneck?
     time("tokens-only")(Tables.documents(spark, d)
       .select(size(TextOps.tokens(col("text"))).as("n")))
+
+    // q37 decomposition
+    val docs37 = Tables.documents(spark, d)
+      .withColumn("sh", TextOps.charShingles(col("text"), 5))
+    val base37 = docs37
+      .select(col("lang"), col("source"), col("doc_id").as("id"), explode(col("sh")).as("g"))
+      .withColumn("hg", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("lang"), col("source"), col("id"))
+      .agg(sort_array(collect_set(col("hg"))).as("sh"))
+    time("q37-base-agg")(base37)
+    val aj = base37.as("a"); val bj = base37.as("b")
+    time("q37-join-only")(aj.join(bj,
+      col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+      col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")))
+    time("q37-full")(graft.text.NearDup.blockedJaccardPairsFromText(
+      Tables.documents(spark, d), "doc_id", "text", Seq("lang", "source"), 5, 0.5))
     spark.stop()
   }
 }
