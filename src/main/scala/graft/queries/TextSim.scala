@@ -38,7 +38,32 @@ object TextSim extends QueryPack {
 
   /** MinHash+LSH oracle mirroring NearDup.minhashLshPairs: double-hashing
     * family h_i = (h1 + i·h2) mod P from two md5 halves, k mins, banded. */
-  private def minhashSql(k: Int, bands: Int): String = {
+  private def minhashSql(k: Int, bands: Int): String =
+    s"WITH ${minhashCtes(k, bands)}" + """
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(da.sh, db.sh))::DOUBLE /
+                   (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))::DOUBLE),
+                   4) AS jaccard
+      FROM cand c
+      JOIN sets da ON da.doc_id = c.id_a
+      JOIN sets db ON db.doc_id = c.id_b"""
+
+  /** Transitive closure of the candidate-pair graph: component keeper =
+    * min reachable doc_id (oracle for NearDup.dedupClusters). */
+  private def clusterSql(k: Int, bands: Int): String =
+    s"WITH RECURSIVE ${minhashCtes(k, bands)}," + """
+      nodes AS (SELECT DISTINCT id FROM
+                  (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      reach AS (
+        SELECT id AS node, id AS root FROM nodes
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT node AS doc_id, min(root) AS keeper_id FROM reach GROUP BY node"""
+
+  /** Shared CTE chain ending in `cand` (candidate pairs) and `sets`. */
+  private def minhashCtes(k: Int, bands: Int): String = {
     val r = k / bands
     val P = graft.text.NearDup.P
     val mins = (0 until k)
@@ -48,7 +73,7 @@ object TextSim extends QueryPack {
         .mkString(" || '#' || ") + ")")
       .mkString("[", ", ", "]")
     s"""
-      WITH docs AS (
+      docs AS (
         SELECT doc_id,
                list_distinct([array_to_string(toks[i:i+2], ' ')
                               for i in range(1, len(toks) - 1)]) AS sh
@@ -72,14 +97,7 @@ object TextSim extends QueryPack {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id)
-      SELECT c.id_a, c.id_b,
-             round(len(list_intersect(da.sh, db.sh))::DOUBLE /
-                   (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))::DOUBLE),
-                   4) AS jaccard
-      FROM cand c
-      JOIN sets da ON da.doc_id = c.id_a
-      JOIN sets db ON db.doc_id = c.id_b"""
+         AND a.doc_id < b.doc_id)"""
   }
 
   override val queries: Map[String, Q] = Map(
@@ -233,6 +251,19 @@ object TextSim extends QueryPack {
               FROM s)
         WHERE rank <= 3"""
       }),
+
+    // Near-dup clustering: connected components over the LSH candidate
+    // graph (iterative min-label propagation in Spark; transitive-closure
+    // recursive CTE in the oracle) — the keep/drop mapping a dedup
+    // pipeline actually applies.
+    "q42_dedup_clusters" -> Q(
+      (s, d) => {
+        val pairs = NearDup.minhashLshPairsFromRows(
+          TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 3),
+          k = 16, bands = 8)
+        NearDup.dedupClusters(pairs, "id_a", "id_b")
+      },
+      Some(clusterSql(16, 8))),
 
     // Multimodal plumbing: binary payload + typed mapPartitions decode
     // (deterministic stub in place of a codec — see Multimodal.decodeStub).

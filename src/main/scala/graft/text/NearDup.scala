@@ -105,6 +105,66 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERING: connected components over a pair list, keeper =
+    * min id per component — turns pairwise near-dup detection into an
+    * actionable keep/drop mapping. Iterative min-label propagation
+    * (pointer-jumping): each round joins labels across edges and keeps the
+    * min; converges in O(log n) rounds for chain-of-pairs graphs, and the
+    * pair list is already LSH-thinned, so each round is a small join. The
+    * driver loop only checks a scalar convergence count per round.
+    */
+  def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
+    // localCheckpoint (eager): truncates the logical plan, not just the
+    // computation. persist() alone is NOT enough for iterative algorithms
+    // — each round's plan embeds 3 references to the previous round's
+    // plan, so the plan TREE grows 3^n and driver-side analysis time
+    // explodes (measured 115 s for round 5). On a cluster needing fault
+    // tolerance, substitute reliable checkpoint(dir).
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    // convergence via the label sum: min-propagation is monotone
+    // non-increasing, so an unchanged sum ⟺ a fixpoint — one cheap scalar
+    // job per round instead of an anti-join diff
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = Long.MaxValue
+    var t0 = System.nanoTime()
+    var curSum = labelSum(labels)
+    if (sys.env.contains("GRAFT_DEBUG_CLUSTER"))
+      System.err.println(f"[cluster] init sum in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    var rounds = 0
+    while (curSum != prevSum && rounds < 25) {
+      t0 = System.nanoTime()
+      // neighbor propagation + POINTER JUMPING (label(label(id))): path
+      // compression makes convergence O(log diameter) — plain neighbor
+      // propagation needs diameter-many rounds and chain-shaped candidate
+      // graphs can be hundreds of hops long
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val parents = labels.select(col("id").as("label"), col("label").as("jlabel"))
+      val updated = labels
+        .join(parents, Seq("label"), "left")
+        .join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"),
+                coalesce(col("jlabel"), col("label")),
+                coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true) // cut lineage — see edges comment
+      prevSum = curSum
+      curSum = labelSum(updated)
+      labels = updated
+      rounds += 1
+      if (sys.env.contains("GRAFT_DEBUG_CLUSTER"))
+        System.err.println(f"[cluster] round=$rounds sum=$curSum " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
+  }
+
   /** SimHash fingerprint (16-bit here for oracle-checkability; the width is
     * a parameter). Token hash = first 60 bits of md5 as an integer; each bit
     * contributes ±1 weighted by occurrence; fingerprint bit = sign.

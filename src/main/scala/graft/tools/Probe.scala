@@ -48,6 +48,14 @@ object Probe {
       .select(col("a.id"), col("b.id")))
     time("q37-full")(graft.text.NearDup.blockedJaccardPairsFromText(
       Tables.documents(spark, d), "doc_id", "text", Seq("lang", "source"), 5, 0.5))
+
+    // q42 decomposition: pair count, node count, then clustering
+    val pairs42 = NearDup.minhashLshPairsFromRows(
+      TextOps.wordShingleRows(Tables.documents(spark, d), "doc_id", "text", 3))
+    val t42 = System.nanoTime()
+    println(s"[probe] q42-pairs: ${pairs42.count()} rows in " +
+      f"${(System.nanoTime() - t42) / 1e9}%.2f s")
+    time("q42-cluster")(NearDup.dedupClusters(pairs42, "id_a", "id_b"))
     spark.stop()
   }
 }
