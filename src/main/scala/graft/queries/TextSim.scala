@@ -102,13 +102,19 @@ object TextSim extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
 
-    // Token counting (whitespace tokenizer; empties dropped).
+    // Token counting: whitespace tokens + a BPE-ish subword proxy
+    // (letter runs / digit runs / single punctuation marks).
     "q30_token_stats" -> Q(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+                size(regexp_extract_all(lower(col("text")),
+                  lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_subtokens"),
                 col("n_chars")),
       Some(s"""
-        SELECT doc_id, len($DUCK_TOKENS) AS n_tokens, n_chars
+        SELECT doc_id, len($DUCK_TOKENS) AS n_tokens,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                 AS n_subtokens,
+               n_chars
         FROM documents""")),
 
     // Canonical-form document fingerprint (rolling-hash substitute).
@@ -251,6 +257,44 @@ object TextSim extends QueryPack {
               FROM s)
         WHERE rank <= 3"""
       }),
+
+    // IVF-style ANN: deterministic coarse quantizer (every 50th vector is
+    // a centroid), nprobe=2 probed cells per query, top-3 within cells.
+    // The cell id is the inverted file — at scale the table is
+    // bucketed/partitioned by it and a probe reads only its cells.
+    "q43_ivf_ann" -> Q(
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        centroidStep = 50, nprobe = 2, k = 3,
+        queryPred = col("vec_id") % 100 === 0),
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM en
+                  WHERE vec_id % 50 = 0),
+        assigned AS (
+          SELECT en.vec_id, en.v, en.vn, c.cent_id AS cell
+          FROM en CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY en.vec_id
+            ORDER BY round(list_dot_product(c.cv, en.v) / (c.cn * en.vn), 6) DESC,
+                     c.cent_id) = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM assigned
+              WHERE vec_id % 100 = 0),
+        probes AS (
+          SELECT q.query_id, q.qv, q.qn, c.cent_id AS cell
+          FROM q CROSS JOIN cents c
+          QUALIFY row_number() OVER (PARTITION BY q.query_id
+            ORDER BY round(list_dot_product(c.cv, q.qv) / (c.cn * q.qn), 6) DESC,
+                     c.cent_id) <= 2),
+        s AS (SELECT p.query_id, a.vec_id,
+                     round(list_dot_product(p.qv, a.v) / (p.qn * a.vn), 6) AS cosine
+              FROM probes p JOIN assigned a USING (cell)
+              WHERE a.vec_id <> p.query_id)
+        SELECT query_id, vec_id, cosine, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+        WHERE rank <= 3""")),
 
     // Near-dup clustering: connected components over the LSH candidate
     // graph (iterative min-label propagation in Spark; transitive-closure

@@ -31,19 +31,72 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k: for each query vector, the k nearest non-self
-    * vectors by cosine. `queries` must be small (it is broadcast).
+    * vectors by cosine. `queries` must be small (it is broadcast). Norms
+    * are precomputed per VECTOR (once), not per pair — cuts the
+    * dot-product work 3×.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (every `centroidStep`-th
+    * vector is a centroid), each vector assigned to its nearest centroid,
+    * queries probe the `nprobe` nearest centroid cells and rank only the
+    * vectors inside them. The inverted-file structure is exactly a
+    * cell-id column — at scale the vector table is bucketed/partitioned by
+    * it, so a probe reads only its cells.
+    */
+  def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              centroidStep: Int, nprobe: Int, k: Int,
+              queryPred: org.apache.spark.sql.Column): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", norm(col("v")))
+    val cents = v.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cn"))
+
+    // assignment: nearest centroid per vector (rounded cosine, id tie-break)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = v.join(broadcast(cents), lit(true))
+      .withColumn("ccos", round(dot(col("cv"), col("v")) / (col("cn") * col("vn")), 6))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("vn"), col("cent_id").as("cell"))
+
+    // probe list: each query's nprobe nearest centroids
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cent_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("pcos", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+
+    // scan only the probed cells
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+      .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
