@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ops.{Dedup, Resample}
-import graft.queries.{Advanced, Q, QueryPack, Relational, TextSim, TimeSeries}
+import graft.queries.{Advanced, Composite, Q, QueryPack, Relational, TextSim, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, TimeSeries, TextSim, Advanced)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, TimeSeries, TextSim, Advanced, Composite)
 
   private lazy val all: Map[String, Q] = packs.flatMap(_.queries).toMap
 

@@ -51,6 +51,16 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming dedup across micro-batches: drops re-delivered
+    * (station, ts, param) observations while bounding state with the 48 h
+    * lookback watermark — the streaming form of D1/D2 (the batch path
+    * dedups per tick; this dedups ACROSS ticks without re-reading
+    * partitions).
+    */
+  def dedupStream(obs: DataFrame): DataFrame =
+    obs.withWatermark("ts", "48 hours")
+      .dropDuplicatesWithinWatermark("station", "ts", "param")
+
   /** Continuous hourly rollup with a 48 h watermark (the reference's
     * lookback window): emits (station, param, window, mean/max/last) in
     * append mode once windows close.

@@ -10,6 +10,28 @@ import graft.storage.ObsStore
   */
 class StreamingSpec extends SparkSpec {
 
+  test("streaming dedup drops re-delivered observations across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("sdedup").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    // same (station, ts, param) delivered twice within one drain
+    Files.writeString(Paths.get(s"$base/in/a.csv"),
+      "station,ts,param,value\ns1,2023-01-05 00:00:00,Q,1.0\n")
+    Files.writeString(Paths.get(s"$base/in/b.csv"),
+      "station,ts,param,value\ns1,2023-01-05 00:00:00,Q,1.0\n" +
+      "s1,2023-01-05 00:05:00,Q,2.0\n")
+    val out = s"$base/out"
+    val q = StreamingIngest.dedupStream(
+        StreamingIngest.readObsStream(spark, s"$base/in"))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() === 2) // dup dropped
+  }
+
   test("two ingest ticks: drain, upsert, no reprocessing, old-wins merge") {
     import spark.implicits._
     val base = Files.createTempDirectory("stream").toString
