@@ -78,12 +78,12 @@ object TimeSeries extends QueryPack {
           Seq("event_type"), "ts", "value", "hour")
         .select(col("event_type"),
                 date_format(col("bucket"), HOUR_FMT).as("hour"),
-                round(col("mean_value"), 4).as("mean_value"),
+                round(round(col("mean_value"), 6), 4).as("mean_value"),
                 col("max_value"), col("last_value"), col("n_obs")),
       Some("""
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-               round(avg(value), 4) AS mean_value,
+               round(round(avg(value), 6), 4) AS mean_value,
                max(value)           AS max_value,
                arg_max(value, CASE WHEN value IS NOT NULL THEN ts END) AS last_value,
                count(value)         AS n_obs
@@ -100,7 +100,7 @@ object TimeSeries extends QueryPack {
         Resample.tailPatch(daily, Seq("user_id"), "bucket", "mean_value", "last_value")
           .select(col("user_id"),
                   date_format(col("bucket"), "yyyy-MM-dd").as("day"),
-                  round(col("mean_value"), 4).as("day_value"))
+                  round(round(col("mean_value"), 6), 4).as("day_value"))
       },
       Some("""
         WITH src AS (SELECT user_id, ts,
@@ -111,9 +111,9 @@ object TimeSeries extends QueryPack {
                               arg_max(v, CASE WHEN v IS NOT NULL THEN ts END) AS last_value
                        FROM src GROUP BY 1, 2)
         SELECT user_id, strftime(bucket, '%Y-%m-%d') AS day,
-               round(CASE WHEN bucket = max(CASE WHEN mean_value IS NOT NULL THEN bucket END)
+               round(round(CASE WHEN bucket = max(CASE WHEN mean_value IS NOT NULL THEN bucket END)
                                         OVER (PARTITION BY user_id)
-                     THEN last_value ELSE mean_value END, 4) AS day_value
+                     THEN last_value ELSE mean_value END, 6), 4) AS day_value
         FROM daily""")),
 
     // W1/T5 — bounded forward-fill (dischargeobs_write_xl.py:353-355).
@@ -225,12 +225,12 @@ object TimeSeries extends QueryPack {
         .groupBy(col("event_type"))
         .agg(round(sum(col("value") / 35.3147), 3).as("total_cms"),
              round(sum(col("value") / 3.28084), 3).as("total_m"),
-             round(avg(col("value") / 35.3147), 4).as("mean_cms")),
+             round(round(avg(col("value") / 35.3147), 6), 4).as("mean_cms")),
       Some("""
         SELECT event_type,
                round(sum(value / 35.3147), 3) AS total_cms,
                round(sum(value / 3.28084), 3) AS total_m,
-               round(avg(value / 35.3147), 4) AS mean_cms
+               round(round(avg(value / 35.3147), 6), 4) AS mean_cms
         FROM events GROUP BY event_type""")),
 
     // F11 — compiled formula estimates over the wide pivot
