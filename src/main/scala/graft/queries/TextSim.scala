@@ -309,6 +309,47 @@ object TextSim extends QueryPack {
       },
       Some(clusterSql(16, 8))),
 
+    // Deterministic stratified split: hash-bucketed train/val/test
+    // assignment (8/1/1) per language stratum — reproducible anywhere,
+    // no RNG, no state; the standard training-data split at scale.
+    "q47_stratified_split" -> Q(
+      (s, d) => {
+        val bucket = (conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 8),
+          16, 10).cast("long") % 10).cast("int")
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg(col("n_chars")), 4).as("mean_chars"))
+      },
+      Some("""
+        WITH assigned AS (
+          SELECT *, CASE
+            WHEN ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+            WHEN ('0x' || substr(md5('split|' || doc_id), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+          FROM documents)
+        SELECT lang, split, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS mean_chars
+        FROM assigned GROUP BY 1, 2""")),
+
+    // PII-style scrubbing: redact digit runs (the stand-in for phone/SSN
+    // patterns), reporting redaction counts and the scrubbed fingerprint —
+    // codegen regexp, deterministic, auditable.
+    "q48_redact" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_redactions",
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))))
+        .withColumn("scrubbed", regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+        .select(col("doc_id"), col("n_redactions"),
+                md5(col("scrubbed")).as("scrubbed_hash")),
+      Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[0-9]+')) AS n_redactions,
+               md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrubbed_hash
+        FROM documents""")),
+
     // Multimodal plumbing: binary payload + typed mapPartitions decode
     // (deterministic stub in place of a codec — see Multimodal.decodeStub).
     "q40_media_features" -> Q(
