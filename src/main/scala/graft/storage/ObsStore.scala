@@ -60,6 +60,12 @@ class ObsStore(spark: SparkSession, path: String) {
       .select("station", "ts", "param", "value")
     val merged = Merge.combineFirst(existing, newObs.select("station", "ts", "param", "value"),
       Seq("station", "ts", "param"), Seq("value"))
+      // materialize BEFORE writing: the merge reads the very partitions the
+      // dynamic overwrite rewrites — staging-commit makes the lazy form
+      // work, but an eager localCheckpoint removes the self-overwrite
+      // hazard outright (the overlap is bounded by the batch's month span,
+      // so the materialized set is small relative to the table)
+      .localCheckpoint(true)
     withKeys(merged).write
       .partitionBy("yyyymm", "param")
       .mode("overwrite")
