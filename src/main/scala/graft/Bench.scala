@@ -33,10 +33,12 @@ object Bench {
     try materialize(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -44,7 +46,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are IN the JSON line, not just stderr — a throwing query
+    // must not read as a speedup
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,10 +32,24 @@ object PipelineDemo {
       EcccSwob.readObs(spark, s"$res/swob"),
       ExcelShaped.readHourlySheet(spark, s"$res/excel/hourly_q.csv", 2023, "Q"))
 
+    // a second source reporting the SAME (station, ts, param) as WSC with a
+    // different value — cross-source keep-first must let WSC (earlier
+    // source) win and must not duplicate the key
+    import spark.implicits._
+    val conflicting = Seq(
+      ("08MF005", java.sql.Timestamp.valueOf("2023-09-12 08:05:00"), "Q", Some(8888.0)))
+      .toDF("station", "ts", "param", "value")
+
     val dir = Files.createTempDirectory("graft-demo").toString + "/obs"
     val store = new ObsStore(spark, dir)
-    Pipelines.ingestInstantaneous(store, sources)
+    Pipelines.ingestInstantaneous(store, sources :+ conflicting)
     println(s"[demo] store rows=${store.read().count()} at $dir")
+    val xsrc = store.read()
+      .filter(col("station") === "08MF005" && col("param") === "Q" &&
+        date_format(col("ts"), "MM-dd HH:mm") === "09-12 08:05")
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    println(s"[demo] cross-source dedup: value(s)=$xsrc " +
+      (if (xsrc == Seq(1234.5)) "OK (WSC wins, single row)" else "MISMATCH"))
     store.read().groupBy("param").count().show()
 
     val inst = store.read()

@@ -21,14 +21,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to microseconds (floor — same
-    * as DuckDB's epoch_us on a TIMESTAMP_NS, so oracles agree).
+    * rejects; read nanos as long and truncate to microseconds with a true
+    * FLOOR (pmod-based — `div` truncates toward zero, which disagrees with
+    * DuckDB's epoch_us for pre-1970 sub-microsecond timestamps).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

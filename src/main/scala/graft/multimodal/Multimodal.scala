@@ -19,17 +19,19 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-                           head_byte: Int, n_frames: Long)
+                           head_point: Int, n_frames: Long)
 
   /** STUB decoder — deterministic fake standing in for an image/audio
     * decode. Real implementation would parse the container; the fake
-    * derives: size, first byte, and a "frame count" (1 frame per 256
-    * bytes). Kept trivially SQL-expressible so the surrounding plumbing is
-    * oracle-checkable end to end.
+    * derives: size, the first decoded CODE POINT (0 when empty — matching
+    * SQL `ascii(substr(text,1,1))`, so the plumbing stays oracle-checkable
+    * for non-ASCII payloads too), and a "frame count" (1 per 256 bytes).
     */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val n = r.payload.length.toLong
-    val head = if (n > 0) r.payload(0) & 0xff else -1
+    val head =
+      if (n > 0) new String(r.payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+      else 0
     MediaFeatures(r.doc_id, r.media_type, n, head, n / 256 + 1)
   }
 

@@ -21,6 +21,11 @@ object Skew {
 
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
+    // replication is only sound when unmatched SMALL-side rows are never
+    // emitted — a right/full outer would yield one row per salt replica
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin does not support joinType=$joinType (small side is replicated)")
     val salted = big.withColumn("__salt",
       pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val replicated = small.withColumn("__salt",

@@ -16,24 +16,53 @@ import graft.storage.ObsStore
 object Pipelines {
 
   /** E1 — instantaneous ingest (discharge_obs_pd.py:366-412): normalized
-    * long obs from all sources union → merge-upsert into the partitioned
-    * store. Sources are already normalized Dataset[Obs]-shaped frames.
+    * long obs from all sources union → keep-first dedup across sources →
+    * merge-upsert into the partitioned store.
+    *
+    * The cross-source dedup matters in the long model: the reference's
+    * column-wise concat (J4) can't collide because each source owns
+    * disjoint station COLUMNS, but in long form the same (station, ts,
+    * param) can arrive from two sources, and combineFirst assumes unique
+    * keys per side. Keep-first by source order = the reference's
+    * source-precedence (earlier source wins).
     */
   def ingestInstantaneous(store: ObsStore, sources: Seq[DataFrame]): Unit = {
-    val all = sources.reduce(_.unionByName(_, allowMissingColumns = true))
-    store.mergeUpsert(all)
+    val tagged = sources.zipWithIndex.map { case (df, i) =>
+      df.select(col("station"), col("ts"), col("param"), col("value"))
+        .withColumn("__src", lit(i))
+    }
+    val all = tagged.reduce(_.unionByName(_))
+    val deduped = graft.ops.Dedup.dedupFirst(all,
+        Seq("station", "ts", "param"), Seq(col("__src")))
+      .drop("__src")
+    store.mergeUpsert(deduped)
   }
 
   /** E2a — hourly rollup (dischargeobs_write_xl.py:278-360): per (station,
-    * param) hourly mean, tail-patched with the last raw observation at the
-    * last valid hour, bounded-ffilled to `now`, rounded.
-    * Returns long (station, param, bucket, value).
+    * param) hourly mean on the COMPLETE hour spine, tail-patched with the
+    * last raw observation at the last valid hour, bounded-ffilled to
+    * `now`, rounded. Returns long (station, param, bucket, value).
+    *
+    * The spine join is load-bearing: groupBy(date_trunc) only emits hours
+    * that HAVE observations, but the reference's year-frame (pandas
+    * DatetimeIndex) contains every hour — gap hours and the stretch up to
+    * `now` must exist as rows for the bounded forward-fill to fill them.
+    * The spine is generated distributed (sequence+explode) and
+    * cross-joined with the (station, param) dimension derived from the
+    * data — no driver-side collection.
     */
   def hourlyRollup(inst: DataFrame, now: Column): DataFrame = {
     val hourly = Resample.resample(inst, Seq("station", "param"), "ts", "value", "hour")
     val patched = Resample.tailPatch(hourly, Seq("station", "param"),
       "bucket", "mean_value", "last_value")
-    val filled = Fill.ffill(patched, Seq("station", "param"), Seq(col("bucket")),
+    val spine = inst
+      .agg(date_trunc("hour", min(col("ts"))).as("__lo"))
+      .select(explode(sequence(col("__lo"), date_trunc("hour", now),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val keys = inst.select(col("station"), col("param")).distinct()
+    val full = spine.crossJoin(keys)
+      .join(patched, Seq("station", "param", "bucket"), "left")
+    val filled = Fill.ffill(full, Seq("station", "param"), Seq(col("bucket")),
       "mean_value", "value", cutoff = Some(col("bucket") <= date_trunc("day", now)))
     filled.select(col("station"), col("param"), col("bucket"),
       round(col("value"), 3).as("value"))

@@ -365,7 +365,7 @@ object TextSim extends QueryPack {
         SELECT doc_id,
                ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
                octet_length(encode(text))::BIGINT AS n_bytes,
-               ascii(substr(text, 1, 1)) AS head_byte,
+               ascii(substr(text, 1, 1)) AS head_point,
                octet_length(encode(text)) // 256 + 1 AS n_frames
         FROM documents""")),
 

@@ -260,7 +260,9 @@ object TimeSeries extends QueryPack {
                  round(sum(value) FILTER (event_type = 'view'), 2)     AS view
           FROM events GROUP BY 1)
         SELECT day,
-               round(greatest(0.0006*power(click,2)+0.0928*click-0.5642, 0.001), 4) AS est_quad,
+               round(CASE WHEN 0.0006*power(click,2)+0.0928*click-0.5642 IS NOT NULL
+                          THEN greatest(0.0006*power(click,2)+0.0928*click-0.5642, 0.001)
+                     END, 4) AS est_quad,
                round(1.1907*purchase+1.9845*view+20.819, 4) AS est_linear,
                round(power(2.0476*power(signup,0.40425), 2), 4) AS est_pow
         FROM wide""")),

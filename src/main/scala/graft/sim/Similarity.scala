@@ -132,11 +132,14 @@ object Similarity {
     val sig = withLshSignature(vectors, vecCol, planes)
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"),
               col("lsh_bucket"))
+      .withColumn("vn", norm(col("v")))
     val q = sig.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("lsh_bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("vn").as("qn"), col("lsh_bucket"))
     val scored = sig.join(q, Seq("lsh_bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cosine",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -61,7 +61,8 @@ class FormulaSpec extends SparkSpec {
   }
 
   test("grammar rejection: anything outside the observed language") {
-    Seq("__import__('os')", "{x}.clip(upper=3)", "{x}+", "foo({x})", "{x}}")
+    Seq("__import__('os')", "{x}.clip(upper=3)", "{x}+", "foo({x})", "{x}}",
+        "1.2.3*{x}", "{x}*.", "{08 KG001}+1")
       .foreach { bad =>
         assertThrows[RuntimeException](Formula.parse(bad))
       }
