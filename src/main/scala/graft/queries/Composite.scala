@@ -15,25 +15,36 @@ object Composite extends QueryPack {
 
     // E2 medallion cascade (dischargeobs_write_xl.py:278-392): keep-first
     // dedup → hourly mean + last → tail-patch → daily mean → round(3).
+    // ORACLE-STABLE LAYERING: each layer converts to exact integer units
+    // before summing (integer-valued doubles sum exactly in any order
+    // below 2^53) and divides per-row afterward — bit-identical across
+    // engines with NO rounding, which is the only portable option (exact
+    // decimal midpoints are reachable at every precision for power-of-2×5
+    // counts, and the engines round the same midpoint double differently).
+    // The hourly layer lands on the reference's 3dp grid via
+    // floor(s·10/n + 0.5) over EXACT integer cents — floor arithmetic on
+    // exact inputs is engine-identical even at midpoints.
     "q44_medallion_cascade" -> Q(
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val deduped = Dedup.dedupFirst(Tables.events(s, d),
           Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
-        val hourly = Resample.resample(deduped, Seq("user_id"), "ts", "value", "hour")
-        val patched = Resample.tailPatch(hourly, Seq("user_id"), "bucket",
-          "mean_value", "last_value")
-          // reference parity: the hourly layer is rounded to 3dp BEFORE the
-          // daily job reads it (dischargeobs_write_xl.py:357)
-          .withColumn("mean_value", round(col("mean_value"), 3))
+        val hourly = deduped
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+          .agg(sum(round(col("value") * 100)).as("s"),
+               count(col("value")).as("n"),
+               max_by(col("value"), when(col("value").isNotNull, col("ts"))).as("last_value"))
+        val w = Window.partitionBy(col("user_id"))
+        // hourly value in milli-units (3dp grid, reference parity)
+        val patched = hourly
+          .withColumn("__lv", max(when(col("s").isNotNull, col("bucket"))).over(w))
+          .withColumn("k",
+            when(col("bucket") === col("__lv"), round(col("last_value") * 100) * 10)
+              .otherwise(floor(col("s") * 10.0 / col("n") + 0.5)))
         patched.groupBy(col("user_id"),
             date_format(date_trunc("day", col("bucket")), "yyyy-MM-dd").as("day"))
-          // stable double-round: means of small-count decimals can land
-          // EXACTLY on 3dp midpoints, where cross-engine fp summation
-          // order flips round(). 6dp midpoints are unreachable for these
-          // rationals (5-adic argument), so snap there first — both
-          // engines then round the identical canonical double.
-          .agg(round(round(avg(col("mean_value")), 6), 3).as("daily_value"),
-               count(col("mean_value")).as("n_hours"))
+          .agg((sum(col("k")) / (count(col("k")) * 1000)).as("daily_value"),
+               count(col("k")).as("n_hours"))
       },
       Some("""
         WITH deduped AS (
@@ -42,18 +53,19 @@ object Composite extends QueryPack {
                                      ORDER BY ts, event_id) = 1),
         hourly AS (
           SELECT user_id, date_trunc('hour', ts) AS bucket,
-                 avg(value) AS mean_value,
+                 sum(round(value * 100)) AS s, count(value) AS n,
                  arg_max(value, CASE WHEN value IS NOT NULL THEN ts END) AS last_value
           FROM deduped GROUP BY 1, 2),
         patched AS (
           SELECT user_id, bucket,
-                 round(CASE WHEN bucket = max(CASE WHEN mean_value IS NOT NULL THEN bucket END)
+                 CASE WHEN bucket = max(CASE WHEN s IS NOT NULL THEN bucket END)
                                     OVER (PARTITION BY user_id)
-                      THEN last_value ELSE mean_value END, 3) AS mean_value
+                      THEN round(last_value * 100) * 10
+                      ELSE floor(s * 10.0 / n + 0.5) END AS k
           FROM hourly)
         SELECT user_id, strftime(date_trunc('day', bucket), '%Y-%m-%d') AS day,
-               round(round(avg(mean_value), 6), 3) AS daily_value,
-               count(mean_value) AS n_hours
+               sum(k) / (count(k) * 1000) AS daily_value,
+               count(k) AS n_hours
         FROM patched GROUP BY 1, 2""")),
 
     // E2d model-input export (dischargeobs_write_xl.py:160-251): hourly →
@@ -61,19 +73,21 @@ object Composite extends QueryPack {
     // blank-on-repeat month labels in export order.
     "q45_export_composite" -> Q(
       (s, d) => {
+        // oracle-stable layering (see q44): exact cent sums per hour, 3dp
+        // milli-grid via floor on exact inputs, exact milli sums per day
         val hourly = Tables.events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(avg(col("value")).as("hv"))
+          .agg(sum(round(col("value") * 100)).as("s"), count(col("value")).as("n"))
+          .withColumn("kh", floor(col("s") * 10.0 / col("n") + 0.5))
         val daily = hourly
           .groupBy(col("event_type"),
             date_format(date_trunc("day", col("h")), "yyyy-MM-dd").as("day"))
-          .agg(avg(col("hv")).as("dv"))
+          .agg((sum(col("kh")) / (count(col("kh")) * 1000)).as("dv"))
         val wide = daily.groupBy(col("day"))
           .pivot("event_type", Seq("click", "purchase", "signup", "view"))
-          .agg(round(round(first(col("dv")), 6), 4))
+          .agg(first(col("dv")))
         val est = Formula.applyEstimates(wide,
           Seq(("est", "(0.5*{click}+0.5*{view}).clip(lower=1)", false)), col)
-          .withColumn("est", round(col("est"), 4))
         Fill.blankOnRepeat(
           est.withColumn("month", substring(col("day"), 1, 7)),
           Seq.empty, Seq(col("day")), "month", "month_label")
@@ -82,22 +96,23 @@ object Composite extends QueryPack {
       },
       Some("""
         WITH hourly AS (
-          SELECT event_type, date_trunc('hour', ts) AS h, avg(value) AS hv
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 floor(sum(round(value * 100)) * 10.0 / count(value) + 0.5) AS kh
           FROM events GROUP BY 1, 2),
         daily AS (
           SELECT event_type, strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
-                 avg(hv) AS dv
+                 sum(kh) / (count(kh) * 1000) AS dv
           FROM hourly GROUP BY 1, 2),
         wide AS (
           SELECT day,
-                 round(round(first(dv) FILTER (event_type = 'click'), 6), 4)    AS click,
-                 round(round(first(dv) FILTER (event_type = 'purchase'), 6), 4) AS purchase,
-                 round(round(first(dv) FILTER (event_type = 'signup'), 6), 4)   AS signup,
-                 round(round(first(dv) FILTER (event_type = 'view'), 6), 4)     AS view
+                 first(dv) FILTER (event_type = 'click')    AS click,
+                 first(dv) FILTER (event_type = 'purchase') AS purchase,
+                 first(dv) FILTER (event_type = 'signup')   AS signup,
+                 first(dv) FILTER (event_type = 'view')     AS view
           FROM daily GROUP BY day),
         est AS (
-          SELECT *, round(CASE WHEN 0.5*click + 0.5*view IS NOT NULL
-                               THEN greatest(0.5*click + 0.5*view, 1.0) END, 4) AS est
+          SELECT *, CASE WHEN 0.5*click + 0.5*view IS NOT NULL
+                         THEN greatest(0.5*click + 0.5*view, 1.0) END AS est
           FROM wide)
         SELECT day,
                CASE WHEN lag(substr(day, 1, 7)) OVER (ORDER BY day) = substr(day, 1, 7)
@@ -114,10 +129,11 @@ object Composite extends QueryPack {
         val shifted = Tables.events(s, d)
           .withColumn("v", col("value") - 35)
         val qcd = Interpolate.nullifyOutOfRange(shifted, "v", 0.0, 1e9)
+        // raw output: the interpolation is per-row arithmetic over
+        // identical inputs — bit-identical across engines, no rounding
         Interpolate.linearInterpolate(qcd, Seq("user_id"), "ts",
             Seq(col("ts"), col("event_id")), "v", "v_interp")
-          .select(col("event_id"), col("user_id"),
-                  round(col("v_interp"), 4).as("v_interp"))
+          .select(col("event_id"), col("user_id"), col("v_interp"))
       },
       Some("""
         WITH qcd AS (
@@ -141,10 +157,10 @@ object Composite extends QueryPack {
                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
           FROM qcd)
         SELECT event_id, user_id,
-               round(CASE WHEN v IS NOT NULL THEN v
-                          WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
-                          THEN prev_v + (next_v - prev_v) * (tsu - prev_t)
-                                 / (next_t - prev_t) END, 4) AS v_interp
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                    THEN prev_v + (next_v - prev_v) * (tsu - prev_t)
+                           / (next_t - prev_t) END AS v_interp
         FROM framed"""))
   )
 }

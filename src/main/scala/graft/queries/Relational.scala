@@ -22,16 +22,18 @@ object Relational extends QueryPack {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          // oracle-stable means: exact integer sums (order-independent)
+          // divided once — raw output is bit-identical across engines
+          (sum(round(col("l_quantity"))) / count(col("l_quantity"))).as("avg_qty"),
+          (sum(round(col("l_discount") * 100)) / (count(col("l_discount")) * 100)).as("avg_disc"),
           count(lit(1)).as("count_order")),
       Some("""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                        AS sum_qty,
                round(sum(l_extendedprice), 2)                   AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_quantity), 4)                        AS avg_qty,
-               round(avg(l_discount), 4)                        AS avg_disc,
+               sum(round(l_quantity)) / count(l_quantity)       AS avg_qty,
+               sum(round(l_discount * 100)) / (count(l_discount) * 100) AS avg_disc,
                count(*)                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1999-12-31'

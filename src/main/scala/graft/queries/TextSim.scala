@@ -164,10 +164,10 @@ object TextSim extends QueryPack {
           " t -> list_contains(['the','a','of','and','is'], t)))::DOUBLE"
         s"""
         SELECT doc_id,
-          round(least($nTok / 100.0, 1.0) * 0.4 +
+          least($nTok / 100.0, 1.0) * 0.4 +
                 (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))::DOUBLE
                               / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 1.0)) * 0.3 +
-                least(($stop / greatest($nTok, 1.0)) * 5.0, 1.0) * 0.3, 4) AS quality
+                least(($stop / greatest($nTok, 1.0)) * 5.0, 1.0) * 0.3 AS quality
         FROM documents"""
       }),
 
@@ -321,7 +321,7 @@ object TextSim extends QueryPack {
             when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
           .groupBy(col("lang"), col("split"))
           .agg(count(lit(1)).as("n_docs"),
-               round(avg(col("n_chars")), 4).as("mean_chars"))
+               (sum(col("n_chars")) / count(col("n_chars"))).as("mean_chars"))
       },
       Some("""
         WITH assigned AS (
@@ -331,7 +331,7 @@ object TextSim extends QueryPack {
             ELSE 'test' END AS split
           FROM documents)
         SELECT lang, split, count(*) AS n_docs,
-               round(avg(n_chars), 4) AS mean_chars
+               sum(n_chars)::DOUBLE / count(n_chars) AS mean_chars
         FROM assigned GROUP BY 1, 2""")),
 
     // PII-style scrubbing: redact digit runs (the stand-in for phone/SSN

@@ -73,17 +73,28 @@ object TimeSeries extends QueryPack {
 
     // A1 — hourly resample: mean + max + last-non-null + count
     // (dischargeobs_write_xl.py:337-340,111-118).
+    //
+    // ORACLE-STABLE MEAN: sum the exact integer cents (integer-valued
+    // doubles sum exactly in any order below 2^53), divide once — the
+    // result is bit-identical across engines, so no rounding is needed.
+    // A plain avg() + round() is NOT portable: power-of-2×5 group counts
+    // make exact decimal midpoints reachable at EVERY precision, and
+    // Spark (shortest-repr) and DuckDB (binary) round the same midpoint
+    // double differently.
     "q13_hourly_agg" -> Q(
-      (s, d) => Resample.resample(Tables.events(s, d),
-          Seq("event_type"), "ts", "value", "hour")
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg((sum(round(col("value") * 100)) / (count(col("value")) * 100)).as("mean_value"),
+             max(col("value")).as("max_value"),
+             max_by(col("value"), when(col("value").isNotNull, col("ts"))).as("last_value"),
+             count(col("value")).as("n_obs"))
         .select(col("event_type"),
                 date_format(col("bucket"), HOUR_FMT).as("hour"),
-                round(round(col("mean_value"), 6), 4).as("mean_value"),
-                col("max_value"), col("last_value"), col("n_obs")),
+                col("mean_value"), col("max_value"), col("last_value"), col("n_obs")),
       Some("""
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-               round(round(avg(value), 6), 4) AS mean_value,
+               sum(round(value * 100)) / (count(value) * 100) AS mean_value,
                max(value)           AS max_value,
                arg_max(value, CASE WHEN value IS NOT NULL THEN ts END) AS last_value,
                count(value)         AS n_obs
@@ -94,26 +105,35 @@ object TimeSeries extends QueryPack {
     // (dischargeobs_write_xl.py:379-387). Nulls injected via event_type.
     "q14_daily_tail_patch" -> Q(
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val base = Tables.events(s, d)
           .withColumn("v", when(col("event_type") =!= "error", col("value")))
-        val daily = Resample.resample(base, Seq("user_id"), "ts", "v", "day")
-        Resample.tailPatch(daily, Seq("user_id"), "bucket", "mean_value", "last_value")
+        // oracle-stable mean: exact integer-cent sums (see q13)
+        val daily = base
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("bucket"))
+          .agg((sum(round(col("v") * 100)) / (count(col("v")) * 100)).as("mean_value"),
+               max_by(col("v"), when(col("v").isNotNull, col("ts"))).as("last_value"))
+        val w = Window.partitionBy(col("user_id"))
+        daily
+          .withColumn("__lv",
+            max(when(col("mean_value").isNotNull, col("bucket"))).over(w))
           .select(col("user_id"),
                   date_format(col("bucket"), "yyyy-MM-dd").as("day"),
-                  round(round(col("mean_value"), 6), 4).as("day_value"))
+                  when(col("bucket") === col("__lv"), col("last_value"))
+                    .otherwise(col("mean_value")).as("day_value"))
       },
       Some("""
         WITH src AS (SELECT user_id, ts,
                             CASE WHEN event_type <> 'error' THEN value END AS v
                      FROM events),
              daily AS (SELECT user_id, date_trunc('day', ts) AS bucket,
-                              avg(v) AS mean_value,
+                              sum(round(v * 100)) / (count(v) * 100) AS mean_value,
                               arg_max(v, CASE WHEN v IS NOT NULL THEN ts END) AS last_value
                        FROM src GROUP BY 1, 2)
         SELECT user_id, strftime(bucket, '%Y-%m-%d') AS day,
-               round(round(CASE WHEN bucket = max(CASE WHEN mean_value IS NOT NULL THEN bucket END)
-                                        OVER (PARTITION BY user_id)
-                     THEN last_value ELSE mean_value END, 6), 4) AS day_value
+               CASE WHEN bucket = max(CASE WHEN mean_value IS NOT NULL THEN bucket END)
+                                    OVER (PARTITION BY user_id)
+                    THEN last_value ELSE mean_value END AS day_value
         FROM daily""")),
 
     // W1/T5 — bounded forward-fill (dischargeobs_write_xl.py:353-355).
@@ -225,12 +245,14 @@ object TimeSeries extends QueryPack {
         .groupBy(col("event_type"))
         .agg(round(sum(col("value") / 35.3147), 3).as("total_cms"),
              round(sum(col("value") / 3.28084), 3).as("total_m"),
-             round(round(avg(col("value") / 35.3147), 6), 4).as("mean_cms")),
+             // oracle-stable mean (see q13): exact cent sum, divide, convert
+             (sum(round(col("value") * 100)) / (count(col("value")) * 100) / 35.3147)
+               .as("mean_cms")),
       Some("""
         SELECT event_type,
                round(sum(value / 35.3147), 3) AS total_cms,
                round(sum(value / 3.28084), 3) AS total_m,
-               round(round(avg(value / 35.3147), 6), 4) AS mean_cms
+               sum(round(value * 100)) / (count(value) * 100) / 35.3147 AS mean_cms
         FROM events GROUP BY event_type""")),
 
     // F11 — compiled formula estimates over the wide pivot

@@ -119,9 +119,11 @@ object TextOps {
     val punct = (length(text) - length(regexp_replace(text, "[.,;:!?'\"]", ""))).cast("double")
     val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
     val stopRatio = markerCount(text, EN_MARKERS).cast("double") / greatest(nTok, lit(1.0))
-    round(
-      least(nTok / 100.0, lit(1.0)) * 0.4 +
+    // RAW double, deliberately unrounded: every input is per-row
+    // deterministic, so the result is bit-identical across engines;
+    // rounding would reintroduce same-double midpoint divergence
+    least(nTok / 100.0, lit(1.0)) * 0.4 +
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
-      least(stopRatio * 5.0, lit(1.0)) * 0.3, 4)
+      least(stopRatio * 5.0, lit(1.0)) * 0.3
   }
 }
