@@ -99,6 +99,22 @@ class OpsSpec extends SparkSpec {
     assert(out === Seq(Some(5.0), Some(7.0), Some(5.5), None, Some(4.0)))
   }
 
+  test("interpolate: bracketed nulls filled linearly; edges stay null; QC nulls out-of-range") {
+    import spark.implicits._
+    val df = Seq(
+      (1, ts("2023-01-01 00:00:00"), Some(-5.0)),  // QC: out of range → null (leading)
+      (2, ts("2023-01-01 00:10:00"), Some(10.0)),  // anchor
+      (3, ts("2023-01-01 00:20:00"), None: Option[Double]), // bracketed → 15.0
+      (4, ts("2023-01-01 00:30:00"), Some(20.0)),  // anchor
+      (5, ts("2023-01-01 00:40:00"), None: Option[Double])) // trailing → null
+      .toDF("id", "t", "v")
+    val qcd = Interpolate.nullifyOutOfRange(df.withColumn("k", lit("s")), "v", 0.0, 100.0)
+    val out = Interpolate.linearInterpolate(qcd, Seq("k"), "t",
+        Seq(col("t")), "v", "vi")
+      .orderBy("id").select("vi").as[Option[Double]].collect().toSeq
+    assert(out === Seq(None, Some(10.0), Some(15.0), Some(20.0), None))
+  }
+
   test("yearRollover: non-first duplicates get exactly +1 year") {
     import spark.implicits._
     val df = Seq(
