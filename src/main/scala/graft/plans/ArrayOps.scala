@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Custom Catalyst expressions for the near-dup kernels (SURVEY §7.3
   * preference order (b): a native Expression where built-ins can't express
@@ -75,8 +75,117 @@ case class LongSortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sequential dot product of two double arrays: acc += a[i]·b[i] in index
+  * order — the SAME accumulation order as DuckDB's `list_dot_product` (a
+  * left fold), so results stay bit-identical across engines.
+  *
+  * Replaces the `aggregate(zip_with(...))` HOF the similarity pack used in
+  * round 1: interpreted lambdas re-evaluate per element and block plan
+  * canonicalization (no exchange reuse); this is one primitive loop inside
+  * whole-stage codegen. Arrays shorter on one side stop at the shorter
+  * length (zip semantics).
+  */
+case class DoubleArrayDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_array_dot"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        final int $n = Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dense matrix–vector product against a DRIVER-CONSTANT matrix: returns
+  * the array [dot(mat(0), v), …, dot(mat(rows-1), v)] with each dot
+  * accumulated sequentially in index order (bit-identical to evaluating
+  * `rows` independent `list_sum` comprehensions in DuckDB).
+  *
+  * Exists because the ANN signatures/assignments need `rows` projections
+  * per input row: `rows` separate DoubleArrayDot calls generate `rows`
+  * codegen loops (janino compile time grows with plan text and lands on
+  * the first execution), and each re-reads the vector. This is ONE loop
+  * nest over a flat `double[]` shipped via `addReferenceObj`.
+  */
+case class DoubleMatVec(child: Expression, mat: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val rows = mat.length
+  private val dims = if (rows == 0) 0 else mat(0).length
+  @transient private lazy val flat: Array[Double] = mat.flatten
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "double_mat_vec"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("matvecFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out"); val base = ctx.freshName("base")
+      s"""
+        final int $n = Math.min($v.numElements(), $dims);
+        final double[] $out = new double[$rows];
+        for (int $j = 0; $j < $rows; $j++) {
+          final int $base = $j * $dims;
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += $v.getDouble($i) * $matRef[$base + $i];
+          }
+          $out[$j] = $acc;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+      """
+    })
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    val out = new Array[Double](rows)
+    var j = 0
+    while (j < rows) {
+      val base = j * dims
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * flat(base + i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ArrayOps {
   private val FnName = "sorted_intersect_count"
+  private val DotName = "double_array_dot"
 
   /** Column API for the expression; registers the session function on
     * first use (Column construction from a raw Expression is not public
@@ -87,5 +196,24 @@ object ArrayOps {
       FnName, exprs => LongSortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
     // a/b are SQL column references (possibly alias-qualified, e.g. "a.sh")
     org.apache.spark.sql.functions.expr(s"$FnName($a, $b)")
+  }
+
+  /** Column-typed API for the dot kernel (works on arbitrary Column args
+    * via the registry + `call_function` resolution). */
+  def doubleDot(spark: SparkSession, a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName, exprs => DoubleArrayDot(exprs(0), exprs(1)), "scala_udf")
+    org.apache.spark.sql.functions.call_function(DotName, a, b)
+  }
+
+  /** Column-typed API for the matrix kernel. The matrix is captured in the
+    * registered function closure; the registry name carries a content key
+    * so distinct matrices never collide in a session. */
+  def matVec(spark: SparkSession, v: Column, mat: Array[Array[Double]],
+             key: String): Column = {
+    val name = s"double_mat_vec_$key"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => DoubleMatVec(exprs(0), mat), "scala_udf")
+    org.apache.spark.sql.functions.call_function(name, v)
   }
 }

@@ -204,17 +204,17 @@ object TextSim extends QueryPack {
                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))::DOUBLE),
                     4) >= 0.5""")),
 
-    // Brute-force cosine top-k (k=5) for the query subset vec_id % 100 = 0.
+    // Brute-force cosine top-k (k=5) for the query subset vec_id % 10 = 0.
     "q38_cosine_topk" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 10 === 0),
           "vec_id", "embedding", k = 5)
       },
       Some("""
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                    FROM embeddings),
-        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0),
         s AS (SELECT query_id, e.vec_id,
                      round(list_dot_product(qv, v) /
                            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
@@ -226,31 +226,39 @@ object TextSim extends QueryPack {
               FROM s)
         WHERE rank <= 5""")),
 
-    // ANN scale path: random-hyperplane LSH bucketing (4 planes ⇒ 16
-    // buckets), top-3 among bucket-mates. Deterministic md5-seeded planes;
-    // recall < 1 vs q38 by design (bench comparison, not equality) — but
-    // the output itself is exact, so it still has an oracle.
+    // ANN scale path: BANDED random-hyperplane LSH (16 planes = 2 bands ×
+    // 8 bits — the MinHash banding trick on hyperplane signatures).
+    // Bucket population per band is N/256, so candidates stay bounded as
+    // the corpus grows; bands give recall. Deterministic md5-seeded
+    // planes; recall < 1 vs q38 by design — but the output itself is
+    // exact, so it still has an oracle.
     "q39_lsh_ann" -> Q(
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        planes = 4, k = 3, queryPred = col("vec_id") % 100 === 0),
+        dims = 64, bands = 2, rowsPerBand = 8, k = 3,
+        queryPred = col("vec_id") % 10 === 0),
       Some {
-        val planes = 4
-        val proj = (0 until planes).map { p =>
-          val comp = s"((('0x' || substr(md5($p || '_' || i), 1, 8))::BIGINT / 2147483648.0) - 1.0)"
-          s"CASE WHEN list_sum([v[i+1] * $comp for i in range(0, len(v))]) >= 0 THEN ${1L << p} ELSE 0 END"
-        }.mkString(" + ")
+        val (bands, rpb) = (2, 8)
+        val buckets = (0 until bands).map { b =>
+          (0 until rpb).map { r =>
+            val p = b * rpb + r
+            val comp = s"((('0x' || substr(md5($p || '_' || i), 1, 8))::BIGINT / 2147483648.0) - 1.0)"
+            s"CASE WHEN list_sum([v[i+1] * $comp for i in range(0, len(v))]) >= 0 THEN ${1L << r} ELSE 0 END"
+          }.mkString(" + ") + s" AS b$b"
+        }.mkString(",\n                ")
+        val bandMatch = (0 until bands).map(b => s"s.b$b = q.qb$b").mkString(" OR ")
+        val qcols = (0 until bands).map(b => s"b$b AS qb$b").mkString(", ")
         s"""
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                    FROM embeddings),
-        sig AS (SELECT vec_id, v, $proj AS lsh_bucket FROM e),
-        q AS (SELECT vec_id AS query_id, v AS qv, lsh_bucket FROM sig
-              WHERE vec_id % 100 = 0),
-        s AS (SELECT query_id, sig.vec_id,
-                     round(list_dot_product(qv, v) /
-                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
-                           6) AS cosine
-              FROM q JOIN sig USING (lsh_bucket)
-              WHERE sig.vec_id <> query_id)
+        sig AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn,
+                $buckets
+                FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn, $qcols FROM sig
+              WHERE vec_id % 10 = 0),
+        s AS (SELECT q.query_id, s.vec_id,
+                     round(list_dot_product(q.qv, s.v) / (q.qn * s.vn), 6) AS cosine
+              FROM sig s JOIN q
+                ON ($bandMatch) AND s.vec_id <> q.query_id)
         SELECT query_id, vec_id, cosine, rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY cosine DESC, vec_id) AS rank
@@ -258,34 +266,39 @@ object TextSim extends QueryPack {
         WHERE rank <= 3"""
       }),
 
-    // IVF-style ANN: deterministic coarse quantizer (every 50th vector is
-    // a centroid), nprobe=2 probed cells per query, top-3 within cells.
-    // The cell id is the inverted file — at scale the table is
-    // bucketed/partitioned by it and a probe reads only its cells.
+    // IVF-style ANN with a FIXED-cardinality coarse quantizer: 16
+    // deterministic md5-derived centroid directions (independent of table
+    // size — nothing N-proportional is broadcast), per-row argmax
+    // assignment (no join, no window), nprobe=2 probed cells per query,
+    // top-3 within cells. The cell id is the inverted file — at scale the
+    // table is bucketed/partitioned by it and a probe reads only its cells.
     "q43_ivf_ann" -> Q(
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        centroidStep = 50, nprobe = 2, k = 3,
-        queryPred = col("vec_id") % 100 === 0),
+        dims = 64, centroids = 16, nprobe = 2, k = 3,
+        queryPred = col("vec_id") % 10 === 0),
       Some("""
         WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                    FROM embeddings),
         en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
-        cents AS (SELECT vec_id AS cent_id, v AS cv, vn AS cn FROM en
-                  WHERE vec_id % 50 = 0),
+        cc AS (SELECT c,
+                      [((('0x' || substr(md5('c' || c || '_' || i), 1, 8))::BIGINT
+                         / 2147483648.0) - 1.0) for i in range(0, 64)] AS cv
+               FROM (SELECT unnest(range(0, 16)) AS c)),
+        ccn AS (SELECT c, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cc),
+        scored_cells AS (
+          SELECT en.vec_id, en.v, en.vn, ccn.c,
+                 round(list_dot_product(en.v, ccn.cv) / (ccn.cn * en.vn), 6) AS ccos
+          FROM en CROSS JOIN ccn),
         assigned AS (
-          SELECT en.vec_id, en.v, en.vn, c.cent_id AS cell
-          FROM en CROSS JOIN cents c
-          QUALIFY row_number() OVER (PARTITION BY en.vec_id
-            ORDER BY round(list_dot_product(c.cv, en.v) / (c.cn * en.vn), 6) DESC,
-                     c.cent_id) = 1),
-        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM assigned
-              WHERE vec_id % 100 = 0),
+          SELECT vec_id, v, vn, c AS cell FROM scored_cells
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c) = 1),
         probes AS (
-          SELECT q.query_id, q.qv, q.qn, c.cent_id AS cell
-          FROM q CROSS JOIN cents c
-          QUALIFY row_number() OVER (PARTITION BY q.query_id
-            ORDER BY round(list_dot_product(c.cv, q.qv) / (c.cn * q.qn), 6) DESC,
-                     c.cent_id) <= 2),
+          SELECT vec_id AS query_id, v AS qv, vn AS qn, c AS cell
+          FROM scored_cells
+          WHERE vec_id % 10 = 0
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c) <= 2),
         s AS (SELECT p.query_id, a.vec_id,
                      round(list_dot_product(p.qv, a.v) / (p.qn * a.vn), 6) AS cosine
               FROM probes p JOIN assigned a USING (cell)

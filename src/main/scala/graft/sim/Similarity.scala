@@ -1,8 +1,10 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.ArrayOps
 
 /** Similarity search over an embedding column (builder brief).
   *
@@ -12,40 +14,93 @@ import org.apache.spark.sql.functions._
   * cosine with an id tie-break so results are stable across fp-summation
   * orders (and across engines for the oracle).
   *
-  * Scale path: random-hyperplane LSH bucketing — vectors hash to a
-  * `planes`-bit signature; candidates share a signature bucket, cutting the
-  * scan to bucket-mates. Planes are deterministic (seeded hash of
-  * (plane, dim)), so signatures are reproducible anywhere.
+  * Scale paths (both rebuilt in round 2 after the round-1 bench showed the
+  * 4-plane/16-bucket LSH LOSING to brute force):
+  *
+  *  - `lshTopK`: banded random-hyperplane LSH. `planes = bands × rowsPerBand`
+  *    sign bits; each band of `rowsPerBand` bits is its own bucket key (the
+  *    MinHash banding trick applied to hyperplane signatures). Bucket
+  *    population is N / 2^rowsPerBand per band — `rowsPerBand` is the scale
+  *    knob (choose ≈ log2(N / wanted-candidates)); `bands` is the recall
+  *    knob. Candidates are the UNION of per-band bucket-mates, so the join
+  *    yields ~bands · N/2^rowsPerBand candidates per query — bounded, unlike
+  *    a single monolithic signature whose buckets grow linearly with N.
+  *  - `ivfTopK`: IVF with a FIXED-cardinality deterministic centroid set
+  *    (md5-derived pseudo-random directions, independent of table size).
+  *    Assignment is per-row codegen arithmetic (argmax over C rounded
+  *    cosines) — no join, no window, nothing N-proportional is broadcast.
+  *    At scale, partition/bucket the assigned table by `cell` and a probe
+  *    reads only its cells; C scales like sqrt(N) in a real deployment and
+  *    is a plain parameter here.
+  *
+  * All dot products run through the codegen kernel
+  * `graft.plans.DoubleArrayDot` — sequential accumulation, bit-identical to
+  * DuckDB's `list_dot_product`, no interpreted HOF lambdas (the round-1
+  * bottleneck: `aggregate(zip_with(...))` re-evaluates per element and
+  * blocks exchange reuse).
+  *
+  * Hyperplane/centroid components are md5-derived doubles computed ONCE on
+  * the driver and shipped as array literals — the same
+  * `('0x' || substr(md5(seed), 1, 8)) / 2^31 - 1` formula the oracle
+  * evaluates in SQL; the parse + power-of-two scaling is exact in binary
+  * fp, so the literals are bit-identical to the oracle's values.
   */
 object Similarity {
 
-  /** Elementwise dot product of two double-array columns (sequential
-    * left-to-right accumulation — matches a SQL list_sum over the zipped
-    * products).
+  /** Sequential-order dot product (codegen kernel; see class doc). */
+  def dot(spark: SparkSession, a: Column, b: Column): Column =
+    ArrayOps.doubleDot(spark, a, b)
+
+  def norm(spark: SparkSession, a: Column): Column = sqrt(dot(spark, a, a))
+
+  def cosine(spark: SparkSession, a: Column, b: Column): Column =
+    dot(spark, a, b) / (norm(spark, a) * norm(spark, b))
+
+  /** md5-derived pseudo-random component in [-1, 1): first 8 hex chars of
+    * md5(seed) as an integer, scaled by 2^-31, shifted by -1. Exact in
+    * double fp ⇒ bit-identical to the SQL-side evaluation of the same
+    * formula.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private[graft] def mdComponent(seed: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16).toDouble / 2147483648.0) - 1.0
+  }
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Hyperplane p over `dims` dimensions: component i = md5("{p}_{i}"). */
+  private[graft] def planeVec(p: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims)(i => mdComponent(s"${p}_$i"))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Centroid c over `dims` dimensions: component i = md5("c{c}_{i}") —
+    * a distinct seed family from the hyperplanes. */
+  private[graft] def centroidVec(c: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims)(i => mdComponent(s"c${c}_$i"))
+
+  /** Sequential-order norm of a driver-side vector (index-order fold —
+    * matches sqrt(list_dot_product(v, v)) in the oracle). */
+  private[graft] def seqNorm(v: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
 
   /** Brute-force top-k: for each query vector, the k nearest non-self
     * vectors by cosine. `queries` must be small (it is broadcast). Norms
-    * are precomputed per VECTOR (once), not per pair — cuts the
-    * dot-product work 3×.
+    * are precomputed per VECTOR (once), not per pair.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val sp = vectors.sparkSession
     val v = vectors.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("vn", norm(col("v")))
+      .withColumn("vn", norm(sp, col("v")))
     val q = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv")))
+      .withColumn("qn", norm(sp, col("qv")))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+        round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -53,93 +108,126 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every `centroidStep`-th
-    * vector is a centroid), each vector assigned to its nearest centroid,
-    * queries probe the `nprobe` nearest centroid cells and rank only the
-    * vectors inside them. The inverted-file structure is exactly a
-    * cell-id column — at scale the vector table is bucketed/partitioned by
-    * it, so a probe reads only its cells.
+  /** IVF ANN with a fixed-size deterministic coarse quantizer (see object
+    * doc): C centroids independent of N; per-row argmax assignment; queries
+    * probe their `nprobe` best cells; top-k ranked inside probed cells only.
+    *
+    * The per-vector work is C kernel dot products against literal arrays —
+    * all inside whole-stage codegen. The assignment is materialized ONCE
+    * (`localCheckpoint`) — that materialization IS the IVF index build: a
+    * real deployment persists the assigned table (partitioned/bucketed by
+    * `cell`) and amortizes it over every probe; recomputing the C-dot
+    * assignment expression in each consuming stage would instead pay its
+    * codegen + compute once per stage. On a cluster, substitute a persisted
+    * bucketed table or `checkpoint(dir)`.
+    *
+    * After the index: one tiny window over queries × C probe rows, a
+    * broadcast of the probe list into the cell-pruned scan, and the final
+    * per-query rank — no window or join anywhere near the assignment.
     */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
-              centroidStep: Int, nprobe: Int, k: Int,
-              queryPred: org.apache.spark.sql.Column): DataFrame = {
+              dims: Int, centroids: Int, nprobe: Int, k: Int,
+              queryPred: Column): DataFrame = {
+    val sp = vectors.sparkSession
+    val cents = (0 until centroids).map(c => centroidVec(c, dims))
+    val cnorms = cents.map(seqNorm)
+
     val v = vectors.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("vn", norm(col("v")))
-    val cents = v.filter(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("vn").as("cn"))
+      .withColumn("vn", norm(sp, col("v")))
+      // all C centroid dots in ONE kernel pass (see DoubleMatVec scaladoc)
+      .withColumn("cd", graft.plans.ArrayOps.matVec(sp, col("v"),
+        cents.toArray, s"ivf_${centroids}x$dims"))
+    // C rounded centroid cosines per row — pure codegen arithmetic
+    val ccosArr = array((0 until centroids).map { c =>
+      round(element_at(col("cd"), c + 1) / (lit(cnorms(c)) * col("vn")), 6)
+    }: _*)
+    // argmax with lowest-cell tie-break: array_position finds the FIRST
+    // element equal to the max (same double bits ⇒ exact match)
+    val index = v.withColumn("ccos", ccosArr).drop("cd")
+      .withColumn("cell", (array_position(col("ccos"), array_max(col("ccos"))) - 1).cast("int"))
+      .localCheckpoint(true) // the IVF index build — see scaladoc
 
-    // assignment: nearest centroid per vector (rounded cosine, id tie-break)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = v.join(broadcast(cents), lit(true))
-      .withColumn("ccos", round(dot(col("cv"), col("v")) / (col("cn") * col("vn")), 6))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("vn"), col("cent_id").as("cell"))
-
-    // probe list: each query's nprobe nearest centroids
-    val q = assigned.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("vn").as("qn"))
+    // probe list: each query's nprobe best cells (window over queries × C
+    // rows only — the assignment itself never sees a window or a join)
+    val q = index.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("vn").as("qn"), posexplode(col("ccos")).as(Seq("cell", "pcos")))
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("pcos").desc, col("cent_id"))
-    val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("pcos", round(dot(col("cv"), col("qv")) / (col("cn") * col("qn")), 6))
-      .withColumn("prank", row_number().over(wProbe))
+      .orderBy(col("pcos").desc, col("cell"))
+    val probes = q.withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
 
-    // scan only the probed cells
+    // scan only the probed cells: probe list is queries × nprobe — small by
+    // construction, so it broadcasts into the index scan
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    probes.join(assigned, Seq("cell"))
+    broadcast(probes)
+      .join(index.select(col("vec_id"), col("v"), col("vn"), col("cell")), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+        round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * md5-derived integer mapped to [-1, 1). Engine-portable.
-    */
-  private def planeComponent(p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(p), lit("_"), d)), 1, 8), 16, 10)
-      .cast("double") / lit(2147483648.0)) - 1.0
-
-  /** LSH signature: `planes` sign bits of projections onto deterministic
-    * hyperplanes. Vectors in the same bucket are ANN candidates.
-    */
-  def withLshSignature(df: DataFrame, vecCol: String, planes: Int): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val proj = (0 until planes).map { p =>
-      val products = transform(v,
-        (x, i) => x * planeComponent(p, i))
-      val s = aggregate(products, lit(0.0), (acc, x) => acc + x)
-      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    df.withColumn("lsh_bucket", proj.reduce(_ + _))
-  }
-
-  /** ANN via LSH buckets: top-k among bucket-mates only. Same output shape
-    * as bruteForceTopK; recall < 1 by construction (the scale/quality
-    * trade), so it is bench-compared, not oracle-compared, against brute
-    * force.
+  /** Banded-LSH ANN (see object doc): `bands × rowsPerBand` sign-bit
+    * signature per vector; a candidate is a vector sharing ANY band's
+    * bucket with the query; exact cosine + top-k only on candidates.
+    *
+    * Plan shape: ONE scan of the vector table computing the per-band
+    * buckets inline (kernel dots, zero shuffle), joined against the
+    * BROADCAST query side on OR-of-band-equality — the same
+    * scan+broadcast+rank shape as bruteForceTopK, except non-candidates
+    * are eliminated by `bands` long-compares instead of a dims-wide dot
+    * product, and only ~bands·N/2^rowsPerBand candidates per query reach
+    * the cosine and the rank exchange (vs all N for brute force).
+    *
+    * The query set is small by construction (same contract as
+    * bruteForceTopK). For corpus×corpus near-neighbor work, use the
+    * exploded banded EQUI-join instead (the `NearDup.minhashLshPairs`
+    * pattern — shuffle on (band, bucket), population N/2^rowsPerBand per
+    * bucket, no broadcast) — a nested-loop over a large query side does
+    * not scale.
+    *
+    * Output shape matches bruteForceTopK; recall < 1 by design (the
+    * scale/quality trade) but the result is deterministic, so it keeps an
+    * oracle.
     */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
-              planes: Int, k: Int, queryPred: Column): DataFrame = {
-    val sig = withLshSignature(vectors, vecCol, planes)
-      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"),
-              col("lsh_bucket"))
-      .withColumn("vn", norm(col("v")))
-    val q = sig.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-              col("vn").as("qn"), col("lsh_bucket"))
-    val scored = sig.join(q, Seq("lsh_bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+              dims: Int, bands: Int, rowsPerBand: Int, k: Int,
+              queryPred: Column): DataFrame = {
+    val sp = vectors.sparkSession
+    val planes = bands * rowsPerBand
+    val planeMat = (0 until planes).map(p => planeVec(p, dims)).toArray
+    val v = vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", norm(sp, col("v")))
+    // all `planes` projections in ONE kernel pass (see DoubleMatVec doc)
+    def withBuckets(df: DataFrame, vc: String, prefix: String): DataFrame = {
+      val withPr = df.withColumn("__pr",
+        graft.plans.ArrayOps.matVec(sp, col(vc), planeMat, s"lsh_${planes}x$dims"))
+      (0 until bands).foldLeft(withPr) { (d, b) =>
+        val bucket = (0 until rowsPerBand).map { r =>
+          val p = b * rowsPerBand + r
+          when(element_at(col("__pr"), p + 1) >= 0,
+            lit(1L << r)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        d.withColumn(s"${prefix}b$b", bucket)
+      }.drop("__pr")
+    }
+    val sig = withBuckets(v, "v", "")
+    val q = withBuckets(
+      v.filter(queryPred).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("vn").as("qn")), "qv", "q")
+    // one row per (query, candidate): the OR over bands collapses
+    // multi-band matches, so no distinct is needed
+    val bandMatch = (0 until bands).map(b => col(s"b$b") === col(s"qb$b")).reduce(_ || _)
+    val scored = sig.join(broadcast(q), bandMatch && col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
-        round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+        round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

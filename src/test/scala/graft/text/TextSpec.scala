@@ -57,7 +57,7 @@ class TextSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
       .toDF("a", "b")
-      .select(round(Similarity.cosine($"a", $"b"), 9).as("c"))
+      .select(round(Similarity.cosine(spark, $"a", $"b"), 9).as("c"))
       .as[Double].collect().toSeq
     assert(df === Seq(0.0, 1.0))
   }
