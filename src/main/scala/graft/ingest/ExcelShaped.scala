@@ -39,7 +39,7 @@ object ExcelShaped {
     val raw = readRaw(spark, path)
     val stationCols = raw.columns.filterNot(Seq("Day", "Hour", "Minute", "__line").contains).toSeq
     val filled = Seq("Day", "Hour").foldLeft(raw) { (df, c) =>
-      Fill.ffill(df, Seq.empty, Seq(col("__line")), c, c)
+      Fill.ffillBounded(df, Seq(col("__line")), c, c) // sheets are bounded
     }
     val withTs = filled.withColumn("ts", to_timestamp(
       concat(lit(year.toString), lit("-"), col("Day"), lit(" "),
@@ -54,7 +54,7 @@ object ExcelShaped {
                       param: String): DataFrame = {
     val raw = readRaw(spark, path)
     val stationCols = raw.columns.filterNot(Seq("Day", "Hour", "__line").contains).toSeq
-    val filled = Fill.ffill(raw, Seq.empty, Seq(col("__line")), "Day", "Day")
+    val filled = Fill.ffillBounded(raw, Seq(col("__line")), "Day", "Day")
     val withTs = filled.withColumn("ts", to_timestamp(
       concat(lit(year.toString), lit("-"), col("Day"), lit(" "),
              col("Hour"), lit(":00")),

@@ -88,9 +88,11 @@ object Composite extends QueryPack {
           .agg(first(col("dv")))
         val est = Formula.applyEstimates(wide,
           Seq(("est", "(0.5*{click}+0.5*{view}).clip(lower=1)", false)), col)
-        Fill.blankOnRepeat(
+        // month is MONOTONE in day order ⇒ the label-partitioned form is
+        // exact and fully distributed (no global window)
+        Fill.blankOnRepeatByLabel(
           est.withColumn("month", substring(col("day"), 1, 7)),
-          Seq.empty, Seq(col("day")), "month", "month_label")
+          Seq(col("day")), "month", "month_label")
           .select(col("day"), col("month_label"), col("click"),
                   col("purchase"), col("signup"), col("view"), col("est"))
       },
