@@ -30,6 +30,30 @@ object Fetch {
       .replace("%d", now.format(DateTimeFormatter.ofPattern("dd")))
       .replace("%H", now.format(DateTimeFormatter.ofPattern("HH")))
 
+  /** S3 — USGS NWIS instantaneous-values request (discharge_obs_pd.py:
+    * 46-61): the reference calls `nwis.get_record(sites, service='iv',
+    * start, end)` after normalizing RFC ids ('U' → '00') and flooring the
+    * start to midnight `lookbackDays` back. This builds the PUBLIC NWIS iv
+    * REST URL (waterservices.usgs.gov is the documented public API the
+    * dataretrieval package itself calls) for the staging boundary;
+    * `base` is overridable configuration.
+    */
+  def nwisIvUrl(sites: Seq[String], now: LocalDateTime, lookbackDays: Int = 2,
+                parameterCds: Seq[String] = Seq("00060", "00065"),
+                base: String = "https://waterservices.usgs.gov/nwis/iv/"): String = {
+    require(sites.nonEmpty, "nwisIvUrl needs at least one site")
+    val day = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val start = now.minusDays(lookbackDays.toLong)
+      .withHour(0).withMinute(0).withSecond(0)
+    s"$base?format=rdb&sites=${sites.map(normalizeRfcSite).mkString(",")}" +
+      s"&startDT=${start.format(day)}&endDT=${now.format(day)}" +
+      s"&parameterCd=${parameterCds.mkString(",")}"
+  }
+
+  /** RFC station ids carry a 'U' where NWIS site numbers have '00'
+    * (discharge_obs_pd.py:58). */
+  def normalizeRfcSite(rfcId: String): String = rfcId.replace("U", "00")
+
   /** Download one URL to the staging dir; skip (None) on non-200, matching
     * the reference's tolerant status check (discharge_obs_pd.py:40-43).
     */

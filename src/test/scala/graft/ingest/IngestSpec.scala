@@ -109,4 +109,19 @@ class IngestSpec extends SparkSpec {
     val pending = EcccSwob.pendingWork(stations, hours, done)
     assert(pending.count() === 3)
   }
+
+  test("NWIS iv URL: RFC-id normalization, 2-day midnight lookback, params") {
+    val now = java.time.LocalDateTime.of(2024, 3, 15, 14, 37, 22)
+    val url = Fetch.nwisIvUrl(Seq("12U1500", "12404500"), now)
+    assert(url ===
+      "https://waterservices.usgs.gov/nwis/iv/?format=rdb" +
+        "&sites=12001500,12404500" +
+        "&startDT=2024-03-13&endDT=2024-03-15" +
+        "&parameterCd=00060,00065")
+    // lookback crosses a month boundary correctly
+    val url2 = Fetch.nwisIvUrl(Seq("07U0001"), java.time.LocalDateTime.of(2024, 3, 1, 1, 0),
+      lookbackDays = 2, parameterCds = Seq("00060"))
+    assert(url2.contains("startDT=2024-02-28") && url2.contains("sites=07000001"))
+    intercept[IllegalArgumentException] { Fetch.nwisIvUrl(Seq.empty, now) }
+  }
 }

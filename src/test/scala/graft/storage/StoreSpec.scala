@@ -49,4 +49,45 @@ class StoreSpec extends SparkSpec {
     val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("yyyymm")).sorted
     assert(parts.toSeq === Seq("yyyymm=202301", "yyyymm=202302"))
   }
+
+  test("K5 putWithVersionPurgeRetry: purge unblocks a failing put, layered versions drain") {
+    // fake store mirroring the reference failure mode: put fails while
+    // non-current versions exist; versions sit in layers that only become
+    // visible as the previous layer is deleted (discharge_obs_pd.py:281-330)
+    class FakeStore extends VersionedObjectStore {
+      var layers = List(Seq("v3", "v2"), Seq("v1")) // stacked versions
+      var puts = 0
+      var putLog = List.empty[String]
+      override def put(localPath: String, storePath: String): Unit = {
+        puts += 1
+        if (layers.nonEmpty) throw new RuntimeException("S3Error: version bloat")
+        putLog ::= s"$localPath->$storePath"
+      }
+      override def listNonCurrentVersions(storePath: String): Seq[String] =
+        layers.headOption.getOrElse(Seq.empty)
+      override def deleteVersions(storePath: String, versionIds: Seq[String]): Unit = {
+        assert(versionIds === layers.head, "must delete the visible layer")
+        layers = layers.tail
+      }
+    }
+    val store = new FakeStore
+    StoreMaintenance.putWithVersionPurgeRetry(store, "/tmp/a.parquet", "obs/a.parquet")
+    assert(store.puts === 2)                       // fail, purge, retry once
+    assert(store.layers.isEmpty)                   // both layers drained
+    assert(store.putLog === List("/tmp/a.parquet->obs/a.parquet"))
+
+    // healthy store: single put, no purge
+    val ok = new FakeStore { layers = Nil }
+    StoreMaintenance.putWithVersionPurgeRetry(ok, "/tmp/b.parquet", "obs/b.parquet")
+    assert(ok.puts === 1)
+
+    // a store that never converges hits the round guard instead of hanging
+    val stuck = new FakeStore {
+      override def listNonCurrentVersions(p: String): Seq[String] = Seq("ghost")
+      override def deleteVersions(p: String, v: Seq[String]): Unit = ()
+    }
+    intercept[IllegalStateException] {
+      StoreMaintenance.purgeNonCurrentVersions(stuck, "obs/c.parquet", maxRounds = 5)
+    }
+  }
 }
