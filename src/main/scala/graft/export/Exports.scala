@@ -41,4 +41,12 @@ object Exports {
     }
     (cols, rows)
   }
+
+  /** K3 — write a bounded product frame into an .xlsx workbook as a
+    * year-named sheet, replace-if-exists (dischargeobs_write_xl.py:
+    * 136-144, 211-216) — the reference's actual daily product file.
+    */
+  def writeXlsxSheet(df: DataFrame, path: String, sheetName: String,
+                     orderCol: String): Unit =
+    Xlsx.upsertSheet(path, sheetName, sheetRows(df, orderCol))
 }

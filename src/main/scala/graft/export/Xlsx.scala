@@ -1,0 +1,219 @@
+package graft.export
+
+import java.io.{ByteArrayOutputStream, FileInputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import javax.xml.parsers.DocumentBuilderFactory
+import scala.collection.mutable
+import org.w3c.dom.Element
+
+/** K3 — minimal dependency-free .xlsx workbook codec.
+  *
+  * An .xlsx file is a zip of OOXML parts; the reference's daily products
+  * are year-named sheets written via pandas/openpyxl with
+  * replace-if-exists (dischargeobs_write_xl.py:136-144, 211-251) and ''
+  * for NaN cells (:229-233). This writer/reader covers exactly that
+  * product shape — single-format string/number grids, no styling — so the
+  * engine can produce and re-read the actual workbook FILES instead of
+  * stopping at the grid (`Exports.sheetRows`).
+  *
+  * Writer: numeric-looking cells become number cells (`<v>`), everything
+  * else inline strings (no sharedStrings table needed); empty strings are
+  * blank (cell omitted), mirroring the reference's '' NaN rendering.
+  * Reader: handles inline strings, number/formula `<v>` text, and a
+  * sharedStrings table (so workbooks produced by openpyxl/xlsxwriter read
+  * back too); missing cells (gap refs) read as "".
+  *
+  * Driver-side boundary by design: sheets are bounded product exports (a
+  * year of hourly rows × a model's station list), never data-sized frames.
+  */
+object Xlsx {
+
+  /** header row + data rows; all cells as raw strings, "" = blank. */
+  type Grid = (Array[String], Array[Array[String]])
+
+  private val NumberRe = "-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
+
+  // ---- column refs -------------------------------------------------------
+
+  /** 0-based column index → A, B, …, Z, AA, … (bijective base 26). */
+  private[export] def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) {
+      val r = (n - 1) % 26
+      sb.insert(0, ('A' + r).toChar)
+      n = (n - 1) / 26
+    }
+    sb.toString
+  }
+
+  /** "BC12" → 0-based column index of "BC". */
+  private[export] def refToCol(ref: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      n = n * 26 + (ref.charAt(i) - 'A' + 1)
+      i += 1
+    }
+    n - 1
+  }
+
+  // ---- writer ------------------------------------------------------------
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
+  private def cellXml(ref: String, v: String): String =
+    if (v.isEmpty) ""
+    else if (NumberRe.matches(v)) s"""<c r="$ref"><v>$v</v></c>"""
+    else s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+
+  private def sheetXml(grid: Grid): String = {
+    val (header, rows) = grid
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    (header +: rows.toSeq).zipWithIndex.foreach { case (cells, r) =>
+      sb.append(s"""<row r="${r + 1}">""")
+      cells.zipWithIndex.foreach { case (v, c) =>
+        sb.append(cellXml(s"${colRef(c)}${r + 1}", v))
+      }
+      sb.append("</row>")
+    }
+    sb.append("</sheetData></worksheet>")
+    sb.toString
+  }
+
+  /** Write a workbook with the given (name, grid) sheets, in order. */
+  def write(path: String, sheets: Seq[(String, Grid)]): Unit = {
+    require(sheets.nonEmpty, "a workbook needs at least one sheet")
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    val n = sheets.size
+    part("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      (1 to n).map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        .mkString +
+      """</Types>""")
+    part("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      """</Relationships>""")
+    part("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+      sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString +
+      """</sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      (1 to n).map(i =>
+        s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+        .mkString +
+      """</Relationships>""")
+    sheets.zipWithIndex.foreach { case ((_, grid), i) =>
+      part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(grid))
+    }
+    zos.close()
+  }
+
+  /** The reference's replace-if-exists append (dischargeobs_write_xl.py:
+    * 136-144): keep other sheets, replace `name` if present, else append.
+    */
+  def upsertSheet(path: String, name: String, grid: Grid): Unit = {
+    val existing =
+      if (new java.io.File(path).exists()) read(path) else Seq.empty
+    val (kept, replaced) = existing.foldLeft((Vector.empty[(String, Grid)], false)) {
+      case ((acc, done), (n, g)) =>
+        if (n == name) (acc :+ (name -> grid), true) else (acc :+ (n -> g), done)
+    }
+    write(path, if (replaced) kept else kept :+ (name -> grid))
+  }
+
+  // ---- reader ------------------------------------------------------------
+
+  private def parse(bytes: Array[Byte]): Element = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(bytes))
+      .getDocumentElement
+  }
+
+  private def children(e: Element, tag: String): Seq[Element] = {
+    val nl = e.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  private def zipBytes(zf: ZipFile, name: String): Option[Array[Byte]] =
+    Option(zf.getEntry(name)).map { e =>
+      val in = zf.getInputStream(e)
+      val out = new ByteArrayOutputStream()
+      in.transferTo(out)
+      out.toByteArray
+    }
+
+  /** Read every sheet as a string grid (see object doc for coverage). */
+  def read(path: String): Seq[(String, Grid)] = {
+    val zf = new ZipFile(path)
+    try {
+      val shared: IndexedSeq[String] =
+        zipBytes(zf, "xl/sharedStrings.xml").map { b =>
+          children(parse(b), "si").map(si =>
+            children(si, "t").map(_.getTextContent).mkString).toIndexedSeq
+        }.getOrElse(IndexedSeq.empty)
+      val rels: Map[String, String] =
+        zipBytes(zf, "xl/_rels/workbook.xml.rels").map { b =>
+          children(parse(b), "Relationship")
+            .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap
+        }.getOrElse(Map.empty)
+      val wb = parse(zipBytes(zf, "xl/workbook.xml")
+        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/workbook.xml")))
+      children(wb, "sheet").map { sh =>
+        val name = sh.getAttribute("name")
+        val rid = sh.getAttribute("r:id")
+        val target = rels.getOrElse(rid,
+          s"worksheets/sheet${sh.getAttribute("sheetId")}.xml")
+        val full = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+        val ws = parse(zipBytes(zf, full)
+          .getOrElse(throw new IllegalArgumentException(s"$path: missing $full")))
+        name -> sheetGrid(ws, shared)
+      }
+    } finally zf.close()
+  }
+
+  private def sheetGrid(ws: Element, shared: IndexedSeq[String]): Grid = {
+    val rows = children(ws, "row").map { row =>
+      val cells = mutable.Map.empty[Int, String]
+      children(row, "c").foreach { c =>
+        val idx = refToCol(c.getAttribute("r"))
+        val v = c.getAttribute("t") match {
+          case "inlineStr" => children(c, "t").map(_.getTextContent).mkString
+          case "s" =>
+            children(c, "v").headOption.map(_.getTextContent.trim.toInt)
+              .map(shared.apply).getOrElse("")
+          case _ => children(c, "v").headOption.map(_.getTextContent).getOrElse("")
+        }
+        cells(idx) = v
+      }
+      cells
+    }
+    val width = (rows.map(r => if (r.isEmpty) 0 else r.keys.max + 1) :+ 0).max
+    val grid = rows.map(r => Array.tabulate(width)(i => r.getOrElse(i, "")))
+    if (grid.isEmpty) (Array.empty[String], Array.empty[Array[String]])
+    else (grid.head, grid.tail.toArray)
+  }
+}

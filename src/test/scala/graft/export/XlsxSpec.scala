@@ -1,0 +1,81 @@
+package graft.export
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** K3 xlsx codec: byte-level round-trip, replace-if-exists semantics, and
+  * parity between the xlsx read path and the CSV-materialized read path.
+  */
+class XlsxSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("xlsx").resolve(name).toString
+
+  test("round-trip: strings, numbers, blanks, escapes survive write→read") {
+    val path = tmp("rt.xlsx")
+    val g1: Xlsx.Grid = (
+      Array("Day", "Hour", "A&B <stn>", "08MF005"),
+      Array(
+        Array("01-01", "0", "a \"quoted\" value", "1234.5"),
+        Array("", "1", "", "-2.5e3"),            // blanks + scientific
+        Array("12-31", "23", "naïve ünicode", "007"))) // leading zero stays text-exact
+    val g2: Xlsx.Grid = (Array("only"), Array(Array("x")))
+    Xlsx.write(path, Seq("2023" -> g1, "2024" -> g2))
+
+    val back = Xlsx.read(path)
+    assert(back.map(_._1) === Seq("2023", "2024"))
+    val (h, rows) = back.head._2
+    assert(h === g1._1)
+    assert(rows.map(_.toSeq) === g1._2.map(_.toSeq))
+    assert(back(1)._2._1 === Array("only"))
+  }
+
+  test("upsertSheet: replaces in place, appends when absent, keeps order") {
+    val path = tmp("up.xlsx")
+    val g = (Array("c"), Array(Array("1")))
+    Xlsx.write(path, Seq("2022" -> g, "2023" -> g))
+    Xlsx.upsertSheet(path, "2023", (Array("c"), Array(Array("99"))))   // replace
+    Xlsx.upsertSheet(path, "2024", (Array("c"), Array(Array("42"))))   // append
+    val back = Xlsx.read(path)
+    assert(back.map(_._1) === Seq("2022", "2023", "2024"))
+    assert(back(1)._2._2.head.head === "99" && back(2)._2._2.head.head === "42")
+  }
+
+  test("writeXlsxSheet: DataFrame nulls render as blank cells") {
+    import spark.implicits._
+    val path = tmp("df.xlsx")
+    val df = Seq(("01-01", Some(1.5)), ("01-02", None: Option[Double]))
+      .toDF("Day", "08MF005")
+    Exports.writeXlsxSheet(df, path, "2023", "Day")
+    val (h, rows) = Xlsx.read(path).head._2
+    assert(h === Array("Day", "08MF005"))
+    assert(rows.map(_.toSeq) === Array(Seq("01-01", "1.5"), Seq("01-02", "")))
+  }
+
+  test("readHourlySheetXlsx matches the CSV-materialized read path") {
+    import spark.implicits._
+    // the CSV fixture's grid, as a workbook sheet (blank = ffill/NaN cells)
+    val grid: Xlsx.Grid = (
+      Array("Day", "Hour", "08MF005", "08MG00A"),
+      Array(
+        Array("01-01", "0", "1100.0", "11.0"),
+        Array("", "1", "1101.0", ""),
+        Array("12-31", "23", "1234.5", "12.3"),
+        Array("01-01", "0", "1300.0", "13.0"),
+        Array("01-01", "1", "1301.0", "13.1")))
+    val path = tmp("hourly.xlsx")
+    Xlsx.write(path, Seq("2023" -> grid))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"station", date_format($"ts", "yyyy-MM-dd HH").as("t"), $"value")
+      .as[(String, String, Option[Double])].collect().toSet
+    val fromXlsx = canon(graft.ingest.ExcelShaped.readHourlySheetXlsx(
+      spark, path, "2023", 2023, "Q"))
+    val fromCsv = canon(graft.ingest.ExcelShaped.readHourlySheet(
+      spark, resource("excel/hourly_q.csv"), 2023, "Q"))
+    assert(fromXlsx === fromCsv && fromXlsx.nonEmpty)
+    // rollover made it through the xlsx path too
+    assert(fromXlsx.exists(_._2.startsWith("2024-01-01")))
+  }
+}
