@@ -1,9 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Tables, TimeUtil}
 import graft.formula.Formula
 import graft.ops.{Dedup, Fill, Interpolate, Resample}
+import graft.storage.ObsStore
 
 /** Composite pipeline queries: whole reference entry points (SURVEY §3)
   * as single oracle-checked dataflows — operator-level equivalence is
@@ -12,6 +13,116 @@ import graft.ops.{Dedup, Fill, Interpolate, Resample}
 object Composite extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
+
+    // E3 grid-resume composite (fills the q09 numbering gap): the ECCC
+    // pending-work pattern end-to-end — expected station×hour grid (J10 +
+    // distributed spine F7), observed hours joined in (T3 resume
+    // semantics), missing slots backfilled from the most recent
+    // observation within a bounded 24 h lookback (the cron-resume story:
+    // a tick that went down reconstructs what it can and labels the
+    // rest). Values are PICKED raw doubles (max_by, no summation) — no
+    // cross-engine rounding hazards.
+    "q09_grid_resume" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("hv"))
+        val users = ev.select(col("user_id")).distinct()
+        val grid = users.crossJoin(broadcast(TimeUtil.spineOver(ev, "ts", "hour", "1 hour")
+          .select(col("ts").as("h"))))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(-24, -1)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("lastv", last(col("hv"), ignoreNulls = true).over(w))
+          .select(col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+            when(col("hv").isNotNull, lit("done"))
+              .when(col("lastv").isNotNull, lit("backfilled"))
+              .otherwise(lit("missing")).as("status"),
+            coalesce(col("hv"), col("lastv")).as("value"))
+      },
+      Some("""
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+          FROM events),
+        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM bounds),
+        hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS h, value AS hv
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                     ORDER BY ts DESC, event_id DESC) = 1),
+        grid AS (SELECT u.user_id, s.h
+                 FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s),
+        joined AS (
+          SELECT g.user_id, g.h, hourly.hv
+          FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h),
+        framed AS (
+          SELECT *, last_value(hv IGNORE NULLS) OVER
+                      (PARTITION BY user_id ORDER BY h
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS lastv
+          FROM joined)
+        SELECT user_id, strftime(h, '%Y-%m-%d %H') AS hour,
+               CASE WHEN hv IS NOT NULL THEN 'done'
+                    WHEN lastv IS NOT NULL THEN 'backfilled'
+                    ELSE 'missing' END AS status,
+               coalesce(hv, lastv) AS value
+        FROM framed""")),
+
+    // Store round-trip composite (fills the q28 numbering gap): the
+    // streaming-tick → store → read-back story as ONE oracle-checked
+    // dataflow — historical batch written to a REAL partitioned ObsStore
+    // (yyyymm, param), an incremental tick merge-upserted (pruned read,
+    // old-wins combine_first, dynamic partition overwrite), then the
+    // store READ BACK and rolled up. The oracle recomputes the merge
+    // declaratively, so the physical write→merge→read cycle must
+    // preserve every cell bit-for-bit to pass. Mean uses the exact
+    // integer-cents doctrine (see q44).
+    "q28_store_roundtrip" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("user_id").cast("string").as("station"), col("ts"),
+          col("event_type").as("param"), col("value"), col("event_id"))
+        def half(pred: org.apache.spark.sql.Column) =
+          Dedup.dedupFirst(ev.filter(pred), Seq("station", "ts", "param"),
+            Seq(col("event_id"))).drop("event_id")
+        val dir = java.nio.file.Files.createTempDirectory("graft_q28")
+          .resolve("store").toString
+        val store = new ObsStore(s, dir)
+        store.write(half(col("event_id") % 3 =!= 0))
+        store.mergeUpsert(half(col("event_id") % 3 === 0))
+        store.read()
+          .groupBy(col("station"), col("yyyymm").cast("string").as("yyyymm"))
+          .agg(count(col("value")).as("n_obs"),
+               sum(round(col("value") * 100)).cast("long").as("cents"))
+          .select(col("station"), col("yyyymm"), col("n_obs"),
+            (col("cents") / (col("n_obs") * 100)).as("mean_value"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id::VARCHAR AS station, ts, event_type AS param,
+                 value, event_id
+          FROM events),
+        hist AS (
+          SELECT station, ts, param, value FROM ev WHERE event_id % 3 <> 0
+          QUALIFY row_number() OVER (PARTITION BY station, ts, param
+                                     ORDER BY event_id) = 1),
+        tick AS (
+          SELECT station, ts, param, value FROM ev WHERE event_id % 3 = 0
+          QUALIFY row_number() OVER (PARTITION BY station, ts, param
+                                     ORDER BY event_id) = 1),
+        merged AS (
+          SELECT coalesce(h.station, t.station) AS station,
+                 coalesce(h.ts, t.ts) AS ts,
+                 coalesce(h.value, t.value) AS value
+          FROM hist h FULL OUTER JOIN tick t
+            ON h.station = t.station AND h.ts = t.ts AND h.param = t.param)
+        SELECT station, strftime(date_trunc('month', ts), '%Y%m') AS yyyymm,
+               count(value) AS n_obs,
+               sum(round(value * 100))::BIGINT / (count(value) * 100) AS mean_value
+        FROM merged GROUP BY 1, 2""")),
 
     // E2 medallion cascade (dischargeobs_write_xl.py:278-392): keep-first
     // dedup → hourly mean + last → tail-patch → daily mean → round(3).
