@@ -49,4 +49,12 @@ object Exports {
   def writeXlsxSheet(df: DataFrame, path: String, sheetName: String,
                      orderCol: String): Unit =
     Xlsx.upsertSheet(path, sheetName, sheetRows(df, orderCol))
+
+  /** K4 — the legacy `.xls` product (FRASER/SKEENA `obsflows.xls`,
+    * dischargeobs_write_xl.py:217-250): same grid, BIFF8 workbook,
+    * replace-if-exists over self-written files.
+    */
+  def writeXlsSheet(df: DataFrame, path: String, sheetName: String,
+                    orderCol: String): Unit =
+    Xls.upsertSheet(path, sheetName, sheetRows(df, orderCol))
 }

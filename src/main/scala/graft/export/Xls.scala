@@ -1,0 +1,329 @@
+package graft.export
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** K4 — minimal legacy `.xls` (BIFF8-in-CFB) workbook codec.
+  *
+  * The reference writes FRASER/SKEENA `obsflows.xls` via xlwt/xlutils with
+  * a read-copy-modify-append cycle per year sheet
+  * (dischargeobs_write_xl.py:217-250). Both container (MS-CFB) and stream
+  * (MS-XLS/BIFF8) formats are public Microsoft specifications; this
+  * writer emits the minimal subset those products need — multi-sheet
+  * workbooks of NUMBER/LABEL cells, no formatting — and the reader
+  * handles exactly the records this writer emits (plus descriptive
+  * errors on SST/RK-style cells from richer writers, rather than silent
+  * cell loss). `upsertSheet` gives the reference's replace-if-exists
+  * append over self-written workbooks.
+  *
+  * Cell typing mirrors `Xlsx`, tightened for binary numbers: a cell is
+  * written as a NUMBER only when `Double.toString(parse(v)) == v`, so
+  * non-canonical numeric-looking text ("007", "1e3") stays a LABEL and
+  * every grid round-trips byte-exactly.
+  */
+object Xls {
+
+  type Grid = Xlsx.Grid // (header, rows) of raw strings; "" = blank
+
+  private val ENDOFCHAIN = 0xFFFFFFFE
+  private val FATSECT = 0xFFFFFFFD
+  private val FREESECT = 0xFFFFFFFF
+
+  private def canonicalDouble(v: String): Option[Double] =
+    try {
+      val d = v.toDouble
+      if (java.lang.Double.toString(d) == v) Some(d) else None
+    } catch { case _: NumberFormatException => None }
+
+  // ---- BIFF stream ------------------------------------------------------
+
+  private class Biff {
+    val out = new ByteArrayOutputStream()
+    private def le(n: Int, width: Int): Unit = {
+      var v = n; var i = 0
+      while (i < width) { out.write(v & 0xFF); v >>>= 8; i += 1 }
+    }
+    def record(tpe: Int, body: Array[Byte]): Unit = {
+      le(tpe, 2); le(body.length, 2); out.write(body)
+    }
+    def pos: Int = out.size()
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  private def body(width: Int)(f: ByteBuffer => Unit): Array[Byte] = {
+    val b = ByteBuffer.allocate(width).order(ByteOrder.LITTLE_ENDIAN)
+    f(b)
+    b.array()
+  }
+
+  private def bofBody(dt: Int): Array[Byte] = body(16) { b =>
+    b.putShort(0x0600.toShort)  // BIFF8
+    b.putShort(dt.toShort)      // 0x0005 globals / 0x0010 worksheet
+    b.putShort(0x0DBB.toShort); b.putShort(0x07CC.toShort) // build/year
+    b.putInt(0x000000C1); b.putInt(0x00000006)             // history/lowest
+  }
+
+  private def xfBody(style: Boolean): Array[Byte] = body(20) { b =>
+    b.putShort(0)                                   // ifnt
+    b.putShort(0)                                   // ifmt
+    b.putShort((if (style) 0xFFF5 else 0x0001).toShort) // locked/style/parent
+    b.put(0x20.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+    b.putInt(0); b.putInt(0)                        // borders
+    b.putShort(0x20C0.toShort)                      // fill
+  }
+
+  private def sheetStream(grid: Grid): Array[Byte] = {
+    val (header, rows) = grid
+    val all = header +: rows.toSeq
+    val ncols = all.map(_.length).maxOption.getOrElse(0)
+    val s = new Biff
+    s.record(0x0809, bofBody(0x0010))
+    s.record(0x0200, body(14) { b =>          // DIMENSIONS
+      b.putInt(0); b.putInt(all.size)
+      b.putShort(0); b.putShort(ncols.toShort); b.putShort(0)
+    })
+    all.zipWithIndex.foreach { case (cells, r) =>
+      cells.zipWithIndex.foreach { case (v, c) =>
+        if (v.nonEmpty) canonicalDouble(v) match {
+          case Some(d) =>
+            s.record(0x0203, body(14) { b =>  // NUMBER
+              b.putShort(r.toShort); b.putShort(c.toShort)
+              b.putShort(15); b.putDouble(d)
+            })
+          case None =>
+            val chars = v.toCharArray
+            require(chars.length <= 255, s"LABEL cell too long (${chars.length})")
+            s.record(0x0204, body(9 + 2 * chars.length) { b => // LABEL, utf16
+              b.putShort(r.toShort); b.putShort(c.toShort); b.putShort(15)
+              b.putShort(chars.length.toShort); b.put(0x01.toByte)
+              chars.foreach(ch => b.putShort(ch.toShort))
+            })
+        }
+      }
+    }
+    s.record(0x000A, Array.empty)
+    s.bytes
+  }
+
+  private def workbookStream(sheets: Seq[(String, Grid)]): Array[Byte] = {
+    val g = new Biff
+    g.record(0x0809, bofBody(0x0005))
+    g.record(0x0042, body(2)(_.putShort(0x04B0.toShort)))  // CODEPAGE utf16
+    g.record(0x003D, body(18) { b =>                       // WINDOW1
+      b.putShort(0x0168.toShort); b.putShort(0x010E.toShort)
+      b.putShort(0x3A5C.toShort); b.putShort(0x23BE.toShort)
+      b.putShort(0x0038.toShort); b.putShort(0); b.putShort(0)
+      b.putShort(1); b.putShort(0x0258.toShort)
+    })
+    g.record(0x0031, body(21) { b =>                       // FONT "Arial"
+      b.putShort(200); b.putShort(0); b.putShort(0x7FFF.toShort)
+      b.putShort(400); b.putShort(0)
+      b.put(0.toByte); b.put(0.toByte); b.put(0.toByte); b.put(0.toByte)
+      b.put(5.toByte); b.put(0.toByte); "Arial".foreach(ch => b.put(ch.toByte))
+    })
+    (0 until 15).foreach(_ => g.record(0x00E0, xfBody(style = true)))
+    g.record(0x00E0, xfBody(style = false))                // cell XF = index 15
+    // BOUNDSHEET offsets are patched after the globals substream is sized
+    val bsBodies = sheets.map { case (name, _) =>
+      val chars = name.toCharArray
+      require(chars.length <= 31, s"sheet name too long: $name")
+      body(8 + 2 * chars.length) { b =>
+        b.putInt(0)                                        // lbPlyPos (patched)
+        b.putShort(0)                                      // visible worksheet
+        b.put(chars.length.toByte); b.put(0x01.toByte)     // utf16 name
+        chars.foreach(ch => b.putShort(ch.toShort))
+      }
+    }
+    val bsPositions = bsBodies.map { bb => g.record(0x0085, bb); g.pos - bb.length }
+    g.record(0x000A, Array.empty)
+    val sheetBytes = sheets.map { case (_, grid) => sheetStream(grid) }
+    val offsets = sheetBytes.scanLeft(g.pos)(_ + _.length).init
+    val stream = g.bytes ++ sheetBytes.flatten
+    bsPositions.zip(offsets).foreach { case (p, off) =>
+      val b = ByteBuffer.wrap(stream, p, 4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(off)
+    }
+    stream
+  }
+
+  // ---- CFB container ----------------------------------------------------
+
+  private def dirEntry(name: String, objType: Int, child: Int,
+                       startSector: Int, size: Int): Array[Byte] =
+    body(128) { b =>
+      val chars = name.toCharArray
+      chars.foreach(ch => b.putShort(ch.toShort))
+      b.position(64)
+      b.putShort(if (name.isEmpty) 0 else ((chars.length + 1) * 2).toShort)
+      b.put(objType.toByte)
+      b.put((if (objType == 0) 0 else 1).toByte)           // black
+      b.putInt(-1); b.putInt(-1)                           // siblings
+      b.putInt(child)
+      b.position(116)
+      b.putInt(startSector)
+      b.putInt(size); b.putInt(0)
+    }
+
+  /** Write a BIFF8 workbook wrapped in a CFB container. The Workbook
+    * stream is zero-padded to the 4096-byte regular-sector cutoff so no
+    * ministream is needed (padding sits beyond the final EOF record).
+    */
+  def write(path: String, sheets: Seq[(String, Grid)]): Unit = {
+    require(sheets.nonEmpty, "a workbook needs at least one sheet")
+    val raw = workbookStream(sheets)
+    val size = math.max(raw.length, 4096)
+    val padded = java.util.Arrays.copyOf(raw, (size + 511) / 512 * 512)
+    val nStream = padded.length / 512
+
+    // sector layout: [FAT × nFat][directory][stream × nStream]
+    var nFat = 1
+    while ((nFat + 1 + nStream) > nFat * 128) nFat += 1
+    val fat = Array.fill((nFat * 128))(FREESECT)
+    (0 until nFat).foreach(i => fat(i) = FATSECT)
+    fat(nFat) = ENDOFCHAIN                                 // directory
+    val firstStream = nFat + 1
+    (0 until nStream).foreach { i =>
+      fat(firstStream + i) = if (i == nStream - 1) ENDOFCHAIN else firstStream + i + 1
+    }
+
+    val header = body(512) { b =>
+      b.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+      b.position(24)
+      b.putShort(0x003E.toShort); b.putShort(0x0003.toShort)
+      b.putShort(0xFFFE.toShort)
+      b.putShort(9); b.putShort(6)
+      b.position(44)
+      b.putInt(nFat)
+      b.putInt(nFat)                                       // first directory sector
+      b.putInt(0)
+      b.putInt(0x1000)
+      b.putInt(ENDOFCHAIN); b.putInt(0)                    // no mini FAT
+      b.putInt(ENDOFCHAIN); b.putInt(0)                    // no extra DIFAT
+      (0 until 109).foreach(i => b.putInt(if (i < nFat) i else FREESECT))
+    }
+    val dir = dirEntry("Root Entry", 5, 1, ENDOFCHAIN, 0) ++
+      dirEntry("Workbook", 2, -1, firstStream, padded.length) ++
+      dirEntry("", 0, -1, 0, 0) ++ dirEntry("", 0, -1, 0, 0)
+
+    val out = new FileOutputStream(path)
+    try {
+      out.write(header)
+      val fatBytes = body(nFat * 512)(b => fat.foreach(b.putInt))
+      out.write(fatBytes)
+      out.write(dir)
+      out.write(padded)
+    } finally out.close()
+  }
+
+  /** Replace-if-exists append over a workbook THIS codec wrote (the
+    * reference's xlutils read-copy-modify cycle for its own products). */
+  def upsertSheet(path: String, name: String, grid: Grid): Unit = {
+    val existing =
+      if (new java.io.File(path).exists()) read(path) else Seq.empty
+    val (kept, replaced) = existing.foldLeft((Vector.empty[(String, Grid)], false)) {
+      case ((acc, done), (n, g)) =>
+        if (n == name) (acc :+ (name -> grid), true) else (acc :+ (n -> g), done)
+    }
+    write(path, if (replaced) kept else kept :+ (name -> grid))
+  }
+
+  // ---- reader (self-written subset + descriptive rejects) ---------------
+
+  private def u16(a: Array[Byte], p: Int): Int =
+    (a(p) & 0xFF) | ((a(p + 1) & 0xFF) << 8)
+  private def i32(a: Array[Byte], p: Int): Int =
+    u16(a, p) | (u16(a, p + 2) << 16)
+
+  private def readWorkbookStream(path: String): Array[Byte] = {
+    val all = Files.readAllBytes(Paths.get(path))
+    require(all.length >= 512 && (all(0) & 0xFF) == 0xD0 && (all(1) & 0xFF) == 0xCF,
+      s"$path is not a CFB file")
+    val nFat = i32(all, 44)
+    val firstDir = i32(all, 48)
+    val difat = (0 until math.min(nFat, 109)).map(i => i32(all, 76 + 4 * i))
+    val fat = difat.flatMap { s =>
+      val base = 512 + s * 512
+      (0 until 128).map(i => i32(all, base + 4 * i))
+    }.toArray
+    def chain(start: Int): Seq[Int] = {
+      val b = Seq.newBuilder[Int]
+      var s = start
+      var guard = 0
+      while (s != ENDOFCHAIN && s != FREESECT && guard < fat.length + 1) {
+        b += s; s = fat(s); guard += 1
+      }
+      b.result()
+    }
+    val dirBytes = chain(firstDir).flatMap { s =>
+      all.slice(512 + s * 512, 512 + (s + 1) * 512)
+    }.toArray
+    val entries = dirBytes.grouped(128).toSeq
+    val wb = entries.find { e =>
+      val len = u16(e, 64)
+      len > 2 && new String(e, 0, len - 2, "UTF-16LE") == "Workbook"
+    }.getOrElse(throw new IllegalArgumentException(s"$path: no Workbook stream"))
+    val start = i32(wb, 116)
+    val size = i32(wb, 120)
+    chain(start).flatMap { s =>
+      all.slice(512 + s * 512, 512 + (s + 1) * 512)
+    }.take(size).toArray
+  }
+
+  /** Read every sheet of a workbook this codec wrote. */
+  def read(path: String): Seq[(String, Grid)] = {
+    val s = readWorkbookStream(path)
+    // globals pass: BOUNDSHEET names + substream offsets
+    var p = 0
+    val bounds = Seq.newBuilder[(String, Int)]
+    var inGlobals = true
+    while (inGlobals && p + 4 <= s.length) {
+      val tpe = u16(s, p); val len = u16(s, p + 2)
+      if (tpe == 0x0085) {
+        val off = i32(s, p + 4)
+        val cch = s(p + 10) & 0xFF
+        val hi = (s(p + 11) & 0x01) == 1
+        val name =
+          if (hi) new String(s, p + 12, cch * 2, "UTF-16LE")
+          else new String(s, p + 12, cch, "ISO-8859-1")
+        bounds += (name -> off)
+      }
+      if (tpe == 0x000A) inGlobals = false else p += 4 + len
+    }
+    bounds.result().map { case (name, off) => name -> sheetAt(s, off) }
+  }
+
+  private def sheetAt(s: Array[Byte], off: Int): Grid = {
+    var p = off
+    val cells = scala.collection.mutable.Map.empty[(Int, Int), String]
+    var done = false
+    while (!done && p + 4 <= s.length) {
+      val tpe = u16(s, p); val len = u16(s, p + 2); val b = p + 4
+      tpe match {
+        case 0x0203 =>
+          val d = ByteBuffer.wrap(s, b + 6, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+          cells((u16(s, b), u16(s, b + 2))) = java.lang.Double.toString(d)
+        case 0x0204 =>
+          val cch = u16(s, b + 6)
+          val hi = (s(b + 8) & 0x01) == 1
+          cells((u16(s, b), u16(s, b + 2))) =
+            if (hi) new String(s, b + 9, cch * 2, "UTF-16LE")
+            else new String(s, b + 9, cch, "ISO-8859-1")
+        case 0x00FD | 0x027E | 0x00BD =>                   // LABELSST / RK / MULRK
+          throw new IllegalArgumentException(
+            "externally-written BIFF cell records (SST/RK) are out of scope " +
+              "for this codec — it reads workbooks it wrote")
+        case 0x000A => done = true
+        case _ => ()
+      }
+      p = b + len
+    }
+    if (cells.isEmpty) (Array.empty[String], Array.empty[Array[String]])
+    else {
+      val nr = cells.keys.map(_._1).max + 1
+      val nc = cells.keys.map(_._2).max + 1
+      val grid = Array.tabulate(nr, nc)((r, c) => cells.getOrElse((r, c), ""))
+      (grid.head, grid.tail)
+    }
+  }
+}
