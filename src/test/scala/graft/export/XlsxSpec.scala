@@ -78,4 +78,15 @@ class XlsxSpec extends SparkSpec {
     // rollover made it through the xlsx path too
     assert(fromXlsx.exists(_._2.startsWith("2024-01-01")))
   }
+
+  test("xlsx/xls column refs: colRef/refToCol round-trip") {
+    (0 until 200).foreach { i =>
+      val ref = Xlsx.colRef(i)
+      assert(Xlsx.refToCol(ref + (i + 1)) === i, s"i=$i ref=$ref")
+    }
+    assert(Xlsx.colRef(0) === "A")
+    assert(Xlsx.colRef(25) === "Z")
+    assert(Xlsx.colRef(26) === "AA")
+    assert(Xlsx.colRef(27 * 26 - 1) === "ZZ")
+  }
 }

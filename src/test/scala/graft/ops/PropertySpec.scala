@@ -128,4 +128,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val vec = Gen.choose(1, 24).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(-10.0, 10.0).map(d => math.rint(d * 100) / 100)))
+
+  test("DoubleArrayDot == aggregate(zip_with) fold, bit-for-bit") {
+    import spark.implicits._
+    forAll(vec, vec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val df = Seq((a, b)).toDF("a", "b")
+      val hof = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val out = df.select(
+          graft.plans.ArrayOps.doubleDot(spark, $"a", $"b").as("k"),
+          hof.as("h"))
+        .as[(Double, Double)].head()
+      assert(java.lang.Double.doubleToLongBits(out._1) ===
+        java.lang.Double.doubleToLongBits(out._2))
+    }
+  }
+
+  test("DoubleMatVec row j == DoubleArrayDot against row j's literal") {
+    import spark.implicits._
+    forAll(vec) { v =>
+      val dims = v.length
+      val mat = Array.tabulate(3, dims)((j, i) => (j + 1) * 0.5 - i * 0.25)
+      val df = Seq(Tuple1(v)).toDF("v")
+      val mv = df.select(graft.plans.ArrayOps.matVec(spark, $"v", mat,
+        s"prop_3x$dims").as("m")).as[Seq[Double]].head()
+      val dots = (0 until 3).map { j =>
+        df.select(graft.plans.ArrayOps.doubleDot(spark, $"v",
+          typedlit(mat(j).toSeq)).as("d")).as[Double].head()
+      }
+      assert(mv.map(java.lang.Double.doubleToLongBits) ===
+        dots.map(java.lang.Double.doubleToLongBits))
+    }
+  }
+
 }
