@@ -226,18 +226,21 @@ object TextSim extends QueryPack {
               FROM s)
         WHERE rank <= 5""")),
 
-    // ANN scale path: BANDED random-hyperplane LSH (16 planes = 2 bands ×
-    // 8 bits — the MinHash banding trick on hyperplane signatures).
-    // Bucket population per band is N/256, so candidates stay bounded as
-    // the corpus grows; bands give recall. Deterministic md5-seeded
+    // ANN scale path: BANDED random-hyperplane LSH (20 planes = 4 bands ×
+    // 5 bits — the MinHash banding trick on hyperplane signatures).
+    // Bucket population per band is N/32 (rowsPerBand is the scale knob:
+    // pick ~log2(N / wanted candidates)); 4 bands set recall —
+    // SimilaritySpec MEASURES recall@3 ≈ 0.3 at the same 1/8-corpus
+    // candidate budget as q43's IVF (random near-orthogonal embeddings
+    // are the worst case for hyperplane LSH). Deterministic md5-seeded
     // planes; recall < 1 vs q38 by design — but the output itself is
     // exact, so it still has an oracle.
     "q39_lsh_ann" -> Q(
       (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        dims = 64, bands = 2, rowsPerBand = 8, k = 3,
+        dims = 64, bands = 4, rowsPerBand = 5, k = 3,
         queryPred = col("vec_id") % 10 === 0),
       Some {
-        val (bands, rpb) = (2, 8)
+        val (bands, rpb) = (4, 5)
         val buckets = (0 until bands).map { b =>
           (0 until rpb).map { r =>
             val p = b * rpb + r
