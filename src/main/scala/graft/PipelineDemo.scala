@@ -64,6 +64,24 @@ object PipelineDemo {
     println(s"[demo] model-input:")
     model.orderBy("date").show(10, truncate = false)
 
+    // the actual PRODUCT FILES (dischargeobs_write_xl.py:136-144, 211-251):
+    // model-input as a year-named sheet in real .xlsx and legacy .xls
+    // workbooks, replace-if-exists on the second write
+    val products = Files.createTempDirectory("graft-products").toString
+    val modelOut = model.withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+    graft.export.Exports.writeXlsxSheet(modelOut, s"$products/model.xlsx", "2023", "date")
+    graft.export.Exports.writeXlsxSheet(modelOut, s"$products/model.xlsx", "2023", "date")
+    graft.export.Exports.writeXlsSheet(modelOut, s"$products/obsflows.xls", "2023", "date")
+    val xlsxBack = graft.export.Xlsx.read(s"$products/model.xlsx")
+    val xlsBack = graft.export.Xls.read(s"$products/obsflows.xls")
+    val rowsExpected = modelOut.count()
+    println(s"[demo] workbook products: model.xlsx sheets=${xlsxBack.map(_._1)} " +
+      s"rows=${xlsxBack.head._2._2.length} obsflows.xls sheets=${xlsBack.map(_._1)} " +
+      s"rows=${xlsBack.head._2._2.length} " +
+      (if (xlsxBack.map(_._1) == Seq("2023") &&        // replaced, not duplicated
+           xlsxBack.head._2._2.length == rowsExpected &&
+           xlsBack.head._2._2.length == rowsExpected) "OK" else "MISMATCH"))
+
     // idempotence probe: re-ingesting the same sources must not change rows
     val before = store.read().count()
     Pipelines.ingestInstantaneous(store, sources)
