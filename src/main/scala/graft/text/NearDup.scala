@@ -167,7 +167,11 @@ object NearDup {
           least(col("label"),
                 coalesce(col("jlabel"), col("label")),
                 coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true) // cut lineage — see edges comment
+        // LAZY checkpoint: the convergence-sum action right below both
+        // materializes the round AND cuts lineage — ONE job per round
+        // instead of checkpoint-job + sum-job (the probe is folded into
+        // the round's own execution)
+        .localCheckpoint(false)
       prevSum = curSum
       curSum = labelSum(updated)
       labels = updated
