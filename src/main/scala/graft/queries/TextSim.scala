@@ -366,6 +366,43 @@ object TextSim extends QueryPack {
                md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrubbed_hash
         FROM documents""")),
 
+    // Corpus×corpus embedding near-neighbor pairs: the EQUI-JOIN banded-
+    // LSH path (no broadcast side) — all-pairs similarity mining over the
+    // whole table, candidates bounded per band bucket, exact cosine only
+    // on survivors. Composes with dedupClusters for embedding near-dup.
+    "q49_lsh_pairs" -> Q(
+      (s, d) => Similarity.lshNeighborPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5,
+        minCosine = 0.2),
+      Some {
+        val (bands, rpb) = (4, 5)
+        val buckets = (0 until bands).map { b =>
+          (0 until rpb).map { r =>
+            val p = b * rpb + r
+            val comp = s"((('0x' || substr(md5($p || '_' || i), 1, 8))::BIGINT / 2147483648.0) - 1.0)"
+            s"CASE WHEN list_sum([v[i+1] * $comp for i in range(0, len(v))]) >= 0 THEN ${1L << r} ELSE 0 END"
+          }.mkString(" + ")
+        }.mkString("[", ",\n                ", "]")
+        s"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        sig AS (SELECT vec_id,
+                $buckets AS buckets FROM e),
+        bands AS (SELECT vec_id, b AS band_idx, buckets[b + 1] AS bucket
+                  FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               round(list_dot_product(ea.v, eb.v) / (ea.vn * eb.vn), 6) AS cosine
+        FROM cand c
+        JOIN en ea ON ea.vec_id = c.id_a
+        JOIN en eb ON eb.vec_id = c.id_b
+        WHERE round(list_dot_product(ea.v, eb.v) / (ea.vn * eb.vn), 6) >= 0.2"""
+      }),
+
     // Multimodal plumbing: binary payload + typed mapPartitions decode
     // (deterministic stub in place of a codec — see Multimodal.decodeStub).
     "q40_media_features" -> Q(

@@ -196,6 +196,58 @@ object Similarity {
     * scale/quality trade) but the result is deterministic, so it keeps an
     * oracle.
     */
+  /** Corpus×corpus near-neighbor PAIRS via banded signatures — the
+    * EQUI-JOIN scale path for when there is no small query side (all-pairs
+    * similarity mining, embedding near-dup detection): signatures explode
+    * to (id, band, bucket) rows, the self-join shuffles on (band, bucket)
+    * — population N/2^rowsPerBand per bucket, no broadcast, no nested
+    * loop — candidates dedupe, and only survivors pay the exact cosine.
+    * Returns (id_a, id_b, cosine), id_a < id_b, cosine ≥ minCosine.
+    * Composes with `NearDup.dedupClusters` for embedding-cosine near-dup
+    * clustering. Same banding/recall trade as lshTopK (SimilaritySpec
+    * measures it).
+    */
+  def lshNeighborPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, bands: Int, rowsPerBand: Int,
+                       minCosine: Double): DataFrame = {
+    val sp = vectors.sparkSession
+    val planes = bands * rowsPerBand
+    val planeMat = (0 until planes).map(p => planeVec(p, dims)).toArray
+    val v = vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", norm(sp, col("v")))
+    val withPr = v.withColumn("__pr",
+      graft.plans.ArrayOps.matVec(sp, col("v"), planeMat, s"lsh_${planes}x$dims"))
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until rowsPerBand).map { r =>
+        when(element_at(col("__pr"), b * rowsPerBand + r + 1) >= 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band_idx"), bucket.as("bucket"))
+    }
+    // the band join carries ONLY (id, band, bucket) — vectors join back in
+    // for surviving candidate pairs
+    val banded = withPr
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band_idx").as("band_idx"),
+        col("bd.bucket").as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(v.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("vn").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb")), Seq("id_b"))
+      .withColumn("cosine",
+        round(dot(sp, col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               dims: Int, bands: Int, rowsPerBand: Int, k: Int,
               queryPred: Column): DataFrame = {
