@@ -179,6 +179,9 @@ object Xls {
     // sector layout: [FAT × nFat][directory][stream × nStream]
     var nFat = 1
     while ((nFat + 1 + nStream) > nFat * 128) nFat += 1
+    require(nFat <= 109,
+      s"workbook stream ${padded.length}B exceeds the header-DIFAT capacity " +
+        "(~7 GB) — sheets are bounded product exports; this is not a bulk sink")
     val fat = Array.fill((nFat * 128))(FREESECT)
     (0 until nFat).foreach(i => fat(i) = FATSECT)
     fat(nFat) = ENDOFCHAIN                                 // directory
