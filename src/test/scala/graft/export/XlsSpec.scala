@@ -63,4 +63,39 @@ class XlsSpec extends SparkSpec {
     assert(back.length === 2000)
     assert(back(1999).toSeq === Seq("r1999", "1999.5"))
   }
+
+  test("fuzz: 30 random grids round-trip through BOTH codecs byte-exactly") {
+    val rnd = new scala.util.Random(20260812L)
+    val alphabets = Seq(
+      "abcXYZ019 .,&<>\"'\t", "日本語中文ünïcø∂é", "-+eE.0123456789")
+    def cell(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until rnd.nextInt(12)).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    (1 to 30).foreach { trial =>
+      val nc = 1 + rnd.nextInt(6)
+      val nr = rnd.nextInt(8)
+      val grid: Xls.Grid = (
+        Array.tabulate(nc)(c => s"c$c"),
+        Array.fill(nr)(Array.fill(nc)(cell())))
+      val nSheets = 1 + rnd.nextInt(3)
+      val sheets = (1 to nSheets).map(i => s"s$i" -> grid)
+      val px = tmp(s"f$trial.xlsx"); val pb = tmp(s"f$trial.xls")
+      Xlsx.write(px, sheets)
+      Xls.write(pb, sheets)
+      (Xlsx.read(px) zip Xls.read(pb)).zipWithIndex.foreach {
+        case (((nx, (hx, rx)), (nb, (hb, rb))), si) =>
+          assert(nx === s"s${si + 1}" && nb === nx, s"trial $trial sheet $si name")
+          // trailing all-blank columns/rows are structurally unrepresentable
+          // in sparse cell formats; this fuzz generates non-empty headers so
+          // widths always survive
+          assert(hx.toSeq === grid._1.toSeq, s"trial $trial xlsx header")
+          assert(hb.toSeq === grid._1.toSeq, s"trial $trial xls header")
+          def canon(rows: Array[Array[String]]) =
+            rows.map(_.toSeq).toSeq.reverse.dropWhile(_.forall(_.isEmpty)).reverse
+          assert(canon(rx) === canon(grid._2), s"trial $trial xlsx rows")
+          assert(canon(rb) === canon(grid._2), s"trial $trial xls rows")
+      }
+    }
+  }
 }
