@@ -127,26 +127,80 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, idCol: String, vecCol: String,
               dims: Int, centroids: Int, nprobe: Int, k: Int,
-              queryPred: Column): DataFrame = {
-    val sp = vectors.sparkSession
-    val cents = (0 until centroids).map(c => centroidVec(c, dims))
-    val cnorms = cents.map(seqNorm)
+              queryPred: Column): DataFrame =
+    ivfTopKWith(vectors, idCol, vecCol,
+      (0 until centroids).map(c => centroidVec(c, dims)).toArray,
+      nprobe, k, queryPred)
 
+  /** IVF cell assignment only: (vec_id, v, vn, ccos, cell) for a given
+    * centroid matrix — shared by the query path and the trainer. */
+  private def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
+                          cents: Array[Array[Double]]): DataFrame = {
+    val sp = vectors.sparkSession
+    val dims = cents.head.length
+    val cnorms = cents.map(seqNorm)
+    val key = java.lang.Integer.toHexString(
+      java.util.Arrays.deepHashCode(cents.map(_.map(java.lang.Double.valueOf))))
     val v = vectors.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", norm(sp, col("v")))
-      // all C centroid dots in ONE kernel pass (see DoubleMatVec scaladoc)
-      .withColumn("cd", graft.plans.ArrayOps.matVec(sp, col("v"),
-        cents.toArray, s"ivf_${centroids}x$dims"))
-    // C rounded centroid cosines per row — pure codegen arithmetic
-    val ccosArr = array((0 until centroids).map { c =>
+      .withColumn("cd", graft.plans.ArrayOps.matVec(sp, col("v"), cents,
+        s"ivf_${cents.length}x${dims}_$key"))
+    val ccosArr = array(cents.indices.map { c =>
       round(element_at(col("cd"), c + 1) / (lit(cnorms(c)) * col("vn")), 6)
     }: _*)
-    // argmax with lowest-cell tie-break: array_position finds the FIRST
-    // element equal to the max (same double bits ⇒ exact match)
-    val index = v.withColumn("ccos", ccosArr).drop("cd")
+    v.withColumn("ccos", ccosArr)
       .withColumn("cell", (array_position(col("ccos"), array_max(col("ccos"))) - 1).cast("int"))
-      .localCheckpoint(true) // the IVF index build — see scaladoc
+      .drop("cd")
+  }
+
+  /** Offline IVF TRAINING: Lloyd iterations from the deterministic seed
+    * directions. Each pass = one assignment scan + ONE aggregation
+    * (posexplode → per-(cell, dim) mean) collected to the driver —
+    * O(C·dims) driver data, independent of N; empty cells keep their
+    * previous centroid. Returns the refined matrix for `ivfTopKWith`.
+    *
+    * Deliberately NOT the oracle path: fp aggregation order makes trained
+    * centroids run-varying in the last ulps, so the oracle-checked q43
+    * keeps the seeded quantizer; training is the index-build step a real
+    * deployment runs offline. Its value at scale is cell BALANCE — the
+    * probe cost bound is the largest probed cell — measured in
+    * SimilaritySpec.
+    */
+  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, centroids: Int, iterations: Int): Array[Array[Double]] = {
+    var cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    (1 to iterations).foreach { _ =>
+      val means = assignCells(vectors, idCol, vecCol, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Cell populations for a centroid matrix — the balance diagnostic. */
+  def cellHistogram(vectors: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Array[Double]]): Map[Int, Long] =
+    assignCells(vectors, idCol, vecCol, cents)
+      .groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** IVF top-k against an explicit centroid matrix (seeded or trained). */
+  def ivfTopKWith(vectors: DataFrame, idCol: String, vecCol: String,
+                  cents: Array[Array[Double]], nprobe: Int, k: Int,
+                  queryPred: Column): DataFrame = {
+    val sp = vectors.sparkSession
+    // per-row matvec cosines + argmax (lowest-cell tie-break via
+    // array_position on identical double bits); materialized ONCE — the
+    // IVF index build, see scaladoc
+    val index = assignCells(vectors, idCol, vecCol, cents).localCheckpoint(true)
 
     // probe list: each query's nprobe best cells (window over queries × C
     // rows only — the assignment itself never sees a window or a join)

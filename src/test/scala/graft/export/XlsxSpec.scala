@@ -79,6 +79,46 @@ class XlsxSpec extends SparkSpec {
     assert(fromXlsx.exists(_._2.startsWith("2024-01-01")))
   }
 
+  test("reader resolves sharedStrings cells (openpyxl/xlsxwriter shape)") {
+    // hand-assembled workbook using t="s" cells + a sharedStrings part —
+    // the shape external writers produce, which our writer never emits
+    val path = tmp("sst.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/></Types>""")
+    part("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+      """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="2023" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    part("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">""" +
+      """<si><t>Day</t></si><si><r><t>08MF</t></r><r><t>005</t></r></si><si><t>01-01</t></si></sst>""")
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+      """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1234.5</v></c></row>""" +
+      """</sheetData></worksheet>""")
+    zos.close()
+
+    val back = Xlsx.read(path)
+    assert(back.map(_._1) === Seq("2023"))
+    val (h, rows) = back.head._2
+    assert(h === Array("Day", "08MF005"))   // rich-text <r> runs concatenate
+    assert(rows.map(_.toSeq) === Array(Seq("01-01", "1234.5")))
+  }
+
   test("xlsx/xls column refs: colRef/refToCol round-trip") {
     (0 until 200).foreach { i =>
       val ref = Xlsx.colRef(i)

@@ -55,6 +55,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r > 0.2, f"IVF recall $r%.3f is no better than probing random cells")
   }
 
+  test("trained centroids: Lloyd passes improve cell balance, search stays well-formed") {
+    val emb = Tables.embeddings(spark, dir)
+    val seed = (0 until 16).map(c => Similarity.centroidVec(c, 64)).toArray
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      dims = 64, centroids = 16, iterations = 2)
+    val hSeed = Similarity.cellHistogram(emb, "vec_id", "embedding", seed)
+    val hTrained = Similarity.cellHistogram(emb, "vec_id", "embedding", trained)
+    val n = hSeed.values.sum
+    assert(hTrained.values.sum === n, "training must not lose vectors")
+    info(s"cell population max/nonempty: seed=${hSeed.values.max}/${hSeed.size} " +
+      s"trained=${hTrained.values.max}/${hTrained.size} (N=$n)")
+    // the scale claim: probe cost is bounded by the largest probed cell,
+    // and Lloyd refinement must not make the worst cell worse
+    assert(hTrained.values.max <= hSeed.values.max,
+      s"training worsened the largest cell: ${hTrained.values.max} > ${hSeed.values.max}")
+    val r = recallOf(Similarity.ivfTopKWith(emb, "vec_id", "embedding",
+      trained, nprobe = 2, k = 3, queryPred = pred))
+    info(f"trained-IVF recall@3 (nprobe=2/16): $r%.3f")
+    assert(r > 0.2, f"trained IVF recall $r%.3f below the chance floor")
+  }
+
   test("raising nprobe monotonically recovers brute-force recall") {
     val emb = Tables.embeddings(spark, dir)
     val rs = Seq(1, 4, 16).map { np =>
