@@ -403,6 +403,40 @@ object TextSim extends QueryPack {
         WHERE round(list_dot_product(ea.v, eb.v) / (ea.vn * eb.vn), 6) >= 0.2"""
       }),
 
+    // Benchmark-contamination detection (the decontamination prerequisite
+    // of a training-data pipeline): docs sharing any 8-token-gram with the
+    // benchmark subset (doc_id % 20 = 0) are flagged, with per-doc overlap
+    // counts. The benchmark gram set is bounded by the benchmark corpus
+    // (fixed), so it BROADCASTS; the corpus side pays one per-doc-distinct
+    // shuffle — no quadratic term anywhere.
+    "q50_contamination" -> Q(
+      (s, d) => {
+        val rows = TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 8)
+        val hashed = rows.select(col("id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("hg"))
+        val bench = hashed.filter(col("id") % 20 === 0).select("hg").distinct()
+        val corpus = hashed.filter(col("id") % 20 =!= 0).dropDuplicates("id", "hg")
+        corpus.join(broadcast(bench.withColumn("__hit", lit(1))), Seq("hg"), "left")
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+               count(col("__hit")).as("n_contaminated"))
+          .withColumn("contaminated", (col("n_contaminated") > 0).cast("int"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct([('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+                                for i in range(1, len(t) - 6)]) AS gs
+          FROM toks WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT unnest(gs) AS hg FROM grams WHERE doc_id % 20 = 0),
+        corpus AS (SELECT doc_id, unnest(gs) AS hg FROM grams WHERE doc_id % 20 <> 0)
+        SELECT doc_id, count(*) AS n_grams,
+               count(*) FILTER (hg IN (SELECT hg FROM bench)) AS n_contaminated,
+               (count(*) FILTER (hg IN (SELECT hg FROM bench)) > 0)::INT AS contaminated
+        FROM corpus GROUP BY doc_id""")),
+
     // Multimodal plumbing: binary payload + typed mapPartitions decode
     // (deterministic stub in place of a codec — see Multimodal.decodeStub).
     "q40_media_features" -> Q(
