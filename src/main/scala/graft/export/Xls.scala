@@ -30,11 +30,7 @@ object Xls {
   private val FATSECT = 0xFFFFFFFD
   private val FREESECT = 0xFFFFFFFF
 
-  private def canonicalDouble(v: String): Option[Double] =
-    try {
-      val d = v.toDouble
-      if (java.lang.Double.toString(d) == v) Some(d) else None
-    } catch { case _: NumberFormatException => None }
+  private def canonicalDouble(v: String): Option[Double] = Xlsx.canonicalDouble(v)
 
   // ---- BIFF stream ------------------------------------------------------
 
@@ -77,6 +73,11 @@ object Xls {
     val (header, rows) = grid
     val all = header +: rows.toSeq
     val ncols = all.map(_.length).maxOption.getOrElse(0)
+    // hard BIFF8 sheet limits: u16 row/col indices wrap silently otherwise
+    require(all.size <= 65536,
+      s"BIFF8 sheets hold at most 65536 rows, got ${all.size} — split the export")
+    require(ncols <= 256,
+      s"BIFF8 sheets hold at most 256 columns, got $ncols — split the export")
     val s = new Biff
     s.record(0x0809, bofBody(0x0010))
     s.record(0x0200, body(14) { b =>          // DIMENSIONS
@@ -221,15 +222,8 @@ object Xls {
 
   /** Replace-if-exists append over a workbook THIS codec wrote (the
     * reference's xlutils read-copy-modify cycle for its own products). */
-  def upsertSheet(path: String, name: String, grid: Grid): Unit = {
-    val existing =
-      if (new java.io.File(path).exists()) read(path) else Seq.empty
-    val (kept, replaced) = existing.foldLeft((Vector.empty[(String, Grid)], false)) {
-      case ((acc, done), (n, g)) =>
-        if (n == name) (acc :+ (name -> grid), true) else (acc :+ (n -> g), done)
-    }
-    write(path, if (replaced) kept else kept :+ (name -> grid))
-  }
+  def upsertSheet(path: String, name: String, grid: Grid): Unit =
+    Xlsx.upsert(path, name, grid, read, write)
 
   // ---- reader (self-written subset + descriptive rejects) ---------------
 

@@ -31,7 +31,31 @@ object Xlsx {
   /** header row + data rows; all cells as raw strings, "" = blank. */
   type Grid = (Array[String], Array[Array[String]])
 
-  private val NumberRe = "-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
+  /** A cell may be written as a NUMBER only when the text is the CANONICAL
+    * rendering of its parsed double — external consumers (Excel, openpyxl)
+    * parse a number cell's <v> as a double, so "007"/"1e3"/"0.10" written
+    * numerically would render as 7/1000/0.1 for them; as inline strings
+    * they stay text-exact everywhere. Shared with the BIFF codec.
+    */
+  private[export] def canonicalDouble(v: String): Option[Double] =
+    try {
+      val d = v.toDouble
+      if (java.lang.Double.toString(d) == v) Some(d) else None
+    } catch { case _: NumberFormatException => None }
+
+  /** Shared replace-if-exists append (dischargeobs_write_xl.py:136-144)
+    * parameterized over a codec's read/write. */
+  private[export] def upsert(path: String, name: String, grid: Grid,
+                             readAll: String => Seq[(String, Grid)],
+                             writeAll: (String, Seq[(String, Grid)]) => Unit): Unit = {
+    val existing =
+      if (new java.io.File(path).exists()) readAll(path) else Seq.empty
+    val (kept, replaced) = existing.foldLeft((Vector.empty[(String, Grid)], false)) {
+      case ((acc, done), (n, g)) =>
+        if (n == name) (acc :+ (name -> grid), true) else (acc :+ (n -> g), done)
+    }
+    writeAll(path, if (replaced) kept else kept :+ (name -> grid))
+  }
 
   // ---- column refs -------------------------------------------------------
 
@@ -66,7 +90,7 @@ object Xlsx {
 
   private def cellXml(ref: String, v: String): String =
     if (v.isEmpty) ""
-    else if (NumberRe.matches(v)) s"""<c r="$ref"><v>$v</v></c>"""
+    else if (canonicalDouble(v).isDefined) s"""<c r="$ref"><v>$v</v></c>"""
     else s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
 
   private def sheetXml(grid: Grid): String = {
@@ -133,15 +157,8 @@ object Xlsx {
   /** The reference's replace-if-exists append (dischargeobs_write_xl.py:
     * 136-144): keep other sheets, replace `name` if present, else append.
     */
-  def upsertSheet(path: String, name: String, grid: Grid): Unit = {
-    val existing =
-      if (new java.io.File(path).exists()) read(path) else Seq.empty
-    val (kept, replaced) = existing.foldLeft((Vector.empty[(String, Grid)], false)) {
-      case ((acc, done), (n, g)) =>
-        if (n == name) (acc :+ (name -> grid), true) else (acc :+ (n -> g), done)
-    }
-    write(path, if (replaced) kept else kept :+ (name -> grid))
-  }
+  def upsertSheet(path: String, name: String, grid: Grid): Unit =
+    upsert(path, name, grid, read, write)
 
   // ---- reader ------------------------------------------------------------
 
@@ -195,11 +212,24 @@ object Xlsx {
     } finally zf.close()
   }
 
+  /** Rows/cells are placed by their `r` attributes when present — external
+    * writers (openpyxl/xlsxwriter) OMIT rows/cells that are entirely
+    * blank, so positional placement would silently shift later rows up.
+    * Missing attributes fall back to sequential position.
+    */
   private def sheetGrid(ws: Element, shared: IndexedSeq[String]): Grid = {
-    val rows = children(ws, "row").map { row =>
-      val cells = mutable.Map.empty[Int, String]
+    val byRow = mutable.Map.empty[Int, mutable.Map[Int, String]]
+    var lastRow = -1
+    children(ws, "row").foreach { row =>
+      val rAttr = row.getAttribute("r")
+      val rIdx = if (rAttr.nonEmpty) rAttr.toInt - 1 else lastRow + 1
+      lastRow = rIdx
+      val cells = byRow.getOrElseUpdate(rIdx, mutable.Map.empty)
+      var lastCol = -1
       children(row, "c").foreach { c =>
-        val idx = refToCol(c.getAttribute("r"))
+        val ref = c.getAttribute("r")
+        val idx = if (ref.nonEmpty) refToCol(ref) else lastCol + 1
+        lastCol = idx
         val v = c.getAttribute("t") match {
           case "inlineStr" => children(c, "t").map(_.getTextContent).mkString
           case "s" =>
@@ -209,11 +239,14 @@ object Xlsx {
         }
         cells(idx) = v
       }
-      cells
     }
-    val width = (rows.map(r => if (r.isEmpty) 0 else r.keys.max + 1) :+ 0).max
-    val grid = rows.map(r => Array.tabulate(width)(i => r.getOrElse(i, "")))
-    if (grid.isEmpty) (Array.empty[String], Array.empty[Array[String]])
-    else (grid.head, grid.tail.toArray)
+    if (byRow.isEmpty) return (Array.empty[String], Array.empty[Array[String]])
+    val nRows = byRow.keys.max + 1
+    val width = byRow.values.map(r => if (r.isEmpty) 0 else r.keys.max + 1).max
+    val grid = Array.tabulate(nRows) { r =>
+      val cells = byRow.getOrElse(r, mutable.Map.empty[Int, String])
+      Array.tabulate(width)(i => cells.getOrElse(i, ""))
+    }
+    (grid.head, grid.tail)
   }
 }

@@ -12,6 +12,24 @@ import graft.storage.ObsStore
   */
 object Composite extends QueryPack {
 
+  // q28 materializes a real store per invocation; without cleanup, bench
+  // loops leak a parquet tree per run into the temp dir
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    sys.addShutdownHook {
+      tempDirs.forEach { p =>
+        try {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  private def deleteRecursivelyOnExit(p: java.nio.file.Path): Unit = {
+    cleanupHook
+    tempDirs.add(p)
+  }
+
   override val queries: Map[String, Q] = Map(
 
     // E3 grid-resume composite (fills the q09 numbering gap): the ECCC
@@ -88,8 +106,9 @@ object Composite extends QueryPack {
         def half(pred: org.apache.spark.sql.Column) =
           Dedup.dedupFirst(ev.filter(pred), Seq("station", "ts", "param"),
             Seq(col("event_id"))).drop("event_id")
-        val dir = java.nio.file.Files.createTempDirectory("graft_q28")
-          .resolve("store").toString
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q28")
+        Composite.deleteRecursivelyOnExit(tmp)
+        val dir = tmp.resolve("store").toString
         val store = new ObsStore(s, dir)
         store.write(half(col("event_id") % 3 =!= 0))
         store.mergeUpsert(half(col("event_id") % 3 === 0))

@@ -109,6 +109,9 @@ class XlsxSpec extends SparkSpec {
       """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
       """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
       """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1234.5</v></c></row>""" +
+      // external writers OMIT all-blank rows: row 3 is absent, row 4 must
+      // land at grid position 3 (not shift up)
+      """<row r="4"><c r="B4"><v>9.5</v></c></row>""" +
       """</sheetData></worksheet>""")
     zos.close()
 
@@ -116,7 +119,10 @@ class XlsxSpec extends SparkSpec {
     assert(back.map(_._1) === Seq("2023"))
     val (h, rows) = back.head._2
     assert(h === Array("Day", "08MF005"))   // rich-text <r> runs concatenate
-    assert(rows.map(_.toSeq) === Array(Seq("01-01", "1234.5")))
+    assert(rows.map(_.toSeq) === Array(
+      Seq("01-01", "1234.5"),
+      Seq("", ""),              // the omitted blank row is reconstructed
+      Seq("", "9.5")))
   }
 
   test("xlsx/xls column refs: colRef/refToCol round-trip") {

@@ -66,10 +66,14 @@ class SimilaritySpec extends SparkSpec {
     assert(hTrained.values.sum === n, "training must not lose vectors")
     info(s"cell population max/nonempty: seed=${hSeed.values.max}/${hSeed.size} " +
       s"trained=${hTrained.values.max}/${hTrained.size} (N=$n)")
-    // the scale claim: probe cost is bounded by the largest probed cell,
-    // and Lloyd refinement must not make the worst cell worse
-    assert(hTrained.values.max <= hSeed.values.max,
-      s"training worsened the largest cell: ${hTrained.values.max} > ${hSeed.values.max}")
+    // the scale claim: probe cost is bounded by the largest probed cell.
+    // Lloyd does not strictly guarantee monotone max-cell shrinkage and
+    // trained centroids are fp-order run-varying in final ulps, so assert
+    // with slack: training must not make the worst cell MATERIALLY worse
+    // (observed on this fixture: 44 -> 38)
+    assert(hTrained.values.max <= (hSeed.values.max * 1.25).toLong,
+      s"training materially worsened the largest cell: " +
+        s"${hTrained.values.max} vs seed ${hSeed.values.max}")
     val r = recallOf(Similarity.ivfTopKWith(emb, "vec_id", "embedding",
       trained, nprobe = 2, k = 3, queryPred = pred))
     info(f"trained-IVF recall@3 (nprobe=2/16): $r%.3f")
