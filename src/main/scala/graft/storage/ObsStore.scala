@@ -39,9 +39,21 @@ class ObsStore(spark: SparkSession, path: String) {
   def monthsOf(obs: DataFrame): Seq[String] =
     withKeys(obs).select("yyyymm").distinct().collect().map(_.getString(0)).toSeq
 
+  /** Cluster rows by their target partition before the partitioned write:
+    * without this, EVERY task holds a writer for EVERY (yyyymm, param) it
+    * sees — a batch spread over 32 tasks × 4 partitions lands 128 small
+    * files (the classic small-files problem; at cluster scale it also
+    * exhausts writer memory). One shuffle by the partition keys gives one
+    * file per partition. If a single month/param outgrows one task's
+    * write budget at scale, extend the clustering with a file-count salt
+    * (repartition(n, keys :+ salt)).
+    */
+  private def clustered(obs: DataFrame): DataFrame =
+    obs.repartition(col("yyyymm"), col("param"))
+
   /** Full (over)write of a batch into its partitions. */
   def write(obs: DataFrame): Unit =
-    withKeys(obs).write
+    clustered(withKeys(obs)).write
       .partitionBy("yyyymm", "param")
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -66,7 +78,7 @@ class ObsStore(spark: SparkSession, path: String) {
       // hazard outright (the overlap is bounded by the batch's month span,
       // so the materialized set is small relative to the table)
       .localCheckpoint(true)
-    withKeys(merged).write
+    clustered(withKeys(merged)).write
       .partitionBy("yyyymm", "param")
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
