@@ -11,9 +11,19 @@ import org.apache.spark.sql.SparkSession
   *    work (e.g. a pivot's aggregates would never be computed);
   *  - one warm-up query first so JIT/classloading/FS-cache costs don't
   *    land on the first measured query;
-  *  - queries run in sorted name order for run-to-run comparability.
+  *  - queries run in sorted name order for run-to-run comparability;
+  *  - each query runs REPEATS times back to back; `queries` carries the
+  *    BEST time and `repeats` carries every raw time. Best-of-N is the
+  *    regression detector: wall noise on this box is ±30% run to run
+  *    (the r02 q26-q34 "inflation" was exactly that), and the minimum is
+  *    the statistic least contaminated by GC/compilation/FS interference.
+  *    First-run-only costs (janino compile, shuffle-file warmup) still
+  *    show — in the repeats list, where they belong, instead of being
+  *    conflated with steady-state throughput.
   */
 object Bench {
+  val Repeats = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,21 +45,29 @@ object Bench {
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to Repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, times.min, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, best, _) => "\"" + k + "\":" + f"$best%.3f" }
       .mkString("{", ",", "}")
+    val reps = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failures are IN the JSON line, not just stderr — a throwing query
     // must not read as a speedup
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"repeats":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

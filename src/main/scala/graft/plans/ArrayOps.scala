@@ -187,13 +187,28 @@ object ArrayOps {
   private val FnName = "sorted_intersect_count"
   private val DotName = "double_array_dot"
 
+  /** Register the temp function once per (session, name): every call site
+    * used to `createOrReplaceTempFunction` unconditionally, flooding logs
+    * with SimpleFunctionRegistry "function replaced" warnings. An
+    * existence probe is the correct idempotence key — `matVec` names carry
+    * a matrix content hash, so an existing name always maps to the same
+    * builder. The check-then-register race is benign (worst case: one
+    * replace warning).
+    */
+  private def ensureRegistered(spark: SparkSession, name: String,
+                               builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
   /** Column API for the expression; registers the session function on
     * first use (Column construction from a raw Expression is not public
     * API in Spark 4, the registry route is).
     */
   def sortedIntersectCount(df: DataFrame, a: String, b: String): Column = {
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => LongSortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    ensureRegistered(df.sparkSession, FnName,
+      exprs => LongSortedIntersectCount(exprs(0), exprs(1)))
     // a/b are SQL column references (possibly alias-qualified, e.g. "a.sh")
     org.apache.spark.sql.functions.expr(s"$FnName($a, $b)")
   }
@@ -201,8 +216,7 @@ object ArrayOps {
   /** Column-typed API for the dot kernel (works on arbitrary Column args
     * via the registry + `call_function` resolution). */
   def doubleDot(spark: SparkSession, a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName, exprs => DoubleArrayDot(exprs(0), exprs(1)), "scala_udf")
+    ensureRegistered(spark, DotName, exprs => DoubleArrayDot(exprs(0), exprs(1)))
     org.apache.spark.sql.functions.call_function(DotName, a, b)
   }
 
@@ -212,8 +226,7 @@ object ArrayOps {
   def matVec(spark: SparkSession, v: Column, mat: Array[Array[Double]],
              key: String): Column = {
     val name = s"double_mat_vec_$key"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => DoubleMatVec(exprs(0), mat), "scala_udf")
+    ensureRegistered(spark, name, exprs => DoubleMatVec(exprs(0), mat))
     org.apache.spark.sql.functions.call_function(name, v)
   }
 }

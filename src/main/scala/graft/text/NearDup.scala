@@ -251,6 +251,18 @@ object NearDup {
     * reuse), and never an OR condition that would degrade to a
     * nested-loop join. The canonical-order filter (band <, or same band
     * and id <) keeps each pair exactly once.
+    *
+    * The candidate join is LIGHT (round-3 fix of the r02 bench
+    * regression): only (blockCols, szband, id, sz) rows are replicated
+    * into the probe explode and the shuffle — the heavy sorted `sh`
+    * arrays are joined back (hash join on id, skew-free, each array
+    * shuffled once per side) ONLY for pairs that survive the
+    * size-ratio prefilter `min(|A|,|B|) ≥ t·max(|A|,|B|)` — a necessary
+    * condition for J ≥ t since J ≤ min/max — evaluated as a cheap
+    * int comparison in the join residual. A 1e-6 slack keeps the
+    * prefilter conservative against the double rounding of t·max
+    * (sizes are ≥1 apart, so the slack admits no extra candidates in
+    * practice while never dropping an exact-boundary pair).
     */
   private def pairsFromShingleRows(rows: DataFrame, blockCols: Seq[String],
                                    minJaccard: Double): DataFrame = {
@@ -261,24 +273,35 @@ object NearDup {
       .withColumn("hg", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
       .groupBy(blockCols.map(col) :+ col("id"): _*)
       .agg(sort_array(collect_set(col("hg"))).as("sh"))
-      .withColumn("szband", length(bin(size(col("sh")))) - 1)
-    val a = base
+      .withColumn("sz", size(col("sh")))
+      .withColumn("szband", length(bin(col("sz"))) - 1)
+    // light candidate side: no heavy array payload in the probe explode
+    val light = base.select(blockCols.map(col) :+ col("id") :+ col("sz") :+
+      col("szband"): _*)
+    val a = light
       .withColumn("jband",
         explode(array((0 to maxBandDiff).map(d => col("szband") + d): _*)))
       .as("a")
-    val b = base.as("b")
+    val b = light.as("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    val joined = a.join(b,
-      blockCond && col("a.jband") === col("b.szband") &&
-        (col("a.szband") < col("b.szband") ||
-          (col("a.szband") === col("b.szband") && col("a.id") < col("b.id"))))
+    val cand = a.join(b,
+        blockCond && col("a.jband") === col("b.szband") &&
+          (col("a.szband") < col("b.szband") ||
+            (col("a.szband") === col("b.szband") && col("a.id") < col("b.id"))) &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            greatest(col("a.sz"), col("b.sz")) * lit(minJaccard) - lit(1e-6))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    val sets = base.select(col("id"), col("sh"))
+    val joined = cand
+      .join(sets.withColumnsRenamed(Map("id" -> "ia", "sh" -> "sh_a")), Seq("ia"))
+      .join(sets.withColumnsRenamed(Map("id" -> "ib", "sh" -> "sh_b")), Seq("ib"))
     joined
       .withColumn("common",
-        graft.plans.ArrayOps.sortedIntersectCount(joined, "a.sh", "b.sh").cast("double"))
+        graft.plans.ArrayOps.sortedIntersectCount(joined, "sh_a", "sh_b").cast("double"))
       .withColumn("jaccard", round(col("common") /
-        (size(col("a.sh")) + size(col("b.sh")) - col("common")), 4))
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 4))
       .filter(col("jaccard") >= minJaccard)
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-              greatest(col("a.id"), col("b.id")).as("id_b"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+              greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
   }
 }
