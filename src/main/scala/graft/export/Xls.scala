@@ -12,10 +12,11 @@ import java.nio.file.{Files, Paths}
   * (MS-XLS/BIFF8) formats are public Microsoft specifications; this
   * writer emits the minimal subset those products need — multi-sheet
   * workbooks of NUMBER/LABEL cells, no formatting — and the reader
-  * handles exactly the records this writer emits (plus descriptive
-  * errors on SST/RK-style cells from richer writers, rather than silent
-  * cell loss). `upsertSheet` gives the reference's replace-if-exists
-  * append over self-written workbooks.
+  * handles those records PLUS the common externally-written cell shapes
+  * (LABELSST against a parsed SST with CONTINUE support, RK, MULRK), so
+  * a workbook seeded by real Excel survives the reference's
+  * read-copy-modify cycle (dischargeobs_write_xl.py:217-250).
+  * `upsertSheet` gives the reference's replace-if-exists append.
   *
   * Cell typing mirrors `Xlsx`, tightened for binary numbers: a cell is
   * written as a NUMBER only when `Double.toString(parse(v)) == v`, so
@@ -172,7 +173,13 @@ object Xls {
     */
   def write(path: String, sheets: Seq[(String, Grid)]): Unit = {
     require(sheets.nonEmpty, "a workbook needs at least one sheet")
-    val raw = workbookStream(sheets)
+    writeCfb(path, workbookStream(sheets))
+  }
+
+  /** Container layer alone: wrap an already-assembled Workbook stream.
+    * Split out so tests can exercise the reader against externally-shaped
+    * BIFF streams (SST/RK records) this writer never emits. */
+  private[export] def writeCfb(path: String, raw: Array[Byte]): Unit = {
     val size = math.max(raw.length, 4096)
     val padded = java.util.Arrays.copyOf(raw, (size + 511) / 512 * 512)
     val nStream = padded.length / 512
@@ -267,12 +274,18 @@ object Xls {
     }.take(size).toArray
   }
 
-  /** Read every sheet of a workbook this codec wrote. */
+  /** Read every sheet of a workbook this codec wrote — plus the common
+    * externally-written cell records (LABELSST against a parsed SST, RK,
+    * MULRK), so an Excel-authored seed workbook survives the reference's
+    * read-copy-modify cycle instead of erroring.
+    */
   def read(path: String): Seq[(String, Grid)] = {
     val s = readWorkbookStream(path)
-    // globals pass: BOUNDSHEET names + substream offsets
+    // globals pass: BOUNDSHEET names + substream offsets; SST segments
     var p = 0
     val bounds = Seq.newBuilder[(String, Int)]
+    val sstSegs = IndexedSeq.newBuilder[(Int, Int)]   // (bodyStart, bodyLen)
+    var lastWasSst = false
     var inGlobals = true
     while (inGlobals && p + 4 <= s.length) {
       val tpe = u16(s, p); val len = u16(s, p + 2)
@@ -285,12 +298,76 @@ object Xls {
           else new String(s, p + 12, cch, "ISO-8859-1")
         bounds += (name -> off)
       }
+      if (tpe == 0x00FC) { sstSegs += ((p + 4, len)); lastWasSst = true }
+      else if (tpe == 0x003C && lastWasSst) sstSegs += ((p + 4, len))
+      else lastWasSst = false
       if (tpe == 0x000A) inGlobals = false else p += 4 + len
     }
-    bounds.result().map { case (name, off) => name -> sheetAt(s, off) }
+    val sst = parseSst(s, sstSegs.result())
+    bounds.result().map { case (name, off) => name -> sheetAt(s, off, sst) }
   }
 
-  private def sheetAt(s: Array[Byte], off: Int): Grid = {
+  /** Parse the SST record (+ its CONTINUE records) into the shared-string
+    * table (MS-XLS 2.4.265 / XLUnicodeRichExtendedString 2.5.293). Strings
+    * may split across CONTINUE boundaries at character granularity; each
+    * continuation restates the fHighByte flags byte. Formatting runs and
+    * Ext data are skipped — cell text is what the engine consumes.
+    */
+  private def parseSst(s: Array[Byte], segs: IndexedSeq[(Int, Int)]): IndexedSeq[String] = {
+    if (segs.isEmpty) return IndexedSeq.empty
+    var si = 0
+    var off = segs(0)._1
+    def segEnd: Int = segs(si)._1 + segs(si)._2
+    def ensure(): Unit =                 // advance past exhausted segments
+      while (off >= segEnd && si < segs.length - 1) { si += 1; off = segs(si)._1 }
+    def u8v(): Int = { ensure(); val v = s(off) & 0xFF; off += 1; v }
+    def u16v(): Int = { ensure(); val v = u16(s, off); off += 2; v }
+    def i32v(): Int = { ensure(); val v = i32(s, off); off += 4; v }
+    def skip(n: Int): Unit = {           // may span segments
+      var left = n
+      while (left > 0) { ensure(); val t = math.min(left, segEnd - off); off += t; left -= t }
+    }
+    off += 4                             // cstTotal
+    val unique = i32v()
+    (0 until unique).map { _ =>
+      val cch = u16v()
+      val flags = u8v()
+      var high = (flags & 0x01) == 1
+      val cRun = if ((flags & 0x08) != 0) u16v() else 0
+      val cbExt = if ((flags & 0x04) != 0) i32v() else 0
+      val sb = new StringBuilder
+      var left = cch
+      while (left > 0) {
+        if (off >= segEnd && si < segs.length - 1) {
+          // crossing into a CONTINUE: its first byte restates fHighByte
+          si += 1; off = segs(si)._1
+          high = (u8v() & 0x01) == 1
+        }
+        val charBytes = if (high) 2 else 1
+        val take = math.min(left, (segEnd - off) / charBytes)
+        require(take > 0, "malformed SST: no character data before segment end")
+        sb.append(new String(s, off, take * charBytes,
+          if (high) "UTF-16LE" else "ISO-8859-1"))
+        off += take * charBytes
+        left -= take
+      }
+      skip(4 * cRun + cbExt)
+      sb.toString
+    }
+  }
+
+  /** RK-packed number (MS-XLS 2.5.217): 30-bit payload + fX100/fInt flags.
+    * fInt ⇒ payload is a signed int; else payload is the high 30 bits of a
+    * double's bit pattern; fX100 divides either by 100.
+    */
+  private def rkValue(rk: Int): Double = {
+    val v =
+      if ((rk & 0x02) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)
+    if ((rk & 0x01) != 0) v / 100.0 else v
+  }
+
+  private def sheetAt(s: Array[Byte], off: Int, sst: IndexedSeq[String]): Grid = {
     var p = off
     val cells = scala.collection.mutable.Map.empty[(Int, Int), String]
     var done = false
@@ -306,10 +383,21 @@ object Xls {
           cells((u16(s, b), u16(s, b + 2))) =
             if (hi) new String(s, b + 9, cch * 2, "UTF-16LE")
             else new String(s, b + 9, cch, "ISO-8859-1")
-        case 0x00FD | 0x027E | 0x00BD =>                   // LABELSST / RK / MULRK
-          throw new IllegalArgumentException(
-            "externally-written BIFF cell records (SST/RK) are out of scope " +
-              "for this codec — it reads workbooks it wrote")
+        case 0x00FD =>                                     // LABELSST
+          val isst = i32(s, b + 6)
+          require(isst >= 0 && isst < sst.length,
+            s"LABELSST index $isst outside SST (${sst.length} strings)")
+          cells((u16(s, b), u16(s, b + 2))) = sst(isst)
+        case 0x027E =>                                     // RK
+          cells((u16(s, b), u16(s, b + 2))) =
+            java.lang.Double.toString(rkValue(i32(s, b + 6)))
+        case 0x00BD =>                                     // MULRK
+          val row = u16(s, b); val colFirst = u16(s, b + 2)
+          val n = (len - 6) / 6                            // (ixfe, rk) runs
+          (0 until n).foreach { i =>
+            cells((row, colFirst + i)) =
+              java.lang.Double.toString(rkValue(i32(s, b + 6 + 6 * i)))
+          }
         case 0x000A => done = true
         case _ => ()
       }

@@ -64,6 +64,76 @@ class XlsSpec extends SparkSpec {
     assert(back(1999).toSeq === Seq("r1999", "1999.5"))
   }
 
+  test("reader handles Excel-authored cell records: SST/LABELSST, RK, MULRK") {
+    // hand-assembled BIFF stream in the shape real Excel (or xlwt with
+    // share_strings) produces and our writer never emits: an SST split
+    // across a CONTINUE record mid-string, LABELSST cells, RK-packed
+    // numbers (int, x100, and 30-bit-double forms) and a MULRK run.
+    val bos = new java.io.ByteArrayOutputStream()
+    def le(v: Int, w: Int): Unit = (0 until w).foreach(i => bos.write((v >>> (8 * i)) & 0xFF))
+    def rec(tpe: Int, body: Array[Byte]): Unit = { le(tpe, 2); le(body.length, 2); bos.write(body) }
+    def bof(dt: Int) = { val b = new java.io.ByteArrayOutputStream()
+      Seq(0x0600, dt, 0x0DBB, 0x07CC).foreach { v => b.write(v & 0xFF); b.write((v >> 8) & 0xFF) }
+      b.write(Array[Byte](0xC1.toByte, 0, 0, 0, 6, 0, 0, 0)); b.toByteArray }
+
+    rec(0x0809, bof(0x0005))                               // BOF globals
+    // SST: cstTotal=4, cstUnique=3; strings "ID", "08MF005" (split after
+    // "08M" by a CONTINUE that restates the flags byte), "café" (utf16)
+    val sst = new java.io.ByteArrayOutputStream()
+    def le2(b: java.io.ByteArrayOutputStream, v: Int, w: Int): Unit =
+      (0 until w).foreach(i => b.write((v >>> (8 * i)) & 0xFF))
+    le2(sst, 4, 4); le2(sst, 3, 4)
+    le2(sst, 2, 2); sst.write(0x00); sst.write("ID".getBytes("ISO-8859-1"))
+    le2(sst, 7, 2); sst.write(0x00); sst.write("08M".getBytes("ISO-8859-1"))
+    rec(0x00FC, sst.toByteArray)
+    val cont = new java.io.ByteArrayOutputStream()
+    cont.write(0x00); cont.write("F005".getBytes("ISO-8859-1"))  // restated flags
+    le2(cont, 4, 2); cont.write(0x01)                             // "café" utf16
+    cont.write("café".getBytes("UTF-16LE"))
+    rec(0x003C, cont.toByteArray)
+    // BOUNDSHEET (offset patched after globals are sized)
+    val nameChars = "S1".toCharArray
+    val bsBody = new java.io.ByteArrayOutputStream()
+    le2(bsBody, 0, 4); le2(bsBody, 0, 2)
+    bsBody.write(nameChars.length); bsBody.write(0x01)
+    nameChars.foreach(c => le2(bsBody, c.toInt, 2))
+    rec(0x0085, bsBody.toByteArray)
+    val bsOffsetPos = bos.size() - bsBody.size()
+    rec(0x000A, Array.empty)                               // EOF globals
+    val sheetStart = bos.size()
+    rec(0x0809, bof(0x0010))                               // BOF sheet
+    def cell6(r: Int, c: Int) = { le(r, 2); le(c, 2); le(15, 2) }
+    le(0x00FD, 2); le(10, 2); cell6(0, 0); le(0, 4)        // LABELSST -> "ID"
+    le(0x00FD, 2); le(10, 2); cell6(1, 0); le(1, 4)        // -> "08MF005"
+    le(0x00FD, 2); le(10, 2); cell6(2, 0); le(2, 4)        // -> "café"
+    // RK int: 7 -> (7<<2)|2 ; RK x100 int: 1250 -> /100 = 12.5
+    le(0x027E, 2); le(10, 2); cell6(0, 1); le((7 << 2) | 2, 4)
+    le(0x027E, 2); le(10, 2); cell6(1, 1); le((1250 << 2) | 3, 4)
+    // RK 30-bit double: high 32 bits of 1234.5's bit pattern end in 00
+    val d = java.lang.Double.doubleToLongBits(1234.5)
+    assert((d & 0x3FFFFFFFFL) === 0L, "fixture needs an RK-exact double")
+    le(0x027E, 2); le(10, 2); cell6(2, 1); le(((d >>> 32) & 0xFFFFFFFCL).toInt, 4)
+    // MULRK row 0, cols 2-3: ints 3 and 4
+    le(0x00BD, 2); le(18, 2); le(0, 2); le(2, 2)
+    le(15, 2); le((3 << 2) | 2, 4); le(15, 2); le((4 << 2) | 2, 4)
+    le(3, 2)                                               // colLast
+    rec(0x000A, Array.empty)                               // EOF sheet
+    val stream = bos.toByteArray
+    val bb = java.nio.ByteBuffer.wrap(stream, bsOffsetPos, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(sheetStart)
+
+    val path = tmp("excelish.xls")
+    Xls.writeCfb(path, stream)
+    val back = Xls.read(path)
+    assert(back.map(_._1) === Seq("S1"))
+    val (h, rows) = back.head._2
+    assert(h.toSeq === Seq("ID", "7.0", "3.0", "4.0"))
+    assert(rows.map(_.toSeq) === Array(
+      Seq("08MF005", "12.5", "", ""),
+      Seq("café", "1234.5", "", "")))
+  }
+
   test("fuzz: 30 random grids round-trip through BOTH codecs byte-exactly") {
     val rnd = new scala.util.Random(20260812L)
     val alphabets = Seq(

@@ -125,6 +125,28 @@ class XlsxSpec extends SparkSpec {
       Seq("", "9.5")))
   }
 
+  test("interop: reads the reference-authored STN_list.xlsx (Excel output)") {
+    // the one real third-party workbook available: the reference's station
+    // config (discharge_obs_pd.py:395 reads it with pd.read_excel). Written
+    // by Excel itself — sharedStrings (931 entries), style attrs, dimension/
+    // sheetView parts, mixed number cells — none of which our writer emits.
+    val back = Xlsx.read("/root/reference/STN_list.xlsx")
+    assert(back.map(_._1) === Seq("Sheet1"))
+    val (h, rows) = back.head._2
+    assert(h.head === "ID")
+    assert(rows.length === 460)
+    val ids = rows.map(_.head).toSeq
+    assert(ids.distinct.size === 460)                  // all populated, unique
+    assert(ids.contains("07EA004") && ids.contains("08MH032"))
+    // three IDs carry trailing spaces IN the file — a faithful reader
+    // preserves them (pd.read_excel returns them padded too)
+    assert(ids.forall(_.trim.matches("[0-9A-Z]{7}")))
+    // numeric cells come back as their <v> text (LAT/LONG in cols I/J)
+    val latIdx = h.indexOf("LAT")
+    assert(latIdx >= 0)
+    assert(rows.exists(r => r(latIdx).nonEmpty && r(latIdx).toDouble > 48.0))
+  }
+
   test("xlsx/xls column refs: colRef/refToCol round-trip") {
     (0 until 200).foreach { i =>
       val ref = Xlsx.colRef(i)
