@@ -154,6 +154,19 @@ object Similarity {
       .drop("cd")
   }
 
+  /** The IVF INDEX as a DataFrame: (vec_id, v, vn, ccos, cell). This is
+    * what a real deployment persists — `write.bucketBy(B, "cell")
+    * .sortBy("cell").saveAsTable(...)` — so that (a) probe scans are
+    * BUCKET-PRUNED (`cell IN (probes)` reads only the matching buckets:
+    * the plan shows `SelectedBucketsCount: n out of B`) and (b) any
+    * aggregation/join keyed on `cell` consumes the table's hash
+    * distribution with NO exchange. SimilaritySpec demonstrates both plan
+    * properties on a reopened bucketed table; PLANS.md carries the dump.
+    */
+  def ivfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+               cents: Array[Array[Double]]): DataFrame =
+    assignCells(vectors, idCol, vecCol, cents)
+
   /** Offline IVF TRAINING: Lloyd iterations from the deterministic seed
     * directions. Each pass = one assignment scan + ONE aggregation
     * (posexplode → per-(cell, dim) mean) collected to the driver —
@@ -302,9 +315,22 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** `probeFlips` enables QUERY-DIRECTED MULTI-PROBE (Lv et al., VLDB'07 —
+    * public result): besides its own bucket, each query band probes the
+    * buckets reached by flipping the `probeFlips` sign bits whose
+    * projections lie CLOSEST to their hyperplane (the bits most likely to
+    * disagree for a true near neighbor). At a fixed candidate budget this
+    * buys recall: (1+f) probes into 2^r-sized buckets beats one probe into
+    * 2^(r-log2(1+f))-sized buckets because the extra probes are chosen by
+    * boundary distance, not at random — SimilaritySpec measures the lift
+    * at equal budget. probeFlips = 0 is classic single-probe banding (the
+    * q39 operating point, kept oracle-checked).
+    */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               dims: Int, bands: Int, rowsPerBand: Int, k: Int,
-              queryPred: Column): DataFrame = {
+              queryPred: Column, probeFlips: Int = 0): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= rowsPerBand,
+      s"probeFlips must be in [0, rowsPerBand], got $probeFlips")
     val sp = vectors.sparkSession
     val planes = bands * rowsPerBand
     val planeMat = (0 until planes).map(p => planeVec(p, dims)).toArray
@@ -312,25 +338,50 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", norm(sp, col("v")))
     // all `planes` projections in ONE kernel pass (see DoubleMatVec doc)
+    def bucketCol(b: Int): Column =
+      (0 until rowsPerBand).map { r =>
+        when(element_at(col("__pr"), b * rowsPerBand + r + 1) >= 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
     def withBuckets(df: DataFrame, vc: String, prefix: String): DataFrame = {
       val withPr = df.withColumn("__pr",
         graft.plans.ArrayOps.matVec(sp, col(vc), planeMat, s"lsh_${planes}x$dims"))
       (0 until bands).foldLeft(withPr) { (d, b) =>
-        val bucket = (0 until rowsPerBand).map { r =>
-          val p = b * rowsPerBand + r
-          when(element_at(col("__pr"), p + 1) >= 0,
-            lit(1L << r)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        d.withColumn(s"${prefix}b$b", bucket)
+        d.withColumn(s"${prefix}b$b", bucketCol(b))
+      }.drop("__pr")
+    }
+    /** query side with probe ARRAYS per band: own bucket + the buckets at
+      * the `probeFlips` boundary-nearest bit flips. All codegen built-ins:
+      * sort_array over (|proj|, bit) structs orders bits by boundary
+      * distance; 1L<<bit via element_at on a literal power array.
+      */
+    def withProbes(df: DataFrame): DataFrame = {
+      val withPr = df.withColumn("__pr",
+        graft.plans.ArrayOps.matVec(sp, col("qv"), planeMat, s"lsh_${planes}x$dims"))
+      val pows = array((0 until rowsPerBand).map(r => lit(1L << r)): _*)
+      (0 until bands).foldLeft(withPr) { (d, b) =>
+        val bucket = bucketCol(b)
+        val byDist = sort_array(array((0 until rowsPerBand).map { r =>
+          struct(abs(element_at(col("__pr"), b * rowsPerBand + r + 1)).as("d"),
+                 lit(r).as("r"))
+        }: _*))
+        val probes = bucket +: (0 until probeFlips).map { i =>
+          bucket.bitwiseXOR(
+            element_at(pows, element_at(byDist, i + 1).getField("r") + 1))
+        }
+        d.withColumn(s"qpb$b", array(probes: _*))
       }.drop("__pr")
     }
     val sig = withBuckets(v, "v", "")
-    val q = withBuckets(
-      v.filter(queryPred).select(col("vec_id").as("query_id"),
-        col("v").as("qv"), col("vn").as("qn")), "qv", "q")
+    val qBase = v.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("vn").as("qn"))
+    val q = if (probeFlips == 0) withBuckets(qBase, "qv", "q") else withProbes(qBase)
     // one row per (query, candidate): the OR over bands collapses
     // multi-band matches, so no distinct is needed
-    val bandMatch = (0 until bands).map(b => col(s"b$b") === col(s"qb$b")).reduce(_ || _)
+    val bandMatch = (0 until bands).map { b =>
+      if (probeFlips == 0) col(s"b$b") === col(s"qb$b")
+      else array_contains(col(s"qpb$b"), col(s"b$b"))
+    }.reduce(_ || _)
     val scored = sig.join(broadcast(q), bandMatch && col("vec_id") =!= col("query_id"))
       .withColumn("cosine",
         round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
