@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.{NearDup, TextOps}
+import graft.text.{NearDup, Terms, TextOps}
 
 /** Training-data-pipeline surface (builder brief): text analysis, document
   * dedup (exact / MinHash+LSH / SimHash / blocked Jaccard), embedding
@@ -100,7 +100,156 @@ object TextSim extends QueryPack {
          AND a.doc_id < b.doc_id)"""
   }
 
+  /** Embedding LSH near-neighbor CTE chain ending in `pairs` (id_a, id_b)
+    * — the q49 candidate+verify shape, reused by the q54 clustering oracle. */
+  private def embPairsCtes(bands: Int, rpb: Int, minCosine: Double): String = {
+    val buckets = (0 until bands).map { b =>
+      (0 until rpb).map { r =>
+        val p = b * rpb + r
+        val comp = s"((('0x' || substr(md5($p || '_' || i), 1, 8))::BIGINT / 2147483648.0) - 1.0)"
+        s"CASE WHEN list_sum([v[i+1] * $comp for i in range(0, len(v))]) >= 0 THEN ${1L << r} ELSE 0 END"
+      }.mkString(" + ")
+    }.mkString("[", ",\n              ", "]")
+    s"""
+      e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings),
+      en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+      sig AS (SELECT vec_id,
+              $buckets AS buckets FROM e),
+      bands AS (SELECT vec_id, b AS band_idx, buckets[b + 1] AS bucket
+                FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN en ea ON ea.vec_id = c.id_a
+        JOIN en eb ON eb.vec_id = c.id_b
+        WHERE round(list_dot_product(ea.v, eb.v) / (ea.vn * eb.vn), 6) >= $minCosine)"""
+  }
+
   override val queries: Map[String, Q] = Map(
+
+    // Gopher-style repetition signals (Rae et al. 2021): duplicate-token
+    // mass and the dominant word bigram — the standard "repetitious
+    // document" quality gates, emitted as exact integer counts.
+    "q51_repetition" -> Q(
+      (s, d) => Terms.repetitionSignals(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        stats AS (SELECT doc_id, len(t) AS n_tokens,
+                         len(list_distinct(t)) AS n_distinct_tokens FROM toks),
+        bigrams AS (
+          SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                                 for i in range(1, len(t))]) AS g
+          FROM toks WHERE len(t) >= 2),
+        bc AS (SELECT doc_id, g, count(*) AS cnt FROM bigrams GROUP BY 1, 2),
+        top AS (SELECT doc_id, g, cnt FROM bc
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY cnt DESC, g) = 1)
+        SELECT s.doc_id, s.n_tokens, s.n_distinct_tokens,
+               coalesce(top.g, '') AS top_bigram,
+               coalesce(top.cnt, 0) AS top_bigram_count
+        FROM stats s LEFT JOIN top ON top.doc_id = s.doc_id""")),
+
+    // Most distinctive term per doc: TF-IDF argmax in exact integer
+    // ordering (min document frequency, then max term frequency, then
+    // lexicographic) — no cross-engine ln() in the output.
+    "q52_distinctive_terms" -> Q(
+      (s, d) => Terms.distinctiveTerms(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id, tok AS term, count(*) AS tf
+          FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS tok FROM documents)
+          GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        SELECT doc_id, term, tf, df
+        FROM tf JOIN dfreq USING (term)
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY df, tf DESC, term) = 1""")),
+
+    // Corpus vocabulary top-N: total occurrences + document counts, the
+    // vocabulary-building aggregation (two-phase, top-N not global sort).
+    "q53_vocabulary" -> Q(
+      (s, d) => Terms.vocabulary(Tables.documents(s, d), "doc_id", "text", topN = 20),
+      Some(s"""
+        WITH tf AS (
+          SELECT tok AS term, doc_id, count(*) AS cnt
+          FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS tok FROM documents)
+          GROUP BY 1, 2)
+        SELECT term, sum(cnt)::BIGINT AS n_occurrences, count(*) AS n_docs
+        FROM tf GROUP BY term
+        ORDER BY n_occurrences DESC, term LIMIT 20""")),
+
+    // Embedding-cosine near-dup DEDUP end to end: LSH neighbor pairs →
+    // connected components → keeper mapping. The embedding-space analog of
+    // q42 (which clusters text MinHash pairs) — the last dedup modality of
+    // the builder brief closed as an actionable keep/drop table.
+    "q54_embedding_dedup" -> Q(
+      (s, d) => {
+        val pairs = Similarity.lshNeighborPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5,
+          minCosine = 0.2)
+        NearDup.dedupClusters(pairs, "id_a", "id_b")
+          .select(col("doc_id").as("vec_id"), col("keeper_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${embPairsCtes(4, 5, 0.2)},
+        nodes AS (SELECT DISTINCT id FROM
+                    (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT id AS node, id AS root FROM nodes
+          UNION
+          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS vec_id, min(root) AS keeper_id FROM reach GROUP BY node""")),
+
+    // INCREMENTAL dedup: flag a new batch (doc_id % 5 = 0) against the
+    // existing corpus — exact content-hash match, else best MinHash-band
+    // near match at J ≥ 0.5, else 'new'. The op an ingest tick actually
+    // runs; no corpus×corpus term anywhere.
+    "q55_incremental_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        NearDup.incrementalDedup(
+          corpus = docs.filter(col("doc_id") % 5 =!= 0),
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 16, bands = 8, minJaccard = 0.5)
+      },
+      Some(s"WITH ${minhashCtes(16, 8)}," + """
+        xc AS (SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+               FROM bands b JOIN bands c
+                 ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+                AND b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        near AS (
+          SELECT bid, cid,
+                 round(len(list_intersect(sb.sh, sc.sh))::DOUBLE /
+                       (len(sb.sh) + len(sc.sh) - len(list_intersect(sb.sh, sc.sh))::DOUBLE),
+                       4) AS j
+          FROM xc JOIN sets sb ON sb.doc_id = bid
+                  JOIN sets sc ON sc.doc_id = cid),
+        best AS (SELECT bid, cid, j FROM near WHERE j >= 0.5
+                 QUALIFY row_number() OVER (PARTITION BY bid
+                                            ORDER BY j DESC, cid) = 1),
+        ex AS (SELECT b.doc_id AS bid, min(c.doc_id) AS cid
+               FROM documents b JOIN documents c
+                 ON md5(b.text) = md5(c.text)
+                AND b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+               GROUP BY 1)
+        SELECT d.doc_id,
+               CASE WHEN ex.cid IS NOT NULL THEN 'exact'
+                    WHEN best.cid IS NOT NULL THEN 'near'
+                    ELSE 'new' END AS verdict,
+               coalesce(ex.cid, best.cid) AS match_id,
+               CASE WHEN ex.cid IS NOT NULL THEN 1.0::DOUBLE
+                    ELSE best.j END AS jaccard
+        FROM documents d
+        LEFT JOIN ex ON ex.bid = d.doc_id
+        LEFT JOIN best ON best.bid = d.doc_id
+        WHERE d.doc_id % 5 = 0""")),
 
     // Token counting: whitespace tokens + a BPE-ish subword proxy
     // (letter runs / digit runs / single punctuation marks).

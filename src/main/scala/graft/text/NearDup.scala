@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication at scale: exact, MinHash+LSH, SimHash and blocked
@@ -74,30 +75,42 @@ object NearDup {
     minhashLshPairsFromRows(
       df.select(col(idCol).as("id"), explode(col(shingleCol)).as("g")), k, bands)
 
-  /** Same, from shingle ROWS (id, g) — pairs with wordShingleRows so the
-    * whole pipeline stays codegen'd end to end. */
-  def minhashLshPairsFromRows(shingleRows: DataFrame,
-                              k: Int = 16, bands: Int = 8): DataFrame = {
-    val r = k / bands
+  /** Shared signature computation: ONE aggregation computes the k
+    * minhashes AND the verification set — its shuffle exchange is reused
+    * by every downstream branch, so the expensive shingle explode runs
+    * exactly once. Emits (id, m0..m{k-1}, sh).
+    */
+  private def sigSets(shingleRows: DataFrame, k: Int): DataFrame = {
     val ex = shingleRows
       .withColumn("h", md5(col("g")))
       .select(col("id"),
         conv(substring(col("h"), 1, 15), 16, 10).cast("long").as("hraw"),
         (conv(substring(col("h"), 17, 15), 16, 10).cast("long") % P).as("h2"))
       .withColumn("h1", col("hraw") % P)
-    // ONE aggregation computes the k minhashes AND the verification set —
-    // its shuffle exchange is reused by every downstream branch, so the
-    // expensive shingle explode runs exactly once.
     val aggs = (0 until k).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % P).as(s"m$i")) :+
       collect_set(col("hraw")).as("sh")
-    val sigsets = ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band rows (id, band_idx, band_hash) from a signature frame — the
+    * LIGHT frame that enters every LSH candidate join. */
+  private def bandRows(sigsets: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         md5(concat_ws("#", (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)).as("band_hash"))
     }
-    val exploded = sigsets.select(col("id"), explode(array(bandCols: _*)).as("bd"))
+    sigsets.select(col("id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("id"), col("bd.band_idx"), col("bd.band_hash"))
+  }
+
+  /** Same, from shingle ROWS (id, g) — pairs with wordShingleRows so the
+    * whole pipeline stays codegen'd end to end. */
+  def minhashLshPairsFromRows(shingleRows: DataFrame,
+                              k: Int = 16, bands: Int = 8): DataFrame = {
+    val sigsets = sigSets(shingleRows, k)
+    val exploded = bandRows(sigsets, k, bands)
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -181,6 +194,60 @@ object NearDup {
           f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
+  }
+
+  /** INCREMENTAL dedup — the op an ingest pipeline actually runs: flag
+    * each document of a NEW BATCH against the EXISTING corpus, without
+    * re-deduplicating the corpus against itself. Emits one row per batch
+    * doc: (doc_id, verdict 'exact'|'near'|'new', match_id, jaccard) where
+    * match_id is the smallest matching corpus id (exact: same md5 content
+    * hash; near: best word-3-gram Jaccard ≥ minJaccard among MinHash-band
+    * candidates, ties to the smaller corpus id).
+    *
+    * Scale design: the batch is small relative to the corpus, and BOTH
+    * heavy inputs enter exactly one aggregation each (sigSets); the
+    * candidate join is batch-bands × corpus-bands on (band_idx, band_hash)
+    * — an equi-join on a uniform hash, so the corpus side shuffles but
+    * never explodes, and no quadratic term exists anywhere. At deployment
+    * scale the corpus band/set frames are the PERSISTED INDEX (written
+    * bucketed by band_hash / id once per corpus version, the same
+    * bucketed-table pattern SimilaritySpec demonstrates for IVF), so an
+    * incremental tick pays only the batch-side signature scan plus
+    * bucket-pruned index probes.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, k: Int = 16, bands: Int = 8,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val bSig = sigSets(TextOps.wordShingleRows(batch, idCol, textCol, 3), k)
+    val cSig = sigSets(TextOps.wordShingleRows(corpus, idCol, textCol, 3), k)
+    val cand = bandRows(bSig, k, bands).as("b")
+      .join(bandRows(cSig, k, bands).as("c"),
+        col("b.band_idx") === col("c.band_idx") &&
+        col("b.band_hash") === col("c.band_hash"))
+      .select(col("b.id").as("bid"), col("c.id").as("cid"))
+      .dropDuplicates("bid", "cid")
+    val bSets = bSig.select(col("id").as("bid"), col("sh").as("sh_b"))
+    val cSets = cSig.select(col("id").as("cid"), col("sh").as("sh_c"))
+    val verified = cand.join(bSets, Seq("bid")).join(cSets, Seq("cid"))
+      .withColumn("common", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
+      .withColumn("j", round(col("common") /
+        (size(col("sh_b")) + size(col("sh_c")) - col("common")), 4))
+      .filter(col("j") >= minJaccard)
+    val w = Window.partitionBy("bid").orderBy(col("j").desc, col("cid").asc)
+    val near = verified.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("bid"), col("cid").as("near_id"), col("j"))
+    val exact = batch.select(col(idCol).as("bid"), md5(col(textCol)).as("ch"))
+      .join(corpus.select(md5(col(textCol)).as("ch"), col(idCol).as("cid")), Seq("ch"))
+      .groupBy("bid").agg(min(col("cid")).as("exact_id"))
+    batch.select(col(idCol).as("bid"))
+      .join(exact, Seq("bid"), "left")
+      .join(near, Seq("bid"), "left")
+      .select(col("bid").as("doc_id"),
+        when(col("exact_id").isNotNull, "exact")
+          .when(col("near_id").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"),
+        when(col("exact_id").isNotNull, lit(1.0)).otherwise(col("j")).as("jaccard"))
   }
 
   /** SimHash fingerprint (16-bit here for oracle-checkability; the width is

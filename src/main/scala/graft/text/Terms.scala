@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus/term statistics for the training-data pipeline surface (builder
+  * brief: quality scoring, dedup, token analysis — no reference analog).
+  * Everything is integer-count based so every query has a bit-identical
+  * DuckDB oracle (see PLANS.md "Cross-engine numerics doctrine").
+  *
+  * Scale notes, per operator:
+  *  - `repetitionSignals`: the per-doc token stats are pure per-row codegen
+  *    (no shuffle); the bigram top-1 pays the same (id)-keyed shuffle the
+  *    shingle pipeline already uses, then a map-side-combined count and a
+  *    bounded per-doc window. Nothing quadratic, nothing driver-side.
+  *  - `distinctiveTerms`: tf is one (id, term) shuffle with map-side
+  *    combine; document frequency is a second vocabulary-sized aggregate.
+  *    The tf←df join is keyed on `term` — vocabulary-sized, not
+  *    corpus-sized, so it broadcasts when the vocab is bounded (the hint is
+  *    advisory: AQE falls back to a shuffle join if the vocab outgrows the
+  *    broadcast threshold at runtime).
+  *  - `vocabulary`: classic two-phase aggregation; the final top-N is a
+  *    `TakeOrderedAndProject` (per-partition heaps + a driver merge of N
+  *    rows), NOT a global sort — the plan to want at 100 TB.
+  */
+object Terms {
+
+  /** Gopher-style repetition signals (Rae et al. 2021, public): documents
+    * dominated by repeated fragments are low-quality training data. Emits
+    * per doc: token count, distinct-token count (their difference is the
+    * duplicate-token mass), and the most frequent word bigram with its
+    * count (ties broken lexicographically — deterministic everywhere).
+    * Docs with fewer than 2 tokens get ("", 0).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stats = df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).as("n_tokens"),
+        size(array_distinct(col("__toks"))).as("n_distinct_tokens"))
+    val counts = TextOps.wordShingleRows(df, idCol, textCol, 2)
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("id").orderBy(col("cnt").desc, col("g").asc)
+    val top = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("g").as("top_bigram"), col("cnt").as("top_bigram_count"))
+    stats.join(top, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+  }
+
+  /** Most DISTINCTIVE term per document: the term with the lowest corpus
+    * document frequency, ties broken by higher in-doc term frequency, then
+    * lexicographically — a TF-IDF argmax re-expressed in exact integer
+    * ordering (df asc ≡ idf desc) so no cross-engine `ln` enters the
+    * output. Emits (doc_id, term, tf, df).
+    */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, term), so df = plain count per term
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df").asc, col("tf").desc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
+  /** Corpus vocabulary: top-N terms by total occurrences (ties broken
+    * lexicographically), with per-term document counts. The n_docs count
+    * rides the same two-phase aggregation (tf rows are distinct per
+    * (term, doc)); the top-N avoids a global sort.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    val perDoc = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term", "id").agg(count(lit(1)).as("cnt"))
+    perDoc.groupBy("term")
+      .agg(sum(col("cnt")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(topN)
+  }
+}

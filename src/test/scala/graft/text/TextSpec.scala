@@ -68,4 +68,66 @@ class TextSpec extends SparkSpec {
       .select(TextOps.langId($"text").as("l"), TextOps.qualityScore($"text").as("q"))
     assert(df.filter($"l".isNull || $"q".isNull).count() === 0)
   }
+
+  test("repetitionSignals: golden counts, ties lexicographic, 1-token doc guarded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),     // bigrams: "a b"×2, "b a"×2 → tie, "a b" wins
+      (2L, "x y z"),         // all bigrams unique → smallest wins
+      (3L, "solo"))          // no bigram → ("", 0)
+      .toDF("doc_id", "text")
+    val out = Terms.repetitionSignals(df, "doc_id", "text")
+      .as[(Long, Int, Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 5, 2, "a b", 2L),
+      (2L, 3, 3, "x y", 1L),
+      (3L, 1, 1, "", 0L)))
+  }
+
+  test("distinctiveTerms: rarest-document-frequency term wins, tf then lexicographic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common rare1"),   // rare1 df=1 beats common df=3
+      (2L, "common rare2 rare2"),    // rare2 df=1, tf=2
+      (3L, "common aaa bbb"))        // aaa/bbb both df=1 tf=1 → aaa
+      .toDF("doc_id", "text")
+    val out = Terms.distinctiveTerms(df, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "rare1", 1L, 1L),
+      (2L, "rare2", 2L, 1L),
+      (3L, "aaa", 1L, 1L)))
+  }
+
+  test("vocabulary: top-N cut by total occurrences with lexicographic ties") {
+    import spark.implicits._
+    val df = Seq((1L, "b b a a c"), (2L, "b a d")).toDF("doc_id", "text")
+    // totals: a=3 b=3 c=1 d=1; docs: a=2 b=2 c=1 d=1
+    val out = Terms.vocabulary(df, "doc_id", "text", topN = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 1L, 1L)))
+  }
+
+  test("incrementalDedup: exact beats near, near picks best corpus match, rest are new") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "an unrelated corpus document about catalyst and tungsten"),
+      (12L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again"),  // exact (10 & 12 → min 10)
+      (6L, "the quick brown fox jumps over the lazy dog again and again today"), // near
+      (7L, "completely novel content that matches nothing in the corpus at all"))
+      .toDF("doc_id", "text")
+    val out = NearDup.incrementalDedup(corpus, batch, "doc_id", "text",
+        minJaccard = 0.3)
+      .as[(Long, String, Option[Long], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((5L, "exact"), (6L, "near"), (7L, "new")))
+    assert(out(0)._3 === Some(10L) && out(0)._4 === Some(1.0))
+    assert(out(1)._3.exists(id => id == 10L || id == 12L))
+    assert(out(1)._4.exists(j => j > 0.3 && j < 1.0))
+    assert(out(2)._3.isEmpty && out(2)._4.isEmpty)
+  }
 }
