@@ -251,6 +251,29 @@ object TextSim extends QueryPack {
         LEFT JOIN best ON best.bid = d.doc_id
         WHERE d.doc_id % 5 = 0""")),
 
+    // SimHash near-dup pairs: hamming-band blocking (pigeonhole-complete
+    // for hamming <= bands-1) over a 48-bit fingerprint, one
+    // bit_count(xor) per candidate — the SimHash dedup modality closed
+    // into pairs, mirroring what q35 does for MinHash.
+    "q56_simhash_pairs" -> Q(
+      (s, d) => NearDup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        bits = 48, bands = 4, maxHamming = 3),
+      Some {
+        val fpSql = simhashSql(48)
+        s"""
+        WITH fp AS ($fpSql),
+        bands AS (
+          SELECT doc_id, simhash, b AS band_idx,
+                 (simhash >> (b * 12)) & 4095 AS band_val
+          FROM fp, (SELECT unnest(range(0, 4)) AS b))
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+      }),
+
     // Token counting: whitespace tokens + a BPE-ish subword proxy
     // (letter runs / digit runs / single punctuation marks).
     "q30_token_stats" -> Q(

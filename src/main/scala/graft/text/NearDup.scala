@@ -269,6 +269,47 @@ object NearDup {
     agg.select(col(idCol), fp.as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS — completes the SimHash modality from
+    * fingerprints (simhash, q36) to an actionable pair list. Candidates
+    * come from HAMMING-BAND BLOCKING (Charikar 2002 / Manku et al. 2007,
+    * public results): the `bits`-wide fingerprint splits into `bands`
+    * contiguous bit-bands; by pigeonhole, any pair at hamming distance
+    * ≤ bands−1 agrees exactly on at least one band, so the band-equality
+    * join is COMPLETE for maxHamming ≤ bands−1. Verification is one
+    * `bit_count(xor)` per candidate.
+    *
+    * Scale: the band join carries only (id, simhash, band) — three longs
+    * a row; band values are `bits/bands`-wide, so bucket population is
+    * N/2^(bits/bands) per band under hash spread (pick bits/bands ≈
+    * log2(N/wanted-candidates) exactly like the LSH knobs). No arrays, no
+    * join-back: the fingerprint rides the band rows.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 48, bands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+    require(maxHamming < bands,
+      s"completeness needs maxHamming < bands (pigeonhole); got $maxHamming/$bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val fp = simhash(df, idCol, textCol, bits)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftright(col("simhash"), b * w).bitwiseAND(mask).as("band_val"))
+    }
+    val bandRows = fp.select(col(idCol).as("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col("id"), col("simhash"), col("bd.band_idx"), col("bd.band_val"))
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: quadratic only within a block.
     *
     * Shingles are pre-hashed to 60-bit ints (md5 prefix) so the per-pair

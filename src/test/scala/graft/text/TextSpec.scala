@@ -108,6 +108,25 @@ class TextSpec extends SparkSpec {
     assert(out === Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 1L, 1L)))
   }
 
+  test("simhashPairs: near-identical docs pair at low hamming, unrelated do not pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "entirely disjoint vocabulary about catalyst tungsten codegen shuffles"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text",
+        bits = 48, bands = 8, maxHamming = 7)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 <= 7)
+    // completeness knob is enforced: maxHamming >= bands would lose pairs
+    intercept[IllegalArgumentException] {
+      NearDup.simhashPairs(docs, "doc_id", "text", bits = 48, bands = 4,
+        maxHamming = 4)
+    }
+  }
+
   test("incrementalDedup: exact beats near, near picks best corpus match, rest are new") {
     import spark.implicits._
     val corpus = Seq(
