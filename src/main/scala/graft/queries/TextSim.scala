@@ -251,6 +251,24 @@ object TextSim extends QueryPack {
         LEFT JOIN best ON best.bid = d.doc_id
         WHERE d.doc_id % 5 = 0""")),
 
+    // OOV rate per doc against the corpus top-N vocabulary — tokenizer-
+    // coverage estimation; the vocabulary is a computed bounded dimension
+    // (broadcasts at any corpus size).
+    "q57_oov_rate" -> Q(
+      (s, d) => Terms.oovStats(Tables.documents(s, d), "doc_id", "text", topN = 20),
+      Some(s"""
+        WITH tf AS (
+          SELECT tok AS term, doc_id, count(*) AS cnt
+          FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS tok FROM documents)
+          GROUP BY 1, 2),
+        vocab AS (
+          SELECT term FROM tf GROUP BY term
+          ORDER BY sum(cnt) DESC, term LIMIT 20),
+        toks AS (SELECT doc_id, unnest($DUCK_TOKENS) AS term FROM documents)
+        SELECT doc_id, count(*) AS n_tokens,
+               count(*) FILTER (term NOT IN (SELECT term FROM vocab)) AS n_oov
+        FROM toks GROUP BY doc_id""")),
+
     // SimHash near-dup pairs: hamming-band blocking (pigeonhole-complete
     // for hamming <= bands-1) over a 48-bit fingerprint, one
     // bit_count(xor) per candidate — the SimHash dedup modality closed

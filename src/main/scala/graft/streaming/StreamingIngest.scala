@@ -51,6 +51,51 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** One CORPUS-ingest tick — the training-data-pipeline analog of
+    * `ingestTick`: drain newly landed document files, exact-dedup WITHIN
+    * the batch (keep the smallest id per content hash), flag the
+    * survivors against the existing corpus with
+    * `NearDup.incrementalDedup`, and append only the 'new' ones.
+    *
+    * Idempotence layers mirror T3: the file source's own tracking
+    * prevents re-draining a file; re-delivered identical docs inside one
+    * drain collapse in the within-batch dedup; docs already in the
+    * corpus (exactly or near at `minJaccard`) are dropped by the
+    * incremental flags. At scale `corpusDir` is the partitioned corpus
+    * table and the band/set signature frames are a persisted index
+    * refreshed per tick (see incrementalDedup's scaladoc).
+    */
+  def corpusIngestTick(spark: SparkSession, stagingDir: String,
+                       corpusDir: String, checkpointDir: String,
+                       minJaccard: Double = 0.5): Unit = {
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("header", "true")
+      .csv(stagingDir)
+    val q: StreamingQuery = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.text.NearDup
+        val sp = batch.sparkSession
+        val keepers = NearDup.exactDedup(batch, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val uniq = batch.join(keepers, Seq("doc_id"), "left_semi")
+        val path = new org.apache.hadoop.fs.Path(corpusDir)
+        val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
+        val fresh = if (fs.exists(path)) {
+          val corpus = sp.read.parquet(corpusDir)
+          val flags = NearDup.incrementalDedup(corpus, uniq, "doc_id", "text",
+            minJaccard = minJaccard)
+          uniq.join(flags.filter(col("verdict") === "new").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        } else uniq
+        fresh.write.mode("append").parquet(corpusDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup across micro-batches: drops re-delivered
     * (station, ts, param) observations while bounding state with the 48 h
     * lookback watermark — the streaming form of D1/D2 (the batch path

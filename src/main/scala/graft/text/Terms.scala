@@ -65,6 +65,22 @@ object Terms {
       .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Out-of-vocabulary stats per doc against the corpus top-N vocabulary
+    * (tokenizer-coverage estimation): n_tokens and how many fall outside
+    * the vocabulary. The vocabulary is a COMPUTED dimension — bounded at
+    * N rows by construction, so it broadcasts regardless of corpus size;
+    * the corpus pays one (id)-keyed aggregation.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    val vocab = vocabulary(df, idCol, textCol, topN)
+      .select(col("term"), lit(1).as("__in"))
+    val toks = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           count(when(col("__in").isNull, 1)).as("n_oov"))
+  }
+
   /** Corpus vocabulary: top-N terms by total occurrences (ties broken
     * lexicographically), with per-term document counts. The n_docs count
     * rides the same two-phase aggregation (tf rows are distinct per

@@ -32,6 +32,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2) // dup dropped
   }
 
+  test("corpus ticks: in-batch exact dedup, incremental near-dedup vs corpus, only new appended") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("corpus").toString
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    val corpus = s"$base/corpus"
+
+    // tick 1 into an empty corpus: doc 3 is an exact in-batch copy of doc 1
+    Files.writeString(Paths.get(s"$staging/b1.csv"),
+      "doc_id,text\n" +
+      "1,the quick brown fox jumps over the lazy dog again and again\n" +
+      "2,unrelated corpus prose about catalyst tungsten codegen shuffles\n" +
+      "3,the quick brown fox jumps over the lazy dog again and again\n")
+    StreamingIngest.corpusIngestTick(spark, staging, corpus, s"$base/ckpt",
+      minJaccard = 0.3)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L))
+
+    // tick 2: doc 4 exact-dups doc 1, doc 5 near-dups doc 1, doc 6 is new;
+    // b1.csv is NOT re-drained (file-source tracking)
+    Files.writeString(Paths.get(s"$staging/b2.csv"),
+      "doc_id,text\n" +
+      "4,the quick brown fox jumps over the lazy dog again and again\n" +
+      "5,the quick brown fox jumps over the lazy dog again and again today\n" +
+      "6,completely novel third document that matches nothing else here\n")
+    StreamingIngest.corpusIngestTick(spark, staging, corpus, s"$base/ckpt",
+      minJaccard = 0.3)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L, 6L))
+  }
+
   test("two ingest ticks: drain, upsert, no reprocessing, old-wins merge") {
     import spark.implicits._
     val base = Files.createTempDirectory("stream").toString

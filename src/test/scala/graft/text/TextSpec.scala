@@ -108,6 +108,15 @@ class TextSpec extends SparkSpec {
     assert(out === Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 1L, 1L)))
   }
 
+  test("oovStats: tokens outside the top-N vocabulary counted, vocab ties lexicographic") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b rare"), (2L, "a b b")).toDF("doc_id", "text")
+    // totals: a=3, b=3, rare=1 → top-2 vocab = {a, b}; "rare" is OOV
+    val out = Terms.oovStats(df, "doc_id", "text", topN = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 4L, 1L), (2L, 3L, 0L)))
+  }
+
   test("simhashPairs: near-identical docs pair at low hamming, unrelated do not pair") {
     import spark.implicits._
     val docs = Seq(
