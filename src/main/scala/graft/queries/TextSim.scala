@@ -68,8 +68,11 @@ object TextSim extends QueryPack {
     val P = graft.text.NearDup.P
     val mins = (0 until k)
       .map(i => s"min((h1 + $i * h2) % $P) AS m$i").mkString(",\n               ")
+    // band_idx is FOLDED into the hash (mirrors NearDup.bandRows): band
+    // equality is one uniform join key, which is what lets a persisted
+    // band index bucketBy(band_hash) co-partition the candidate join
     val bandList = (0 until bands)
-      .map(b => "md5(" + (b * r until (b + 1) * r).map(i => s"m$i")
+      .map(b => "md5(" + (s"$b" +: (b * r until (b + 1) * r).map(i => s"m$i"))
         .mkString(" || '#' || ") + ")")
       .mkString("[", ", ", "]")
     s"""

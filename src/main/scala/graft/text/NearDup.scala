@@ -67,7 +67,7 @@ object NearDup {
     * One codegen'd explode+md5 pass feeds BOTH the signature aggregate and
     * the verification sets (60-bit hashed shingles, so the verify join
     * carries long arrays, not strings). The band self-join carries ONLY
-    * (id, band_idx, band_hash); sets are joined back just for the
+    * (id, band_hash); sets are joined back just for the
     * surviving candidate pairs.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, shingleCol: String,
@@ -93,16 +93,21 @@ object NearDup {
     ex.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Band rows (id, band_idx, band_hash) from a signature frame — the
-    * LIGHT frame that enters every LSH candidate join. */
+  /** Band rows (id, band_hash) from a signature frame — the LIGHT frame
+    * that enters every LSH candidate join. The band INDEX is folded into
+    * the hash (md5 over band_idx # mins...), so band equality is ONE
+    * uniformly-distributed join key: candidate joins need no second key
+    * column, and a persisted index `bucketBy(B, "band_hash")` both
+    * bucket-prunes equality probes and co-partitions the candidate join
+    * with zero corpus-side exchange (single-key partitioning satisfies
+    * the join's full clustering — TextSpec demonstrates both).
+    */
   private def bandRows(sigsets: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws("#", (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)).as("band_hash"))
+      md5(concat_ws("#", lit(b) +: (b * r until (b + 1) * r).map(i => col(s"m$i")): _*))
     }
-    sigsets.select(col("id"), explode(array(bandCols: _*)).as("bd"))
-      .select(col("id"), col("bd.band_idx"), col("bd.band_hash"))
+    sigsets.select(col("id"), explode(array(bandCols: _*)).as("band_hash"))
   }
 
   /** Same, from shingle ROWS (id, g) — pairs with wordShingleRows so the
@@ -112,7 +117,6 @@ object NearDup {
     val sigsets = sigSets(shingleRows, k)
     val exploded = bandRows(sigsets, k, bands)
     val cand = exploded.as("a").join(exploded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -196,6 +200,22 @@ object NearDup {
     labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
   }
 
+  /** The CORPUS INDEX behind incremental dedup, as two persistable
+    * frames: band rows (id, band_hash) and signature sets
+    * (id, sh). A deployment writes the band frame
+    * `bucketBy(B, "band_hash")` once per corpus version so that (a) a
+    * batch-bands probe join consumes the table's hash distribution with
+    * NO exchange on the corpus side (only the small batch shuffles into
+    * the bucket layout) and (b) an equality probe on band_hash is
+    * BUCKET-PRUNED at scan time. TextSpec demonstrates both plan
+    * properties on a reopened bucketed table.
+    */
+  def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, bands: Int = 8): (DataFrame, DataFrame) = {
+    val sig = sigSets(TextOps.wordShingleRows(corpus, idCol, textCol, 3), k)
+    (bandRows(sig, k, bands), sig.select(col("id"), col("sh")))
+  }
+
   /** INCREMENTAL dedup — the op an ingest pipeline actually runs: flag
     * each document of a NEW BATCH against the EXISTING corpus, without
     * re-deduplicating the corpus against itself. Emits one row per batch
@@ -206,7 +226,7 @@ object NearDup {
     *
     * Scale design: the batch is small relative to the corpus, and BOTH
     * heavy inputs enter exactly one aggregation each (sigSets); the
-    * candidate join is batch-bands × corpus-bands on (band_idx, band_hash)
+    * candidate join is batch-bands × corpus-bands on band_hash
     * — an equi-join on a uniform hash, so the corpus side shuffles but
     * never explodes, and no quadratic term exists anywhere. At deployment
     * scale the corpus band/set frames are the PERSISTED INDEX (written
@@ -222,7 +242,6 @@ object NearDup {
     val cSig = sigSets(TextOps.wordShingleRows(corpus, idCol, textCol, 3), k)
     val cand = bandRows(bSig, k, bands).as("b")
       .join(bandRows(cSig, k, bands).as("c"),
-        col("b.band_idx") === col("c.band_idx") &&
         col("b.band_hash") === col("c.band_hash"))
       .select(col("b.id").as("bid"), col("c.id").as("cid"))
       .dropDuplicates("bid", "cid")

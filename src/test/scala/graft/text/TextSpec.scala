@@ -136,6 +136,54 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("persisted corpus band index: bucket-pruned probe, no corpus-side shuffle in band join") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (bandFrame, _) = NearDup.corpusIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val tbl = "corpus_band_index_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    bandFrame.write.bucketBy(8, "band_hash").sortBy("band_hash")
+      .format("parquet").saveAsTable(tbl)
+    val t = spark.table(tbl)
+    val probeHash = t.select(col("band_hash")).head().getString(0)
+    // autoBucketedScan hides pruning on bare filter scans (see the IVF
+    // spec); a real probe pipeline keeps it on and still wins on the join
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      // (a) a band-hash equality probe reads only its bucket
+      val scanPlan = t.filter(col("band_hash") === probeHash)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(scanPlan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$scanPlan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt)
+      // (b) the batch-bands probe join shuffles ONLY the batch side into
+      // the bucket layout — the corpus index itself is never exchanged
+      // (broadcast disabled to force the at-scale shuffle-join shape)
+      val (batchBands, _) = NearDup.corpusIndex(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = t.as("c").join(batchBands.as("b"),
+          col("c.band_hash") === col("b.band_hash"))
+        val lines = joined.queryExecution.executedPlan.toString.linesIterator.toVector
+        // corpus side = the join's FIRST child, ending at the bucketed
+        // scan: it must contain no shuffle (the batch side keeps its own
+        // internal shuffles and one exchange INTO the bucket layout)
+        val join = lines.indexWhere(_.contains("SortMergeJoin"))
+        val scan = lines.indexWhere(_.contains("Bucketed: true"))
+        assert(join >= 0 && scan > join, s"unexpected plan shape:\n${lines.mkString("\n")}")
+        val corpusSide = lines.slice(join, scan + 1)
+        assert(!corpusSide.exists(_.contains("Exchange")),
+          s"corpus index side still shuffles:\n${corpusSide.mkString("\n")}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("incrementalDedup: exact beats near, near picks best corpus match, rest are new") {
     import spark.implicits._
     val corpus = Seq(
