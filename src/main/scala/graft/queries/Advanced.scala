@@ -13,6 +13,23 @@ object Advanced extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
 
+    // Semi-structured extraction: pull a typed field out of the JSON props
+    // payload and aggregate — the standard ingest-time shape for
+    // property-bag columns (get_json_object is codegen'd; the JSON never
+    // leaves the scan stage as a string payload wider than needed).
+    "q58_json_extract" -> Q(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""
+        SELECT event_type, count(k) AS n, sum(k)::BIGINT AS sum_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM (SELECT event_type, (props->>'k')::BIGINT AS k FROM events)
+        GROUP BY 1""")),
+
     // Sessionization: gaps-and-islands with a 30-minute inactivity timeout.
     // One shuffle on user_id; the session id is a running sum of gap flags
     // — the batch shape of Structured Streaming's session_window.
