@@ -44,26 +44,33 @@ object Bench {
     catch { case _: Throwable => () }
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // a repeat that THROWS must not contribute its (fast-fail) wall time
+    // to min/total — a crashing query would read as a phantom speedup in
+    // the regression table. Failed repeats become null in `repeats`; a
+    // query with zero successful repeats reports best = -1 (unmistakably
+    // not a time) and is listed in `errors`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Repeats).map { _ =>
+      val times: Seq[Option[Double]] = (1 to Repeats).map { _ =>
         val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir))
+        try { materialize(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
           if (!failed.contains(name)) {
             failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, times)
+      val ok = times.flatten
+      (name, if (ok.nonEmpty) ok.min else -1.0, times)
     }
     val qs = results.map { case (k, best, _) => "\"" + k + "\":" + f"$best%.3f" }
       .mkString("{", ",", "}")
     val reps = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(_.map(t => f"$t%.3f").getOrElse("null"))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // failures are IN the JSON line, not just stderr — a throwing query
     // must not read as a speedup
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

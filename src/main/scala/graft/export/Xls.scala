@@ -13,9 +13,14 @@ import java.nio.file.{Files, Paths}
   * writer emits the minimal subset those products need — multi-sheet
   * workbooks of NUMBER/LABEL cells, no formatting — and the reader
   * handles those records PLUS the common externally-written cell shapes
-  * (LABELSST against a parsed SST with CONTINUE support, RK, MULRK), so
-  * a workbook seeded by real Excel survives the reference's
-  * read-copy-modify cycle (dischargeobs_write_xl.py:217-250).
+  * (LABELSST against a parsed SST with CONTINUE support, RK, MULRK) and
+  * the container shapes real Excel emits that the writer does not:
+  * MINI-FAT storage (any Workbook stream under the 4096-byte cutoff —
+  * i.e. every small Excel-authored file) and DIFAT extension sectors
+  * (FAT past the 109 header entries, files over ~7 MB — which the writer
+  * also emits when needed). So a workbook seeded by real Excel survives
+  * the reference's read-copy-modify cycle
+  * (dischargeobs_write_xl.py:217-250).
   * `upsertSheet` gives the reference's replace-if-exists append.
   *
   * Cell typing mirrors `Xlsx`, tightened for binary numbers: a cell is
@@ -29,6 +34,7 @@ object Xls {
 
   private val ENDOFCHAIN = 0xFFFFFFFE
   private val FATSECT = 0xFFFFFFFD
+  private val DIFSECT = 0xFFFFFFFC
   private val FREESECT = 0xFFFFFFFF
 
   private def canonicalDouble(v: String): Option[Double] = Xlsx.canonicalDouble(v)
@@ -108,7 +114,7 @@ object Xls {
     s.bytes
   }
 
-  private def workbookStream(sheets: Seq[(String, Grid)]): Array[Byte] = {
+  private[export] def workbookStream(sheets: Seq[(String, Grid)]): Array[Byte] = {
     val g = new Biff
     g.record(0x0809, bofBody(0x0005))
     g.record(0x0042, body(2)(_.putShort(0x04B0.toShort)))  // CODEPAGE utf16
@@ -151,7 +157,7 @@ object Xls {
 
   // ---- CFB container ----------------------------------------------------
 
-  private def dirEntry(name: String, objType: Int, child: Int,
+  private[export] def dirEntry(name: String, objType: Int, child: Int,
                        startSector: Int, size: Int): Array[Byte] =
     body(128) { b =>
       val chars = name.toCharArray
@@ -184,16 +190,25 @@ object Xls {
     val padded = java.util.Arrays.copyOf(raw, (size + 511) / 512 * 512)
     val nStream = padded.length / 512
 
-    // sector layout: [FAT × nFat][directory][stream × nStream]
+    // sector layout: [DIFAT-ext × nDifat][FAT × nFat][directory][stream ×
+    // nStream]. FAT sectors beyond the 109 header-DIFAT entries are
+    // addressed through chained DIFAT extension sectors (127 FAT refs +
+    // next pointer each, per MS-CFB) — streams past ~7 MB stay writable.
     var nFat = 1
-    while ((nFat + 1 + nStream) > nFat * 128) nFat += 1
-    require(nFat <= 109,
-      s"workbook stream ${padded.length}B exceeds the header-DIFAT capacity " +
-        "(~7 GB) — sheets are bounded product exports; this is not a bulk sink")
+    var nDifat = 0
+    def sectorsNeeded = nDifat + nFat + 1 + nStream
+    while (sectorsNeeded > nFat * 128 ||
+           nFat > 109 + nDifat * 127) {
+      if (sectorsNeeded > nFat * 128) nFat += 1
+      else nDifat += 1
+    }
+    val firstFat = nDifat
+    val firstDir = nDifat + nFat
+    val firstStream = firstDir + 1
     val fat = Array.fill((nFat * 128))(FREESECT)
-    (0 until nFat).foreach(i => fat(i) = FATSECT)
-    fat(nFat) = ENDOFCHAIN                                 // directory
-    val firstStream = nFat + 1
+    (0 until nDifat).foreach(i => fat(i) = DIFSECT)
+    (0 until nFat).foreach(i => fat(firstFat + i) = FATSECT)
+    fat(firstDir) = ENDOFCHAIN
     (0 until nStream).foreach { i =>
       fat(firstStream + i) = if (i == nStream - 1) ENDOFCHAIN else firstStream + i + 1
     }
@@ -206,13 +221,25 @@ object Xls {
       b.putShort(9); b.putShort(6)
       b.position(44)
       b.putInt(nFat)
-      b.putInt(nFat)                                       // first directory sector
+      b.putInt(firstDir)
       b.putInt(0)
       b.putInt(0x1000)
       b.putInt(ENDOFCHAIN); b.putInt(0)                    // no mini FAT
-      b.putInt(ENDOFCHAIN); b.putInt(0)                    // no extra DIFAT
-      (0 until 109).foreach(i => b.putInt(if (i < nFat) i else FREESECT))
+      b.putInt(if (nDifat == 0) ENDOFCHAIN else 0)         // first DIFAT sector
+      b.putInt(nDifat)
+      (0 until 109).foreach(i => b.putInt(if (i < nFat) firstFat + i else FREESECT))
     }
+    val difatExt =
+      if (nDifat == 0) Array.emptyByteArray
+      else body(nDifat * 512) { b =>
+        (0 until nDifat).foreach { d =>
+          (0 until 127).foreach { i =>
+            val fi = 109 + d * 127 + i
+            b.putInt(if (fi < nFat) firstFat + fi else FREESECT)
+          }
+          b.putInt(if (d == nDifat - 1) ENDOFCHAIN else d + 1)
+        }
+      }
     val dir = dirEntry("Root Entry", 5, 1, ENDOFCHAIN, 0) ++
       dirEntry("Workbook", 2, -1, firstStream, padded.length) ++
       dirEntry("", 0, -1, 0, 0) ++ dirEntry("", 0, -1, 0, 0)
@@ -220,6 +247,7 @@ object Xls {
     val out = new FileOutputStream(path)
     try {
       out.write(header)
+      out.write(difatExt)
       val fatBytes = body(nFat * 512)(b => fat.foreach(b.putInt))
       out.write(fatBytes)
       out.write(dir)
@@ -239,14 +267,39 @@ object Xls {
   private def i32(a: Array[Byte], p: Int): Int =
     u16(a, p) | (u16(a, p + 2) << 16)
 
+  /** Full CFB stream extraction per the public MS-CFB spec: header DIFAT
+    * plus chained DIFAT extension sectors (files whose FAT outgrows the
+    * 109 header entries, i.e. > ~7 MB), and MINI-FAT streams (real Excel
+    * stores any stream under the 4096-byte cutoff in the ministream —
+    * the Workbook stream of a small Excel-authored file always lands
+    * there; our own writer pads past the cutoff instead).
+    */
   private def readWorkbookStream(path: String): Array[Byte] = {
     val all = Files.readAllBytes(Paths.get(path))
     require(all.length >= 512 && (all(0) & 0xFF) == 0xD0 && (all(1) & 0xFF) == 0xCF,
       s"$path is not a CFB file")
     val nFat = i32(all, 44)
     val firstDir = i32(all, 48)
-    val difat = (0 until math.min(nFat, 109)).map(i => i32(all, 76 + 4 * i))
-    val fat = difat.flatMap { s =>
+    val miniCutoff = i32(all, 56)
+    val firstMiniFat = i32(all, 60)
+    val nMiniFat = i32(all, 64)
+    val firstDifat = i32(all, 68)
+    val nDifat = i32(all, 72)
+    // header DIFAT (109 entries) + DIFAT extension chain (127 entries +
+    // next pointer per 512-byte sector)
+    val difat = Seq.newBuilder[Int]
+    (0 until math.min(nFat, 109)).foreach(i => difat += i32(all, 76 + 4 * i))
+    var ds = firstDifat
+    var remaining = nFat - 109
+    var dGuard = 0
+    while (remaining > 0 && ds != ENDOFCHAIN && ds != FREESECT && dGuard <= nDifat) {
+      val base = 512 + ds * 512
+      (0 until math.min(remaining, 127)).foreach(i => difat += i32(all, base + 4 * i))
+      remaining -= 127
+      ds = i32(all, base + 4 * 127)
+      dGuard += 1
+    }
+    val fat = difat.result().flatMap { s =>
       val base = 512 + s * 512
       (0 until 128).map(i => i32(all, base + 4 * i))
     }.toArray
@@ -259,9 +312,10 @@ object Xls {
       }
       b.result()
     }
-    val dirBytes = chain(firstDir).flatMap { s =>
+    def sectorBytes(sectors: Seq[Int]): Array[Byte] = sectors.flatMap { s =>
       all.slice(512 + s * 512, 512 + (s + 1) * 512)
     }.toArray
+    val dirBytes = sectorBytes(chain(firstDir))
     val entries = dirBytes.grouped(128).toSeq
     val wb = entries.find { e =>
       val len = u16(e, 64)
@@ -269,9 +323,27 @@ object Xls {
     }.getOrElse(throw new IllegalArgumentException(s"$path: no Workbook stream"))
     val start = i32(wb, 116)
     val size = i32(wb, 120)
-    chain(start).flatMap { s =>
-      all.slice(512 + s * 512, 512 + (s + 1) * 512)
-    }.take(size).toArray
+    if (size >= miniCutoff) {
+      sectorBytes(chain(start)).take(size)
+    } else {
+      // ministream: the stream's start is a MINI-sector index; mini
+      // sectors are 64-byte slices of the ROOT entry's regular stream,
+      // chained through the mini-FAT (itself a regular FAT chain)
+      val root = entries.find(e => (e(66) & 0xFF) == 5).getOrElse(
+        throw new IllegalArgumentException(s"$path: no root directory entry"))
+      val ministream = sectorBytes(chain(i32(root, 116)))
+      val miniFat = sectorBytes(chain(firstMiniFat).take(nMiniFat))
+      def miniEntry(i: Int): Int = i32(miniFat, 4 * i)
+      val b = Seq.newBuilder[Int]
+      var ms = start
+      var guard = 0
+      while (ms != ENDOFCHAIN && ms != FREESECT && guard < miniFat.length / 4 + 1) {
+        b += ms; ms = miniEntry(ms); guard += 1
+      }
+      b.result().flatMap { s =>
+        ministream.slice(64 * s, 64 * (s + 1))
+      }.take(size).toArray
+    }
   }
 
   /** Read every sheet of a workbook this codec wrote — plus the common

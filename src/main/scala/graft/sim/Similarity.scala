@@ -139,8 +139,19 @@ object Similarity {
     val sp = vectors.sparkSession
     val dims = cents.head.length
     val cnorms = cents.map(seqNorm)
-    val key = java.lang.Integer.toHexString(
-      java.util.Arrays.deepHashCode(cents.map(_.map(java.lang.Double.valueOf))))
+    // registry names must be CONTENT-unique per matrix: ensureRegistered
+    // skips re-registration for a known name, so a (32-bit) hash
+    // collision between two different centroid matrices would silently
+    // reuse the wrong one. md5 over the raw double bits makes collisions
+    // cryptographically negligible (the LSH plane names need no digest:
+    // planeVec is a pure function of (plane, dims), so name ⟹ matrix).
+    val key = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8)
+      cents.foreach(_.foreach { d =>
+        bb.clear(); bb.putDouble(d); md.update(bb.array()) })
+      md.digest().take(8).map("%02x".format(_)).mkString
+    }
     val v = vectors.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", norm(sp, col("v")))

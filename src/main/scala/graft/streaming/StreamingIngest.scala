@@ -59,11 +59,15 @@ object StreamingIngest {
     *
     * Idempotence layers mirror T3: the file source's own tracking
     * prevents re-draining a file; re-delivered identical docs inside one
-    * drain collapse in the within-batch dedup; docs already in the
-    * corpus (exactly or near at `minJaccard`) are dropped by the
-    * incremental flags. At scale `corpusDir` is the partitioned corpus
-    * table and the band/set signature frames are a persisted index
-    * refreshed per tick (see incrementalDedup's scaladoc).
+    * drain collapse in the within-batch exact dedup; near-duplicates
+    * WITHIN the batch collapse to their cluster keeper (min id) before
+    * the corpus check — otherwise two near-dup new docs arriving in the
+    * same tick would both enter the corpus permanently, making the
+    * near-dedup guarantee order-dependent; docs already in the corpus
+    * (exactly or near at `minJaccard`) are dropped by the incremental
+    * flags. At scale `corpusDir` is the partitioned corpus table and the
+    * band/set signature frames are a persisted index refreshed per tick
+    * (see incrementalDedup's scaladoc).
     */
   def corpusIngestTick(spark: SparkSession, stagingDir: String,
                        corpusDir: String, checkpointDir: String,
@@ -80,7 +84,15 @@ object StreamingIngest {
         val sp = batch.sparkSession
         val keepers = NearDup.exactDedup(batch, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
-        val uniq = batch.join(keepers, Seq("doc_id"), "left_semi")
+        val exactUniq = batch.join(keepers, Seq("doc_id"), "left_semi")
+        // near-dedup within the batch: cluster the batch's own near-dup
+        // pairs and keep only cluster keepers (min id per component)
+        val nearPairs = NearDup.minhashLshPairsFromRows(
+            graft.text.TextOps.wordShingleRows(exactUniq, "doc_id", "text", 3))
+          .filter(col("jaccard") >= minJaccard)
+        val dropped = NearDup.dedupClusters(nearPairs, "id_a", "id_b")
+          .filter(col("doc_id") =!= col("keeper_id")).select("doc_id")
+        val uniq = exactUniq.join(dropped, Seq("doc_id"), "left_anti")
         val path = new org.apache.hadoop.fs.Path(corpusDir)
         val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
         val fresh = if (fs.exists(path)) {

@@ -160,8 +160,10 @@ object NearDup {
     // convergence via the label sum: min-propagation is monotone
     // non-increasing, so an unchanged sum ⟺ a fixpoint — one cheap scalar
     // job per round instead of an anti-join diff
+    // coalesce: sum over an EMPTY label frame is NULL (no near-dup pairs
+    // at all — legal input, e.g. a clean ingest batch)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = Long.MaxValue
     var t0 = System.nanoTime()
     var curSum = labelSum(labels)
@@ -384,18 +386,28 @@ object NearDup {
     * into the probe explode and the shuffle — the heavy sorted `sh`
     * arrays are joined back (hash join on id, skew-free, each array
     * shuffled once per side) ONLY for pairs that survive the
-    * size-ratio prefilter `min(|A|,|B|) ≥ t·max(|A|,|B|)` — a necessary
-    * condition for J ≥ t since J ≤ min/max — evaluated as a cheap
-    * int comparison in the join residual. A 1e-6 slack keeps the
-    * prefilter conservative against the double rounding of t·max
-    * (sizes are ≥1 apart, so the slack admits no extra candidates in
-    * practice while never dropping an exact-boundary pair).
+    * size-ratio prefilter `min(|A|,|B|) ≥ t'·max(|A|,|B|)` — a necessary
+    * condition for J ≥ t' since J ≤ min/max — evaluated as a cheap
+    * int comparison in the join residual. t' = t − 5e-5 is the EFFECTIVE
+    * threshold implied by the final `round(j, 4) ≥ t` filter (a pair
+    * whose Jaccard rounds up to t must still be reachable); a further
+    * 1e-6 slack keeps the comparison conservative against the double
+    * rounding of t'·max.
     */
   private def pairsFromShingleRows(rows: DataFrame, blockCols: Seq[String],
                                    minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard — 0 would need all-pairs")
-    val maxBandDiff = math.ceil(math.log(1.0 / minJaccard) / math.log(2.0)).toInt
+    // The FINAL filter keeps round(j, 4) >= minJaccard, which admits true
+    // Jaccard as low as minJaccard - 5e-5 (half of the 1e-4 rounding
+    // grid). Every candidate bound below must therefore be computed from
+    // this EFFECTIVE threshold, not minJaccard itself — otherwise a pair
+    // whose Jaccard rounds UP to the threshold passes the final filter
+    // (and the all-pairs oracle) but never reaches it: at t=0.5 that
+    // bites both the size-ratio prefilter (min/max = 0.49995 < 0.5) and
+    // the band-diff bound (size ratio 2.0002 needs diff 2, not 1).
+    val tEff = minJaccard - 0.5e-4
+    val maxBandDiff = math.ceil(math.log(1.0 / tEff) / math.log(2.0)).toInt
     val base = rows
       .withColumn("hg", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
       .groupBy(blockCols.map(col) :+ col("id"): _*)
@@ -416,7 +428,7 @@ object NearDup {
           (col("a.szband") < col("b.szband") ||
             (col("a.szband") === col("b.szband") && col("a.id") < col("b.id"))) &&
           least(col("a.sz"), col("b.sz")).cast("double") >=
-            greatest(col("a.sz"), col("b.sz")) * lit(minJaccard) - lit(1e-6))
+            greatest(col("a.sz"), col("b.sz")) * lit(tEff) - lit(1e-6))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
     val sets = base.select(col("id"), col("sh"))
     val joined = cand

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *  - `distinctiveTerms`: tf is one (id, term) shuffle with map-side
   *    combine; document frequency is a second vocabulary-sized aggregate.
   *    The tf←df join is keyed on `term` — vocabulary-sized, not
-  *    corpus-sized, so it broadcasts when the vocab is bounded (the hint is
-  *    advisory: AQE falls back to a shuffle join if the vocab outgrows the
-  *    broadcast threshold at runtime).
+  *    corpus-sized. The join is left UNHINTED deliberately: a forced
+  *    broadcast() is honored regardless of size and a natural-language
+  *    vocabulary is unbounded (Heaps' law), so the planner/AQE picks
+  *    broadcast only when df's measured size is under the threshold.
   *  - `vocabulary`: classic two-phase aggregation; the final top-N is a
   *    `TakeOrderedAndProject` (per-partition heaps + a driver merge of N
   *    rows), NOT a global sort — the plan to want at 100 TB.
@@ -60,7 +61,7 @@ object Terms {
     // tf already has one row per (doc, term), so df = plain count per term
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df").asc, col("tf").desc, col("term").asc)
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"))
   }

@@ -168,4 +168,79 @@ class XlsSpec extends SparkSpec {
       }
     }
   }
+
+  /** Excel-style MINI-stream container (what real Excel emits when the
+    * Workbook stream is under the 4096-byte cutoff): the stream lives in
+    * 64-byte mini sectors inside the root entry's stream, chained through
+    * the mini-FAT. Our writer never produces this shape, so the builder
+    * lives here — it exercises the reader's ministream path exactly.
+    */
+  private def writeMiniCfb(path: String, raw: Array[Byte]): Unit = {
+    val END = 0xFFFFFFFE; val FATS = 0xFFFFFFFD; val FREE = 0xFFFFFFFF
+    require(raw.length < 4096, "ministream only holds sub-cutoff streams")
+    val nMini = (raw.length + 63) / 64
+    val miniLen = ((nMini * 64 + 511) / 512) * 512
+    val mini = java.util.Arrays.copyOf(raw, miniLen)
+    val nMiniSect = miniLen / 512
+    // layout: sector 0 FAT, 1 directory, 2 miniFAT, 3.. ministream
+    val fat = Array.fill(128)(FREE)
+    fat(0) = FATS; fat(1) = END; fat(2) = END
+    (0 until nMiniSect).foreach(i =>
+      fat(3 + i) = if (i == nMiniSect - 1) END else 4 + i)
+    val minifat = Array.fill(128)(FREE)
+    (0 until nMini).foreach(i => minifat(i) = if (i == nMini - 1) END else i + 1)
+    val bb = java.nio.ByteBuffer.allocate(512 * (4 + nMiniSect))  // header + FAT + dir + miniFAT + ministream
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    bb.position(24)
+    bb.putShort(0x003E.toShort); bb.putShort(0x0003.toShort)
+    bb.putShort(0xFFFE.toShort); bb.putShort(9); bb.putShort(6)
+    bb.position(44)
+    bb.putInt(1)          // nFat
+    bb.putInt(1)          // first directory sector
+    bb.putInt(0)
+    bb.putInt(0x1000)     // ministream cutoff
+    bb.putInt(2)          // first mini-FAT sector
+    bb.putInt(1)          // nMiniFat
+    bb.putInt(END)        // no DIFAT extension
+    bb.putInt(0)
+    bb.putInt(0)          // DIFAT[0] -> FAT at sector 0
+    (1 until 109).foreach(_ => bb.putInt(FREE))
+    fat.foreach(bb.putInt)
+    bb.put(Xls.dirEntry("Root Entry", 5, 1, 3, nMini * 64))
+    bb.put(Xls.dirEntry("Workbook", 2, -1, 0, raw.length))
+    bb.put(Xls.dirEntry("", 0, -1, 0, 0)); bb.put(Xls.dirEntry("", 0, -1, 0, 0))
+    minifat.foreach(bb.putInt)
+    bb.put(mini)
+    Files.write(java.nio.file.Paths.get(path), bb.array())
+  }
+
+  test("reader handles an Excel-style ministream container (sub-4096B Workbook)") {
+    val grid: Xls.Grid = (Array("ID", "V"),
+      Array(Array("07EA004", "1.5"), Array("08MH032", "stn")))
+    val raw = Xls.workbookStream(Seq("Mini" -> grid))
+    assert(raw.length < 4096, "fixture must fit the ministream")
+    val path = tmp("mini.xls")
+    writeMiniCfb(path, raw)
+    val back = Xls.read(path)
+    assert(back.map(_._1) === Seq("Mini"))
+    assert(back.head._2._1 === grid._1)
+    assert(back.head._2._2.map(_.toSeq) === grid._2.map(_.toSeq))
+  }
+
+  test("DIFAT extension: a workbook past the 109-header-FAT (~7 MB) round-trips") {
+    val rows = Array.tabulate(60000)(i =>
+      Array(s"row_${i}_padpadpadpadpadpadpadpad", s"val_${i}_padpadpadpadpadpadpadpad"))
+    val grid: Xls.Grid = (Array("K", "V"), rows)
+    val path = tmp("difat.xls")
+    Xls.write(path, Seq("Big" -> grid))
+    assert(Files.size(java.nio.file.Paths.get(path)) > 109L * 128 * 512,
+      "fixture must actually exceed the header-DIFAT span")
+    val (h, back) = Xls.read(path).head._2
+    assert(h === grid._1)
+    assert(back.length === rows.length)
+    assert(back(0).toSeq === rows(0).toSeq)
+    assert(back(59999).toSeq === rows(59999).toSeq)
+    assert(back(31337).toSeq === rows(31337).toSeq)
+  }
 }

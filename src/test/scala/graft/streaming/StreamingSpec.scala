@@ -50,17 +50,20 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet === Set(1L, 2L))
 
-    // tick 2: doc 4 exact-dups doc 1, doc 5 near-dups doc 1, doc 6 is new;
-    // b1.csv is NOT re-drained (file-source tracking)
+    // tick 2: doc 4 exact-dups doc 1, doc 5 near-dups doc 1, doc 6 is
+    // new, docs 7/8 near-dup EACH OTHER (but nothing in the corpus) —
+    // only the keeper 7 may enter; b1.csv is NOT re-drained
     Files.writeString(Paths.get(s"$staging/b2.csv"),
       "doc_id,text\n" +
       "4,the quick brown fox jumps over the lazy dog again and again\n" +
       "5,the quick brown fox jumps over the lazy dog again and again today\n" +
-      "6,completely novel third document that matches nothing else here\n")
+      "6,completely novel third document that matches nothing else here\n" +
+      "7,a fresh pair of near duplicate documents landing in one tick\n" +
+      "8,a fresh pair of near duplicate documents landing in one tick now\n")
     StreamingIngest.corpusIngestTick(spark, staging, corpus, s"$base/ckpt",
       minJaccard = 0.3)
     assert(spark.read.parquet(corpus).select("doc_id")
-      .as[Long].collect().toSet === Set(1L, 2L, 6L))
+      .as[Long].collect().toSet === Set(1L, 2L, 6L, 7L))
   }
 
   test("two ingest ticks: drain, upsert, no reprocessing, old-wins merge") {
