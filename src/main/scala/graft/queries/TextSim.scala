@@ -254,6 +254,27 @@ object TextSim extends QueryPack {
         LEFT JOIN best ON best.bid = d.doc_id
         WHERE d.doc_id % 5 = 0""")),
 
+    // Per-shard sequence packing: running token offsets + fixed-size
+    // chunk assignment in doc-id order within each language shard — the
+    // "pack documents into training sequences" layout step. The running
+    // sum is a PARTITIONED window (per-shard independence is the scale
+    // contract; global packing would be a single-task barrier).
+    "q59_sequence_packing" -> Q(
+      (s, d) => Terms.sequencePacking(Tables.documents(s, d), "doc_id", "text",
+        "lang", blockTokens = 256),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang AS shard,
+                          len($DUCK_TOKENS)::BIGINT AS n_tokens
+                   FROM documents)
+        SELECT doc_id, shard, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+                 AS start_tok,
+               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT // 256
+                 AS chunk
+        FROM t""")),
+
     // OOV rate per doc against the corpus top-N vocabulary — tokenizer-
     // coverage estimation; the vocabulary is a computed bounded dimension
     // (broadcasts at any corpus size).

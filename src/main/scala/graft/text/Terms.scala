@@ -82,6 +82,28 @@ object Terms {
            count(when(col("__in").isNull, 1)).as("n_oov"))
   }
 
+  /** PER-SHARD sequence packing — the "pack documents into fixed-size
+    * training sequences" step: within each shard (e.g. language), docs
+    * are laid out in doc-id order, each gets its running token offset,
+    * and a chunk id at `blockTokens` granularity. The window is
+    * PARTITIONED by the shard column — a deliberate contract: global
+    * packing would need an unpartitioned running sum (single-task
+    * barrier); real pipelines pack per shard, which keeps every shard an
+    * independent partition-local scan.
+    */
+  def sequencePacking(df: DataFrame, idCol: String, textCol: String,
+                      shardCol: String, blockTokens: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(
+        Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      // integral division (Column./ is double division by contract)
+      .withColumn("chunk", expr(s"start_tok div $blockTokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_tok"), col("chunk"))
+
   /** Corpus vocabulary: top-N terms by total occurrences (ties broken
     * lexicographically), with per-term document counts. The n_docs count
     * rides the same two-phase aggregation (tf rows are distinct per

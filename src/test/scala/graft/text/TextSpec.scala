@@ -108,6 +108,23 @@ class TextSpec extends SparkSpec {
     assert(out === Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 1L, 1L)))
   }
 
+  test("sequencePacking: per-shard running offsets and block-granular chunk ids") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "a b c"),        // en: start 0, chunk 0
+      (3L, "en", "d e"),          // en: start 3, chunk 0
+      (5L, "en", "f g h i"),      // en: start 5, chunk 1 (block=4)
+      (2L, "de", "x y"))          // de shard independent: start 0
+      .toDF("doc_id", "lang", "text")
+    val out = Terms.sequencePacking(df, "doc_id", "text", "lang", blockTokens = 4)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "en", 3L, 0L, 0L),
+      (2L, "de", 2L, 0L, 0L),
+      (3L, "en", 2L, 3L, 0L),
+      (5L, "en", 4L, 5L, 1L)))
+  }
+
   test("oovStats: tokens outside the top-N vocabulary counted, vocab ties lexicographic") {
     import spark.implicits._
     val df = Seq((1L, "a a b rare"), (2L, "a b b")).toDF("doc_id", "text")
