@@ -153,6 +153,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("blockedJaccard finds a pair whose Jaccard ROUNDS UP to the threshold") {
+    import spark.implicits._
+    // A ⊂ B with |A|=5000, |B|=10001: J = 5000/10001 = 0.49995000...,
+    // round(J,4) = 0.5 — passes the final filter (and the all-pairs
+    // oracle) while the TRUE Jaccard sits below minJaccard. The candidate
+    // bounds must be computed from the effective threshold t−5e-5 or this
+    // pair never reaches verification (the r03 review finding: size
+    // ratio 2.0002 also needs band-diff 2, not 1).
+    val a = (1 to 5000).map(i => s"s$i")
+    val b = (1 to 10001).map(i => s"s$i")
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "sh")
+      .withColumn("blk", lit("x"))
+    val pairs = NearDup.blockedJaccardPairs(df, "doc_id", "sh", Seq("blk"),
+        minJaccard = 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs === Seq((1L, 2L, 0.5)))
+  }
+
   test("persisted corpus band index: bucket-pruned probe, no corpus-side shuffle in band join") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val (bandFrame, _) = NearDup.corpusIndex(
