@@ -125,4 +125,19 @@ class OpsSpec extends SparkSpec {
       .orderBy("ord").select(year(col("t"))).as[Int].collect().toSeq
     assert(out === Seq(2023, 2024, 2024, 2023))
   }
+
+  test("saltedJoin: left join preserves unmatched big-side rows exactly once; outer rejected") {
+    import spark.implicits._
+    val big = Seq((1L, "a"), (2L, "zzz"), (3L, "a")).toDF("id", "k")
+    val small = Seq(("a", 1)).toDF("k", "m")
+    val out = Skew.saltedJoin(big, small, Seq("k"), salts = 4,
+        joinType = "left")
+      .select($"id", $"m".cast("string"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(out === Set((1L, Some("1")), (2L, None), (3L, Some("1"))))
+    // replication makes right/full outer unsound (one row per replica)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, Seq("k"), salts = 4, joinType = "full")
+    }
+  }
 }
