@@ -20,14 +20,19 @@ object Advanced extends QueryPack {
     "q58_json_extract" -> Q(
       (s, d) => Tables.events(s, d)
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          // try_cast both here and in the oracle: a malformed or
+          // fractional k becomes NULL (excluded from the aggregates) in
+          // BOTH engines instead of throwing in one (Spark ANSI cast
+          // errors; DuckDB ::BIGINT errors)
+          expr("try_cast(get_json_object(props, '$.k') AS bigint)").as("k"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
              min(col("k")).as("min_k"), max(col("k")).as("max_k")),
       Some("""
         SELECT event_type, count(k) AS n, sum(k)::BIGINT AS sum_k,
                min(k) AS min_k, max(k) AS max_k
-        FROM (SELECT event_type, (props->>'k')::BIGINT AS k FROM events)
+        FROM (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k
+              FROM events)
         GROUP BY 1""")),
 
     // Sessionization: gaps-and-islands with a 30-minute inactivity timeout.

@@ -48,19 +48,25 @@ object TextSim extends QueryPack {
       JOIN sets da ON da.doc_id = c.id_a
       JOIN sets db ON db.doc_id = c.id_b"""
 
-  /** Transitive closure of the candidate-pair graph: component keeper =
-    * min reachable doc_id (oracle for NearDup.dedupClusters). */
-  private def clusterSql(k: Int, bands: Int): String =
-    s"WITH RECURSIVE ${minhashCtes(k, bands)}," + """
+  /** Transitive-closure tail over a pair CTE (id_a, id_b): component
+    * keeper = min reachable id. ONE generator for both clustering oracles
+    * (q42 over MinHash cand pairs, q54 over embedding LSH pairs) so the
+    * closure semantics cannot drift between them. */
+  private def closureTail(pairCte: String, idOut: String): String = s"""
       nodes AS (SELECT DISTINCT id FROM
-                  (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand)),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM cand
-                UNION SELECT id_b, id_a FROM cand),
+                  (SELECT id_a AS id FROM $pairCte UNION SELECT id_b FROM $pairCte)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM $pairCte
+                UNION SELECT id_b, id_a FROM $pairCte),
       reach AS (
         SELECT id AS node, id AS root FROM nodes
         UNION
         SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
-      SELECT node AS doc_id, min(root) AS keeper_id FROM reach GROUP BY node"""
+      SELECT node AS $idOut, min(root) AS keeper_id FROM reach GROUP BY node"""
+
+  /** Transitive closure of the candidate-pair graph: component keeper =
+    * min reachable doc_id (oracle for NearDup.dedupClusters). */
+  private def clusterSql(k: Int, bands: Int): String =
+    s"WITH RECURSIVE ${minhashCtes(k, bands)}, ${closureTail("cand", "doc_id")}"
 
   /** Shared CTE chain ending in `cand` (candidate pairs) and `sets`. */
   private def minhashCtes(k: Int, bands: Int): String = {
@@ -103,8 +109,10 @@ object TextSim extends QueryPack {
          AND a.doc_id < b.doc_id)"""
   }
 
-  /** Embedding LSH near-neighbor CTE chain ending in `pairs` (id_a, id_b)
-    * — the q49 candidate+verify shape, reused by the q54 clustering oracle. */
+  /** Embedding LSH near-neighbor CTE chain ending in `pairs`
+    * (id_a, id_b, cosine) — ONE generator serving both the q49 pair
+    * oracle and the q54 clustering oracle, so the bucket formula and
+    * rounding cannot drift between them. */
   private def embPairsCtes(bands: Int, rpb: Int, minCosine: Double): String = {
     val buckets = (0 until bands).map { b =>
       (0 until rpb).map { r =>
@@ -126,7 +134,8 @@ object TextSim extends QueryPack {
                  ON a.band_idx = b.band_idx AND a.bucket = b.bucket
                 AND a.vec_id < b.vec_id),
       pairs AS (
-        SELECT c.id_a, c.id_b
+        SELECT c.id_a, c.id_b,
+               round(list_dot_product(ea.v, eb.v) / (ea.vn * eb.vn), 6) AS cosine
         FROM cand c
         JOIN en ea ON ea.vec_id = c.id_a
         JOIN en eb ON eb.vec_id = c.id_b
@@ -198,17 +207,8 @@ object TextSim extends QueryPack {
         NearDup.dedupClusters(pairs, "id_a", "id_b")
           .select(col("doc_id").as("vec_id"), col("keeper_id"))
       },
-      Some(s"""
-        WITH RECURSIVE ${embPairsCtes(4, 5, 0.2)},
-        nodes AS (SELECT DISTINCT id FROM
-                    (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
-        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                  UNION SELECT id_b, id_a FROM pairs),
-        reach AS (
-          SELECT id AS node, id AS root FROM nodes
-          UNION
-          SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
-        SELECT node AS vec_id, min(root) AS keeper_id FROM reach GROUP BY node""")),
+      Some(s"WITH RECURSIVE ${embPairsCtes(4, 5, 0.2)}, " +
+        closureTail("pairs", "vec_id"))),
 
     // INCREMENTAL dedup: flag a new batch (doc_id % 5 = 0) against the
     // existing corpus — exact content-hash match, else best MinHash-band
@@ -588,34 +588,8 @@ object TextSim extends QueryPack {
       (s, d) => Similarity.lshNeighborPairs(Tables.embeddings(s, d),
         "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5,
         minCosine = 0.2),
-      Some {
-        val (bands, rpb) = (4, 5)
-        val buckets = (0 until bands).map { b =>
-          (0 until rpb).map { r =>
-            val p = b * rpb + r
-            val comp = s"((('0x' || substr(md5($p || '_' || i), 1, 8))::BIGINT / 2147483648.0) - 1.0)"
-            s"CASE WHEN list_sum([v[i+1] * $comp for i in range(0, len(v))]) >= 0 THEN ${1L << r} ELSE 0 END"
-          }.mkString(" + ")
-        }.mkString("[", ",\n                ", "]")
-        s"""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-                   FROM embeddings),
-        en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
-        sig AS (SELECT vec_id,
-                $buckets AS buckets FROM e),
-        bands AS (SELECT vec_id, b AS band_idx, buckets[b + 1] AS bucket
-                  FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
-        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM bands a JOIN bands b
-                   ON a.band_idx = b.band_idx AND a.bucket = b.bucket
-                  AND a.vec_id < b.vec_id)
-        SELECT c.id_a, c.id_b,
-               round(list_dot_product(ea.v, eb.v) / (ea.vn * eb.vn), 6) AS cosine
-        FROM cand c
-        JOIN en ea ON ea.vec_id = c.id_a
-        JOIN en eb ON eb.vec_id = c.id_b
-        WHERE round(list_dot_product(ea.v, eb.v) / (ea.vn * eb.vn), 6) >= 0.2"""
-      }),
+      Some(s"WITH ${embPairsCtes(4, 5, 0.2)} " +
+        "SELECT id_a, id_b, cosine FROM pairs")),
 
     // Benchmark-contamination detection (the decontamination prerequisite
     // of a training-data pipeline): docs sharing any 8-token-gram with the

@@ -84,25 +84,31 @@ object StreamingIngest {
         val sp = batch.sparkSession
         val keepers = NearDup.exactDedup(batch, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
-        val exactUniq = batch.join(keepers, Seq("doc_id"), "left_semi")
-        // near-dedup within the batch: cluster the batch's own near-dup
-        // pairs and keep only cluster keepers (min id per component)
-        val nearPairs = NearDup.minhashLshPairsFromRows(
-            graft.text.TextOps.wordShingleRows(exactUniq, "doc_id", "text", 3))
-          .filter(col("jaccard") >= minJaccard)
-        val dropped = NearDup.dedupClusters(nearPairs, "id_a", "id_b")
-          .filter(col("doc_id") =!= col("keeper_id")).select("doc_id")
-        val uniq = exactUniq.join(dropped, Seq("doc_id"), "left_anti")
-        val path = new org.apache.hadoop.fs.Path(corpusDir)
-        val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
-        val fresh = if (fs.exists(path)) {
-          val corpus = sp.read.parquet(corpusDir)
-          val flags = NearDup.incrementalDedup(corpus, uniq, "doc_id", "text",
-            minJaccard = minJaccard)
-          uniq.join(flags.filter(col("verdict") === "new").select("doc_id"),
-            Seq("doc_id"), "left_semi")
-        } else uniq
-        fresh.write.mode("append").parquet(corpusDir)
+        // cache: the survivors' lineage (staging scan + dedup aggregate +
+        // shingle/signature pipeline) is consumed by THREE actions in one
+        // tick — the in-batch pair clustering, the incremental flags, and
+        // the final append — and would otherwise recompute per action
+        val exactUniq = batch.join(keepers, Seq("doc_id"), "left_semi").persist()
+        try {
+          // near-dedup within the batch: cluster the batch's own near-dup
+          // pairs and keep only cluster keepers (min id per component)
+          val nearPairs = NearDup.minhashLshPairsFromRows(
+              graft.text.TextOps.wordShingleRows(exactUniq, "doc_id", "text", 3))
+            .filter(col("jaccard") >= minJaccard)
+          val dropped = NearDup.dedupClusters(nearPairs, "id_a", "id_b")
+            .filter(col("doc_id") =!= col("keeper_id")).select("doc_id")
+          val uniq = exactUniq.join(dropped, Seq("doc_id"), "left_anti")
+          val path = new org.apache.hadoop.fs.Path(corpusDir)
+          val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
+          val fresh = if (fs.exists(path)) {
+            val corpus = sp.read.parquet(corpusDir)
+            val flags = NearDup.incrementalDedup(corpus, uniq, "doc_id", "text",
+              minJaccard = minJaccard)
+            uniq.join(flags.filter(col("verdict") === "new").select("doc_id"),
+              Seq("doc_id"), "left_semi")
+          } else uniq
+          fresh.write.mode("append").parquet(corpusDir)
+        } finally exactUniq.unpersist()
       }
       .start()
     q.awaitTermination()

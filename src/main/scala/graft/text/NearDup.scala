@@ -202,20 +202,28 @@ object NearDup {
     labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
   }
 
-  /** The CORPUS INDEX behind incremental dedup, as two persistable
-    * frames: band rows (id, band_hash) and signature sets
-    * (id, sh). A deployment writes the band frame
-    * `bucketBy(B, "band_hash")` once per corpus version so that (a) a
-    * batch-bands probe join consumes the table's hash distribution with
-    * NO exchange on the corpus side (only the small batch shuffles into
-    * the bucket layout) and (b) an equality probe on band_hash is
-    * BUCKET-PRUNED at scan time. TextSpec demonstrates both plan
-    * properties on a reopened bucketed table.
+  /** The CORPUS INDEX behind incremental dedup, as three persistable
+    * frames: band rows (id, band_hash), signature sets (id, sh), and
+    * content hashes (id, ch). A deployment writes the band frame
+    * `bucketBy(B, "band_hash")` (and the hash frame bucketed by ch) once
+    * per corpus version so that (a) a batch-bands probe join consumes the
+    * table's hash distribution with NO exchange on the corpus side (only
+    * the small batch shuffles into the bucket layout) and (b) an equality
+    * probe on band_hash is BUCKET-PRUNED at scan time. TextSpec
+    * demonstrates both plan properties on a reopened bucketed table.
+    * Feed the reopened frames to `incrementalDedupIndexed` — that is what
+    * makes a tick pay only batch-side scans plus index probes.
     */
+  final case class CorpusIndex(bands: DataFrame, sets: DataFrame,
+                               hashes: DataFrame)
+
   def corpusIndex(corpus: DataFrame, idCol: String, textCol: String,
-                  k: Int = 16, bands: Int = 8): (DataFrame, DataFrame) = {
+                  k: Int = 16, bands: Int = 8): CorpusIndex = {
     val sig = sigSets(TextOps.wordShingleRows(corpus, idCol, textCol, 3), k)
-    (bandRows(sig, k, bands), sig.select(col("id"), col("sh")))
+    CorpusIndex(
+      bandRows(sig, k, bands),
+      sig.select(col("id"), col("sh")),
+      corpus.select(col(idCol).as("id"), md5(col(textCol)).as("ch")))
   }
 
   /** INCREMENTAL dedup — the op an ingest pipeline actually runs: flag
@@ -230,25 +238,35 @@ object NearDup {
     * heavy inputs enter exactly one aggregation each (sigSets); the
     * candidate join is batch-bands × corpus-bands on band_hash
     * — an equi-join on a uniform hash, so the corpus side shuffles but
-    * never explodes, and no quadratic term exists anywhere. At deployment
-    * scale the corpus band/set frames are the PERSISTED INDEX (written
-    * bucketed by band_hash / id once per corpus version, the same
-    * bucketed-table pattern SimilaritySpec demonstrates for IVF), so an
-    * incremental tick pays only the batch-side signature scan plus
-    * bucket-pruned index probes.
+    * never explodes, and no quadratic term exists anywhere.
+    *
+    * This overload derives the index from the raw corpus per call; a
+    * deployment persists `corpusIndex` bucketed once per corpus version
+    * and calls `incrementalDedupIndexed` with the reopened frames, so a
+    * tick pays only the batch-side signature scan plus bucket-pruned
+    * index probes (the bucketed-table pattern TextSpec demonstrates).
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, k: Int = 16, bands: Int = 8,
-                       minJaccard: Double = 0.5): DataFrame = {
+                       minJaccard: Double = 0.5): DataFrame =
+    incrementalDedupIndexed(corpusIndex(corpus, idCol, textCol, k, bands),
+      batch, idCol, textCol, k, bands, minJaccard)
+
+  /** Same semantics against a PREBUILT (typically persisted + reopened)
+    * corpus index — the production shape: nothing corpus-sized is
+    * recomputed per tick. */
+  def incrementalDedupIndexed(index: CorpusIndex, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 16, bands: Int = 8,
+                              minJaccard: Double = 0.5): DataFrame = {
     val bSig = sigSets(TextOps.wordShingleRows(batch, idCol, textCol, 3), k)
-    val cSig = sigSets(TextOps.wordShingleRows(corpus, idCol, textCol, 3), k)
     val cand = bandRows(bSig, k, bands).as("b")
-      .join(bandRows(cSig, k, bands).as("c"),
+      .join(index.bands.as("c"),
         col("b.band_hash") === col("c.band_hash"))
       .select(col("b.id").as("bid"), col("c.id").as("cid"))
       .dropDuplicates("bid", "cid")
     val bSets = bSig.select(col("id").as("bid"), col("sh").as("sh_b"))
-    val cSets = cSig.select(col("id").as("cid"), col("sh").as("sh_c"))
+    val cSets = index.sets.select(col("id").as("cid"), col("sh").as("sh_c"))
     val verified = cand.join(bSets, Seq("bid")).join(cSets, Seq("cid"))
       .withColumn("common", size(array_intersect(col("sh_b"), col("sh_c"))).cast("double"))
       .withColumn("j", round(col("common") /
@@ -258,7 +276,7 @@ object NearDup {
     val near = verified.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("bid"), col("cid").as("near_id"), col("j"))
     val exact = batch.select(col(idCol).as("bid"), md5(col(textCol)).as("ch"))
-      .join(corpus.select(md5(col(textCol)).as("ch"), col(idCol).as("cid")), Seq("ch"))
+      .join(index.hashes.select(col("ch"), col("id").as("cid")), Seq("ch"))
       .groupBy("bid").agg(min(col("cid")).as("exact_id"))
     batch.select(col(idCol).as("bid"))
       .join(exact, Seq("bid"), "left")
@@ -396,8 +414,12 @@ object NearDup {
     */
   private def pairsFromShingleRows(rows: DataFrame, blockCols: Seq[String],
                                    minJaccard: Double): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard <= 1.0,
-      s"minJaccard must be in (0, 1], got $minJaccard — 0 would need all-pairs")
+    // the lower bound is the output rounding grid: at minJaccard <= 1e-4
+    // the effective threshold below underflows to <= 0 (every pair
+    // "rounds up"), which is an all-pairs request in disguise
+    require(minJaccard > 1e-4 && minJaccard <= 1.0,
+      s"minJaccard must be in (1e-4, 1], got $minJaccard — thresholds at or " +
+        "below the 4-decimal rounding grid degenerate to all-pairs")
     // The FINAL filter keeps round(j, 4) >= minJaccard, which admits true
     // Jaccard as low as minJaccard - 5e-5 (half of the 1e-4 rounding
     // grid). Every candidate bound below must therefore be computed from

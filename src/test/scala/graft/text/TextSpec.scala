@@ -174,8 +174,8 @@ class TextSpec extends SparkSpec {
 
   test("persisted corpus band index: bucket-pruned probe, no corpus-side shuffle in band join") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
-    val (bandFrame, _) = NearDup.corpusIndex(
-      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    val bandFrame = NearDup.corpusIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text").bands
     val tbl = "corpus_band_index_spec"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     bandFrame.write.bucketBy(8, "band_hash").sortBy("band_hash")
@@ -196,8 +196,8 @@ class TextSpec extends SparkSpec {
       // (b) the batch-bands probe join shuffles ONLY the batch side into
       // the bucket layout — the corpus index itself is never exchanged
       // (broadcast disabled to force the at-scale shuffle-join shape)
-      val (batchBands, _) = NearDup.corpusIndex(
-        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      val batchBands = NearDup.corpusIndex(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text").bands
       val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
