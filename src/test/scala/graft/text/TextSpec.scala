@@ -220,6 +220,32 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupIndexed over reopened persisted index tables matches the direct path") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val direct = NearDup.incrementalDedup(corpus, batch, "doc_id", "text",
+        minJaccard = 0.5)
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+    val idx = NearDup.corpusIndex(corpus, "doc_id", "text")
+    val tbls = Seq("cidx_bands" -> idx.bands, "cidx_sets" -> idx.sets,
+      "cidx_hashes" -> idx.hashes)
+    tbls.foreach { case (n, df) => spark.sql(s"DROP TABLE IF EXISTS $n") }
+    idx.bands.write.bucketBy(8, "band_hash").format("parquet").saveAsTable("cidx_bands")
+    idx.sets.write.format("parquet").saveAsTable("cidx_sets")
+    idx.hashes.write.bucketBy(8, "ch").format("parquet").saveAsTable("cidx_hashes")
+    try {
+      val reopened = NearDup.CorpusIndex(spark.table("cidx_bands"),
+        spark.table("cidx_sets"), spark.table("cidx_hashes"))
+      val indexed = NearDup.incrementalDedupIndexed(reopened, batch,
+          "doc_id", "text", minJaccard = 0.5)
+        .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+      assert(indexed === direct)
+      assert(direct.exists(_._2 == "near"), "fixture should exercise the near path")
+    } finally tbls.foreach { case (n, _) => spark.sql(s"DROP TABLE IF EXISTS $n") }
+  }
+
   test("incrementalDedup: exact beats near, near picks best corpus match, rest are new") {
     import spark.implicits._
     val corpus = Seq(
