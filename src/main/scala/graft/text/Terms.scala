@@ -90,6 +90,14 @@ object Terms {
     * packing would need an unpartitioned running sum (single-task
     * barrier); real pipelines pack per shard, which keeps every shard an
     * independent partition-local scan.
+    *
+    * Shard GRANULARITY bounds parallelism: one task sorts one shard (the
+    * sort spills, but it does not parallelize). If a natural shard is
+    * corpus-scale (one language = half the corpus), pass a composite
+    * derived column instead — e.g.
+    * `df.withColumn("shard", concat_ws("/", col("lang"),
+    * pmod(hash(col("doc_id")), lit(1024))))` — trading cross-sub-shard
+    * chunk continuity (training does not need it) for 1024× the tasks.
     */
   def sequencePacking(df: DataFrame, idCol: String, textCol: String,
                       shardCol: String, blockTokens: Int): DataFrame =
