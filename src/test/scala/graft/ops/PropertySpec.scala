@@ -166,4 +166,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2")
+  private val doc = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word))
+    .map(_.mkString(" "))
+  private val corpusGen = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, doc))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("repetitionSignals invariants: distinct <= total; top bigram count bounded") {
+    import spark.implicits._
+    forAll(corpusGen) { docs =>
+      val out = graft.text.Terms.repetitionSignals(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Int, Int, String, Long)].collect()
+      assert(out.length === docs.length)
+      out.foreach { case (_, nTok, nDist, bigram, cnt) =>
+        assert(nDist <= nTok && nDist >= (if (nTok > 0) 1 else 0))
+        if (nTok >= 2) assert(cnt >= 1 && cnt <= nTok - 1 && bigram.nonEmpty)
+        else assert(cnt === 0 && bigram === "")
+      }
+    }
+  }
+
+  test("sequencePacking invariants: per-shard offsets tile the token stream exactly") {
+    import spark.implicits._
+    forAll(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("shard", (col("doc_id") % 2).cast("string"))
+      val out = graft.text.Terms.sequencePacking(df, "doc_id", "text",
+          "shard", blockTokens = 4)
+        .as[(Long, String, Long, Long, Long)].collect()
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        // offsets are the exclusive prefix sums of token counts, in id order
+        var expect = 0L
+        sorted.foreach { case (_, _, n, start, chunk) =>
+          assert(start === expect)
+          assert(chunk === start / 4)
+          expect += n
+        }
+      }
+    }
+  }
+
+  test("incrementalDedup verdicts partition the batch; match ids come from the corpus") {
+    import spark.implicits._
+    forAll(corpusGen) { docs =>
+      whenever(docs.length >= 4) {
+        val all = docs.toDF("doc_id", "text")
+        val corpus = all.filter(col("doc_id") % 2 === 0)
+        val batch = all.filter(col("doc_id") % 2 === 1)
+        val out = graft.text.NearDup.incrementalDedup(corpus, batch,
+            "doc_id", "text", minJaccard = 0.5)
+          .as[(Long, String, Option[Long], Option[Double])].collect()
+        val batchIds = docs.map(_._1).filter(_ % 2 == 1).toSet
+        assert(out.map(_._1).toSet === batchIds)       // one verdict per batch doc
+        out.foreach { case (_, verdict, matchId, j) =>
+          assert(Set("exact", "near", "new").contains(verdict))
+          if (verdict == "new") assert(matchId.isEmpty && j.isEmpty)
+          else {
+            assert(matchId.exists(_ % 2 == 0), "match must be a corpus doc")
+            if (verdict == "exact") assert(j === Some(1.0))
+            else assert(j.exists(v => v >= 0.5 && v <= 1.0))
+          }
+        }
+      }
+    }
+  }
 }
