@@ -254,6 +254,29 @@ object TextSim extends QueryPack {
         LEFT JOIN best ON best.bid = d.doc_id
         WHERE d.doc_id % 5 = 0""")),
 
+    // Deterministic mixture sampling: per-language target weights
+    // up/down-sample the corpus reproducibly (md5-chosen fractional
+    // copies, no RNG) — the data-mixing step ahead of training.
+    "q60_mixture_sample" -> Q(
+      (s, d) => Terms.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 1.5, "de" -> 0.5, "es" -> 1.0, "fr" -> 2.0, "zh" -> 0.25)),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 0.5
+                           WHEN 'es' THEN 1.0 WHEN 'fr' THEN 2.0
+                           WHEN 'zh' THEN 0.25 ELSE 0.0 END AS wt
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang AS shard,
+                 floor(wt)::BIGINT +
+                 CASE WHEN ('0x' || substr(md5('mix|' || doc_id), 1, 8))::BIGINT
+                           / 4294967296.0 < wt - floor(wt)
+                      THEN 1 ELSE 0 END AS n
+          FROM w)
+        SELECT doc_id, shard, unnest(range(1, n + 1))::BIGINT AS copy
+        FROM c WHERE n > 0""")),
+
     // Per-shard sequence packing: running token offsets + fixed-size
     // chunk assignment in doc-id order within each language shard — the
     // "pack documents into training sequences" layout step. The running

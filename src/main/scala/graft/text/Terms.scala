@@ -66,6 +66,32 @@ object Terms {
       .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Deterministic MIXTURE SAMPLING — the data-mixing step of a training
+    * pipeline: each shard (source/language) has a target weight; docs are
+    * up-sampled (weight > 1 → floor(w) copies plus one more for a
+    * hash-chosen fraction) or down-sampled (weight < 1 → kept only when
+    * the hash falls under w). The choice is a pure function of the doc id
+    * (md5, no RNG) so the mixture is reproducible anywhere and stable
+    * under re-runs; emits one row per (doc, copy).
+    *
+    * Scale: pure per-row codegen + an explode bounded by ceil(max
+    * weight) — no shuffle at all; the weight table is a literal map
+    * (bounded by the number of sources).
+    */
+  def mixtureSample(df: DataFrame, idCol: String, shardCol: String,
+                    weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w < 100),
+      "weights must be in [0, 100) — a 100x upsample is a config error")
+    val wt = coalesce(element_at(typedlit(weights), col(shardCol)), lit(0.0))
+    val u = conv(substring(md5(concat(lit("mix|"), col(idCol))), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    val n = (floor(wt).cast("long") + when(u < wt - floor(wt), 1L).otherwise(0L)).as("n")
+    df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"), n)
+      .filter(col("n") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n"))))
+      .select(col("doc_id"), col("shard"), col("copy"))
+  }
+
   /** Out-of-vocabulary stats per doc against the corpus top-N vocabulary
     * (tokenizer-coverage estimation): n_tokens and how many fall outside
     * the vocabulary. The vocabulary is a COMPUTED dimension — bounded at

@@ -108,6 +108,27 @@ class TextSpec extends SparkSpec {
     assert(out === Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 1L, 1L)))
   }
 
+  test("mixtureSample: integer weights exact, fractional bounded, zero drops, reruns identical") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, Seq("a", "b", "c", "drop")((i % 4).toInt))).toDF("doc_id", "lang")
+    val weights = Map("a" -> 2.0, "b" -> 0.5, "c" -> 1.25)
+    def run() = Terms.mixtureSample(docs, "doc_id", "lang", weights)
+      .as[(Long, String, Long)].collect().toSeq
+    val out = run()
+    val perDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    val byShard = out.groupBy(_._2)
+    // integer weight: exactly w copies each
+    assert(byShard("a").groupBy(_._1).forall(_._2.length == 2))
+    // fractional: copies in {floor, ceil}; and the hash actually splits
+    assert(perDoc.filterKeys(k => k % 4 == 1).values.forall(n => n >= 0 && n <= 1))
+    assert(byShard("c").groupBy(_._1).values.map(_.length).toSet === Set(1, 2))
+    // weight 0 / missing shard: absent entirely
+    assert(!out.exists(_._2 == "drop"))
+    // determinism: identical output on a re-run
+    assert(run().toSet === out.toSet)
+  }
+
   test("sequencePacking: per-shard running offsets and block-granular chunk ids") {
     import spark.implicits._
     val df = Seq(
