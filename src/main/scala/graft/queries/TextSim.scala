@@ -567,8 +567,7 @@ object TextSim extends QueryPack {
     // no RNG, no state; the standard training-data split at scale.
     "q47_stratified_split" -> Q(
       (s, d) => {
-        val bucket = (conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 8),
-          16, 10).cast("long") % 10).cast("int")
+        val bucket = (TextOps.hashPrefix("split|", col("doc_id")) % 10).cast("int")
         Tables.documents(s, d)
           .withColumn("split",
             when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))

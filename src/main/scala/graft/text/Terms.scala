@@ -83,8 +83,7 @@ object Terms {
     require(weights.values.forall(w => w >= 0 && w < 100),
       "weights must be in [0, 100) — a 100x upsample is a config error")
     val wt = coalesce(element_at(typedlit(weights), col(shardCol)), lit(0.0))
-    val u = conv(substring(md5(concat(lit("mix|"), col(idCol))), 1, 8), 16, 10)
-      .cast("long") / lit(4294967296.0)
+    val u = TextOps.hashUnit("mix|", col(idCol))
     val n = (floor(wt).cast("long") + when(u < wt - floor(wt), 1L).otherwise(0L)).as("n")
     df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"), n)
       .filter(col("n") > 0)

@@ -77,6 +77,20 @@ object TextOps {
           i => text.substr(i, lit(n))))
       .otherwise(array()))
 
+  /** Seeded 32-bit hash of an id column: the first 8 hex chars of
+    * md5(seed || id) as a long in [0, 2^32) — the ONE deterministic
+    * pseudo-randomness primitive behind bucketed splits (mod N) and
+    * unit-interval draws (divide by 2^32). Mirrors the DuckDB idiom
+    * `('0x' || substr(md5(seed || id), 1, 8))::BIGINT` bit-identically;
+    * keep both renderings in lock-step.
+    */
+  def hashPrefix(seed: String, id: Column): Column =
+    conv(substring(md5(concat(lit(seed), id)), 1, 8), 16, 10).cast("long")
+
+  /** `hashPrefix` scaled to a uniform draw in [0, 1). */
+  def hashUnit(seed: String, id: Column): Column =
+    hashPrefix(seed, id) / lit(4294967296.0)
+
   /** Canonical-form fingerprint: md5 of the lowercased alphanumeric
     * skeleton — a deterministic rolling-hash substitute that two engines
     * compute identically (whitespace/punct/case-insensitive exact dedup key).

@@ -127,6 +127,13 @@ class TextSpec extends SparkSpec {
     assert(!out.exists(_._2 == "drop"))
     // determinism: identical output on a re-run
     assert(run().toSet === out.toSet)
+    // SEED PINS (hand-computed from the md5('mix|'||id) prefix): these
+    // catch silent drift of the hash recipe — seed string, substring
+    // width, or divisor — that every distribution-level assertion above
+    // is blind to. u(1)=0.032<0.5 kept; u(17)=0.607>=0.5 dropped;
+    // u(18)=0.075<0.25 -> 2 copies; u(2)=0.434>=0.25 -> 1 copy.
+    assert(perDoc.get(1L) === Some(1) && perDoc.get(17L) === None)
+    assert(perDoc.get(18L) === Some(2) && perDoc.get(2L) === Some(1))
   }
 
   test("sequencePacking: per-shard running offsets and block-granular chunk ids") {
