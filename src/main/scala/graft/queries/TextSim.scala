@@ -373,8 +373,8 @@ object TextSim extends QueryPack {
 
     // Language-ID heuristic: marker-token scores, fixed tie-break chain.
     "q33_lang_id" -> Q(
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang")),
+      (s, d) => TextOps.withLangId(Tables.documents(s, d), "text", "pred_lang")
+        .select(col("doc_id"), col("pred_lang")),
       Some {
         def score(ms: Seq[String]) =
           s"len(list_filter(list_filter(str_split(lower(text), ' '), x -> x <> ''), " +

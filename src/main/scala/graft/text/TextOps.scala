@@ -98,9 +98,21 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", ""))
 
-  /** Count of tokens that appear in `markers` (language stopword scoring). */
-  def markerCount(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(lower(text)), t => t.isin(markers.map(lit): _*)))
+  /** Count of tokens in `toks` that appear in `markers` (language stopword
+    * scoring) — OCCURRENCE semantics (duplicates counted), fully codegen:
+    * `size(toks)` minus the size after chaining one `array_remove` per
+    * marker. The obvious `filter(toks, t => t.isin(...))` is a higher-order
+    * function → CodegenFallback, re-evaluating its child per element with
+    * no subexpression sharing (the r03 q33/q34 regression, 4× per-row
+    * cost); `array_intersect` is codegen but DEDUPS, which would change
+    * the score semantics. The remove-chain keeps both properties.
+    *
+    * Takes an already-built token array so one `tokens(lower(text))`
+    * subtree is shared (via codegen common-subexpression elimination)
+    * across every marker set that scores the same text.
+    */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(toks) - size(markers.foldLeft(toks)((a, m) => array_remove(a, lit(m))))
 
   val EN_MARKERS = Seq("the", "a", "of", "and", "is")
   val DE_MARKERS = Seq("der", "die", "das", "und", "ist")
@@ -109,19 +121,43 @@ object TextOps {
 
   /** n-gram-heuristic language ID: marker-token scores with a fixed,
     * deterministic tie-break chain (zh wins on any CJK presence, then
-    * en >= de >= es >= fr). Returns the predicted code.
+    * en >= de >= es >= fr). Adds `out` to `df`.
+    *
+    * TWO projections, deliberately: subexpression elimination only hoists
+    * expressions evaluated UNCONDITIONALLY, and a single-Column form puts
+    * every score inside a CASE WHEN branch *condition* — a conditional
+    * context, so nothing is shared and the text is re-split once per score
+    * reference (~16×/row; measured 5.4 s vs 0.9 s for the score work
+    * itself at sf0.1, r04 probe). Projection 1 computes the four scores +
+    * the CJK flag unconditionally inside one struct (CSE binds one token
+    * array for all four); projection 2 is the tie-break chain over bound
+    * attribute fields (O(1) refs). CollapseProject leaves the split alone
+    * because the struct alias is non-cheap and referenced many times.
+    *
+    * CJK presence is `rlike` (a find), not `length(regexp_replace(...))>0`
+    * (which builds the stripped string just to measure it) — same
+    * predicate, ~2× cheaper (probe: 0.18 s vs 0.34 s).
     */
-  def langId(text: Column): Column = {
-    val sEn = markerCount(text, EN_MARKERS)
-    val sDe = markerCount(text, DE_MARKERS)
-    val sEs = markerCount(text, ES_MARKERS)
-    val sFr = markerCount(text, FR_MARKERS)
-    val hasCjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
-    when(hasCjk, "zh")
-      .when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
-      .when(sDe >= sEs && sDe >= sFr, "de")
-      .when(sEs >= sFr, "es")
-      .otherwise("fr")
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 out: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val s = col("__lang_s")
+    df.withColumn("__lang_s", struct(
+        markerCount(toks, EN_MARKERS).as("en"),
+        markerCount(toks, DE_MARKERS).as("de"),
+        markerCount(toks, ES_MARKERS).as("es"),
+        markerCount(toks, FR_MARKERS).as("fr"),
+        col(textCol).rlike("[\\u4e00-\\u9fff]").as("cjk")))
+      .withColumn(out,
+        when(s.getField("cjk"), "zh")
+          .when(s.getField("en") >= s.getField("de") &&
+                s.getField("en") >= s.getField("es") &&
+                s.getField("en") >= s.getField("fr"), "en")
+          .when(s.getField("de") >= s.getField("es") &&
+                s.getField("de") >= s.getField("fr"), "de")
+          .when(s.getField("es") >= s.getField("fr"), "es")
+          .otherwise("fr"))
+      .drop("__lang_s")
   }
 
   /** Heuristic quality score in [0,1]: length, punctuation density and
@@ -129,10 +165,14 @@ object TextOps {
     * deterministic closed form).
     */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+    // Lowercasing never changes token COUNT, so the stopword ratio and
+    // the length gate can share a single lowercased token array (one
+    // split per row via codegen CSE, vs two in r03).
+    val toksLower = tokens(lower(text))
+    val nTok = size(toksLower).cast("double")
     val punct = (length(text) - length(regexp_replace(text, "[.,;:!?'\"]", ""))).cast("double")
     val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
-    val stopRatio = markerCount(text, EN_MARKERS).cast("double") / greatest(nTok, lit(1.0))
+    val stopRatio = markerCount(toksLower, EN_MARKERS).cast("double") / greatest(nTok, lit(1.0))
     // RAW double, deliberately unrounded: every input is per-row
     // deterministic, so the result is bit-identical across engines;
     // rounding would reintroduce same-double midpoint divergence

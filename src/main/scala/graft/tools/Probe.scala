@@ -24,6 +24,24 @@ object Probe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    if (args.headOption.contains("q33")) {
+      // q33 decomposition: which term dominates langId?
+      val docs = Tables.documents(spark, d)
+      val toks = TextOps.tokens(lower(col("text")))
+      time("tokens-only")(docs.select(size(toks).as("n")))
+      time("markers-x4")(docs.select(
+        (TextOps.markerCount(toks, TextOps.EN_MARKERS) +
+         TextOps.markerCount(toks, TextOps.DE_MARKERS) +
+         TextOps.markerCount(toks, TextOps.ES_MARKERS) +
+         TextOps.markerCount(toks, TextOps.FR_MARKERS)).as("s")))
+      time("cjk-replace")(docs.select(
+        (length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")) > 0).as("z")))
+      time("cjk-rlike")(docs.select(col("text").rlike("[\\u4e00-\\u9fff]").as("z")))
+      time("langid-full")(
+        TextOps.withLangId(docs, "text", "l").select(col("doc_id"), col("l")))
+      spark.stop(); return
+    }
+
     val rows = TextOps.wordShingleRows(Tables.documents(spark, d), "doc_id", "text", 3)
     time("shingle-rows")(rows)
     time("rows+md5")(rows.withColumn("h", md5(col("g"))))

@@ -64,9 +64,26 @@ class TextSpec extends SparkSpec {
 
   test("langId and quality are total (no nulls) on arbitrary text") {
     import spark.implicits._
-    val df = Seq("", "   ", "the the the", "中文 text").toDF("text")
-      .select(TextOps.langId($"text").as("l"), TextOps.qualityScore($"text").as("q"))
+    val df = TextOps.withLangId(
+        Seq("", "   ", "the the the", "中文 text").toDF("text"), "text", "l")
+      .select($"l", TextOps.qualityScore($"text").as("q"))
     assert(df.filter($"l".isNull || $"q".isNull).count() === 0)
+  }
+
+  test("langId golden predictions incl. occurrence counting and tie-breaks") {
+    import spark.implicits._
+    val df = TextOps.withLangId(Seq(
+      (1, "the cat is of the house and proud"), // en markers dominate
+      (2, "der hund und die katze ist da"),     // de
+      (3, "el perro y la casa es de juan"),     // es+de share 'de'; es wins count
+      (4, "le chat et les maisons est une"),    // fr
+      (5, "总结 summary 中文"),                  // any CJK → zh
+      (6, "nothing matching here"),             // all scores 0 → en tie-break
+      (7, "the the the das das")                // OCCURRENCES: en 3 > de 2
+    ).toDF("id", "text"), "text", "l").select($"id", $"l")
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(df === Seq(1 -> "en", 2 -> "de", 3 -> "es", 4 -> "fr",
+      5 -> "zh", 6 -> "en", 7 -> "en"))
   }
 
   test("repetitionSignals: golden counts, ties lexicographic, 1-token doc guarded") {
