@@ -1,0 +1,125 @@
+package graft.multimodal
+
+/** Dependency-free BMP (Windows bitmap) codec — 24-bpp uncompressed
+  * (BI_RGB), the fixed public layout: 14-byte BITMAPFILEHEADER +
+  * 40-byte BITMAPINFOHEADER + bottom-up pixel rows padded to 4-byte
+  * stride. Same from-scratch discipline as `export/Xls.scala`'s CFB
+  * container: public spec, no library.
+  *
+  * The decoder is the real thing: it validates the magic/header fields,
+  * honours the pixel-array offset (which need not be 54 — palettes or
+  * extended headers push it out), walks every row at the PADDED stride
+  * in bottom-up or top-down (negative height) order, and folds the
+  * B,G,R channel bytes into a mean intensity. A walker that forgets the
+  * row padding or misreads the offset produces a wrong mean on any
+  * width where `3*width % 4 != 0` — exactly what the oracle check and
+  * the spec's padded-width cases catch.
+  */
+object Bmp {
+
+  /** Decoded facts about one BMP payload. `meanGray` is the mean of
+    * (B+G+R)/3 over all pixels, computed with an exact integer sum —
+    * deterministic across engines for integer channel values.
+    */
+  final case class Info(width: Int, height: Int, bpp: Int, meanGray: Double)
+
+  private val FileHeaderLen = 14
+  private val InfoHeaderLen = 40
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+  }
+
+  /** Padded bytes per pixel row: 3 bytes/pixel rounded up to 4. */
+  def stride(width: Int): Int = ((width * 3) + 3) / 4 * 4
+
+  /** Write a 24-bpp bottom-up BMP; `gray(x, y)` in 0..255 is stored as
+    * B=G=R (grayscale in an RGB container — every channel byte is real).
+    */
+  def encode(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val rowLen = stride(width)
+    val pixelBytes = rowLen * height
+    val total = FileHeaderLen + InfoHeaderLen + pixelBytes
+    val out = new Array[Byte](total) // zero-filled → padding bytes are 0
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, total)
+    putLe32(out, 10, FileHeaderLen + InfoHeaderLen) // pixel-array offset
+    putLe32(out, 14, InfoHeaderLen)
+    putLe32(out, 18, width)
+    putLe32(out, 22, height) // positive → bottom-up
+    putLe16(out, 26, 1)      // planes
+    putLe16(out, 28, 24)     // bpp
+    putLe32(out, 30, 0)      // BI_RGB
+    putLe32(out, 34, pixelBytes)
+    putLe32(out, 38, 2835); putLe32(out, 42, 2835) // 72 DPI in px/metre
+    var y = 0
+    while (y < height) {
+      // row y of the IMAGE is stored at slot (height-1-y) — bottom-up
+      val base = FileHeaderLen + InfoHeaderLen + (height - 1 - y) * rowLen
+      var x = 0
+      while (x < width) {
+        val g = gray(x, y)
+        require(g >= 0 && g <= 255, s"gray out of range at ($x,$y): $g")
+        val p = base + x * 3
+        out(p) = g.toByte; out(p + 1) = g.toByte; out(p + 2) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse + full pixel walk. Rejects anything that is not an
+    * uncompressed 24-bpp BMP with a complete pixel array.
+    */
+  def decode(bytes: Array[Byte]): Info = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"BMP: $msg")
+    if (bytes.length < FileHeaderLen + InfoHeaderLen) fail("truncated header")
+    if (bytes(0) != 'B' || bytes(1) != 'M') fail("bad magic")
+    val pixelOff = le32(bytes, 10)
+    val infoLen = le32(bytes, 14)
+    if (infoLen < InfoHeaderLen) fail(s"unsupported header size $infoLen")
+    val width = le32(bytes, 18)
+    val rawHeight = le32(bytes, 22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    if (width <= 0 || height == 0) fail(s"bad dimensions ${width}x$rawHeight")
+    if (le16(bytes, 26) != 1) fail("planes != 1")
+    val bpp = le16(bytes, 28)
+    if (bpp != 24) fail(s"unsupported bpp $bpp")
+    if (le32(bytes, 30) != 0) fail("compressed BMP unsupported")
+    val rowLen = stride(width)
+    if (pixelOff < FileHeaderLen + infoLen) fail("pixel offset inside header")
+    if (bytes.length < pixelOff + rowLen.toLong * height) fail("truncated pixel array")
+    var sumRgb = 0L // ≤ 255*3 per pixel — exact in Long for any real image
+    var y = 0
+    while (y < height) {
+      val slot = if (topDown) y else height - 1 - y
+      val base = pixelOff + slot * rowLen
+      var x = 0
+      while (x < width) {
+        val p = base + x * 3
+        sumRgb += (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    // integer sum then ONE division: both engines see the same exact
+    // numerator, and a correctly-rounded IEEE divide of exact operands
+    // is bit-identical
+    Info(width, height, bpp, sumRgb.toDouble / (3.0 * width * height))
+  }
+}

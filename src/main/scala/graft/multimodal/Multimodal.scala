@@ -1,60 +1,119 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing (builder brief): image/audio/video as opaque
-  * BINARY payloads with typed metadata, processed by a per-partition batch
-  * decode operator.
+/** Multimodal-column processing (builder brief): image/audio as opaque
+  * BINARY payloads with typed metadata, decoded by a per-partition batch
+  * operator using the REAL dependency-free codecs in [[Bmp]] and [[Wav]].
   *
-  * The actual codecs are NOT in this container, so the decode kernel is a
-  * clearly-marked deterministic STUB (`decodeStub`) — everything around it
-  * is the real Spark shape: a binary column + metadata struct, a typed
-  * `mapPartitions` that amortizes per-batch decoder setup (exactly where a
-  * JNI/FFmpeg/JPEG handle would be opened once per partition), and a
-  * downstream frame-sampling explode. Swap `decodeStub` for a real codec
-  * and nothing else changes.
+  * Spark shape: a binary column flows into a typed `mapPartitions` that
+  * amortizes per-batch decoder setup (exactly where a JNI/FFmpeg handle
+  * would be opened once per partition); features come out as one unified
+  * row type so mixed-modality corpora stay in a single Dataset. No
+  * shuffle — decode runs inside the scan stage and scales linearly with
+  * input splits.
+  *
+  * The deterministic FIXTURE builders ([[bmpFixture]]/[[wavFixture]])
+  * derive real container bytes from a document's text, so the oracle can
+  * predict every decoded feature from the text in closed form — the
+  * decode step itself (header parse, padded pixel walk, chunk walk,
+  * little-endian sample scan) is fully exercised, not faked.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-                           head_point: Int, n_frames: Long)
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * decode. Real implementation would parse the container; the fake
-    * derives: size, the first decoded CODE POINT (0 when empty — matching
-    * SQL `ascii(substr(text,1,1))`, so the plumbing stays oracle-checkable
-    * for non-ASCII payloads too), and a "frame count" (1 per 256 bytes).
+  /** Unified decoded-feature row: image fields are zero for audio rows
+    * and vice versa (a nullable struct-per-modality would also work; flat
+    * zeros keep the oracle comparison simple and the schema stable).
     */
-  def decodeStub(r: MediaRow): MediaFeatures = {
-    val n = r.payload.length.toLong
-    val head =
-      if (n > 0) new String(r.payload, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
-      else 0
-    MediaFeatures(r.doc_id, r.media_type, n, head, n / 256 + 1)
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           width: Int, height: Int, bpp: Int, mean_gray: Double,
+                           sample_rate: Int, n_samples: Long, peak: Int,
+                           n_frames: Long)
+
+  /** Samples per audio "frame" for frame accounting (n_frames). */
+  val AudioFrameSamples = 256L
+
+  /** Deterministic BMP payload for a document: dimensions from the text's
+    * byte length, a gray gradient `g(x,y) = x+y` over the pixels (bounded
+    * w+h keeps it < 256). Mean gray has the closed form (w+h-2)/2 — what
+    * the oracle checks the decoder's padded pixel walk against.
+    */
+  def bmpFixture(text: String): Array[Byte] = {
+    val L = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    val w = L % 31 + 2 // 2..32
+    val h = L % 17 + 2 // 2..18  → max gray 48, no mod-256 wrap
+    Bmp.encode(w, h, (x, y) => x + y)
   }
 
-  /** Batch feature extraction: one decoder "handle" per partition (the
-    * stub's placeholder), rows streamed through it — the mapPartitions
-    * shape a real codec needs. No shuffle; runs inside the scan stage.
+  /** Deterministic WAV payload: rate from the byte length, then a fixed
+    * 16-sample ramp (0,1000,...,15000 — real little-endian variation)
+    * followed by one constant sample per text byte whose value is the
+    * first two md5 bytes as an int16. Peak has the closed form
+    * max(15000, |md5-derived value|).
+    */
+  def wavFixture(text: String): Array[Byte] = {
+    val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val rate = 8000 + (b.length % 8) * 500
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(b)
+      .take(2).map(x => f"${x & 0xff}%02x").mkString
+    val u = Integer.parseInt(hex, 16)
+    val base = (if (u >= 32768) u - 65536 else u).toShort
+    val ramp = Array.tabulate(16)(i => (i * 1000).toShort)
+    Wav.encode(rate, ramp ++ Array.fill(b.length)(base))
+  }
+
+  /** Mixed-modality fixture corpus from the documents table: even doc_ids
+    * carry a BMP image payload, odd ones a WAV audio payload.
+    */
+  def mediaFixtures(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 2 == 0) MediaRow(id, "image", bmpFixture(text))
+        else MediaRow(id, "audio", wavFixture(text))
+      }
+  }
+
+  /** Batch feature extraction: binary payloads through the real codecs,
+    * one partition at a time, dispatching on `media_type`. Unknown types
+    * fail loudly (silent nulls would hide corpus corruption).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("media_type").cast("string"),
         col("payload").cast("binary")).as[MediaRow]
       .mapPartitions { rows =>
-        // real codec: open decoder handle here, close in a final step
-        rows.map(decodeStub)
+        // a stateful decoder handle would be opened here, once per batch
+        rows.map { r =>
+          val n = r.payload.length.toLong
+          r.media_type match {
+            case "image" =>
+              val i = Bmp.decode(r.payload)
+              MediaFeatures(r.doc_id, r.media_type, n, i.width, i.height,
+                i.bpp, i.meanGray, 0, 0L, 0, n_frames = 1L)
+            case "audio" =>
+              val a = Wav.decode(r.payload)
+              MediaFeatures(r.doc_id, r.media_type, n, 0, 0, 0, 0.0,
+                a.sampleRate, a.nSamples, a.peak,
+                n_frames = (a.nSamples + AudioFrameSamples - 1) / AudioFrameSamples)
+            case other =>
+              throw new IllegalArgumentException(s"unknown media_type '$other'")
+          }
+        }
       }
   }
 
   /** Frame sampling: every `stride`-th frame index of each media row —
     * explode produces the (doc, frame) work-list a real frame extractor
-    * would map over.
+    * would map over. `carry` names feature columns to keep on each frame
+    * row (e.g. sample_rate for a resampler).
     */
-  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
-    features.select(col("doc_id"), col("media_type"),
+  def sampleFrames(features: DataFrame, stride: Int,
+                   carry: Seq[String] = Nil): DataFrame =
+    features.select(Seq(col("doc_id"), col("media_type")) ++ carry.map(col) :+
       explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
-        .as("frame_idx"))
+        .as("frame_idx"): _*)
 }

@@ -647,37 +647,64 @@ object TextSim extends QueryPack {
                (count(*) FILTER (hg IN (SELECT hg FROM bench)) > 0)::INT AS contaminated
         FROM corpus GROUP BY doc_id""")),
 
-    // Multimodal plumbing: binary payload + typed mapPartitions decode
-    // (deterministic stub in place of a codec — see Multimodal.decodeStub).
+    // Multimodal decode: REAL container codecs (Bmp/Wav chunk+pixel
+    // walks) over deterministic text-derived fixtures — the oracle
+    // predicts every decoded feature from the text in closed form, so a
+    // wrong stride, offset, endianness or skipped-chunk bug hash-fails.
     "q40_media_features" -> Q(
-      (s, d) => {
-        val media = Tables.documents(s, d).select(
-          col("doc_id"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-          encode(col("text"), "UTF-8").as("payload"))
-        Multimodal.extractFeatures(s, media).toDF()
-      },
+      (s, d) => Multimodal.extractFeatures(s,
+        Multimodal.mediaFixtures(s, Tables.documents(s, d)).toDF()).toDF(),
       Some("""
+        WITH p AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS L,
+                 ('0x' || substr(md5(text), 1, 4))::INT AS u
+          FROM documents),
+        g AS (
+          SELECT doc_id, L, u,
+                 (L % 31 + 2)::INT AS w, (L % 17 + 2)::INT AS h,
+                 (8000 + (L % 8) * 500)::INT AS rate,
+                 (L + 16)::BIGINT AS ns
+          FROM p)
         SELECT doc_id,
-               ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS media_type,
-               octet_length(encode(text))::BIGINT AS n_bytes,
-               ascii(substr(text, 1, 1)) AS head_point,
-               octet_length(encode(text)) // 256 + 1 AS n_frames
-        FROM documents""")),
+          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+          (CASE WHEN doc_id % 2 = 0 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+                ELSE 64 + ns * 2 END)::BIGINT AS n_bytes,
+          (CASE WHEN doc_id % 2 = 0 THEN w ELSE 0 END)::INT AS width,
+          (CASE WHEN doc_id % 2 = 0 THEN h ELSE 0 END)::INT AS height,
+          (CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 0 END)::INT AS bpp,
+          CASE WHEN doc_id % 2 = 0 THEN (w + h - 2) / 2.0 ELSE 0.0 END AS mean_gray,
+          (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE rate END)::INT AS sample_rate,
+          (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE ns END)::BIGINT AS n_samples,
+          (CASE WHEN doc_id % 2 = 0 THEN 0
+                ELSE greatest(15000, CASE WHEN u >= 32768 THEN abs(u - 65536) ELSE u END)
+           END)::INT AS peak,
+          (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE (ns + 255) // 256 END)::BIGINT AS n_frames
+        FROM g""")),
 
-    // Frame sampling over the decoded features (every 4th frame index).
+    // Frame sampling over decoded audio (every 4th frame of 256 samples),
+    // sample_rate carried onto each frame row.
     "q41_frame_sample" -> Q(
       (s, d) => {
-        val media = Tables.documents(s, d).select(
-          col("doc_id"), lit("video").as("media_type"),
-          encode(col("text"), "UTF-8").as("payload"))
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            Multimodal.MediaRow(id, "audio", Multimodal.wavFixture(text)) }
         Multimodal.sampleFrames(
-          Multimodal.extractFeatures(s, media).toDF(), stride = 4)
+          Multimodal.extractFeatures(s, media.toDF()).toDF(),
+          stride = 4, carry = Seq("sample_rate"))
       },
       Some("""
-        SELECT doc_id, 'video' AS media_type,
-               unnest(range(0, octet_length(encode(text)) // 256 + 1, 4))::BIGINT AS frame_idx
-        FROM documents"""))
+        WITH p AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS L
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 (8000 + (L % 8) * 500)::INT AS sample_rate,
+                 ((L + 16 + 255) // 256)::BIGINT AS n_frames
+          FROM p)
+        SELECT doc_id, 'audio' AS media_type, sample_rate,
+               unnest(range(0, n_frames, 4))::BIGINT AS frame_idx
+        FROM f"""))
   )
 }
