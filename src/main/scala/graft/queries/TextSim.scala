@@ -16,6 +16,20 @@ object TextSim extends QueryPack {
   // DuckDB fragments shared by several oracles.
   private val DUCK_TOKENS = "list_filter(str_split(text, ' '), x -> x <> '')"
 
+  /** TextOps.qualityScore as a DuckDB expression over a `text` column —
+    * one generator for the q34 oracle and the q61 pipeline's quality gate
+    * so the two cannot drift. Per-row double arithmetic: bit-identical
+    * across engines (PLANS.md numerics doctrine), so gating on it is safe. */
+  private val qualitySql: String = {
+    val nTok = s"len($DUCK_TOKENS)::DOUBLE"
+    val stop = "len(list_filter(list_filter(str_split(lower(text), ' '), x -> x <> '')," +
+      " t -> list_contains(['the','a','of','and','is'], t)))::DOUBLE"
+    s"""least($nTok / 100.0, 1.0) * 0.4 +
+          (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))::DOUBLE
+                        / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 1.0)) * 0.3 +
+          least(($stop / greatest($nTok, 1.0)) * 5.0, 1.0) * 0.3"""
+  }
+
   /** 16-bit simhash oracle, generated to mirror NearDup.simhash exactly. */
   private def simhashSql(bits: Int): String = {
     val sums = (0 until bits)
@@ -48,11 +62,11 @@ object TextSim extends QueryPack {
       JOIN sets da ON da.doc_id = c.id_a
       JOIN sets db ON db.doc_id = c.id_b"""
 
-  /** Transitive-closure tail over a pair CTE (id_a, id_b): component
-    * keeper = min reachable id. ONE generator for both clustering oracles
-    * (q42 over MinHash cand pairs, q54 over embedding LSH pairs) so the
-    * closure semantics cannot drift between them. */
-  private def closureTail(pairCte: String, idOut: String): String = s"""
+  /** Transitive-closure CTE chain over a pair CTE (id_a, id_b), ending in
+    * `reach (node, root)` — the recursive core shared by [[closureTail]]
+    * and the q61 pipeline oracle (which needs the closure as a CTE, not a
+    * final SELECT). */
+  private def closureCtes(pairCte: String): String = s"""
       nodes AS (SELECT DISTINCT id FROM
                   (SELECT id_a AS id FROM $pairCte UNION SELECT id_b FROM $pairCte)),
       edges AS (SELECT id_a AS src, id_b AS dst FROM $pairCte
@@ -60,7 +74,14 @@ object TextSim extends QueryPack {
       reach AS (
         SELECT id AS node, id AS root FROM nodes
         UNION
-        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)"""
+
+  /** Transitive-closure tail over a pair CTE (id_a, id_b): component
+    * keeper = min reachable id. ONE generator for both clustering oracles
+    * (q42 over MinHash cand pairs, q54 over embedding LSH pairs) so the
+    * closure semantics cannot drift between them. */
+  private def closureTail(pairCte: String, idOut: String): String =
+    closureCtes(pairCte) + s"""
       SELECT node AS $idOut, min(root) AS keeper_id FROM reach GROUP BY node"""
 
   /** Transitive closure of the candidate-pair graph: component keeper =
@@ -68,8 +89,10 @@ object TextSim extends QueryPack {
   private def clusterSql(k: Int, bands: Int): String =
     s"WITH RECURSIVE ${minhashCtes(k, bands)}, ${closureTail("cand", "doc_id")}"
 
-  /** Shared CTE chain ending in `cand` (candidate pairs) and `sets`. */
-  private def minhashCtes(k: Int, bands: Int): String = {
+  /** Shared CTE chain ending in `cand` (candidate pairs) and `sets`.
+    * `src` is the relation the shingles are read from — `documents` for
+    * the standalone oracles, a filtered CTE for the q61 pipeline. */
+  private def minhashCtes(k: Int, bands: Int, src: String = "documents"): String = {
     val r = k / bands
     val P = graft.text.NearDup.P
     val mins = (0 until k)
@@ -86,7 +109,7 @@ object TextSim extends QueryPack {
         SELECT doc_id,
                list_distinct([array_to_string(toks[i:i+2], ' ')
                               for i in range(1, len(toks) - 1)]) AS sh
-        FROM (SELECT doc_id, $DUCK_TOKENS AS toks FROM documents)
+        FROM (SELECT doc_id, $DUCK_TOKENS AS toks FROM $src)
         WHERE len(toks) >= 3),
       hashed AS (
         SELECT doc_id,
@@ -395,18 +418,9 @@ object TextSim extends QueryPack {
     "q34_quality_score" -> Q(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality")),
-      Some {
-        val nTok = s"len($DUCK_TOKENS)::DOUBLE"
-        val stop = "len(list_filter(list_filter(str_split(lower(text), ' '), x -> x <> '')," +
-          " t -> list_contains(['the','a','of','and','is'], t)))::DOUBLE"
-        s"""
-        SELECT doc_id,
-          least($nTok / 100.0, 1.0) * 0.4 +
-                (1.0 - least(((length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))::DOUBLE
-                              / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 1.0)) * 0.3 +
-                least(($stop / greatest($nTok, 1.0)) * 5.0, 1.0) * 0.3 AS quality
-        FROM documents"""
-      }),
+      Some(s"""
+        SELECT doc_id, $qualitySql AS quality
+        FROM documents""")),
 
     // MinHash (k=16) + LSH (8 bands × 2 rows) candidate pairs with verified
     // Jaccard on word-3-gram shingle sets.

@@ -79,16 +79,20 @@ object Terms {
     * (bounded by the number of sources).
     */
   def mixtureSample(df: DataFrame, idCol: String, shardCol: String,
-                    weights: Map[String, Double]): DataFrame = {
+                    weights: Map[String, Double],
+                    carry: Seq[String] = Nil): DataFrame = {
     require(weights.values.forall(w => w >= 0 && w < 100),
       "weights must be in [0, 100) — a 100x upsample is a config error")
     val wt = coalesce(element_at(typedlit(weights), col(shardCol)), lit(0.0))
     val u = TextOps.hashUnit("mix|", col(idCol))
     val n = (floor(wt).cast("long") + when(u < wt - floor(wt), 1L).otherwise(0L)).as("n")
-    df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"), n)
+    // `carry` columns ride the sample rows so downstream stages (e.g.
+    // sequence packing) don't pay a corpus-sized join back to the source
+    df.select(Seq(col(idCol).as("doc_id"), col(shardCol).as("shard"), n) ++
+        carry.map(col): _*)
       .filter(col("n") > 0)
       .withColumn("copy", explode(sequence(lit(1L), col("n"))))
-      .select(col("doc_id"), col("shard"), col("copy"))
+      .select(Seq(col("doc_id"), col("shard"), col("copy")) ++ carry.map(col): _*)
   }
 
   /** Out-of-vocabulary stats per doc against the corpus top-N vocabulary
@@ -126,16 +130,29 @@ object Terms {
     */
   def sequencePacking(df: DataFrame, idCol: String, textCol: String,
                       shardCol: String, blockTokens: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    packPrepared(
+      df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      blockTokens, orderCols = Seq("doc_id"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_tok"), col("chunk"))
+
+  /** Packing window over already-prepared rows carrying `shard` and
+    * `n_tokens` columns: per-shard running token offsets in `orderCols`
+    * order, chunk ids at `blockTokens` granularity. Factored out so the
+    * pretraining composite (which packs (doc, copy) sample rows) and
+    * [[sequencePacking]] share one window definition.
+    */
+  def packPrepared(rows: DataFrame, blockTokens: Int,
+                   orderCols: Seq[String]): DataFrame =
+    rows
       .withColumn("end_tok", sum(col("n_tokens")).over(
-        Window.partitionBy("shard").orderBy("doc_id")
+        Window.partitionBy("shard").orderBy(orderCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("start_tok", col("end_tok") - col("n_tokens"))
       // integral division (Column./ is double division by contract)
       .withColumn("chunk", expr(s"start_tok div $blockTokens"))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        col("start_tok"), col("chunk"))
+      .drop("end_tok")
 
   /** Corpus vocabulary: top-N terms by total occurrences (ties broken
     * lexicographically), with per-term document counts. The n_docs count
