@@ -21,14 +21,15 @@ import org.apache.spark.sql.SparkSession
   *    show — in the repeats list, where they belong, instead of being
   *    conflated with steady-state throughput.
   *
-  * Output contract (r04): the SUMMARY line (total + best-of per query +
-  * errors) prints FIRST on its own line — it is bounded in size and is
-  * what the driver parses; the (much longer) repeats map prints on a
-  * SECOND line. The r03 artifact proved the single-line form fragile:
-  * with 60×3 repeats the line outgrew the driver's capture window and
-  * tail truncation ate q01-q12 AND the total (`"parsed": null`). Both
-  * lines are also written to `target/bench.json` so the full record
-  * survives any stdout mangling.
+  * Output contract (r05): stdout carries ONLY the bounded summary line
+  * (total + best-of per query + errors), printed as the LAST thing
+  * before exit. The driver keeps just the final ~2000 chars of stdout,
+  * so anything printed after the summary — or any long line sharing
+  * stdout with it — evicts it from the capture window: r03 put repeats
+  * and summary on one line (truncated), r04 printed summary FIRST and
+  * the repeats line pushed it out (`"parsed": null` both rounds). The
+  * full record (summary + per-repeat times) goes to stderr and to
+  * `target/bench.json`, where length doesn't matter.
   *
   * Env knobs (local iteration / diagnostics, unset in driver runs):
   *  - SPARK_GRAFT_BENCH_ONLY=q33,q34  run only the named queries
@@ -104,13 +105,11 @@ object Bench {
     // failures are IN the JSON line, not just stderr — a throwing query
     // must not read as a speedup
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // summary FIRST (bounded size, driver-parseable), repeats second
     val summary =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     val repeats = s"""{"metric":"repeats","repeats":$reps,"sf":"$sfDir"}"""
-    println(summary)
-    println(repeats)
-    // durable copy: survives stdout truncation/mangling
+    // repeats: stderr (diagnostic, unbounded) + durable file copy
+    System.err.println(repeats)
     try {
       val p = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -120,5 +119,8 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
     spark.stop()
+    // summary LAST, alone on stdout: spark.stop() can emit shutdown noise,
+    // so even that runs before the one line the driver must see
+    println(summary)
   }
 }
