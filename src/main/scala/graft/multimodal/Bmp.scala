@@ -42,8 +42,17 @@ object Bmp {
     b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
   }
 
-  /** Padded bytes per pixel row: 3 bytes/pixel rounded up to 4. */
-  def stride(width: Int): Int = ((width * 3) + 3) / 4 * 4
+  /** Padded bytes per pixel row: 3 bytes/pixel rounded up to 4. Computed
+    * in Long — an adversarial header width (e.g. 0x40000000) overflows
+    * `width * 3` in Int, which would let the truncated-pixel-array guard
+    * pass and turn the contract's IllegalArgumentException into an
+    * ArrayIndexOutOfBoundsException mid-walk.
+    */
+  def stride(width: Int): Int = {
+    val s = (3L * width + 3) / 4 * 4
+    require(s > 0 && s <= Int.MaxValue, s"row stride overflows Int for width $width")
+    s.toInt
+  }
 
   /** Write a 24-bpp bottom-up BMP; `gray(x, y)` in 0..255 is stored as
     * B=G=R (grayscale in an RGB container — every channel byte is real).
@@ -89,21 +98,26 @@ object Bmp {
     def fail(msg: String) = throw new IllegalArgumentException(s"BMP: $msg")
     if (bytes.length < FileHeaderLen + InfoHeaderLen) fail("truncated header")
     if (bytes(0) != 'B' || bytes(1) != 'M') fail("bad magic")
-    val pixelOff = le32(bytes, 10)
-    val infoLen = le32(bytes, 14)
-    if (infoLen < InfoHeaderLen) fail(s"unsupported header size $infoLen")
+    // offset/size fields are unsigned in the spec — widen to Long for
+    // every bound check so adversarial values can't wrap negative
+    val pixelOffL = le32(bytes, 10) & 0xffffffffL
+    val infoLenL = le32(bytes, 14) & 0xffffffffL
+    if (infoLenL < InfoHeaderLen) fail(s"unsupported header size $infoLenL")
     val width = le32(bytes, 18)
     val rawHeight = le32(bytes, 22)
     val topDown = rawHeight < 0
+    if (rawHeight == Int.MinValue) fail(s"bad dimensions ${width}x$rawHeight")
     val height = math.abs(rawHeight)
     if (width <= 0 || height == 0) fail(s"bad dimensions ${width}x$rawHeight")
+    if (3L * width + 3 > Int.MaxValue) fail(s"width $width stride overflows")
     if (le16(bytes, 26) != 1) fail("planes != 1")
     val bpp = le16(bytes, 28)
     if (bpp != 24) fail(s"unsupported bpp $bpp")
     if (le32(bytes, 30) != 0) fail("compressed BMP unsupported")
     val rowLen = stride(width)
-    if (pixelOff < FileHeaderLen + infoLen) fail("pixel offset inside header")
-    if (bytes.length < pixelOff + rowLen.toLong * height) fail("truncated pixel array")
+    if (pixelOffL < FileHeaderLen + infoLenL) fail("pixel offset inside header")
+    if (bytes.length < pixelOffL + rowLen.toLong * height) fail("truncated pixel array")
+    val pixelOff = pixelOffL.toInt // < bytes.length, so exact
     var sumRgb = 0L // ≤ 255*3 per pixel — exact in Long for any real image
     var y = 0
     while (y < height) {

@@ -74,6 +74,10 @@ object Wav {
       val body = off + 8
       id match {
         case "fmt " =>
+          // a second fmt/data chunk would silently overwrite or blend
+          // state (peak keeps accumulating across data chunks) — reject
+          // loudly, matching the strictness of the other validations
+          if (rate >= 0) fail("duplicate fmt chunk")
           if (size < 16) fail("fmt chunk too short")
           if (le16(bytes, body) != 1) fail("non-PCM format unsupported")
           channels = le16(bytes, body + 2)
@@ -85,6 +89,7 @@ object Wav {
             fail(s"inconsistent fmt: ch=$channels rate=$rate align=$blockAlign")
         case "data" =>
           if (rate < 0) fail("data chunk before fmt")
+          if (nSamples >= 0) fail("duplicate data chunk")
           if (size % blockAlign != 0) fail("data length not frame-aligned")
           nSamples = size.toLong / 2 // per-channel int16 count × channels
           var p = body

@@ -141,8 +141,13 @@ object TextOps {
   def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
                  out: String): org.apache.spark.sql.DataFrame = {
     val toks = tokens(lower(col(textCol)))
-    val s = col("__lang_s")
-    df.withColumn("__lang_s", struct(
+    // temp name carries the output column so an input that already has a
+    // column by this name can't be silently clobbered-then-dropped; a
+    // genuine collision is a caller error worth failing on
+    val tmp = s"__lang_s_$out"
+    require(!df.columns.contains(tmp), s"column $tmp already exists")
+    val s = col(tmp)
+    df.withColumn(tmp, struct(
         markerCount(toks, EN_MARKERS).as("en"),
         markerCount(toks, DE_MARKERS).as("de"),
         markerCount(toks, ES_MARKERS).as("es"),
@@ -157,7 +162,7 @@ object TextOps {
                 s.getField("de") >= s.getField("fr"), "de")
           .when(s.getField("es") >= s.getField("fr"), "es")
           .otherwise("fr"))
-      .drop("__lang_s")
+      .drop(tmp)
   }
 
   /** Heuristic quality score in [0,1]: length, punctuation density and

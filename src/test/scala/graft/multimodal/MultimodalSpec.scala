@@ -46,6 +46,30 @@ class MultimodalSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Bmp.decode(mutated(b => b(28) = 8))) // 8bpp
   }
 
+  test("Bmp rejects adversarial headers cleanly (no out-of-bounds walk)") {
+    val good = Bmp.encode(4, 4, (_, _) => 7)
+    def mutated(f: Array[Byte] => Unit): Array[Byte] = { val b = good.clone(); f(b); b }
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    // width 0x40000000: 3*width overflows Int — the truncated-pixel-array
+    // guard must still reject via Long arithmetic, not walk and crash
+    assertThrows[IllegalArgumentException](
+      Bmp.decode(mutated(b => putLe32(b, 18, 0x40000000))))
+    // width 0x55555556: 3*width wraps to a small positive Int
+    assertThrows[IllegalArgumentException](
+      Bmp.decode(mutated(b => putLe32(b, 18, 0x55555556))))
+    // unsigned pixel offset / header size near 2^32 must not wrap negative
+    assertThrows[IllegalArgumentException](
+      Bmp.decode(mutated(b => putLe32(b, 10, 0xfffffff0))))
+    assertThrows[IllegalArgumentException](
+      Bmp.decode(mutated(b => putLe32(b, 14, 0xfffffff0))))
+    // height Int.MinValue: math.abs is a no-op there
+    assertThrows[IllegalArgumentException](
+      Bmp.decode(mutated(b => putLe32(b, 22, Int.MinValue))))
+  }
+
   // ---- WAV codec -----------------------------------------------------
 
   test("Wav round-trip: chunk walk skips junk LIST, LE samples, peak") {
@@ -78,6 +102,25 @@ class MultimodalSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Wav.decode(good.take(30))) // fmt cut
     assertThrows[IllegalArgumentException](Wav.decode(good.dropRight(1))) // data overrun
     assertThrows[IllegalArgumentException](Wav.decode(mutated(b => b(20) = 3))) // float fmt
+  }
+
+  test("Wav rejects duplicate fmt/data chunks instead of blending state") {
+    val good = Wav.encode(8000, Array[Short](1, 2))
+    val chunksOnly = good.drop(12)
+    def withExtra(extra: Array[Byte]): Array[Byte] = {
+      val riffLen = 4 + chunksOnly.length + extra.length
+      val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+        .put("WAVE".getBytes("US-ASCII")).put(chunksOnly).put(extra)
+      out.array()
+    }
+    // a second data chunk would overwrite nSamples while peak kept
+    // accumulating across both — an inconsistent Info, so fail loudly
+    val data2 = Array[Byte]('d', 'a', 't', 'a', 2, 0, 0, 0, 9, 0)
+    assertThrows[IllegalArgumentException](Wav.decode(withExtra(data2)))
+    val fmt2 = good.slice(12, 12 + 8 + 16) // the original fmt chunk again
+    assertThrows[IllegalArgumentException](Wav.decode(withExtra(fmt2)))
   }
 
   // ---- Spark operator ------------------------------------------------

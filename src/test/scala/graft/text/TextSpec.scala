@@ -70,6 +70,19 @@ class TextSpec extends SparkSpec {
     assert(df.filter($"l".isNull || $"q".isNull).count() === 0)
   }
 
+  test("withLangId survives a pre-existing __lang_s column") {
+    import spark.implicits._
+    // r04 hardcoded "__lang_s" as the temp name, silently clobbering and
+    // then dropping a caller column of that name; now the temp is
+    // suffixed with the output column, and a true collision fails loudly
+    val df = TextOps.withLangId(
+      Seq(("the cat is the", "keep-me")).toDF("text", "__lang_s"), "text", "l")
+    assert(df.columns.toSeq === Seq("text", "__lang_s", "l"))
+    assert(df.select($"__lang_s").as[String].head() === "keep-me")
+    assertThrows[IllegalArgumentException](TextOps.withLangId(
+      Seq(("x", "boom")).toDF("text", "__lang_s_l"), "text", "l"))
+  }
+
   test("langId golden predictions incl. occurrence counting and tie-breaks") {
     import spark.implicits._
     val df = TextOps.withLangId(Seq(
