@@ -695,6 +695,120 @@ object TextSim extends QueryPack {
           (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE (ns + 255) // 256 END)::BIGINT AS n_frames
         FROM g""")),
 
+    // END-TO-END PRETRAINING PIPELINE: the composition story for the LLM
+    // surface (what q44/q45 are for the reference cascade) — quality gate
+    // (q34) → exact dedup (q32) → near-dup drop (q35+q42, J >= 0.5) →
+    // decontamination (q50) → mixture sampling (q60) → sequence packing
+    // (q59), one oracle-checked dataflow emitting the packed (doc, shard,
+    // chunk) layout a trainer reads. Stage ORDER is load-bearing (PLANS.md
+    // q61 audit): dedup runs BEFORE decontamination (the benchmark gram
+    // set is fixed external data, so dropping dups first only shrinks the
+    // corpus side), sampling after every drop (weights apply to the clean
+    // corpus), packing last (offsets depend on every upstream decision).
+    // Gating on the RAW quality double is safe cross-engine: it is per-row
+    // closed-form arithmetic, bit-identical in both engines by doctrine.
+    "q61_pretraining_pipeline" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // 1. quality gate — keeps ~2/3 of the synthetic corpus at 0.55
+        val gated = docs.filter(TextOps.qualityScore(col("text")) >= 0.55)
+          .select(col("doc_id"), col("text"), col("lang"))
+        // 2. exact dedup: only each content-hash group's min-id keeper
+        val keepers = NearDup.exactDedup(gated, "doc_id", "text")
+          .select(col("keeper_id"))
+        val exact = gated.join(keepers, col("doc_id") === col("keeper_id"),
+          "left_semi")
+        // 3. near-dup drop: LSH candidates verified at J >= 0.5, clustered;
+        //    non-keepers dropped (docs in no cluster pass through the anti
+        //    join untouched)
+        val pairs = NearDup.minhashLshPairsFromRows(
+          TextOps.wordShingleRows(exact, "doc_id", "text", 3), k = 16, bands = 8)
+          .filter(col("jaccard") >= 0.5)
+        val dropNear = NearDup.dedupClusters(pairs, "id_a", "id_b")
+          .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+        val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+        // 4. decontamination: drop benchmark docs (doc_id % 20 = 0) and any
+        //    survivor sharing an 8-token gram with them; the bench gram set
+        //    is bounded by the fixed benchmark corpus, so it BROADCASTS
+        def grams8(df: org.apache.spark.sql.DataFrame) =
+          TextOps.wordShingleRows(df, "doc_id", "text", 8)
+            .select(col("id"),
+              conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("hg"))
+        val bench = grams8(docs.filter(col("doc_id") % 20 === 0))
+          .select("hg").distinct()
+        val contaminated = grams8(deduped)
+          .join(broadcast(bench), Seq("hg"), "left_semi")
+          .select(col("id").as("doc_id")).distinct()
+        val clean = deduped.filter(col("doc_id") % 20 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        // 5. mixture sampling, n_tokens carried on the sample rows so the
+        //    packing stage needs no corpus-sized join back
+        val sampled = Terms.mixtureSample(
+          clean.withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long")),
+          "doc_id", "lang",
+          Map("en" -> 1.5, "de" -> 0.5, "es" -> 1.0, "fr" -> 2.0, "zh" -> 0.25),
+          carry = Seq("n_tokens"))
+        // 6. per-shard sequence packing over the (doc, copy) sample rows
+        Terms.packPrepared(sampled, blockTokens = 256,
+            orderCols = Seq("doc_id", "copy"))
+          .select(col("doc_id"), col("shard"), col("copy"), col("n_tokens"),
+            col("start_tok"), col("chunk"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        s1 AS (
+          SELECT doc_id, text, lang FROM documents
+          WHERE $qualitySql >= 0.55),
+        s2 AS (
+          SELECT * FROM s1
+          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        ${minhashCtes(16, 8, src = "s2")},
+        pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sets sa ON sa.doc_id = c.id_a
+          JOIN sets sb ON sb.doc_id = c.id_b
+          WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                      (len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh))::DOUBLE),
+                      4) >= 0.5),
+        ${closureCtes("pairs")},
+        dropn AS (SELECT node AS doc_id FROM reach GROUP BY node
+                  HAVING min(root) <> node),
+        s3 AS (SELECT * FROM s2
+               WHERE doc_id NOT IN (SELECT doc_id FROM dropn)),
+        toks8 AS (SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        g8 AS (SELECT doc_id,
+                      list_distinct([('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+                                     for i in range(1, len(t) - 6)]) AS gs
+               FROM toks8 WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT unnest(gs) AS hg FROM g8 WHERE doc_id % 20 = 0),
+        bad AS (SELECT DISTINCT doc_id
+                FROM (SELECT doc_id, unnest(gs) AS hg FROM g8)
+                WHERE hg IN (SELECT hg FROM bench)),
+        s4 AS (SELECT * FROM s3
+               WHERE doc_id % 20 <> 0
+                 AND doc_id NOT IN (SELECT doc_id FROM bad)),
+        cnt AS (
+          SELECT doc_id, lang AS shard, len($DUCK_TOKENS)::BIGINT AS n_tokens,
+                 floor(wt)::BIGINT +
+                 CASE WHEN ('0x' || substr(md5('mix|' || doc_id), 1, 8))::BIGINT
+                           / 4294967296.0 < wt - floor(wt)
+                      THEN 1 ELSE 0 END AS n
+          FROM (SELECT *, CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 0.5
+                                    WHEN 'es' THEN 1.0 WHEN 'fr' THEN 2.0
+                                    WHEN 'zh' THEN 0.25 ELSE 0.0 END AS wt
+                FROM s4)),
+        sam AS (SELECT doc_id, shard, n_tokens,
+                       unnest(range(1, n + 1))::BIGINT AS copy
+                FROM cnt WHERE n > 0)
+        SELECT doc_id, shard, copy, n_tokens,
+               (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_tok,
+               (sum(n_tokens) OVER w - n_tokens)::BIGINT // 256 AS chunk
+        FROM sam
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id, copy
+                     ROWS UNBOUNDED PRECEDING)""")),
+
     // Frame sampling over decoded audio (every 4th frame of 256 samples),
     // sample_rate carried onto each frame row.
     "q41_frame_sample" -> Q(
