@@ -209,6 +209,35 @@ object Similarity {
     cents
   }
 
+  /** Persist a centroid matrix as parquet rows (c, i, x). Parquet doubles
+    * are raw IEEE-754 bits, so save→load reproduces the matrix EXACTLY —
+    * which matters because the index and every probe must assign against
+    * the same quantizer: a centroid off by one ulp can flip an argmax and
+    * silently degrade recall. (JSON was rejected for exactly that reason:
+    * textual doubles round-trip only with care; parquet needs none.)
+    */
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Double]],
+                    path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (v, c) <- cents.zipWithIndex.toSeq
+      (x, i) <- v.zipWithIndex
+    } yield (c, i, x)
+    // O(C·dims) rows — one file, written from the driver's literal matrix
+    spark.createDataset(rows).toDF("c", "i", "x")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveCentroids]] matrix (bit-exact; see save doc). */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path).select("c", "i", "x").collect()
+    require(rows.nonEmpty, s"no centroid rows at $path")
+    val out = Array.fill(rows.iterator.map(_.getInt(0)).max + 1)(
+      new Array[Double](rows.iterator.map(_.getInt(1)).max + 1))
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
   /** Cell populations for a centroid matrix — the balance diagnostic. */
   def cellHistogram(vectors: DataFrame, idCol: String, vecCol: String,
                     cents: Array[Array[Double]]): Map[Int, Long] =
@@ -219,13 +248,23 @@ object Similarity {
   /** IVF top-k against an explicit centroid matrix (seeded or trained). */
   def ivfTopKWith(vectors: DataFrame, idCol: String, vecCol: String,
                   cents: Array[Array[Double]], nprobe: Int, k: Int,
-                  queryPred: Column): DataFrame = {
-    val sp = vectors.sparkSession
+                  queryPred: Column): DataFrame =
     // per-row matvec cosines + argmax (lowest-cell tie-break via
     // array_position on identical double bits); materialized ONCE — the
     // IVF index build, see scaladoc
-    val index = assignCells(vectors, idCol, vecCol, cents).localCheckpoint(true)
+    ivfProbe(assignCells(vectors, idCol, vecCol, cents).localCheckpoint(true),
+      nprobe, k, queryPred)
 
+  /** Probe an ALREADY-BUILT IVF index frame (vec_id, v, vn, ccos, cell) —
+    * the read side of the build-once/probe-many lifecycle: pass the frame
+    * reopened from a persisted cell-bucketed table (`tools.IvfBuild`) and
+    * query time pays ZERO assignment work; the cell equi-join consumes the
+    * table's bucketing with no index-side exchange. SimilaritySpec asserts
+    * a reopened index answers identically to a freshly-built one.
+    */
+  def ivfProbe(index: DataFrame, nprobe: Int, k: Int,
+               queryPred: Column): DataFrame = {
+    val sp = index.sparkSession
     // probe list: each query's nprobe best cells (window over queries × C
     // rows only — the assignment itself never sees a window or a join)
     val q = index.filter(queryPred)

@@ -145,6 +145,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF lifecycle: centroids round-trip bit-exact, reopened index answers probes identically") {
+    import graft.tools.IvfBuild
+    val emb = Tables.embeddings(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // BUILD: train 1 Lloyd pass, persist centroids + cell-bucketed index
+    val trained = IvfBuild.build(spark, dir, out, centroids = 16,
+      iterations = 1, buckets = 8)
+    // (a) the persisted matrix reloads BIT-exact — one flipped ulp in a
+    // centroid can flip an argmax assignment and silently degrade recall
+    val reloaded = Similarity.loadCentroids(spark, s"$out/centroids.parquet")
+    assert(reloaded.length === trained.length)
+    assert(reloaded.zip(trained).forall { case (a, b) =>
+      a.length == b.length &&
+        a.zip(b).forall { case (x, y) =>
+          java.lang.Double.doubleToRawLongBits(x) ==
+            java.lang.Double.doubleToRawLongBits(y) } },
+      "reloaded centroid matrix differs from the trained one")
+    // (b) a FRESH session's view: drop the catalog entry, re-register the
+    // files via the bucketed DDL, and probe — answers must be identical to
+    // building the index from scratch with the same quantizer
+    val reopened = IvfBuild.openIndex(spark, out, buckets = 8)
+    val fresh = Similarity.ivfTopKWith(emb, "vec_id", "embedding", reloaded,
+      nprobe = 2, k = 3, queryPred = pred)
+    val served = Similarity.ivfProbe(reopened, nprobe = 2, k = 3, queryPred = pred)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val (f, s) = (key(fresh), key(served))
+    assert(f === s, s"reopened-index probe diverged: ${(f diff s) ++ (s diff f)}")
+    assert(f.nonEmpty, "probe returned no rows — vacuous comparison")
+    // (c) the reopened table still bucket-prunes a probe's cell filter
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val plan = reopened.filter(col("cell").isin(1, 5))
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"reopened index lost bucket pruning:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql(s"DROP TABLE IF EXISTS ${IvfBuild.TableName}")
+    }
+  }
+
   test("raising nprobe monotonically recovers brute-force recall") {
     val emb = Tables.embeddings(spark, dir)
     val rs = Seq(1, 4, 16).map { np =>
