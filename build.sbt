@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses ONE bare JSON line from `runMain graft.Bench`
+// stdout. With fork:=true sbt's default outputStrategy is LoggedOutput,
+// which prefixes every forked-stdout line with "[info] " — that prefix is
+// what made BENCH_r01..r05 unparseable ("parsed": null every round).
+// StdoutOutput passes the forked process's stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
+// ...and keep sbt's own "[success] Total time" trailer off stdout so the
+// bench summary stays the LAST stdout line.
+Global / showSuccess := false
+Global / showTiming := false
+// consumed by the command loop, not by tasks — lintUnused can't see that
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

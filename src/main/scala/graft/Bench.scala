@@ -21,15 +21,20 @@ import org.apache.spark.sql.SparkSession
   *    show — in the repeats list, where they belong, instead of being
   *    conflated with steady-state throughput.
   *
-  * Output contract (r05): stdout carries ONLY the bounded summary line
+  * Output contract (r06): stdout carries ONLY the bounded summary line
   * (total + best-of per query + errors), printed as the LAST thing
-  * before exit. The driver keeps just the final ~2000 chars of stdout,
-  * so anything printed after the summary — or any long line sharing
-  * stdout with it — evicts it from the capture window: r03 put repeats
-  * and summary on one line (truncated), r04 printed summary FIRST and
-  * the repeats line pushed it out (`"parsed": null` both rounds). The
-  * full record (summary + per-repeat times) goes to stderr and to
-  * `target/bench.json`, where length doesn't matter.
+  * before exit — even if spark.stop() throws. The driver keeps just the
+  * final ~2000 chars of stdout, so anything printed after the summary —
+  * or any long line sharing stdout with it — evicts it from the capture
+  * window: r03 put repeats and summary on one line (truncated), r04
+  * printed summary FIRST and the repeats line pushed it out. The OTHER
+  * half of the contract lives in build.sbt: with fork:=true, sbt's
+  * default LoggedOutput prefixes every forked-stdout line with
+  * "[info] ", which kept the line unparseable through r05 —
+  * `run / outputStrategy := StdoutOutput` + showSuccess/showTiming off
+  * make the summary a BARE final line. The full record (summary +
+  * per-repeat times) goes to stderr and to `target/bench.json`, where
+  * length doesn't matter.
   *
   * Env knobs (local iteration / diagnostics, unset in driver runs):
   *  - SPARK_GRAFT_BENCH_ONLY=q33,q34  run only the named queries
@@ -118,9 +123,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
-    spark.stop()
     // summary LAST, alone on stdout: spark.stop() can emit shutdown noise,
-    // so even that runs before the one line the driver must see
-    println(summary)
+    // so even that runs before the one line the driver must see — but a
+    // throwing stop() must not take the summary down with it (finally)
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    } finally println(summary)
   }
 }

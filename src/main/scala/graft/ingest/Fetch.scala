@@ -68,4 +68,45 @@ object Fetch {
     if (resp.statusCode() == 200) Some(dest)
     else { Files.deleteIfExists(dest); None }
   }
+
+  /** Bounded-parallel staged download of a WORK LIST — the batch shape the
+    * reference runs one URL at a time in a driver loop
+    * (ECCC_hourly.py:79-113, per-(station,hour)); at 931 stations × 24 h a
+    * sequential backfill is latency-bound, ~threads× slower than the pool.
+    *
+    *  - `parallelism` bounds in-flight requests — a POLITENESS cap on the
+    *    third-party endpoint as much as a throughput knob;
+    *  - results keep INPUT order (url → Option[Path]) regardless of
+    *    completion order, so downstream bookkeeping is deterministic;
+    *  - a fetch that THROWS (DNS, refused connection) degrades to None for
+    *    that url — the reference's tolerant skip-on-bad-status, extended
+    *    to transport errors: one dead endpoint must not sink a backfill;
+    *  - `fetchOne` is injectable (same seam as `toStaging`'s client) so
+    *    specs drive the pool against a fake with no sockets.
+    *
+    * Driver-side by design: staged files must land on ONE filesystem the
+    * subsequent `spark.read` can list. Distributing fetches over executors
+    * (via the pendingWork frame) only helps when staging is shared storage
+    * — on executor-local disks the listing breaks; with shared storage the
+    * same `fetchOne` seam can ride `mapPartitions` unchanged.
+    */
+  def fetchAll(urls: Seq[String], stagingDir: String, parallelism: Int = 8,
+               fetchOne: (String, String) => Option[Path] =
+                 toStaging(_, _)): Seq[(String, Option[Path])] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futures = urls.map { u =>
+        pool.submit(new java.util.concurrent.Callable[Option[Path]] {
+          def call(): Option[Path] =
+            try fetchOne(u, stagingDir)
+            catch { case e: Exception =>
+              System.err.println(s"[fetch] $u failed: ${e.getMessage}")
+              None
+            }
+        })
+      }
+      urls.zip(futures.map(_.get()))
+    } finally pool.shutdown()
+  }
 }

@@ -728,8 +728,13 @@ object TextSim extends QueryPack {
           .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
         val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
         // 4. decontamination: drop benchmark docs (doc_id % 20 = 0) and any
-        //    survivor sharing an 8-token gram with them; the bench gram set
-        //    is bounded by the fixed benchmark corpus, so it BROADCASTS
+        //    survivor sharing an 8-token gram with them. The broadcast is
+        //    justified by the PRODUCTION shape — a benchmark suite is fixed
+        //    external data, O(MBs), while the corpus scales — but note the
+        //    SYNTHETIC stand-in (doc_id % 20) is 5% of the corpus and so
+        //    grows with SF; above gate SFs this side would need the same
+        //    size-threshold fallback to a shuffle join that q50 documents
+        //    (PLANS.md q61 audit)
         def grams8(df: org.apache.spark.sql.DataFrame) =
           TextOps.wordShingleRows(df, "doc_id", "text", 8)
             .select(col("id"),

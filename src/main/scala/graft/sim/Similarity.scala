@@ -228,13 +228,28 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Reload a [[saveCentroids]] matrix (bit-exact; see save doc). */
+  /** Reload a [[saveCentroids]] matrix (bit-exact; see save doc).
+    * A partial/corrupt file must fail HERE, loudly: silently zero-filling
+    * missing (c, i) cells would hand back a wrong quantizer, and a wrong
+    * quantizer doesn't crash — it just degrades recall, the exact failure
+    * mode the bit-exactness contract exists to prevent.
+    */
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
     val rows = spark.read.parquet(path).select("c", "i", "x").collect()
     require(rows.nonEmpty, s"no centroid rows at $path")
-    val out = Array.fill(rows.iterator.map(_.getInt(0)).max + 1)(
-      new Array[Double](rows.iterator.map(_.getInt(1)).max + 1))
-    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val nC = rows.iterator.map(_.getInt(0)).max + 1
+    val nI = rows.iterator.map(_.getInt(1)).max + 1
+    require(rows.length == nC * nI,
+      s"centroid file $path is sparse/partial: ${rows.length} rows for a " +
+        s"$nC x $nI matrix (expected ${nC * nI})")
+    val seen = new java.util.BitSet(nC * nI)
+    val out = Array.fill(nC)(new Array[Double](nI))
+    rows.foreach { r =>
+      val (c, i) = (r.getInt(0), r.getInt(1))
+      require(!seen.get(c * nI + i), s"duplicate centroid cell ($c,$i) at $path")
+      seen.set(c * nI + i)
+      out(c)(i) = r.getDouble(2)
+    }
     out
   }
 

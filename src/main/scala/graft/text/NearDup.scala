@@ -139,6 +139,19 @@ object NearDup {
     * pair list is already LSH-thinned, so each round is a small join. The
     * driver loop only checks a scalar convergence count per round.
     */
+  /** The block-backed RDD behind a localCheckpoint'd frame, if any.
+    * `Dataset.unpersist` only clears CacheManager entries — checkpoint
+    * blocks are RDD-level persists, reachable only through the plan's
+    * `LogicalRDD` leaf. Freeing superseded rounds matters for REPEATED
+    * invocations in one session: without it every call leaks
+    * edges + one block set per round into the BlockManager, and the
+    * accumulated pressure made q61's bench repeats grow 6.7 → 11.7 s.
+    */
+  private def checkpointRdd(df: DataFrame) = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+    case _ => None
+  }
+
   def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
     // localCheckpoint (eager): truncates the logical plan, not just the
     // computation. persist() alone is NOT enough for iterative algorithms
@@ -193,12 +206,20 @@ object NearDup {
         .localCheckpoint(false)
       prevSum = curSum
       curSum = labelSum(updated)
+      // the sum action above materialized `updated`'s blocks; the
+      // PREVIOUS round's checkpoint (referenced by `updated`'s plan until
+      // now) is dead — free it before it piles up across rounds/calls
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = updated
       rounds += 1
       if (sys.env.contains("GRAFT_DEBUG_CLUSTER"))
         System.err.println(f"[cluster] round=$rounds sum=$curSum " +
           f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // edges fed their last join; only the FINAL label blocks must outlive
+    // this call (they back the returned frame — ContextCleaner reclaims
+    // them once the caller drops the reference)
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
     labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
   }
 

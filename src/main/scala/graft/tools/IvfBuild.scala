@@ -33,7 +33,17 @@ import graft.sim.Similarity
   */
 object IvfBuild {
 
-  val TableName = "graft_ivf_index"
+  /** Catalog name for the index at `outDir` — derived from the path so two
+    * indexes built/opened in one session (or one metastore) register as
+    * DISTINCT tables instead of the second `DROP TABLE IF EXISTS`
+    * clobbering the first's registration. Sanitized chars keep it a legal
+    * identifier; the hash disambiguates paths that sanitize identically.
+    */
+  def tableName(outDir: String): String = {
+    val slug = outDir.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "").takeRight(40).toLowerCase
+    f"graft_ivf_${slug}_${outDir.hashCode & 0x7fffffff}%x"
+  }
 
   /** Train + persist centroids and the cell-bucketed index table.
     * Returns the trained matrix (the spec asserts round-trip fidelity).
@@ -46,11 +56,12 @@ object IvfBuild {
     val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
       dims, centroids, iterations)
     Similarity.saveCentroids(spark, cents, s"$outDir/centroids.parquet")
-    spark.sql(s"DROP TABLE IF EXISTS $TableName")
+    val table = tableName(outDir)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
     Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
       .write.bucketBy(buckets, "cell").sortBy("cell")
       .option("path", s"$outDir/index")
-      .format("parquet").mode("overwrite").saveAsTable(TableName)
+      .format("parquet").mode("overwrite").saveAsTable(table)
     cents
   }
 
@@ -60,15 +71,16 @@ object IvfBuild {
     */
   def openIndex(spark: SparkSession, outDir: String,
                 buckets: Int = 8): DataFrame = {
-    spark.sql(s"DROP TABLE IF EXISTS $TableName")
+    val table = tableName(outDir)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"""
-      CREATE TABLE $TableName
+      CREATE TABLE $table
         (vec_id BIGINT, v ARRAY<DOUBLE>, vn DOUBLE,
          ccos ARRAY<DOUBLE>, cell INT)
       USING parquet
       CLUSTERED BY (cell) SORTED BY (cell) INTO $buckets BUCKETS
       LOCATION '$outDir/index'""")
-    spark.table(TableName)
+    spark.table(table)
   }
 
   def main(args: Array[String]): Unit = {

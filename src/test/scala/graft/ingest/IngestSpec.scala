@@ -124,4 +124,37 @@ class IngestSpec extends SparkSpec {
     assert(url2.contains("startDT=2024-02-28") && url2.contains("sites=07000001"))
     intercept[IllegalArgumentException] { Fetch.nwisIvUrl(Seq.empty, now) }
   }
+
+  test("pooled fetch: bounded concurrency, input order kept, errors -> None") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val inFlight = new AtomicInteger(0)
+    val maxInFlight = new AtomicInteger(0)
+    // fake fetcher: no sockets; later-submitted urls FINISH FIRST (sleep
+    // inversely proportional to index) so ordered output proves the pool
+    // reorders results by input, not completion; url "...bad" throws
+    val urls = (1 to 12).map(i => s"http://x/f$i") :+ "http://x/bad"
+    val fake = (u: String, dir: String) => {
+      val cur = inFlight.incrementAndGet()
+      maxInFlight.getAndUpdate(m => math.max(m, cur))
+      try {
+        if (u.endsWith("bad")) sys.error("connection refused")
+        Thread.sleep(if (u.endsWith("f1")) 80L else 5L)
+        Some(java.nio.file.Paths.get(dir, u.split("/").last))
+      } finally inFlight.decrementAndGet()
+    }
+    val out = Fetch.fetchAll(urls, "/tmp/stage", parallelism = 4, fetchOne = fake)
+    assert(out.map(_._1) === urls, "results must keep input order")
+    assert(out.last._2.isEmpty, "a throwing fetch must degrade to None")
+    assert(out.init.forall(_._2.nonEmpty))
+    assert(out.head._2.get.getFileName.toString === "f1")
+    assert(maxInFlight.get() <= 4, s"pool exceeded its bound: ${maxInFlight.get()}")
+    assert(maxInFlight.get() >= 2, "fetches never overlapped — pool is sequential")
+    // parallelism=1 degrades to the reference's sequential loop, same results
+    val seq1 = Fetch.fetchAll(urls, "/tmp/stage", parallelism = 1, fetchOne = fake)
+    assert(seq1.map(t => t._1 -> t._2.map(_.toString)) ===
+      out.map(t => t._1 -> t._2.map(_.toString)))
+    intercept[IllegalArgumentException] {
+      Fetch.fetchAll(urls, "/tmp/stage", parallelism = 0, fetchOne = fake)
+    }
+  }
 }

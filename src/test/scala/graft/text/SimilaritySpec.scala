@@ -184,7 +184,7 @@ class SimilaritySpec extends SparkSpec {
         s"reopened index lost bucket pruning:\n$plan")
     } finally {
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
-      spark.sql(s"DROP TABLE IF EXISTS ${IvfBuild.TableName}")
+      spark.sql(s"DROP TABLE IF EXISTS ${IvfBuild.tableName(out)}")
     }
   }
 
