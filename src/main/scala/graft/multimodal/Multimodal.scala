@@ -106,6 +106,56 @@ object Multimodal {
       }
   }
 
+  /** One decoded VIDEO frame: geometry + rate from the stream header,
+    * mean luma from that frame's full Y-plane walk.
+    */
+  case class VideoFrame(doc_id: Long, width: Int, height: Int, fps_num: Int,
+                        n_frames: Long, frame_idx: Long, mean_y: Double)
+
+  /** Deterministic Y4M payload for a document: even 4:2:0 geometry from
+    * the text's byte length, 2-5 frames and the fps from the doc id, and
+    * each frame's luma a per-frame-based gradient
+    * `Y(f,x,y) = (id*31 + f*7) % 200 + x + y` (bounded dims keep it
+    * < 256). Both even dims make the per-frame mean the INTEGER
+    * `base + (w+h-2)/2` — exact in both engines, so the oracle checks the
+    * decoder's full plane walk in closed form.
+    */
+  def y4mFixture(id: Long, text: String): Array[Byte] = {
+    val L = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    val w = (L % 8 + 2) * 2 // 4..18, even
+    val h = (L % 5 + 2) * 2 // 4..12, even  → max luma 199+16+10 < 256
+    Y4m.encode(w, h, fpsNum = 24 + (id % 2).toInt, fpsDen = 1,
+      nFrames = (id % 4 + 2).toInt,
+      luma = (f, x, y) => ((id * 31 + f * 7) % 200).toInt + x + y)
+  }
+
+  /** Video fixture corpus: every document carries a Y4M payload. */
+  def videoFixtures(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRow(id, "video", y4mFixture(id, text)) }
+  }
+
+  /** Per-FRAME feature extraction for video payloads: one decode per row
+    * (full stream walk), one output row per frame — the flatMap shape a
+    * real frame extractor has, still shuffle-free inside the scan stage.
+    */
+  def videoFrameStats(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media_type").cast("string"),
+        col("payload").cast("binary")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          require(r.media_type == "video", s"not a video row: ${r.media_type}")
+          val v = Y4m.decode(r.payload)
+          v.frameMeanY.iterator.zipWithIndex.map { case (m, f) =>
+            VideoFrame(r.doc_id, v.width, v.height, v.fpsNum,
+              v.nFrames.toLong, f.toLong, m)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: every `stride`-th frame index of each media row —
     * explode produces the (doc, frame) work-list a real frame extractor
     * would map over. `carry` names feature columns to keep on each frame

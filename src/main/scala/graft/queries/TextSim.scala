@@ -838,6 +838,38 @@ object TextSim extends QueryPack {
           FROM p)
         SELECT doc_id, 'audio' AS media_type, sample_rate,
                unnest(range(0, n_frames, 4))::BIGINT AS frame_idx
-        FROM f"""))
+        FROM f""")),
+
+    // VIDEO frame sampling through the real Y4M stream walker (third
+    // modality): decode every frame's luma plane, keep every 2nd frame.
+    // Unlike q41 (frame INDICES over audio), the sampled rows here carry a
+    // per-frame DECODED feature (mean_y), so a wrong plane stride, marker
+    // scan, or frame offset in the walker hash-fails against the closed
+    // form. Whole pipeline is scan-stage flatMap — no shuffle.
+    "q62_video_frames" -> Q(
+      (s, d) => {
+        val stats = Multimodal.videoFrameStats(s,
+          Multimodal.videoFixtures(s, Tables.documents(s, d)).toDF()).toDF()
+        stats.filter(col("frame_idx") % 2 === 0)
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS L
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 ((L % 8 + 2) * 2)::INT AS width,
+                 ((L % 5 + 2) * 2)::INT AS height,
+                 (24 + doc_id % 2)::INT AS fps_num,
+                 (doc_id % 4 + 2)::BIGINT AS n_frames
+          FROM p),
+        fr AS (
+          SELECT doc_id, width, height, fps_num, n_frames,
+                 unnest(range(0, n_frames, 2))::BIGINT AS frame_idx
+          FROM g)
+        SELECT doc_id, width, height, fps_num, n_frames, frame_idx,
+               ((doc_id * 31 + frame_idx * 7) % 200
+                + (width + height - 2) // 2)::DOUBLE AS mean_y
+        FROM fr"""))
   )
 }

@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.NearDup
+
+/** Offline TEXT-corpus dedup-index lifecycle — the [[IvfBuild]] of the
+  * MinHash world: build the [[NearDup.CorpusIndex]] ONCE per corpus
+  * version, persist its three frames as bucketed tables, and serve every
+  * ingest tick's `incrementalDedupIndexed` from the reopened tables.
+  *
+  *  - `bands` bucketed by `band_hash`: the candidate probe join consumes
+  *    the table's hash distribution with NO exchange on the corpus side
+  *    (only the batch shuffles into the bucket layout), and an equality
+  *    probe bucket-prunes at scan time — both plan properties are
+  *    asserted in TextSpec on exactly this table shape;
+  *  - `hashes` bucketed by `ch`: the exact-dup md5 join gets the same
+  *    corpus-side-stationary treatment;
+  *  - `sets` bucketed by `id`: the signature join-back for verified
+  *    candidates keys on the corpus id.
+  *
+  * Cost model (PLANS.md): the build pays one corpus signature scan plus
+  * three bucketed writes, amortized over every subsequent tick; a tick
+  * then pays batch-side scans plus bucket-pruned index probes — nothing
+  * corpus-sized is recomputed or re-shuffled per tick. Catalog names
+  * derive from `outDir` (two indexes in one metastore must not clobber
+  * each other — the IvfBuild lesson).
+  *
+  * Usage:
+  *   runMain graft.tools.CorpusBuild build <sfDir> <outDir> [k=16] [bands=8] [buckets=8]
+  *   runMain graft.tools.CorpusBuild probe <sfDir> <outDir> [buckets=8]
+  */
+object CorpusBuild {
+
+  private def tableName(outDir: String, part: String): String = {
+    val slug = outDir.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "").takeRight(40).toLowerCase
+    f"graft_corpus_${part}_${slug}_${outDir.hashCode & 0x7fffffff}%x"
+  }
+
+  /** Build the corpus index over `corpus` and persist all three frames as
+    * bucketed external tables under `outDir`.
+    */
+  def build(spark: SparkSession, corpus: DataFrame, outDir: String,
+            k: Int = 16, bands: Int = 8, buckets: Int = 8): Unit = {
+    val idx = NearDup.corpusIndex(corpus, "doc_id", "text", k, bands)
+    def write(df: DataFrame, part: String, bucketCol: String): Unit = {
+      val table = tableName(outDir, part)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .option("path", s"$outDir/$part")
+        .format("parquet").mode("overwrite").saveAsTable(table)
+    }
+    write(idx.bands, "bands", "band_hash")
+    write(idx.sets, "sets", "id")
+    write(idx.hashes, "hashes", "ch")
+  }
+
+  /** Re-register the persisted files as external bucketed tables (the
+    * bucket spec lives in the catalog DDL, not the parquet footers — same
+    * reopening rule as [[IvfBuild.openIndex]]) and return the index ready
+    * for [[NearDup.incrementalDedupIndexed]]. Safe in a fresh session.
+    */
+  def openIndex(spark: SparkSession, outDir: String,
+                buckets: Int = 8): NearDup.CorpusIndex = {
+    def reopen(part: String, schema: String, bucketCol: String): DataFrame = {
+      val table = tableName(outDir, part)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"""
+        CREATE TABLE $table ($schema)
+        USING parquet
+        CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+        LOCATION '$outDir/$part'""")
+      spark.table(table)
+    }
+    NearDup.CorpusIndex(
+      bands = reopen("bands", "id BIGINT, band_hash STRING", "band_hash"),
+      sets = reopen("sets", "id BIGINT, sh ARRAY<BIGINT>", "id"),
+      hashes = reopen("hashes", "id BIGINT, ch STRING", "ch"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: CorpusBuild build|probe <sfDir> <outDir> ...")
+    val (mode, sfDir, outDir) = (args(0), args(1), args(2))
+    def arg(i: Int, dflt: Int) = if (args.length > i) args(i).toInt else dflt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the tool's demo split: corpus = 80% of documents, batch = the rest
+    val docs = Tables.documents(spark, sfDir)
+    mode match {
+      case "build" =>
+        val t0 = System.nanoTime()
+        build(spark, docs.filter(col("doc_id") % 5 =!= 0), outDir,
+          k = arg(3, 16), bands = arg(4, 8), buckets = arg(5, 8))
+        println(f"[corpus] built bands/sets/hashes bucketed index at $outDir " +
+          f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "probe" =>
+        val t0 = System.nanoTime()
+        val idx = openIndex(spark, outDir, buckets = arg(3, 8))
+        val verdicts = NearDup.incrementalDedupIndexed(idx,
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+          .groupBy("verdict").count().orderBy("verdict").collect()
+        println(f"[corpus] tick verdicts from the reopened index in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s: " +
+          verdicts.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
+      case other => sys.error(s"unknown mode $other (build|probe)")
+    }
+    spark.stop()
+  }
+}

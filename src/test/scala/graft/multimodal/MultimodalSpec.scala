@@ -123,6 +123,67 @@ class MultimodalSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Wav.decode(withExtra(fmt2)))
   }
 
+  test("Y4m round-trip: header parse, per-frame marker scan, luma means") {
+    // 3 frames, 6x4 C420, gradient base 10*f: mean = 10f + (6+4-2)/2 = 10f+4
+    val b = Y4m.encode(6, 4, 30, 1, 3, (f, x, y) => 10 * f + x + y)
+    val v = Y4m.decode(b)
+    assert(v.width === 6 && v.height === 4 && v.fpsNum === 30 && v.fpsDen === 1)
+    assert(v.nFrames === 3)
+    assert(v.frameMeanY.toSeq === Seq(4.0, 14.0, 24.0))
+    // zero frames is a legal stream
+    assert(Y4m.decode(Y4m.encode(4, 4, 24, 1, 0, (_, _, _) => 0)).nFrames === 0)
+  }
+
+  test("Y4m decode survives variable-length FRAME params (no fixed offsets)") {
+    // splice extra X params into the STREAM header and widen one FRAME
+    // marker — a decoder assuming fixed marker widths misreads the planes
+    val b = Y4m.encode(4, 4, 24, 1, 2, (f, _, _) => 100 + f)
+    val s = new String(b.map(_.toChar))
+    val hEnd = s.indexOf('\n')
+    val widened = (s.substring(0, hEnd) + " Xconverter=graft Ip" +
+      s.substring(hEnd)).replaceFirst("FRAME Xseq=0", "FRAME Xseq=0 Xtag=zz")
+    val v = Y4m.decode(widened.toCharArray.map(_.toByte))
+    assert(v.nFrames === 2 && v.frameMeanY.toSeq === Seq(100.0, 101.0))
+  }
+
+  test("Y4m rejects malformed streams instead of guessing") {
+    val good = Y4m.encode(4, 4, 24, 1, 2, (_, _, _) => 7)
+    def str(b: Array[Byte]) = new String(b.map(_.toChar))
+    def bytes(s: String) = s.toCharArray.map(_.toByte)
+    assertThrows[IllegalArgumentException](Y4m.decode(bytes(
+      str(good).replace("YUV4MPEG2", "YUV4MPEG3")))) // bad magic
+    assertThrows[IllegalArgumentException](Y4m.decode(bytes(
+      str(good).replace("C420", "C444")))) // foreign plane geometry
+    assertThrows[IllegalArgumentException](Y4m.decode(bytes(
+      str(good).replace("W4", "W5")))) // odd width for 4:2:0
+    assertThrows[IllegalArgumentException](Y4m.decode(good.dropRight(1))) // short frame
+    assertThrows[IllegalArgumentException](Y4m.decode(good ++ Array[Byte](0))) // trailing
+    assertThrows[IllegalArgumentException](Y4m.decode(bytes(
+      str(good).replace("F24:1", "F24")))) // malformed rate
+    assertThrows[IllegalArgumentException](Y4m.decode(good.take(3))) // no newline
+    // frame marker corrupted mid-stream
+    val s2 = str(good).replaceFirst("FRAME Xseq=1", "FRAMX Xseq=1")
+    assertThrows[IllegalArgumentException](Y4m.decode(bytes(s2)))
+  }
+
+  test("videoFrameStats emits one decoded row per frame") {
+    import spark.implicits._
+    val docs = Seq((2L, "abcde"), (3L, "ab")).toDF("doc_id", "text")
+    val out = Multimodal.videoFrameStats(spark,
+      Multimodal.videoFixtures(spark, docs).toDF())
+      .collect().sortBy(r => (r.doc_id, r.frame_idx))
+    // id=2: L=5 → w=(5%8+2)*2=14, h=(5%5+2)*2=4; frames=2%4+2=4; fps=24
+    val d2 = out.filter(_.doc_id == 2L)
+    assert(d2.length === 4 && d2.head.width === 14 && d2.head.height === 4)
+    assert(d2.head.fps_num === 24 && d2.forall(_.n_frames === 4L))
+    // mean = (2*31 + 7f) % 200 + (14+4-2)/2 = (62+7f)%200 + 8
+    assert(d2.map(_.mean_y).toSeq === Seq(70.0, 77.0, 84.0, 91.0))
+    // id=3: L=2 → w=8, h=8; frames=3%4+2=5; fps=25; mean=(93+7f)%200+7
+    val d3 = out.filter(_.doc_id == 3L)
+    assert(d3.length === 5 && d3.head.width === 8 && d3.head.fps_num === 25)
+    assert(d3.map(_.mean_y).toSeq === Seq(100.0, 107.0, 114.0, 121.0, 128.0))
+  }
+
   // ---- Spark operator ------------------------------------------------
 
   test("extractFeatures dispatches per media_type over real payloads") {

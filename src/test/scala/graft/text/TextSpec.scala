@@ -304,6 +304,36 @@ class TextSpec extends SparkSpec {
     } finally tbls.foreach { case (n, _) => spark.sql(s"DROP TABLE IF EXISTS $n") }
   }
 
+  test("CorpusBuild tool: build-once/probe-many round-trip matches the direct path") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    graft.tools.CorpusBuild.build(spark, corpus, out)
+    val reopened = graft.tools.CorpusBuild.openIndex(spark, out)
+    // (a) the reopened index answers a tick EXACTLY like the direct path
+    val direct = NearDup.incrementalDedup(corpus, batch, "doc_id", "text",
+        minJaccard = 0.5)
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+    val served = NearDup.incrementalDedupIndexed(reopened, batch,
+        "doc_id", "text", minJaccard = 0.5)
+      .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+    assert(served === direct)
+    assert(direct.exists(_._2 == "near"), "fixture should exercise the near path")
+    // (b) the reopened band table still bucket-prunes an equality probe
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = reopened.bands.select(col("band_hash")).head().getString(0)
+      val plan = reopened.bands.filter(col("band_hash") === probe)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"reopened band index lost bucket pruning:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
   test("incrementalDedup: exact beats near, near picks best corpus match, rest are new") {
     import spark.implicits._
     val corpus = Seq(
