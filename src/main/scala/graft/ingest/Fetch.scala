@@ -91,12 +91,22 @@ object Fetch {
     * same `fetchOne` seam can ride `mapPartitions` unchanged.
     */
   def fetchAll(urls: Seq[String], stagingDir: String, parallelism: Int = 8,
-               fetchOne: (String, String) => Option[Path] =
-                 toStaging(_, _)): Seq[(String, Option[Path])] = {
+               fetchOne: (String, String) => Option[Path] = {
+                 // ONE client for the whole work list (a per-URL
+                 // HttpClient.newHttpClient() would spawn a selector
+                 // thread + pool per request — 22k of them on the
+                 // motivating backfill); jdk.httpclient threads are
+                 // daemon, so the client is GC-reclaimed after the call
+                 val client = HttpClient.newHttpClient()
+                 toStaging(_, _, client)
+               }): Seq[(String, Option[Path])] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    // force strictness: a lazy Seq (LazyList) would defer submission past
+    // pool.shutdown() and throw RejectedExecutionException at first use
+    val work = urls.toVector
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     try {
-      val futures = urls.map { u =>
+      val futures = work.map { u =>
         pool.submit(new java.util.concurrent.Callable[Option[Path]] {
           def call(): Option[Path] =
             try fetchOne(u, stagingDir)
@@ -106,7 +116,7 @@ object Fetch {
             }
         })
       }
-      urls.zip(futures.map(_.get()))
+      work.zip(futures.map(_.get()))
     } finally pool.shutdown()
   }
 }

@@ -99,6 +99,18 @@ object Multimodal {
               MediaFeatures(r.doc_id, r.media_type, n, 0, 0, 0, 0.0,
                 a.sampleRate, a.nSamples, a.peak,
                 n_frames = (a.nSamples + AudioFrameSamples - 1) / AudioFrameSamples)
+            case "video" =>
+              // the third modality rides the SAME dispatcher (a mixed
+              // corpus must not crash on video rows): geometry + frame
+              // count from the header walk, mean_gray = frame 0's mean
+              // luma, bpp = 12 (4:2:0 bits per pixel). Per-frame features
+              // are videoFrameStats' job.
+              val v = Y4m.decode(r.payload)
+              MediaFeatures(r.doc_id, r.media_type, n, v.width, v.height,
+                bpp = 12,
+                mean_gray = if (v.nFrames > 0) v.frameMeanY(0) else 0.0,
+                sample_rate = 0, n_samples = 0L, peak = 0,
+                n_frames = v.nFrames.toLong)
             case other =>
               throw new IllegalArgumentException(s"unknown media_type '$other'")
           }

@@ -103,6 +103,10 @@ object Y4m {
       }
     }
     if (w <= 0 || h <= 0) fail("missing W/H")
+    // bound BEFORE multiplying: crafted huge dims (e.g. W262144 H65536)
+    // would wrap w*h to 0 in Int, skip the plane walk, and "decode" to
+    // NaN features — the plausible-but-wrong outcome this codec rejects
+    if (w > 32768 || h > 32768) fail(s"implausible dims ${w}x$h (max 32768)")
     if (w % 2 != 0 || h % 2 != 0) fail(s"C420 needs even dims, got ${w}x$h")
     if (fn <= 0 || fd <= 0) fail("missing/invalid F rate")
     val lumaLen = w * h

@@ -29,18 +29,31 @@ import graft.text.NearDup
   *
   * Usage:
   *   runMain graft.tools.CorpusBuild build <sfDir> <outDir> [k=16] [bands=8] [buckets=8]
-  *   runMain graft.tools.CorpusBuild probe <sfDir> <outDir> [buckets=8]
+  *   runMain graft.tools.CorpusBuild probe <sfDir> <outDir>
+  *     (probe takes NO signature params — k/bands/buckets are part of the
+  *     persisted artifact; see [[IndexMeta]])
   */
 object CorpusBuild {
 
-  private def tableName(outDir: String, part: String): String = {
-    val slug = outDir.replaceAll("[^A-Za-z0-9]+", "_")
-      .replaceAll("^_+|_+$", "").takeRight(40).toLowerCase
-    f"graft_corpus_${part}_${slug}_${outDir.hashCode & 0x7fffffff}%x"
-  }
+  private def tableName(outDir: String, part: String): String =
+    Catalog.pathTable(s"graft_corpus_$part", outDir)
+
+  /** The signature parameters an index was built with. Persisted WITH the
+    * index and read back at open time: probing with a different k or
+    * bands than the build is not an error Spark can see — the band hashes
+    * simply never collide, the candidate join comes back empty, and every
+    * near-dup is silently reported 'new'. The params are part of the
+    * artifact, exactly like IvfBuild's persisted quantizer.
+    */
+  final case class IndexMeta(k: Int, bands: Int, buckets: Int)
+
+  /** The reopened index plus the build-time parameters every probe must
+    * reuse for its batch-side signatures.
+    */
+  final case class OpenedIndex(index: NearDup.CorpusIndex, meta: IndexMeta)
 
   /** Build the corpus index over `corpus` and persist all three frames as
-    * bucketed external tables under `outDir`.
+    * bucketed external tables under `outDir`, plus the build params.
     */
   def build(spark: SparkSession, corpus: DataFrame, outDir: String,
             k: Int = 16, bands: Int = 8, buckets: Int = 8): Unit = {
@@ -55,30 +68,48 @@ object CorpusBuild {
     write(idx.bands, "bands", "band_hash")
     write(idx.sets, "sets", "id")
     write(idx.hashes, "hashes", "ch")
+    import spark.implicits._
+    spark.createDataset(Seq((k, bands, buckets))).toDF("k", "bands", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  private def readMeta(spark: SparkSession, outDir: String): IndexMeta = {
+    val r = spark.read.parquet(s"$outDir/meta")
+      .select("k", "bands", "buckets").head()
+    IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
   /** Re-register the persisted files as external bucketed tables (the
     * bucket spec lives in the catalog DDL, not the parquet footers — same
     * reopening rule as [[IvfBuild.openIndex]]) and return the index ready
-    * for [[NearDup.incrementalDedupIndexed]]. Safe in a fresh session.
+    * for [[NearDup.incrementalDedupIndexed]] TOGETHER with the build-time
+    * k/bands a probe must reuse. Safe in a fresh session.
     */
-  def openIndex(spark: SparkSession, outDir: String,
-                buckets: Int = 8): NearDup.CorpusIndex = {
+  def openIndex(spark: SparkSession, outDir: String): OpenedIndex = {
+    val meta = readMeta(spark, outDir)
     def reopen(part: String, schema: String, bucketCol: String): DataFrame = {
       val table = tableName(outDir, part)
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"""
         CREATE TABLE $table ($schema)
         USING parquet
-        CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+        CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+          INTO ${meta.buckets} BUCKETS
         LOCATION '$outDir/$part'""")
       spark.table(table)
     }
-    NearDup.CorpusIndex(
+    OpenedIndex(NearDup.CorpusIndex(
       bands = reopen("bands", "id BIGINT, band_hash STRING", "band_hash"),
       sets = reopen("sets", "id BIGINT, sh ARRAY<BIGINT>", "id"),
-      hashes = reopen("hashes", "id BIGINT, ch STRING", "ch"))
+      hashes = reopen("hashes", "id BIGINT, ch STRING", "ch")), meta)
   }
+
+  /** Drop the catalog registrations for the index at `outDir` (the data
+    * files are left in place — registration is per-session state).
+    */
+  def dropTables(spark: SparkSession, outDir: String): Unit =
+    Seq("bands", "sets", "hashes").foreach(p =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(outDir, p)}"))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: CorpusBuild build|probe <sfDir> <outDir> ...")
@@ -104,9 +135,10 @@ object CorpusBuild {
           f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "probe" =>
         val t0 = System.nanoTime()
-        val idx = openIndex(spark, outDir, buckets = arg(3, 8))
-        val verdicts = NearDup.incrementalDedupIndexed(idx,
-            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        val opened = openIndex(spark, outDir)
+        val verdicts = NearDup.incrementalDedupIndexed(opened.index,
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+            k = opened.meta.k, bands = opened.meta.bands)
           .groupBy("verdict").count().orderBy("verdict").collect()
         println(f"[corpus] tick verdicts from the reopened index in " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s: " +

@@ -33,17 +33,12 @@ import graft.sim.Similarity
   */
 object IvfBuild {
 
-  /** Catalog name for the index at `outDir` — derived from the path so two
-    * indexes built/opened in one session (or one metastore) register as
-    * DISTINCT tables instead of the second `DROP TABLE IF EXISTS`
-    * clobbering the first's registration. Sanitized chars keep it a legal
-    * identifier; the hash disambiguates paths that sanitize identically.
+  /** Catalog name for the index at `outDir` — path-derived (see
+    * [[Catalog.pathTable]]) so two indexes built/opened in one session or
+    * metastore register as DISTINCT tables instead of the second
+    * `DROP TABLE IF EXISTS` clobbering the first's registration.
     */
-  def tableName(outDir: String): String = {
-    val slug = outDir.replaceAll("[^A-Za-z0-9]+", "_")
-      .replaceAll("^_+|_+$", "").takeRight(40).toLowerCase
-    f"graft_ivf_${slug}_${outDir.hashCode & 0x7fffffff}%x"
-  }
+  def tableName(outDir: String): String = Catalog.pathTable("graft_ivf", outDir)
 
   /** Train + persist centroids and the cell-bucketed index table.
     * Returns the trained matrix (the spec asserts round-trip fidelity).

@@ -221,13 +221,37 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.toSeq === Seq(0L, 4L))
   }
 
+  test("extractFeatures dispatches video rows too (mixed corpus must not crash)") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(2L, "video", Multimodal.y4mFixture(2L, "abcde")),
+      Multimodal.MediaRow(3L, "image", Multimodal.bmpFixture("abcde")))
+      .toDS()
+    val out = Multimodal.extractFeatures(spark, media.toDF())
+      .collect().sortBy(_.doc_id)
+    val vid = out(0)
+    // id=2, L=5 → 14x4, 4 frames; frame-0 mean = (2*31)%200 + (14+4-2)/2 = 70
+    assert(vid.width === 14 && vid.height === 4 && vid.bpp === 12)
+    assert(vid.n_frames === 4L && vid.mean_gray === 70.0)
+    assert(out(1).media_type === "image" && out(1).bpp === 24)
+  }
+
   test("extractFeatures fails loudly on unknown media_type") {
     import spark.implicits._
-    val bad = Seq(Multimodal.MediaRow(9L, "video", Array[Byte](1))).toDS()
+    val bad = Seq(Multimodal.MediaRow(9L, "hologram", Array[Byte](1))).toDS()
     val e = intercept[org.apache.spark.SparkException] {
       Multimodal.extractFeatures(spark, bad.toDF()).collect()
     }
     assert(e.getMessage.contains("unknown media_type") ||
       Option(e.getCause).exists(_.getMessage.contains("unknown media_type")))
+  }
+
+  test("Y4m rejects dimension-overflow headers instead of NaN features") {
+    // W*H would wrap Int multiplication to 0 — the truncation guard
+    // passes, the plane walk is skipped, and means become 0/0 = NaN
+    val good = Y4m.encode(4, 4, 24, 1, 1, (_, _, _) => 7)
+    val s = new String(good.map(_.toChar))
+    assertThrows[IllegalArgumentException](Y4m.decode(
+      s.replace("W4 H4", "W262144 H65536").toCharArray.map(_.toByte)))
   }
 }

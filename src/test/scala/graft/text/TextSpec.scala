@@ -310,28 +310,37 @@ class TextSpec extends SparkSpec {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
-    graft.tools.CorpusBuild.build(spark, corpus, out)
-    val reopened = graft.tools.CorpusBuild.openIndex(spark, out)
-    // (a) the reopened index answers a tick EXACTLY like the direct path
-    val direct = NearDup.incrementalDedup(corpus, batch, "doc_id", "text",
-        minJaccard = 0.5)
-      .as[(Long, String, Option[Long], Option[Double])].collect().toSet
-    val served = NearDup.incrementalDedupIndexed(reopened, batch,
-        "doc_id", "text", minJaccard = 0.5)
-      .as[(Long, String, Option[Long], Option[Double])].collect().toSet
-    assert(served === direct)
-    assert(direct.exists(_._2 == "near"), "fixture should exercise the near path")
-    // (b) the reopened band table still bucket-prunes an equality probe
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // NON-default signature params: the probe must recover them from the
+    // persisted meta, not from its own defaults — a k/bands mismatch is
+    // silent (empty candidate join, everything 'new'), which is exactly
+    // why they are part of the artifact
+    graft.tools.CorpusBuild.build(spark, corpus, out, k = 32, bands = 16,
+      buckets = 4)
     try {
-      val probe = reopened.bands.select(col("band_hash")).head().getString(0)
-      val plan = reopened.bands.filter(col("band_hash") === probe)
-        .queryExecution.executedPlan.toString
-      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
-      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
-        s"reopened band index lost bucket pruning:\n$plan")
-    } finally
-      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      val opened = graft.tools.CorpusBuild.openIndex(spark, out)
+      assert(opened.meta === graft.tools.CorpusBuild.IndexMeta(32, 16, 4))
+      // (a) the reopened index answers a tick EXACTLY like the direct path
+      val direct = NearDup.incrementalDedup(corpus, batch, "doc_id", "text",
+          k = 32, bands = 16, minJaccard = 0.5)
+        .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+      val served = NearDup.incrementalDedupIndexed(opened.index, batch,
+          "doc_id", "text", k = opened.meta.k, bands = opened.meta.bands,
+          minJaccard = 0.5)
+        .as[(Long, String, Option[Long], Option[Double])].collect().toSet
+      assert(served === direct)
+      assert(direct.exists(_._2 == "near"), "fixture should exercise the near path")
+      // (b) the reopened band table still bucket-prunes an equality probe
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val probe = opened.index.bands.select(col("band_hash")).head().getString(0)
+        val plan = opened.index.bands.filter(col("band_hash") === probe)
+          .queryExecution.executedPlan.toString
+        val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+        assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+          s"reopened band index lost bucket pruning:\n$plan")
+      } finally
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    } finally graft.tools.CorpusBuild.dropTables(spark, out)
   }
 
   test("incrementalDedup: exact beats near, near picks best corpus match, rest are new") {
