@@ -870,6 +870,31 @@ object TextSim extends QueryPack {
         SELECT doc_id, width, height, fps_num, n_frames, frame_idx,
                ((doc_id * 31 + frame_idx * 7) % 200
                 + (width + height - 2) // 2)::DOUBLE AS mean_y
-        FROM fr"""))
+        FROM fr""")),
+
+    // Winnowed fingerprints (Schleimer MOSS winnowing): ~2/(w+1)-density
+    // gram selection that still guarantees any shared >= w+k-1-token run
+    // shares a fingerprint — the sub-document dedup/plagiarism signal
+    // between q31's whole-doc fingerprint and q50's every-gram set. The
+    // oracle mirrors the window minima with ordered list comprehensions.
+    "q63_winnowed_fingerprints" -> Q(
+      (s, d) => TextOps.winnowedFingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 4, w = 4),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        gs AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT
+                  for i in range(1, len(t) - 2)] AS ghs
+          FROM toks WHERE len(t) >= 4),
+        win AS (
+          SELECT doc_id,
+                 CASE WHEN len(ghs) < 4 THEN [list_min(ghs)]
+                      ELSE [list_min(ghs[j:j+3]) for j in range(1, len(ghs) - 2)]
+                 END AS fps
+          FROM gs)
+        SELECT DISTINCT doc_id, fp
+        FROM (SELECT doc_id, unnest(fps) AS fp FROM win)"""))
   )
 }

@@ -98,6 +98,51 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", ""))
 
+  /** WINNOWED fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03 — public result,
+    * re-derived in Spark idiom): hash every word k-gram, slide a w-gram
+    * window over the ordered hash sequence, keep each window's MINIMUM.
+    * The selected set has ~2/(w+1) the grams' density yet GUARANTEES any
+    * shared run of >= w+k-1 tokens between two documents shares at least
+    * one fingerprint — the position-robust middle ground between the
+    * whole-document `fingerprint` (brittle to any edit) and carrying
+    * every gram (q50's contamination set, w·denser). Docs with fewer
+    * than w grams emit the global minimum so every doc with >= k tokens
+    * has >= 1 fingerprint.
+    *
+    * Scale shape: posexplode + lead/min windows = ONE exchange on doc_id
+    * (both window passes and the gram construction share it), then the
+    * per-doc distinct's shuffle dedupes map-side on already-clustered
+    * rows. No HOF lambdas (doctrine above): grams ride lead() columns,
+    * the window min is a codegen aggregate.
+    */
+  def winnowedFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, k: Int = 4,
+                           w: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val withLeads = (1 until k).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"__t$j", lead(col("tok"), j).over(byPos))
+    }
+    val grams = withLeads
+      .filter(if (k > 1) col(s"__t${k - 1}").isNotNull else lit(true))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(concat_ws(" ",
+          col("tok") +: (1 until k).map(j => col(s"__t$j")): _*)), 1, 15),
+          16, 10).cast("long").as("gh"))
+    grams
+      .withColumn("mn", min(col("gh")).over(byPos.rowsBetween(-(w - 1), 0)))
+      .withColumn("mx", max(col("pos")).over(Window.partitionBy("id")))
+      // full windows only — except a short doc's last row, whose frame
+      // covers every gram (= the global min)
+      .filter(col("pos") >= w - 1 || col("pos") === col("mx"))
+      .select(col("id").as(idCol), col("mn").as("fp"))
+      .dropDuplicates(idCol, "fp")
+  }
+
   /** Count of tokens in `toks` that appear in `markers` (language stopword
     * scoring) — OCCURRENCE semantics (duplicates counted), fully codegen:
     * `size(toks)` minus the size after chaining one `array_remove` per

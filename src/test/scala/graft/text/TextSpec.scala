@@ -304,6 +304,31 @@ class TextSpec extends SparkSpec {
     } finally tbls.foreach { case (n, _) => spark.sql(s"DROP TABLE IF EXISTS $n") }
   }
 
+  test("winnowing: density below 1, shared-run guarantee, short-doc fallback") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (1L, s"one two three four five six $shared nine ten eleven twelve"),
+      (2L, s"$shared completely different tail content here now"),
+      (3L, "tiny doc four tokens"),       // 4 tokens → 1 gram → global-min path
+      (4L, "three token doc"))            // < k tokens → no fingerprints
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowedFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: docs 1 and 2 share an 8-token run >= w+k-1 = 7 → must
+    // share at least one fingerprint
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      s"winnowing guarantee violated: ${fps(1L)} vs ${fps(2L)}")
+    // density: fewer fingerprints than grams (doc 1 has 15 grams)
+    assert(fps(1L).size < 15 && fps(1L).nonEmpty)
+    assert(fps(3L).size === 1, "4-token doc has exactly its one gram hash")
+    assert(!fps.contains(4L), "sub-k doc must emit nothing")
+    // determinism: rerun is identical
+    val again = TextOps.winnowedFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(again === fps)
+  }
+
   test("CorpusBuild tool: build-once/probe-many round-trip matches the direct path") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
