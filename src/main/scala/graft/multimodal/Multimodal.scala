@@ -77,14 +77,22 @@ object Multimodal {
       }
   }
 
+  /** Normalize any (doc_id, media_type, payload)-shaped frame to the
+    * typed MediaRow boundary both batch decoders share.
+    */
+  private def asMediaRows(spark: SparkSession, media: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media_type").cast("string"),
+      col("payload").cast("binary")).as[MediaRow]
+  }
+
   /** Batch feature extraction: binary payloads through the real codecs,
     * one partition at a time, dispatching on `media_type`. Unknown types
     * fail loudly (silent nulls would hide corpus corruption).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("media_type").cast("string"),
-        col("payload").cast("binary")).as[MediaRow]
+    asMediaRows(spark, media)
       .mapPartitions { rows =>
         // a stateful decoder handle would be opened here, once per batch
         rows.map { r =>
@@ -154,8 +162,7 @@ object Multimodal {
     */
   def videoFrameStats(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("media_type").cast("string"),
-        col("payload").cast("binary")).as[MediaRow]
+    asMediaRows(spark, media)
       .mapPartitions { rows =>
         rows.flatMap { r =>
           require(r.media_type == "video", s"not a video row: ${r.media_type}")

@@ -135,10 +135,13 @@ object TextOps {
           16, 10).cast("long").as("gh"))
     grams
       .withColumn("mn", min(col("gh")).over(byPos.rowsBetween(-(w - 1), 0)))
-      .withColumn("mx", max(col("pos")).over(Window.partitionBy("id")))
+      // last-gram detection via lead-is-null shares the ONE ordered
+      // window exec with the min (a partition-only max(pos) would add a
+      // second WindowExec pass over every row)
+      .withColumn("last", lead(col("pos"), 1).over(byPos).isNull)
       // full windows only — except a short doc's last row, whose frame
       // covers every gram (= the global min)
-      .filter(col("pos") >= w - 1 || col("pos") === col("mx"))
+      .filter(col("pos") >= w - 1 || col("last"))
       .select(col("id").as(idCol), col("mn").as("fp"))
       .dropDuplicates(idCol, "fp")
   }
