@@ -895,6 +895,41 @@ object TextSim extends QueryPack {
                  END AS fps
           FROM gs)
         SELECT DISTINCT doc_id, fp
-        FROM (SELECT doc_id, unnest(fps) AS fp FROM win)"""))
+        FROM (SELECT doc_id, unnest(fps) AS fp FROM win)""")),
+
+    // Shared-passage pairs over the winnowed fingerprints (MOSS's actual
+    // use-case): partial duplication/containment that whole-doc MinHash
+    // Jaccard dilutes away on long documents. Boilerplate fingerprints
+    // (doc-freq > 10) are dropped first — also the scale guard bounding
+    // the fp self-join's per-key blowup.
+    "q64_fingerprint_overlap" -> Q(
+      (s, d) => TextOps.fingerprintOverlapPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        k = 4, w = 4, maxDocFreq = 10, minShared = 2),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        gs AS (
+          SELECT doc_id,
+                 [('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT
+                  for i in range(1, len(t) - 2)] AS ghs
+          FROM toks WHERE len(t) >= 4),
+        win AS (
+          SELECT doc_id,
+                 CASE WHEN len(ghs) < 4 THEN [list_min(ghs)]
+                      ELSE [list_min(ghs[j:j+3]) for j in range(1, len(ghs) - 2)]
+                 END AS fps
+          FROM gs),
+        fps AS (
+          SELECT DISTINCT doc_id, fp
+          FROM (SELECT doc_id, unnest(fps) AS fp FROM win)),
+        rare AS (
+          SELECT doc_id, fp FROM fps
+          QUALIFY count(*) OVER (PARTITION BY fp) <= 10)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::BIGINT AS shared_fps
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2"""))
   )
 }

@@ -146,6 +146,38 @@ object TextOps {
       .dropDuplicates(idCol, "fp")
   }
 
+  /** Shared-passage pairs from winnowed fingerprints — MOSS's actual
+    * use-case: two documents sharing >= `minShared` selected fingerprints
+    * very likely share passages (each shared fp witnesses a common
+    * >= k-token run), which catches PARTIAL duplication/containment that
+    * whole-document similarity (MinHash Jaccard) dilutes away on long
+    * docs. Fingerprints appearing in more than `maxDocFreq` documents are
+    * dropped first — MOSS's boilerplate filter, and the scale guard: the
+    * fp self-join's per-key blowup is then <= maxDocFreq^2 rows, so no
+    * quadratic term survives (same bounded-equi-join shape as q49).
+    */
+  def fingerprintOverlapPairs(df: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 4, w: Int = 4,
+                              maxDocFreq: Int = 10,
+                              minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDocFreq >= 2 && minShared >= 1,
+      s"need maxDocFreq >= 2 and minShared >= 1, got $maxDocFreq/$minShared")
+    val fps = winnowedFingerprints(df, idCol, textCol, k, w)
+    // document frequency rides the fp-keyed layout (window, not a join)
+    val rare = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col(idCol), col("fp"))
+    rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Count of tokens in `toks` that appear in `markers` (language stopword
     * scoring) — OCCURRENCE semantics (duplicates counted), fully codegen:
     * `size(toks)` minus the size after chaining one `array_remove` per

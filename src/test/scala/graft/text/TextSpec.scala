@@ -329,6 +329,37 @@ class TextSpec extends SparkSpec {
     assert(again === fps)
   }
 
+  test("fingerprintOverlapPairs: shared passage pairs, boilerplate fps dropped") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = "standard legal disclaimer footer text all rights reserved"
+    // 1 and 2 share a 10-token passage; 3 is unrelated; the boilerplate
+    // footer appears in ALL docs (> maxDocFreq=3 would need 4 docs — use
+    // maxDocFreq=2 so the 3-doc footer is dropped as boilerplate)
+    val docs = Seq(
+      (1L, s"$passage unique opening one two three $boiler"),
+      (2L, s"totally different start here $passage $boiler"),
+      (3L, s"unrelated content about catalyst tungsten shuffles $boiler"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.fingerprintOverlapPairs(docs, "doc_id", "text",
+        k = 4, w = 4, maxDocFreq = 2, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // only (1,2) — via the shared passage; the footer fps (df=3) are
+    // dropped, so doc 3 pairs with nobody
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(pairs.head._3 >= 2)
+    // raising the frequency cap admits the footer: doc 3 may now pair,
+    // but only if it shares >= minShared SELECTED fps — with one footer
+    // run its overlap stays below 2, so (1,2) remains the only pair
+    // unless the footer contributes >= 2 winnowed fps
+    val loose = TextOps.fingerprintOverlapPairs(docs, "doc_id", "text",
+        k = 4, w = 4, maxDocFreq = 3, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(loose.map(p => (p._1, p._2)).toSet.contains((1L, 2L)))
+    assert(loose.exists(p => p._1 == 3L || p._2 == 3L),
+      "with the cap loosened the shared footer must link doc 3")
+  }
+
   test("CorpusBuild tool: build-once/probe-many round-trip matches the direct path") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
