@@ -166,6 +166,28 @@ class MultimodalSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Y4m.decode(bytes(s2)))
   }
 
+  test("Y4m fuzz: 40 random streams round-trip exactly") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 40).foreach { trial =>
+      val w = (1 + rnd.nextInt(16)) * 2        // 2..32, even
+      val h = (1 + rnd.nextInt(12)) * 2        // 2..24, even
+      val (fn, fd) = (1 + rnd.nextInt(60), 1 + rnd.nextInt(2))
+      val nF = rnd.nextInt(6)                  // 0..5 frames
+      // random-but-reproducible luma per (f,x,y) — exercises every pixel
+      val seed = rnd.nextInt(1000)
+      def lum(f: Int, x: Int, y: Int): Int = ((f * 131 + x * 31 + y * 17 + seed) % 256)
+      val v = Y4m.decode(Y4m.encode(w, h, fn, fd, nF, lum))
+      assert(v.width === w && v.height === h, s"trial $trial geometry")
+      assert(v.fpsNum === fn && v.fpsDen === fd, s"trial $trial rate")
+      assert(v.nFrames === nF, s"trial $trial frame count")
+      (0 until nF).foreach { f =>
+        val exp = (for { y <- 0 until h; x <- 0 until w } yield lum(f, x, y).toLong)
+          .sum.toDouble / (w * h)
+        assert(v.frameMeanY(f) === exp, s"trial $trial frame $f mean")
+      }
+    }
+  }
+
   test("videoFrameStats emits one decoded row per frame") {
     import spark.implicits._
     val docs = Seq((2L, "abcde"), (3L, "ab")).toDF("doc_id", "text")
