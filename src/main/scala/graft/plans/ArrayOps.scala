@@ -183,6 +183,97 @@ case class DoubleMatVec(child: Expression, mat: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Per-row scalar-quantization statistics: quantizes an array<double> to
+  * `levels` uniform levels between its own min and max and returns
+  * `[vmin, vmax, sse_micro]` — the reconstruction squared error snapped
+  * per ELEMENT to integer micro-units (`floor(d²·1e6 + 0.5)`) and summed
+  * as an exact integer, so the result is bit-identical to a DuckDB
+  * `list_transform` mirror regardless of either engine's summation order
+  * (PLANS.md numerics doctrine). A constant vector (vmax == vmin) has
+  * zero error by definition; an EMPTY array returns [0, 0, 0] (callers
+  * with nullable/ragged inputs filter first — embeddings are fixed-dim).
+  *
+  * One scan-stage loop, zero shuffle: the whole int8-quantization quality
+  * audit (the "can we store these embeddings quantized?" question) runs
+  * at input-split parallelism. `sse_micro` rides as an exact
+  * integer-valued double (max 64 dims × 4e6 micro ≪ 2^53).
+  */
+case class DoubleArrayQuantStats(child: Expression, levels: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(levels >= 2, "quantization needs at least 2 levels")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "double_array_quant_stats"
+
+  private val denom: Double = (levels - 1).toDouble
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val mn = ctx.freshName("mn"); val mx = ctx.freshName("mx")
+      val sc = ctx.freshName("sc"); val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x"); val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      s"""
+        final int $n = $v.numElements();
+        final double[] $out = new double[3];
+        if ($n > 0) {
+          double $mn = $v.getDouble(0); double $mx = $mn;
+          for (int $i = 1; $i < $n; $i++) {
+            final double $x = $v.getDouble($i);
+            if ($x < $mn) $mn = $x;
+            if ($x > $mx) $mx = $x;
+          }
+          long $acc = 0L;
+          if ($mx != $mn) {
+            final double $sc = ($mx - $mn) / $denom;
+            for (int $i = 0; $i < $n; $i++) {
+              final double $x = $v.getDouble($i);
+              final double $d = $x - ($mn + Math.floor(($x - $mn) / $sc + 0.5) * $sc);
+              $acc += (long) Math.floor($d * $d * 1e6 + 0.5);
+            }
+          }
+          $out[0] = $mn; $out[1] = $mx; $out[2] = (double) $acc;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+      """
+    })
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](3)
+    if (n > 0) {
+      var mn = v.getDouble(0); var mx = mn
+      var i = 1
+      while (i < n) {
+        val x = v.getDouble(i)
+        if (x < mn) mn = x
+        if (x > mx) mx = x
+        i += 1
+      }
+      var acc = 0L
+      if (mx != mn) {
+        val sc = (mx - mn) / denom
+        i = 0
+        while (i < n) {
+          val x = v.getDouble(i)
+          val d = x - (mn + math.floor((x - mn) / sc + 0.5) * sc)
+          acc += math.floor(d * d * 1e6 + 0.5).toLong
+          i += 1
+        }
+      }
+      out(0) = mn; out(1) = mx; out(2) = acc.toDouble
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ArrayOps {
   private val FnName = "sorted_intersect_count"
   private val DotName = "double_array_dot"
@@ -227,6 +318,14 @@ object ArrayOps {
              key: String): Column = {
     val name = s"double_mat_vec_$key"
     ensureRegistered(spark, name, exprs => DoubleMatVec(exprs(0), mat))
+    org.apache.spark.sql.functions.call_function(name, v)
+  }
+
+  /** Column-typed API for the quantization-stats kernel; the level count
+    * rides in the registry name (distinct level settings never collide). */
+  def quantStats(spark: SparkSession, v: Column, levels: Int): Column = {
+    val name = s"double_array_quant_stats_$levels"
+    ensureRegistered(spark, name, exprs => DoubleArrayQuantStats(exprs(0), levels))
     org.apache.spark.sql.functions.call_function(name, v)
   }
 }

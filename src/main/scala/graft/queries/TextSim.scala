@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.{NearDup, Terms, TextOps}
+import graft.plans.ArrayOps
+import graft.text.{NearDup, Retrieval, Terms, TextOps}
 
 /** Training-data-pipeline surface (builder brief): text analysis, document
   * dedup (exact / MinHash+LSH / SimHash / blocked Jaccard), embedding
@@ -930,6 +931,125 @@ object TextSim extends QueryPack {
                count(*)::BIGINT AS shared_fps
         FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-        HAVING count(*) >= 2"""))
+        HAVING count(*) >= 2""")),
+
+    // BM25 top-k retrieval: keyword queries against the corpus through the
+    // inverted-index access path (query-term isin BEFORE the postings
+    // aggregation). Scores are per-term micro-snapped then integer-summed
+    // (order-independent), ranking ties break on doc_id. The SQL mirrors
+    // the Spark arithmetic op for op — same association, same ln form.
+    "q65_bm25_topk" -> Q(
+      (s, d) => Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        queries = Map(1 -> "spark table join", 2 -> "window agg sort fast",
+          3 -> "customer query value"),
+        k = 5),
+      Some(s"""
+        WITH q(query_id, term) AS (VALUES
+          (1, 'spark'), (1, 'table'), (1, 'join'),
+          (2, 'window'), (2, 'agg'), (2, 'sort'), (2, 'fast'),
+          (3, 'customer'), (3, 'query'), (3, 'value')),
+        stats AS (
+          SELECT count(*)::BIGINT AS n_docs,
+                 sum(len($DUCK_TOKENS))::BIGINT AS sum_dl
+          FROM documents),
+        toks AS (
+          SELECT doc_id, len($DUCK_TOKENS)::BIGINT AS dl,
+                 unnest($DUCK_TOKENS) AS term
+          FROM documents),
+        postings AS (
+          SELECT doc_id, term, dl, count(*)::BIGINT AS tf
+          FROM toks WHERE term IN (SELECT term FROM q)
+          GROUP BY 1, 2, 3),
+        dfreq AS (
+          SELECT term,
+                 s.sum_dl::DOUBLE / s.n_docs::DOUBLE AS avgdl,
+                 ln(1.0 + (s.n_docs::DOUBLE - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+          FROM postings, stats s GROUP BY term, s.n_docs, s.sum_dl),
+        scored AS (
+          SELECT q.query_id, p.doc_id,
+                 sum(floor(
+                   (d.idf * ((p.tf * (1.2 + 1.0)) /
+                     (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / d.avgdl))))
+                   * 1e6 + 0.5))::BIGINT AS score_micro
+          FROM postings p
+          JOIN dfreq d USING (term)
+          JOIN q USING (term)
+          GROUP BY 1, 2)
+        SELECT query_id, doc_id, score_micro / 1e6 AS score, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score_micro DESC, doc_id) AS rank
+              FROM scored)
+        WHERE rank <= 5""")),
+
+    // Unigram-LM surprisal scoring — the dependency-free stand-in for the
+    // perplexity filter of CCNet-style curation. ln enters per row only;
+    // the per-doc aggregate is an exact integer micro-sum.
+    "q66_unigram_surprisal" -> Q(
+      (s, d) => Retrieval.unigramSurprisal(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($DUCK_TOKENS) AS term FROM documents),
+        counts AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        total AS (SELECT sum(c)::BIGINT AS t FROM counts),
+        perdoc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum(floor((ln(t.t::DOUBLE) - ln(c.c::DOUBLE)) * 1e6 + 0.5))::BIGINT
+                   AS surprisal_micro
+          FROM toks JOIN counts c USING (term), total t
+          GROUP BY 1)
+        SELECT doc_id, n_tokens, surprisal_micro,
+               surprisal_micro / (n_tokens::DOUBLE * 1e6) AS mean_surprisal
+        FROM perdoc""")),
+
+    // Domain-level quality gating: keep docs whose SOURCE clears a mean
+    // quality bar — the "drop bad domains wholesale" curation step. The
+    // mean test is an integer micro-sum comparison (no division).
+    "q67_domain_filter" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Retrieval.domainQualityFilter(docs, "doc_id", "source",
+          TextOps.qualityScore(col("text")), minMean = 0.6)
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT doc_id, source, floor(($qualitySql) * 1e6 + 0.5) AS qm
+          FROM documents),
+        passing AS (
+          SELECT source FROM q GROUP BY source
+          HAVING sum(qm) >= 0.6 * 1e6 * count(*))
+        SELECT doc_id, source AS domain FROM q
+        WHERE source IN (SELECT source FROM passing)""")),
+
+    // Embedding scalar quantization audit (int8 storage feasibility): per
+    // vector, min/max and the uniform-256-level reconstruction SSE in
+    // exact micro-units — one custom codegen Expression, zero shuffle,
+    // scan-stage parallelism. The oracle recomputes the identical
+    // IEEE sequence with list lambdas.
+    "q68_quantize_stats" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        emb.select(col("vec_id"),
+            ArrayOps.quantStats(s, col("embedding").cast("array<double>"), 256).as("qs"))
+          .select(col("vec_id"),
+            element_at(col("qs"), 1).as("vmin"),
+            element_at(col("qs"), 2).as("vmax"),
+            element_at(col("qs"), 3).cast("long").as("sse_micro"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+        m AS (
+          SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+        s AS (
+          SELECT vec_id, v, vmin, vmax, (vmax - vmin) / 255.0 AS scale FROM m)
+        SELECT vec_id, vmin, vmax,
+               CASE WHEN vmax = vmin THEN 0
+                    ELSE list_sum(list_transform(v, x ->
+                      floor((x - (vmin + floor((x - vmin) / scale + 0.5) * scale))
+                          * (x - (vmin + floor((x - vmin) / scale + 0.5) * scale))
+                          * 1e6 + 0.5)))::BIGINT
+               END AS sse_micro
+        FROM s"""))
   )
 }

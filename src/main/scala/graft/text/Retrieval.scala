@@ -1,0 +1,150 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level retrieval and scoring operators for the training-data
+  * pipeline surface (builder brief: quality scoring / contamination /
+  * similarity beyond the reference's own analytics): BM25 top-k lookup,
+  * unigram-LM surprisal scoring, and domain-level quality gating.
+  *
+  * Numerics follow the PLANS.md cross-engine doctrine: every aggregated
+  * double is first snapped per row to an exact integer micro-unit via
+  * `floor(x * 1e6 + 0.5)` (doctrine form 3 — floor is engine-identical
+  * even at representable midpoints), so group sums are order-independent
+  * integer sums and the single trailing division is one IEEE op both
+  * engines perform identically. `ln` enters only as a per-row derived
+  * (doctrine form 4) whose ulp-level libm variation is absorbed by the
+  * micro rounding.
+  *
+  * Scale notes, per operator:
+  *  - `bm25TopK`: the query-term `isin` prunes the exploded token stream
+  *    BEFORE the postings aggregation — the shuffle carries only
+  *    occurrences of query terms (the inverted-index access path), not
+  *    the corpus. df/idf live on a query-term-bounded dimension
+  *    (broadcast by construction); the final top-k is a per-query
+  *    row_number the optimizer executes as WindowGroupLimit (per-
+  *    partition heaps, no global sort).
+  *  - `unigramSurprisal`: same two-aggregate shape as distinctiveTerms —
+  *    one (doc, term) shuffle, one vocabulary-sized count frame; the
+  *    token←count join is keyed on `term` and left UNHINTED (Heaps' law:
+  *    a natural vocabulary is unbounded, so the planner/AQE must pick
+  *    broadcast from measured size, not a forced hint).
+  *  - `domainQualityFilter`: the per-domain aggregate is domain-bounded
+  *    (orders of magnitude smaller than the corpus but NOT fixed-size —
+  *    the web has ~1e8 registrable domains), so the survivors semi-join
+  *    is likewise unhinted; the mean gate compares integer micro-sums
+  *    (`q_sum >= min * n`) so no division enters the predicate.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson/Spärck Jones, public) top-k documents per query.
+    *
+    * Scoring uses the Lucene-shaped idf `ln(1 + (N - df + 0.5)/(df + 0.5))`
+    * (never negative) and the standard saturation
+    * `tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`. Per-(term, doc)
+    * contributions are micro-snapped then integer-summed per (query, doc),
+    * so the score is order-independent; ranking ties break on doc id.
+    * Repeated query terms count once (set semantics — the common choice
+    * when queries are short keyword lists).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Map[Int, String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.toSeq
+      .flatMap { case (qid, q) => q.split(" +").filter(_.nonEmpty).distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val terms = queries.valuesIterator.flatMap(_.split(" +")).filter(_.nonEmpty)
+      .toSeq.distinct
+    // one corpus scan for the scalar stats (N, total token count)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("sum_dl"))
+    // postings restricted to query terms BEFORE the aggregation: the
+    // (doc, term) shuffle carries only matching occurrences
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    // idf + avgdl on the query-term-bounded dimension (≤ |query terms|
+    // rows): compute once per term, broadcast into the postings stream
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .select("term", "avgdl", "idf")
+    val contribMicro = floor(
+      (col("idf") *
+        ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))))
+        * lit(1e6) + lit(0.5)).cast("long")
+    val scored = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contribMicro).as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("score_micro") / lit(1e6)).as("score"), col("rank"))
+  }
+
+  /** Per-document mean unigram surprisal against the corpus's own unigram
+    * LM — the dependency-free stand-in for the perplexity filters real
+    * pipelines run with a trained LM (CCNet-style): documents whose
+    * tokens are globally rare score high, repetitive/common-token
+    * documents score low. Per token: `ln(T) - ln(c)` nats (T = corpus
+    * token count, c = the token's corpus count), micro-snapped and
+    * integer-summed per doc; the mean divides once by `n · 1e6`.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    // T = Σc is just the corpus token count — one per-row codegen scan of
+    // the docs table, NOT a second pass over the counts aggregation (the
+    // naive `counts.agg(sum)` re-ran the vocabulary shuffle as a second
+    // subtree)
+    val total = docs.agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("t"))
+    val sMicro = floor(
+      (log(col("t").cast("double")) - log(col("c").cast("double"))) * lit(1e6) + lit(0.5))
+      .cast("long")
+    toks.join(counts, Seq("term")) // vocabulary-sized; unhinted by doctrine
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), sMicro.as("s_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_micro")).as("surprisal_micro"))
+      .withColumn("mean_surprisal",
+        col("surprisal_micro").cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)))
+  }
+
+  /** Domain-level quality gating (the "drop bad domains wholesale" step of
+    * web-corpus curation): keep every document whose domain's MEAN quality
+    * score clears `minMean`. The mean test is the integer comparison
+    * `sum(micro(q)) >= micro(minMean) · n` — no division, engine-exact.
+    * `quality` is any per-row deterministic score column over the doc
+    * frame (e.g. [[TextOps.qualityScore]]).
+    */
+  def domainQualityFilter(docs: DataFrame, idCol: String, domainCol: String,
+                          quality: Column, minMean: Double): DataFrame = {
+    val qMicro = floor(quality * lit(1e6) + lit(0.5))
+    val passing = docs
+      .select(col(domainCol).as("domain"), qMicro.as("qm"))
+      .groupBy("domain").agg(sum(col("qm")).as("q_sum"), count(lit(1)).as("n_docs"))
+      .filter(col("q_sum") >= lit(minMean * 1e6) * col("n_docs"))
+      .select("domain")
+    docs.select(col(idCol).as("doc_id"), col(domainCol).as("domain"))
+      .join(passing, Seq("domain"), "left_semi") // domain-bounded; unhinted
+      .select("doc_id", "domain")
+  }
+}
