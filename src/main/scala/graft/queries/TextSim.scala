@@ -1050,6 +1050,53 @@ object TextSim extends QueryPack {
                           * (x - (vmin + floor((x - vmin) / scale + 0.5) * scale))
                           * 1e6 + 0.5)))::BIGINT
                END AS sse_micro
-        FROM s"""))
+        FROM s""")),
+
+    // Within-doc duplicate n-gram mass (Gopher repetition rules): the
+    // share of 3-gram occurrences whose gram repeats inside the doc.
+    // One exchange — both aggregations reuse the shingle shuffle's
+    // doc-id partitioning (same property as the q63 winnowing audit).
+    "q69_dup_ngram_mass" -> Q(
+      (s, d) => Terms.dupNgramMass(Tables.documents(s, d), "doc_id", "text", n = 3),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        gs AS (
+          SELECT doc_id,
+                 unnest([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, len(t) - 1)]) AS g
+          FROM toks WHERE len(t) >= 3),
+        cnt AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM gs GROUP BY 1, 2)
+        SELECT doc_id, sum(c)::BIGINT AS n_grams,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup_occurrences,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE
+                 AS dup_fraction
+        FROM cnt GROUP BY 1""")),
+
+    // DSIR-lite importance resampling: non-target docs kept with
+    // probability = hashed-2-gram overlap with the target sample, via the
+    // deterministic md5 draw (u·n < hits — division-free keep test).
+    "q70_importance_resample" -> Q(
+      (s, d) => Retrieval.importanceResample(Tables.documents(s, d), "doc_id", "text",
+        targetPred = col("id") % 20 === 0, n = 2),
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct([('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 15))::BIGINT
+                                for i in range(1, len(t))]) AS gs
+          FROM toks WHERE len(t) >= 2),
+        target AS (SELECT DISTINCT unnest(gs) AS hg FROM grams WHERE doc_id % 20 = 0),
+        corpus AS (SELECT doc_id, unnest(gs) AS hg FROM grams WHERE doc_id % 20 <> 0),
+        sc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_grams,
+                 count(*) FILTER (hg IN (SELECT hg FROM target))::BIGINT AS n_target_grams
+          FROM corpus GROUP BY 1)
+        SELECT doc_id, n_grams, n_target_grams
+        FROM sc
+        WHERE ('0x' || substr(md5('dsir|' || doc_id), 1, 8))::BIGINT / 4294967296.0
+                * n_grams
+              < n_target_grams"""))
   )
 }

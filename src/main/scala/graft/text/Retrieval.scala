@@ -128,6 +128,39 @@ object Retrieval {
           (col("n_tokens").cast("double") * lit(1e6)))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, public — here the
+    * hashed-n-gram-overlap lite variant): score every non-target document
+    * by the fraction of its distinct hashed n-grams that also occur in
+    * the TARGET domain sample, then keep it with probability equal to
+    * that score via the deterministic per-doc hash draw (no RNG — stable
+    * under re-runs and partitioning, like [[Terms.mixtureSample]]).
+    * Emits the kept documents with their score numerator/denominator
+    * (n_target_grams / n_grams).
+    *
+    * The keep test is `u · n_grams < n_target_grams`: u is an exact
+    * division by 2^32 (exact in binary floating point) and the single
+    * multiply is one IEEE op — no division, engine-identical at
+    * boundaries. Scale: the target gram set is sample-bounded (the
+    * practitioner chooses the target sample size) and broadcasts like
+    * q50's benchmark set; the corpus side pays the shingle shuffle it
+    * already pays everywhere else.
+    */
+  def importanceResample(docs: DataFrame, idCol: String, textCol: String,
+                         targetPred: Column, n: Int = 2): DataFrame = {
+    val hashed = TextOps.wordShingleRows(docs, idCol, textCol, n)
+      .select(col("id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("hg"))
+      .dropDuplicates("id", "hg")
+    val target = hashed.filter(targetPred)
+      .select("hg").distinct().withColumn("__hit", lit(1))
+    hashed.filter(!targetPred)
+      .join(broadcast(target), Seq("hg"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_target_grams"))
+      .filter(TextOps.hashUnit("dsir|", col("doc_id")) * col("n_grams") <
+        col("n_target_grams"))
+  }
+
   /** Domain-level quality gating (the "drop bad domains wholesale" step of
     * web-corpus curation): keep every document whose domain's MEAN quality
     * score clears `minMean`. The mean test is the integer comparison

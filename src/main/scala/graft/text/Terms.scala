@@ -154,6 +154,30 @@ object Terms {
       .withColumn("chunk", expr(s"start_tok div $blockTokens"))
       .drop("end_tok")
 
+  /** WITHIN-document duplicate n-gram mass (the Gopher repetition rules'
+    * "fraction of tokens in duplicated n-grams", Rae et al. 2021 —
+    * public): per doc, the share of n-gram OCCURRENCES whose gram appears
+    * more than once in that document. Complements [[repetitionSignals]]
+    * (which surfaces only the single top bigram): a doc alternating two
+    * phrases has a modest top-bigram count but high duplicate mass.
+    * Docs shorter than n tokens emit nothing (no grams to measure).
+    *
+    * Scale: ONE exchange total. `wordShingleRows` shuffles on the doc id;
+    * both downstream aggregations — per-(id, gram) counts and the per-doc
+    * rollup — reuse that partitioning (HashPartitioning(id) satisfies
+    * ClusteredDistribution(id, g), the same no-second-shuffle property
+    * the q63 winnowing audit documents). The fraction divides once per
+    * output row over exact integer sums.
+    */
+  def dupNgramMass(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    TextOps.wordShingleRows(df, idCol, textCol, n)
+      .groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+           sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("n_dup_occurrences"))
+      .withColumn("dup_fraction",
+        col("n_dup_occurrences").cast("double") / col("n_grams").cast("double"))
+
   /** Corpus vocabulary: top-N terms by total occurrences (ties broken
     * lexicographically), with per-term document counts. The n_docs count
     * rides the same two-phase aggregation (tf rows are distinct per

@@ -90,6 +90,33 @@ class RetrievalSpec extends SparkSpec {
     assert(r.toDoubleArray().toSeq === Seq(0.0, 1.0, 62500.0))
   }
 
+  test("dup n-gram mass: fully-repetitive vs all-unique vs too-short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b"), // every 3-gram occurs twice -> mass 1.0
+      (2L, "x y z w"),         // both 3-grams unique -> mass 0.0
+      (3L, "a b"))             // < 3 tokens -> absent
+      .toDF("doc_id", "text")
+    val out = Terms.dupNgramMass(docs, "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_grams", $"n_dup_occurrences", $"dup_fraction")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Seq((1L, 6L, 6L, 1.0), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("importance resample: full-overlap doc always kept, disjoint doc never") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),  // target sample (pred: id % 2 == 0... use id === 0)
+      (1L, "alpha beta gamma delta"),  // identical -> overlap 1.0 -> kept (u < 1 always)
+      (3L, "zeta eta theta iota"))     // disjoint -> overlap 0 -> u*n < 0 impossible
+      .toDF("doc_id", "text")
+    val out = Retrieval.importanceResample(docs, "doc_id", "text",
+        targetPred = col("id") === 0, n = 2)
+      .select($"doc_id", $"n_grams", $"n_target_grams")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 3L)))
+  }
+
   test("bm25 and surprisal plans: query-term prune precedes the postings shuffle") {
     val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
       queries = Map(1 -> "apple"), k = 5)
