@@ -1097,6 +1097,42 @@ object TextSim extends QueryPack {
         FROM sc
         WHERE ('0x' || substr(md5('dsir|' || doc_id), 1, 8))::BIGINT / 4294967296.0
                 * n_grams
-              < n_target_grams"""))
+              < n_target_grams""")),
+
+    // Deterministic per-group subsample: 10 docs per language by seeded
+    // md5 rank — stable eval-subset carving (no RNG). Plans as
+    // partial+final WindowGroupLimit, one exchange on the group key.
+    "q71_per_group_sample" -> Q(
+      (s, d) => Terms.perGroupSample(Tables.documents(s, d), "doc_id", "lang", k = 10),
+      Some("""
+        SELECT doc_id, grp, rank FROM (
+          SELECT doc_id, lang AS grp,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('sample|' || doc_id), 1, 8))::BIGINT,
+                            doc_id) AS rank
+          FROM documents)
+        WHERE rank <= 10""")),
+
+    // Token-id encoding against the corpus top-20 vocabulary (text ->
+    // tensor prep): exploded (doc_id, pos, token_id) rows, OOV id = 20.
+    // Corpus side is scan-stage codegen (posexplode + broadcast join,
+    // no shuffle); the vocab id assignment is a bounded 20-row window.
+    "q72_token_ids" -> Q(
+      (s, d) => Terms.tokenIds(Tables.documents(s, d), "doc_id", "text", topN = 20),
+      Some(s"""
+        WITH tf AS (
+          SELECT tok AS term, doc_id, count(*) AS cnt
+          FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS tok FROM documents)
+          GROUP BY 1, 2),
+        vocab AS (
+          SELECT term, row_number() OVER (ORDER BY sum(cnt) DESC, term) - 1 AS token_id
+          FROM tf GROUP BY term
+          ORDER BY sum(cnt) DESC, term LIMIT 20),
+        toks AS (
+          SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS term
+          FROM (SELECT doc_id, $DUCK_TOKENS AS t FROM documents))
+        SELECT doc_id, pos::BIGINT AS pos,
+               coalesce(v.token_id, 20)::BIGINT AS token_id
+        FROM toks LEFT JOIN vocab v USING (term)"""))
   )
 }

@@ -154,6 +154,53 @@ object Terms {
       .withColumn("chunk", expr(s"start_tok div $blockTokens"))
       .drop("end_tok")
 
+  /** Deterministic PER-GROUP subsample: the k docs per group (language,
+    * source, …) whose seeded md5 draw ranks lowest — how fixed eval/dev
+    * subsets are carved out of a moving corpus so they stay stable
+    * across re-runs and re-partitioning (same no-RNG doctrine as
+    * [[mixtureSample]]). Emits (doc_id, group, rank).
+    *
+    * Scale: one exchange on the group key; the per-group top-k plans as
+    * partial+final WindowGroupLimit (per-partition heaps, k rows per
+    * group per partition survive the shuffle — never a full sort of the
+    * group).
+    */
+  def perGroupSample(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                     seed: String = "sample|"): DataFrame = {
+    val w = Window.partitionBy("grp")
+      .orderBy(TextOps.hashPrefix(seed, col("doc_id")).asc, col("doc_id").asc)
+    df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Token-id encoding against the corpus top-N vocabulary — the
+    * "text → tensor" preparation step: every token becomes its vocabulary
+    * id (rank by corpus frequency, ties lexicographic, 0-based) or the
+    * OOV id `topN`. Emits EXPLODED (doc_id, pos, token_id) rows rather
+    * than per-doc arrays — the shape downstream packing consumes, and at
+    * 100 TB the explode keeps rows narrow instead of materializing
+    * per-doc id arrays in executor memory.
+    *
+    * Scale: the vocabulary is a COMPUTED bounded dimension (topN rows by
+    * construction → broadcast, like [[oovStats]]); the id assignment is
+    * an unpartitioned row_number over those topN rows only (single task
+    * over a bounded frame, never the corpus). The corpus side is pure
+    * scan-stage codegen: posexplode + broadcast hash join, no shuffle.
+    */
+  def tokenIds(df: DataFrame, idCol: String, textCol: String, topN: Int): DataFrame = {
+    val vocab = vocabulary(df, idCol, textCol, topN)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("term").asc))
+          .cast("long") - 1L)
+      .select("term", "token_id")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(topN.toLong)).as("token_id"))
+  }
+
   /** WITHIN-document duplicate n-gram mass (the Gopher repetition rules'
     * "fraction of tokens in duplicated n-grams", Rae et al. 2021 —
     * public): per doc, the share of n-gram OCCURRENCES whose gram appears

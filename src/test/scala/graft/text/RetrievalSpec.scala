@@ -117,6 +117,30 @@ class RetrievalSpec extends SparkSpec {
     assert(out === Seq((1L, 3L, 3L)))
   }
 
+  test("per-group sample: k per group, rank-contiguous, partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val a = Terms.perGroupSample(docs, "doc_id", "lang", k = 3)
+      .select($"doc_id", $"grp", $"rank").as[(Long, String, Int)].collect().toSet
+    assert(a.size === 6 && a.groupBy(_._2).forall(_._2.map(_._3) === Set(1, 2, 3)))
+    // hash-ranked, not id-ranked: same set no matter how the input arrives
+    val b = Terms.perGroupSample(docs.repartition(7), "doc_id", "lang", k = 3)
+      .select($"doc_id", $"grp", $"rank").as[(Long, String, Int)].collect().toSet
+    assert(a === b)
+  }
+
+  test("token ids: frequency-ranked vocab, OOV id, positions preserved") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a"), (2L, "a c a")).toDF("doc_id", "text")
+    val out = Terms.tokenIds(docs, "doc_id", "text", topN = 2)
+      .select($"doc_id", $"pos", $"token_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // counts: a=3 -> id 0; b=1, c=1 tie -> b (lexicographic) takes id 1; c is OOV (=2)
+    assert(out === Seq((1L, 0L, 1L), (1L, 1L, 0L),
+      (2L, 0L, 0L), (2L, 1L, 2L), (2L, 2L, 0L)))
+  }
+
   test("bm25 and surprisal plans: query-term prune precedes the postings shuffle") {
     val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
       queries = Map(1 -> "apple"), k = 5)
