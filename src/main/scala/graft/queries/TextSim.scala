@@ -133,6 +133,29 @@ object TextSim extends QueryPack {
          AND a.doc_id < b.doc_id)"""
   }
 
+  /** IVF seeded-quantizer CTE chain ending in `assigned (vec_id, v, vn,
+    * cell)` plus the intermediate `scored_cells` — ONE generator for the
+    * q43 probe oracle and the q73 Lloyd-refinement oracle, so the
+    * centroid formula and the argmax tie-break (ccos DESC, c ASC —
+    * mirroring Spark's first-occurrence array_position) cannot drift. */
+  private def ivfAssignCtes(centroids: Int, dims: Int): String = s"""
+        e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        cc AS (SELECT c,
+                      [((('0x' || substr(md5('c' || c || '_' || i), 1, 8))::BIGINT
+                         / 2147483648.0) - 1.0) for i in range(0, $dims)] AS cv
+               FROM (SELECT unnest(range(0, $centroids)) AS c)),
+        ccn AS (SELECT c, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cc),
+        scored_cells AS (
+          SELECT en.vec_id, en.v, en.vn, ccn.c,
+                 round(list_dot_product(en.v, ccn.cv) / (ccn.cn * en.vn), 6) AS ccos
+          FROM en CROSS JOIN ccn),
+        assigned AS (
+          SELECT vec_id, v, vn, c AS cell FROM scored_cells
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, c) = 1)"""
+
   /** Embedding LSH near-neighbor CTE chain ending in `pairs`
     * (id_a, id_b, cosine) — ONE generator serving both the q49 pair
     * oracle and the q54 clustering oracle, so the bucket formula and
@@ -531,23 +554,8 @@ object TextSim extends QueryPack {
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, centroids = 16, nprobe = 2, k = 3,
         queryPred = col("vec_id") % 10 === 0),
-      Some("""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-                   FROM embeddings),
-        en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
-        cc AS (SELECT c,
-                      [((('0x' || substr(md5('c' || c || '_' || i), 1, 8))::BIGINT
-                         / 2147483648.0) - 1.0) for i in range(0, 64)] AS cv
-               FROM (SELECT unnest(range(0, 16)) AS c)),
-        ccn AS (SELECT c, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cc),
-        scored_cells AS (
-          SELECT en.vec_id, en.v, en.vn, ccn.c,
-                 round(list_dot_product(en.v, ccn.cv) / (ccn.cn * en.vn), 6) AS ccos
-          FROM en CROSS JOIN ccn),
-        assigned AS (
-          SELECT vec_id, v, vn, c AS cell FROM scored_cells
-          QUALIFY row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY ccos DESC, c) = 1),
+      Some(s"""
+        WITH ${ivfAssignCtes(16, 64)},
         probes AS (
           SELECT vec_id AS query_id, v AS qv, vn AS qn, c AS cell
           FROM scored_cells
@@ -1133,6 +1141,24 @@ object TextSim extends QueryPack {
           FROM (SELECT doc_id, $DUCK_TOKENS AS t FROM documents))
         SELECT doc_id, pos::BIGINT AS pos,
                coalesce(v.token_id, 20)::BIGINT AS token_id
-        FROM toks LEFT JOIN vocab v USING (term)"""))
+        FROM toks LEFT JOIN vocab v USING (term)""")),
+
+    // Oracle-checkable distributed Lloyd step: seeded-quantizer
+    // assignment (the q43 CTE chain — one generator, no drift), then
+    // per-(cell, dim) member counts and micro-snapped means. The snapped
+    // mean is order-independent integer arithmetic, which is exactly why
+    // trainCentroids' raw fp means CANNOT be oracle-checked and these can.
+    "q73_kmeans_refine" -> Q(
+      (s, d) => Similarity.refineCentroidsExact(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, centroids = 16),
+      Some(s"""
+        WITH ${ivfAssignCtes(16, 64)},
+        pos AS (SELECT cell, unnest(range(0, 64)) AS i, unnest(v) AS x
+                FROM assigned)
+        SELECT cell::BIGINT AS cell, i::BIGINT AS i,
+               count(*)::BIGINT AS n_members,
+               sum(floor(x * 1e6 + 0.5))::BIGINT AS m_micro,
+               sum(floor(x * 1e6 + 0.5))::DOUBLE / (count(*)::DOUBLE * 1e6) AS m
+        FROM pos GROUP BY 1, 2"""))
   )
 }

@@ -209,6 +209,39 @@ object Similarity {
     cents
   }
 
+  /** ORACLE-CHECKABLE distributed Lloyd step: assign every vector to its
+    * seeded-quantizer cell, then emit each cell's member count and
+    * per-dimension mean as EXACT cross-engine arithmetic — each
+    * coordinate micro-snaps (`floor(x·1e6 + 0.5)`, an integer-valued
+    * double) before the per-(cell, dim) sum, so the aggregate is
+    * order-independent and the single trailing division is one IEEE op.
+    * This is the fix for exactly the reason [[trainCentroids]] is NOT
+    * oracle-checked (fp aggregation order makes its means run-varying in
+    * the last ulps): the snapped mean differs from the exact mean by at
+    * most 5e-7 per coordinate — irrelevant to clustering — and is
+    * bit-identical everywhere, so an iterative training loop built on it
+    * would be REPRODUCIBLE across engines, runs, and partitionings.
+    *
+    * Emits (cell, i, n_members, m_micro, m): 1024 rows at C=16, d=64 —
+    * the refined matrix in row form, distributed end to end (the
+    * (cell, dim)-keyed aggregation has C·d groups with partial
+    * aggregation; nothing corpus-sized reaches the driver).
+    */
+  def refineCentroidsExact(vectors: DataFrame, idCol: String, vecCol: String,
+                           dims: Int, centroids: Int): DataFrame = {
+    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    assignCells(vectors, idCol, vecCol, cents)
+      .select(col("cell").cast("long").as("cell"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(count(lit(1)).as("n_members"),
+           sum(floor(col("x") * lit(1e6) + lit(0.5))).as("m_micro"))
+      .select(col("cell"), col("i").cast("long").as("i"), col("n_members"),
+        col("m_micro"),
+        (col("m_micro").cast("double") /
+          (col("n_members").cast("double") * lit(1e6))).as("m"))
+  }
+
   /** Persist a centroid matrix as parquet rows (c, i, x). Parquet doubles
     * are raw IEEE-754 bits, so save→load reproduces the matrix EXACTLY —
     * which matters because the index and every probe must assign against

@@ -188,6 +188,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("exact Lloyd step: complete per-cell dims, conserved mass, partitioning-invariant") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val nVecs = emb.count()
+    val rows = Similarity.refineCentroidsExact(emb, "vec_id", "embedding",
+        dims = 64, centroids = 16)
+      .select($"cell", $"i", $"n_members", $"m_micro", $"m")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // every populated cell carries all 64 dims with one consistent count,
+    // and the counts partition the corpus (each vector in exactly one cell)
+    val byCell = rows.groupBy(_._1)
+    byCell.foreach { case (c, rs) =>
+      assert(rs.map(_._2).toSet === (0L until 64L).toSet, s"cell $c missing dims")
+      assert(rs.map(_._3).toSet.size === 1, s"cell $c has inconsistent counts")
+    }
+    assert(byCell.values.map(_.head._3).sum === nVecs)
+    // the snapped mean is the claimed pure function of (m_micro, n)
+    rows.foreach { case (_, _, n, mm, m) =>
+      assert(m === mm.toDouble / (n.toDouble * 1e6))
+    }
+    // order-independence: the integer micro-sums must survive any layout
+    val re = Similarity.refineCentroidsExact(emb.repartition(13), "vec_id",
+        "embedding", dims = 64, centroids = 16)
+      .select($"cell", $"i", $"n_members", $"m_micro", $"m")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq === re.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("raising nprobe monotonically recovers brute-force recall") {
     val emb = Tables.embeddings(spark, dir)
     val rs = Seq(1, 4, 16).map { np =>
