@@ -1159,6 +1159,23 @@ object TextSim extends QueryPack {
                count(*)::BIGINT AS n_members,
                sum(floor(x * 1e6 + 0.5))::BIGINT AS m_micro,
                sum(floor(x * 1e6 + 0.5))::DOUBLE / (count(*)::DOUBLE * 1e6) AS m
-        FROM pos GROUP BY 1, 2"""))
+        FROM pos GROUP BY 1, 2""")),
+
+    // SemDeDup: drop any vector with a lower-id cell-mate within cosine
+    // 0.2 — the clustering-bounded semantic dedup (quadratic term runs
+    // per cell, pairs split across cells missed by the paper's design).
+    // Shares the q43/q73 assignment CTE generator.
+    "q74_semantic_dedup" -> Q(
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, centroids = 16, minCosine = 0.2),
+      Some(s"""
+        WITH ${ivfAssignCtes(16, 64)},
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.2)
+        SELECT vec_id, cell::BIGINT AS cell FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""))
   )
 }

@@ -242,6 +242,42 @@ object Similarity {
           (col("n_members").cast("double") * lit(1e6))).as("m"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, public): semantic dedup WITHIN
+    * quantizer cells — a document is dropped when a lower-id member of
+    * its own cell is within `minCosine`; survivors are the semantic
+    * representatives. Emits kept (vec_id, cell).
+    *
+    * The cell partition is the published algorithm's cost bound: the
+    * quadratic pair term runs per cell (~(N/C)² per cell, never N²),
+    * and C is the knob a deployment turns as N grows — this is dedup by
+    * clustering, not LSH banding, so near-duplicate pairs SPLIT ACROSS
+    * cells are missed by design (the paper's trade; `lshNeighborPairs`
+    * is the recall-bounded alternative). The within-cell join carries
+    * the vectors because cosine needs them — at (N/C) rows per cell the
+    * carried payload is the same order as the pair count, so a
+    * join-back would add a shuffle without shrinking the dominant term.
+    * Cosine snaps to 6 dp (the q38/q43 rounding doctrine) so the
+    * drop set is engine-exact.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, centroids: Int, minCosine: Double): DataFrame = {
+    val sp = vectors.sparkSession
+    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    val cells = assignCells(vectors, idCol, vecCol, cents)
+      .select(col("vec_id"), col("v"), col("vn"), col("cell"))
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(ArrayOps.doubleDot(sp, col("va"), col("vb")) /
+        (col("na") * col("nb")), 6) >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+  }
+
   /** Persist a centroid matrix as parquet rows (c, i, x). Parquet doubles
     * are raw IEEE-754 bits, so save→load reproduces the matrix EXACTLY —
     * which matters because the index and every probe must assign against

@@ -216,6 +216,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.sortBy(r => (r._1, r._2)).toSeq === re.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("semantic dedup: identical cell-mates collapse to the lowest id") {
+    import spark.implicits._
+    val e1 = Array(1.0f) ++ Array.fill(7)(0.0f)
+    val e2 = Array(0.0f, 1.0f) ++ Array.fill(6)(0.0f)
+    val vecs = Seq((1L, e1), (2L, e1), (3L, e1), (9L, e2))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        dims = 8, centroids = 4, minCosine = 0.2)
+      .select($"vec_id").as[Long].collect().toSet
+    // the three identical vectors share a cell (same argmax) and cos=1:
+    // only id 1 survives; the orthogonal vector is nobody's near-dup
+    assert(kept === Set(1L, 9L))
+  }
+
   test("raising nprobe monotonically recovers brute-force recall") {
     val emb = Tables.embeddings(spark, dir)
     val rs = Seq(1, 4, 16).map { np =>
