@@ -183,6 +183,109 @@ case class DoubleMatVec(child: Expression, mat: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Cell assignment in ONE kernel: the 0-based index of the FIRST centroid
+  * attaining the maximum 6-dp-rounded cosine against a driver-constant
+  * matrix. Semantically identical to the composition
+  * `array_position(ccos, array_max(ccos)) - 1` over
+  * `ccos = [round(matVec(v)[c] / (cnorm_c · vn), 6)]` — same truncated
+  * dot (min(len, dims)), same full-length vn, same shortest-decimal
+  * HALF_UP rounding as Catalyst's `Round` (BigDecimal.valueOf), same
+  * first-index tie-break (strict `>` keeps the earliest max) — but as a
+  * single compact loop nest.
+  *
+  * Exists because the composed form is PRUNING-HOSTILE: when a consumer
+  * keeps `cell` but drops the `ccos` column (the dedup/refine/index
+  * paths all do), column pruning inlines the matVec into every one of
+  * the 2·C array elements, the generated method blows past the codegen
+  * size limit, and evaluation falls back to interpreted WITHOUT
+  * common-subexpression elimination — measured 33× slower on the q74
+  * within-cell join (14.3 s vs 0.43 s for the identical result). A
+  * non-finite cosine (zero vector) skips rounding and can never win the
+  * strict comparison, so degenerate inputs fall to cell 0.
+  */
+case class DoubleMatVecArgMaxCos(child: Expression, mat: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val rows = mat.length
+  private val dims = if (rows == 0) 0 else mat(0).length
+  @transient private lazy val flat: Array[Double] = mat.flatten
+  @transient private lazy val norms: Array[Double] = mat.map { v =>
+    var acc = 0.0; var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "double_mat_vec_argmax_cos"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("argmaxFlat", flat, "double[]")
+    val normRef = ctx.addReferenceObj("argmaxNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val n = ctx.freshName("n"); val nf = ctx.freshName("nf")
+      val vn = ctx.freshName("vn"); val acc = ctx.freshName("acc")
+      val cos = ctx.freshName("cos"); val r = ctx.freshName("r")
+      val best = ctx.freshName("best"); val bestR = ctx.freshName("bestR")
+      s"""
+        final int $n = Math.min($v.numElements(), $dims);
+        final int $nf = $v.numElements();
+        double $vn = 0.0;
+        for (int $i = 0; $i < $nf; $i++) {
+          final double x = $v.getDouble($i);
+          $vn += x * x;
+        }
+        $vn = Math.sqrt($vn);
+        int $best = 0; double $bestR = Double.NEGATIVE_INFINITY;
+        for (int $c = 0; $c < $rows; $c++) {
+          double $acc = 0.0;
+          final int base = $c * $dims;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += $v.getDouble($i) * $matRef[base + $i];
+          }
+          final double $cos = $acc / ($normRef[$c] * $vn);
+          final double $r = Double.isFinite($cos)
+            ? java.math.BigDecimal.valueOf($cos)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            : $cos;
+          if ($r > $bestR) { $bestR = $r; $best = $c; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    val nf = v.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < nf) { val x = v.getDouble(i); vn += x * x; i += 1 }
+    vn = math.sqrt(vn)
+    var best = 0
+    var bestR = Double.NegativeInfinity
+    var c = 0
+    while (c < rows) {
+      var acc = 0.0
+      val base = c * dims
+      i = 0
+      while (i < n) { acc += v.getDouble(i) * flat(base + i); i += 1 }
+      val cos = acc / (norms(c) * vn)
+      val r = if (java.lang.Double.isFinite(cos))
+        java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      else cos
+      if (r > bestR) { bestR = r; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Per-row scalar-quantization statistics: quantizes an array<double> to
   * `levels` uniform levels between its own min and max and returns
   * `[vmin, vmax, sse_micro]` — the reconstruction squared error snapped
@@ -318,6 +421,16 @@ object ArrayOps {
              key: String): Column = {
     val name = s"double_mat_vec_$key"
     ensureRegistered(spark, name, exprs => DoubleMatVec(exprs(0), mat))
+    org.apache.spark.sql.functions.call_function(name, v)
+  }
+
+  /** Column-typed API for the argmax-cosine cell kernel; the caller's
+    * content key (same scheme as [[matVec]]) keeps distinct matrices from
+    * colliding in the session registry. */
+  def matVecArgMaxCos(spark: SparkSession, v: Column, mat: Array[Array[Double]],
+                      key: String): Column = {
+    val name = s"double_mat_vec_argmax_cos_$key"
+    ensureRegistered(spark, name, exprs => DoubleMatVecArgMaxCos(exprs(0), mat))
     org.apache.spark.sql.functions.call_function(name, v)
   }
 

@@ -646,7 +646,7 @@ object TextSim extends QueryPack {
       (s, d) => {
         val rows = TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 8)
         val hashed = rows.select(col("id"),
-          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("hg"))
+          TextOps.gramHash64(col("g")).as("hg"))
         val bench = hashed.filter(col("id") % 20 === 0).select("hg").distinct()
         val corpus = hashed.filter(col("id") % 20 =!= 0).dropDuplicates("id", "hg")
         corpus.join(broadcast(bench.withColumn("__hit", lit(1))), Seq("hg"), "left")
@@ -747,7 +747,7 @@ object TextSim extends QueryPack {
         def grams8(df: org.apache.spark.sql.DataFrame) =
           TextOps.wordShingleRows(df, "doc_id", "text", 8)
             .select(col("id"),
-              conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("hg"))
+              TextOps.gramHash64(col("g")).as("hg"))
         val bench = grams8(docs.filter(col("doc_id") % 20 === 0))
           .select("hg").distinct()
         val contaminated = grams8(deduped)
@@ -1086,7 +1086,7 @@ object TextSim extends QueryPack {
     // deterministic md5 draw (u·n < hits — division-free keep test).
     "q70_importance_resample" -> Q(
       (s, d) => Retrieval.importanceResample(Tables.documents(s, d), "doc_id", "text",
-        targetPred = col("id") % 20 === 0, n = 2),
+        targetPred = col("doc_id") % 20 === 0, n = 2),
       Some(s"""
         WITH toks AS (
           SELECT doc_id, $DUCK_TOKENS AS t FROM documents),

@@ -160,8 +160,17 @@ object Similarity {
     val ccosArr = array(cents.indices.map { c =>
       round(element_at(col("cd"), c + 1) / (lit(cnorms(c)) * col("vn")), 6)
     }: _*)
+    // cell comes from the dedicated argmax KERNEL, not from
+    // array_position(ccos, array_max(ccos)): the composed form is
+    // pruning-hostile — consumers that keep `cell` but drop `ccos`
+    // (dedup/refine/index paths) would inline the matVec into 2·C array
+    // elements, overflow codegen, and fall back to interpreted
+    // no-CSE evaluation (measured 33× on the q74 join). The kernel is
+    // semantically identical (same rounding, same first-index
+    // tie-break — see DoubleMatVecArgMaxCos).
     v.withColumn("ccos", ccosArr)
-      .withColumn("cell", (array_position(col("ccos"), array_max(col("ccos"))) - 1).cast("int"))
+      .withColumn("cell", graft.plans.ArrayOps.matVecArgMaxCos(sp, col("v"), cents,
+        s"ivf_${cents.length}x${dims}_$key"))
       .drop("cd")
   }
 

@@ -55,7 +55,7 @@ object NearDup {
                         k: Int): DataFrame = {
     val ex = df.select(col(idCol).as("id"), explode(col(shingleCol)).as("g"))
     val hashed = ex.select(col("id"),
-      (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % P).as("h1"),
+      (TextOps.gramHash64(col("g")) % P).as("h1"),
       (conv(substring(md5(col("g")), 17, 15), 16, 10).cast("long") % P).as("h2"))
     val aggs = (0 until k).map(i => min((col("h1") + lit(i.toLong) * col("h2")) % P).as(s"m$i"))
     hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -319,7 +319,7 @@ object NearDup {
     val toks = TextOps.tokens(col(textCol))
     val hashed = df.select(col(idCol),
       explode(toks).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", TextOps.gramHash64(col("tok")))
     val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
     val agg = hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
@@ -452,7 +452,7 @@ object NearDup {
     val tEff = minJaccard - 0.5e-4
     val maxBandDiff = math.ceil(math.log(1.0 / tEff) / math.log(2.0)).toInt
     val base = rows
-      .withColumn("hg", conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long"))
+      .withColumn("hg", TextOps.gramHash64(col("g")))
       .groupBy(blockCols.map(col) :+ col("id"): _*)
       .agg(sort_array(collect_set(col("hg"))).as("sh"))
       .withColumn("sz", size(col("sh")))

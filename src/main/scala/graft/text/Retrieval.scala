@@ -147,13 +147,15 @@ object Retrieval {
     */
   def importanceResample(docs: DataFrame, idCol: String, textCol: String,
                          targetPred: Column, n: Int = 2): DataFrame = {
-    val hashed = TextOps.wordShingleRows(docs, idCol, textCol, n)
-      .select(col("id"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("hg"))
+    // the predicate is phrased against the CALLER's columns, so split the
+    // doc frame before any renaming — the two shingle pipelines partition
+    // the same scan, not duplicate it
+    def grams(d: DataFrame) = TextOps.wordShingleRows(d, idCol, textCol, n)
+      .select(col("id"), TextOps.gramHash64(col("g")).as("hg"))
       .dropDuplicates("id", "hg")
-    val target = hashed.filter(targetPred)
+    val target = grams(docs.filter(targetPred))
       .select("hg").distinct().withColumn("__hit", lit(1))
-    hashed.filter(!targetPred)
+    grams(docs.filter(!targetPred))
       .join(broadcast(target), Seq("hg"), "left")
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_target_grams"))

@@ -91,6 +91,15 @@ object TextOps {
   def hashUnit(seed: String, id: Column): Column =
     hashPrefix(seed, id) / lit(4294967296.0)
 
+  /** 60-bit gram hash: first 15 hex chars of md5 as a long — the ONE
+    * widening of a gram string to a join/set key, mirrored by every
+    * oracle as `('0x' || substr(md5(g), 1, 15))::BIGINT`. The width is
+    * load-bearing (16 hex would overflow BIGINT in the SQL rendering);
+    * change it here and in every oracle together or nowhere.
+    */
+  def gramHash64(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
   /** Canonical-form fingerprint: md5 of the lowercased alphanumeric
     * skeleton — a deterministic rolling-hash substitute that two engines
     * compute identically (whitespace/punct/case-insensitive exact dedup key).

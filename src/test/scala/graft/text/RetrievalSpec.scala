@@ -106,12 +106,12 @@ class RetrievalSpec extends SparkSpec {
   test("importance resample: full-overlap doc always kept, disjoint doc never") {
     import spark.implicits._
     val docs = Seq(
-      (0L, "alpha beta gamma delta"),  // target sample (pred: id % 2 == 0... use id === 0)
+      (0L, "alpha beta gamma delta"),  // the target sample (doc_id === 0)
       (1L, "alpha beta gamma delta"),  // identical -> overlap 1.0 -> kept (u < 1 always)
       (3L, "zeta eta theta iota"))     // disjoint -> overlap 0 -> u*n < 0 impossible
       .toDF("doc_id", "text")
     val out = Retrieval.importanceResample(docs, "doc_id", "text",
-        targetPred = col("id") === 0, n = 2)
+        targetPred = col("doc_id") === 0, n = 2)
       .select($"doc_id", $"n_grams", $"n_target_grams")
       .as[(Long, Long, Long)].collect().toSeq
     assert(out === Seq((1L, 3L, 3L)))
@@ -141,15 +141,26 @@ class RetrievalSpec extends SparkSpec {
       (2L, 0L, 0L), (2L, 1L, 2L), (2L, 2L, 0L)))
   }
 
-  test("bm25 and surprisal plans: query-term prune precedes the postings shuffle") {
-    val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
-      queries = Map(1 -> "apple"), k = 5)
-      .queryExecution.executedPlan.toString
-    // the isin filter must sit under the first exchange (inverted-index
-    // access path): no corpus-wide (doc, term) aggregation
-    val exchangeIdx = plan.indexOf("Exchange")
-    val filterIdx = plan.indexOf("apple")
-    assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
-      s"query-term prune should appear below the shuffle in:\n$plan")
+  test("bm25 plan: query-term prune sits BELOW every postings shuffle") {
+    // AQE off for a stable, walkable physical tree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries = Map(1 -> "apple"), k = 5)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      // every shuffle fed by a token explode (Generate) must already have
+      // the isin prune in its subtree — i.e. the (doc, term) aggregation
+      // never shuffles unpruned corpus tokens. The scalar-stats branch has
+      // a shuffle but no Generate, so it is rightly exempt.
+      val postingsShuffles = plan.collect {
+        case e: ShuffleExchangeExec if e.child.toString.contains("Generate") => e
+      }
+      assert(postingsShuffles.nonEmpty, s"no postings shuffle found in:\n$plan")
+      postingsShuffles.foreach { e =>
+        assert(e.child.toString.contains("apple"),
+          s"a token-explode shuffle is missing the query-term prune:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
