@@ -1176,6 +1176,22 @@ object TextSim extends QueryPack {
             ON a.cell = b.cell AND a.vec_id < b.vec_id
           WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.2)
         SELECT vec_id, cell::BIGINT AS cell FROM assigned
-        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""))
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""")),
+
+    // Corpus data card in ONE pass: doc/token/char totals at every
+    // (lang, source) granularity via CUBE — grouping-set expansion rides
+    // a single exchange with partial aggregation (no per-dimension
+    // re-scans), the reporting shape that matters when the scan is 100 TB.
+    "q75_corpus_profile" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+             sum(col("n_chars")).as("sum_chars")),
+      Some(s"""
+        SELECT lang, source, count(*) AS n_docs,
+               sum(len($DUCK_TOKENS))::BIGINT AS n_tokens,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY CUBE (lang, source)"""))
   )
 }

@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Fuzz the two newest codegen kernels against their reference forms —
+  * the same discipline as the Excel/Y4M codec fuzz suites: a kernel
+  * whose doGenCode and nullSafeEval can drift is a kernel whose bench
+  * path and spec path silently test different code.
+  */
+class KernelFuzzSpec extends SparkSpec {
+
+  private val N = 10
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default.withSize(14), Seed(seed))
+
+  private def matGen(rows: Int, dims: Int): Gen[Array[Array[Double]]] =
+    Gen.listOfN(rows, Gen.listOfN(dims, Gen.choose(-2.0, 2.0))).map(
+      _.map(_.toArray).toArray)
+
+  test("argmax kernel matches the composed rounded-cosine argmax, ties included") {
+    import spark.implicits._
+    (1 to N).foreach { trial =>
+      val dims = 2 + trial % 5
+      val rows = 2 + trial % 4
+      val mat0 = sample(matGen(rows, dims), 1000L + trial)
+      // force a TIE family: duplicate the first centroid at the end, so
+      // the rounded cosines collide and only first-index tie-break agrees
+      val mat = mat0 :+ mat0(0).clone()
+      val vecs = (1 to 8).map { i =>
+        (i.toLong, sample(Gen.listOfN(dims, Gen.choose(-2.0, 2.0)), 7700L + 31L * trial + i).toArray)
+      }
+      val df = vecs.toDF("id", "v")
+      val kernel = df.select($"id",
+          ArrayOps.matVecArgMaxCos(spark, $"v", mat, s"fuzz${trial}").as("cell"))
+        .as[(Long, Int)].collect().toMap
+      // reference: the original pruning-hostile composition, evaluated
+      // with every intermediate kept as a column (its safe regime)
+      val cnorms = mat.map(r => math.sqrt(r.map(x => x * x).sum))
+      val composed = df
+        .withColumn("vn", sqrt(ArrayOps.doubleDot(spark, $"v", $"v")))
+        .withColumn("cd", ArrayOps.matVec(spark, $"v", mat, s"fuzzref$trial"))
+        .withColumn("ccos", array(mat.indices.map { c =>
+          round(element_at($"cd", c + 1) / (lit(cnorms(c)) * $"vn"), 6)
+        }: _*))
+        .select($"id",
+          (array_position($"ccos", array_max($"ccos")) - 1).cast("int").as("cell"))
+        .as[(Long, Int)].collect().toMap
+      assert(kernel === composed, s"trial $trial (dims=$dims rows=${mat.length})")
+      // the duplicated last centroid scores IDENTICALLY to centroid 0, so
+      // first-index tie-break means it can never be selected
+      assert(!kernel.values.exists(_ == mat.length - 1),
+        s"trial $trial: duplicate centroid won a tie it must lose")
+    }
+  }
+
+  test("quant-stats kernel: codegen path equals interpreted eval on random arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    (1 to N).foreach { trial =>
+      val n = 1 + trial % 7
+      val base = sample(Gen.listOfN(n, Gen.choose(-3.0, 3.0)), 500L + trial).toArray
+      // alternate between random, constant, and negative-heavy arrays
+      val arr = trial % 3 match {
+        case 0 => base
+        case 1 => Array.fill(n)(base(0))
+        case _ => base.map(x => -math.abs(x))
+      }
+      val levels = Seq(2, 16, 256)(trial % 3)
+      val viaDf = Seq((1L, arr)).toDF("id", "v")
+        .select(ArrayOps.quantStats(spark, $"v", levels).as("qs"))
+        .as[Seq[Double]].head()
+      val viaEval = DoubleArrayQuantStats(
+        Literal.create(arr, ArrayType(DoubleType, false)), levels)
+        .eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
+      assert(viaDf === viaEval, s"trial $trial levels=$levels arr=${arr.toSeq}")
+      assert(viaEval(2) >= 0.0 && viaEval(0) <= viaEval(1))
+      if (trial % 3 == 1) assert(viaEval(2) === 0.0) // constant vector
+    }
+  }
+}
