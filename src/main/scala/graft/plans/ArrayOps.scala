@@ -183,6 +183,57 @@ case class DoubleMatVec(child: Expression, mat: Array[Array[Double]])
     copy(child = c)
 }
 
+/** The first 60 bits of md5(string) as a long, in ONE kernel — exactly
+  * `conv(substring(md5(g), 1, 15), 16, 10)::long` (the repo-wide gram
+  * hash, mirrored by every oracle as
+  * `('0x' || substr(md5(g),1,15))::BIGINT`): the top 15 hex nibbles are
+  * the big-endian first 8 digest bytes shifted right 4. The composed
+  * form pays a 32-char hex encode, a substring, and a radix-16 string
+  * parse per gram ON TOP of the digest — measured ~5 µs/gram; at q37's
+  * 1.47M grams (sf0.1) the plumbing alone was ~3 s of the query. The
+  * digest instance is thread-local (MessageDigest is stateful and
+  * generated code shares references across threads in local mode).
+  */
+case class Md5Prefix64(child: Expression, hexStart: Int = 1)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(hexStart == 1 || hexStart == 17,
+    "only the byte-aligned md5 halves (hexStart 1 or 17) are supported")
+  private val byteStart = (hexStart - 1) / 2
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_prefix64"
+
+  @transient private lazy val digests =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Called from both eval and generated code. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var acc = 0L
+    var i = byteStart
+    while (i < byteStart + 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5prefix", this,
+      classOf[Md5Prefix64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.hash($v);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Cell assignment in ONE kernel: the 0-based index of the FIRST centroid
   * attaining the maximum 6-dp-rounded cosine against a driver-constant
   * matrix. Semantically identical to the composition
@@ -422,6 +473,14 @@ object ArrayOps {
     val name = s"double_mat_vec_$key"
     ensureRegistered(spark, name, exprs => DoubleMatVec(exprs(0), mat))
     org.apache.spark.sql.functions.call_function(name, v)
+  }
+
+  /** Column-typed API for the md5-prefix gram hash kernel (hexStart 1 or
+    * 17 — the two byte-aligned 60-bit halves of the digest). */
+  def md5Prefix64(spark: SparkSession, g: Column, hexStart: Int = 1): Column = {
+    val name = s"md5_prefix64_h$hexStart"
+    ensureRegistered(spark, name, exprs => Md5Prefix64(exprs(0), hexStart))
+    org.apache.spark.sql.functions.call_function(name, g)
   }
 
   /** Column-typed API for the argmax-cosine cell kernel; the caller's

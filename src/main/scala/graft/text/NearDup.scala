@@ -56,7 +56,7 @@ object NearDup {
     val ex = df.select(col(idCol).as("id"), explode(col(shingleCol)).as("g"))
     val hashed = ex.select(col("id"),
       (TextOps.gramHash64(col("g")) % P).as("h1"),
-      (conv(substring(md5(col("g")), 17, 15), 16, 10).cast("long") % P).as("h2"))
+      (TextOps.gramHash64Hi(col("g")) % P).as("h2"))
     val aggs = (0 until k).map(i => min((col("h1") + lit(i.toLong) * col("h2")) % P).as(s"m$i"))
     hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -383,7 +383,16 @@ object NearDup {
   def blockedJaccardPairsFromText(df: DataFrame, idCol: String, textCol: String,
                                   blockCols: Seq[String], n: Int,
                                   minJaccard: Double): DataFrame = {
-    val rows = df
+    // Everything before the sets shuffle — the ×(len-n+1) explode, the
+    // per-gram digest, the map-side collect_set — runs at SCAN-SPLIT
+    // parallelism. A 100 TB corpus arrives in thousands of splits; the
+    // gate corpus is ONE 2 MB parquet split, so that whole stage ran in
+    // a single task (measured: ~4 s of q37's 4.2). Re-spread the doc
+    // rows (5000 rows — cheap) when the scan has fewer splits than
+    // cores; at real scale the condition is false and this is a no-op.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val rows = spread
       .filter(length(col(textCol)) >= n)
       .select(blockCols.map(col) :+ col(idCol).as("id") :+ col(textCol).as("__t"): _*)
       .select(blockCols.map(col) :+ col("id") :+

@@ -96,9 +96,23 @@ object TextOps {
     * oracle as `('0x' || substr(md5(g), 1, 15))::BIGINT`. The width is
     * load-bearing (16 hex would overflow BIGINT in the SQL rendering);
     * change it here and in every oracle together or nowhere.
+    *
+    * Computed by the `Md5Prefix64` kernel, not the
+    * `conv(substring(md5(g), 1, 15), 16, 10)` composition it is defined
+    * by: the composed form pays a 32-char hex encode + substring +
+    * radix-16 parse per gram on top of the digest (~5 µs/gram measured —
+    * ~3 s of q37 at sf0.1). KernelFuzzSpec pins kernel ≡ composition.
     */
   def gramHash64(g: Column): Column =
-    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    graft.plans.ArrayOps.md5Prefix64(
+      org.apache.spark.sql.SparkSession.active, g)
+
+  /** The SECOND 60-bit half of the same digest (hex chars 17-31) — the
+    * independent hash the minhash double-hashing family needs; oracle
+    * rendering `('0x' || substr(md5(g), 17, 15))::BIGINT`. */
+  def gramHash64Hi(g: Column): Column =
+    graft.plans.ArrayOps.md5Prefix64(
+      org.apache.spark.sql.SparkSession.active, g, hexStart = 17)
 
   /** Canonical-form fingerprint: md5 of the lowercased alphanumeric
     * skeleton — a deterministic rolling-hash substitute that two engines
@@ -139,9 +153,8 @@ object TextOps {
     val grams = withLeads
       .filter(if (k > 1) col(s"__t${k - 1}").isNotNull else lit(true))
       .select(col("id"), col("pos"),
-        conv(substring(md5(concat_ws(" ",
-          col("tok") +: (1 until k).map(j => col(s"__t$j")): _*)), 1, 15),
-          16, 10).cast("long").as("gh"))
+        gramHash64(concat_ws(" ",
+          col("tok") +: (1 until k).map(j => col(s"__t$j")): _*)).as("gh"))
     grams
       .withColumn("mn", min(col("gh")).over(byPos.rowsBetween(-(w - 1), 0)))
       // last-gram detection via lead-is-null shares the ONE ordered

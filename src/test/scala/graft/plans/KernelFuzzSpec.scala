@@ -56,6 +56,31 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("md5-prefix kernel matches the conv(substring(md5)) composition, both halves") {
+    import spark.implicits._
+    val strGen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('é'),
+      1 -> Gen.const('中'))).map(_.mkString)
+    val strs = (1 to 40).map(i => (i.toLong, sample(strGen, 9000L + i)))
+    val df = strs.toDF("id", "g")
+    val out = df.select($"id",
+        ArrayOps.md5Prefix64(spark, $"g").as("k1"),
+        ArrayOps.md5Prefix64(spark, $"g", 17).as("k2"),
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("c1"),
+        conv(substring(md5($"g"), 17, 15), 16, 10).cast("long").as("c2"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out.foreach { case (id, k1, k2, c1, c2) =>
+      assert(k1 === c1 && k2 === c2, s"id $id: kernel diverged from composition")
+    }
+    // interpreted eval parity too (the df path above is codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val k1ById = out.map(r => r._1 -> r._2).toMap
+    strs.take(10).foreach { case (id, s) =>
+      assert(Md5Prefix64(Literal(s)).eval(null) === k1ById(id),
+        s"eval/codegen divergence for ${s.take(20)}")
+    }
+  }
+
   test("quant-stats kernel: codegen path equals interpreted eval on random arrays") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
