@@ -99,4 +99,63 @@ class StreamingSpec extends SparkSpec {
       ("s1", "01-05 00:05", Some(1.5)),   // gap filled
       ("s1", "02-01 00:00", Some(2.0))))  // new month partition
   }
+
+  test("stateful sessionization: in-batch gap close, watermark timeout, batch parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingSessionize.{Session, SessionEvent}
+    def ev(u: Long, hhmm: String, v: Double) =
+      SessionEvent(u, java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00"), v)
+
+    val in = { implicit val sqlCtx = spark.sqlContext; MemoryStream[SessionEvent] }
+    val q = StreamingSessionize.sessions(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10 min apart (one open session), then an
+      // 11:00 event whose 50-min gap CLOSES it within the same batch
+      in.addData(ev(1, "10:00", 1.0), ev(1, "10:10", 2.0), ev(1, "11:00", 4.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sessions").as[Session].collect()
+      assert(afterB1.map(s => (s.user_id, s.session_start.toString,
+        s.n_events, s.sum_value)).toSet ===
+        Set((1L, "2026-01-01 10:00:00.0", 2L, 3.0)))
+
+      // batch 2: a far-future event pushes the watermark (13:00 - 1h =
+      // 12:00) past the open session's 11:30 timeout -> it emits; the
+      // new event opens user 2's session (still held)
+      in.addData(ev(2, "13:00", 8.0))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sessions").as[Session].collect()
+      assert(afterB2.length === 2)
+      assert(afterB2.map(s => (s.user_id, s.session_start.toString, s.n_events,
+        s.sum_value)).toSet ===
+        Set((1L, "2026-01-01 10:00:00.0", 2L, 3.0),
+            (1L, "2026-01-01 11:00:00.0", 1L, 4.0)))
+
+      // the drained prefix must equal the BATCH gaps-and-islands shape
+      // (q25's window logic) over the same closed events
+      val batch = Seq(ev(1, "10:00", 1.0), ev(1, "10:10", 2.0), ev(1, "11:00", 4.0))
+        .toDF("user_id", "ts", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val batchSessions = batch
+        .withColumn("gap", when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w)) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("gap")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
+             sum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("n_events"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      val streamed = afterB2.filter(_.user_id == 1L)
+        .map(s => (s.user_id, s.session_start.toString.stripSuffix(".0"),
+          s.n_events, s.sum_value)).toSet
+      assert(streamed === batchSessions.map(t =>
+        (t._1, t._2.stripSuffix(".0"), t._3, t._4)))
+    } finally q.stop()
+  }
 }
