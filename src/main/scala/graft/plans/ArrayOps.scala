@@ -234,25 +234,27 @@ case class Md5Prefix64(child: Expression, hexStart: Int = 1)
     copy(child = c)
 }
 
-/** Cell assignment in ONE kernel: the 0-based index of the FIRST centroid
-  * attaining the maximum 6-dp-rounded cosine against a driver-constant
-  * matrix. Semantically identical to the composition
-  * `array_position(ccos, array_max(ccos)) - 1` over
-  * `ccos = [round(matVec(v)[c] / (cnorm_c · vn), 6)]` — same truncated
-  * dot (min(len, dims)), same full-length vn, same shortest-decimal
-  * HALF_UP rounding as Catalyst's `Round` (BigDecimal.valueOf), same
-  * first-index tie-break (strict `>` keeps the earliest max) — but as a
-  * single compact loop nest.
+/** Centroid dots + argmax cell in ONE pass: returns
+  * `[dot(c_0, v), …, dot(c_{rows-1}, v), bestCell]` (length rows+1) —
+  * the matVec result with the 0-based index of the FIRST centroid
+  * attaining the maximum 6-dp-rounded cosine appended. The argmax is
+  * bit-equivalent to `array_position(ccos, array_max(ccos)) - 1` over
+  * `ccos = [round(cd_c / (cnorm_c · vn), 6)]`: same truncated dot
+  * (min(len, dims)), same full-length vn, same shortest-decimal HALF_UP
+  * rounding as Catalyst's `Round` (which passes NaN/Infinity through
+  * unrounded), and the comparison uses `Double.compare` — NaN ranks
+  * greatest and the first max wins, exactly Spark's array_max/
+  * array_position ordering, so degenerate rows (a zero-norm centroid →
+  * NaN cosine) assign identically to the composed form.
   *
-  * Exists because the composed form is PRUNING-HOSTILE: when a consumer
-  * keeps `cell` but drops the `ccos` column (the dedup/refine/index
-  * paths all do), column pruning inlines the matVec into every one of
-  * the 2·C array elements, the generated method blows past the codegen
-  * size limit, and evaluation falls back to interpreted WITHOUT
-  * common-subexpression elimination — measured 33× slower on the q74
-  * within-cell join (14.3 s vs 0.43 s for the identical result). A
-  * non-finite cosine (zero vector) skips rounding and can never win the
-  * strict comparison, so degenerate inputs fall to cell 0.
+  * One kernel for BOTH outputs because each alone loses: the composed
+  * argmax is PRUNING-HOSTILE (a consumer keeping `cell` but dropping
+  * `ccos` makes column pruning inline the matVec into 2·C array
+  * elements; codegen overflows and the interpreted fallback has no CSE —
+  * measured 33× on the q74 within-cell join), while a cell-only kernel
+  * beside a separate matVec makes consumers that keep both pay the
+  * C·dims dots twice. Consumers needing only `cell` read the last
+  * element — pruning inlines ONE kernel call.
   */
 case class DoubleMatVecArgMaxCos(child: Expression, mat: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -266,7 +268,8 @@ case class DoubleMatVecArgMaxCos(child: Expression, mat: Array[Array[Double]])
     math.sqrt(acc)
   }
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "double_mat_vec_argmax_cos"
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -275,33 +278,38 @@ case class DoubleMatVecArgMaxCos(child: Expression, mat: Array[Array[Double]])
     nullSafeCodeGen(ctx, ev, v => {
       val i = ctx.freshName("i"); val c = ctx.freshName("c")
       val n = ctx.freshName("n"); val nf = ctx.freshName("nf")
+      val x = ctx.freshName("x"); val base = ctx.freshName("base")
       val vn = ctx.freshName("vn"); val acc = ctx.freshName("acc")
       val cos = ctx.freshName("cos"); val r = ctx.freshName("r")
       val best = ctx.freshName("best"); val bestR = ctx.freshName("bestR")
+      val out = ctx.freshName("out")
       s"""
         final int $n = Math.min($v.numElements(), $dims);
         final int $nf = $v.numElements();
+        final double[] $out = new double[$rows + 1];
         double $vn = 0.0;
         for (int $i = 0; $i < $nf; $i++) {
-          final double x = $v.getDouble($i);
-          $vn += x * x;
+          final double $x = $v.getDouble($i);
+          $vn += $x * $x;
         }
         $vn = Math.sqrt($vn);
         int $best = 0; double $bestR = Double.NEGATIVE_INFINITY;
         for (int $c = 0; $c < $rows; $c++) {
           double $acc = 0.0;
-          final int base = $c * $dims;
+          final int $base = $c * $dims;
           for (int $i = 0; $i < $n; $i++) {
-            $acc += $v.getDouble($i) * $matRef[base + $i];
+            $acc += $v.getDouble($i) * $matRef[$base + $i];
           }
+          $out[$c] = $acc;
           final double $cos = $acc / ($normRef[$c] * $vn);
           final double $r = Double.isFinite($cos)
             ? java.math.BigDecimal.valueOf($cos)
                 .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
             : $cos;
-          if ($r > $bestR) { $bestR = $r; $best = $c; }
+          if (Double.compare($r, $bestR) > 0) { $bestR = $r; $best = $c; }
         }
-        ${ev.value} = $best;
+        $out[$rows] = (double) $best;
+        ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
       """
     })
   }
@@ -310,6 +318,7 @@ case class DoubleMatVecArgMaxCos(child: Expression, mat: Array[Array[Double]])
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), dims)
     val nf = v.numElements()
+    val out = new Array[Double](rows + 1)
     var vn = 0.0
     var i = 0
     while (i < nf) { val x = v.getDouble(i); vn += x * x; i += 1 }
@@ -322,15 +331,17 @@ case class DoubleMatVecArgMaxCos(child: Expression, mat: Array[Array[Double]])
       val base = c * dims
       i = 0
       while (i < n) { acc += v.getDouble(i) * flat(base + i); i += 1 }
+      out(c) = acc
       val cos = acc / (norms(c) * vn)
       val r = if (java.lang.Double.isFinite(cos))
         java.math.BigDecimal.valueOf(cos)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       else cos
-      if (r > bestR) { bestR = r; best = c }
+      if (java.lang.Double.compare(r, bestR) > 0) { bestR = r; best = c }
       c += 1
     }
-    best
+    out(rows) = best.toDouble
+    ArrayData.toArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -646,7 +646,7 @@ object TextSim extends QueryPack {
       (s, d) => {
         val rows = TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 8)
         val hashed = rows.select(col("id"),
-          TextOps.gramHash64(col("g")).as("hg"))
+          TextOps.gramHash64(s, col("g")).as("hg"))
         val bench = hashed.filter(col("id") % 20 === 0).select("hg").distinct()
         val corpus = hashed.filter(col("id") % 20 =!= 0).dropDuplicates("id", "hg")
         corpus.join(broadcast(bench.withColumn("__hit", lit(1))), Seq("hg"), "left")
@@ -747,7 +747,7 @@ object TextSim extends QueryPack {
         def grams8(df: org.apache.spark.sql.DataFrame) =
           TextOps.wordShingleRows(df, "doc_id", "text", 8)
             .select(col("id"),
-              TextOps.gramHash64(col("g")).as("hg"))
+              TextOps.gramHash64(s, col("g")).as("hg"))
         val bench = grams8(docs.filter(col("doc_id") % 20 === 0))
           .select("hg").distinct()
         val contaminated = grams8(deduped)

@@ -152,26 +152,24 @@ object Similarity {
         bb.clear(); bb.putDouble(d); md.update(bb.array()) })
       md.digest().take(8).map("%02x".format(_)).mkString
     }
+    // ONE kernel pass yields the C dots AND the argmax cell (see
+    // DoubleMatVecArgMaxCos for why neither the composed
+    // array_position(ccos, array_max(ccos)) form — pruning-hostile,
+    // measured 33× interpreted fallback on the q74 join — nor a
+    // cell-only kernel beside a separate matVec — double dot work for
+    // ccos-keeping consumers — is acceptable). `cell` reads the last
+    // element, so cell-only consumers inline exactly one kernel call.
     val v = vectors.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", norm(sp, col("v")))
-      .withColumn("cd", graft.plans.ArrayOps.matVec(sp, col("v"), cents,
+      .withColumn("cdx", graft.plans.ArrayOps.matVecArgMaxCos(sp, col("v"), cents,
         s"ivf_${cents.length}x${dims}_$key"))
     val ccosArr = array(cents.indices.map { c =>
-      round(element_at(col("cd"), c + 1) / (lit(cnorms(c)) * col("vn")), 6)
+      round(element_at(col("cdx"), c + 1) / (lit(cnorms(c)) * col("vn")), 6)
     }: _*)
-    // cell comes from the dedicated argmax KERNEL, not from
-    // array_position(ccos, array_max(ccos)): the composed form is
-    // pruning-hostile — consumers that keep `cell` but drop `ccos`
-    // (dedup/refine/index paths) would inline the matVec into 2·C array
-    // elements, overflow codegen, and fall back to interpreted
-    // no-CSE evaluation (measured 33× on the q74 join). The kernel is
-    // semantically identical (same rounding, same first-index
-    // tie-break — see DoubleMatVecArgMaxCos).
     v.withColumn("ccos", ccosArr)
-      .withColumn("cell", graft.plans.ArrayOps.matVecArgMaxCos(sp, col("v"), cents,
-        s"ivf_${cents.length}x${dims}_$key"))
-      .drop("cd")
+      .withColumn("cell", element_at(col("cdx"), cents.length + 1).cast("int"))
+      .drop("cdx")
   }
 
   /** The IVF INDEX as a DataFrame: (vec_id, v, vn, ccos, cell). This is

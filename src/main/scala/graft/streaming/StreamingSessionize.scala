@@ -21,8 +21,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    parity with the batch shape on the same events);
   *  - a LATE event (inside the watermark allowance) that lands after its
   *    session was already gap-closed starts a fresh session rather than
-  *    reopening the emitted one — the documented trade of eager
-  *    emission, bounded by the watermark delay.
+  *    reopening the emitted one; one landing inside or gap-adjacent to
+  *    the HELD session merges into it (span widens via min/max, never
+  *    shifts backwards) — the documented trades of eager emission,
+  *    bounded by the watermark delay.
   *
   * Scale: state is ONE small record per active user key (start/last/
   * count/sum — no event buffering), the shuffle is the groupByKey on
@@ -35,8 +37,14 @@ object StreamingSessionize {
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
   case class SessionAcc(start: Long, last: Long, n: Long, sum: Double) {
+    // min/max, NOT assignment: a late-but-allowed event from an earlier
+    // trigger can land INSIDE the held session's span — overwriting
+    // `last` backwards would corrupt session_end (it could precede
+    // session_start) and manufacture spurious gap splits against later
+    // events
     def extend(e: SessionEvent): SessionAcc =
-      SessionAcc(start, e.ts.getTime, n + 1, sum + e.value)
+      SessionAcc(math.min(start, e.ts.getTime), math.max(last, e.ts.getTime),
+        n + 1, sum + e.value)
     def toSession(user: Long): Session =
       Session(user, new Timestamp(start), new Timestamp(last), n, sum)
   }

@@ -55,8 +55,8 @@ object NearDup {
                         k: Int): DataFrame = {
     val ex = df.select(col(idCol).as("id"), explode(col(shingleCol)).as("g"))
     val hashed = ex.select(col("id"),
-      (TextOps.gramHash64(col("g")) % P).as("h1"),
-      (TextOps.gramHash64Hi(col("g")) % P).as("h2"))
+      (TextOps.gramHash64(df.sparkSession, col("g")) % P).as("h1"),
+      (TextOps.gramHash64Hi(df.sparkSession, col("g")) % P).as("h2"))
     val aggs = (0 until k).map(i => min((col("h1") + lit(i.toLong) * col("h2")) % P).as(s"m$i"))
     hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -319,7 +319,7 @@ object NearDup {
     val toks = TextOps.tokens(col(textCol))
     val hashed = df.select(col(idCol),
       explode(toks).as("tok"))
-      .withColumn("h", TextOps.gramHash64(col("tok")))
+      .withColumn("h", TextOps.gramHash64(df.sparkSession, col("tok")))
     val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
     val agg = hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
@@ -388,10 +388,17 @@ object NearDup {
     // parallelism. A 100 TB corpus arrives in thousands of splits; the
     // gate corpus is ONE 2 MB parquet split, so that whole stage ran in
     // a single task (measured: ~4 s of q37's 4.2). Re-spread the doc
-    // rows (5000 rows — cheap) when the scan has fewer splits than
-    // cores; at real scale the condition is false and this is a no-op.
+    // rows (cheap) when the frame reads few SMALL files; at real scale
+    // the condition is false and this is a no-op. The probe is
+    // `inputFiles` — metadata-only — NOT `df.rdd.getNumPartitions`,
+    // which under AQE materializes (executes!) any upstream shuffle
+    // stages of a derived input frame just to count partitions. Large
+    // files under-count their splits here, but a large file IS
+    // parallelism (maxPartitionBytes splits it), so skipping the
+    // respread there is correct.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val files = try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
+    val spread = if (files > 0 && files < par) df.repartition(par) else df
     val rows = spread
       .filter(length(col(textCol)) >= n)
       .select(blockCols.map(col) :+ col(idCol).as("id") :+ col(textCol).as("__t"): _*)
@@ -461,7 +468,7 @@ object NearDup {
     val tEff = minJaccard - 0.5e-4
     val maxBandDiff = math.ceil(math.log(1.0 / tEff) / math.log(2.0)).toInt
     val base = rows
-      .withColumn("hg", TextOps.gramHash64(col("g")))
+      .withColumn("hg", TextOps.gramHash64(rows.sparkSession, col("g")))
       .groupBy(blockCols.map(col) :+ col("id"): _*)
       .agg(sort_array(collect_set(col("hg"))).as("sh"))
       .withColumn("sz", size(col("sh")))

@@ -151,7 +151,7 @@ object Retrieval {
     // doc frame before any renaming — the two shingle pipelines partition
     // the same scan, not duplicate it
     def grams(d: DataFrame) = TextOps.wordShingleRows(d, idCol, textCol, n)
-      .select(col("id"), TextOps.gramHash64(col("g")).as("hg"))
+      .select(col("id"), TextOps.gramHash64(docs.sparkSession, col("g")).as("hg"))
       .dropDuplicates("id", "hg")
     val target = grams(docs.filter(targetPred))
       .select("hg").distinct().withColumn("__hit", lit(1))

@@ -103,16 +103,21 @@ object TextOps {
     * radix-16 parse per gram on top of the digest (~5 µs/gram measured —
     * ~3 s of q37 at sf0.1). KernelFuzzSpec pins kernel ≡ composition.
     */
-  def gramHash64(g: Column): Column =
-    graft.plans.ArrayOps.md5Prefix64(
-      org.apache.spark.sql.SparkSession.active, g)
+  def gramHash64(spark: org.apache.spark.sql.SparkSession, g: Column): Column =
+    graft.plans.ArrayOps.md5Prefix64(spark, g)
 
   /** The SECOND 60-bit half of the same digest (hex chars 17-31) — the
     * independent hash the minhash double-hashing family needs; oracle
-    * rendering `('0x' || substr(md5(g), 17, 15))::BIGINT`. */
-  def gramHash64Hi(g: Column): Column =
-    graft.plans.ArrayOps.md5Prefix64(
-      org.apache.spark.sql.SparkSession.active, g, hexStart = 17)
+    * rendering `('0x' || substr(md5(g), 17, 15))::BIGINT`.
+    *
+    * Both take the session EXPLICITLY (like every ArrayOps kernel
+    * wrapper): resolving `SparkSession.active` inside a column builder
+    * registers the kernel into whatever session the CALLING THREAD has
+    * active, which in a multi-session process may not be the one that
+    * analyzes the plan — an unresolvable-function failure at a distance.
+    */
+  def gramHash64Hi(spark: org.apache.spark.sql.SparkSession, g: Column): Column =
+    graft.plans.ArrayOps.md5Prefix64(spark, g, hexStart = 17)
 
   /** Canonical-form fingerprint: md5 of the lowercased alphanumeric
     * skeleton — a deterministic rolling-hash substitute that two engines
@@ -153,7 +158,7 @@ object TextOps {
     val grams = withLeads
       .filter(if (k > 1) col(s"__t${k - 1}").isNotNull else lit(true))
       .select(col("id"), col("pos"),
-        gramHash64(concat_ws(" ",
+        gramHash64(df.sparkSession, concat_ws(" ",
           col("tok") +: (1 until k).map(j => col(s"__t$j")): _*)).as("gh"))
     grams
       .withColumn("mn", min(col("gh")).over(byPos.rowsBetween(-(w - 1), 0)))

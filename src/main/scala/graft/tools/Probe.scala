@@ -55,7 +55,7 @@ object Probe {
       .withColumn("sh", TextOps.charShingles(col("text"), 5))
     val base37 = docs37
       .select(col("lang"), col("source"), col("doc_id").as("id"), explode(col("sh")).as("g"))
-      .withColumn("hg", TextOps.gramHash64(col("g")))
+      .withColumn("hg", TextOps.gramHash64(spark, col("g")))
       .groupBy(col("lang"), col("source"), col("id"))
       .agg(sort_array(collect_set(col("hg"))).as("sh"))
     time("q37-base-agg")(base37)

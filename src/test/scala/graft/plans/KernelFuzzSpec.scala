@@ -33,26 +33,48 @@ class KernelFuzzSpec extends SparkSpec {
         (i.toLong, sample(Gen.listOfN(dims, Gen.choose(-2.0, 2.0)), 7700L + 31L * trial + i).toArray)
       }
       val df = vecs.toDF("id", "v")
-      val kernel = df.select($"id",
-          ArrayOps.matVecArgMaxCos(spark, $"v", mat, s"fuzz${trial}").as("cell"))
-        .as[(Long, Int)].collect().toMap
+      val out = df.select($"id",
+          ArrayOps.matVecArgMaxCos(spark, $"v", mat, s"fuzz${trial}").as("cdx"))
+        .select($"id", $"cdx",
+          element_at($"cdx", mat.length + 1).cast("int").as("cell"))
+        .as[(Long, Seq[Double], Int)].collect()
+      val kernel = out.map(r => r._1 -> r._3).toMap
       // reference: the original pruning-hostile composition, evaluated
       // with every intermediate kept as a column (its safe regime)
       val cnorms = mat.map(r => math.sqrt(r.map(x => x * x).sum))
-      val composed = df
+      val refDf = df
         .withColumn("vn", sqrt(ArrayOps.doubleDot(spark, $"v", $"v")))
         .withColumn("cd", ArrayOps.matVec(spark, $"v", mat, s"fuzzref$trial"))
         .withColumn("ccos", array(mat.indices.map { c =>
           round(element_at($"cd", c + 1) / (lit(cnorms(c)) * $"vn"), 6)
         }: _*))
-        .select($"id",
+        .select($"id", $"cd",
           (array_position($"ccos", array_max($"ccos")) - 1).cast("int").as("cell"))
-        .as[(Long, Int)].collect().toMap
+        .as[(Long, Seq[Double], Int)].collect()
+      val composed = refDf.map(r => r._1 -> r._3).toMap
       assert(kernel === composed, s"trial $trial (dims=$dims rows=${mat.length})")
-      // the duplicated last centroid scores IDENTICALLY to centroid 0, so
-      // first-index tie-break means it can never be selected
+      // the dot prefix must equal matVec bit for bit
+      val cdById = refDf.map(r => r._1 -> r._2).toMap
+      out.foreach { case (id, cdx, _) =>
+        assert(cdx.dropRight(1) === cdById(id), s"trial $trial id $id dots differ")
+      }
       assert(!kernel.values.exists(_ == mat.length - 1),
         s"trial $trial: duplicate centroid won a tie it must lose")
+    }
+    // degenerate matrix: a zero-norm centroid yields NaN cosine. The
+    // COMPOSED form cannot even evaluate this under Spark 4's default
+    // ANSI mode (double divide-by-zero throws), so the kernel pins its
+    // own documented contract instead: NaN ranks greatest (Spark's
+    // ordering) and the FIRST NaN cell wins.
+    locally {
+      val mat = Array(Array(1.0, 0.0), Array(0.0, 0.0), Array(0.0, 1.0))
+      val cells = Seq((1L, Array(0.7, 0.7)), (2L, Array(-1.0, 0.5)))
+        .toDF("id", "v")
+        .select(element_at(
+          ArrayOps.matVecArgMaxCos(spark, $"v", mat, "fuzzzero"), 4)
+          .cast("int"))
+        .as[Int].collect().toSet
+      assert(cells === Set(1), "zero-norm centroid (NaN, ranks greatest) must win")
     }
   }
 
