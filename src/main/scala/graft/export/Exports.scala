@@ -1,6 +1,7 @@
 package graft.export
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Sink/export boundary (SURVEY §2.2).
   *
@@ -19,6 +20,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * s3a:// directly.
   */
 object Exports {
+
+  /** Training-shard EXPORT: the trainer-consumable layout for packed
+    * sequences — one directory per shard (the mixture/packing key), files
+    * capped at `rowsPerFile` rows, rows laid out in `orderCols` order
+    * within each file so a reader streams chunks contiguously.
+    *
+    * The plan is the one to want at corpus scale: `repartitionByRange`
+    * over (shard ++ orderCols) gives RANGE-disjoint, internally sorted
+    * tasks (samples the keys, one exchange — contiguous chunk ranges per
+    * task, unlike hash partitioning which interleaves every chunk range
+    * across all tasks), `partitionBy(shard)` routes each task's rows to
+    * its shard directory, and `maxRecordsPerFile` rolls files at the cap
+    * WITHIN the sorted stream — so file boundaries respect chunk order
+    * and shard directories stay append-friendly. No global sort, no
+    * single-task funnel.
+    */
+  def writeTrainingShards(df: DataFrame, path: String, shardCol: String,
+                          orderCols: Seq[String], rowsPerFile: Int): Unit =
+    df.repartitionByRange((shardCol +: orderCols).map(col): _*)
+      .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile.toLong)
+      .partitionBy(shardCol)
+      .parquet(path)
 
   /** K2 — write a bounded product frame as ONE headered CSV file. */
   def writeCsv(df: DataFrame, path: String): Unit =
