@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.graph.PageRank
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.plans.ArrayOps
@@ -1192,6 +1193,132 @@ object TextSim extends QueryPack {
         SELECT lang, source, count(*) AS n_docs,
                sum(len($DUCK_TOKENS))::BIGINT AS n_tokens,
                sum(n_chars)::BIGINT AS sum_chars
-        FROM documents GROUP BY CUBE (lang, source)"""))
+        FROM documents GROUP BY CUBE (lang, source)""")),
+
+    // Feature-hashing TF-IDF (hashing trick): fixed-dim sparse text
+    // featurization with NO vocabulary pass — the dimension table is
+    // bounded by the modulus, not Heaps' law. One (doc, dim) shuffle;
+    // df is a 64-row broadcast; ln is per-row, micro-snapped (form 4).
+    "q76_hashed_tfidf" -> Q(
+      (s, d) => Terms.hashedTfIdf(Tables.documents(s, d), "doc_id", "text",
+        dims = 64),
+      Some(s"""
+        WITH tf AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS dim,
+                 count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS tok FROM documents)
+          GROUP BY 1, 2),
+        dfreq AS (SELECT dim, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+        SELECT doc_id, dim, tf, df, w_micro, w_micro::DOUBLE / 1e6 AS w
+        FROM (
+          SELECT doc_id, dim, tf, df,
+                 floor(tf::DOUBLE * ln((n_docs + 1.0) / (df + 1.0)) * 1e6
+                       + 0.5)::BIGINT AS w_micro
+          FROM tf JOIN dfreq USING (dim) CROSS JOIN n)""")),
+
+    // Integer PageRank over the embedding near-dup graph (q49's edges):
+    // centrality-based canonical pick — per cluster, the highest-rank
+    // member is the most-connected copy. All-integer update rule
+    // (micro-units, div truncation) so both engines agree bit-for-bit;
+    // 3 fixed iterations = 3 node-sized join+agg rounds.
+    "q77_pagerank_canonical" -> Q(
+      (s, d) => PageRank.pageRankMicro(
+        Similarity.lshNeighborPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5,
+          minCosine = 0.2),
+        "id_a", "id_b", iters = 3),
+      Some {
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (SELECT ed.dst AS node, sum(r.rm // d.deg)::BIGINT AS s
+               FROM ed JOIN r${i - 1} r ON r.node = ed.src
+                      JOIN deg d ON d.src = ed.src
+               GROUP BY 1),
+          r$i AS (SELECT n.node,
+                         (150000 + (coalesce(c.s, 0) * 85) // 100)::BIGINT AS rm
+                  FROM nodes n LEFT JOIN c$i c USING (node))"""
+        }.mkString(",\n        ")
+        s"""
+        WITH ${embPairsCtes(4, 5, 0.2)},
+        ed AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM ed GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM ed),
+        r0 AS (SELECT node, 1000000::BIGINT AS rm FROM nodes),
+        $iterCtes
+        SELECT node, rm AS rank_micro, rm::DOUBLE / 1e6 AS rank FROM r3"""
+      }),
+
+    // EXACT top-quartile quality gate: ceil(N/4) best docs by the q34
+    // score, ties at the threshold broken by doc id. The oracle phrases
+    // it as one global-sort window; the engine phrases it as a bounded
+    // micro-score histogram + a codegen filter (Terms.topQuantileGate
+    // scaladoc) — same set, no corpus-sized sort anywhere.
+    "q78_quantile_gate" -> Q(
+      (s, d) => Terms.topQuantileGate(Tables.documents(s, d), "doc_id",
+        TextOps.qualityScore(col("text")), frac = 0.25),
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id,
+                 floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS q_micro
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, q_micro,
+                 row_number() OVER (ORDER BY q_micro DESC, doc_id) AS rn,
+                 count(*) OVER () AS n
+          FROM s)
+        SELECT doc_id, q_micro FROM ranked WHERE rn <= ceil(0.25 * n)""")),
+
+    // Sliding-window chunking with stride (context-window carving):
+    // 32-token windows every 16 positions — sized so the synthetic docs
+    // (~40-60 tokens) exercise BOTH branches of the tail clip (full
+    // windows and natural partials; a 128-token window never clipped at
+    // gate SFs and made the oracle insensitive to `len`). Pure per-row
+    // codegen — a bounded sequence per doc, zero shuffle.
+    "q79_chunk_windows" -> Q(
+      (s, d) => Terms.chunkWindows(Tables.documents(s, d), "doc_id", "text",
+        len = 32, stride = 16),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, len($DUCK_TOKENS)::BIGINT AS n_tokens FROM documents),
+        st AS (
+          SELECT doc_id, n_tokens,
+                 unnest(range(0, n_tokens, 16))::BIGINT AS start_tok
+          FROM t WHERE n_tokens > 0)
+        SELECT doc_id, (start_tok // 16)::BIGINT AS chunk_id, start_tok,
+               least(32, n_tokens - start_tok)::BIGINT AS chunk_len
+        FROM st""")),
+
+    // Frequency-capped dedup (soft dedup): keep up to 2 copies per
+    // exact-duplicate group, lowest ids first. The synthetic documents
+    // table is duplicate-free, so the input FABRICATES duplicate groups
+    // deterministically (every doc_id % 10 = 0 doc appears 3×, offset
+    // ids) — otherwise the cap never fires and the oracle can't tell
+    // k=2 from k=3 (vacuous-pass guard). Plans as partial+final
+    // WindowGroupLimit — only k rows per group per partition survive
+    // the content-hash shuffle.
+    "q80_capped_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val dup = docs.filter(col("doc_id") % 10 === 0)
+        val tripled = docs
+          .union(dup.withColumn("doc_id", col("doc_id") + 1000000L))
+          .union(dup.withColumn("doc_id", col("doc_id") + 2000000L))
+        NearDup.dedupCapped(tripled, "doc_id", "text", maxCopies = 2)
+      },
+      Some("""
+        WITH tripled AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
+        SELECT doc_id, copy_rank FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS copy_rank
+          FROM tripled)
+        WHERE copy_rank <= 2"""))
   )
 }

@@ -38,6 +38,28 @@ object NearDup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** FREQUENCY-CAPPED dedup ("soft dedup"): keep up to `maxCopies` of
+    * each exact-duplicate group (lowest ids first — deterministic), drop
+    * the rest. The middle ground real pipelines run when some natural
+    * duplication is signal (boilerplate, licenses, famous quotes) but
+    * unbounded duplication is memorization risk: cap it, don't erase it.
+    * Emits kept (doc_id, copy_rank) with copy_rank in [1, maxCopies].
+    *
+    * Scale: one content-hash shuffle; the rank-≤-k filter over the
+    * window plans as partial + final WindowGroupLimit (per-partition
+    * top-k heaps BEFORE the exchange — only k rows per group per
+    * partition ride the shuffle, never the whole duplicate group).
+    */
+  def dedupCapped(df: DataFrame, idCol: String, textCol: String,
+                  maxCopies: Int): DataFrame = {
+    require(maxCopies >= 1, s"maxCopies=$maxCopies must be >= 1")
+    val w = Window.partitionBy("content_hash").orderBy(col("doc_id").asc)
+    df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("content_hash"))
+      .withColumn("copy_rank", row_number().over(w))
+      .filter(col("copy_rank") <= maxCopies)
+      .select(col("doc_id"), col("copy_rank"))
+  }
+
   /** MinHash modulus — fits k·P in a long with room to spare. */
   val P: Long = 2147483647L
 

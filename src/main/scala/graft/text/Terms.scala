@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -224,6 +224,125 @@ object Terms {
            sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("n_dup_occurrences"))
       .withColumn("dup_fraction",
         col("n_dup_occurrences").cast("double") / col("n_grams").cast("double"))
+
+  /** Feature-hashing TF-IDF (the "hashing trick", Weinberger et al. 2009,
+    * public — the shape of Spark MLlib's own HashingTF + IDF, re-derived
+    * here with the repo's md5 hash family so a DuckDB oracle exists):
+    * every token hashes to one of `dims` buckets, tf is the per-(doc,
+    * bucket) occurrence count, df the number of docs touching the bucket,
+    * and the weight is `tf · ln((N + 1)/(df + 1))` (smooth idf, never
+    * negative). Emits sparse rows (doc_id, dim, tf, df, w_micro, w) —
+    * the fixed-dimension text featurization that needs NO vocabulary
+    * pass, which is the whole point at corpus scale.
+    *
+    * Numerics: tf/df/N are exact integers; `ln` enters once per output
+    * row as a per-row derived micro-snapped immediately (doctrine form
+    * 4) — nothing fp is ever aggregated.
+    *
+    * Scale: one (doc, dim) shuffle with map-side combine for tf; df is a
+    * DIMS-BOUNDED aggregate (≤ `dims` rows by construction → broadcast
+    * unconditionally, same contract as the computed-vocabulary
+    * broadcasts); N is a scalar crossJoin. No vocabulary-sized frame
+    * exists anywhere — unlike tf-idf over terms, the hashed form's
+    * dimension table CANNOT grow with the corpus (Heaps' law doesn't
+    * apply to a modulus).
+    */
+  def hashedTfIdf(df: DataFrame, idCol: String, textCol: String,
+                  dims: Int): DataFrame = {
+    val spark = df.sparkSession
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .select(col("doc_id"),
+        pmod(TextOps.gramHash64(spark, col("term")), lit(dims.toLong)).as("dim"))
+      .groupBy("doc_id", "dim").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("dim").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val wMicro = floor(
+      (col("tf").cast("double") *
+        log((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0)))) * lit(1e6) + lit(0.5))
+      .cast("long")
+    tf.join(broadcast(dfreq), Seq("dim"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("dim"), col("tf"), col("df"),
+        wMicro.as("w_micro"),
+        (wMicro.cast("double") / lit(1e6)).as("w"))
+  }
+
+  /** Sliding-window CHUNKING with stride — the "context-window carving"
+    * step between tokenization and packing: every document yields windows
+    * of up to `len` tokens starting every `stride` positions (the final
+    * windows are the natural partials; a trainer that wants only full
+    * blocks filters `chunk_len = len`). Emits (doc_id, chunk_id,
+    * start_tok, chunk_len); empty documents emit nothing.
+    *
+    * Scale: pure per-row codegen — one `sequence` bounded by
+    * ceil(n_tokens / stride) per doc, no shuffle, no state. The chunk
+    * table is the corpus token count divided by the stride, which is the
+    * smallest representation that still locates every window.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   len: Int, stride: Int): DataFrame = {
+    require(len > 0 && stride > 0, s"len=$len, stride=$stride must be positive")
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride.toLong)))
+          .as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / lit(stride.toLong)).cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(len.toLong), col("n_tokens") - col("start_tok")).as("chunk_len"))
+  }
+
+  /** EXACT top-quantile gate — keep the best `frac` of the corpus by a
+    * deterministic per-row score, exactly (count = ceil(frac · N), ties
+    * at the threshold broken by doc id). Real pipelines usually settle
+    * for an approximate percentile cut; this is the exact variant, and
+    * it stays distributed because the score is MICRO-SNAPPED first: the
+    * snapped score has at most ~1e6 distinct values for a [0, 1]-bounded
+    * score, so the full distribution fits a BOUNDED histogram. The
+    * selection is two scans:
+    *
+    *  1. histogram scan: groupBy(q_micro) counts — a ≤ 1e6-row frame
+    *     collected to the driver (bounded by score RESOLUTION, not
+    *     corpus size), where the threshold bucket t and the boundary
+    *     quota r are computed by one cumulative walk;
+    *  2. gate scan: `q_micro > t` passes outright (pure codegen filter);
+    *     rows AT the threshold take a doc-id `row_number` capped at r —
+    *     an unpartitioned window, bounded by the tie count of the one
+    *     boundary bucket. (A corpus where one score value dominates
+    *     would need a second histogram walk over doc-id ranges instead;
+    *     that degenerate shape is documented, not built.)
+    *
+    * Emits (doc_id, q_micro). The same selection in one window —
+    * `row_number() OVER (ORDER BY q DESC, doc_id) <= K` — is the
+    * oracle's phrasing but a GLOBAL SORT of the corpus in Spark; the
+    * histogram split is what makes exactness affordable.
+    */
+  def topQuantileGate(df: DataFrame, idCol: String, quality: Column,
+                      frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac=$frac must be in (0, 1]")
+    val scored = df.select(col(idCol).as("doc_id"),
+      floor(quality * lit(1e6) + lit(0.5)).cast("long").as("q_micro"))
+    val hist = scored.groupBy("q_micro").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    val total = hist.map(_._2).sum
+    if (total == 0L) return scored.limit(0)
+    val k = math.ceil(frac * total).toLong
+    // cumulative walk: t = the bucket where the running count crosses k;
+    // r = how many of t's ties still fit
+    var cum = 0L; var i = 0
+    while (i < hist.length && cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
+    val t = hist(i)._1
+    val r = k - cum
+    val above = scored.filter(col("q_micro") > t)
+    val boundary = scored.filter(col("q_micro") === t)
+      .withColumn("__rn", row_number().over(Window.orderBy(col("doc_id").asc)))
+      .filter(col("__rn") <= r).drop("__rn")
+    above.unionByName(boundary)
+  }
 
   /** Corpus vocabulary: top-N terms by total occurrences (ties broken
     * lexicographically), with per-term document counts. The n_docs count

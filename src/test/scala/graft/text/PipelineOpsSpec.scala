@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.graph.PageRank
+
+/** Round-6 pipeline operators: hashing-trick TF-IDF, stride chunking,
+  * exact top-quantile gate, capped dedup, integer PageRank. Every
+  * constant below is computed INDEPENDENTLY (by hand or by a different
+  * formula) from the operator under test.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("hashedTfIdf: tf sums to token count; idf matches hand formula; w snapped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),   // 4 tokens
+      (2L, "a a a a"),   // 4 tokens
+      (3L, "d e f g h")) // 5 tokens
+      .toDF("doc_id", "text")
+    val out = Terms.hashedTfIdf(docs, "doc_id", "text", dims = 1024).cache()
+    // with 1024 dims and 8 distinct single-char tokens, collisions are
+    // possible but tf must still sum to the corpus token count
+    assert(out.agg(sum("tf")).head.getLong(0) === 13L)
+    // doc 2 is one token repeated: exactly one dim, tf 4
+    val d2 = out.filter($"doc_id" === 2L).collect()
+    assert(d2.length === 1 && d2(0).getAs[Long]("tf") === 4L)
+    // every row: w_micro == floor(tf * ln((N+1)/(df+1)) * 1e6 + 0.5), N=3
+    val bad = out.filter(
+      col("w_micro") =!= floor(col("tf") * log((lit(3.0) + 1.0) / (col("df") + lit(1.0))) * 1e6 + 0.5).cast("long"))
+    assert(bad.count() === 0)
+    // dims bound respected
+    assert(out.agg(max("dim")).head.getLong(0) < 1024L)
+    out.unpersist()
+  }
+
+  test("chunkWindows tiles every doc: full windows then a clipped tail") {
+    import spark.implicits._
+    // 7 tokens, len=4, stride=2 -> starts 0,2,4,6 with lens 4,4,3,1
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val rows = Terms.chunkWindows(docs, "doc_id", "text", len = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 2L, 4L), (1L, 2L, 4L, 3L), (1L, 3L, 6L, 1L),
+      (3L, 0L, 0L, 1L))) // empty doc 2 emits nothing
+  }
+
+  test("topQuantileGate == brute-force top-K by (score desc, id asc), incl. ties") {
+    import spark.implicits._
+    // scores engineered so the threshold bucket has a 3-way tie and the
+    // quota splits it: 10 docs, frac 0.5 -> K = 5
+    val docs = (1L to 10L).map { i =>
+      val score = if (i <= 3) 0.9 else if (i <= 8) 0.5 else 0.1
+      (i, score)
+    }.toDF("doc_id", "s")
+    val got = Terms.topQuantileGate(docs, "doc_id", col("s"), frac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // brute force: ids 1,2,3 at 0.9 then ids 4,5 of the 0.5 tie (doc order)
+    assert(got === Set(1L, 2L, 3L, 4L, 5L))
+    // frac = 1.0 keeps everything
+    assert(Terms.topQuantileGate(docs, "doc_id", col("s"), 1.0).count() === 10L)
+  }
+
+  test("dedupCapped keeps the k lowest ids per duplicate group") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, "same"), (3L, "same"), (9L, "same"), (1L, "same"),
+      (2L, "other"), (7L, "other"),
+      (4L, "unique")).toDF("doc_id", "text")
+    val kept = NearDup.dedupCapped(docs, "doc_id", "text", maxCopies = 2)
+      .select("doc_id", "copy_rank")
+      .as[(Long, Int)].collect().toMap
+    // "same" group sorted: 1,3,5,9 -> keep 1,3; "other": 2,7; "unique": 4
+    assert(kept === Map(1L -> 1, 3L -> 2, 2L -> 1, 7L -> 2, 4L -> 1))
+  }
+
+  test("pageRankMicro on the 3-path matches the hand-iterated integer recurrence") {
+    import spark.implicits._
+    // path graph 1-2-3: deg(1)=deg(3)=1, deg(2)=2.
+    // r0 = 1_000_000 each.
+    // iter1: c(1)=c(3)=r0(2) div 2=500_000 -> r=150_000+(500_000*85) div 100=575_000
+    //        c(2)=r0(1)+r0(3)=2_000_000   -> r=150_000+1_700_000=1_850_000
+    // iter2: c(1)=c(3)=1_850_000 div 2=925_000 -> r=150_000+786_250=936_250
+    //        c(2)=575_000+575_000=1_150_000    -> r=150_000+977_500=1_127_500
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val ranks = PageRank.pageRankMicro(edges, "a", "b", iters = 2)
+      .select("node", "rank_micro").as[(Long, Long)].collect().toMap
+    assert(ranks === Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+    // rank column is just micro / 1e6
+    val r = PageRank.pageRankMicro(edges, "a", "b", iters = 2)
+      .filter($"node" === 2L).select("rank").as[Double].head()
+    assert(r === 1.1275)
+  }
+
+  test("pageRankMicro: symmetric star — leaves equal, hub dominates") {
+    import spark.implicits._
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("a", "b")
+    val ranks = PageRank.pageRankMicro(edges, "a", "b", iters = 3)
+      .select("node", "rank_micro").as[(Long, Long)].collect().toMap
+    val leaves = Set(1L, 2L, 3L, 4L).map(ranks)
+    assert(leaves.size === 1, "symmetric leaves must tie exactly")
+    assert(ranks(10L) > leaves.head, "hub must out-rank leaves")
+  }
+}
