@@ -54,10 +54,10 @@ object Bmp {
     s.toInt
   }
 
-  /** Write a 24-bpp bottom-up BMP; `gray(x, y)` in 0..255 is stored as
-    * B=G=R (grayscale in an RGB container — every channel byte is real).
+  /** Write a 24-bpp bottom-up BMP with independent channels;
+    * `bgr(x, y)` returns the packed 0xBBGGRR int for that pixel.
     */
-  def encode(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+  def encodeRgb(width: Int, height: Int, bgr: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     val rowLen = stride(width)
     val pixelBytes = rowLen * height
@@ -80,10 +80,11 @@ object Bmp {
       val base = FileHeaderLen + InfoHeaderLen + (height - 1 - y) * rowLen
       var x = 0
       while (x < width) {
-        val g = gray(x, y)
-        require(g >= 0 && g <= 255, s"gray out of range at ($x,$y): $g")
+        val v = bgr(x, y)
         val p = base + x * 3
-        out(p) = g.toByte; out(p + 1) = g.toByte; out(p + 2) = g.toByte
+        out(p) = (v & 0xff).toByte
+        out(p + 1) = ((v >>> 8) & 0xff).toByte
+        out(p + 2) = ((v >>> 16) & 0xff).toByte
         x += 1
       }
       y += 1
@@ -91,10 +92,31 @@ object Bmp {
     out
   }
 
-  /** Parse + full pixel walk. Rejects anything that is not an
-    * uncompressed 24-bpp BMP with a complete pixel array.
+  /** Write a 24-bpp bottom-up BMP; `gray(x, y)` in 0..255 is stored as
+    * B=G=R (grayscale in an RGB container — every channel byte is real).
     */
-  def decode(bytes: Array[Byte]): Info = {
+  def encode(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] =
+    encodeRgb(width, height, (x, y) => {
+      val g = gray(x, y)
+      require(g >= 0 && g <= 255, s"gray out of range at ($x,$y): $g")
+      g | (g << 8) | (g << 16)
+    })
+
+  /** Validated geometry of a parsed payload — shared by the pixel walks
+    * ([[decode]], [[resizeNearest]]) so they cannot diverge on header
+    * semantics (offset honouring, stride padding, top-down order).
+    */
+  private final case class Header(width: Int, height: Int, topDown: Boolean,
+                                  pixelOff: Int, rowLen: Int) {
+    /** Byte offset of pixel (x, y) in IMAGE coordinates (y=0 is the top
+      * row regardless of storage order). */
+    def at(x: Int, y: Int): Int = {
+      val slot = if (topDown) y else height - 1 - y
+      pixelOff + slot * rowLen + x * 3
+    }
+  }
+
+  private def parseHeader(bytes: Array[Byte]): Header = {
     def fail(msg: String) = throw new IllegalArgumentException(s"BMP: $msg")
     if (bytes.length < FileHeaderLen + InfoHeaderLen) fail("truncated header")
     if (bytes(0) != 'B' || bytes(1) != 'M') fail("bad magic")
@@ -117,15 +139,21 @@ object Bmp {
     val rowLen = stride(width)
     if (pixelOffL < FileHeaderLen + infoLenL) fail("pixel offset inside header")
     if (bytes.length < pixelOffL + rowLen.toLong * height) fail("truncated pixel array")
-    val pixelOff = pixelOffL.toInt // < bytes.length, so exact
+    Header(width, height, topDown, pixelOffL.toInt /* < bytes.length, so exact */ ,
+      rowLen)
+  }
+
+  /** Parse + full pixel walk. Rejects anything that is not an
+    * uncompressed 24-bpp BMP with a complete pixel array.
+    */
+  def decode(bytes: Array[Byte]): Info = {
+    val h = parseHeader(bytes)
     var sumRgb = 0L // ≤ 255*3 per pixel — exact in Long for any real image
     var y = 0
-    while (y < height) {
-      val slot = if (topDown) y else height - 1 - y
-      val base = pixelOff + slot * rowLen
+    while (y < h.height) {
       var x = 0
-      while (x < width) {
-        val p = base + x * 3
+      while (x < h.width) {
+        val p = h.at(x, y)
         sumRgb += (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
         x += 1
       }
@@ -134,6 +162,26 @@ object Bmp {
     // integer sum then ONE division: both engines see the same exact
     // numerator, and a correctly-rounded IEEE divide of exact operands
     // is bit-identical
-    Info(width, height, bpp, sumRgb.toDouble / (3.0 * width * height))
+    Info(h.width, h.height, 24, sumRgb.toDouble / (3.0 * h.width * h.height))
+  }
+
+  /** Nearest-neighbor downscale by an integer factor — a REAL resample
+    * through the codec (validated header walk in, fresh pixel array
+    * out), not a header rewrite: output pixel (x, y) copies source
+    * pixel (x·f, y·f)'s three channel bytes, so non-gray sources
+    * survive, and the output is always the canonical bottom-up layout
+    * whatever the source's row order was.
+    */
+  def resizeNearest(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val h = parseHeader(bytes)
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    require(h.width >= factor && h.height >= factor,
+      s"factor=$factor exceeds source ${h.width}x${h.height}")
+    val wo = h.width / factor
+    val ho = h.height / factor
+    encodeRgb(wo, ho, (x, y) => {
+      val p = h.at(x * factor, y * factor)
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) | ((bytes(p + 2) & 0xff) << 16)
+    })
   }
 }

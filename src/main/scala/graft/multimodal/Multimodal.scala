@@ -185,4 +185,31 @@ object Multimodal {
     features.select(Seq(col("doc_id"), col("media_type")) ++ carry.map(col) :+
       explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
         .as("frame_idx"): _*)
+
+  /** One resized image, described by DECODING the re-encoded payload —
+    * the features prove the full decode → resample → encode → decode
+    * round trip, not just the resampler arithmetic.
+    */
+  case class ResizedImage(doc_id: Long, width: Int, height: Int, bpp: Int,
+                          mean_gray: Double, n_bytes: Long)
+
+  /** Batch image resize (nearest-neighbor, integer factor) through the
+    * real BMP codec: image rows only, one partition at a time. The same
+    * mapPartitions shape as [[extractFeatures]] — binary payloads never
+    * leave the executors, nothing collects, and at 100 TB the operator
+    * is embarrassingly parallel (per-row work, zero shuffle).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   factor: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    asMediaRows(spark, media.filter(col("media_type") === "image"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val out = Bmp.resizeNearest(r.payload, factor)
+          val i = Bmp.decode(out)
+          ResizedImage(r.doc_id, i.width, i.height, i.bpp, i.meanGray,
+            out.length.toLong)
+        }
+      }
+  }
 }

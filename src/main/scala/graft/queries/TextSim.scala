@@ -1319,6 +1319,31 @@ object TextSim extends QueryPack {
                  row_number() OVER (PARTITION BY md5(text)
                                     ORDER BY doc_id) AS copy_rank
           FROM tripled)
-        WHERE copy_rank <= 2"""))
+        WHERE copy_rank <= 2""")),
+
+    // Image resize (nearest-neighbor 2x downscale) through the REAL BMP
+    // codec — decode walk, per-channel resample, re-encode, decode
+    // again: the emitted features describe the re-encoded payload, so a
+    // stride/offset/orientation bug anywhere in the round trip breaks
+    // the oracle. Closed forms from the fixture g(x,y) = x+y: sampled
+    // pixel (x,y) of the half image is 2x+2y, whose grid mean is
+    // (wo-1)+(ho-1) exactly (integer -> the one IEEE division is exact).
+    // Embarrassingly parallel — per-row mapPartitions, zero shuffle.
+    "q81_image_resize" -> Q(
+      (s, d) => Multimodal.resizeImages(s,
+        Multimodal.mediaFixtures(s, Tables.documents(s, d)).toDF(),
+        factor = 2).toDF(),
+      Some("""
+        WITH p AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS L
+          FROM documents WHERE doc_id % 2 = 0),
+        g AS (
+          SELECT doc_id, (L % 31 + 2)::INT AS w, (L % 17 + 2)::INT AS h
+          FROM p),
+        r AS (SELECT doc_id, (w // 2)::INT AS wo, (h // 2)::INT AS ho FROM g)
+        SELECT doc_id, wo AS width, ho AS height, 24 AS bpp,
+               (wo - 1 + ho - 1)::DOUBLE AS mean_gray,
+               (54 + ((wo * 3 + 3) // 4) * 4 * ho)::BIGINT AS n_bytes
+        FROM r"""))
   )
 }

@@ -276,4 +276,60 @@ class MultimodalSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Y4m.decode(
       s.replace("W4 H4", "W262144 H65536").toCharArray.map(_.toByte)))
   }
+
+  test("Bmp resizeNearest picks (x*f, y*f) and re-encodes canonically") {
+    // 5x4, gray(x,y) = 10x + y: factor 2 keeps (0,0)=0 (2,0)=20 (4,0)=40
+    // is out of range of the 2x2... wo = 2, ho = 2: picks
+    // (0,0)=0 (2,0)=20 (0,2)=2 (2,2)=22 -> mean 11.0. Width 5 has a
+    // padded stride (15 -> 16), so a resampler that forgets padding
+    // reads shifted pixels.
+    val src = Bmp.encode(5, 4, (x, y) => 10 * x + y)
+    val half = Bmp.resizeNearest(src, 2)
+    val info = Bmp.decode(half)
+    assert(info.width === 2 && info.height === 2)
+    assert(info.meanGray === 11.0)
+    // factor 1 is an exact content round-trip (fresh canonical buffer)
+    assert(Bmp.decode(Bmp.resizeNearest(src, 1)) === Bmp.decode(src))
+  }
+
+  test("Bmp resizeNearest honours top-down sources and emits bottom-up") {
+    val base = Bmp.encode(4, 4, (x, y) => x + 4 * y)
+    val topDown = base.clone()
+    topDown(22) = (-4 & 0xff).toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    // same IMAGE pixels, opposite storage order: resample must agree.
+    // (the top-down clone's rows are physically reversed, so its image
+    // is vertically flipped; flip the expectation accordingly)
+    val down = Bmp.decode(Bmp.resizeNearest(base, 2))
+    val downTd = Bmp.decode(Bmp.resizeNearest(topDown, 2))
+    // base picks y in {0, 2} of g = x + 4y; the flipped image's rows are
+    // y' = 3 - y so it picks {3, 1}: means differ by exactly 4*((3+1)-(0+2))/2
+    assert(down.meanGray === (0.0 + 2.0) / 2 * 4 + (0 + 2) / 2.0)
+    assert(downTd.meanGray === (3.0 + 1.0) / 2 * 4 + (0 + 2) / 2.0)
+    // output is canonical bottom-up regardless of source order
+    assert(Bmp.resizeNearest(topDown, 2)(22) === Bmp.resizeNearest(base, 2)(22))
+  }
+
+  test("Bmp resizeNearest preserves independent channels (non-gray source)") {
+    val src = Bmp.encodeRgb(2, 2, (x, y) => (x * 100) | ((y * 50) << 8) | (200 << 16))
+    val out = Bmp.resizeNearest(src, 2) // 1x1: picks (0,0) = B=0,G=0,R=200
+    assert(Bmp.decode(out).meanGray === 200.0 / 3.0)
+  }
+
+  test("Bmp resizeNearest rejects factor > dims and factor < 1") {
+    val src = Bmp.encode(3, 2, (_, _) => 1)
+    assertThrows[IllegalArgumentException](Bmp.resizeNearest(src, 0))
+    assertThrows[IllegalArgumentException](Bmp.resizeNearest(src, 3)) // h=2 < 3
+  }
+
+  test("resizeImages: distributed round trip matches closed form") {
+    import spark.implicits._
+    val docs = Seq((0L, "abcdefgh"), (2L, "xy")).toDF("doc_id", "text")
+    val out = Multimodal.resizeImages(spark,
+      Multimodal.mediaFixtures(spark, docs).toDF(), factor = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    // L=8: w=10,h=10 -> 5x5, mean=(5-1)+(5-1)=8; L=2: w=4,h=4 -> 2x2, mean 2
+    assert(out(0L).width === 5 && out(0L).height === 5 && out(0L).mean_gray === 8.0)
+    assert(out(2L).width === 2 && out(2L).height === 2 && out(2L).mean_gray === 2.0)
+  }
 }
