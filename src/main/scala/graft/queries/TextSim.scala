@@ -6,7 +6,7 @@ import graft.graph.PageRank
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.plans.ArrayOps
-import graft.text.{NearDup, Retrieval, Terms, TextOps}
+import graft.text.{NearDup, NgramLm, Retrieval, Sketch, Terms, TextOps}
 
 /** Training-data-pipeline surface (builder brief): text analysis, document
   * dedup (exact / MinHash+LSH / SimHash / blocked Jaccard), embedding
@@ -1344,6 +1344,46 @@ object TextSim extends QueryPack {
         SELECT doc_id, wo AS width, ho AS height, 24 AS bpp,
                (wo - 1 + ho - 1)::DOUBLE AS mean_gray,
                (54 + ((wo * 3 + 3) // 4) * 4 * ho)::BIGINT AS n_bytes
-        FROM r"""))
+        FROM r""")),
+
+    // Interpolated Kneser-Ney bigram LM (fixed discount 0.75): the model
+    // table a count-based LM trainer derives — one row per bigram type
+    // with exact-integer count inputs and the closed-form p_kn (per-row
+    // IEEE arithmetic, parenthesization mirrored between engines). One
+    // (w1, w2) shuffle; context/continuation stats are vocabulary-sized
+    // unhinted joins.
+    "q82_bigram_lm" -> Q(
+      (s, d) => NgramLm.bigramKn(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+               FROM toks WHERE len(t) >= 2),
+        c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c12)::BIGINT AS c1,
+                      count(*)::BIGINT AS n_follow FROM c12 GROUP BY 1),
+        np AS (SELECT w2, count(*)::BIGINT AS n_prec FROM c12 GROUP BY 1),
+        b AS (SELECT count(*)::BIGINT AS n_types FROM c12)
+        SELECT w1, w2, c12, c1, n_follow, n_prec, n_types,
+               greatest(c12 - 0.75, 0.0) / c1 +
+                 ((0.75 * n_follow) / c1) * (n_prec / n_types::DOUBLE) AS p_kn
+        FROM c12 JOIN c1 USING (w1) JOIN np USING (w2) CROSS JOIN b""")),
+
+    // Mergeable HLL-style cardinality sketch over the token stream:
+    // md5-family registers so the register TABLE is oracle-exact (no
+    // engine-private HLL hash). bitlen via length(bin(x)) — integer-
+    // exact, no fp log at power-of-two boundaries. One codegen scan +
+    // one 64-group aggregate.
+    "q83_cardinality_sketch" -> Q(
+      (s, d) => Sketch.registers(Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok")), "tok", m = 64),
+      Some(s"""
+        WITH h AS (
+          SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM (SELECT unnest($DUCK_TOKENS) AS tok FROM documents)),
+        rr AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h)
+        SELECT bucket,
+               max(CASE WHEN rest = 0 THEN 55
+                        ELSE 55 - length(bin(rest)) END)::INT AS r
+        FROM rr GROUP BY 1"""))
   )
 }
