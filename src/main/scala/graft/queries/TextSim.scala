@@ -1384,6 +1384,32 @@ object TextSim extends QueryPack {
         SELECT bucket,
                max(CASE WHEN rest = 0 THEN 55
                         ELSE 55 - length(bin(rest)) END)::INT AS r
-        FROM rr GROUP BY 1"""))
+        FROM rr GROUP BY 1""")),
+
+    // Adjacent-pair PMI (collocation mining): pairs over-represented vs
+    // their slot marginals. Exact-integer inputs, ln per row micro-
+    // snapped; min-count 3 prunes the unreliable hapax tail before the
+    // marginal joins. Double-first multiplies — c12*T overflows LONG at
+    // corpus scale.
+    "q84_word_pmi" -> Q(
+      (s, d) => NgramLm.pmi(Tables.documents(s, d), "doc_id", "text",
+        minCount = 3L),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+               FROM toks WHERE len(t) >= 2),
+        c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+        cl AS (SELECT w1, sum(c12)::BIGINT AS c_left FROM c12 GROUP BY 1),
+        cr AS (SELECT w2, sum(c12)::BIGINT AS c_right FROM c12 GROUP BY 1),
+        t AS (SELECT sum(c12)::BIGINT AS n_pairs FROM c12)
+        SELECT w1, w2, c12, c_left, c_right, n_pairs, pmi_micro,
+               pmi_micro::DOUBLE / 1e6 AS pmi
+        FROM (
+          SELECT w1, w2, c12, c_left, c_right, n_pairs,
+                 floor(ln((c12::DOUBLE * n_pairs::DOUBLE) /
+                          (c_left::DOUBLE * c_right::DOUBLE)) * 1e6
+                       + 0.5)::BIGINT AS pmi_micro
+          FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN t
+          WHERE c12 >= 3)"""))
   )
 }

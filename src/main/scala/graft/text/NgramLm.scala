@@ -73,4 +73,48 @@ object NgramLm {
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n_follow"),
         col("n_prec"), col("n_types"), pKn.as("p_kn"))
   }
+
+  /** Pointwise mutual information over adjacent word pairs (Church &
+    * Hanks 1990, public) — collocation mining: pairs that co-occur far
+    * more than their marginals predict ("new york") score high, chance
+    * adjacencies score ~0, and anti-collocations go negative.
+    *
+    *   pmi(w1, w2) = ln( c12 · T / (cL(w1) · cR(w2)) )
+    *
+    * over the bigram-occurrence stream: c12 the pair count, cL/cR the
+    * left-slot/right-slot marginals, T the total pair count. All four
+    * inputs are exact integers; `ln` enters once per surviving pair and
+    * is micro-snapped immediately (doctrine form 4). `minCount` prunes
+    * the hapax tail BEFORE the marginal joins — the standard PMI
+    * practice (rare pairs have unreliable, wildly-positive PMI) and the
+    * thing that keeps the output to the interesting head.
+    *
+    * Scale: reuses the [[bigramRows]] codegen pairing; one (w1, w2)
+    * shuffle for c12; marginals are vocabulary-sized aggregates OVER THE
+    * c12 frame (never a second corpus pass — Σ c12 per slot ≡ the slot
+    * marginal) joined back unhinted; T is a scalar broadcast.
+    */
+  def pmi(df: DataFrame, idCol: String, textCol: String,
+          minCount: Long = 1L): DataFrame = {
+    val c12 = bigramRows(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cL = c12.groupBy("w1").agg(sum(col("c12")).as("c_left"))
+    val cR = c12.groupBy("w2").agg(sum(col("c12")).as("c_right"))
+    val total = c12.agg(sum(col("c12")).as("n_pairs"))
+    // double-first multiplies: c12·T and cL·cR overflow LONG at corpus
+    // scale (T ~ 1e13 → products ~ 1e26); each factor is exact in double
+    // below 2^53 and the rounded products are engine-identical
+    val pmiMicro = floor(
+      log((col("c12").cast("double") * col("n_pairs").cast("double")) /
+          (col("c_left").cast("double") * col("c_right").cast("double")))
+        * lit(1e6) + lit(0.5))
+      .cast("long")
+    c12.filter(col("c12") >= minCount)
+      .join(cL, Seq("w1"))        // vocabulary-sized; unhinted
+      .join(cR, Seq("w2"))        // vocabulary-sized; unhinted
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c_left"), col("c_right"),
+        col("n_pairs"), pmiMicro.as("pmi_micro"),
+        (pmiMicro.cast("double") / lit(1e6)).as("pmi"))
+  }
 }

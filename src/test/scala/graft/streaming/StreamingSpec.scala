@@ -158,4 +158,34 @@ class StreamingSpec extends SparkSpec {
         (t._1, t._2.stripSuffix(".0"), t._3, t._4)))
     } finally q.stop()
   }
+
+  test("cardinality sketch maintains streaming registers == batch registers") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.text.Sketch
+    // registers are a max-aggregate — associative, order-insensitive, so
+    // the SAME operator runs unmodified as a streaming Complete-mode
+    // aggregation: the incremental corpus-statistics path (per-batch
+    // state is m registers, never the stream)
+    val in = { implicit val sqlCtx = spark.sqlContext; MemoryStream[String] }
+    val q = Sketch.registers(in.toDF().withColumnRenamed("value", "tok"), "tok", m = 16)
+      .writeStream.format("memory").queryName("sketch_regs")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      in.addData((0 until 120).map(i => s"s$i"): _*)
+      q.processAllAvailable()
+      in.addData((100 until 240).map(i => s"s$i"): _*) // overlap re-delivers
+      val q2 = Sketch.registers(in.toDF().withColumnRenamed("value", "tok"), "tok", m = 16)
+        .writeStream.format("memory").queryName("sketch_regs")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q2.processAllAvailable(); q2.stop()
+      val streamed = spark.table("sketch_regs")
+        .as[(Long, Int)].collect().toMap
+      val batch = Sketch.registers(
+        (0 until 240).map(i => s"s$i").toDF("tok"), "tok", m = 16)
+        .as[(Long, Int)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }

@@ -52,6 +52,26 @@ class LmSketchSpec extends SparkSpec {
     assert(rows === Seq((3L, "p", "q"), (3L, "q", "r")))
   }
 
+  test("pmi on 'a b a b a c' matches hand-derived collocation scores") {
+    import spark.implicits._
+    // pairs: (a,b)x2 (b,a)x2 (a,c)x1; T=5; cL: a=3 b=2; cR: b=2 a=2 c=1
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = NgramLm.pmi(docs, "doc_id", "text", minCount = 1L)
+      .select("w1", "w2", "pmi_micro").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", "b")) === math.floor(math.log(2.0 * 5 / (3.0 * 2)) * 1e6 + 0.5).toLong)
+    assert(out(("b", "a")) === math.floor(math.log(2.0 * 5 / (2.0 * 2)) * 1e6 + 0.5).toLong)
+    assert(out(("a", "c")) === math.floor(math.log(1.0 * 5 / (3.0 * 1)) * 1e6 + 0.5).toLong)
+    // min-count prunes the hapax pair but not the marginals it fed:
+    // (a,c) still counted in cL(a) and T
+    val pruned = NgramLm.pmi(docs, "doc_id", "text", minCount = 2L)
+      .select("w1", "w2", "c_left", "n_pairs")
+      .as[(String, String, Long, Long)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSet === Set(("a", "b"), ("b", "a")))
+    assert(pruned.forall(r => r._4 === 5L))
+    assert(pruned.filter(_._1 == "a").forall(_._3 === 3L))
+  }
+
   test("Sketch.registers matches a brute-force md5 register build") {
     import spark.implicits._
     val values = (0 until 200).map(i => s"v$i")
