@@ -1410,6 +1410,36 @@ object TextSim extends QueryPack {
                           (c_left::DOUBLE * c_right::DOUBLE)) * 1e6
                        + 0.5)::BIGINT AS pmi_micro
           FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN t
-          WHERE c12 >= 3)"""))
+          WHERE c12 >= 3)""")),
+
+    // Duplicated-span trimming (Lee et al. exact-substring dedup,
+    // n-gram-relaxed): positions whose 8-gram repeats corpus-wide, merged
+    // into maximal runs >= 24 tokens (a threshold the sf0.01 corpus
+    // populates on BOTH sides — spans of 23 and 24 exist, so the
+    // boundary is oracle-exercised) — the ranges a curation pass CUTS
+    // rather than dropping documents whole. Three hash-partitioned
+    // passes; gaps-and-islands per doc; no suffix array, nothing
+    // quadratic.
+    "q85_dup_spans" -> Q(
+      (s, d) => NearDup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minOccurrences = 2L, minSpanTokens = 24L),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        g AS (SELECT doc_id, i::BIGINT - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS hg
+              FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+              WHERE len(t) >= 8),
+        dup AS (SELECT hg FROM g GROUP BY hg HAVING count(*) >= 2),
+        f AS (SELECT doc_id, pos FROM g WHERE hg IN (SELECT hg FROM dup)),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+                FROM f)
+        SELECT doc_id, span_start, span_end, span_tokens FROM (
+          SELECT doc_id, min(pos)::BIGINT AS span_start,
+                 (max(pos) + 7)::BIGINT AS span_end,
+                 (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens
+          FROM isl GROUP BY doc_id, grp)
+        WHERE span_tokens >= 24"""))
   )
 }

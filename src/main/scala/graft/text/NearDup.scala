@@ -38,6 +38,48 @@ object NearDup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** DUPLICATED-SPAN detection (the span-level "exact substring dedup"
+    * of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — public; re-expressed over hashed n-grams instead
+    * of a suffix array): a position is DUPLICATED when its n-gram occurs
+    * `minOccurrences`+ times corpus-wide; maximal runs of consecutive
+    * duplicated positions whose token span reaches `minSpanTokens`
+    * become trim spans (doc_id, span_start, span_end, span_tokens),
+    * token-inclusive — the ranges a curation pass cuts out of documents
+    * rather than dropping them whole.
+    *
+    * A suffix array finds duplicated substrings of ANY length; the
+    * n-gram relaxation finds exactly those of length ≥ n (a span of k
+    * consecutive duplicated n-grams certifies a duplicated run only if
+    * the duplicates align — adjacent grams can match DIFFERENT sources,
+    * so this flags a superset of true verbatim runs: the right bias for
+    * trimming). In exchange the computation is three hash-partitioned
+    * passes, no suffix-array construction: (1) positional grams → one
+    * count per gram hash, (2) a semi-join keeping duplicated positions,
+    * (3) per-doc gaps-and-islands (pos − row_number) to merge runs.
+    * Nothing quadratic, nothing driver-side.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, minOccurrences: Long,
+                      minSpanTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    val grams = TextOps.wordShingleRowsPos(df, idCol, textCol, n)
+      .select(col("id"), col("pos"), TextOps.gramHash64(spark, col("g")).as("hg"))
+    val dup = grams.groupBy("hg").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minOccurrences)
+      .select("hg")
+    val flagged = grams.join(dup, Seq("hg"), "left_semi")
+    val w = Window.partitionBy("id").orderBy("pos")
+    flagged
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id").as("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + lit(n.toLong - 1)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+  }
+
   /** FREQUENCY-CAPPED dedup ("soft dedup"): keep up to `maxCopies` of
     * each exact-duplicate group (lowest ids first — deterministic), drop
     * the rest. The middle ground real pipelines run when some natural

@@ -69,6 +69,25 @@ object TextOps {
         concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"__t$j")): _*).as("g"))
   }
 
+  /** [[wordShingleRows]] keeping the gram's 0-based START POSITION —
+    * for operators that locate grams back in the document (span
+    * trimming), where the plain variant's (id, g) shape loses the
+    * offset. Same single (id)-keyed exchange.
+    */
+  def wordShingleRowsPos(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val withLeads = (1 until n).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"__t$j", lead(col("tok"), j).over(w))
+    }
+    withLeads.filter(col(s"__t${n - 1}").isNotNull)
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"__t$j")): _*).as("g"))
+  }
+
   /** Character n-gram shingles (distinct). */
   def charShingles(text: Column, n: Int): Column =
     array_distinct(

@@ -94,6 +94,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r === 1.1275)
   }
 
+  test("duplicatedSpans merges runs, honours span threshold, ignores unique text") {
+    import spark.implicits._
+    // shared verbatim run of 10 tokens (s0..s9) inside otherwise-unique
+    // docs; with n=3 the duplicated gram positions in doc 1 are
+    // 2..9 (grams starting inside the shared run), span = [2, 9+2] = 11
+    // tokens... the shared run occupies positions 2..11 in doc 1 and
+    // 0..9 in doc 2; duplicated gram STARTS are 2..9 (doc 1) and 0..7
+    // (doc 2), so spans are exactly the 10-token runs in each doc.
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $shared u3 u4"),
+      (2L, s"$shared u5 u6 u7"),
+      (3L, "all unique words here nothing repeats at all ever")).toDF("doc_id", "text")
+    val spans = NearDup.duplicatedSpans(docs, "doc_id", "text",
+      n = 3, minOccurrences = 2L, minSpanTokens = 10L)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans === Set((1L, 2L, 11L, 10L), (2L, 0L, 9L, 10L)))
+    // raising the threshold past the run length drops both spans
+    assert(NearDup.duplicatedSpans(docs, "doc_id", "text", 3, 2L, 11L).count() === 0)
+    // two separate shared runs in one doc must NOT merge across the gap
+    val docs2 = Seq(
+      (1L, s"$shared gap1 gap2 gap3 $shared"),
+      (2L, shared)).toDF("doc_id", "text")
+    val spans2 = NearDup.duplicatedSpans(docs2, "doc_id", "text", 3, 2L, 10L)
+      .filter($"doc_id" === 1L)
+      .select("span_start", "span_end").as[(Long, Long)].collect().toSet
+    assert(spans2 === Set((0L, 9L), (13L, 22L)))
+  }
+
   test("pageRankMicro: symmetric star — leaves equal, hub dominates") {
     import spark.implicits._
     val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("a", "b")
