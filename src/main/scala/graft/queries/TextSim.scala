@@ -161,6 +161,31 @@ object TextSim extends QueryPack {
     * (id_a, id_b, cosine) — ONE generator serving both the q49 pair
     * oracle and the q54 clustering oracle, so the bucket formula and
     * rounding cannot drift between them. */
+  /** Duplicated-span CTEs mirroring NearDup.duplicatedSpans — ONE
+    * generator for the q85 oracle and the q86 trim oracle so the two
+    * cannot drift. Ends with a `spans` CTE of
+    * (doc_id, span_start, span_end, span_tokens).
+    */
+  private def dupSpanCtes(n: Int, minOcc: Int, minSpan: Int): String = s"""
+        toks AS (SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        g AS (SELECT doc_id, i::BIGINT - 1 AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15))::BIGINT AS hg
+              FROM toks, unnest(range(1, len(t) - ${n - 2})) AS u(i)
+              WHERE len(t) >= $n),
+        dup AS (SELECT hg FROM g GROUP BY hg HAVING count(*) >= $minOcc),
+        f AS (SELECT doc_id, pos FROM g WHERE hg IN (SELECT hg FROM dup)),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+                FROM f),
+        spans AS (
+          SELECT doc_id, span_start, span_end, span_tokens FROM (
+            SELECT doc_id, min(pos)::BIGINT AS span_start,
+                   (max(pos) + ${n - 1})::BIGINT AS span_end,
+                   (max(pos) + ${n - 1} - min(pos) + 1)::BIGINT AS span_tokens
+            FROM isl GROUP BY doc_id, grp)
+          WHERE span_tokens >= $minSpan)"""
+
   private def embPairsCtes(bands: Int, rpb: Int, minCosine: Double): String = {
     val buckets = (0 until bands).map { b =>
       (0 until rpb).map { r =>
@@ -1423,23 +1448,29 @@ object TextSim extends QueryPack {
     "q85_dup_spans" -> Q(
       (s, d) => NearDup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         n = 8, minOccurrences = 2L, minSpanTokens = 24L),
+      Some(s"WITH ${dupSpanCtes(8, 2, 24)} " +
+        "SELECT doc_id, span_start, span_end, span_tokens FROM spans")),
+
+    // Apply the q85 trim: documents reconstructed with duplicated runs
+    // cut out — keep the unique remainder, don't drop the doc. The
+    // exclusion join is doc_id-equi with the range test residual; the
+    // rebuild is a per-doc ordered collect bounded by document length.
+    "q86_trimmed_corpus" -> Q(
+      (s, d) => NearDup.trimSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minOccurrences = 2L, minSpanTokens = 24L),
       Some(s"""
-        WITH toks AS (SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
-        g AS (SELECT doc_id, i::BIGINT - 1 AS pos,
-                     ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT AS hg
-              FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
-              WHERE len(t) >= 8),
-        dup AS (SELECT hg FROM g GROUP BY hg HAVING count(*) >= 2),
-        f AS (SELECT doc_id, pos FROM g WHERE hg IN (SELECT hg FROM dup)),
-        isl AS (SELECT doc_id, pos,
-                       pos - row_number() OVER (PARTITION BY doc_id
-                                                ORDER BY pos) AS grp
-                FROM f)
-        SELECT doc_id, span_start, span_end, span_tokens FROM (
-          SELECT doc_id, min(pos)::BIGINT AS span_start,
-                 (max(pos) + 7)::BIGINT AS span_end,
-                 (max(pos) + 7 - min(pos) + 1)::BIGINT AS span_tokens
-          FROM isl GROUP BY doc_id, grp)
-        WHERE span_tokens >= 24"""))
+        WITH ${dupSpanCtes(8, 2, 24)},
+        tokpos AS (
+          SELECT doc_id, i::BIGINT - 1 AS pos, t[i] AS tok
+          FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        kept AS (
+          SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tp.doc_id
+              AND tp.pos BETWEEN s.span_start AND s.span_end))
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_trimmed,
+               count(*)::BIGINT AS n_tokens_kept
+        FROM kept GROUP BY doc_id"""))
   )
 }

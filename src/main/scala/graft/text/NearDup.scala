@@ -80,6 +80,39 @@ object NearDup {
       .select("doc_id", "span_start", "span_end", "span_tokens")
   }
 
+  /** APPLY the [[duplicatedSpans]] trim: reconstruct each document with
+    * its duplicated runs cut out — the curation step that KEEPS a
+    * partially-duplicated document's unique remainder instead of
+    * dropping it whole. Emits (doc_id, text_trimmed, n_tokens_kept);
+    * documents whose every token falls in a span vanish (nothing left),
+    * 0-token documents likewise.
+    *
+    * Scale: the spans frame is output-bounded (runs, not tokens). The
+    * position←span exclusion is an equi-join on doc_id with the range
+    * test as the residual condition (SortMergeJoin with post-filter —
+    * never a cross product); reconstruction is array_sort over a
+    * per-doc collect_list, bounded by document length like every
+    * tokens() call in the repo, and the struct-field extraction
+    * (`sorted.tok`) is codegen GetArrayStructFields, not a lambda.
+    */
+  def trimSpans(df: DataFrame, idCol: String, textCol: String,
+                n: Int, minOccurrences: Long, minSpanTokens: Long): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, n, minOccurrences, minSpanTokens)
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(spans,
+      toks("id") === spans("doc_id") &&
+        toks("pos").between(spans("span_start"), spans("span_end")),
+      "left_anti")
+    kept.groupBy(col("id").as("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("a"),
+           count(lit(1)).as("n_tokens_kept"))
+      .select(col("doc_id"),
+        array_join(col("a.tok"), " ").as("text_trimmed"),
+        col("n_tokens_kept"))
+  }
+
   /** FREQUENCY-CAPPED dedup ("soft dedup"): keep up to `maxCopies` of
     * each exact-duplicate group (lowest ids first — deterministic), drop
     * the rest. The middle ground real pipelines run when some natural

@@ -124,6 +124,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spans2 === Set((0L, 9L), (13L, 22L)))
   }
 
+  test("trimSpans cuts exactly the span ranges; full-dup docs vanish") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $shared u3 u4"), // span [2, 11] -> keeps u1 u2 u3 u4
+      (2L, shared),                 // fully duplicated -> vanishes
+      (3L, "totally unique content that survives intact")).toDF("doc_id", "text")
+    val out = NearDup.trimSpans(docs, "doc_id", "text",
+      n = 3, minOccurrences = 2L, minSpanTokens = 10L)
+      .select("doc_id", "text_trimmed", "n_tokens_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L) === (("u1 u2 u3 u4", 4L)))
+    assert(out(3L) === (("totally unique content that survives intact", 6L)))
+  }
+
   test("pageRankMicro: symmetric star — leaves equal, hub dominates") {
     import spark.implicits._
     val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("a", "b")
