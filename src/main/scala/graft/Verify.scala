@@ -24,6 +24,12 @@ object Verify {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None     => SparkEntry.queries
     }
+    // a filter that matches nothing must fail LOUDLY: exiting zero after
+    // writing nothing would let tools/check.py re-validate STALE parquet
+    // from a previous run — a false PASS in exactly the fix-verify loop
+    // the filter exists for
+    require(selected.nonEmpty,
+      s"query filter '${args.drop(2).headOption.getOrElse("")}' matched no queries")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -157,10 +157,6 @@ object TextSim extends QueryPack {
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY ccos DESC, c) = 1)"""
 
-  /** Embedding LSH near-neighbor CTE chain ending in `pairs`
-    * (id_a, id_b, cosine) — ONE generator serving both the q49 pair
-    * oracle and the q54 clustering oracle, so the bucket formula and
-    * rounding cannot drift between them. */
   /** Duplicated-span CTEs mirroring NearDup.duplicatedSpans — ONE
     * generator for the q85 oracle and the q86 trim oracle so the two
     * cannot drift. Ends with a `spans` CTE of
@@ -174,10 +170,15 @@ object TextSim extends QueryPack {
               WHERE len(t) >= $n),
         dup AS (SELECT hg FROM g GROUP BY hg HAVING count(*) >= $minOcc),
         f AS (SELECT doc_id, pos FROM g WHERE hg IN (SELECT hg FROM dup)),
+        nr AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                     ORDER BY pos) > ${n - 1}
+                           THEN 1 ELSE 0 END AS new_run
+               FROM f),
         isl AS (SELECT doc_id, pos,
-                       pos - row_number() OVER (PARTITION BY doc_id
-                                                ORDER BY pos) AS grp
-                FROM f),
+                       sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS UNBOUNDED PRECEDING) AS grp
+                FROM nr),
         spans AS (
           SELECT doc_id, span_start, span_end, span_tokens FROM (
             SELECT doc_id, min(pos)::BIGINT AS span_start,
@@ -186,6 +187,10 @@ object TextSim extends QueryPack {
             FROM isl GROUP BY doc_id, grp)
           WHERE span_tokens >= $minSpan)"""
 
+  /** Embedding LSH near-neighbor CTE chain ending in `pairs`
+    * (id_a, id_b, cosine) — ONE generator serving both the q49 pair
+    * oracle and the q54 clustering oracle, so the bucket formula and
+    * rounding cannot drift between them. */
   private def embPairsCtes(bands: Int, rpb: Int, minCosine: Double): String = {
     val buckets = (0 until bands).map { b =>
       (0 until rpb).map { r =>

@@ -56,8 +56,17 @@ object NearDup {
     * trimming). In exchange the computation is three hash-partitioned
     * passes, no suffix-array construction: (1) positional grams → one
     * count per gram hash, (2) a semi-join keeping duplicated positions,
-    * (3) per-doc gaps-and-islands (pos − row_number) to merge runs.
-    * Nothing quadratic, nothing driver-side.
+    * (3) per-doc gaps-and-islands to merge runs.
+    *
+    * The island rule is on TOKEN EXTENTS, not gram starts: a gram at
+    * start p covers tokens [p, p+n−1], so two duplicated starts whose
+    * gap is ≤ n−1 produce overlapping token ranges and MUST fuse into
+    * one span (a start-adjacency rule would emit overlapping spans —
+    * double-counting span_tokens and letting a long duplicated region
+    * escape `minSpanTokens` as small fragments when different docs
+    * share different overlapping pieces of it). Consequently spans are
+    * DISJOINT per doc and `Σ span_tokens + kept = n_tokens` holds
+    * exactly (PipelineOpsSpec pins both).
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       n: Int, minOccurrences: Long,
@@ -71,7 +80,13 @@ object NearDup {
     val flagged = grams.join(dup, Seq("hg"), "left_semi")
     val w = Window.partitionBy("id").orderBy("pos")
     flagged
-      .withColumn("grp", col("pos") - row_number().over(w))
+      // new island iff this start's token range clears the previous
+      // one's: gap > n−1 (lag is null on the first start → 0)
+      .withColumn("new_run",
+        when(col("pos") - lag(col("pos"), 1).over(w) > lit(n.toLong - 1), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("new_run")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("id").as("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
            (max(col("pos")) + lit(n.toLong - 1)).as("span_end"))

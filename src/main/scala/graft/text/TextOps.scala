@@ -56,18 +56,10 @@ object TextOps {
     * set as the distinct-array form.
     */
   def wordShingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
-                      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy("pos")
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val withLeads = (1 until n).foldLeft(toks) { (acc, j) =>
-      acc.withColumn(s"__t$j", lead(col("tok"), j).over(w))
-    }
-    withLeads.filter(col(s"__t${n - 1}").isNotNull)
-      .select(col("id"),
-        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"__t$j")): _*).as("g"))
-  }
+                      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    // delegate so the shingle construction exists ONCE (column pruning
+    // drops the unused pos — no plan-shape penalty)
+    wordShingleRowsPos(df, idCol, textCol, n).select("id", "g")
 
   /** [[wordShingleRows]] keeping the gram's 0-based START POSITION —
     * for operators that locate grams back in the document (span

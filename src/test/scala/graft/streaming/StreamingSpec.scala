@@ -168,24 +168,27 @@ class StreamingSpec extends SparkSpec {
     // the SAME operator runs unmodified as a streaming Complete-mode
     // aggregation: the incremental corpus-statistics path (per-batch
     // state is m registers, never the stream)
+    // ONE long-lived query, default trigger (addData after start is the
+    // supported pattern there — the sessionize test above relies on the
+    // same), drained with processAllAvailable between adds so BOTH
+    // microbatch boundaries are asserted: the incremental max-merge
+    // state path, not just a single drain
     val in = { implicit val sqlCtx = spark.sqlContext; MemoryStream[String] }
     val q = Sketch.registers(in.toDF().withColumnRenamed("value", "tok"), "tok", m = 16)
       .writeStream.format("memory").queryName("sketch_regs")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .outputMode("complete").start()
     try {
       in.addData((0 until 120).map(i => s"s$i"): _*)
       q.processAllAvailable()
+      def sketch(nUpTo: Int) = Sketch.registers(
+        (0 until nUpTo).map(i => s"s$i").toDF("tok"), "tok", m = 16)
+        .as[(Long, Int)].collect().toMap
+      assert(spark.table("sketch_regs").as[(Long, Int)].collect().toMap
+        === sketch(120), "first drain must equal its batch build")
       in.addData((100 until 240).map(i => s"s$i"): _*) // overlap re-delivers
-      val q2 = Sketch.registers(in.toDF().withColumnRenamed("value", "tok"), "tok", m = 16)
-        .writeStream.format("memory").queryName("sketch_regs")
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q2.processAllAvailable(); q2.stop()
-      val streamed = spark.table("sketch_regs")
-        .as[(Long, Int)].collect().toMap
-      val batch = Sketch.registers(
-        (0 until 240).map(i => s"s$i").toDF("tok"), "tok", m = 16)
-        .as[(Long, Int)].collect().toMap
-      assert(streamed === batch)
+      q.processAllAvailable()
+      assert(spark.table("sketch_regs").as[(Long, Int)].collect().toMap
+        === sketch(240), "incremental registers must equal the full batch build")
     } finally q.stop()
   }
 }

@@ -29,19 +29,16 @@ class LmSketchSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq((1L, "x y z x y x z y"), (2L, "y x y z z x")).toDF("doc_id", "text")
     val rows = NgramLm.bigramKn(docs, "doc_id", "text")
-      .select("w1", "c12", "c1", "n_follow", "n_prec", "n_types")
-      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .select("w2", "n_prec", "n_types")
+      .as[(String, Long, Long)].collect()
     // sum_w2 p_kn(w2|w1) over ALL w2 in the vocabulary = 1: the max-part
     // sums to (c1 - D*n_follow)/c1 and the backoff part to
     // D*n_follow/c1 * sum(p_cont) with sum(p_cont) = 1 by construction.
     // Check the integer identity that makes it hold: sum of n_prec over
-    // distinct w2 equals n_types.
-    val types = rows.head._6
-    val nPrecSum = rows.groupBy(_._1).head._2 // any context; n_prec rides w2
-    val distinctW2 = NgramLm.bigramKn(docs, "doc_id", "text")
-      .select("w2", "n_prec").distinct()
-      .agg(sum("n_prec")).head.getLong(0)
-    assert(distinctW2 === types)
+    // DISTINCT w2 equals n_types.
+    val types = rows.head._3
+    val nPrecSum = rows.map(r => (r._1, r._2)).distinct.map(_._2).sum
+    assert(nPrecSum === types)
   }
 
   test("bigramRows emits nothing for 0/1-token docs and zips in order") {

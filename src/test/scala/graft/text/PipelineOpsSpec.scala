@@ -124,6 +124,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(spans2 === Set((0L, 9L), (13L, 22L)))
   }
 
+  test("duplicatedSpans fuses islands whose TOKEN extents overlap") {
+    import spark.implicits._
+    // doc A shares s0..s3 with B and s3..s7 with C: A's duplicated gram
+    // STARTS are {0,1} and {3,4,5} (n=3) — a start gap of 2 = n-1, so
+    // the token ranges [0,3] and [3,7] overlap at token 3 and MUST fuse
+    // into one 8-token span. A start-adjacency island rule instead
+    // emits overlapping fragments of 4 and 5 tokens that both duck a
+    // minSpanTokens=8 threshold (the bug class this pins).
+    val docs = Seq(
+      (1L, "s0 s1 s2 s3 s4 s5 s6 s7 x1 x2"),
+      (2L, "s0 s1 s2 s3 y1"),
+      (3L, "s3 s4 s5 s6 s7 z1")).toDF("doc_id", "text")
+    val spans = NearDup.duplicatedSpans(docs, "doc_id", "text",
+      n = 3, minOccurrences = 2L, minSpanTokens = 8L)
+      .filter($"doc_id" === 1L)
+      .select("span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((0L, 7L, 8L)))
+    // conservation through the trim: 10 tokens - 8 cut = 2 kept
+    val kept = NearDup.trimSpans(docs, "doc_id", "text", 3, 2L, 8L)
+      .filter($"doc_id" === 1L)
+      .select("text_trimmed", "n_tokens_kept").as[(String, Long)].head()
+    assert(kept === (("x1 x2", 2L)))
+  }
+
   test("trimSpans cuts exactly the span ranges; full-dup docs vanish") {
     import spark.implicits._
     val shared = (0 until 10).map(i => s"s$i").mkString(" ")
@@ -138,6 +163,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.keySet === Set(1L, 3L))
     assert(out(1L) === (("u1 u2 u3 u4", 4L)))
     assert(out(3L) === (("totally unique content that survives intact", 6L)))
+  }
+
+  test("cross-operator invariants on the sf0.001 corpus") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+
+    // trim conservation: kept tokens + cut span tokens == doc tokens,
+    // for every document (spans are disjoint maximal runs; trimSpans
+    // cuts exactly the spans duplicatedSpans reports at the same params)
+    val total = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n"))
+    val cut = NearDup.duplicatedSpans(docs, "doc_id", "text", 8, 2L, 24L)
+      .groupBy("doc_id").agg(sum("span_tokens").as("cut"))
+    val kept = NearDup.trimSpans(docs, "doc_id", "text", 8, 2L, 24L)
+      .select(col("doc_id"), col("n_tokens_kept"))
+    val bad = total.join(cut, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .filter(coalesce(col("cut"), lit(0L)) + coalesce(col("n_tokens_kept"), lit(0L))
+        =!= col("n"))
+    assert(bad.count() === 0, "trim must conserve tokens exactly")
+
+    // hashedTfIdf: per-doc tf mass equals the token count
+    val tfMass = Terms.hashedTfIdf(docs, "doc_id", "text", 64)
+      .groupBy("doc_id").agg(sum("tf").as("mass"))
+    val badTf = total.join(tfMass, Seq("doc_id"), "left")
+      .filter(coalesce(col("mass"), lit(0L)) =!= col("n"))
+    assert(badTf.count() === 0, "hashing must not lose token occurrences")
+
+    // chunkWindows tiling: starts are stride-multiples from 0; every
+    // token position is covered by >= 1 window; lens are in (0, len]
+    val ch = Terms.chunkWindows(docs, "doc_id", "text", 32, 16).cache()
+    assert(ch.filter(pmod(col("start_tok"), lit(16L)) =!= 0L).count() === 0)
+    assert(ch.filter(col("chunk_len") <= 0L || col("chunk_len") > 32L).count() === 0)
+    val covered = ch.select(col("doc_id"),
+        explode(sequence(col("start_tok"), col("start_tok") + col("chunk_len") - 1))
+          .as("p")).distinct().groupBy("doc_id").agg(count(lit(1)).as("np"))
+    val badCover = total.filter(col("n") > 0)
+      .join(covered, Seq("doc_id"), "left")
+      .filter(coalesce(col("np"), lit(0L)) =!= col("n"))
+    assert(badCover.count() === 0, "windows must cover every token position")
+    ch.unpersist()
   }
 
   test("pageRankMicro: symmetric star — leaves equal, hub dominates") {
