@@ -1442,6 +1442,39 @@ object TextSim extends QueryPack {
           FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN t
           WHERE c12 >= 3)""")),
 
+    // LEAKAGE-SAFE train/val/test split: the q47 hash split keyed by the
+    // near-dup CLUSTER representative instead of the doc id, so every
+    // member of a near-dup family lands in the SAME split — the guard
+    // against train/eval contamination via duplicates that a naive
+    // per-doc split cannot give. Docs in no cluster key by themselves;
+    // same "split|" seed as q47 so singletons land exactly where q47
+    // puts them.
+    "q87_leakage_safe_split" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = NearDup.minhashLshPairsFromRows(
+          TextOps.wordShingleRows(docs, "doc_id", "text", 3), k = 16, bands = 8)
+        val clusters = NearDup.dedupClusters(pairs, "id_a", "id_b")
+        val keyed = docs.select(col("doc_id"))
+          .join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("keeper_id"), col("doc_id")).as("split_key"))
+        val bucket = (TextOps.hashPrefix("split|", col("split_key")) % 10).cast("int")
+        keyed.withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashCtes(16, 8)}, ${closureCtes("cand")},
+        clus AS (SELECT node AS doc_id, min(root) AS keeper_id
+                 FROM reach GROUP BY node),
+        keyed AS (SELECT d.doc_id, coalesce(c.keeper_id, d.doc_id) AS split_key
+                  FROM documents d LEFT JOIN clus c USING (doc_id))
+        SELECT doc_id, split_key, CASE
+          WHEN ('0x' || substr(md5('split|' || split_key), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+          WHEN ('0x' || substr(md5('split|' || split_key), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+          ELSE 'test' END AS split
+        FROM keyed""")),
+
     // Duplicated-span trimming (Lee et al. exact-substring dedup,
     // n-gram-relaxed): positions whose 8-gram repeats corpus-wide, merged
     // into maximal runs >= 24 tokens (a threshold the sf0.01 corpus

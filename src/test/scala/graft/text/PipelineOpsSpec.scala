@@ -206,6 +206,28 @@ class PipelineOpsSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("leakage-safe split: near-dup pair members always share a split") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = NearDup.minhashLshPairsFromRows(
+      TextOps.wordShingleRows(docs, "doc_id", "text", 3), k = 16, bands = 8)
+      .select("id_a", "id_b").cache()
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs or the test is vacuous")
+    val clusters = NearDup.dedupClusters(pairs, "id_a", "id_b")
+    val split = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("split_key"))
+      .withColumn("b", (TextOps.hashPrefix("split|", col("split_key")) % 10).cast("int"))
+      .select(col("doc_id"), col("b"))
+    val leaked = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("b", "ba"), Seq("id_a"))
+      .join(split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("b", "bb"), Seq("id_b"))
+      .filter(col("ba") =!= col("bb"))
+    assert(leaked.count() === 0, "paired docs must never straddle a split boundary")
+    pairs.unpersist()
+  }
+
   test("pageRankMicro: symmetric star — leaves equal, hub dominates") {
     import spark.implicits._
     val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("a", "b")
