@@ -115,15 +115,7 @@ object CorpusBuild {
     require(args.length >= 3, "usage: CorpusBuild build|probe <sfDir> <outDir> ...")
     val (mode, sfDir, outDir) = (args(0), args(1), args(2))
     def arg(i: Int, dflt: Int) = if (args.length > i) args(i).toInt else dflt
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local()
     // the tool's demo split: corpus = 80% of documents, batch = the rest
     val docs = Tables.documents(spark, sfDir)
     mode match {

@@ -82,15 +82,7 @@ object IvfBuild {
     require(args.length >= 3, "usage: IvfBuild build|probe <sfDir> <outDir> ...")
     val (mode, sfDir, outDir) = (args(0), args(1), args(2))
     def arg(i: Int, dflt: Int) = if (args.length > i) args(i).toInt else dflt
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local()
     mode match {
       case "build" =>
         val t0 = System.nanoTime()
