@@ -1475,6 +1475,25 @@ object TextSim extends QueryPack {
           ELSE 'test' END AS split
         FROM keyed""")),
 
+    // Per-language EXACT quality median (percentile_disc 0.5) via the
+    // grouped bounded-histogram walk — q78's machinery grouped; the
+    // oracle phrases it as a per-group sort window the engine never
+    // runs. The gate a "threshold at the observed median" policy needs.
+    "q88_grouped_median" -> Q(
+      (s, d) => Terms.groupedMedian(Tables.documents(s, d), "lang",
+        TextOps.qualityScore(col("text"))),
+      Some(s"""
+        WITH sc AS (
+          SELECT lang AS grp,
+                 floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS qm
+          FROM documents),
+        r AS (SELECT grp, qm,
+                     row_number() OVER (PARTITION BY grp ORDER BY qm) AS rn,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM sc)
+        SELECT grp, n AS n_docs, qm AS median_micro, qm::DOUBLE / 1e6 AS median
+        FROM r WHERE rn = (n + 1) // 2""")),
+
     // Duplicated-span trimming (Lee et al. exact-substring dedup,
     // n-gram-relaxed): positions whose 8-gram repeats corpus-wide, merged
     // into maximal runs >= 24 tokens (a threshold the sf0.01 corpus

@@ -344,6 +344,40 @@ object Terms {
     above.unionByName(boundary)
   }
 
+  /** EXACT per-group median of a [0, 1]-bounded score — percentile_disc
+    * (0.5) semantics (the smallest value whose cumulative count reaches
+    * ceil(n/2)), computed without any per-group sort: the same bounded-
+    * histogram trick as [[topQuantileGate]], grouped. The histogram is
+    * (group × snapped-score)-bounded — score RESOLUTION times a
+    * key-bounded dimension (languages, sources), never corpus-sized —
+    * so it collects to the driver where one cumulative walk per group
+    * reads off the median. Emits (group, n_docs, median_micro, median).
+    *
+    * This is the exact-quantile path a gating decision wants (set the
+    * per-language threshold AT the observed median); for arbitrary
+    * unbounded doubles Spark's approx_percentile is the right tool —
+    * this operator's contract is exactness on snapped bounded scores.
+    */
+  def groupedMedian(df: DataFrame, keyCol: String, quality: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.select(col(keyCol).as("k"),
+        floor(quality * lit(1e6) + lit(0.5)).cast("long").as("qm"))
+      .groupBy("k", "qm").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = hist.groupBy(_._1).toSeq.map { case (k, cells) =>
+      val sorted = cells.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      val target = (n + 1) / 2 // ceil(n/2) for positive n
+      var cum = 0L; var i = 0
+      while (cum + sorted(i)._3 < target) { cum += sorted(i)._3; i += 1 }
+      (k, n, sorted(i)._2)
+    }
+    rows.toDF("grp", "n_docs", "median_micro")
+      .select(col("grp"), col("n_docs"), col("median_micro"),
+        (col("median_micro").cast("double") / lit(1e6)).as("median"))
+  }
+
   /** Corpus vocabulary: top-N terms by total occurrences (ties broken
     * lexicographically), with per-term document counts. The n_docs count
     * rides the same two-phase aggregation (tf rows are distinct per

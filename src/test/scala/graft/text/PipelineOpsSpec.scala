@@ -228,6 +228,23 @@ class PipelineOpsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("groupedMedian == percentile_disc(0.5) on hand cases incl. even n and ties") {
+    import spark.implicits._
+    // group a: odd n=3, values .1 .2 .9 -> median .2
+    // group b: even n=4, values .1 .4 .6 .8 -> disc median = 2nd = .4
+    // group c: ties, n=5, values .3 .3 .3 .7 .7 -> median .3
+    val docs = Seq(
+      ("a", 0.1), ("a", 0.2), ("a", 0.9),
+      ("b", 0.1), ("b", 0.4), ("b", 0.6), ("b", 0.8),
+      ("c", 0.3), ("c", 0.3), ("c", 0.3), ("c", 0.7), ("c", 0.7))
+      .toDF("k", "s")
+    val out = Terms.groupedMedian(docs, "k", col("s"))
+      .select("grp", "n_docs", "median_micro")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === Map("a" -> ((3L, 200000L)), "b" -> ((4L, 400000L)),
+      "c" -> ((5L, 300000L))))
+  }
+
   test("pageRankMicro: symmetric star — leaves equal, hub dominates") {
     import spark.implicits._
     val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)).toDF("a", "b")
