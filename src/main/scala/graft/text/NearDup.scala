@@ -264,6 +264,58 @@ object NearDup {
     case _ => None
   }
 
+  /** Symmetrized, deduplicated, dst-partitioned edge frame for the
+    * clustering loop. Package-private so TextSpec can assert the plan
+    * property that makes the loop scale: `repartition(dst)` BEFORE the
+    * eager checkpoint bakes HashPartitioning(dst) into the LogicalRDD's
+    * outputPartitioning, so every round's `edges.join(labels, dst = id)`
+    * exchanges ONLY the labels side. Without it each of the O(log n)
+    * rounds re-shuffles the full (larger) edge set — the dominant cost
+    * in q42/q61/q87 through r06 and the scale-killer at 100×: labels is
+    * one row per node while symmetrized edges are 2 rows per pair.
+    */
+  private[text] def clusterEdges(pairs: DataFrame, idACol: String,
+      idBCol: String): DataFrame = {
+    // repartition BEFORE the dedup: HashPartitioning(dst) satisfies the
+    // ClusteredDistribution(src,dst) the distinct-aggregate requires, so
+    // the whole build is ONE shuffle (dedup runs inside the dst layout
+    // and the aggregate preserves it), and sortWithinPartitions stamps
+    // the ordering SMJ wants so rounds skip the edges-side sort too.
+    // AQE must be OFF for this one statement: localCheckpoint snapshots
+    // executedPlan.outputPartitioning, and AdaptiveSparkPlanExec reports
+    // UnknownPartitioning before finalization (measured — the checkpoint
+    // came back unpartitioned and every round re-exchanged all edges),
+    // which would silently void the per-round no-exchange guarantee the
+    // loop depends on. The explicit partition count likewise opts out of
+    // AQE-style coalescing ambiguity and keeps the layout deterministic.
+    val session = pairs.sparkSession
+    val n = session.sessionState.conf.numShufflePartitions
+    // two checkpoints on purpose: the UPSTREAM pair derivation (LSH band
+    // joins etc.) is the expensive part and should keep AQE; only the
+    // cheap scan→exchange→sort relayout pass runs with AQE off. Folding
+    // both into one no-AQE statement re-ran the whole upstream without
+    // AQE and cost more than the per-round exchanges it saved (measured).
+    // The staging checkpoint is LAZY so it does not add a job: its RDD is
+    // compiled here (upstream stages still run adaptively) and its blocks
+    // materialize inside the relayout checkpoint's own job.
+    val staged = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .localCheckpoint(false)
+    val prevAqe = session.conf.get("spark.sql.adaptive.enabled")
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    val edges =
+      try
+        staged
+          .repartition(n, col("dst"))
+          .dropDuplicates("src", "dst")
+          .sortWithinPartitions("dst")
+          .localCheckpoint(true)
+      finally session.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // the relayout materialized; the staging blocks are dead
+    checkpointRdd(staged).foreach(_.unpersist(blocking = false))
+    edges
+  }
+
   def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
     // localCheckpoint (eager): truncates the logical plan, not just the
     // computation. persist() alone is NOT enough for iterative algorithms
@@ -271,16 +323,30 @@ object NearDup {
     // plan, so the plan TREE grows 3^n and driver-side analysis time
     // explodes (measured 115 s for round 5). On a cluster needing fault
     // tolerance, substitute reliable checkpoint(dir).
-    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-      .union(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = clusterEdges(pairs, idACol, idBCol)
+    // AQE stays OFF for the whole loop (restored on exit): every round's
+    // lazy labels checkpoint must keep its HashPartitioning(id) — under
+    // AQE it reports Unknown (see clusterEdges) and every join below
+    // would re-exchange both sides every round. With it off, the steady
+    // state per round exchanges ONLY bounded label-sized frames: the
+    // viaEdges probe rides the edges checkpoint's dst layout (zero
+    // edges-side exchange; the src re-group is map-side partial-agg'd so
+    // the wire carries per-partition minima, not |E| rows), and the
+    // round's output lands id-partitioned so the NEXT round's label side
+    // is exchange-free too. The loop's joins are uniform id-hash joins;
+    // AQE's skew handling has nothing to offer them.
+    val session0 = pairs.sparkSession
+    val prevLoopAqe = session0.conf.get("spark.sql.adaptive.enabled")
+    session0.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // seed = least(id, min neighbor) in ONE aggregation — equivalent to
-    // running the first neighbor-propagation round for free (edges are
-    // symmetrized, so every node appears as a src), saving one full
-    // join+checkpoint round
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("mn"))
+    // running the first neighbor-propagation round for free, saving one
+    // full join+checkpoint round. Grouping by DST (legal because edges
+    // are symmetrized: min-over-src at a dst equals min-over-dst at that
+    // src) rides the checkpoint's dst layout, so the seed costs zero
+    // exchange on the edge set
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("label"))
     // convergence via the label sum: min-propagation is monotone
     // non-increasing, so an unchanged sum ⟺ a fixpoint — one cheap scalar
@@ -333,6 +399,7 @@ object NearDup {
     // them once the caller drops the reference)
     checkpointRdd(edges).foreach(_.unpersist(blocking = false))
     labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
+    } finally session0.conf.set("spark.sql.adaptive.enabled", prevLoopAqe)
   }
 
   /** The CORPUS INDEX behind incremental dedup, as three persistable

@@ -230,6 +230,43 @@ class TextSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 0.5)))
   }
 
+  test("clusterEdges: round joins exchange only the labels side") {
+    import spark.implicits._
+    // a chain graph — several propagation rounds, like real LSH output
+    val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val edges = NearDup.clusterEdges(pairs, "id_a", "id_b")
+    try {
+      // an arbitrary labels-shaped frame with NO useful partitioning,
+      // exactly what round >= 2 feeds back into the join
+      val labels = (1L to 41L).map(i => (i, math.min(i, 3L))).toDF("id", "label")
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = edges.join(labels, edges("dst") === labels("id"))
+        val lines = joined.queryExecution.executedPlan.toString.linesIterator.toVector
+        val join = lines.indexWhere(l =>
+          l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        val scan = lines.indexWhere(_.contains("Scan ExistingRDD"))
+        assert(join >= 0 && scan > join, s"unexpected plan shape:\n${lines.mkString("\n")}")
+        // edges side = join's first child, ending at the checkpoint scan:
+        // the baked-in HashPartitioning(dst) must satisfy the join's
+        // distribution with no Exchange; only labels may shuffle
+        val edgesSide = lines.slice(join + 1, scan + 1)
+        assert(!edgesSide.exists(_.contains("Exchange")),
+          s"edges side still shuffles per round:\n${edgesSide.mkString("\n")}")
+        assert(lines.drop(scan + 1).exists(_.contains("Exchange")),
+          "expected the labels-side exchange below the checkpoint scan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      // and the full loop over the same chain still converges correctly
+      val keepers = NearDup.dedupClusters(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(keepers.size === 41 && keepers.values.forall(_ == 1L))
+    } finally edges.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
+  }
+
   test("persisted corpus band index: bucket-pruned probe, no corpus-side shuffle in band join") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val bandFrame = NearDup.corpusIndex(
