@@ -194,6 +194,47 @@ case class DoubleMatVec(child: Expression, mat: Array[Array[Double]])
   * digest instance is thread-local (MessageDigest is stateful and
   * generated code shares references across threads in local mode).
   */
+/** Whitespace-token COUNT without the token array: equivalent by
+  * definition to `size(array_remove(split(text, " +"), ""))` (the
+  * engine-wide token rule, `TextOps.tokens`) but computed as a single
+  * byte scan counting maximal runs of non-space bytes. The composed form
+  * regex-splits and materializes every token as a UTF8String slice just
+  * to take the array's size — on count-only consumers (token stats,
+  * packing, BM25 doc lengths) that is the dominant per-row cost. The
+  * byte scan is exact for UTF-8: 0x20 never occurs inside a multi-byte
+  * sequence, and the " +" pattern matches only ASCII spaces.
+  * KernelFuzzSpec pins kernel ≡ composition.
+  */
+case class TokenCount(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  /** Called from both eval and generated code. */
+  def count(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val n = s.numBytes
+    var i = 0; var c = 0; var inTok = false
+    while (i < n) {
+      if (s.getByte(i) == 0x20) inTok = false
+      else { if (!inTok) c += 1; inTok = true }
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokencount", this, classOf[TokenCount].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.count($v);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class Md5Prefix64(child: Expression, hexStart: Int = 1)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -488,6 +529,13 @@ object ArrayOps {
 
   /** Column-typed API for the md5-prefix gram hash kernel (hexStart 1 or
     * 17 — the two byte-aligned 60-bit halves of the digest). */
+  /** Column-typed API for the whitespace-token-count kernel. */
+  def tokenCount(spark: SparkSession, text: Column): Column = {
+    val name = "token_count_kernel"
+    ensureRegistered(spark, name, exprs => TokenCount(exprs(0)))
+    org.apache.spark.sql.functions.call_function(name, text)
+  }
+
   def md5Prefix64(spark: SparkSession, g: Column, hexStart: Int = 1): Column = {
     val name = s"md5_prefix64_h$hexStart"
     ensureRegistered(spark, name, exprs => Md5Prefix64(exprs(0), hexStart))

@@ -421,7 +421,7 @@ object TextSim extends QueryPack {
     // (letter runs / digit runs / single punctuation marks).
     "q30_token_stats" -> Q(
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+        .select(col("doc_id"), TextOps.tokenCountFast(s, col("text")).as("n_tokens"),
                 size(regexp_extract_all(lower(col("text")),
                   lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_subtokens"),
                 col("n_chars")),
@@ -789,7 +789,8 @@ object TextSim extends QueryPack {
         // 5. mixture sampling, n_tokens carried on the sample rows so the
         //    packing stage needs no corpus-sized join back
         val sampled = Terms.mixtureSample(
-          clean.withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long")),
+          clean.withColumn("n_tokens",
+            TextOps.tokenCountFast(s, col("text")).cast("long")),
           "doc_id", "lang",
           Map("en" -> 1.5, "de" -> 0.5, "es" -> 1.0, "fr" -> 2.0, "zh" -> 0.25),
           carry = Seq("n_tokens"))
@@ -1217,7 +1218,7 @@ object TextSim extends QueryPack {
       (s, d) => Tables.documents(s, d)
         .cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
-             sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+             sum(TextOps.tokenCountFast(s, col("text")).cast("long")).as("n_tokens"),
              sum(col("n_chars")).as("sum_chars")),
       Some(s"""
         SELECT lang, source, count(*) AS n_docs,

@@ -62,12 +62,12 @@ object Retrieval {
     // one corpus scan for the scalar stats (N, total token count)
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(TextOps.tokenCount(col(textCol)).cast("long")).as("sum_dl"))
+      sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")).as("sum_dl"))
     // postings restricted to query terms BEFORE the aggregation: the
     // (doc, term) shuffle carries only matching occurrences
     val postings = docs
       .select(col(idCol).as("doc_id"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("dl"),
+        TextOps.tokenCountFast(spark, col(textCol)).cast("long").as("dl"),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
@@ -114,7 +114,8 @@ object Retrieval {
     // the docs table, NOT a second pass over the counts aggregation (the
     // naive `counts.agg(sum)` re-ran the vocabulary shuffle as a second
     // subtree)
-    val total = docs.agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("t"))
+    val total = docs.agg(
+      sum(TextOps.tokenCountFast(docs.sparkSession, col(textCol)).cast("long")).as("t"))
     val sMicro = floor(
       (log(col("t").cast("double")) - log(col("c").cast("double"))) * lit(1e6) + lit(0.5))
       .cast("long")

@@ -132,7 +132,8 @@ object Terms {
                       shardCol: String, blockTokens: Int): DataFrame =
     packPrepared(
       df.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+        TextOps.tokenCountFast(df.sparkSession, col(textCol))
+          .cast("long").as("n_tokens")),
       blockTokens, orderCols = Seq("doc_id"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("start_tok"), col("chunk"))
@@ -285,7 +286,8 @@ object Terms {
                    len: Int, stride: Int): DataFrame = {
     require(len > 0 && stride > 0, s"len=$len, stride=$stride must be positive")
     df.select(col(idCol).as("doc_id"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        TextOps.tokenCountFast(df.sparkSession, col(textCol))
+          .cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens"),
         explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride.toLong)))

@@ -22,6 +22,18 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** [[tokenCount]] through the `TokenCount` byte-scan kernel — same
+    * value by definition (KernelFuzzSpec pins it), no regex split and no
+    * token-array materialization. Prefer this wherever a session is in
+    * reach (every DataFrame-taking operator: `df.sparkSession`); the
+    * composed form above stays as the executable definition the kernel
+    * is fuzzed against. Session passed explicitly — same doctrine as
+    * [[gramHash64]].
+    */
+  def tokenCountFast(spark: org.apache.spark.sql.SparkSession,
+                     text: Column): Column =
+    graft.plans.ArrayOps.tokenCount(spark, text)
+
   /** Word n-gram shingles from an ALREADY-MATERIALIZED tokens column
     * (an attribute, not an expression). Guarded for docs shorter than n
     * tokens (Spark's `sequence(1,0)` would count DOWN, not return empty).

@@ -103,6 +103,29 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("token-count kernel matches size(array_remove(split)) on adversarial strings") {
+    import spark.implicits._
+    val tokGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.const(" "), Gen.const("  "), Gen.alphaNumStr.map(_.take(5)),
+      Gen.const("日本語"), Gen.const("a b"), Gen.const("\tx"),
+      Gen.const(" "), Gen.const("é"))).map(_.mkString)
+    val strings = (1 to 60).map(i => sample(tokGen, 4200L + i)) ++
+      Seq("", " ", "   ", "a", " a", "a ", " a ", "a  b", "\t", "a\tb",
+          "日 本  語", "é  è")
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val rows = df.select($"id",
+        ArrayOps.tokenCount(spark, $"s").as("k"),
+        size(array_remove(split($"s", " +"), "")).as("c"))
+      .as[(Long, Int, Int)].collect()
+    rows.foreach { case (id, k, c) =>
+      assert(k === c, s"id=$id string=${strings(id.toInt)}")
+    }
+    // null in, null out — same as size() over the composed form
+    val nulls = Seq((1L, null: String)).toDF("id", "s")
+      .select(ArrayOps.tokenCount(spark, $"s").as("k")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("quant-stats kernel: codegen path equals interpreted eval on random arrays") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
