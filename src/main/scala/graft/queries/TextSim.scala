@@ -768,21 +768,20 @@ object TextSim extends QueryPack {
           .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
         val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
         // 4. decontamination: drop benchmark docs (doc_id % 20 = 0) and any
-        //    survivor sharing an 8-token gram with them. The broadcast is
-        //    justified by the PRODUCTION shape — a benchmark suite is fixed
-        //    external data, O(MBs), while the corpus scales — but note the
-        //    SYNTHETIC stand-in (doc_id % 20) is 5% of the corpus and so
-        //    grows with SF; above gate SFs this side would need the same
-        //    size-threshold fallback to a shuffle join that q50 documents
-        //    (PLANS.md q61 audit)
+        //    survivor sharing an 8-token gram with them. Strategy chosen
+        //    by MEASURED benchmark-gram count (TextOps.sizedSemiJoin): a
+        //    real benchmark suite is fixed O(MB) external data and
+        //    broadcasts; the SYNTHETIC stand-in (doc_id % 20) is 5% of
+        //    the corpus, so past the threshold the join degrades to a
+        //    shuffle semi-join instead of a corpus-scaled broadcast
+        //    (PLANS.md q61 audit; PipelineOpsSpec pins both paths equal)
         def grams8(df: org.apache.spark.sql.DataFrame) =
           TextOps.wordShingleRows(df, "doc_id", "text", 8)
             .select(col("id"),
               TextOps.gramHash64(s, col("g")).as("hg"))
         val bench = grams8(docs.filter(col("doc_id") % 20 === 0))
           .select("hg").distinct()
-        val contaminated = grams8(deduped)
-          .join(broadcast(bench), Seq("hg"), "left_semi")
+        val contaminated = TextOps.sizedSemiJoin(grams8(deduped), bench, "hg")
           .select(col("id").as("doc_id")).distinct()
         val clean = deduped.filter(col("doc_id") % 20 =!= 0)
           .join(contaminated, Seq("doc_id"), "left_anti")

@@ -22,6 +22,34 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Left-semi join `probe` against a distinct key frame whose size is
+    * only known at runtime, choosing the physical strategy by MEASURED
+    * key count instead of trusting a "small by contract" assumption:
+    * at or below `maxBroadcastKeys` the key set is broadcast (zero
+    * probe-side shuffle — the decontamination fast path, where a
+    * benchmark suite is fixed O(MB) external data); above it the join
+    * falls back to a shuffle semi-join, because a broadcast that scales
+    * WITH the corpus (the q61 synthetic stand-in is 5% of the corpus)
+    * would eventually OOM every executor. The key frame is checkpointed
+    * so sizing it and joining against it share one materialization; the
+    * default threshold is ~32 MB of long keys, comfortably inside
+    * executor broadcast budgets.
+    */
+  def sizedSemiJoin(probe: org.apache.spark.sql.DataFrame,
+                    keys: org.apache.spark.sql.DataFrame, keyCol: String,
+                    maxBroadcastKeys: Long = 4000000L): org.apache.spark.sql.DataFrame = {
+    val mat = keys.localCheckpoint(true)
+    val n = mat.count()
+    if (n <= maxBroadcastKeys)
+      probe.join(broadcast(mat), Seq(keyCol), "left_semi")
+    else
+      // the hint FORBIDS broadcast (Catalyst would otherwise re-decide
+      // from its own stats and re-broadcast past our measured threshold):
+      // over-threshold key sets sort-merge, the strategy that survives
+      // arbitrary key-set growth
+      probe.join(mat.hint("merge"), Seq(keyCol), "left_semi")
+  }
+
   /** [[tokenCount]] through the `TokenCount` byte-scan kernel — same
     * value by definition (KernelFuzzSpec pins it), no regex split and no
     * token-array materialization. Prefer this wherever a session is in

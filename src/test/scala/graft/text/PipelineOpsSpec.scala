@@ -206,6 +206,38 @@ class PipelineOpsSpec extends SparkSpec {
     ch.unpersist()
   }
 
+  test("sizedSemiJoin: forced-low threshold (shuffle path) equals broadcast path, plans differ") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 20L), (5L, 99L))
+      .toDF("id", "hg")
+    val keys = Seq(20L, 99L, 777L).toDF("hg")
+    val bcast = TextOps.sizedSemiJoin(probe, keys, "hg", maxBroadcastKeys = 1000L)
+    val shuffled = TextOps.sizedSemiJoin(probe, keys, "hg", maxBroadcastKeys = 1L)
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(!shuffled.queryExecution.executedPlan.toString.contains("Broadcast"))
+    val a = bcast.as[(Long, Long)].collect().toSet
+    val b = shuffled.as[(Long, Long)].collect().toSet
+    assert(a === b && a === Set((20L, 2L), (20L, 4L), (99L, 5L)))
+  }
+
+  test("q61 decontamination output is identical under a forced shuffle semi-join") {
+    // the whole pipeline stage, not just the join primitive: grams of the
+    // sf0.001 corpus vs its % 20 benchmark slice, both strategies
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      TextOps.wordShingleRows(df, "doc_id", "text", 8)
+        .select(col("id"), TextOps.gramHash64(spark, col("g")).as("hg"))
+    val bench = grams(docs.filter(col("doc_id") % 20 === 0)).select("hg").distinct()
+    val corpus = grams(docs.filter(col("doc_id") % 20 =!= 0))
+    def hits(threshold: Long) =
+      TextOps.sizedSemiJoin(corpus, bench, "hg", threshold)
+        .select(col("id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val viaBroadcast = hits(Long.MaxValue)
+    val viaShuffle = hits(0L)
+    assert(viaBroadcast === viaShuffle && viaBroadcast.nonEmpty)
+  }
+
   test("leakage-safe split: near-dup pair members always share a split") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
