@@ -172,7 +172,7 @@ object TextSim extends QueryPack {
         f AS (SELECT doc_id, pos FROM g WHERE hg IN (SELECT hg FROM dup)),
         nr AS (SELECT doc_id, pos,
                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-                                                     ORDER BY pos) > ${n - 1}
+                                                     ORDER BY pos) > $n
                            THEN 1 ELSE 0 END AS new_run
                FROM f),
         isl AS (SELECT doc_id, pos,
@@ -1006,9 +1006,14 @@ object TextSim extends QueryPack {
           FROM postings, stats s GROUP BY term, s.n_docs, s.sum_dl),
         scored AS (
           SELECT q.query_id, p.doc_id,
+                 -- constants forced through DOUBLE so both engines run
+                 -- the IDENTICAL IEEE sequence: DuckDB's DECIMAL would
+                 -- compute tf*(1.2+1.0) exactly (tf*2.2) and round ONCE
+                 -- at the division, while Spark rounds at the literal —
+                 -- a 1-ulp numerator drift that can flip the micro floor
                  sum(floor(
-                   (d.idf * ((p.tf * (1.2 + 1.0)) /
-                     (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / d.avgdl))))
+                   (d.idf * ((p.tf::DOUBLE * (1.2::DOUBLE + 1.0)) /
+                     (p.tf + 1.2::DOUBLE * (1.0 - 0.75 + 0.75 * p.dl / d.avgdl))))
                    * 1e6 + 0.5))::BIGINT AS score_micro
           FROM postings p
           JOIN dfreq d USING (term)

@@ -64,9 +64,13 @@ object NearDup {
     * one span (a start-adjacency rule would emit overlapping spans —
     * double-counting span_tokens and letting a long duplicated region
     * escape `minSpanTokens` as small fragments when different docs
-    * share different overlapping pieces of it). Consequently spans are
-    * DISJOINT per doc and `Σ span_tokens + kept = n_tokens` holds
-    * exactly (PipelineOpsSpec pins both).
+    * share different overlapping pieces of it), and TOUCHING ranges
+    * (gap = n exactly) fuse as well — a contiguous duplicated region
+    * whose duplicated starts happen to land a period-n comb apart is
+    * one region, not n-token fragments that each slip under the
+    * threshold. Consequently spans are DISJOINT per doc and
+    * `Σ span_tokens + kept = n_tokens` holds exactly (PipelineOpsSpec
+    * pins both).
     */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       n: Int, minOccurrences: Long,
@@ -81,9 +85,16 @@ object NearDup {
     val w = Window.partitionBy("id").orderBy("pos")
     flagged
       // new island iff this start's token range clears the previous
-      // one's: gap > n−1 (lag is null on the first start → 0)
+      // one's WITHOUT touching it: gap > n (lag is null on the first
+      // start → 0). Overlap (gap ≤ n−1) must fuse — a start-adjacency
+      // rule would emit overlapping spans — and TOUCHING ranges
+      // (gap = n exactly) must fuse too: duplicated starts a period-n
+      // comb apart would otherwise fragment one contiguous duplicated
+      // region into n-token spans that each slip under minSpanTokens
+      // (advisor, r06). Disjointness and the sum invariant are
+      // unaffected — fusing touching ranges leaves no gap behind.
       .withColumn("new_run",
-        when(col("pos") - lag(col("pos"), 1).over(w) > lit(n.toLong - 1), 1L)
+        when(col("pos") - lag(col("pos"), 1).over(w) > lit(n.toLong), 1L)
           .otherwise(0L))
       .withColumn("grp", sum(col("new_run")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -324,14 +324,30 @@ object Terms {
     * histogram split is what makes exactness affordable.
     */
   def topQuantileGate(df: DataFrame, idCol: String, quality: Column,
-                      frac: Double): DataFrame = {
+                      frac: Double, windowCap: Long = 4000000L): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac=$frac must be in (0, 1]")
+    // eager checkpoint: the quality expression evaluates ONCE (it may be
+    // expensive or, worse, non-deterministic — a recomputed score could
+    // select an inconsistent boundary set), and the three downstream
+    // scans (bounds, histogram, selection) read narrow blocks. The
+    // blocks back the returned frame; ContextCleaner reclaims them when
+    // the caller drops it (dedupClusters doctrine).
     val scored = df.select(col(idCol).as("doc_id"),
       floor(quality * lit(1e6) + lit(0.5)).cast("long").as("q_micro"))
+      .localCheckpoint(true)
+    val bounds = scored.agg(count(lit(1)).as("n"),
+      min(col("q_micro")).as("lo"), max(col("q_micro")).as("hi")).head()
+    val total = bounds.getLong(0)
+    if (total == 0L) return scored.limit(0)
+    // the driver-side histogram is bounded ONLY by the [0,1] score
+    // contract (<= 1e6+1 buckets). Enforce it BEFORE collecting — an
+    // unbounded quality column must fail loudly, not OOM the driver.
+    require(bounds.getLong(1) >= 0L && bounds.getLong(2) <= 1000000L,
+      s"topQuantileGate requires a [0,1]-bounded quality column " +
+        s"(micro-snapped range [${bounds.getLong(1)}, ${bounds.getLong(2)}] " +
+        "observed); clamp or rescale the score")
     val hist = scored.groupBy("q_micro").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
-    val total = hist.map(_._2).sum
-    if (total == 0L) return scored.limit(0)
     val k = math.ceil(frac * total).toLong
     // cumulative walk: t = the bucket where the running count crosses k;
     // r = how many of t's ties still fit
@@ -340,10 +356,62 @@ object Terms {
     val t = hist(i)._1
     val r = k - cum
     val above = scored.filter(col("q_micro") > t)
-    val boundary = scored.filter(col("q_micro") === t)
-      .withColumn("__rn", row_number().over(Window.orderBy(col("doc_id").asc)))
-      .filter(col("__rn") <= r).drop("__rn")
+    val bucket = scored.filter(col("q_micro") === t)
+    // boundary = the r LOWEST doc_ids of the tie bucket. The single
+    // unpartitioned row_number window is fine at the typical bucket size
+    // but becomes a one-task sort of the corpus in the degenerate shape
+    // (one dominant score value) — past windowCap, switch to the
+    // doc-id-range walk, which never sorts more than windowCap rows.
+    val boundary =
+      if (hist(i)._2 <= windowCap)
+        bucket
+          .withColumn("__rn", row_number().over(Window.orderBy(col("doc_id").asc)))
+          .filter(col("__rn") <= r).drop("__rn")
+      else smallestIdsByRangeWalk(bucket, r, windowCap)
     above.unionByName(boundary)
+  }
+
+  /** The r smallest `doc_id`s of `bucket` WITHOUT a global sort: narrow
+    * an id range [lo, hi] by repeatedly histogramming it into <= 4096
+    * equal-width slices (one bounded collect per iteration), keeping
+    * every id below the slice where the running count crosses r, until
+    * the straddling slice fits under `cap` and a window ranks just that
+    * slice. Ranges shrink 4096× per iteration, so 64-bit id spaces
+    * terminate in <= 6 rounds; each round is one partial-aggregated scan
+    * of the (shrinking) bucket.
+    */
+  private def smallestIdsByRangeWalk(bucket: DataFrame, r0: Long, cap: Long,
+                                     depth: Int = 0): DataFrame = {
+    // ranges shrink 4096× per level, so 64-bit id spaces bottom out in
+    // <= 6 levels; anything deeper means the id column violates the
+    // integral contract
+    require(depth <= 8, "id-range walk failed to converge (non-integral ids?)")
+    val S = 4096L
+    val mm = bucket.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val lo = mm.getLong(0); val hi = mm.getLong(1)
+    val width = (hi - lo) / S + 1L
+    val slices = bucket
+      .groupBy(expr(s"(doc_id - ${lo}L) div ${width}L").as("s"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1))).sortBy(_._1)
+    var cum = 0L; var j = 0
+    while (cum + slices(j)._2 < r0) { cum += slices(j)._2; j += 1 }
+    val sLo = lo + slices(j)._1 * width
+    val sHi = math.min(hi, sLo + width - 1L)
+    if (cum + slices(j)._2 == r0)
+      // the crossing lands exactly on a slice boundary: pure filter
+      bucket.filter(col("doc_id") <= sHi)
+    else if (slices(j)._2 <= cap) {
+      val ranked = bucket.filter(col("doc_id").between(sLo, sHi))
+        .withColumn("__rn", row_number().over(Window.orderBy(col("doc_id").asc)))
+        .filter(col("__rn") <= r0 - cum).drop("__rn")
+      bucket.filter(col("doc_id") < sLo).unionByName(ranked)
+    } else
+      // recurse into the straddling slice; every id below it is selected
+      // by the plain filter — no sort ever sees more than `cap` rows
+      smallestIdsByRangeWalk(
+        bucket.filter(col("doc_id").between(sLo, sHi)), r0 - cum, cap, depth + 1)
+        .unionByName(bucket.filter(col("doc_id") < sLo))
   }
 
   /** EXACT per-group median of a [0, 1]-bounded score — percentile_disc
@@ -360,13 +428,44 @@ object Terms {
     * unbounded doubles Spark's approx_percentile is the right tool —
     * this operator's contract is exactness on snapped bounded scores.
     */
-  def groupedMedian(df: DataFrame, keyCol: String, quality: Column): DataFrame = {
+  def groupedMedian(df: DataFrame, keyCol: String, quality: Column,
+                    maxHistCells: Long = 4000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df.select(col(keyCol).as("k"),
+    // the cell histogram aggregates DISTRIBUTED and is checkpointed so
+    // the guard pass (cell count + score bounds) and the collect share
+    // one materialization. The driver only ever sees it AFTER the cell
+    // count is proven bounded — a high-cardinality group column (url,
+    // not lang) or an unbounded score must fail loudly, not OOM the
+    // driver. The key is cast to string HERE so integer/date group keys
+    // work (the walk below reads it as a string).
+    val cells = df.select(col(keyCol).cast("string").as("k"),
         floor(quality * lit(1e6) + lit(0.5)).cast("long").as("qm"))
       .groupBy("k", "qm").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .localCheckpoint(true)
+    val stats = cells.agg(count(lit(1)).as("n"),
+      min(col("qm")).as("lo"), max(col("qm")).as("hi")).head()
+    val nCells = stats.getLong(0)
+    if (nCells == 0L)
+      return Seq.empty[(String, Long, Long)].toDF("grp", "n_docs", "median_micro")
+        .select(col("grp"), col("n_docs"), col("median_micro"),
+          (col("median_micro").cast("double") / lit(1e6)).as("median"))
+    require(nCells <= maxHistCells,
+      s"groupedMedian histogram has $nCells (group × score) cells " +
+        s"(> $maxHistCells): the contract is a KEY-BOUNDED group column " +
+        "and a snapped bounded score — reduce group cardinality or raise " +
+        "maxHistCells deliberately")
+    require(stats.getLong(1) >= 0L && stats.getLong(2) <= 1000000L,
+      s"groupedMedian requires a [0,1]-bounded quality column " +
+        s"(micro-snapped range [${stats.getLong(1)}, ${stats.getLong(2)}] observed)")
+    val hist = cells.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the collected rows are all that outlives this call — free the
+    // checkpoint blocks now
+    cells.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
     val rows = hist.groupBy(_._1).toSeq.map { case (k, cells) =>
       val sorted = cells.sortBy(_._2)
       val n = sorted.map(_._3).sum

@@ -63,6 +63,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Terms.topQuantileGate(docs, "doc_id", col("s"), 1.0).count() === 10L)
   }
 
+  test("topQuantileGate degenerate shape: dominant tie bucket takes the range walk") {
+    import spark.implicits._
+    // 400 docs all at one score value + a handful above: the boundary
+    // bucket IS the corpus. windowCap=16 forces the id-range walk; ids
+    // are scattered across a wide sparse range so the walk must recurse.
+    val docs = ((1L to 5L).map(i => (i * 1000000007L, 0.9)) ++
+      (1L to 400L).map(i => (i * 999999937L + 13L, 0.5))).toDF("doc_id", "s")
+    val got = Terms.topQuantileGate(docs, "doc_id", col("s"), frac = 0.25,
+        windowCap = 16L)
+      .select("doc_id").as[Long].collect().toSet
+    // brute force in memory: K = ceil(0.25*405) = 102 -> 5 top + 97
+    // smallest ids of the tie bucket
+    val expect = ((1L to 5L).map(_ * 1000000007L) ++
+      (1L to 400L).map(_ * 999999937L + 13L).sorted.take(97)).toSet
+    assert(got === expect)
+    // exact slice-boundary crossings (frac chosen so r lands on a
+    // boundary for some slicing) still agree with brute force
+    val got2 = Terms.topQuantileGate(docs, "doc_id", col("s"), frac = 1.0,
+        windowCap = 16L).count()
+    assert(got2 === 405L)
+  }
+
+  test("topQuantileGate / groupedMedian: unbounded score fails loudly, not at the driver") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, i.toDouble)).toDF("doc_id", "s")
+    val e1 = intercept[IllegalArgumentException] {
+      Terms.topQuantileGate(docs, "doc_id", col("s"), 0.5).count()
+    }
+    assert(e1.getMessage.contains("bounded quality"))
+    val e2 = intercept[IllegalArgumentException] {
+      Terms.groupedMedian(docs.withColumn("g", lit("x")), "g", col("s")).count()
+    }
+    assert(e2.getMessage.contains("bounded quality"))
+  }
+
+  test("groupedMedian: non-string group keys work; cell-cap violation is loud") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, i % 4, (i % 10) / 10.0)).toDF("doc_id", "g", "s")
+    val medians = Terms.groupedMedian(docs, "g", col("s"))
+      .select("grp", "median_micro").as[(String, Long)].collect().toMap
+    // group g: scores are a permutation of {g/10, (g+4)/10, ... } — check
+    // one by brute force: group 0 has scores {0.0,0.4,0.8}×... compute:
+    val brute = (1L to 40L).map(i => (i % 4, (i % 10) / 10.0))
+      .groupBy(_._1).map { case (g, xs) =>
+        val s = xs.map(x => math.floor(x._2 * 1e6 + 0.5).toLong).sorted
+        (g.toString, s((s.length + 1) / 2 - 1))
+      }
+    brute.foreach { case (g, m) => assert(medians(g) === m, s"group $g") }
+    val e = intercept[IllegalArgumentException] {
+      Terms.groupedMedian(docs, "doc_id", col("s"), maxHistCells = 10L).count()
+    }
+    assert(e.getMessage.contains("cells"))
+  }
+
   test("dedupCapped keeps the k lowest ids per duplicate group") {
     import spark.implicits._
     val docs = Seq(
@@ -147,6 +201,31 @@ class PipelineOpsSpec extends SparkSpec {
       .filter($"doc_id" === 1L)
       .select("text_trimmed", "n_tokens_kept").as[(String, Long)].head()
     assert(kept === (("x1 x2", 2L)))
+  }
+
+  test("duplicatedSpans fuses TOUCHING islands (period-n comb cannot fragment)") {
+    import spark.implicits._
+    // doc 1's duplicated gram starts are exactly {0, 3, 6} (n=3): each
+    // 3-gram is shared with a different short doc, the cross-boundary
+    // grams are unique. Token extents [0,2],[3,5],[6,8] touch without
+    // overlapping — one contiguous 9-token duplicated region. The old
+    // gap > n-1 rule split it into three 3-token spans that each ducked
+    // minSpanTokens=9 (advisor, r06); the gap > n rule fuses them.
+    val docs = Seq(
+      (1L, "a0 a1 a2 b0 b1 b2 c0 c1 c2"),
+      (2L, "a0 a1 a2 pb"),
+      (3L, "b0 b1 b2 pc"),
+      (4L, "c0 c1 c2 pd")).toDF("doc_id", "text")
+    val spans = NearDup.duplicatedSpans(docs, "doc_id", "text",
+      n = 3, minOccurrences = 2L, minSpanTokens = 9L)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans === Set((1L, 0L, 8L, 9L)))
+    // the fully-covered doc vanishes under trim; the short partners keep
+    // their tails (their own 3-token spans are under the threshold)
+    val out = NearDup.trimSpans(docs, "doc_id", "text", 3, 2L, 9L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(2L, 3L, 4L))
   }
 
   test("trimSpans cuts exactly the span ranges; full-dup docs vanish") {
