@@ -255,10 +255,76 @@ object Xls {
     } finally out.close()
   }
 
-  /** Replace-if-exists append over a workbook THIS codec wrote (the
-    * reference's xlutils read-copy-modify cycle for its own products). */
-  def upsertSheet(path: String, name: String, grid: Grid): Unit =
-    Xlsx.upsert(path, name, grid, read, write)
+  /** Replace-if-exists append via record-level SPLICE — the reference's
+    * xlutils `copy` cycle (dischargeobs_write_xl.py:226-233) preserves
+    * the formatting of pre-existing sheets, so this does too: only the
+    * TARGET sheet's substream is regenerated; every other byte of the
+    * workbook stream — globals with their FONT/FORMAT/XF tables, other
+    * sheets' records, including record types this codec never emits —
+    * passes through untouched, with just the BOUNDSHEET lbPlyPos
+    * offsets re-pointed (and, on append, one BOUNDSHEET record inserted
+    * before the globals EOF). XlsSpec pins byte-identity of the
+    * untouched regions on a foreign-record workbook.
+    */
+  def upsertSheet(path: String, name: String, grid: Grid): Unit = {
+    if (!new java.io.File(path).exists()) { write(path, Seq(name -> grid)); return }
+    val s = readWorkbookStream(path)
+    // globals walk: BOUNDSHEET (lbPlyPos field position, name, offset)
+    // and the position of the globals EOF record
+    var p = 0
+    val bs = Seq.newBuilder[(Int, String, Int)]
+    var eofPos = -1
+    while (eofPos < 0 && p + 4 <= s.length) {
+      val tpe = u16(s, p); val len = u16(s, p + 2)
+      if (tpe == 0x0085) {
+        val off = i32(s, p + 4)
+        val cch = s(p + 10) & 0xFF
+        val hi = (s(p + 11) & 0x01) == 1
+        val nm =
+          if (hi) new String(s, p + 12, cch * 2, "UTF-16LE")
+          else new String(s, p + 12, cch, "ISO-8859-1")
+        bs += ((p + 4, nm, off))
+      }
+      if (tpe == 0x000A) eofPos = p else p += 4 + len
+    }
+    require(eofPos >= 0, s"$path: workbook globals have no EOF record")
+    val sheets = bs.result()
+    def putI32(a: Array[Byte], pos: Int, v: Int): Unit =
+      ByteBuffer.wrap(a, pos, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(v)
+    val newSub = sheetStream(grid)
+    val out = sheets.find(_._2 == name) match {
+      case Some((_, _, off)) =>
+        // substreams are contiguous and lbPlyPos-ordered: this one ends
+        // where the next begins (or at stream end)
+        val end = sheets.map(_._3).filter(_ > off).minOption.getOrElse(s.length)
+        val delta = newSub.length - (end - off)
+        val spliced = s.take(off) ++ newSub ++ s.drop(end)
+        sheets.foreach { case (fp, _, o) =>
+          if (o > off) putI32(spliced, fp, o + delta)
+        }
+        spliced
+      case None =>
+        // append: the inserted BOUNDSHEET grows the globals, shifting
+        // every existing substream by its record length; the new
+        // substream lands at the grown stream's end. lbPlyPos fields all
+        // precede the globals EOF, so their positions don't move.
+        val chars = name.toCharArray
+        require(chars.length <= 31, s"sheet name too long: $name")
+        val g = new Biff
+        g.record(0x0085, body(8 + 2 * chars.length) { b =>
+          b.putInt(0)                                  // patched below
+          b.putShort(0)                                // visible worksheet
+          b.put(chars.length.toByte); b.put(0x01.toByte)
+          chars.foreach(ch => b.putShort(ch.toShort))
+        })
+        val rec = g.bytes
+        val spliced = s.take(eofPos) ++ rec ++ s.drop(eofPos) ++ newSub
+        putI32(spliced, eofPos + 4, s.length + rec.length)
+        sheets.foreach { case (fp, _, o) => putI32(spliced, fp, o + rec.length) }
+        spliced
+    }
+    writeCfb(path, out)
+  }
 
   // ---- reader (self-written subset + descriptive rejects) ---------------
 
@@ -274,7 +340,7 @@ object Xls {
     * the Workbook stream of a small Excel-authored file always lands
     * there; our own writer pads past the cutoff instead).
     */
-  private def readWorkbookStream(path: String): Array[Byte] = {
+  private[export] def readWorkbookStream(path: String): Array[Byte] = {
     val all = Files.readAllBytes(Paths.get(path))
     require(all.length >= 512 && (all(0) & 0xFF) == 0xD0 && (all(1) & 0xFF) == 0xCF,
       s"$path is not a CFB file")

@@ -44,6 +44,87 @@ class XlsSpec extends SparkSpec {
     assert(back(2)._2._2.head.head === "42.0")
   }
 
+  test("upsert passes foreign formatting records through byte-identically") {
+    // an "Excel-authored" workbook: seed with our writer, then splice in
+    // records this codec never emits — a FORMAT (0x041E) in the globals
+    // and a COLINFO (0x007D) inside the KEEP sheet — patching the two
+    // BOUNDSHEET lbPlyPos offsets by hand, exactly as a foreign writer
+    // would have laid the file out
+    def u16(a: Array[Byte], p: Int): Int =
+      (a(p) & 0xFF) | ((a(p + 1) & 0xFF) << 8)
+    def i32(a: Array[Byte], p: Int): Int =
+      u16(a, p) | (u16(a, p + 2) << 16)
+    def putI32(a: Array[Byte], p: Int, v: Int): Unit = {
+      a(p) = (v & 0xFF).toByte; a(p + 1) = ((v >> 8) & 0xFF).toByte
+      a(p + 2) = ((v >> 16) & 0xFF).toByte; a(p + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def rec(tpe: Int, bodyBytes: Array[Byte]): Array[Byte] =
+      Array((tpe & 0xFF).toByte, ((tpe >> 8) & 0xFF).toByte,
+        (bodyBytes.length & 0xFF).toByte,
+        ((bodyBytes.length >> 8) & 0xFF).toByte) ++ bodyBytes
+    // walk helper: (recordPos, type, len) triples until stream end
+    def records(a: Array[Byte]): Seq[(Int, Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int, Int)]
+      var p = 0
+      while (p + 4 <= a.length) {
+        out += ((p, u16(a, p), u16(a, p + 2))); p += 4 + u16(a, p + 2)
+      }
+      out.result()
+    }
+    val path = tmp("fmt.xls")
+    Xls.write(path, Seq(
+      "KEEP" -> ((Array("k"), Array(Array("7.0")))),
+      "REPL" -> ((Array("r"), Array(Array("1.0"))))))
+    val s0 = Xls.readWorkbookStream(path)
+    val recs0 = records(s0)
+    val bsFields = recs0.filter(_._2 == 0x0085).map(_._1 + 4)
+    val Seq(offKeep0, offRepl0) = bsFields.map(i32(s0, _))
+    val globalsEof = recs0.find(_._2 == 0x000A).get._1
+    // FORMAT record: ifmt 164, fmt string "0.00" (utf16)
+    val format = rec(0x041E,
+      Array[Byte](164.toByte, 0, 4, 0, 1) ++ "0.00".flatMap(c => Seq(c.toByte, 0.toByte)))
+    // COLINFO: cols 0-0, width 4000, ixfe 15
+    val colinfo = rec(0x007D,
+      Array[Byte](0, 0, 0, 0, (4000 & 0xFF).toByte, (4000 >> 8).toByte, 15, 0, 0, 0, 0, 0))
+    // splice FORMAT before globals EOF, COLINFO right after KEEP's BOF
+    val keepBofEnd = offKeep0 + format.length + 4 + 16
+    val s1 = s0.take(globalsEof) ++ format ++
+      s0.slice(globalsEof, keepBofEnd - format.length) ++ colinfo ++
+      s0.drop(keepBofEnd - format.length)
+    putI32(s1, bsFields(0), offKeep0 + format.length)
+    putI32(s1, bsFields(1), offRepl0 + format.length + colinfo.length)
+    Xls.writeCfb(path, s1)
+    // sanity: the foreign-record workbook still reads correctly
+    assert(Xls.read(path).map(_._1) === Seq("KEEP", "REPL"))
+    // the upsert replaces REPL only
+    Xls.upsertSheet(path, "REPL", (Array("r"), Array(Array("2.5"))))
+    val back = Xls.read(path)
+    assert(back.map(_._1) === Seq("KEEP", "REPL"))
+    assert(back.head._2._2.head.head === "7.0")
+    assert(back(1)._2._2.head.head === "2.5")
+    val s2 = Xls.readWorkbookStream(path)
+    // globals (through the FORMAT record and EOF) are byte-identical —
+    // REPL sits after KEEP so no lbPlyPos before it changed
+    val globalsLen = globalsEof + format.length + 4
+    assert(s2.take(globalsLen).sameElements(s1.take(globalsLen)),
+      "globals bytes (incl. the foreign FORMAT record) must survive upsert")
+    // the KEEP substream (incl. the foreign COLINFO record) is untouched
+    val keepStart = i32(s2, bsFields(0))
+    val replStart = i32(s2, bsFields(1))
+    assert(keepStart === offKeep0 + format.length)
+    assert(s2.slice(keepStart, replStart)
+      .sameElements(s1.slice(keepStart, i32(s1, bsFields(1)))),
+      "KEEP substream bytes must survive upsert byte-identically")
+    // append still works on the foreign file and keeps everything again
+    Xls.upsertSheet(path, "NEW", (Array("n"), Array(Array("3.0"))))
+    val back2 = Xls.read(path)
+    assert(back2.map(_._1) === Seq("KEEP", "REPL", "NEW"))
+    assert(back2.head._2._2.head.head === "7.0")
+    val s3 = Xls.readWorkbookStream(path)
+    assert(s3.toSeq.containsSlice(colinfo.toSeq),
+      "COLINFO record must survive the append splice too")
+  }
+
   test("writeXlsSheet: DataFrame nulls render as blank cells, doubles survive") {
     import spark.implicits._
     val path = tmp("df.xls")
