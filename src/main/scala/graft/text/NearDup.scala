@@ -327,7 +327,8 @@ object NearDup {
     edges
   }
 
-  def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
+  def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String,
+                    maxBroadcastEdges: Long = 4000000L): DataFrame = {
     // localCheckpoint (eager): truncates the logical plan, not just the
     // computation. persist() alone is NOT enough for iterative algorithms
     // — each round's plan embeds 3 references to the previous round's
@@ -335,6 +336,27 @@ object NearDup {
     // explodes (measured 115 s for round 5). On a cluster needing fault
     // tolerance, substitute reliable checkpoint(dir).
     val edges = clusterEdges(pairs, idACol, idBCol)
+    // strategy by MEASURED edge count, the sizedSemiJoin doctrine: an
+    // LSH-thinned pair list is usually SMALL (bounded by near-dup rate),
+    // and broadcasting it makes every round's probe join exchange-free
+    // on BOTH sides — the count is one scalar job over the materialized
+    // checkpoint. Past the threshold the dst-partitioned sort-merge
+    // shape engages: rounds then shuffle only label-sized frames while
+    // the edges side rides its baked-in layout (never re-broadcast,
+    // never re-exchanged).
+    val edgeCount = edges.count()
+    val probeEdges =
+      if (edgeCount <= maxBroadcastEdges) broadcast(edges) else edges
+    // the label frames the loop shuffles are bounded by the node count
+    // (<= 2 x edges); at the default partition count a SMALL graph pays
+    // 32-task scheduling overhead per tiny exchange, which dominates
+    // sf0.1 rounds. Size the loop's shuffle width to the measured edge
+    // count (~50k rows/partition), clamped to the session setting so
+    // at-scale graphs keep their configured width.
+    val session0 = pairs.sparkSession
+    val sessionParts = session0.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      edgeCount / 50000L + 1L)).toInt
     // AQE stays OFF for the whole loop (restored on exit): every round's
     // lazy labels checkpoint must keep its HashPartitioning(id) — under
     // AQE it reports Unknown (see clusterEdges) and every join below
@@ -346,9 +368,9 @@ object NearDup {
     // round's output lands id-partitioned so the NEXT round's label side
     // is exchange-free too. The loop's joins are uniform id-hash joins;
     // AQE's skew handling has nothing to offer them.
-    val session0 = pairs.sparkSession
     val prevLoopAqe = session0.conf.get("spark.sql.adaptive.enabled")
     session0.conf.set("spark.sql.adaptive.enabled", "false")
+    session0.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
     // seed = least(id, min neighbor) in ONE aggregation — equivalent to
     // running the first neighbor-propagation round for free, saving one
@@ -378,7 +400,7 @@ object NearDup {
       // compression makes convergence O(log diameter) — plain neighbor
       // propagation needs diameter-many rounds and chain-shaped candidate
       // graphs can be hundreds of hops long
-      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+      val viaEdges = probeEdges.join(labels, probeEdges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
       val parents = labels.select(col("id").as("label"), col("label").as("jlabel"))
       val updated = labels
@@ -410,7 +432,10 @@ object NearDup {
     // them once the caller drops the reference)
     checkpointRdd(edges).foreach(_.unpersist(blocking = false))
     labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
-    } finally session0.conf.set("spark.sql.adaptive.enabled", prevLoopAqe)
+    } finally {
+      session0.conf.set("spark.sql.adaptive.enabled", prevLoopAqe)
+      session0.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
   }
 
   /** The CORPUS INDEX behind incremental dedup, as three persistable

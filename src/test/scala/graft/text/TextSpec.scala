@@ -258,9 +258,16 @@ class TextSpec extends SparkSpec {
           "expected the labels-side exchange below the checkpoint scan")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       // and the full loop over the same chain still converges correctly
+      // on BOTH strategies: the broadcast fast path (default — these
+      // edges are tiny) and the forced partitioned sort-merge path the
+      // at-scale shape uses
       val keepers = NearDup.dedupClusters(pairs, "id_a", "id_b")
         .as[(Long, Long)].collect().toMap
       assert(keepers.size === 41 && keepers.values.forall(_ == 1L))
+      val keepersSmj = NearDup.dedupClusters(pairs, "id_a", "id_b",
+          maxBroadcastEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(keepersSmj === keepers)
     } finally edges.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ =>
