@@ -1,0 +1,97 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Engine-level run logging — the parity piece for the reference's
+  * rotating-file logging setup (`logging.config:1-41`,
+  * `discharge_obs_pd.py:368-373`): every Dataset ACTION on the session
+  * appends one parseable line
+  *
+  *   `<iso-ts>\t<action>\t<millis>ms\trows=<n|->\t<root plan node>\tOK|FAIL <error>`
+  *
+  * to `<dir>/engine.log`, size-rotated like Python's RotatingFileHandler
+  * (`engine.log` → `.1` → … → `.<maxFiles>`, oldest dropped). Spark's own
+  * log4j keeps the executor/stage firehose; this is the per-step job
+  * summary an operator reads to see WHAT the pipeline did — the level
+  * the reference logs at.
+  *
+  * Implementation: a `QueryExecutionListener` (the public hook for
+  * action-level success/failure with wall duration) — no log4j config
+  * shipping, no dependencies; `install` is idempotent per (session, dir)
+  * and returns the listener so tests/CLIs can `uninstall` it.
+  */
+object EngineLog {
+
+  final class Listener private[EngineLog] (dir: Path, maxBytes: Long, maxFiles: Int)
+      extends QueryExecutionListener {
+    private val file = dir.resolve("engine.log")
+
+    private def rotate(): Unit = {
+      if (Files.exists(file) && Files.size(file) >= maxBytes) {
+        val last = dir.resolve(s"engine.log.$maxFiles")
+        if (Files.exists(last)) Files.delete(last)
+        (maxFiles - 1) to 1 by -1 foreach { i =>
+          val from = dir.resolve(s"engine.log.$i")
+          if (Files.exists(from))
+            Files.move(from, dir.resolve(s"engine.log.${i + 1}"))
+        }
+        Files.move(file, dir.resolve("engine.log.1"))
+      }
+    }
+
+    private def write(line: String): Unit = synchronized {
+      rotate()
+      Files.write(file, (line + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+
+    // DEFENSIVE on purpose: for a failed query, touching qe.executedPlan
+    // re-raises the captured analysis/optimization failure inside the
+    // listener, and ExecutionListenerBus swallows listener exceptions —
+    // the FAIL line would silently never be written (measured: a
+    // driver-side constant-folding failure logged nothing).
+    private def rows(qe: QueryExecution): String =
+      try qe.executedPlan.metrics.get("numOutputRows")
+        .map(_.value.toString).getOrElse("-")
+      catch { case _: Throwable => "-" }
+
+    private def root(qe: QueryExecution): String =
+      try qe.executedPlan.nodeName catch { case _: Throwable => "-" }
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit =
+      write(s"${Instant.now()}\t$funcName\t${durationNs / 1000000}ms\t" +
+        s"rows=${rows(qe)}\t${root(qe)}\tOK")
+
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit =
+      write(s"${Instant.now()}\t$funcName\t-\trows=-\t${root(qe)}\t" +
+        s"FAIL ${exception.getClass.getSimpleName}: " +
+        exception.getMessage.linesIterator.take(1).mkString)
+  }
+
+  private val installed =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Listener]
+
+  /** Idempotent per (session, dir); 5 MB × 5 files mirrors the
+    * reference's handler defaults order-of-magnitude.
+    */
+  def install(spark: SparkSession, dir: String,
+              maxBytes: Long = 5L * 1024 * 1024, maxFiles: Int = 5): Listener =
+    installed.getOrElseUpdate((spark, dir), {
+      val p = Paths.get(dir)
+      Files.createDirectories(p)
+      val l = new Listener(p, maxBytes, maxFiles)
+      spark.listenerManager.register(l)
+      l
+    })
+
+  def uninstall(spark: SparkSession, dir: String): Unit =
+    installed.remove((spark, dir)).foreach(spark.listenerManager.unregister)
+}

@@ -17,6 +17,10 @@ object ToolSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine-level per-action summary log (reference logging parity —
+    // see EngineLog): opt-in via env so bench/verify stdout contracts
+    // and driver runs are unaffected
+    sys.env.get("GRAFT_LOG_DIR").foreach(graft.core.EngineLog.install(spark, _))
     spark
   }
 }
