@@ -1499,6 +1499,99 @@ object TextSim extends QueryPack {
         SELECT grp, n AS n_docs, qm AS median_micro, qm::DOUBLE / 1e6 AS median
         FROM r WHERE rn = (n + 1) // 2""")),
 
+    // Gopher/MassiveText rule battery (Rae et al. 2021, public): per-doc
+    // counts + one 0/1 flag per rule + the conjunction, ALL integer
+    // arithmetic (cross-multiplied rationals, no doubles) — hash-exact by
+    // construction. The corpus populates both sides of the word-count and
+    // stop-word gates (277/500 and 388/500 pass at sf0.01), so the
+    // thresholds are oracle-exercised, not vacuous.
+    "q89_gopher_rules" -> Q(
+      (s, d) => TextOps.gopherStats(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text, $DUCK_TOKENS AS tk,
+                 list_filter(str_split(lower(text), ' '), x -> x <> '') AS tkl
+          FROM documents),
+        agg AS (
+          SELECT doc_id,
+                 len(tk)::BIGINT AS n_words,
+                 len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+                 length(replace(text, ' ', ''))::BIGINT AS sum_chars,
+                 ((length(text) - length(replace(text, '#', ''))) +
+                  (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_symbols,
+                 (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT AS n_lines,
+                 len(regexp_extract_all(text, '(?m)^[ \\t]*[-*\u2022]'))::BIGINT AS n_bullet_lines,
+                 len(regexp_extract_all(text, '(?m)\\.\\.\\.$$'))::BIGINT AS n_ellipsis_lines,
+                 len(list_filter(['the','a','of','and','is'],
+                                 m -> list_contains(tkl, m)))::BIGINT AS n_stop
+          FROM base WHERE len(tk) > 0)
+        SELECT doc_id, n_words, n_alpha, sum_chars, n_symbols, n_lines,
+               n_bullet_lines, n_ellipsis_lines, n_stop,
+               (n_words BETWEEN 50 AND 100000)::INT AS f_word_count,
+               (3*n_words <= sum_chars AND sum_chars <= 10*n_words)::INT AS f_mean_word_len,
+               (10*n_symbols <= n_words)::INT AS f_symbol_ratio,
+               (10*n_bullet_lines <= 9*n_lines)::INT AS f_bullet_lines,
+               (10*n_ellipsis_lines <= 3*n_lines)::INT AS f_ellipsis_lines,
+               (5*n_alpha >= 4*n_words)::INT AS f_alpha_words,
+               (n_stop >= 2)::INT AS f_stop_words,
+               ((n_words BETWEEN 50 AND 100000)
+                AND 3*n_words <= sum_chars AND sum_chars <= 10*n_words
+                AND 10*n_symbols <= n_words
+                AND 10*n_bullet_lines <= 9*n_lines
+                AND 10*n_ellipsis_lines <= 3*n_lines
+                AND 5*n_alpha >= 4*n_words
+                AND n_stop >= 2)::INT AS pass
+        FROM agg""")),
+
+    // CCNet-style per-language perplexity buckets: each doc labeled
+    // head/tail by its language's EXACT surprisal median — q66's scoring
+    // composed with q88's grouped median, the "keep the predictable
+    // half per language" curation policy. The snap divides the bounded
+    // mean by 64 (> ln T for any feasible corpus) to meet groupedMedian's
+    // [0,1] contract; mean_surprisal itself is hash-proven bit-identical
+    // in q66, so gating on its snap is engine-exact.
+    "q90_surprisal_buckets" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sur = Retrieval.unigramSurprisal(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val med = Terms.groupedMedian(sur, "lang", col("mean_surprisal") / lit(64.0))
+          .select(col("grp").as("lang"), col("median_micro"))
+        sur
+          .withColumn("qm",
+            floor(col("mean_surprisal") / lit(64.0) * lit(1e6) + lit(0.5)).cast("long"))
+          .join(broadcast(med), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("qm"),
+            when(col("qm") <= col("median_micro"), lit("head"))
+              .otherwise(lit("tail")).as("bucket"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest($DUCK_TOKENS) AS term FROM documents),
+        counts AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        total AS (SELECT sum(c)::BIGINT AS t FROM counts),
+        perdoc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum(floor((ln(t.t::DOUBLE) - ln(c.c::DOUBLE)) * 1e6 + 0.5))::BIGINT
+                   AS surprisal_micro
+          FROM toks JOIN counts c USING (term), total t
+          GROUP BY 1),
+        sur AS (
+          SELECT p.doc_id, d.lang,
+                 floor((p.surprisal_micro / (p.n_tokens::DOUBLE * 1e6))
+                       / 64.0 * 1e6 + 0.5)::BIGINT AS qm
+          FROM perdoc p JOIN documents d USING (doc_id)),
+        med AS (
+          SELECT lang, qm AS median_micro FROM (
+            SELECT lang, qm,
+                   row_number() OVER (PARTITION BY lang ORDER BY qm) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM sur)
+          WHERE rn = (n + 1) // 2)
+        SELECT s.doc_id, s.lang, s.qm,
+               CASE WHEN s.qm <= m.median_micro THEN 'head' ELSE 'tail' END AS bucket
+        FROM sur s JOIN med m USING (lang)""")),
+
     // Duplicated-span trimming (Lee et al. exact-substring dedup,
     // n-gram-relaxed): positions whose 8-gram repeats corpus-wide, merged
     // into maximal runs >= 24 tokens (a threshold the sf0.01 corpus

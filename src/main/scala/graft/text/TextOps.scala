@@ -272,6 +272,83 @@ object TextOps {
   def markerCount(toks: Column, markers: Seq[String]): Column =
     size(toks) - size(markers.foldLeft(toks)((a, m) => array_remove(a, lit(m))))
 
+  /** Gopher/MassiveText-style rule battery (Rae et al. 2021, public —
+    * table A1's repetition-free document filters, re-expressed over this
+    * engine's whitespace token rule): per-doc counts plus one 0/1 flag
+    * per rule plus the conjunction, ALL integer arithmetic — every
+    * threshold is a cross-multiplied rational comparison (3n ≤ chars ≤
+    * 10n, not chars/n ∈ [3,10]), so the output is hash-exact across
+    * engines with no double in sight.
+    *
+    * Rules: 50 ≤ words ≤ 100k; mean word length in [3,10]; symbol-to-
+    * word ratio ('#' chars + '...' runs) ≤ 0.1; ≤ 90% of lines bullet-
+    * led; ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 distinct stop words present.
+    *
+    * Scale: ONE partial-aggregated exchange keyed by doc_id — the
+    * row-level counts (chars, lines, symbols, distinct-stopword
+    * presence) are computed before the token explode and ride through
+    * `first()`, so the shuffle carries one row per (doc, partition).
+    * The per-token alpha test is codegen `rlike`, not a lambda (HOFs
+    * are CodegenFallback). Zero-token documents drop with the explode —
+    * same contract as the oracle's unnest.
+    */
+  def gopherStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  stopwords: Seq[String] = EN_MARKERS): org.apache.spark.sql.DataFrame = {
+    // the row-level battery is GUARDED by pos = 0: Catalyst collapses
+    // projections through Generate, so an unguarded select would
+    // re-evaluate every regex/translate/intersect per exploded TOKEN
+    // (measured 5× on q89 — the pruning-blow-up trap, PLANS.md). The
+    // when() short-circuits in codegen: heavy expressions run once per
+    // document, first(ignoreNulls) lifts the single struct out.
+    def rowStats(t: Column) = struct(
+      length(translate(t, " ", "")).cast("long").as("sum_chars"),
+      ((length(t) - length(translate(t, "#", ""))) +
+        (length(t) - length(replace(t, lit("..."), lit("")))) / lit(3))
+        .cast("long").as("n_symbols"),
+      (length(t) - length(translate(t, "\n", "")) + 1).cast("long").as("n_lines"),
+      size(regexp_extract_all(t, lit("(?m)^[ \\t]*[-*\\u2022]"), lit(0)))
+        .cast("long").as("n_bullet_lines"),
+      size(regexp_extract_all(t, lit("(?m)\\.\\.\\.$"), lit(0)))
+        .cast("long").as("n_ellipsis_lines"),
+      size(array_intersect(tokens(lower(t)),
+        array(stopwords.map(lit): _*))).cast("long").as("n_stop"))
+    val exploded = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        when(col("pos") === 0, rowStats(col("__t"))).as("rs"))
+    val stats = exploded.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      count(when(col("tok").rlike("[A-Za-z]"), 1)).as("n_alpha"),
+      first(col("rs"), ignoreNulls = true).as("rs"))
+      .select(col("doc_id"), col("n_words"), col("n_alpha"),
+        col("rs.sum_chars").as("sum_chars"), col("rs.n_symbols").as("n_symbols"),
+        col("rs.n_lines").as("n_lines"),
+        col("rs.n_bullet_lines").as("n_bullet_lines"),
+        col("rs.n_ellipsis_lines").as("n_ellipsis_lines"),
+        col("rs.n_stop").as("n_stop"))
+    val flags = Seq(
+      "f_word_count" ->
+        (col("n_words") >= 50L && col("n_words") <= 100000L),
+      "f_mean_word_len" ->
+        (lit(3L) * col("n_words") <= col("sum_chars") &&
+         col("sum_chars") <= lit(10L) * col("n_words")),
+      "f_symbol_ratio" -> (lit(10L) * col("n_symbols") <= col("n_words")),
+      "f_bullet_lines" ->
+        (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines")),
+      "f_ellipsis_lines" ->
+        (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines")),
+      "f_alpha_words" -> (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")),
+      "f_stop_words" -> (col("n_stop") >= 2L))
+    val withFlags = flags.foldLeft(stats) { case (acc, (name, cond)) =>
+      acc.withColumn(name, cond.cast("int"))
+    }
+    withFlags.withColumn("pass",
+      flags.map(f => col(f._1)).reduce(_ * _).cast("int"))
+  }
+
   val EN_MARKERS = Seq("the", "a", "of", "and", "is")
   val DE_MARKERS = Seq("der", "die", "das", "und", "ist")
   val ES_MARKERS = Seq("el", "la", "los", "de", "es")
