@@ -73,18 +73,23 @@ object EngineLog {
                            exception: Exception): Unit =
       write(s"${Instant.now()}\t$funcName\t-\trows=-\t${root(qe)}\t" +
         s"FAIL ${exception.getClass.getSimpleName}: " +
-        exception.getMessage.linesIterator.take(1).mkString)
+        Option(exception.getMessage).iterator
+          .flatMap(_.linesIterator).take(1).mkString)
   }
 
   private val installed =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Listener]
 
-  /** Idempotent per (session, dir); 5 MB × 5 files mirrors the
-    * reference's handler defaults order-of-magnitude.
+  /** Idempotent per (session, NORMALIZED dir) — "logs" and "./logs"
+    * cannot double-register and race the rotation; 5 MB × 5 files
+    * mirrors the reference's handler defaults order-of-magnitude.
+    * Entries live until `uninstall` — a long-lived driver cycling many
+    * sessions should uninstall on teardown (one-shot CLI mains can
+    * skip it: the map dies with the JVM).
     */
   def install(spark: SparkSession, dir: String,
               maxBytes: Long = 5L * 1024 * 1024, maxFiles: Int = 5): Listener =
-    installed.getOrElseUpdate((spark, dir), {
+    installed.getOrElseUpdate((spark, norm(dir)), {
       val p = Paths.get(dir)
       Files.createDirectories(p)
       val l = new Listener(p, maxBytes, maxFiles)
@@ -93,5 +98,8 @@ object EngineLog {
     })
 
   def uninstall(spark: SparkSession, dir: String): Unit =
-    installed.remove((spark, dir)).foreach(spark.listenerManager.unregister)
+    installed.remove((spark, norm(dir))).foreach(spark.listenerManager.unregister)
+
+  private def norm(dir: String): String =
+    Paths.get(dir).toAbsolutePath.normalize.toString
 }

@@ -241,7 +241,12 @@ object Xls {
         }
       }
     val dir = dirEntry("Root Entry", 5, 1, ENDOFCHAIN, 0) ++
-      dirEntry("Workbook", 2, -1, firstStream, padded.length) ++
+      // the directory entry records the TRUE stream length (floored at
+      // the 4096 ministream cutoff, which write() zero-fills to stay in
+      // regular-FAT storage): sector padding is a container detail, and
+      // recording it as stream bytes hands every reader trailing
+      // 0x0000 pseudo-records after the last sheet's EOF
+      dirEntry("Workbook", 2, -1, firstStream, size) ++
       dirEntry("", 0, -1, 0, 0) ++ dirEntry("", 0, -1, 0, 0)
 
     val out = new FileOutputStream(path)
@@ -291,14 +296,26 @@ object Xls {
     val sheets = bs.result()
     def putI32(a: Array[Byte], pos: Int, v: Int): Unit =
       ByteBuffer.wrap(a, pos, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(v)
+    // the stream as stored may carry zero-fill up to the 4096 ministream
+    // cutoff; splice against the TRUE record extent (globals EOF + one
+    // EOF per sheet) or the append path would park the new substream
+    // behind a run of 0x0000 pseudo-records
+    val sEnd = {
+      var q = 0; var eofs = 0
+      while (eofs <= sheets.length && q + 4 <= s.length) {
+        if (u16(s, q) == 0x000A) eofs += 1
+        q += 4 + u16(s, q + 2)
+      }
+      q
+    }
     val newSub = sheetStream(grid)
     val out = sheets.find(_._2 == name) match {
       case Some((_, _, off)) =>
         // substreams are contiguous and lbPlyPos-ordered: this one ends
         // where the next begins (or at stream end)
-        val end = sheets.map(_._3).filter(_ > off).minOption.getOrElse(s.length)
+        val end = sheets.map(_._3).filter(_ > off).minOption.getOrElse(sEnd)
         val delta = newSub.length - (end - off)
-        val spliced = s.take(off) ++ newSub ++ s.drop(end)
+        val spliced = s.take(off) ++ newSub ++ s.slice(end, sEnd)
         sheets.foreach { case (fp, _, o) =>
           if (o > off) putI32(spliced, fp, o + delta)
         }
@@ -318,8 +335,8 @@ object Xls {
           chars.foreach(ch => b.putShort(ch.toShort))
         })
         val rec = g.bytes
-        val spliced = s.take(eofPos) ++ rec ++ s.drop(eofPos) ++ newSub
-        putI32(spliced, eofPos + 4, s.length + rec.length)
+        val spliced = s.take(eofPos) ++ rec ++ s.slice(eofPos, sEnd) ++ newSub
+        putI32(spliced, eofPos + 4, sEnd + rec.length)
         sheets.foreach { case (fp, _, o) => putI32(spliced, fp, o + rec.length) }
         spliced
     }

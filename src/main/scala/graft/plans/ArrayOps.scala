@@ -194,6 +194,46 @@ case class DoubleMatVec(child: Expression, mat: Array[Array[Double]])
   * digest instance is thread-local (MessageDigest is stateful and
   * generated code shares references across threads in local mode).
   */
+case class Md5Prefix64(child: Expression, hexStart: Int = 1)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(hexStart == 1 || hexStart == 17,
+    "only the byte-aligned md5 halves (hexStart 1 or 17) are supported")
+  private val byteStart = (hexStart - 1) / 2
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_prefix64"
+
+  @transient private lazy val digests =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Called from both eval and generated code. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var acc = 0L
+    var i = byteStart
+    while (i < byteStart + 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5prefix", this,
+      classOf[Md5Prefix64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.hash($v);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Whitespace-token COUNT without the token array: equivalent by
   * definition to `size(array_remove(split(text, " +"), ""))` (the
   * engine-wide token rule, `TextOps.tokens`) but computed as a single
@@ -230,46 +270,6 @@ case class TokenCount(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any =
     count(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
-}
-
-case class Md5Prefix64(child: Expression, hexStart: Int = 1)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-
-  require(hexStart == 1 || hexStart == 17,
-    "only the byte-aligned md5 halves (hexStart 1 or 17) are supported")
-  private val byteStart = (hexStart - 1) / 2
-
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def prettyName: String = "md5_prefix64"
-
-  @transient private lazy val digests =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
-  /** Called from both eval and generated code. */
-  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    var acc = 0L
-    var i = byteStart
-    while (i < byteStart + 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    acc >>> 4
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("md5prefix", this,
-      classOf[Md5Prefix64].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.hash($v);")
-  }
-
-  override protected def nullSafeEval(input: Any): Any =
-    hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -270,10 +270,7 @@ object NearDup {
     * edges + one block set per round into the BlockManager, and the
     * accumulated pressure made q61's bench repeats grow 6.7 → 11.7 s.
     */
-  private def checkpointRdd(df: DataFrame) = df.queryExecution.analyzed match {
-    case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-    case _ => None
-  }
+  private def checkpointRdd(df: DataFrame) = graft.core.Checkpoints.checkpointRdd(df)
 
   /** Symmetrized, deduplicated, dst-partitioned edge frame for the
     * clustering loop. Package-private so TextSpec can assert the plan
@@ -353,6 +350,16 @@ object NearDup {
     // sf0.1 rounds. Size the loop's shuffle width to the measured edge
     // count (~50k rows/partition), clamped to the session setting so
     // at-scale graphs keep their configured width.
+    //
+    // CONF SCOPE: the loop temporarily sets session-level
+    // shuffle.partitions/AQE (restored in the finally). The
+    // session-object lock below serializes concurrent dedupClusters
+    // calls so their save/restore cannot interleave and strand the
+    // session on loop settings; OTHER queries planned concurrently on
+    // the same session during a clustering run would still see the
+    // loop conf — callers needing full isolation should run clustering
+    // on its own session (per-frame partition-count overrides do not
+    // exist in the public API).
     val session0 = pairs.sparkSession
     val sessionParts = session0.sessionState.conf.numShufflePartitions
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
@@ -368,6 +375,7 @@ object NearDup {
     // round's output lands id-partitioned so the NEXT round's label side
     // is exchange-free too. The loop's joins are uniform id-hash joins;
     // AQE's skew handling has nothing to offer them.
+    session0.synchronized {
     val prevLoopAqe = session0.conf.get("spark.sql.adaptive.enabled")
     session0.conf.set("spark.sql.adaptive.enabled", "false")
     session0.conf.set("spark.sql.shuffle.partitions", loopParts)
@@ -435,6 +443,7 @@ object NearDup {
     } finally {
       session0.conf.set("spark.sql.adaptive.enabled", prevLoopAqe)
       session0.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    }
     }
   }
 

@@ -362,8 +362,17 @@ object Terms {
     // but becomes a one-task sort of the corpus in the degenerate shape
     // (one dominant score value) — past windowCap, switch to the
     // doc-id-range walk, which never sorts more than windowCap rows.
+    // the walk's slice arithmetic needs an integral id; other ordered id
+    // types stay on the window path (the degenerate-scale guard is a
+    // Long/Int-id feature, stated rather than a latent ClassCastException)
+    val integralId = scored.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
     val boundary =
-      if (hist(i)._2 <= windowCap)
+      if (hist(i)._2 <= windowCap || !integralId)
         bucket
           .withColumn("__rn", row_number().over(Window.orderBy(col("doc_id").asc)))
           .filter(col("__rn") <= r).drop("__rn")
@@ -387,7 +396,8 @@ object Terms {
     // integral contract
     require(depth <= 8, "id-range walk failed to converge (non-integral ids?)")
     val S = 4096L
-    val mm = bucket.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+    val mm = bucket.agg(min(col("doc_id")).cast("long").as("lo"),
+      max(col("doc_id")).cast("long").as("hi")).head()
     val lo = mm.getLong(0); val hi = mm.getLong(1)
     val width = (hi - lo) / S + 1L
     val slices = bucket
@@ -461,11 +471,7 @@ object Terms {
     val hist = cells.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     // the collected rows are all that outlives this call — free the
     // checkpoint blocks now
-    cells.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ =>
-    }
+    graft.core.Checkpoints.release(cells)
     val rows = hist.groupBy(_._1).toSeq.map { case (k, cells) =>
       val sorted = cells.sortBy(_._2)
       val n = sorted.map(_._3).sum

@@ -52,8 +52,16 @@ object IngestTick {
     val sources = Seq.newBuilder[DataFrame]
     if (exists(s"$stagingDir/wsc"))
       sources += Wsc.readObs(spark, s"$stagingDir/wsc")
-    for (st <- stations; (file, param) <- Seq("Discharge" -> "Q", "Stage" -> "H")
-         if exists(s"$stagingDir/provincial/$file.csv"))
+    val provincialCsvs = Seq("Discharge" -> "Q", "Stage" -> "H")
+      .filter { case (f, _) => exists(s"$stagingDir/provincial/$f.csv") }
+    // staged provincial data without its station list must fail LOUDLY:
+    // the re-key join needs the list, and silently skipping the source
+    // would let a lossy tick report success (old-wins merging then hides
+    // the gap from every later tick's log)
+    require(provincialCsvs.isEmpty || stations.nonEmpty,
+      s"$stagingDir/provincial has ${provincialCsvs.map(_._1).mkString(",")} " +
+        "but no provincial_station_list.csv — re-stage the station list")
+    for (st <- stations; (file, param) <- provincialCsvs)
       sources += Provincial.readObs(spark, s"$stagingDir/provincial/$file.csv", st, param)
     if (exists(s"$stagingDir/usgs"))
       sources += Usgs.readObs(spark, s"$stagingDir/usgs")
@@ -95,8 +103,12 @@ object ExportDaily {
       .getOrElse(lit(inst.agg(max(col("ts"))).head().getTimestamp(0)))
     val hourly = Pipelines.hourlyRollup(inst, now)
     hourly.write.mode("overwrite").parquet(s"$outDir/hourly")
+    // same stale-listing hazard as EcccTick's grid: a second run in one
+    // session must not plan its read-back over the deleted files
+    spark.catalog.refreshByPath(s"$outDir/hourly")
     val daily = Pipelines.dailyRollup(spark.read.parquet(s"$outDir/hourly"))
     daily.write.mode("overwrite").parquet(s"$outDir/daily")
+    spark.catalog.refreshByPath(s"$outDir/daily")
     Exports.writeCsv(
       Pipelines.coffeeProduct(spark, inst)
         .withColumn("bucket", date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss")),

@@ -268,10 +268,7 @@ class TextSpec extends SparkSpec {
           maxBroadcastEdges = 0L)
         .as[(Long, Long)].collect().toMap
       assert(keepersSmj === keepers)
-    } finally edges.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ =>
-    }
+    } finally graft.core.Checkpoints.release(edges)
   }
 
   test("persisted corpus band index: bucket-pruned probe, no corpus-side shuffle in band join") {
