@@ -297,6 +297,57 @@ case class TokenCount(child: Expression)
   * C·dims dots twice. Consumers needing only `cell` read the last
   * element — pruning inlines ONE kernel call.
   */
+/** One greedy left-to-right BPE merge pass over a symbol array: every
+  * non-overlapping occurrence of the adjacent pair (l, r) becomes the
+  * single symbol l+r. Greedy matters only when l == r ("aaaa" with
+  * merge (a,a) → [aa, aa], not three overlapping candidates) — the
+  * standard tokenizer-training semantics. A kernel because Spark has no
+  * builtin for stateful adjacent-pair rewriting and a higher-order
+  * `aggregate` lambda would be interpreted per element
+  * (CodegenFallback); this stays a primitive loop inside whole-stage
+  * codegen, so each training round's merge is a pure projection.
+  * BpeSpec fuzzes it against an independent Scala reference.
+  */
+case class BpeMergePair(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_pair"
+
+  def merge(arr: ArrayData, l: org.apache.spark.unsafe.types.UTF8String,
+            r: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0; var k = 0
+    while (i < n) {
+      if (i < n - 1 && arr.getUTF8String(i) == l && arr.getUTF8String(i + 1) == r) {
+        out(k) = org.apache.spark.unsafe.types.UTF8String.concat(l, r)
+        i += 2
+      } else {
+        out(k) = arr.getUTF8String(i)
+        i += 1
+      }
+      k += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpemerge", this, classOf[BpeMergePair].getName)
+    nullSafeCodeGen(ctx, ev, (a, l, r) => s"${ev.value} = $ref.merge($a, $l, $r);")
+  }
+
+  override protected def nullSafeEval(a: Any, l: Any, r: Any): Any =
+    merge(a.asInstanceOf[ArrayData],
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 case class DoubleMatVecArgMaxCos(child: Expression, mat: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -558,5 +609,14 @@ object ArrayOps {
     val name = s"double_array_quant_stats_$levels"
     ensureRegistered(spark, name, exprs => DoubleArrayQuantStats(exprs(0), levels))
     org.apache.spark.sql.functions.call_function(name, v)
+  }
+
+  /** Column-typed API for the BPE merge kernel; the pair rides in as
+    * literal columns so ONE registry entry serves every training round.
+    */
+  def bpeMergePair(spark: SparkSession, syms: Column, l: Column, r: Column): Column = {
+    val name = "bpe_merge_pair"
+    ensureRegistered(spark, name, exprs => BpeMergePair(exprs(0), exprs(1), exprs(2)))
+    org.apache.spark.sql.functions.call_function(name, syms, l, r)
   }
 }

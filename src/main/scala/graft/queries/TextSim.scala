@@ -1592,6 +1592,36 @@ object TextSim extends QueryPack {
                CASE WHEN s.qm <= m.median_micro THEN 'head' ELSE 'tail' END AS bucket
         FROM sur s JOIN med m USING (lang)""")),
 
+    // BPE tokenizer training, round-1 statistic: the top-20 adjacent
+    // character-pair candidates over the word-frequency table (weighted,
+    // overlaps counted — the standard Sennrich statistic) with the
+    // deterministic (count desc, pair asc) training order. The iterative
+    // trainBpe loop itself is pinned against an independent in-memory
+    // reference in BpeSpec (merges AND final segmentation, incl. the
+    // greedy l==r overlap case); this query makes the distributed
+    // pair-count/rank machinery oracle-checked.
+    "q91_bpe_pair_counts" -> Q(
+      (s, d) => graft.text.Bpe.topPairs(
+        graft.text.Bpe.initWords(Tables.documents(s, d), "text"), 20),
+      Some(s"""
+        WITH words AS (
+          SELECT tk AS word, count(*)::BIGINT AS wc
+          FROM (SELECT unnest($DUCK_TOKENS) AS tk FROM documents)
+          GROUP BY 1),
+        chars AS (
+          SELECT wc, str_split(word, '') AS cs
+          FROM words WHERE length(word) >= 2),
+        pairs AS (
+          SELECT cs[i] AS sym_l, cs[i + 1] AS sym_r,
+                 sum(wc)::BIGINT AS pair_count
+          FROM chars, unnest(range(1, len(cs))) AS u(i)
+          GROUP BY 1, 2)
+        SELECT rank, sym_l, sym_r, pair_count FROM (
+          SELECT *, row_number() OVER (ORDER BY pair_count DESC, sym_l, sym_r)
+                     AS rank
+          FROM pairs)
+        WHERE rank <= 20""")),
+
     // Duplicated-span trimming (Lee et al. exact-substring dedup,
     // n-gram-relaxed): positions whose 8-gram repeats corpus-wide, merged
     // into maximal runs >= 24 tokens (a threshold the sf0.01 corpus

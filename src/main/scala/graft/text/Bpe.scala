@@ -1,0 +1,113 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Checkpoints
+import graft.plans.ArrayOps
+
+/** Byte-Pair-Encoding tokenizer TRAINING at corpus scale (Sennrich et
+  * al. 2016, public) — the "learn the tokenizer from the data" step of
+  * a pretraining pipeline, re-expressed the way BPE is actually trained:
+  * one corpus pass builds the word-frequency table (the only
+  * corpus-sized shuffle), and every merge round after that runs on the
+  * VOCABULARY (Heaps-bounded — millions of rows for a 100 TB corpus,
+  * not trillions), weighted by word counts.
+  *
+  * Round shape: adjacent-pair counts come from a zip-slice explode over
+  * the symbol arrays (pure codegen, one vocabulary-keyed aggregate);
+  * the argmax pair is a deterministic (count desc, pair asc) head; the
+  * merge application is the `BpeMergePair` codegen kernel — a pure
+  * projection, no shuffle — followed by a LAZY checkpoint that the next
+  * round's aggregate materializes (the dedupClusters job-folding
+  * doctrine), with superseded blocks released per round.
+  *
+  * No end-of-word marker is appended — merges never cross word
+  * boundaries because symbols live inside per-word arrays; a deployment
+  * wanting GPT-style boundary symbols appends one to `initWords`'s
+  * split. Pair counting counts OVERLAPPING occurrences ("aaa" has two
+  * (a,a) pairs — the standard statistic); application is greedy
+  * left-to-right non-overlapping ("aaaa" → [aa, aa]).
+  */
+object Bpe {
+
+  /** The distinct-word frequency table — the one corpus-sized pass. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+
+  /** Initial BPE state: every word as its character-symbol array. */
+  def initWords(df: DataFrame, textCol: String): DataFrame =
+    wordFreq(df, textCol).withColumn("syms", split(col("word"), ""))
+
+  /** Adjacent-pair counts over the current symbol state, weighted by
+    * word count, overlaps included. Words with a single symbol left
+    * contribute nothing (slice with non-positive length is an error,
+    * not an empty array — hence the filter).
+    */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+      .groupBy(col("p.0").as("sym_l"), col("p.1").as("sym_r"))
+      .agg(sum(col("wc")).as("pair_count"))
+
+  /** The top `k` merge CANDIDATES of the current state, rank-ordered by
+    * (count desc, pair asc) — the deterministic tie-break every
+    * training run must share to be reproducible. The pair table is
+    * symbol-alphabet-bounded, so the unpartitioned rank window is a
+    * bounded single task by construction.
+    */
+  def topPairs(words: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pairCounts(words)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("pair_count").desc, col("sym_l").asc, col("sym_r").asc)))
+      .filter(col("rank") <= k)
+      .select("rank", "sym_l", "sym_r", "pair_count")
+  }
+
+  /** Learned merge table + final vocabulary segmentation after
+    * `numMerges` rounds (stops early when no pair reaches `minCount`).
+    * Returns (merges, words): merges = (merge_rank, sym_l, sym_r,
+    * pair_count) in training order — the artifact a tokenizer ships;
+    * words = the trained per-word segmentation state.
+    */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+               minCount: Long = 2L): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    var words = initWords(df, textCol).localCheckpoint(true)
+    // release discipline (dedupClusters doctrine): each round's state is
+    // a LAZY checkpoint materialized by the NEXT round's pair-count
+    // action — one job per round, not checkpoint-job + count-job. The
+    // superseded state's blocks are freed only AFTER that action runs
+    // (they back the lazy plan until it materializes).
+    var prevWords: DataFrame = null
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("pair_count").desc, col("sym_l").asc, col("sym_r").asc)
+        .limit(1).collect()
+      if (prevWords != null) { Checkpoints.release(prevWords); prevWords = null }
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, c))
+        val updated = words.withColumn("syms",
+            ArrayOps.bpeMergePair(spark, col("syms"), lit(l), lit(r)))
+          .localCheckpoint(false)
+        prevWords = words
+        words = updated
+        round += 1
+      }
+    }
+    // on merge-budget exhaustion the final state is still lazy and its
+    // input blocks must outlive it until materialized
+    if (prevWords != null) { words.count(); Checkpoints.release(prevWords) }
+    import spark.implicits._
+    (merges.result().toDF("merge_rank", "sym_l", "sym_r", "pair_count"), words)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** BPE training against an INDEPENDENT in-memory reference — engine and
+  * reference share no code, so a shared formula mistake cannot hide
+  * (the oracle-correlated-bug lesson from the duplicated-spans round).
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference BPE: plain Scala, list-based, deliberately naive. */
+  private def refTrain(words: Map[String, Long], numMerges: Int,
+                       minCount: Long): (List[(String, String, Long)], Map[String, List[String]]) = {
+    var state = words.map { case (w, c) => (w, c, w.split("").toList) }.toList
+    var merges = List.empty[(String, String, Long)]
+    var rounds = 0
+    var done = false
+    while (rounds < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (_, c, syms) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty || counts.values.max < minCount) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        merges :+= ((l, r, c))
+        def mergeGreedy(s: List[String]): List[String] = s match {
+          case a :: b :: rest if a == l && b == r => (a + b) :: mergeGreedy(rest)
+          case a :: rest => a :: mergeGreedy(rest)
+          case Nil => Nil
+        }
+        state = state.map { case (w, c2, syms) => (w, c2, mergeGreedy(syms)) }
+        rounds += 1
+      }
+    }
+    (merges, state.map { case (w, _, syms) => w -> syms }.toMap)
+  }
+
+  private def corpus(words: Map[String, Long]) = {
+    import spark.implicits._
+    // one doc per word repetition keeps the word-frequency table exact
+    words.toSeq.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+  }
+
+  test("classic Sennrich corpus: merges and final segmentation match the reference") {
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val (refMerges, refState) = refTrain(words, numMerges = 8, minCount = 2L)
+    val (merges, state) = Bpe.trainBpe(corpus(words), "text", numMerges = 8)
+    import spark.implicits._
+    val gotMerges = merges.orderBy("merge_rank")
+      .select("sym_l", "sym_r", "pair_count")
+      .as[(String, String, Long)].collect().toList
+    assert(gotMerges === refMerges)
+    val gotState = state.select("word", "syms")
+      .as[(String, Seq[String])].collect().map(p => p._1 -> p._2.toList).toMap
+    assert(gotState === refState)
+  }
+
+  test("greedy overlap: merge (a,a) on aaaa gives [aa, aa], counts stay overlapping") {
+    val words = Map("aaaa" -> 3L, "aa" -> 1L)
+    // pair (a,a): aaaa contributes 3 overlapping pairs x3 + aa 1 -> 10
+    import spark.implicits._
+    val top = Bpe.topPairs(Bpe.initWords(corpus(words), "text"), 1)
+      .as[(Int, String, String, Long)].head()
+    assert(top === ((1, "a", "a", 10L)))
+    val (merges, state) = Bpe.trainBpe(corpus(words), "text", numMerges = 1)
+    assert(merges.as[(Int, String, String, Long)].head() === ((1, "a", "a", 10L)))
+    val syms = state.filter(col("word") === "aaaa")
+      .select("syms").as[Seq[String]].head()
+    assert(syms === Seq("aa", "aa"))
+  }
+
+  test("fuzz: random corpora match the reference through full training") {
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default.withSize(8), Seed(seed))
+    val wordGen = Gen.listOfN(12,
+      Gen.zip(Gen.listOfN(5, Gen.oneOf("a", "b", "c")).map(_.mkString),
+              Gen.choose(1L, 6L)))
+    (1 to 5).foreach { trial =>
+      val words = sample(wordGen, 9100L + trial).toMap
+      val (refMerges, refState) = refTrain(words, numMerges = 6, minCount = 2L)
+      val (merges, state) = Bpe.trainBpe(corpus(words), "text", numMerges = 6)
+      import spark.implicits._
+      val gotMerges = merges.orderBy("merge_rank")
+        .select("sym_l", "sym_r", "pair_count")
+        .as[(String, String, Long)].collect().toList
+      assert(gotMerges === refMerges, s"trial $trial words=$words")
+      val gotState = state.select("word", "syms")
+        .as[(String, Seq[String])].collect().map(p => p._1 -> p._2.toList).toMap
+      assert(gotState === refState, s"trial $trial")
+    }
+  }
+}
