@@ -766,6 +766,11 @@ object TextSim extends QueryPack {
           .filter(col("jaccard") >= 0.5)
         val dropNear = NearDup.dedupClusters(pairs, "id_a", "id_b")
           .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+        // NOT checkpointed despite two downstream consumers: the
+        // gate→dedup→LSH→cluster subtrees canonicalize equal, so AQE's
+        // runtime exchange reuse already dedupes the heavy work, and an
+        // eager barrier here measured SLOWER (9.1 vs 7.2 s best-of-3 at
+        // sf0.1) by serializing the two branches.
         val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
         // 4. decontamination: drop benchmark docs (doc_id % 20 = 0) and any
         //    survivor sharing an 8-token gram with them. Strategy chosen
