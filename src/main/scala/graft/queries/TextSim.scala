@@ -1627,6 +1627,28 @@ object TextSim extends QueryPack {
           FROM pairs)
         WHERE rank <= 20""")),
 
+    // Per-language EXACT p90 of document length (tokens), the data-card
+    // tail statistic a curation pass sets truncation budgets from —
+    // groupedMedian generalized to a RATIONAL quantile so the rank is
+    // integer-exact (ceil(9n/10) = (9n+9)//10 in both engines). Length
+    // normalized by the 100k Gopher cap to meet the bounded-score
+    // contract; the snap sequence is mirrored operand for operand.
+    "q92_grouped_p90_length" -> Q(
+      (s, d) => Terms.groupedQuantile(Tables.documents(s, d), "lang",
+        TextOps.tokenCountFast(s, col("text")).cast("double") / lit(100000.0),
+        9L, 10L),
+      Some(s"""
+        WITH sc AS (
+          SELECT lang AS grp,
+                 floor((len($DUCK_TOKENS)::DOUBLE / 100000.0) * 1e6 + 0.5)::BIGINT AS qm
+          FROM documents),
+        r AS (SELECT grp, qm,
+                     row_number() OVER (PARTITION BY grp ORDER BY qm) AS rn,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM sc)
+        SELECT grp, n AS n_docs, qm AS quantile_micro, qm::DOUBLE / 1e6 AS quantile
+        FROM r WHERE rn = (n * 9 + 9) // 10""")),
+
     // Duplicated-span trimming (Lee et al. exact-substring dedup,
     // n-gram-relaxed): positions whose 8-gram repeats corpus-wide, merged
     // into maximal runs >= 24 tokens (a threshold the sf0.01 corpus

@@ -439,7 +439,24 @@ object Terms {
     * this operator's contract is exactness on snapped bounded scores.
     */
   def groupedMedian(df: DataFrame, keyCol: String, quality: Column,
-                    maxHistCells: Long = 4000000L): DataFrame = {
+                    maxHistCells: Long = 4000000L): DataFrame =
+    groupedQuantile(df, keyCol, quality, 1L, 2L, maxHistCells)
+      .withColumnRenamed("quantile_micro", "median_micro")
+      .withColumnRenamed("quantile", "median")
+
+  /** EXACT per-group percentile_disc(pNum/pDen) — [[groupedMedian]]
+    * generalized: the smallest snapped value whose cumulative count
+    * reaches ceil(p·n), with p carried as a RATIONAL so the rank is
+    * pure integer arithmetic (a double p·n can straddle an integer on
+    * one engine and not the other at exact multiples). Same bounded
+    * histogram, same guards. Emits (grp, n_docs, quantile_micro,
+    * quantile).
+    */
+  def groupedQuantile(df: DataFrame, keyCol: String, quality: Column,
+                      pNum: Long, pDen: Long,
+                      maxHistCells: Long = 4000000L): DataFrame = {
+    require(pDen > 0 && pNum > 0 && pNum <= pDen,
+      s"quantile $pNum/$pDen must be in (0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
     // the cell histogram aggregates DISTRIBUTED and is checkpointed so
@@ -457,9 +474,9 @@ object Terms {
       min(col("qm")).as("lo"), max(col("qm")).as("hi")).head()
     val nCells = stats.getLong(0)
     if (nCells == 0L)
-      return Seq.empty[(String, Long, Long)].toDF("grp", "n_docs", "median_micro")
-        .select(col("grp"), col("n_docs"), col("median_micro"),
-          (col("median_micro").cast("double") / lit(1e6)).as("median"))
+      return Seq.empty[(String, Long, Long)].toDF("grp", "n_docs", "quantile_micro")
+        .select(col("grp"), col("n_docs"), col("quantile_micro"),
+          (col("quantile_micro").cast("double") / lit(1e6)).as("quantile"))
     require(nCells <= maxHistCells,
       s"groupedMedian histogram has $nCells (group × score) cells " +
         s"(> $maxHistCells): the contract is a KEY-BOUNDED group column " +
@@ -475,14 +492,14 @@ object Terms {
     val rows = hist.groupBy(_._1).toSeq.map { case (k, cells) =>
       val sorted = cells.sortBy(_._2)
       val n = sorted.map(_._3).sum
-      val target = (n + 1) / 2 // ceil(n/2) for positive n
+      val target = (n * pNum + pDen - 1) / pDen // ceil(p*n), exact
       var cum = 0L; var i = 0
       while (cum + sorted(i)._3 < target) { cum += sorted(i)._3; i += 1 }
       (k, n, sorted(i)._2)
     }
-    rows.toDF("grp", "n_docs", "median_micro")
-      .select(col("grp"), col("n_docs"), col("median_micro"),
-        (col("median_micro").cast("double") / lit(1e6)).as("median"))
+    rows.toDF("grp", "n_docs", "quantile_micro")
+      .select(col("grp"), col("n_docs"), col("quantile_micro"),
+        (col("quantile_micro").cast("double") / lit(1e6)).as("quantile"))
   }
 
   /** Corpus vocabulary: top-N terms by total occurrences (ties broken

@@ -117,6 +117,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("cells"))
   }
 
+  test("groupedQuantile: p90/p25 match percentile_disc by hand, ties and exact ranks included") {
+    import spark.implicits._
+    // group a: scores 0.1..1.0 (n=10): p90 rank = ceil(9) = 9 -> 0.9;
+    // p25 rank = ceil(2.5) = 3 -> 0.3. group b: ties {0.2,0.2,0.8}
+    // (n=3): p90 rank = ceil(2.7) = 3 -> 0.8; p25 rank = 1 -> 0.2.
+    val docs = ((1 to 10).map(i => ("a", i / 10.0)) ++
+      Seq(("b", 0.2), ("b", 0.2), ("b", 0.8))).toDF("g", "s")
+    def q(num: Long, den: Long) =
+      Terms.groupedQuantile(docs, "g", col("s"), num, den)
+        .select("grp", "quantile_micro").as[(String, Long)].collect().toMap
+    assert(q(9L, 10L) === Map("a" -> 900000L, "b" -> 800000L))
+    assert(q(1L, 4L) === Map("a" -> 300000L, "b" -> 200000L))
+    // p = 1 is the max; the rational form makes exact multiples exact
+    assert(q(1L, 1L) === Map("a" -> 1000000L, "b" -> 800000L))
+  }
+
   test("dedupCapped keeps the k lowest ids per duplicate group") {
     import spark.implicits._
     val docs = Seq(
