@@ -88,14 +88,21 @@ object EngineLog {
     * skip it: the map dies with the JVM).
     */
   def install(spark: SparkSession, dir: String,
-              maxBytes: Long = 5L * 1024 * 1024, maxFiles: Int = 5): Listener =
-    installed.getOrElseUpdate((spark, norm(dir)), {
-      val p = Paths.get(dir)
-      Files.createDirectories(p)
-      val l = new Listener(p, maxBytes, maxFiles)
-      spark.listenerManager.register(l)
-      l
-    })
+              maxBytes: Long = 5L * 1024 * 1024, maxFiles: Int = 5): Listener = {
+    // register only the putIfAbsent WINNER: TrieMap.getOrElseUpdate
+    // evaluates its block non-atomically, and a losing concurrent
+    // install would leave a second listener registered forever
+    // (double lines + racing rotation)
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    val candidate = new Listener(p, maxBytes, maxFiles)
+    installed.putIfAbsent((spark, norm(dir)), candidate) match {
+      case Some(existing) => existing
+      case None =>
+        spark.listenerManager.register(candidate)
+        candidate
+    }
+  }
 
   def uninstall(spark: SparkSession, dir: String): Unit =
     installed.remove((spark, norm(dir))).foreach(spark.listenerManager.unregister)

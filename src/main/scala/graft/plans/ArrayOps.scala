@@ -275,28 +275,6 @@ case class TokenCount(child: Expression)
     copy(child = c)
 }
 
-/** Centroid dots + argmax cell in ONE pass: returns
-  * `[dot(c_0, v), …, dot(c_{rows-1}, v), bestCell]` (length rows+1) —
-  * the matVec result with the 0-based index of the FIRST centroid
-  * attaining the maximum 6-dp-rounded cosine appended. The argmax is
-  * bit-equivalent to `array_position(ccos, array_max(ccos)) - 1` over
-  * `ccos = [round(cd_c / (cnorm_c · vn), 6)]`: same truncated dot
-  * (min(len, dims)), same full-length vn, same shortest-decimal HALF_UP
-  * rounding as Catalyst's `Round` (which passes NaN/Infinity through
-  * unrounded), and the comparison uses `Double.compare` — NaN ranks
-  * greatest and the first max wins, exactly Spark's array_max/
-  * array_position ordering, so degenerate rows (a zero-norm centroid →
-  * NaN cosine) assign identically to the composed form.
-  *
-  * One kernel for BOTH outputs because each alone loses: the composed
-  * argmax is PRUNING-HOSTILE (a consumer keeping `cell` but dropping
-  * `ccos` makes column pruning inline the matVec into 2·C array
-  * elements; codegen overflows and the interpreted fallback has no CSE —
-  * measured 33× on the q74 within-cell join), while a cell-only kernel
-  * beside a separate matVec makes consumers that keep both pay the
-  * C·dims dots twice. Consumers needing only `cell` read the last
-  * element — pruning inlines ONE kernel call.
-  */
 /** One greedy left-to-right BPE merge pass over a symbol array: every
   * non-overlapping occurrence of the adjacent pair (l, r) becomes the
   * single symbol l+r. Greedy matters only when l == r ("aaaa" with
@@ -348,6 +326,28 @@ case class BpeMergePair(first: Expression, second: Expression, third: Expression
     copy(first = f, second = s, third = t)
 }
 
+/** Centroid dots + argmax cell in ONE pass: returns
+  * `[dot(c_0, v), …, dot(c_{rows-1}, v), bestCell]` (length rows+1) —
+  * the matVec result with the 0-based index of the FIRST centroid
+  * attaining the maximum 6-dp-rounded cosine appended. The argmax is
+  * bit-equivalent to `array_position(ccos, array_max(ccos)) - 1` over
+  * `ccos = [round(cd_c / (cnorm_c · vn), 6)]`: same truncated dot
+  * (min(len, dims)), same full-length vn, same shortest-decimal HALF_UP
+  * rounding as Catalyst's `Round` (which passes NaN/Infinity through
+  * unrounded), and the comparison uses `Double.compare` — NaN ranks
+  * greatest and the first max wins, exactly Spark's array_max/
+  * array_position ordering, so degenerate rows (a zero-norm centroid →
+  * NaN cosine) assign identically to the composed form.
+  *
+  * One kernel for BOTH outputs because each alone loses: the composed
+  * argmax is PRUNING-HOSTILE (a consumer keeping `cell` but dropping
+  * `ccos` makes column pruning inline the matVec into 2·C array
+  * elements; codegen overflows and the interpreted fallback has no CSE —
+  * measured 33× on the q74 within-cell join), while a cell-only kernel
+  * beside a separate matVec makes consumers that keep both pay the
+  * C·dims dots twice. Consumers needing only `cell` read the last
+  * element — pruning inlines ONE kernel call.
+  */
 case class DoubleMatVecArgMaxCos(child: Expression, mat: Array[Array[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

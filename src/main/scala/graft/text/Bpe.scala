@@ -31,6 +31,14 @@ import graft.plans.ArrayOps
   */
 object Bpe {
 
+  /** THE training order — (count desc, pair asc) — defined once: the
+    * tie-break is reproducibility-critical and q91's oracle checks it
+    * through [[topPairs]], so [[trainBpe]] must consume the identical
+    * definition or a drift would be invisible to the gate.
+    */
+  private def mergeOrder: Seq[org.apache.spark.sql.Column] =
+    Seq(col("pair_count").desc, col("sym_l").asc, col("sym_r").asc)
+
   /** The distinct-word frequency table — the one corpus-sized pass. */
   def wordFreq(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextOps.tokens(col(textCol))).as("word"))
@@ -62,8 +70,7 @@ object Bpe {
   def topPairs(words: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     pairCounts(words)
-      .withColumn("rank", row_number().over(Window.orderBy(
-        col("pair_count").desc, col("sym_l").asc, col("sym_r").asc)))
+      .withColumn("rank", row_number().over(Window.orderBy(mergeOrder: _*)))
       .filter(col("rank") <= k)
       .select("rank", "sym_l", "sym_r", "pair_count")
   }
@@ -89,7 +96,7 @@ object Bpe {
     var done = false
     while (round <= numMerges && !done) {
       val top = pairCounts(words)
-        .orderBy(col("pair_count").desc, col("sym_l").asc, col("sym_r").asc)
+        .orderBy(mergeOrder: _*)
         .limit(1).collect()
       if (prevWords != null) { Checkpoints.release(prevWords); prevWords = null }
       if (top.isEmpty || top(0).getLong(2) < minCount) done = true

@@ -324,8 +324,18 @@ object NearDup {
     edges
   }
 
+  /** Serializes every conf-touching clustering section (clusterEdges'
+    * AQE toggle AND the loop's AQE/partition settings, INCLUDING their
+    * baseline captures): a concurrent call that captured its "restore"
+    * values while another call held loop settings would restore the
+    * loop values and strand the session (review r07). A dedicated lock
+    * object, not the SparkSession monitor — a multi-minute clustering
+    * loop must not block unrelated code synchronizing on the session.
+    */
+  private val confLock = new Object
+
   def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String,
-                    maxBroadcastEdges: Long = 4000000L): DataFrame = {
+                    maxBroadcastEdges: Long = 4000000L): DataFrame = confLock.synchronized {
     // localCheckpoint (eager): truncates the logical plan, not just the
     // computation. persist() alone is NOT enough for iterative algorithms
     // — each round's plan embeds 3 references to the previous round's
@@ -352,14 +362,12 @@ object NearDup {
     // at-scale graphs keep their configured width.
     //
     // CONF SCOPE: the loop temporarily sets session-level
-    // shuffle.partitions/AQE (restored in the finally). The
-    // session-object lock below serializes concurrent dedupClusters
-    // calls so their save/restore cannot interleave and strand the
-    // session on loop settings; OTHER queries planned concurrently on
-    // the same session during a clustering run would still see the
-    // loop conf — callers needing full isolation should run clustering
-    // on its own session (per-frame partition-count overrides do not
-    // exist in the public API).
+    // shuffle.partitions/AQE (restored in the finally); the enclosing
+    // confLock covers the baseline captures too. OTHER queries planned
+    // concurrently on the same session during a clustering run would
+    // still see the loop conf — callers needing full isolation should
+    // run clustering on its own session (per-frame partition-count
+    // overrides do not exist in the public API).
     val session0 = pairs.sparkSession
     val sessionParts = session0.sessionState.conf.numShufflePartitions
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
@@ -375,7 +383,6 @@ object NearDup {
     // round's output lands id-partitioned so the NEXT round's label side
     // is exchange-free too. The loop's joins are uniform id-hash joins;
     // AQE's skew handling has nothing to offer them.
-    session0.synchronized {
     val prevLoopAqe = session0.conf.get("spark.sql.adaptive.enabled")
     session0.conf.set("spark.sql.adaptive.enabled", "false")
     session0.conf.set("spark.sql.shuffle.partitions", loopParts)
@@ -443,7 +450,6 @@ object NearDup {
     } finally {
       session0.conf.set("spark.sql.adaptive.enabled", prevLoopAqe)
       session0.conf.set("spark.sql.shuffle.partitions", sessionParts)
-    }
     }
   }
 

@@ -478,12 +478,12 @@ object Terms {
         .select(col("grp"), col("n_docs"), col("quantile_micro"),
           (col("quantile_micro").cast("double") / lit(1e6)).as("quantile"))
     require(nCells <= maxHistCells,
-      s"groupedMedian histogram has $nCells (group × score) cells " +
+      s"groupedQuantile histogram has $nCells (group × score) cells " +
         s"(> $maxHistCells): the contract is a KEY-BOUNDED group column " +
         "and a snapped bounded score — reduce group cardinality or raise " +
         "maxHistCells deliberately")
     require(stats.getLong(1) >= 0L && stats.getLong(2) <= 1000000L,
-      s"groupedMedian requires a [0,1]-bounded quality column " +
+      s"groupedQuantile requires a [0,1]-bounded quality column " +
         s"(micro-snapped range [${stats.getLong(1)}, ${stats.getLong(2)}] observed)")
     val hist = cells.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     // the collected rows are all that outlives this call — free the
