@@ -271,6 +271,23 @@ class TextSpec extends SparkSpec {
     } finally graft.core.Checkpoints.release(edges)
   }
 
+  test("dedupClusters: hub-skew star graph converges in O(1) rounds on both strategies") {
+    import spark.implicits._
+    // one hub paired with every other node — the adversarial dst-skew
+    // shape for the dst-partitioned layout (every edge INTO the hub
+    // lands in one partition). Correctness must hold and convergence
+    // stays O(1): the hub is the min id, so the seed round labels
+    // every spoke directly.
+    val pairs = (2L to 400L).map(i => (1L, i)).toDF("id_a", "id_b")
+    for (threshold <- Seq(Long.MaxValue, 0L)) {
+      val got = NearDup.dedupClusters(pairs, "id_a", "id_b",
+          maxBroadcastEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got.size === 400 && got.values.forall(_ == 1L),
+        s"threshold=$threshold")
+    }
+  }
+
   test("persisted corpus band index: bucket-pruned probe, no corpus-side shuffle in band join") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val bandFrame = NearDup.corpusIndex(
