@@ -75,6 +75,41 @@ object Bpe {
       .select("rank", "sym_l", "sym_r", "pair_count")
   }
 
+  /** Tokenizer INFERENCE: segment arbitrary text with an already-trained
+    * merge list — the deploy-side half of [[trainBpe]]. Each merge is
+    * one kernel projection applied in training order (order is the BPE
+    * contract: rule k can only fire on symbols rules 1..k-1 built);
+    * every `batchMerges` projections an eager checkpoint truncates the
+    * plan, because a thousand-deep expression tree would blow codegen
+    * and analysis time (the iterative-frame doctrine). Emits
+    * (doc_id, word_pos, syms).
+    *
+    * `merges` is collected to the driver — it is the tokenizer ARTIFACT
+    * (vocab-budget-bounded, e.g. 32k rules), not data.
+    */
+  def segment(df: DataFrame, idCol: String, textCol: String,
+              merges: DataFrame, batchMerges: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val rules = merges.orderBy(col("merge_rank").asc)
+      .select("sym_l", "sym_r")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    var out = df.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .select(col("doc_id"), col("word_pos"), split(col("word"), "").as("syms"))
+    var prev: DataFrame = null
+    rules.zipWithIndex.foreach { case ((l, r), i) =>
+      out = out.withColumn("syms",
+        ArrayOps.bpeMergePair(spark, col("syms"), lit(l), lit(r)))
+      if ((i + 1) % batchMerges == 0) {
+        val ck = out.localCheckpoint(true)
+        if (prev != null) Checkpoints.release(prev)
+        prev = ck
+        out = ck
+      }
+    }
+    out
+  }
+
   /** Learned merge table + final vocabulary segmentation after
     * `numMerges` rounds (stops early when no pair reaches `minCount`).
     * Returns (merges, words): merges = (merge_rank, sym_l, sym_r,

@@ -75,6 +75,30 @@ class BpeSpec extends SparkSpec {
     assert(syms === Seq("aa", "aa"))
   }
 
+  test("segment applies trained merges in order to UNSEEN text, checkpoint batching on") {
+    import spark.implicits._
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val (refMerges, _) = refTrain(words, numMerges = 8, minCount = 2L)
+    val (merges, _) = Bpe.trainBpe(corpus(words), "text", numMerges = 8)
+    // unseen words containing trained pieces + a fully novel one
+    val fresh = Seq((1L, "lowest slowest xyz")).toDF("doc_id", "text")
+    // batchMerges=2 forces several checkpoint truncations mid-chain
+    val got = Bpe.segment(fresh, "doc_id", "text", merges, batchMerges = 2)
+      .select("word_pos", "syms").as[(Int, Seq[String])].collect()
+      .map(p => p._1 -> p._2.toList).toMap
+    def refApply(w: String): List[String] =
+      refMerges.foldLeft(w.split("").toList) { case (syms, (l, r, _)) =>
+        def go(s: List[String]): List[String] = s match {
+          case a :: b :: rest if a == l && b == r => (a + b) :: go(rest)
+          case a :: rest => a :: go(rest)
+          case Nil => Nil
+        }
+        go(syms)
+      }
+    assert(got === Map(0 -> refApply("lowest"), 1 -> refApply("slowest"),
+      2 -> refApply("xyz")))
+  }
+
   test("fuzz: random corpora match the reference through full training") {
     def sample[A](g: Gen[A], seed: Long): A =
       g.pureApply(Gen.Parameters.default.withSize(8), Seed(seed))
