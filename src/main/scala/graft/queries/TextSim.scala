@@ -1649,6 +1649,35 @@ object TextSim extends QueryPack {
         SELECT grp, n AS n_docs, qm AS quantile_micro, qm::DOUBLE / 1e6 AS quantile
         FROM r WHERE rn = (n * 9 + 9) // 10""")),
 
+    // Corpus snapshot diff — the data-versioning primitive: two
+    // synthetic corpus versions derived from the same table (old drops
+    // doc_id % 5 = 0; new drops % 7 = 0 and edits % 11 = 0), every
+    // status class populated at the gate SF (added, removed, changed,
+    // unchanged). Content-hash comparison: the full-outer join ships 32
+    // hash bytes per side, never documents.
+    "q93_corpus_diff" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        TextOps.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      },
+      Some("""
+        WITH o AS (
+          SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 5 <> 0),
+        n AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS nh
+          FROM documents WHERE doc_id % 7 <> 0)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.oh IS NULL THEN 'added'
+                    WHEN n.nh IS NULL THEN 'removed'
+                    WHEN o.oh <> n.nh THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL JOIN n ON o.doc_id = n.doc_id""")),
+
     // Duplicated-span trimming (Lee et al. exact-substring dedup,
     // n-gram-relaxed): positions whose 8-gram repeats corpus-wide, merged
     // into maximal runs >= 24 tokens (a threshold the sf0.01 corpus

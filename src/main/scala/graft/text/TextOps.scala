@@ -22,6 +22,26 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** CORPUS SNAPSHOT DIFF — the data-versioning primitive: classify
+    * every doc_id across two corpus versions as added / removed /
+    * changed / unchanged by CONTENT HASH (not text equality — the hash
+    * comparison ships 32 bytes per side through the join, not
+    * documents). One full-outer hash join on the id, sort-merge at
+    * scale, skew-free by id construction; emits (doc_id, status).
+    */
+  def corpusDiff(oldDf: org.apache.spark.sql.DataFrame,
+                 newDf: org.apache.spark.sql.DataFrame,
+                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__oh"))
+    val n = newDf.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Left-semi join `probe` against a distinct key frame whose size is
     * only known at runtime, choosing the physical strategy by MEASURED
     * key count instead of trusting a "small by contract" assumption:
