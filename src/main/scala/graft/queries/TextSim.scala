@@ -1678,6 +1678,29 @@ object TextSim extends QueryPack {
                     ELSE 'unchanged' END AS status
         FROM o FULL JOIN n ON o.doc_id = n.doc_id""")),
 
+    // Vocabulary coverage curve — corpus tokens covered by the top-N
+    // terms at each tokenizer budget, exact integers (the stat a vocab
+    // size is chosen from). The oracle phrases the cumulative sum as a
+    // rank window the engine never runs (driver cumsum over the bounded
+    // TakeOrdered top-max(budget) instead).
+    "q94_vocab_coverage" -> Q(
+      (s, d) => Terms.vocabCoverage(Tables.documents(s, d), "doc_id", "text",
+        Seq(10, 50, 100, 500, 1000)),
+      Some(s"""
+        WITH counts AS (
+          SELECT term, count(*)::BIGINT AS c
+          FROM (SELECT unnest($DUCK_TOKENS) AS term FROM documents)
+          GROUP BY 1),
+        ranked AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rn
+          FROM counts),
+        total AS (SELECT sum(c)::BIGINT AS t FROM counts)
+        SELECT b.budget::BIGINT AS budget,
+               coalesce((SELECT sum(c) FROM ranked WHERE rn <= b.budget), 0)::BIGINT
+                 AS covered_tokens,
+               t.t AS total_tokens
+        FROM (VALUES (10), (50), (100), (500), (1000)) AS b(budget), total t""")),
+
     // Duplicated-span trimming (Lee et al. exact-substring dedup,
     // n-gram-relaxed): positions whose 8-gram repeats corpus-wide, merged
     // into maximal runs >= 24 tokens (a threshold the sf0.01 corpus

@@ -515,4 +515,32 @@ object Terms {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(topN)
   }
+
+  /** Vocabulary COVERAGE CURVE — how many corpus tokens the top-N terms
+    * cover, at each requested tokenizer budget: the statistic a vocab
+    * size is chosen from. Exact integers (covered and total token
+    * counts per budget); the corpus pays the usual term aggregation,
+    * the curve itself is a driver-side cumulative sum over the
+    * TakeOrdered top-max(budget) rows — bounded by the largest budget,
+    * never vocabulary-sized, and the corpus total rides the one-pass
+    * token-count kernel.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ > 0), "budgets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxN = budgets.max
+    val top = df.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(maxN)
+      .select(col("c")).as[Long].collect()
+    val total = df.agg(
+      sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long"))).head().getLong(0)
+    val cum = top.scanLeft(0L)(_ + _)
+    budgets.distinct.sorted
+      .map(b => (b.toLong, cum(math.min(b, top.length)), total))
+      .toDF("budget", "covered_tokens", "total_tokens")
+  }
 }
