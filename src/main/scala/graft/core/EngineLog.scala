@@ -9,17 +9,20 @@ import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Engine-level run logging — the parity piece for the reference's
-  * rotating-file logging setup (`logging.config:1-41`,
-  * `discharge_obs_pd.py:368-373`): every Dataset ACTION on the session
-  * appends one parseable line
+  * per-step logging (`logging.config:1-41`, `discharge_obs_pd.py:368-373`).
+  * The reference's `logging.config` wires a console `StreamHandler` only
+  * (stdout, no file); the size rotation HERE is this repo's own addition
+  * — modeled on Python's stdlib `RotatingFileHandler` generally, because
+  * a long-lived Spark driver needs bounded log files where a short-lived
+  * cron'd script does not. Every Dataset ACTION on the session appends
+  * one parseable line
   *
   *   `<iso-ts>\t<action>\t<millis>ms\trows=<n|->\t<root plan node>\tOK|FAIL <error>`
   *
-  * to `<dir>/engine.log`, size-rotated like Python's RotatingFileHandler
-  * (`engine.log` → `.1` → … → `.<maxFiles>`, oldest dropped). Spark's own
-  * log4j keeps the executor/stage firehose; this is the per-step job
-  * summary an operator reads to see WHAT the pipeline did — the level
-  * the reference logs at.
+  * to `<dir>/engine.log`, rotated `engine.log` → `.1` → … → `.<maxFiles>`
+  * (oldest dropped). Spark's own log4j keeps the executor/stage firehose;
+  * this is the per-step job summary an operator reads to see WHAT the
+  * pipeline did — the level the reference logs at.
   *
   * Implementation: a `QueryExecutionListener` (the public hook for
   * action-level success/failure with wall duration) — no log4j config
@@ -31,6 +34,12 @@ object EngineLog {
   final class Listener private[EngineLog] (dir: Path, maxBytes: Long, maxFiles: Int)
       extends QueryExecutionListener {
     private val file = dir.resolve("engine.log")
+    // Lock is keyed on the NORMALIZED DIRECTORY, not this listener:
+    // two SparkSessions logging to the same dir each hold their own
+    // Listener, and per-instance synchronized would let their writes
+    // and rotations interleave (file moved mid-append). dirLock gives
+    // every listener on the same directory the same monitor.
+    private val lock = dirLock(dir)
 
     private def rotate(): Unit = {
       if (Files.exists(file) && Files.size(file) >= maxBytes) {
@@ -45,7 +54,7 @@ object EngineLog {
       }
     }
 
-    private def write(line: String): Unit = synchronized {
+    private def write(line: String): Unit = lock.synchronized {
       rotate()
       Files.write(file, (line + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -73,12 +82,28 @@ object EngineLog {
                            exception: Exception): Unit =
       write(s"${Instant.now()}\t$funcName\t-\trows=-\t${root(qe)}\t" +
         s"FAIL ${exception.getClass.getSimpleName}: " +
+        // first line only, tabs flattened — a message containing \t must
+        // not break the advertised 6-tab-field line format
         Option(exception.getMessage).iterator
-          .flatMap(_.linesIterator).take(1).mkString)
+          .flatMap(_.linesIterator).take(1).mkString.replace('\t', ' '))
   }
 
   private val installed =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Listener]
+
+  // One monitor object per normalized directory, shared by every
+  // Listener writing there (same-JVM multi-session safety). Never
+  // evicted: a handful of log dirs per driver lifetime is bounded.
+  private val dirLocks =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  private def dirLock(dir: Path): AnyRef = {
+    val key = dir.toAbsolutePath.normalize.toString
+    dirLocks.putIfAbsent(key, new AnyRef) match {
+      case Some(existing) => existing
+      case None           => dirLocks(key)
+    }
+  }
 
   /** Idempotent per (session, NORMALIZED dir) — "logs" and "./logs"
     * cannot double-register and race the rotation; 5 MB × 5 files

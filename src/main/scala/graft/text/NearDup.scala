@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -324,18 +324,48 @@ object NearDup {
     edges
   }
 
-  /** Serializes every conf-touching clustering section (clusterEdges'
-    * AQE toggle AND the loop's AQE/partition settings, INCLUDING their
-    * baseline captures): a concurrent call that captured its "restore"
-    * values while another call held loop settings would restore the
-    * loop values and strand the session (review r07). A dedicated lock
-    * object, not the SparkSession monitor — a multi-minute clustering
-    * loop must not block unrelated code synchronizing on the session.
-    */
-  private val confLock = new Object
-
   def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String,
-                    maxBroadcastEdges: Long = 4000000L): DataFrame = confLock.synchronized {
+                    maxBroadcastEdges: Long = 4000000L): DataFrame = {
+    // CONF ISOLATION (r07 advice): the relayout and the loop need
+    // session-LEVEL settings (AQE off so checkpoints keep their
+    // partitioning, loop-sized shuffle width). Earlier rounds mutated
+    // the caller's session under a lock — safe against concurrent
+    // dedupClusters calls, but any UNRELATED query planned on the same
+    // session during the multi-minute loop silently inherited the loop
+    // conf. Run everything downstream of the pair hand-off on a CHILD
+    // session instead: `newSession()` shares the SparkContext (same
+    // block manager, so checkpoint blocks and broadcasts behave
+    // identically) but owns a private SQLConf — the loop's settings are
+    // invisible outside this call, and concurrent calls no longer
+    // interact at all (the old confLock is gone because there is no
+    // shared conf left to race on).
+    //
+    // The hand-off: the UPSTREAM pair derivation (LSH band joins etc.)
+    // still runs on the CALLER's session with its AQE — the eager
+    // checkpoint below is the boundary — and the bounded result is
+    // re-rooted back into the caller's session at the end. Each re-root
+    // is one row re-encode over an LSH-thinned / node-bounded frame,
+    // never corpus-sized.
+    val session0 = pairs.sparkSession
+    val pairRows = pairs.select(col(idACol), col(idBCol)).localCheckpoint(true)
+    val child = session0.newSession()
+    // newSession starts from the SparkContext's base conf, not the
+    // caller's runtime values — carry the two the loop derives from
+    child.conf.set("spark.sql.shuffle.partitions",
+      session0.sessionState.conf.numShufflePartitions.toString)
+    child.conf.set("spark.sql.adaptive.enabled",
+      session0.conf.get("spark.sql.adaptive.enabled"))
+    val childPairs = child.createDataFrame(pairRows.rdd, pairRows.schema)
+    try dedupClustersOn(child, session0, childPairs, idACol, idBCol, maxBroadcastEdges)
+    finally
+      // edges materialized inside dedupClustersOn (or we are failing):
+      // either way the hand-off blocks are dead
+      checkpointRdd(pairRows).foreach(_.unpersist(blocking = false))
+  }
+
+  private def dedupClustersOn(child: SparkSession, session0: SparkSession,
+      pairs: DataFrame, idACol: String, idBCol: String,
+      maxBroadcastEdges: Long): DataFrame = {
     // localCheckpoint (eager): truncates the logical plan, not just the
     // computation. persist() alone is NOT enough for iterative algorithms
     // — each round's plan embeds 3 references to the previous round's
@@ -361,18 +391,13 @@ object NearDup {
     // count (~50k rows/partition), clamped to the session setting so
     // at-scale graphs keep their configured width.
     //
-    // CONF SCOPE: the loop temporarily sets session-level
-    // shuffle.partitions/AQE (restored in the finally); the enclosing
-    // confLock covers the baseline captures too. OTHER queries planned
-    // concurrently on the same session during a clustering run would
-    // still see the loop conf — callers needing full isolation should
-    // run clustering on its own session (per-frame partition-count
-    // overrides do not exist in the public API).
-    val session0 = pairs.sparkSession
-    val sessionParts = session0.sessionState.conf.numShufflePartitions
+    // CONF SCOPE: these are settings on the CHILD session only — the
+    // caller's session never sees them, so no restore and no lock are
+    // needed (the child's conf dies with this call).
+    val sessionParts = child.sessionState.conf.numShufflePartitions
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
       edgeCount / 50000L + 1L)).toInt
-    // AQE stays OFF for the whole loop (restored on exit): every round's
+    // AQE stays OFF for the whole loop: every round's
     // lazy labels checkpoint must keep its HashPartitioning(id) — under
     // AQE it reports Unknown (see clusterEdges) and every join below
     // would re-exchange both sides every round. With it off, the steady
@@ -383,10 +408,8 @@ object NearDup {
     // round's output lands id-partitioned so the NEXT round's label side
     // is exchange-free too. The loop's joins are uniform id-hash joins;
     // AQE's skew handling has nothing to offer them.
-    val prevLoopAqe = session0.conf.get("spark.sql.adaptive.enabled")
-    session0.conf.set("spark.sql.adaptive.enabled", "false")
-    session0.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions", loopParts)
     // seed = least(id, min neighbor) in ONE aggregation — equivalent to
     // running the first neighbor-propagation round for free, saving one
     // full join+checkpoint round. Grouping by DST (legal because edges
@@ -446,11 +469,11 @@ object NearDup {
     // this call (they back the returned frame — ContextCleaner reclaims
     // them once the caller drops the reference)
     checkpointRdd(edges).foreach(_.unpersist(blocking = false))
-    labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
-    } finally {
-      session0.conf.set("spark.sql.adaptive.enabled", prevLoopAqe)
-      session0.conf.set("spark.sql.shuffle.partitions", sessionParts)
-    }
+    val result = labels.select(col("id").as("doc_id"), col("label").as("keeper_id"))
+    // re-root the node-bounded result into the CALLER's session so
+    // downstream plans never touch the child (or its conf). Lazy: the
+    // scan deserializes the final label checkpoint's blocks on demand.
+    session0.createDataFrame(result.rdd, result.schema)
   }
 
   /** The CORPUS INDEX behind incremental dedup, as three persistable

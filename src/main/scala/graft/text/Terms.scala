@@ -536,8 +536,11 @@ object Terms {
       .orderBy(col("c").desc, col("term").asc)
       .limit(maxN)
       .select(col("c")).as[Long].collect()
-    val total = df.agg(
-      sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long"))).head().getLong(0)
+    // coalesce: an EMPTY corpus aggregates sum() to null — the curve
+    // should degrade to covered=0/total=0, not NPE on getLong
+    val total = df.agg(coalesce(
+      sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")),
+      lit(0L))).head().getLong(0)
     val cum = top.scanLeft(0L)(_ + _)
     budgets.distinct.sorted
       .map(b => (b.toLong, cum(math.min(b, top.length)), total))

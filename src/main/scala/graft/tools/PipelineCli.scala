@@ -98,9 +98,15 @@ object ExportDaily {
           nowIso: Option[String], stationsArg: Seq[String]): (Long, Long) = {
     val inst = new ObsStore(spark, storeDir).read()
     // default `now` = the newest stored observation — the tail-patch
-    // cutoff the reference takes from the wall clock on its cron tick
-    val now = nowIso.map(s => lit(s).cast("timestamp"))
-      .getOrElse(lit(inst.agg(max(col("ts"))).head().getTimestamp(0)))
+    // cutoff the reference takes from the wall clock on its cron tick.
+    // An EMPTY store has no max(ts): fail with an actionable message
+    // instead of NPE-ing later in the rollup.
+    val now = nowIso.map(s => lit(s).cast("timestamp")).getOrElse {
+      val maxTs = inst.agg(max(col("ts"))).head().getTimestamp(0)
+      require(maxTs != null,
+        s"store at $storeDir is empty; pass nowIso explicitly")
+      lit(maxTs)
+    }
     val hourly = Pipelines.hourlyRollup(inst, now)
     hourly.write.mode("overwrite").parquet(s"$outDir/hourly")
     // same stale-listing hazard as EcccTick's grid: a second run in one

@@ -138,6 +138,14 @@ class TextSpec extends SparkSpec {
     assert(out === Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 1L, 1L)))
   }
 
+  test("vocabCoverage: empty corpus degrades to a zero curve, not NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Terms.vocabCoverage(empty, "doc_id", "text", Seq(2, 5))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 0L, 0L), (5L, 0L, 0L)))
+  }
+
   test("mixtureSample: integer weights exact, fractional bounded, zero drops, reruns identical") {
     import spark.implicits._
     val docs = (1L to 200L).map(i =>
@@ -286,6 +294,27 @@ class TextSpec extends SparkSpec {
       assert(got.size === 400 && got.values.forall(_ == 1L),
         s"threshold=$threshold")
     }
+  }
+
+  test("dedupClusters: caller-session conf is never touched; result is caller-rooted") {
+    import spark.implicits._
+    val pairs = (1L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val out = NearDup.dedupClusters(pairs, "id_a", "id_b")
+    // the loop runs on a child session: even while the returned frame is
+    // still lazy, the caller's conf has its original values (the old
+    // implementation only RESTORED them, so a query planned mid-loop
+    // could observe loop settings)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === beforeParts)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === beforeAqe)
+    // re-rooted: downstream plans (joins with caller frames) never
+    // reference the child session
+    assert(out.sparkSession eq spark)
+    val keepers = out.as[(Long, Long)].collect().toMap
+    assert(keepers.size === 31 && keepers.values.forall(_ == 1L))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === beforeParts)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === beforeAqe)
   }
 
   test("persisted corpus band index: bucket-pruned probe, no corpus-side shuffle in band join") {
