@@ -1735,6 +1735,164 @@ object TextSim extends QueryPack {
               AND tp.pos BETWEEN s.span_start AND s.span_end))
         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_trimmed,
                count(*)::BIGINT AS n_tokens_kept
-        FROM kept GROUP BY doc_id"""))
+        FROM kept GROUP BY doc_id""")),
+
+    // Quality-aware dedup keeper: q42's near-dup clusters, but the family
+    // representative is the HIGHEST-quality member (ties → min doc_id)
+    // instead of the arbitrary min id — dedup that never throws away the
+    // best-written copy of a duplicated family.
+    "q95_quality_keeper" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = NearDup.minhashLshPairsFromRows(
+          TextOps.wordShingleRows(docs, "doc_id", "text", 3), k = 16, bands = 8)
+        val clusters = NearDup.dedupClusters(pairs, "id_a", "id_b")
+        val scores = docs.select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("q"))
+        NearDup.scoredKeepers(clusters, scores, "q")
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashCtes(16, 8)}, ${closureCtes("cand")},
+        clus AS (SELECT node AS doc_id, min(root) AS cluster_id
+                 FROM reach GROUP BY node),
+        scored AS (SELECT c.doc_id, c.cluster_id, ($qualitySql) AS q
+                   FROM clus c JOIN documents d USING (doc_id))
+        SELECT doc_id, cluster_id,
+               first_value(doc_id) OVER
+                 (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS keeper_id
+        FROM scored""")),
+
+    // Token-budget mixture accounting: per language, tokens on hand vs
+    // the share a target mixture allocates out of a 1M-token budget, the
+    // implied sampling rate, and a deficit flag — the planning table a
+    // data-mixture decision reads. All-integer outputs (micro shares).
+    "q96_token_budget" -> Q(
+      (s, d) => Terms.tokenBudget(Tables.documents(s, d), "text", "lang",
+        Map("en" -> 400000L, "zh" -> 250000L, "es" -> 150000L,
+            "de" -> 100000L, "fr" -> 100000L),
+        budget = 1000000L),
+      Some(s"""
+        WITH per AS (
+          SELECT lang AS grp, count(*)::BIGINT AS n_docs,
+                 coalesce(sum(len($DUCK_TOKENS)), 0)::BIGINT AS tokens
+          FROM documents GROUP BY 1),
+        tgt(grp, tm) AS (VALUES ('en', 400000), ('zh', 250000),
+                                ('es', 150000), ('de', 100000), ('fr', 100000)),
+        tot AS (SELECT sum(tokens)::BIGINT AS t FROM per),
+        base AS (
+          SELECT p.grp, p.n_docs, p.tokens,
+                 coalesce(g.tm, 0)::BIGINT AS target_micro,
+                 floor((1000000::BIGINT * coalesce(g.tm, 0)::BIGINT
+                        + 500000)::DOUBLE / 1000000.0)::BIGINT AS alloc_tokens,
+                 t.t AS total
+          FROM per p LEFT JOIN tgt g USING (grp), tot t)
+        SELECT grp, n_docs, tokens,
+               floor(tokens::DOUBLE * 1e6 / total::DOUBLE + 0.5)::BIGINT AS share_micro,
+               target_micro, alloc_tokens,
+               floor(alloc_tokens::DOUBLE * 1e6
+                     / greatest(tokens, 1)::DOUBLE + 0.5)::BIGINT AS rate_micro,
+               (alloc_tokens > tokens)::INT AS deficit
+        FROM base""")),
+
+    // Windowed skipgram PMI (±3, unordered): co-occurrence association
+    // that sees past adjacency — q84 only scores directed bigrams. Slot
+    // model: p(w) = c_w/(2N), p(a,b) = c12/N ⇒ pmi = ln(4·c12·N/(c_a·c_b)).
+    "q97_skipgram_pmi" -> Q(
+      (s, d) => NgramLm.skipgramPmi(Tables.documents(s, d), "doc_id", "text",
+        window = 3, minCount = 5L),
+      Some(s"""
+        WITH toks AS (SELECT $DUCK_TOKENS AS t FROM documents),
+        pr AS (
+          SELECT least(a, b) AS w1, greatest(a, b) AS w2 FROM (
+            SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+            FROM toks WHERE len(t) >= 2
+            UNION ALL
+            SELECT unnest(t[1:len(t)-2]), unnest(t[3:len(t)])
+            FROM toks WHERE len(t) >= 3
+            UNION ALL
+            SELECT unnest(t[1:len(t)-3]), unnest(t[4:len(t)])
+            FROM toks WHERE len(t) >= 4)),
+        c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pr GROUP BY 1, 2),
+        cw AS (SELECT w, sum(c)::BIGINT AS cw FROM (
+                 SELECT w1 AS w, c12 AS c FROM c12
+                 UNION ALL SELECT w2, c12 FROM c12) GROUP BY 1),
+        t AS (SELECT sum(c12)::BIGINT AS n_pairs FROM c12)
+        SELECT w1, w2, c12, c_a, c_b, n_pairs, pmi_micro,
+               pmi_micro::DOUBLE / 1e6 AS pmi
+        FROM (
+          SELECT c.w1, c.w2, c.c12, ca.cw AS c_a, cb.cw AS c_b, t.n_pairs,
+                 floor(ln((4.0::DOUBLE * c.c12::DOUBLE * t.n_pairs::DOUBLE) /
+                          (ca.cw::DOUBLE * cb.cw::DOUBLE)) * 1e6 + 0.5)::BIGINT
+                   AS pmi_micro
+          FROM c12 c JOIN cw ca ON ca.w = c.w1 JOIN cw cb ON cb.w = c.w2
+          CROSS JOIN t
+          WHERE c.c12 >= 5)""")),
+
+    // Bloom-filter decontamination gate: q50's benchmark-overlap check
+    // through a CONSTANT-size 2^20-bit filter (3×20-bit fields of the
+    // shared 60-bit gram hash) instead of a benchmark-sized set — the
+    // at-scale path when even sizedSemiJoin's shuffle hurts. The exact
+    // join rides along to measure the false-positive cost; bloom hits
+    // are a SUPERSET of exact hits by construction (no false negatives).
+    "q98_bloom_contamination" -> Q(
+      (s, d) => {
+        val rows = TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 8)
+        val hashed = rows.select(col("id"),
+          TextOps.gramHash64(s, col("g")).as("hg"))
+        val bench = hashed.filter(col("id") % 20 === 0).select("hg").distinct()
+        val corpus = hashed.filter(col("id") % 20 =!= 0).dropDuplicates("id", "hg")
+        val mask = graft.text.Bloom.build(bench, "hg")
+        corpus
+          .withColumn("__bloom", graft.text.Bloom.mightContain(mask, col("hg")).cast("int"))
+          .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("hg"), "left")
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+               sum(col("__bloom")).as("n_bloom_hits"),
+               count(col("__hit")).as("n_exact_hits"))
+          .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 list_distinct([('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+                                for i in range(1, len(t) - 6)]) AS gs
+          FROM toks WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT unnest(gs) AS hg FROM grams WHERE doc_id % 20 = 0),
+        bits AS (SELECT DISTINCT p FROM (
+          SELECT (hg & 1048575) AS p FROM bench
+          UNION SELECT ((hg >> 20) & 1048575) FROM bench
+          UNION SELECT ((hg >> 40) & 1048575) FROM bench)),
+        corpus AS (SELECT doc_id, unnest(gs) AS hg FROM grams WHERE doc_id % 20 <> 0),
+        per AS (
+          SELECT doc_id,
+                 ((hg & 1048575) IN (SELECT p FROM bits)
+                  AND ((hg >> 20) & 1048575) IN (SELECT p FROM bits)
+                  AND ((hg >> 40) & 1048575) IN (SELECT p FROM bits))::INT AS bloom_hit,
+                 (hg IN (SELECT hg FROM bench))::INT AS exact_hit
+          FROM corpus)
+        SELECT doc_id, count(*)::BIGINT AS n_grams,
+               sum(bloom_hit)::BIGINT AS n_bloom_hits,
+               sum(exact_hit)::BIGINT AS n_exact_hits,
+               (sum(bloom_hit) - sum(exact_hit))::BIGINT AS n_false_pos
+        FROM per GROUP BY doc_id""")),
+
+    // Asymmetric CONTAINMENT over the q35 LSH candidates: |A∩B|/|A| and
+    // |A∩B|/|B| — the near-SUBSET signal (doc pasted inside a larger
+    // one) that symmetric Jaccard structurally misses.
+    "q99_containment_pairs" -> Q(
+      (s, d) => NearDup.minhashLshContainmentFromRows(
+        TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 3),
+        k = 16, bands = 8),
+      Some(s"WITH ${minhashCtes(16, 8)}" + """
+        SELECT c.id_a, c.id_b,
+               round(len(list_intersect(da.sh, db.sh))::DOUBLE
+                     / len(da.sh)::DOUBLE, 4) AS containment_a,
+               round(len(list_intersect(da.sh, db.sh))::DOUBLE
+                     / len(db.sh)::DOUBLE, 4) AS containment_b
+        FROM cand c
+        JOIN sets da ON da.doc_id = c.id_a
+        JOIN sets db ON db.doc_id = c.id_b"""))
   )
 }

@@ -254,6 +254,60 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CONTAINMENT for LSH candidate pairs: |A∩B|/|A| and |A∩B|/|B| over
+    * the same banded candidates as [[minhashLshPairsFromRows]]. Jaccard
+    * misses near-SUBSET duplicates — a doc pasted inside a larger one
+    * has low Jaccard (union is large) but containment ≈ 1 on the smaller
+    * side, which is exactly the signal an "embedded copy" dedup pass
+    * keys on (Broder's resemblance vs containment distinction). Same
+    * scale shape as the Jaccard path: band join for candidates, then one
+    * set intersection per candidate pair — never all-pairs.
+    */
+  def minhashLshContainmentFromRows(shingleRows: DataFrame,
+                                    k: Int = 16, bands: Int = 8): DataFrame = {
+    val sigsets = sigSets(shingleRows, k)
+    val exploded = bandRows(sigsets, k, bands)
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = sigsets.select(col("id"), col("sh"))
+    cand
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(col("id_a"), col("id_b"),
+        round(col("common") / size(col("sh_a")).cast("double"), 4).as("containment_a"),
+        round(col("common") / size(col("sh_b")).cast("double"), 4).as("containment_b"))
+  }
+
+  /** Quality-aware keeper per near-dup cluster: instead of dedupClusters'
+    * arbitrary min-id representative, keep the member with the HIGHEST
+    * score (ties → smallest doc_id) — the policy real curation uses, so
+    * deduplication never discards the best-written copy of a duplicated
+    * family. `clusters` is dedupClusters output (doc_id, keeper_id);
+    * `scores` is (doc_id, <scoreCol>). One aggregation over the
+    * node-bounded cluster frame: argmax via max(struct(score, -id)) —
+    * lexicographic struct max gives max score then (negated) min id —
+    * so no window sort. The winner join back is left UNHINTED: `best`
+    * is cluster-count-sized — usually broadcastable and stats will pick
+    * that, but a pathological corpus (everything lightly duplicated)
+    * makes it node-sized, where a forced broadcast would be the q61-style
+    * scaling trap; both sides hash the same cluster_id key anyway.
+    */
+  def scoredKeepers(clusters: DataFrame, scores: DataFrame,
+                    scoreCol: String): DataFrame = {
+    val members = clusters.join(scores, Seq("doc_id"))
+    val best = members
+      .groupBy(col("keeper_id").as("cluster_id"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("keeper"))
+    clusters.select(col("doc_id"), col("keeper_id").as("cluster_id"))
+      .join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keeper").as("keeper_id"))
+  }
+
   /** Near-dup CLUSTERING: connected components over a pair list, keeper =
     * min id per component — turns pairwise near-dup detection into an
     * actionable keep/drop mapping. Iterative min-label propagation

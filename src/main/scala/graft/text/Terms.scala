@@ -546,4 +546,54 @@ object Terms {
       .map(b => (b.toLong, cum(math.min(b, top.length)), total))
       .toDF("budget", "covered_tokens", "total_tokens")
   }
+
+  /** Token-budget MIXTURE ACCOUNTING — the planning table behind a
+    * training-data mixture: per group (language / domain / source), how
+    * many tokens exist, what share of the corpus that is, what the
+    * TARGET share allocates out of a fixed token `budget`, the sampling
+    * rate that allocation implies, and whether the group is in DEFICIT
+    * (target wants more tokens than exist → upsampling/more collection
+    * needed). Shares and rates are half-up micro integers; the
+    * allocation is exact integer rounding of budget × target — every
+    * output column is hash-exact across engines.
+    *
+    * Scale: one corpus pass (the token-count kernel inside a grouped
+    * sum with map-side combine); everything after operates on the
+    * KEY-BOUNDED group frame — the global-total window is over group
+    * cardinality, not rows, and the target lookup is a broadcast of the
+    * caller's constant map. Groups absent from `targetsMicro` get
+    * target 0 (allocated nothing, flagged surplus).
+    */
+  def tokenBudget(df: DataFrame, textCol: String, groupCol: String,
+                  targetsMicro: Map[String, Long], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(targetsMicro.values.forall(_ >= 0), "targets must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")),
+          lit(0L)).as("tokens"))
+    val tgt = targetsMicro.toSeq.toDF("grp", "target_micro")
+    // unpartitioned window — legal ONLY because `per` is group-bounded
+    // (groupedMedian contract): the frame entering it has one row per
+    // group, never one per document
+    val total = sum(col("tokens")).over(Window.partitionBy())
+    per.join(broadcast(tgt), Seq("grp"), "left")
+      .withColumn("target_micro", coalesce(col("target_micro"), lit(0L)))
+      .withColumn("share_micro",
+        floor(col("tokens").cast("double") * lit(1e6) /
+          total.cast("double") + lit(0.5)).cast("long"))
+      // exact to the unit: budget·target ≤ ~1e12 stays double-exact,
+      // and both engines evaluate the identical expression
+      .withColumn("alloc_tokens",
+        floor((lit(budget) * col("target_micro") + lit(500000L)).cast("double") /
+          lit(1000000.0)).cast("long"))
+      .withColumn("rate_micro",
+        floor(col("alloc_tokens").cast("double") * lit(1e6) /
+          greatest(col("tokens"), lit(1L)).cast("double") + lit(0.5)).cast("long"))
+      .withColumn("deficit", (col("alloc_tokens") > col("tokens")).cast("int"))
+      .select(col("grp"), col("n_docs"), col("tokens"), col("share_micro"),
+        col("target_micro"), col("alloc_tokens"), col("rate_micro"), col("deficit"))
+  }
 }

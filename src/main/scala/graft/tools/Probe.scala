@@ -42,6 +42,44 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("r8")) {
+      // round-8 additions: plan audit (exchange count + codegen spans)
+      val docs = Tables.documents(spark, d)
+      def audit(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = df.queryExecution.executedPlan.toString
+        val ex = plan.linesIterator.count(_.contains("Exchange"))
+        val cg = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+        println(s"[probe] $name: exchanges=$ex codegenSpans=$cg")
+        println(plan.linesIterator.filter(l =>
+          l.contains("Exchange") || l.contains("Scan ")).mkString("\n"))
+      }
+      audit("q97-skipgram")(graft.text.NgramLm.skipgramPmi(docs, "doc_id", "text", 3, 5L))
+      // does runtime exchange reuse collapse the 3 inlined c12 subtrees?
+      val q97 = graft.text.NgramLm.skipgramPmi(docs, "doc_id", "text", 3, 5L)
+      q97.collect() // materialize THIS queryExecution so AQE finalizes it
+      val finalPlan = q97.queryExecution.executedPlan.toString
+      println(s"[probe] q97-final: reusedExchanges=" +
+        finalPlan.linesIterator.count(_.contains("ReusedExchange")) +
+        s" scans=" + finalPlan.linesIterator.count(_.contains("FileScan")))
+      val stageIds = "ShuffleQueryStage (\\d+)".r
+        .findAllMatchIn(finalPlan).map(_.group(1)).toSeq
+      println(s"[probe] q97-final stages: total=${stageIds.size} " +
+        s"distinct=${stageIds.distinct.size} ids=${stageIds.mkString(",")}")
+      val rows8 = TextOps.wordShingleRows(docs, "doc_id", "text", 8)
+      val hashed = rows8.select(col("id"), TextOps.gramHash64(spark, col("g")).as("hg"))
+      val bench = hashed.filter(col("id") % 20 === 0).select("hg").distinct()
+      val mask = graft.text.Bloom.build(bench, "hg")
+      audit("q98-bloom-probe")(hashed.filter(col("id") % 20 =!= 0)
+        .dropDuplicates("id", "hg")
+        .withColumn("b", graft.text.Bloom.mightContain(mask, col("hg")).cast("int"))
+        .groupBy("id").agg(sum(col("b")).as("nb")))
+      time("q98-bloom-probe-run")(hashed.filter(col("id") % 20 =!= 0)
+        .dropDuplicates("id", "hg")
+        .withColumn("b", graft.text.Bloom.mightContain(mask, col("hg")).cast("int"))
+        .groupBy("id").agg(sum(col("b")).as("nb")))
+      spark.stop(); return
+    }
+
     val rows = TextOps.wordShingleRows(Tables.documents(spark, d), "doc_id", "text", 3)
     time("shingle-rows")(rows)
     time("rows+md5")(rows.withColumn("h", md5(col("g"))))

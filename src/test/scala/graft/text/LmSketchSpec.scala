@@ -69,6 +69,34 @@ class LmSketchSpec extends SparkSpec {
     assert(pruned.filter(_._1 == "a").forall(_._3 === 3L))
   }
 
+  test("skipgramPmi on 'a b c d' matches hand-enumerated slot statistics") {
+    import spark.implicits._
+    // window=3 slots over [a,b,c,d]: k=1 {ab,bc,cd}, k=2 {ac,bd}, k=3 {ad}
+    // → N=6, every c12=1; marginals (slots containing w): a=3 b=3 c=3 d=3
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = NgramLm.skipgramPmi(docs, "doc_id", "text", window = 3, minCount = 1L)
+      .select("w1", "w2", "c12", "c_a", "c_b", "n_pairs", "pmi_micro")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 6)
+    assert(out.forall(r => r._3 === 1L && r._4 === 3L && r._5 === 3L && r._6 === 6L))
+    // pmi = ln(4·1·6/(3·3)) for every pair, micro-snapped — computed here
+    // with plain JDK math, not the operator's expression tree
+    val exp = math.floor(math.log(4.0 * 1 * 6 / (3.0 * 3)) * 1e6 + 0.5).toLong
+    assert(out.forall(_._7 === exp))
+    // window=1 degrades to unordered adjacency: {ab,bc,cd}, N=3, cw=…
+    // a=1 b=2 c=2 d=1; self-pairs (w,w) double-count into one marginal
+    val adj = NgramLm.skipgramPmi(Seq((1L, "a a b")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 1, minCount = 1L)
+      .select("w1", "w2", "c_a", "c_b", "n_pairs")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // slots: (a,a), (a,b) → N=2; c_a: a appears in 2·1 + 1 = 3 slots-sides, b in 1
+    assert(adj(("a", "a")) === ((3L, 3L, 2L)))
+    assert(adj(("a", "b")) === ((3L, 1L, 2L)))
+    // canonical ordering: no (b, a) key ever
+    assert(!adj.contains(("b", "a")))
+  }
+
   test("Sketch.registers matches a brute-force md5 register build") {
     import spark.implicits._
     val values = (0 until 200).map(i => s"v$i")

@@ -296,6 +296,58 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("scoredKeepers: highest score wins the family, min id breaks ties") {
+    import spark.implicits._
+    // two families: {1,2,3} (chain) and {10,11}; singleton docs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = NearDup.dedupClusters(pairs, "id_a", "id_b")
+    val scores = Seq(
+      1L -> 0.20, 2L -> 0.90, 3L -> 0.50,  // family 1: doc 2 best
+      10L -> 0.70, 11L -> 0.70             // family 10: exact tie → min id
+    ).toDF("doc_id", "q")
+    val out = NearDup.scoredKeepers(clusters, scores, "q")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === Map(
+      1L -> (1L, 2L), 2L -> (1L, 2L), 3L -> (1L, 2L),
+      10L -> (10L, 10L), 11L -> (10L, 10L)))
+  }
+
+  test("tokenBudget: hand-computed mixture table incl. missing target and deficit") {
+    import spark.implicits._
+    // grp a: 2 docs, 4+6=10 tokens; grp b: 1 doc, 30 tokens → total 40
+    val docs = Seq(
+      (1L, "a", "w x y z"),
+      (2L, "a", "q r s t u v"),
+      (3L, "b", Seq.fill(30)("t").mkString(" "))).toDF("doc_id", "lang", "text")
+    val out = Terms.tokenBudget(docs, "text", "lang",
+        Map("a" -> 750000L), budget = 100L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    // a: share = 10/40 = 250000µ; alloc = round(100·0.75) = 75 tokens;
+    // rate = 75/10 = 7.5× = 7500000µ; 75 > 10 → deficit
+    assert(out("a") === (("a", 2L, 10L, 250000L, 750000L, 75L, 7500000L, 1)))
+    // b: no target → 0 everywhere, surplus
+    assert(out("b") === (("b", 1L, 30L, 750000L, 0L, 0L, 0L, 0)))
+  }
+
+  test("containment pairs: an embedded copy scores ~1 on the contained side") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // doc 2 CONTAINS doc 1 (same text + a distinct tail): Jaccard < 1 but
+    // containment(A in B) must be exactly 1.0
+    val docs = Seq((1L, base), (2L, base + " extra trailing words here")).toDF("doc_id", "text")
+    val out = NearDup.minhashLshContainmentFromRows(
+        TextOps.wordShingleRows(docs, "doc_id", "text", 3), k = 16, bands = 8)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length === 1)
+    val (a, b, ca, cb) = out.head
+    assert((a, b) === ((1L, 2L)))
+    // doc 1: 38 distinct 3-gram shingles, all present in doc 2's 42
+    assert(ca === 1.0)
+    assert(cb === math.rint(38.0 / 42.0 * 10000) / 10000)
+  }
+
   test("dedupClusters: caller-session conf is never touched; result is caller-rooted") {
     import spark.implicits._
     val pairs = (1L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
