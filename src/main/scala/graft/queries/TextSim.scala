@@ -1878,6 +1878,55 @@ object TextSim extends QueryPack {
                (sum(bloom_hit) - sum(exact_hit))::BIGINT AS n_false_pos
         FROM per GROUP BY doc_id""")),
 
+    // Deterministic WEIGHTED without-replacement sample (Efraimidis–
+    // Spirakis A-ES), k per language, weight = doc length: q71's uniform
+    // carve generalized to the "prefer long docs" curation knob. The
+    // ln(u)/w key never leaves the plan; outputs are integers.
+    "q100_weighted_sample" -> Q(
+      (s, d) => Terms.weightedSample(Tables.documents(s, d), "doc_id", "lang",
+        "n_chars", k = 10),
+      Some("""
+        SELECT doc_id, grp, weight, rank FROM (
+          SELECT doc_id, lang AS grp, n_chars AS weight,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ln((('0x' || substr(md5('wres|' || doc_id), 1, 8))::BIGINT + 1)
+                              / 4294967296.0) / n_chars::DOUBLE DESC,
+                            doc_id) AS rank
+          FROM documents)
+        WHERE rank <= 10""")),
+
+    // Dedup threshold sweep: surviving verified pairs + docs touched at
+    // each candidate Jaccard cutoff — the tuning curve read before
+    // committing a threshold. Thresholds forced ::DOUBLE in the oracle
+    // (DuckDB would otherwise compare against DECIMAL literals).
+    "q101_dedup_sweep" -> Q(
+      (s, d) => NearDup.dedupSweep(
+        NearDup.minhashLshPairsFromRows(
+          TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 3),
+          k = 16, bands = 8),
+        "jaccard", Seq(0.05, 0.5, 0.95, 0.98)),
+      Some(s"WITH ${minhashCtes(16, 8)}," + """
+        pj AS (
+          SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(da.sh, db.sh))::DOUBLE /
+                       (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))::DOUBLE),
+                       4) AS jaccard
+          FROM cand c
+          JOIN sets da ON da.doc_id = c.id_a
+          JOIN sets db ON db.doc_id = c.id_b),
+        th(threshold) AS (VALUES (0.05::DOUBLE), (0.5::DOUBLE),
+                                 (0.95::DOUBLE), (0.98::DOUBLE)),
+        f AS (SELECT t.threshold, p.id_a, p.id_b
+              FROM pj p JOIN th t ON p.jaccard >= t.threshold),
+        np AS (SELECT threshold, count(*)::BIGINT AS n_pairs FROM f GROUP BY 1),
+        nd AS (SELECT threshold, count(DISTINCT id)::BIGINT AS n_docs_covered
+               FROM (SELECT threshold, id_a AS id FROM f
+                     UNION ALL SELECT threshold, id_b FROM f) GROUP BY 1)
+        SELECT t.threshold,
+               coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+               coalesce(nd.n_docs_covered, 0)::BIGINT AS n_docs_covered
+        FROM th t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""")),
+
     // Asymmetric CONTAINMENT over the q35 LSH candidates: |A∩B|/|A| and
     // |A∩B|/|B| — the near-SUBSET signal (doc pasted inside a larger
     // one) that symmetric Jaccard structurally misses.

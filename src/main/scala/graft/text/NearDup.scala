@@ -282,6 +282,34 @@ object NearDup {
         round(col("common") / size(col("sh_b")).cast("double"), 4).as("containment_b"))
   }
 
+  /** Dedup THRESHOLD SWEEP — the tuning curve a curation run reads before
+    * committing to a Jaccard cutoff: for each candidate threshold, how
+    * many verified pairs survive and how many distinct documents they
+    * touch. One pass over the (already LSH-thinned) scored pair list per
+    * sweep: pairs × thresholds is a bounded broadcast fan-out (|T| is a
+    * config constant), then two key-bounded aggregations. Thresholds
+    * with zero surviving pairs still emit a row (the curve must show
+    * where it flatlines to zero).
+    */
+  def dedupSweep(scoredPairs: DataFrame, jaccardCol: String,
+                 thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = scoredPairs.sparkSession
+    import spark.implicits._
+    val t = thresholds.toDF("threshold")
+    val flagged = scoredPairs.crossJoin(broadcast(t))
+      .filter(col(jaccardCol) >= col("threshold"))
+    val perT = flagged.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val cov = flagged
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("threshold").agg(countDistinct(col("id")).as("n_docs_covered"))
+    t.join(perT, Seq("threshold"), "left")
+      .join(cov, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_covered"), lit(0L)).as("n_docs_covered"))
+  }
+
   /** Quality-aware keeper per near-dup cluster: instead of dedupClusters'
     * arbitrary min-id representative, keep the member with the HIGHEST
     * score (ties → smallest doc_id) — the policy real curation uses, so

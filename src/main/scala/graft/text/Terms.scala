@@ -547,6 +547,38 @@ object Terms {
       .toDF("budget", "covered_tokens", "total_tokens")
   }
 
+  /** WEIGHTED sample without replacement, k per group — deterministic
+    * Efraimidis–Spirakis A-ES (2006, public): each row draws a seeded
+    * uniform u ∈ (0, 1] from its id hash and ranks by ln(u)/w; the top-k
+    * per group is then EXACTLY a weight-proportional without-replacement
+    * draw. The reservoir algorithm's streaming trick collapses, under a
+    * deterministic u, to one ranking expression — so the "reservoir" is
+    * just a per-group top-k, which Spark plans as partial+final
+    * WindowGroupLimit: every partition keeps only k candidates before
+    * the single group-key exchange. [[perGroupSample]] is the uniform
+    * special case (w ≡ const); this one upweights by any positive
+    * column (doc length here — the "sample long docs preferentially"
+    * curation knob).
+    *
+    * Numerics: u > 0 by the +1 shift (ln(0) never evaluates); key order
+    * is engine-identical because ln and the divide are the same IEEE
+    * ops on the same inputs; ties broken by id. The raw double key is
+    * NOT emitted — outputs are integers.
+    */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     weightCol: String, k: Int, seed: String = "wres|"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (TextOps.hashPrefix(seed, col(idCol)) + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        col(weightCol).as("weight"), key.as("__k"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("__k").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("grp"), col("weight"), col("rank"))
+  }
+
   /** Token-budget MIXTURE ACCOUNTING — the planning table behind a
     * training-data mixture: per group (language / domain / source), how
     * many tokens exist, what share of the corpus that is, what the

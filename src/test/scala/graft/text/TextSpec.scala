@@ -348,6 +348,46 @@ class TextSpec extends SparkSpec {
     assert(cb === math.rint(38.0 / 42.0 * 10000) / 10000)
   }
 
+  test("weightedSample: weight-proportional ranks match an independent JVM reference") {
+    import spark.implicits._
+    // independent reference: JDK md5 → u → ln(u)/w ranking, no Spark
+    val rows = (1L to 50L).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 3))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"wres|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.take(8), 16) + 1L).toDouble / 4294967296.0
+      math.log(u) / w.toDouble
+    }
+    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-key(r._1, r._3), r._1)).take(5).zipWithIndex
+        .map { case (r, i) => (r._1, g, r._3, i + 1) }
+    }.toSet
+    val got = Terms.weightedSample(rows.toDF("doc_id", "lang", "w"),
+        "doc_id", "lang", "w", k = 5)
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(got === expected)
+    // heavier weights must win more slots than a uniform draw would give:
+    // re-weight doc 2 to dominate and confirm it enters the sample
+    val skew = rows.map { case (id, g, _) => (id, g, if (id == 2L) 100000L else 1L) }
+    val topSkew = Terms.weightedSample(skew.toDF("doc_id", "lang", "w"),
+        "doc_id", "lang", "w", k = 1).as[(Long, String, Long, Int)].collect()
+    assert(topSkew.find(_._2 == "even").map(_._1).contains(2L))
+  }
+
+  test("dedupSweep: hand curve incl. zero-survivor threshold rows") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.95), (1L, 3L, 0.95), (4L, 5L, 0.60), (6L, 7L, 0.20))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = NearDup.dedupSweep(pairs, "jaccard", Seq(0.1, 0.5, 0.9, 0.99))
+      .as[(Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (0.1, 4L, 7L),    // all pairs, docs {1..7}
+      (0.5, 3L, 5L),    // drops (6,7): docs {1,2,3,4,5}
+      (0.9, 2L, 3L),    // keeps the 0.95 pair family: docs {1,2,3}
+      (0.99, 0L, 0L)))  // nothing survives — row still present
+  }
+
   test("dedupClusters: caller-session conf is never touched; result is caller-rooted") {
     import spark.implicits._
     val pairs = (1L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
