@@ -128,16 +128,23 @@ object TextOps {
     */
   def wordShingleRowsPos(df: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy("pos")
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val withLeads = (1 until n).foldLeft(toks) { (acc, j) =>
-      acc.withColumn(s"__t$j", lead(col("tok"), j).over(w))
-    }
-    withLeads.filter(col(s"__t${n - 1}").isNotNull)
+    // Per-row zip-slice build (the bigramRows idiom widened to n): the
+    // n shifted slices of each doc's token array zip positionally and
+    // explode ONCE — pure scan-stage codegen, NO shuffle. Through r07
+    // this was posexplode + (n-1) window leads, which bought every LSH
+    // consumer a corpus-wide (id) exchange AND a per-doc sort before the
+    // shingling even started — at 100 TB that exchange was the largest
+    // avoidable data movement in the whole dedup fleet (the token stream
+    // is bigger than the documents). posexplode's index doubles as the
+    // gram's 0-based start position, so the Pos variant is free.
+    val fields = (0 until n).map(j => s"c$j:string").mkString(",")
+    val zipped = arrays_zip((0 until n).map(j =>
+        expr(s"slice(t, ${j + 1}, greatest(size(t) - ${n - 1}, 0))")): _*)
+      .cast(s"array<struct<$fields>>")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .select(col("id"), posexplode(zipped).as(Seq("pos", "s")))
       .select(col("id"), col("pos").cast("long").as("pos"),
-        concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"__t$j")): _*).as("g"))
+        concat_ws(" ", (0 until n).map(j => col(s"s.c$j")): _*).as("g"))
   }
 
   /** Character n-gram shingles (distinct). */
