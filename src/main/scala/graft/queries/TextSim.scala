@@ -1927,6 +1927,74 @@ object TextSim extends QueryPack {
                coalesce(nd.n_docs_covered, 0)::BIGINT AS n_docs_covered
         FROM th t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)""")),
 
+    // Corpus NOVELTY per document: the fraction of a doc's distinct
+    // 8-grams never seen in any EARLIER doc (id order = arrival order) —
+    // the redundancy-growth curve a curriculum/collection decision reads
+    // ("new data is adding less and less"). One gram-universe shuffle
+    // for first-seen, one join back, per-doc integer outputs.
+    "q102_novelty" -> Q(
+      (s, d) => {
+        val grams = TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 8)
+          .select(col("id"), TextOps.gramHash64(s, col("g")).as("hg"))
+          .dropDuplicates("id", "hg")
+        val first = grams.groupBy("hg").agg(min(col("id")).as("first_id"))
+        grams.join(first, Seq("hg"))
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+               sum((col("first_id") < col("id")).cast("long")).as("n_repeated"))
+          .withColumn("novelty_micro",
+            floor((col("n_grams") - col("n_repeated")).cast("double") * lit(1e6) /
+              col("n_grams").cast("double") + lit(0.5)).cast("long"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $DUCK_TOKENS AS t FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct([('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+                                       for i in range(1, len(t) - 6)])) AS hg
+          FROM toks WHERE len(t) >= 8),
+        first AS (SELECT hg, min(doc_id) AS first_id FROM grams GROUP BY 1)
+        SELECT doc_id, count(*)::BIGINT AS n_grams,
+               sum((first_id < doc_id)::BIGINT)::BIGINT AS n_repeated,
+               floor((count(*) - sum((first_id < doc_id)::BIGINT))::DOUBLE * 1e6
+                     / count(*)::DOUBLE + 0.5)::BIGINT AS novelty_micro
+        FROM grams JOIN first USING (hg)
+        GROUP BY doc_id""")),
+
+    // Cross-SOURCE duplication matrix: verified near-dup pairs (J >= 0.9)
+    // bucketed by the (unordered) source pair — the provenance question
+    // behind a dedup finding ("which feeds duplicate each other"). Rides
+    // the q35 candidates; two broadcast-friendly dimension joins.
+    "q103_source_overlap" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        NearDup.minhashLshPairsFromRows(
+            TextOps.wordShingleRows(docs, "doc_id", "text", 3), k = 16, bands = 8)
+          .filter(col("jaccard") >= 0.9)
+          .join(src.withColumnsRenamed(Map("doc_id" -> "id_a", "source" -> "sa")), Seq("id_a"))
+          .join(src.withColumnsRenamed(Map("doc_id" -> "id_b", "source" -> "sb")), Seq("id_b"))
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+                   greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"WITH ${minhashCtes(16, 8)}," + """
+        pj AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sets da ON da.doc_id = c.id_a
+          JOIN sets db ON db.doc_id = c.id_b
+          WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE /
+                      (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))::DOUBLE),
+                      4) >= 0.9)
+        SELECT least(x.source, y.source) AS source_a,
+               greatest(x.source, y.source) AS source_b,
+               count(*)::BIGINT AS n_pairs
+        FROM pj
+        JOIN documents x ON x.doc_id = pj.id_a
+        JOIN documents y ON y.doc_id = pj.id_b
+        GROUP BY 1, 2""")),
+
     // Asymmetric CONTAINMENT over the q35 LSH candidates: |A∩B|/|A| and
     // |A∩B|/|B| — the near-SUBSET signal (doc pasted inside a larger
     // one) that symmetric Jaccard structurally misses.
