@@ -758,6 +758,12 @@ object TextSim extends QueryPack {
           .select(col("keeper_id"))
         val exact = gated.join(keepers, col("doc_id") === col("keeper_id"),
           "left_semi")
+          // EAGER checkpoint, round-8 experiment: the subtree above is
+          // consumed by TWO separate executions (dedupClusters' internal
+          // pair materialization, then the final output job) and AQE
+          // exchange reuse does not cross executions — without this the
+          // gate + exact-dedup pass runs twice
+          .localCheckpoint(true)
         // 3. near-dup drop: LSH candidates verified at J >= 0.5, clustered;
         //    non-keepers dropped (docs in no cluster pass through the anti
         //    join untouched)
