@@ -2016,6 +2016,79 @@ object TextSim extends QueryPack {
                      / len(db.sh)::DOUBLE, 4) AS containment_b
         FROM cand c
         JOIN sets da ON da.doc_id = c.id_a
-        JOIN sets db ON db.doc_id = c.id_b"""))
+        JOIN sets db ON db.doc_id = c.id_b""")),
+
+    // Character-level revision pairs by normalized EDIT similarity
+    // (1 − lev/max-len ≥ 0.35, where this corpus's revision band lives)
+    // inside (lang, source) blocks — the order-sensitive complement to
+    // the shingle-set family (NearDup scaladoc has the prune ladder:
+    // length band + banded early-exit levenshtein kernel sized by one
+    // scalar job).
+    "q104_edit_similar" -> Q(
+      (s, d) => NearDup.editSimilarityPairs(Tables.documents(s, d),
+        "doc_id", "text", Seq("lang", "source"), minSim = 0.35),
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, text, lang, source, length(text) AS ln
+          FROM documents WHERE regexp_matches(text, '^[\\x00-\\x7f]*$$')),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 levenshtein(a.text, b.text) AS lev,
+                 greatest(a.ln, b.ln) AS mx
+          FROM docs a JOIN docs b
+            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           AND abs(a.ln - b.ln) <= 0.65 * greatest(a.ln, b.ln))
+        SELECT id_a, id_b, round(1.0 - lev::DOUBLE / mx, 4) AS edit_sim
+        FROM p WHERE round(1.0 - lev::DOUBLE / mx, 4) >= 0.35""")),
+
+    // Content-defined chunking dedup profile: rolling-window boundaries
+    // (h ≡ 0 mod 32 over 8-char windows), chunk-hash duplication per
+    // source — byte-identical shared REGIONS (boilerplate, quoted
+    // blocks) that document-level dedup can't see. TextOps scaladoc has
+    // the Rabin-swap and clamp notes for the production path.
+    "q105_cdc_chunks" -> Q(
+      (s, d) => TextOps.cdcChunkStats(Tables.documents(s, d),
+        "text", "source", window = 8, modBits = 5),
+      Some("""
+        WITH d AS (SELECT source, text, length(text) AS ln FROM documents),
+        b AS (SELECT source, text, ln,
+                     [i FOR i IN range(8, ln + 1)
+                        IF ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8))::BIGINT % 32 = 0] AS bs
+              FROM d),
+        s AS (SELECT source, text, ln,
+                     list_prepend(1, list_transform(bs, x -> x + 1)) AS ss,
+                     list_append(bs, ln) AS es
+              FROM b),
+        c AS (SELECT source,
+                     unnest([substr(text, ss[j], es[j] - ss[j] + 1)
+                             FOR j IN range(1, len(ss) + 1)]) AS chunk
+              FROM s),
+        f AS (SELECT source, md5(chunk) AS ch FROM c WHERE length(chunk) > 0)
+        SELECT source, count(*)::BIGINT AS n_chunks,
+               count(DISTINCT ch)::BIGINT AS n_distinct,
+               round(1.0 - count(DISTINCT ch)::DOUBLE / count(*), 4) AS dup_ratio
+        FROM f GROUP BY source""")),
+
+    // Count-min sketch with its error MEASURED (the q98/q83 doctrine:
+    // approximate structures ship with oracle-checkable state and a
+    // measured error column): 3×1024 additive cells, estimates vs true
+    // counts for the exact top-20 tokens, overcount ≥ 0 by construction.
+    "q106_count_min" -> Q(
+      (s, d) => Sketch.countMinTopK(Tables.documents(s, d), "text",
+        d = 3, width = 1024, k = 20),
+      Some(s"""
+        WITH toks AS (
+          SELECT unnest($DUCK_TOKENS) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+        sk AS (SELECT r, ('0x' || substr(md5('cm' || r || '|' || tok), 1, 8))::BIGINT % 1024 AS bucket,
+                      count(*) AS sc
+               FROM toks CROSS JOIN range(3) t(r) GROUP BY 1, 2),
+        est AS (SELECT top.tok, top.c, min(sk.sc) AS est
+                FROM top JOIN sk
+                  ON sk.bucket = ('0x' || substr(md5('cm' || sk.r || '|' || top.tok), 1, 8))::BIGINT % 1024
+                GROUP BY 1, 2)
+        SELECT tok AS word, c::BIGINT AS true_count, est::BIGINT AS est_count,
+               (est - c)::BIGINT AS overcount FROM est""")),
   )
 }

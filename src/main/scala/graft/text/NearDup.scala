@@ -752,6 +752,66 @@ object NearDup {
         explode(col(shingleCol)).as("g"): _*),
       blockCols, minJaccard)
 
+  /** Character-level near-dup pairs by NORMALIZED EDIT SIMILARITY
+    * `1 − lev(a,b) / max(|a|,|b|)` within `blockCols` blocks — the
+    * order-SENSITIVE complement to the gram-set family: a document whose
+    * sentences were shuffled keeps its shingle set (high Jaccard, q35/
+    * q37) but loses its character order (low edit similarity), while a
+    * lightly-revised document scores high on BOTH. This is the detector
+    * for true textual revisions (typo fixes, small edits) as opposed to
+    * content overlap.
+    *
+    * Scale shape: pairs exist only inside blocks (the blockedJaccard
+    * discipline), and two NECESSARY conditions of `sim ≥ minSim` prune
+    * before the quadratic kernel runs:
+    *  (a) the LENGTH BAND `|la−lb| ≤ (1−minSim)·max(la,lb)` — edit
+    *      distance is at least the length difference — evaluated as an
+    *      integer residual in the pair join, so far-sized pairs never
+    *      reach the kernel;
+    *  (b) the BANDED early-exit kernel: `levenshtein(a, b, threshold)`
+    *      fills only a `2·threshold+1`-wide diagonal band and returns −1
+    *      past it — rejected pairs cost O(threshold·n), not O(n²). The
+    *      threshold is sized by ONE scalar job (the corpus max length)
+    *      rather than a corpus-independent constant — the sizedSemiJoin
+    *      doctrine: measure, then pick the kernel shape.
+    * At 100 TB the block key would gain a length-band component (same
+    * construction as pairsFromShingleRows' size band) so the length
+    * prune happens at the SHUFFLE, not the join residual.
+    *
+    * ASCII guard: Spark's levenshtein counts CODEPOINTS while DuckDB's
+    * counts BYTES — identical only on ASCII, so both engines exclude
+    * non-ASCII docs (nothing, on this corpus). A production corpus
+    * would route non-ASCII through a codepoint-safe kernel instead of
+    * dropping it.
+    */
+  def editSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String], minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim < 1.0, s"minSim must be in (0, 1), got $minSim")
+    val docs = df
+      .filter(col(textCol).rlike("^[\\x00-\\x7F]*$"))
+      .select(col(idCol).as("id") +: col(textCol).as("t") +:
+        length(col(textCol)).as("ln") +: blockCols.map(col): _*)
+    // one scalar job sizes the band kernel; empty corpus ⇒ threshold 0
+    // (the join below is then empty anyway)
+    val maxLen = docs.agg(coalesce(max(col("ln")), lit(0))).head().getInt(0)
+    val threshold = math.max(1, math.ceil((1.0 - minSim) * maxLen).toInt)
+    def side(suf: String) = docs.select(
+      col("id").as(s"id_$suf") +: col("t").as(s"t$suf") +:
+        col("ln").as(s"l$suf") +: blockCols.map(c => col(c).as(s"${c}_$suf")): _*)
+    val mx = greatest(col("la"), col("lb")).cast("double")
+    val blockEq = blockCols.map(c => col(s"${c}_a") === col(s"${c}_b"))
+      .reduce(_ && _)
+    side("a").join(side("b"),
+        blockEq && col("id_a") < col("id_b") &&
+          abs(col("la") - col("lb")).cast("double") <= (lit(1.0) - minSim) * mx)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb"), threshold).as("lev"), mx.as("mx"))
+      .filter(col("lev") >= 0)
+      .select(col("id_a"), col("id_b"),
+        round(lit(1.0) - col("lev").cast("double") / col("mx"), 4).as("edit_sim"))
+      .filter(col("edit_sim") >= minSim)
+  }
+
   /** Shared tail: hash shingle rows in codegen, aggregate to SORTED hashed
     * sets (collect_set dedups; map-side combine shrinks the shuffle), then
     * the within-block pair join with the primitive merge-count kernel

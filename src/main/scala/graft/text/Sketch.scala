@@ -57,6 +57,66 @@ object Sketch {
       .groupBy("bucket").agg(max(col("rho")).as("r"))
   }
 
+  /** COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005 — public result):
+    * `d` hash rows × `width` buckets of ADDITIVE counters; an item's
+    * estimate is the MINIMUM of its `d` cells and is biased UP only
+    * (collisions add, never subtract): est ≤ true + ε·N with
+    * ε = e/width at probability 1 − e^−d. Like [[registers]], the
+    * PRODUCT is the mergeable state — two shards' sketches SUM cell-wise
+    * (one bounded aggregate), so per-shard sketches roll up file →
+    * partition → table without rescanning anything; that is the 100 TB
+    * story for frequency questions ("how often does this token/URL/
+    * fingerprint occur") that exact per-key counts answer only with a
+    * corpus-wide shuffle.
+    *
+    * Hash family: the repo-standard md5-prefix rows (`hashPrefix` with
+    * seed `cm<r>|`, oracle rendering
+    * `('0x' || substr(md5('cm' || r || '|' || w), 1, 8))::BIGINT`), so
+    * the CELLS are oracle-checkable integer arithmetic — the same
+    * engine-portability argument as the HLL registers above.
+    *
+    * Scale shape: ONE pass over the token stream — each token emits its
+    * `d` (row, bucket) cells via posexplode of a literal-sized array,
+    * and the single shuffle is the ≤ d·width-group aggregate with
+    * map-side combine. The sketch never exceeds d·width rows anywhere.
+    */
+  def countMinSketch(items: DataFrame, valueCol: String, d: Int,
+                     width: Int): DataFrame = {
+    require(d >= 1 && d <= 8 && width >= 2,
+      s"need d in [1, 8] and width >= 2, got d=$d width=$width")
+    items.select(posexplode(array((0 until d).map(r =>
+        pmod(TextOps.hashPrefix(s"cm$r|", col(valueCol)), lit(width.toLong))): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** The count-min MEASUREMENT HARNESS (the q98-Bloom-FP pattern:
+    * approximate structures ship with their error measured, not
+    * asserted): estimates for the exact top-`k` tokens joined against
+    * their true counts — `overcount = est − true ≥ 0` is the published
+    * bias in action, per token. One corpus scan feeds the sketch, one
+    * feeds the exact counts; the final join touches k·d rows of a
+    * ≤ d·width-row sketch (broadcast by size, not by hint).
+    */
+  def countMinTopK(docs: DataFrame, textCol: String, d: Int = 3,
+                   width: Int = 1024, k: Int = 20): DataFrame = {
+    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+    val sketch = countMinSketch(toks, "tok", d, width)
+    val top = toks.groupBy(col("tok").as("word"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("word")).limit(k)
+    top
+      .select(col("word"), col("true_count"),
+        posexplode(array((0 until d).map(r =>
+          pmod(TextOps.hashPrefix(s"cm$r|", col("word")), lit(width.toLong))): _*))
+          .as(Seq("r", "bucket")))
+      .join(sketch, Seq("r", "bucket"))
+      .groupBy("word", "true_count")
+      .agg(min(col("c")).as("est_count"))
+      .select(col("word"), col("true_count"), col("est_count"),
+        (col("est_count") - col("true_count")).as("overcount"))
+  }
+
   /** The standard HLL estimate from a (possibly sparse) register list —
     * a driver-side fold over ≤ m values (diagnostic/spec use; the
     * registers are the product).

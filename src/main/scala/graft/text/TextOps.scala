@@ -251,6 +251,69 @@ object TextOps {
       .dropDuplicates(idCol, "fp")
   }
 
+  /** CONTENT-DEFINED CHUNKING (the rolling-window idiom of rsync and
+    * LBFS — Muthitacharoen et al., SOSP'01; public result): position i
+    * ends a chunk when the hash of the `window`-char span ENDING at i
+    * satisfies `h ≡ 0 (mod 2^modBits)`, giving expected `2^modBits`-char
+    * chunks whose boundaries move WITH the content — an insertion
+    * re-chunks only its own neighborhood, where fixed-width blocks shift
+    * every later boundary and destroy downstream dedup. Chunk-hash dedup
+    * over CDC chunks is the storage-level complement to document
+    * near-dedup: it finds byte-identical REGIONS shared across
+    * otherwise-distinct documents (boilerplate headers, quoted replies,
+    * license blocks).
+    *
+    * The window hash reuses the repo's md5-prefix family (`hashPrefix`
+    * rendering: `('0x' || substr(md5(win), 1, 8))::BIGINT` in the
+    * oracle) so boundaries reproduce bit-identically across engines. A
+    * production deployment swaps in a true rolling polynomial (Rabin) —
+    * same boundary contract, O(1) per position instead of O(window) —
+    * and adds min/max chunk-size clamps; neither changes the plan shape.
+    *
+    * Scale shape: boundary detection and chunk slicing are PER-ROW
+    * expression work (HOFs over the position sequence — no explode until
+    * chunks exist), then one (source, chunk-hash) aggregate with
+    * map-side combine. Nothing is corpus-quadratic and nothing shuffles
+    * except the final bounded group-by.
+    *
+    * Returns one row per `srcCol` group: total chunks, distinct chunk
+    * hashes, and the duplication ratio `1 − distinct/total`.
+    */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, textCol: String,
+                srcCol: String, window: Int = 8,
+                modBits: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(window >= 2 && modBits >= 1 && modBits <= 20,
+      s"need window >= 2 and modBits in [1, 20], got $window/$modBits")
+    val m = 1L << modBits
+    val t = col(textCol)
+    val ln = length(t)
+    // guard: sequence(a, b) with b < a counts DOWN — short docs must
+    // yield NO boundaries, not a descending position list
+    val bs = when(ln < window, array().cast("array<int>"))
+      .otherwise(filter(
+        sequence(lit(window), ln),
+        i => pmod(conv(substring(md5(t.substr(i - lit(window - 1), lit(window))),
+          1, 8), 16, 10).cast("long"), lit(m)) === 0L))
+    val starts = concat(array(lit(1)), transform(bs, b => b + 1))
+    val ends = concat(bs, array(ln))
+    // boundary at the last position ⇒ an empty final chunk: sliced here,
+    // dropped by the length filter below
+    val chunks = zip_with(starts, ends, (s, e) => t.substr(s, e - s + lit(1)))
+    df.select(col(srcCol).as("source"), posexplode(chunks).as(Seq("ord", "chunk")))
+      .filter(length(col("chunk")) > 0)
+  }
+
+  def cdcChunkStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    srcCol: String, window: Int = 8,
+                    modBits: Int = 5): org.apache.spark.sql.DataFrame =
+    cdcChunks(df, textCol, srcCol, window, modBits)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(md5(col("chunk"))).as("n_distinct"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_chunks"), 4)
+          .as("dup_ratio"))
+
   /** Shared-passage pairs from winnowed fingerprints — MOSS's actual
     * use-case: two documents sharing >= `minShared` selected fingerprints
     * very likely share passages (each shared fp witnesses a common
