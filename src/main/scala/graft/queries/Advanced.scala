@@ -129,6 +129,43 @@ object Advanced extends QueryPack {
         SELECT p.event_id, p.user_id, p.value, c.value AS last_click
         FROM purch p
         ASOF LEFT JOIN clicks c
-          ON p.user_id = c.user_id AND p.ts > c.ts"""))
+          ON p.user_id = c.user_id AND p.ts > c.ts""")),
+
+    // Interval-point RANGE JOIN, binned into an equi-join (RangeJoin
+    // scaladoc has the construction and skew levers): orders "open" at
+    // each weekly probe instant — interval = [orderdate, orderdate +
+    // (1..30 key-derived days)], probes = the Monday spine over the
+    // order range. The oracle states the bare non-equi join; the Spark
+    // side must NOT (that plans as a nested loop) — binning is the
+    // scale path, and the 7-day bin matches the probe grid so each
+    // interval replicates ≤ 6 times.
+    "q107_interval_join" -> Q(
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val iv = orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").as("s"),
+          timestamp_add("DAY", (col("o_orderkey") % 30 + 1).cast("int"),
+            col("o_orderdate")).as("e"))
+        val pts = graft.core.TimeUtil.spineOver(orders, "o_orderdate", "week", "7 days")
+          .select(col("ts").as("p"))
+        graft.ops.RangeJoin.intervalPointJoin(iv, pts, "s", "e", "p",
+            binSeconds = 7L * 86400L)
+          .groupBy(date_format(col("p"), "yyyy-MM-dd").as("week"))
+          .agg(count(lit(1)).as("n_open"),
+            round(sum(col("o_totalprice")), 2).as("open_value"))
+      },
+      Some("""
+        WITH bounds AS (SELECT date_trunc('week', min(o_orderdate)) AS lo,
+                               date_trunc('week', max(o_orderdate)) AS hi
+                        FROM orders),
+        pts AS (SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS p
+                FROM bounds),
+        iv AS (SELECT o_orderkey, o_totalprice, o_orderdate AS s,
+                      o_orderdate + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS e
+               FROM orders)
+        SELECT strftime(p, '%Y-%m-%d') AS week, count(*)::BIGINT AS n_open,
+               round(sum(o_totalprice), 2) AS open_value
+        FROM pts JOIN iv ON iv.s <= pts.p AND pts.p <= iv.e
+        GROUP BY 1"""))
   )
 }

@@ -1940,6 +1940,19 @@ object TextSim extends QueryPack {
     // for first-seen, one join back, per-doc integer outputs.
     "q102_novelty" -> Q(
       (s, d) => {
+        // Shape notes (r08 A/B, negative results worth keeping): this
+        // rows-form + dropDuplicates + groupBy/join-back is the FAST
+        // form. (a) Building per-doc distinct grams per row with the
+        // array HOFs (withWordShingles + explode) to skip the dedup
+        // shuffle measured 26× SLOWER — transform/filter lambdas
+        // evaluate interpreted, outside whole-stage codegen, and 14M
+        // interpreted gram builds dwarf any exchange they avoid.
+        // (b) Replacing groupBy+join-back with a window-min over hg
+        // measured 13× slower — near-unique 8-gram partitions make
+        // WindowExec's per-group machinery the bottleneck. The zip-slice
+        // rows build stays in codegen end to end, and the two gram-width
+        // hg exchanges (agg + join probe) are canonically equal subtrees
+        // that AQE exchange reuse dedupes.
         val grams = TextOps.wordShingleRows(Tables.documents(s, d), "doc_id", "text", 8)
           .select(col("id"), TextOps.gramHash64(s, col("g")).as("hg"))
           .dropDuplicates("id", "hg")
