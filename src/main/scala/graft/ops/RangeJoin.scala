@@ -58,4 +58,32 @@ object RangeJoin {
       .filter(col(startCol) <= col(pointCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Join rows of `a` and `b` whose inclusive intervals OVERLAP
+    * (`sa <= eb AND sb <= ea`). Same binning construction; both sides
+    * replicate into the bins they touch, and because an overlapping pair
+    * shares EVERY bin their intersection covers, the join would emit it
+    * once per shared bin — the `__bin == max(binA_start, binB_start)`
+    * residual keeps exactly the FIRST shared bin (the later of the two
+    * start bins is where the overlap begins), making each pair surface
+    * exactly once without a post-join distinct. Column-name collisions
+    * between `a` and `b` are the caller's concern, as with any join.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
+    def bin(c: String) = s"cast(cast($c as timestamp) as long) div $binSeconds"
+    val av = a
+      .withColumn("__sba", expr(bin(aStart)))
+      .withColumn("__bin", explode(sequence(col("__sba"), expr(bin(aEnd)))))
+    val bv = b
+      .withColumn("__sbb", expr(bin(bStart)))
+      .withColumn("__bin", explode(sequence(col("__sbb"), expr(bin(bEnd)))))
+    av.join(bv, Seq("__bin"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__bin") === greatest(col("__sba"), col("__sbb")))
+      .drop("__bin", "__sba", "__sbb")
+  }
 }

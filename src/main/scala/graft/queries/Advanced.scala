@@ -166,6 +166,43 @@ object Advanced extends QueryPack {
         SELECT strftime(p, '%Y-%m-%d') AS week, count(*)::BIGINT AS n_open,
                round(sum(o_totalprice), 2) AS open_value
         FROM pts JOIN iv ON iv.s <= pts.p AND pts.p <= iv.e
+        GROUP BY 1""")),
+
+    // Interval-INTERVAL overlap join, same binning with the
+    // first-shared-bin residual giving exactly-once pairs without a
+    // post-join distinct: order fulfillment windows vs 10-day monthly
+    // audit windows.
+    "q108_overlap_join" -> Q(
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val iv = orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").as("s"),
+          timestamp_add("DAY", (col("o_orderkey") % 30 + 1).cast("int"),
+            col("o_orderdate")).as("e"))
+        val audits = graft.core.TimeUtil
+          .spineOver(orders, "o_orderdate", "month", "1 month")
+          .select(col("ts").as("w_start"),
+            timestamp_add("DAY", lit(9), col("ts")).as("w_end"))
+        graft.ops.RangeJoin.intervalOverlapJoin(iv, audits,
+            "s", "e", "w_start", "w_end", binSeconds = 7L * 86400L)
+          .groupBy(date_format(col("w_start"), "yyyy-MM-dd").as("audit_month"))
+          .agg(count(lit(1)).as("n_overlap"),
+            round(sum(col("o_totalprice")), 2).as("overlap_value"))
+      },
+      Some("""
+        WITH bounds AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                               date_trunc('month', max(o_orderdate)) AS hi
+                        FROM orders),
+        aud AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS ws
+                FROM bounds),
+        audw AS (SELECT ws, ws + 9 * INTERVAL 1 DAY AS we FROM aud),
+        iv AS (SELECT o_orderkey, o_totalprice, o_orderdate AS s,
+                      o_orderdate + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS e
+               FROM orders)
+        SELECT strftime(ws, '%Y-%m-%d') AS audit_month,
+               count(*)::BIGINT AS n_overlap,
+               round(sum(o_totalprice), 2) AS overlap_value
+        FROM audw JOIN iv ON iv.s <= audw.we AND audw.ws <= iv.e
         GROUP BY 1"""))
   )
 }
