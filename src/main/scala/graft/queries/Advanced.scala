@@ -203,6 +203,51 @@ object Advanced extends QueryPack {
                count(*)::BIGINT AS n_overlap,
                round(sum(o_totalprice), 2) AS overlap_value
         FROM audw JOIN iv ON iv.s <= audw.we AND audw.ws <= iv.e
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // Robust per-user outliers by MEDIAN ABSOLUTE DEVIATION (the
+    // classical robust z: |x − med| > 3·1.4826·MAD — mean/stddev-based
+    // z-scores are poisoned by the very outliers they hunt; median/MAD
+    // have a 50% breakdown point). Numeric determinism: values snap to
+    // the micro grid FIRST, and both median passes run over
+    // integer-valued inputs DOUBLED at each interpolation (×2 at the
+    // median, ×2 again at the MAD) so every intermediate stays an
+    // integer-valued double — (a+b)/2 and a+(b−a)·0.5 are then the same
+    // exact fp value and the two engines' interpolated quantiles agree
+    // bit-for-bit, which a raw-double median cannot promise at the ulp.
+    // Shape: two grouped exact percentiles + a join-back, all on the
+    // user_id layout (one exchange each, partial-agg'd); at 100 TB the
+    // exact per-group sort-agg gives way to the bounded-histogram walk
+    // (q78/q88 machinery) — same outputs on micro ints.
+    "q109_mad_outliers" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            floor(col("value") * 1e6 + 0.5).cast("long").as("vm"))
+        val med = ev.groupBy("user_id")
+          .agg(expr("2 * percentile(vm, 0.5)").as("med2"))
+        val dev = ev.join(med, Seq("user_id"))
+          .withColumn("adev2", abs(col("vm") * 2 - col("med2")))
+        val mad = dev.groupBy("user_id")
+          .agg(expr("2 * percentile(adev2, 0.5)").as("mad4"))
+        dev.join(mad, Seq("user_id"))
+          .filter(col("mad4") > 0 && col("adev2") * 2 > lit(4.4478) * col("mad4"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            round(col("adev2") * 2 / (lit(1.4826) * col("mad4")), 4).as("robust_z"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, user_id, value,
+                           floor(value * 1e6 + 0.5)::BIGINT AS vm FROM events),
+        med AS (SELECT user_id, 2 * quantile_cont(vm, 0.5) AS med2
+                FROM ev GROUP BY 1),
+        dev AS (SELECT e.event_id, e.user_id, e.value,
+                       abs(2 * e.vm - m.med2) AS adev2
+                FROM ev e JOIN med m USING (user_id)),
+        mad AS (SELECT user_id, 2 * quantile_cont(adev2, 0.5) AS mad4
+                FROM dev GROUP BY 1)
+        SELECT d.event_id, d.user_id, d.value,
+               round(2 * d.adev2 / (1.4826 * m.mad4), 4) AS robust_z
+        FROM dev d JOIN mad m USING (user_id)
+        WHERE m.mad4 > 0 AND 2 * d.adev2 > 4.4478 * m.mad4"""))
   )
 }
