@@ -248,6 +248,66 @@ object Advanced extends QueryPack {
         SELECT d.event_id, d.user_id, d.value,
                round(2 * d.adev2 / (1.4826 * m.mad4), 4) AS robust_z
         FROM dev d JOIN mad m USING (user_id)
-        WHERE m.mad4 > 0 AND 2 * d.adev2 > 4.4478 * m.mad4"""))
+        WHERE m.mad4 > 0 AND 2 * d.adev2 > 4.4478 * m.mad4""")),
+
+    // Sequential FUNNEL (view → click-after-view → purchase-after-click):
+    // each stage is the min timestamp STRICTLY AFTER the previous
+    // stage's — the order-sensitive semantics a per-type min cannot
+    // express (a click before the first view must not count). Three
+    // chained user-keyed aggregates; every exchange is on user_id, so
+    // the layout is paid once and reused. Timestamps compare as µs ints
+    // in both engines (events.ts floor-truncates to µs on the Spark
+    // side; epoch_us truncates the ns payload in the oracle).
+    "q110_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("tu"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("tu")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id")).filter(col("tu") > col("t_view"))
+          .groupBy("user_id").agg(min(col("tu")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id")).filter(col("tu") > col("t_click"))
+          .groupBy("user_id").agg(min(col("tu")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS tu
+                    FROM events),
+        v AS (SELECT user_id, min(tu) AS t_view FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.tu) AS t_click
+              FROM ev e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.tu > v.t_view GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.tu) AS t_purchase
+              FROM ev e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.tu > c.t_click GROUP BY 1)
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")),
+
+    // Weekly RETENTION cohorts: users bucketed by the week of their
+    // first event; n_active distinct users per (cohort, week offset).
+    // First-event-week derivation and the activity scan share one user_id
+    // exchange; the cohort matrix itself is bounded (weeks × offsets).
+    "q111_retention" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val f = ev.groupBy("user_id").agg(min(col("w")).as("cw"))
+        ev.join(f, Seq("user_id"))
+          .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            expr("datediff(w, cw) div 7").cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        f AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY 1)
+        SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+               (date_diff('day', f.cw, e.w) // 7)::BIGINT AS week_offset,
+               count(DISTINCT e.user_id)::BIGINT AS n_active
+        FROM ev e JOIN f USING (user_id)
+        GROUP BY 1, 2"""))
   )
 }
