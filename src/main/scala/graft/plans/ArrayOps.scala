@@ -275,6 +275,97 @@ case class TokenCount(child: Expression)
     copy(child = c)
 }
 
+/** Banded Levenshtein with a PER-PAIR threshold: returns `lev(a, b)` when
+  * it is ≤ k, −1 otherwise. Spark's `levenshtein(l, r, threshold)` takes
+  * only a SCALAR threshold, so a pair join has to size it for the worst
+  * pair in the corpus (the corpus max length) — at minSim 0.8 and
+  * max-len 577 that is a 116-wide band even for 150-char pairs whose own
+  * admission bound is 30. Threading the bound through as a third COLUMN
+  * (`floor((1−t′)·max(la,lb))`) lets every pair run the tightest band
+  * its own final filter can admit.
+  *
+  * Kernel shape: two-row DP restricted to the diagonal band |i−j| ≤ k,
+  * values capped at k+1 (the band sentinel), EARLY EXIT as soon as a
+  * row's minimum exceeds k — a rejected pair costs O(k·min(la,lb)) at
+  * worst and typically exits after ~k/ρ rows (ρ = the pair's per-row
+  * distance growth), not the full O(la·lb) matrix. Any alignment path
+  * with cost ≤ k stays inside the band, so the banded value equals the
+  * exact distance whenever it is returned (KernelFuzzSpec pins kernel ≡
+  * full DP on random pairs, both sides of the threshold).
+  *
+  * Unit note: operates on UTF-16 code units (String.charAt). Spark's
+  * builtin counts CODEPOINTS and DuckDB's counts BYTES — all three agree
+  * exactly on ASCII, which callers must guarantee (editSimilarityPairs
+  * pre-filters `^[\\x00-\\x7F]*$` for this reason).
+  */
+case class LevenshteinWithin(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "levenshtein_within"
+
+  /** Called from both eval and generated code. */
+  def banded(l: org.apache.spark.unsafe.types.UTF8String,
+             r: org.apache.spark.unsafe.types.UTF8String, k: Int): Int = {
+    if (k < 0) return -1
+    val a = l.toString; val b = r.toString
+    val la = a.length; val lb = b.length
+    if (la == 0) return if (lb <= k) lb else -1
+    if (lb == 0) return if (la <= k) la else -1
+    if (math.abs(la - lb) > k) return -1
+    val inf = k + 1
+    var prev = new Array[Int](lb + 2)
+    var curr = new Array[Int](lb + 2)
+    var j = 0
+    while (j <= lb) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= la) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(lb, i + k)
+      // left band edge: the true value is i when the cell is in band
+      // (lo == 1 and i <= k), the sentinel otherwise
+      curr(lo - 1) = if (i - k <= 0) math.min(i, inf) else inf
+      var rowMin = inf
+      val ai = a.charAt(i - 1)
+      var jj = lo
+      while (jj <= hi) {
+        val cost = if (ai == b.charAt(jj - 1)) 0 else 1
+        var v = prev(jj - 1) + cost
+        val del = prev(jj) + 1
+        if (del < v) v = del
+        val ins = curr(jj - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        curr(jj) = v
+        if (v < rowMin) rowMin = v
+        jj += 1
+      }
+      if (rowMin > k) return -1
+      // right band edge: the next row reads prev(hi + 1); it must be the
+      // sentinel, not a stale value from two rows back
+      if (hi + 1 <= lb) curr(hi + 1) = inf
+      val tmp = prev; prev = curr; curr = tmp
+      i += 1
+    }
+    if (prev(lb) <= k) prev(lb) else -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("levwithin", this,
+      classOf[LevenshteinWithin].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, k) => s"${ev.value} = $ref.banded($a, $b, $k);")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, k: Any): Any =
+    banded(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k.asInstanceOf[Int])
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** One greedy left-to-right BPE merge pass over a symbol array: every
   * non-overlapping occurrence of the adjacent pair (l, r) becomes the
   * single symbol l+r. Greedy matters only when l == r ("aaaa" with
@@ -585,6 +676,15 @@ object ArrayOps {
     val name = "token_count_kernel"
     ensureRegistered(spark, name, exprs => TokenCount(exprs(0)))
     org.apache.spark.sql.functions.call_function(name, text)
+  }
+
+  /** Column-typed API for the per-pair banded Levenshtein kernel. */
+  def levenshteinWithin(spark: SparkSession, a: Column, b: Column,
+                        k: Column): Column = {
+    val name = "levenshtein_within"
+    ensureRegistered(spark, name,
+      exprs => LevenshteinWithin(exprs(0), exprs(1), exprs(2)))
+    org.apache.spark.sql.functions.call_function(name, a, b, k)
   }
 
   def md5Prefix64(spark: SparkSession, g: Column, hexStart: Int = 1): Column = {

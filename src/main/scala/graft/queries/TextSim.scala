@@ -2032,14 +2032,17 @@ object TextSim extends QueryPack {
         JOIN sets db ON db.doc_id = c.id_b""")),
 
     // Character-level revision pairs by normalized EDIT similarity
-    // (1 − lev/max-len ≥ 0.35, where this corpus's revision band lives)
-    // inside (lang, source) blocks — the order-sensitive complement to
-    // the shingle-set family (NearDup scaladoc has the prune ladder:
-    // length band + banded early-exit levenshtein kernel sized by one
-    // scalar job).
+    // (1 − lev/max-len ≥ 0.8, above this corpus's MEASURED same-block
+    // noise floor of 0.2–0.45) inside (lang, source) blocks — the
+    // order-sensitive complement to the shingle-set family (NearDup
+    // scaladoc has the prune ladder: log-length-band join key + per-pair
+    // banded early-exit LevenshteinWithin kernel). The length band in
+    // the oracle carries the same rounding slack (0.20005 = 1 − t′) as
+    // the engine so both sides admit grid-edge pairs identically; the
+    // final rounded filter is the single semantic gate.
     "q104_edit_similar" -> Q(
       (s, d) => NearDup.editSimilarityPairs(Tables.documents(s, d),
-        "doc_id", "text", Seq("lang", "source"), minSim = 0.35),
+        "doc_id", "text", Seq("lang", "source"), minSim = 0.8),
       Some(s"""
         WITH docs AS (
           SELECT doc_id, text, lang, source, length(text) AS ln
@@ -2050,9 +2053,9 @@ object TextSim extends QueryPack {
                  greatest(a.ln, b.ln) AS mx
           FROM docs a JOIN docs b
             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-           AND abs(a.ln - b.ln) <= 0.65 * greatest(a.ln, b.ln))
+           AND abs(a.ln - b.ln) <= 0.20005 * greatest(a.ln, b.ln))
         SELECT id_a, id_b, round(1.0 - lev::DOUBLE / mx, 4) AS edit_sim
-        FROM p WHERE round(1.0 - lev::DOUBLE / mx, 4) >= 0.35""")),
+        FROM p WHERE round(1.0 - lev::DOUBLE / mx, 4) >= 0.8""")),
 
     // Content-defined chunking dedup profile: rolling-window boundaries
     // (h ≡ 0 mod 32 over 8-char windows), chunk-hash duplication per

@@ -762,21 +762,34 @@ object NearDup {
     * content overlap.
     *
     * Scale shape: pairs exist only inside blocks (the blockedJaccard
-    * discipline), and two NECESSARY conditions of `sim ≥ minSim` prune
-    * before the quadratic kernel runs:
-    *  (a) the LENGTH BAND `|la−lb| ≤ (1−minSim)·max(la,lb)` — edit
-    *      distance is at least the length difference — evaluated as an
-    *      integer residual in the pair join, so far-sized pairs never
-    *      reach the kernel;
-    *  (b) the BANDED early-exit kernel: `levenshtein(a, b, threshold)`
-    *      fills only a `2·threshold+1`-wide diagonal band and returns −1
-    *      past it — rejected pairs cost O(threshold·n), not O(n²). The
-    *      threshold is sized by ONE scalar job (the corpus max length)
-    *      rather than a corpus-independent constant — the sizedSemiJoin
-    *      doctrine: measure, then pick the kernel shape.
-    * At 100 TB the block key would gain a length-band component (same
-    * construction as pairsFromShingleRows' size band) so the length
-    * prune happens at the SHUFFLE, not the join residual.
+    * discipline), and three NECESSARY conditions of `sim ≥ minSim` prune
+    * before any quadratic work runs:
+    *  (a) a LOGARITHMIC LENGTH BAND in the JOIN KEY — `sim ≥ t` forces
+    *      `min/max ≥ t′` (edit distance is at least the length
+    *      difference), so docs are banded by `floor(log_{1/t′} len)` and
+    *      the a-side probe-replicates into bands {band, band+1} (the
+    *      pairsFromShingleRows construction): far-sized pairs are never
+    *      even ENUMERATED by the equi-join, and the length prune happens
+    *      at the shuffle, not the residual;
+    *  (b) the exact length band `|la−lb| ≤ (1−t′)·max(la,lb)` as the
+    *      cheap integer join residual inside matching band pairs;
+    *  (c) the `LevenshteinWithin` kernel (plans/ArrayOps.scala) — banded
+    *      DP with a PER-PAIR threshold `k = floor((1−t′)·max(la,lb))`
+    *      and row-min early exit: a rejected pair costs O(k·len), not
+    *      O(len²), and k is each pair's own admission bound rather than
+    *      the corpus-max bound a scalar-threshold builtin forces. This
+    *      also drops the corpus-max scalar job the builtin needed.
+    * t′ is `minSim − 0.5e-4`, the EFFECTIVE threshold the final
+    * `round(sim, 4) ≥ minSim` filter admits (the pairsFromShingleRows
+    * rounding-grid doctrine).
+    *
+    * Threshold placement: the noise floor for same-block pairs on this
+    * corpus is MEASURED at sim 0.2–0.45 (random same-source English) with
+    * true revisions ≥ 0.8 — callers should sit above the floor; a
+    * threshold inside it (the old 0.35) returns thousands of
+    * structurally-meaningless pairs AND defeats every prune above
+    * (length band admits |Δlen| ≤ 0.65·max ≈ everything, the DP band is
+    * the whole matrix).
     *
     * ASCII guard: Spark's levenshtein counts CODEPOINTS while DuckDB's
     * counts BYTES — identical only on ASCII, so both engines exclude
@@ -787,25 +800,49 @@ object NearDup {
   def editSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], minSim: Double): DataFrame = {
     require(minSim > 0.0 && minSim < 1.0, s"minSim must be in (0, 1), got $minSim")
-    val docs = df
+    val spark = df.sparkSession
+    // the q37 single-split trap (blockedJaccardPairsFromText scaladoc):
+    // a small-file corpus scans as ONE task, and with the pair join
+    // broadcast that single task would run EVERY levenshtein kernel
+    // serially (measured: one worker thread hot, 31 idle). Re-spread
+    // when (and only when) the scan has fewer splits than cores — a
+    // no-op at real scale where files outnumber executors.
+    val par = spark.sparkContext.defaultParallelism
+    val files = try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
+    val spread = if (files > 0 && files < par) df.repartition(par) else df
+    val tEff = minSim - 0.5e-4
+    val logBase = math.log(1.0 / tEff)
+    val docs = spread
       .filter(col(textCol).rlike("^[\\x00-\\x7F]*$"))
       .select(col(idCol).as("id") +: col(textCol).as("t") +:
         length(col(textCol)).as("ln") +: blockCols.map(col): _*)
-    // one scalar job sizes the band kernel; empty corpus ⇒ threshold 0
-    // (the join below is then empty anyway)
-    val maxLen = docs.agg(coalesce(max(col("ln")), lit(0))).head().getInt(0)
-    val threshold = math.max(1, math.ceil((1.0 - minSim) * maxLen).toInt)
+      // ratio ≤ 1/t′ ⇒ log-band diff ≤ 1, so probing {band, band+1}
+      // covers every admissible pair exactly once (canonical order below)
+      .withColumn("band",
+        floor(log(greatest(col("ln"), lit(1)).cast("double")) / logBase))
     def side(suf: String) = docs.select(
       col("id").as(s"id_$suf") +: col("t").as(s"t$suf") +:
-        col("ln").as(s"l$suf") +: blockCols.map(c => col(c).as(s"${c}_$suf")): _*)
+        col("ln").as(s"l$suf") +: col("band").as(s"band_$suf") +:
+        blockCols.map(c => col(c).as(s"${c}_$suf")): _*)
+    val a = side("a").withColumn("jband",
+      explode(array(col("band_a"), col("band_a") + 1)))
     val mx = greatest(col("la"), col("lb")).cast("double")
     val blockEq = blockCols.map(c => col(s"${c}_a") === col(s"${c}_b"))
       .reduce(_ && _)
-    side("a").join(side("b"),
-        blockEq && col("id_a") < col("id_b") &&
-          abs(col("la") - col("lb")).cast("double") <= (lit(1.0) - minSim) * mx)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("ta"), col("tb"), threshold).as("lev"), mx.as("mx"))
+    val canonical = col("band_a") < col("band_b") ||
+      (col("band_a") === col("band_b") && col("id_a") < col("id_b"))
+    // per-pair admission bound for the kernel: the largest lev the final
+    // rounded filter can keep (+1e-9 guards the fp product at the grid)
+    val kPair = floor((lit(1.0 - tEff) * mx) + lit(1e-9)).cast("int")
+    a.join(side("b"),
+        blockEq && col("jband") === col("band_b") && canonical &&
+          abs(col("la") - col("lb")).cast("double") <= lit(1.0 - tEff) * mx)
+      // cross-band pairs arrive (smaller-band, larger-band) — re-order to
+      // the canonical id_a < id_b the symmetric similarity implies
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        graft.plans.ArrayOps.levenshteinWithin(spark,
+          col("ta"), col("tb"), kPair).as("lev"), mx.as("mx"))
       .filter(col("lev") >= 0)
       .select(col("id_a"), col("id_b"),
         round(lit(1.0) - col("lev").cast("double") / col("mx"), 4).as("edit_sim"))

@@ -152,4 +152,59 @@ class KernelFuzzSpec extends SparkSpec {
       if (trial % 3 == 1) assert(viaEval(2) === 0.0) // constant vector
     }
   }
+
+  test("banded levenshtein kernel: equals full DP below threshold, -1 above") {
+    import spark.implicits._
+    // independent full-matrix reference DP (no band, no early exit)
+    def fullLev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val curr = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        curr(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+          curr(j) = math.min(math.min(prev(j) + 1, curr(j - 1) + 1),
+            prev(j - 1) + cost)
+        }
+        Array.copy(curr, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val alpha = Gen.oneOf("ab".toSeq) // tiny alphabet → distances cluster
+    def strGen(n: Int) = Gen.listOfN(n, alpha).map(_.mkString)
+    val cases = (1 to 60).map { trial =>
+      val la = trial % 13
+      val lb = (trial * 7) % 17
+      val a = sample(strGen(la), 900L + trial)
+      // half the trials mutate a (small true distance), half independent
+      val b = if (trial % 2 == 0) sample(strGen(lb), 1700L + trial)
+        else a.take(math.max(0, la - trial % 3)) + sample(strGen(trial % 4), 41L * trial)
+      val k = trial % 9 // thresholds straddle the true distances
+      (trial.toLong, a, b, k)
+    }
+    val out = cases.toDF("id", "a", "b", "k")
+      .select($"id", ArrayOps.levenshteinWithin(spark, $"a", $"b", $"k").as("lev"),
+        // the builtin (codepoint-based; ASCII here) as a second reference
+        levenshtein($"a", $"b").as("ref"))
+      .as[(Long, Int, Int)].collect().toSeq
+    val byId = cases.map(c => c._1 -> c).toMap
+    out.foreach { case (id, lev, sparkRef) =>
+      val (_, a, b, k) = byId(id)
+      val expect = fullLev(a, b)
+      assert(sparkRef === expect, s"reference DP drifted: id=$id a=$a b=$b")
+      if (expect <= k) assert(lev === expect, s"id=$id a=$a b=$b k=$k")
+      else assert(lev === -1, s"id=$id a=$a b=$b k=$k expect=$expect")
+    }
+    // negative threshold and empty-side edges
+    val edges = Seq((1L, "", "", 0), (2L, "", "abc", 2), (3L, "", "abc", 3),
+        (4L, "abcd", "", -1))
+      .toDF("id", "a", "b", "k")
+      .select($"id", ArrayOps.levenshteinWithin(spark, $"a", $"b", $"k").as("lev"))
+      .as[(Long, Int)].collect().toMap
+    assert(edges === Map(1L -> 0, 2L -> -1, 3L -> 3, 4L -> -1))
+    // null in, null out
+    val nl = Seq((1L, null: String, "x", 5)).toDF("id", "a", "b", "k")
+      .select(ArrayOps.levenshteinWithin(spark, $"a", $"b", $"k")).collect()
+    assert(nl.head.isNullAt(0))
+  }
 }
