@@ -1,0 +1,211 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Multi-pattern EXACT substring search (Aho–Corasick) as a Catalyst
+  * expression — the kernel behind exact benchmark decontamination
+  * (`TextOps.exactDecontaminate`).
+  *
+  * Why a kernel: the declarative form is a θ-join
+  * `corpus JOIN bench ON contains(text, pat)` — a nested-loop join that
+  * re-scans every document once PER PATTERN (P·N string scans). The
+  * automaton is the textbook fix: all patterns compile into one trie with
+  * failure links, every document is scanned ONCE (N scans, each O(len +
+  * matches)), and the pattern set rides along as an expression reference
+  * (broadcast with the serialized plan, the DoubleMatVec discipline).
+  * Benchmark suites are fixed-size by nature — they do not grow with the
+  * corpus — so the automaton stays driver/executor-memory-bounded at any
+  * corpus scale, and the scan is shuffle-free: the one wide-table pass a
+  * 100 TB decontamination sweep can actually afford.
+  *
+  * Output encoding: one `long` per MATCHED pattern, `(patternIdx << 32) |
+  * firstMatchStart` (1-based, in UTF-16 code units), ascending by pattern
+  * index. A long array instead of a struct array keeps the expression
+  * inside primitive `ArrayData` (no per-row `InternalRow` boxing); the
+  * caller splits with `shiftright`/bitmask projections. Within ONE
+  * pattern, first match END maps to first match START (fixed pattern
+  * length), so tracking min end per pattern under the end-ordered
+  * automaton walk yields exactly `instr`/`position()` semantics per
+  * (doc, pattern).
+  *
+  * Unit note: matching is over UTF-16 code units (String.charAt), exact
+  * for any text whose patterns and haystacks are ASCII (the caller's
+  * guarantee, as with LevenshteinWithin); positions then agree with both
+  * Spark's `instr` (codepoints) and DuckDB's `position` (bytes).
+  *
+  * Duplicate pattern STRINGS are legal (distinct benchmark rows with the
+  * same span): each pattern index reports its own match row.
+  */
+case class MultiPatternFirstMatch(child: Expression, patterns: Array[String])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_pattern_first_match"
+
+  // ---- Aho–Corasick automaton, built lazily once per JVM (the expression
+  // ships to executors with only `patterns`; @transient state rebuilds
+  // deterministically on first use) ----
+  @transient private lazy val ac: AhoCorasick = AhoCorasick.build(patterns)
+
+  /** Called from both eval and generated code. */
+  def search(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val text = s.toString
+    val firstEnd = ac.searchFirstEnds(text)
+    var n = 0
+    var p = 0
+    while (p < firstEnd.length) { if (firstEnd(p) >= 0) n += 1; p += 1 }
+    val out = new Array[Long](n)
+    var k = 0
+    p = 0
+    while (p < firstEnd.length) {
+      if (firstEnd(p) >= 0) {
+        val start = firstEnd(p) - patterns(p).length + 2 // 1-based
+        out(k) = (p.toLong << 32) | start.toLong
+        k += 1
+      }
+      p += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acsearch", this,
+      classOf[MultiPatternFirstMatch].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.search($v);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    search(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Trie + failure/output links over a flat growable node store. goto is a
+  * per-node LongMap (char → node): pattern alphabets are sparse and the
+  * automaton is built once per JVM, so hash dispatch beats 64k-wide
+  * arrays on memory without measurable match-time cost at benchmark-suite
+  * sizes.
+  */
+final class AhoCorasick private (
+    gotoMaps: Array[scala.collection.mutable.LongMap[Int]],
+    fail: Array[Int],
+    // per node: indices of patterns ending exactly here (duplicates kept)
+    ends: Array[Array[Int]],
+    // output-chain shortcut: nearest suffix node (via fail links) with ends
+    outLink: Array[Int],
+    nPatterns: Int) extends Serializable {
+
+  /** For each pattern index: 0-based END offset of its FIRST occurrence in
+    * `text`, or −1. One left-to-right pass; output chains are walked only
+    * at nodes that have them.
+    */
+  def searchFirstEnds(text: String): Array[Int] = {
+    val firstEnd = new Array[Int](nPatterns)
+    java.util.Arrays.fill(firstEnd, -1)
+    var node = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i).toLong
+      // goto with failure fallback
+      var next = -1
+      var cur = node
+      while (next == -1) {
+        val g = gotoMaps(cur).getOrElse(c, -1)
+        if (g != -1) next = g
+        else if (cur == 0) next = 0
+        else cur = fail(cur)
+      }
+      node = next
+      // report matches ending at i: this node's ends, then the out chain
+      var o = if (ends(node).nonEmpty) node else outLink(node)
+      while (o != 0) {
+        val es = ends(o)
+        var e = 0
+        while (e < es.length) {
+          if (firstEnd(es(e)) < 0) firstEnd(es(e)) = i
+          e += 1
+        }
+        o = outLink(o)
+      }
+      i += 1
+    }
+    firstEnd
+  }
+}
+
+object AhoCorasick {
+  def build(patterns: Array[String]): AhoCorasick = {
+    import scala.collection.mutable
+    val gotoMaps = mutable.ArrayBuffer(mutable.LongMap.empty[Int])
+    val endsBuf = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
+    // trie insertion
+    var p = 0
+    while (p < patterns.length) {
+      val s = patterns(p)
+      require(s.nonEmpty, s"empty pattern at index $p")
+      var node = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i).toLong
+        val nxt = gotoMaps(node).getOrElse(c, -1)
+        if (nxt == -1) {
+          gotoMaps += mutable.LongMap.empty[Int]
+          endsBuf += mutable.ArrayBuffer.empty[Int]
+          gotoMaps(node)(c) = gotoMaps.length - 1
+          node = gotoMaps.length - 1
+        } else node = nxt
+        i += 1
+      }
+      endsBuf(node) += p
+      p += 1
+    }
+    val n = gotoMaps.length
+    val fail = new Array[Int](n)
+    val outLink = new Array[Int](n)
+    // BFS failure links (root's children fail to root)
+    val queue = new java.util.ArrayDeque[Int]()
+    gotoMaps(0).foreach { case (_, child) => queue.add(child) }
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      gotoMaps(u).foreach { case (c, v) =>
+        // fail(v) = deepest proper suffix state with a c-transition; that
+        // state is strictly shallower than v, so it can never BE v
+        var f = fail(u)
+        var target = -1
+        while (target == -1) {
+          val g = gotoMaps(f).getOrElse(c, -1)
+          if (g != -1) target = g
+          else if (f == 0) target = 0
+          else f = fail(f)
+        }
+        fail(v) = target
+        outLink(v) = if (endsBuf(fail(v)).nonEmpty) fail(v) else outLink(fail(v))
+        queue.add(v)
+      }
+    }
+    new AhoCorasick(gotoMaps.map(m => m.clone()).toArray, fail,
+      endsBuf.map(_.toArray).toArray, outLink, patterns.length)
+  }
+}
+
+object StringSearch {
+  /** Column API; the registry name carries a pattern-set content hash so
+    * distinct pattern sets never collide in a session (the matVec
+    * discipline).
+    */
+  def multiPatternFirstMatch(spark: SparkSession, text: Column,
+                             patterns: Array[String], key: String): Column = {
+    val name = s"multi_pattern_first_match_$key"
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name,
+        exprs => MultiPatternFirstMatch(exprs(0), patterns), "scala_udf")
+    org.apache.spark.sql.functions.call_function(name, text)
+  }
+}

@@ -2057,6 +2057,33 @@ object TextSim extends QueryPack {
         SELECT id_a, id_b, round(1.0 - lev::DOUBLE / mx, 4) AS edit_sim
         FROM p WHERE round(1.0 - lev::DOUBLE / mx, 4) >= 0.8""")),
 
+    // EXACT-substring decontamination: 40-char spans lifted from the
+    // benchmark subset (doc_id % 20 = 0, offset 11 — past any shared
+    // prefix), matched verbatim against the rest of the corpus via ONE
+    // Aho–Corasick scan pass (plans/StringSearch.scala). Zero-tolerance
+    // complement to gram-overlap (q50) and the Bloom gate (q98): those
+    // tokenize first and structurally miss sub-token verbatim leaks.
+    // The oracle is the declarative contains θ-join the kernel replaces.
+    "q112_exact_decontam" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val spans = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("bench_id"),
+            substring(col("text"), 11, 40).as("pat"))
+          .filter(length(col("pat")) === 40)
+          .select("bench_id", "pat")
+        TextOps.exactDecontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", spans)
+      },
+      Some("""
+        WITH bench AS (
+          SELECT doc_id AS bench_id, substr(text, 11, 40) AS pat
+          FROM documents
+          WHERE doc_id % 20 = 0 AND length(substr(text, 11, 40)) = 40)
+        SELECT d.doc_id, b.bench_id, position(b.pat IN d.text)::INT AS first_pos
+        FROM documents d JOIN bench b
+          ON d.doc_id % 20 <> 0 AND contains(d.text, b.pat)""")),
+
     // Content-defined chunking dedup profile: rolling-window boundaries
     // (h ≡ 0 mod 32 over 8-char windows), chunk-hash duplication per
     // source — byte-identical shared REGIONS (boilerplate, quoted

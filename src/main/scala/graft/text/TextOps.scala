@@ -510,4 +510,56 @@ object TextOps {
       (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3 +
       least(stopRatio * 5.0, lit(1.0)) * 0.3
   }
+
+  /** EXACT-substring benchmark decontamination: every (corpus doc,
+    * benchmark span) pair where the span occurs verbatim in the doc, with
+    * the 1-based position of the first occurrence — the zero-tolerance
+    * complement to the gram-overlap check (q50) and the Bloom gate (q98),
+    * which both tokenize first and so miss sub-token verbatim leaks.
+    *
+    * Scale shape: the pattern set compiles ONCE into an Aho–Corasick
+    * automaton that rides the serialized plan to executors
+    * (plans/StringSearch.scala — the declarative `contains` θ-join would
+    * nested-loop-scan every doc once per pattern). The corpus side is one
+    * shuffle-free projection pass; benchmark suites are fixed-size by
+    * nature, so the driver collect is bounded by the SUITE, not the
+    * corpus, and guarded by `maxPatternChars` (the sizedSemiJoin
+    * doctrine: measure, fail loudly past the broadcastable regime — the
+    * fallback for a pathological suite is sharding the pattern set into
+    * automaton-sized slices and unioning the scans).
+    *
+    * `spans` must have exactly (id, pattern) columns in that order;
+    * patterns must be non-empty and, for cross-engine position parity,
+    * ASCII (the LevenshteinWithin unit note).
+    */
+  def exactDecontaminate(corpus: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         spans: org.apache.spark.sql.DataFrame,
+                         maxPatternChars: Long = 64L << 20): org.apache.spark.sql.DataFrame = {
+    val spark = corpus.sparkSession
+    val collected = spans.collect()
+    val totalChars = collected.iterator.map(_.getString(1).length.toLong).sum
+    require(totalChars <= maxPatternChars,
+      s"pattern set is $totalChars chars, past the $maxPatternChars automaton " +
+        "bound — shard the benchmark suite into automaton-sized slices")
+    val patterns = collected.map(_.getString(1))
+    val ids = collected.map(r => r.get(0) match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case other => other.toString.toLong
+    })
+    val key = java.lang.Long.toHexString(
+      patterns.foldLeft(17L)((h, p) => h * 31 + p.hashCode) * 31 + patterns.length)
+    val idRows = ids.zipWithIndex.map { case (id, i) => (i, id) }.toSeq
+    val idDf = spark.createDataFrame(idRows).toDF("pidx", "bench_id")
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(graft.plans.StringSearch.multiPatternFirstMatch(
+          spark, col(textCol), patterns, key)).as("m"))
+      .select(col("doc_id"),
+        shiftright(col("m"), 32).cast("int").as("pidx"),
+        (col("m").bitwiseAND(lit(0xffffffffL))).cast("int").as("first_pos"))
+      .join(broadcast(idDf), Seq("pidx"))
+      .select(col("doc_id"), col("bench_id"), col("first_pos"))
+  }
 }
