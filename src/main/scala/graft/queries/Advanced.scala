@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.graph.Triangles
 
 /** Advanced analytics beyond the reference's own surface: sessionization,
   * hierarchical rollups, exact percentiles, as-of alignment. Each maps to
@@ -308,6 +309,65 @@ object Advanced extends QueryPack {
                (date_diff('day', f.cw, e.w) // 7)::BIGINT AS week_offset,
                count(DISTINCT e.user_id)::BIGINT AS n_active
         FROM ev e JOIN f USING (user_id)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // Weighted user co-occurrence graph: users sharing >= 4 distinct
+    // (event_type, hour) activity buckets become an edge — the blocked
+    // pair discipline (pairs enumerated only within a bucket, one
+    // pair-keyed count shuffle; graph/Triangles.scala has the hub-bucket
+    // cap note for the 100 TB shape). Hour bucket is integer
+    // micros-div-3600e6: engine-portable, no timestamp rendering.
+    "q113_cooccur_edges" -> Q(
+      (s, d) => Triangles.coOccurrenceEdges(
+        Tables.events(s, d).select(col("user_id"),
+          col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hb")),
+        "user_id", Seq("event_type", "hb"), minShared = 4L)
+        .select(col("a").as("user_a"), col("b").as("user_b"), col("shared")),
+      Some("""
+        WITH b AS (
+          SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hb,
+                 user_id
+          FROM events)
+        SELECT a.user_id AS user_a, c.user_id AS user_b,
+               count(*)::BIGINT AS shared
+        FROM b a JOIN b c USING (event_type, hb)
+        WHERE a.user_id < c.user_id
+        GROUP BY 1, 2 HAVING count(*) >= 4""")),
+
+    // Per-user triangle participation over the q113 graph — local
+    // community structure (PageRank q77 is the centrality view; this is
+    // the clustering view). Degree-ordered orientation bounds the wedge
+    // join at E^1.5 on ANY degree distribution — the hub-safe triangle
+    // algorithm (scaladoc cites the construction). The oracle enumerates
+    // ordered triangles with a 3-way self-join and unpivots the corners.
+    "q114_triangle_counts" -> Q(
+      (s, d) => Triangles.triangleCounts(
+        Triangles.coOccurrenceEdges(
+          Tables.events(s, d).select(col("user_id"),
+            col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hb")),
+          "user_id", Seq("event_type", "hb"), minShared = 4L),
+        "a", "b")
+        .select(col("node").as("user_id"), col("n_triangles")),
+      Some("""
+        WITH b AS (
+          SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hb,
+                 user_id
+          FROM events),
+        e AS (
+          SELECT a.user_id AS a, c.user_id AS b
+          FROM b a JOIN b c USING (event_type, hb)
+          WHERE a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 4),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT user_id, count(*)::BIGINT AS n_triangles
+        FROM (SELECT x AS user_id FROM tri UNION ALL
+              SELECT y FROM tri UNION ALL
+              SELECT z FROM tri)
+        GROUP BY 1"""))
   )
 }

@@ -105,6 +105,23 @@ object Probe {
     time("q37-full")(graft.text.NearDup.blockedJaccardPairsFromText(
       Tables.documents(spark, d), "doc_id", "text", Seq("lang", "source"), 5, 0.5))
 
+    if (args.headOption.contains("tri")) {
+      // q113/q114 decomposition: bucket distinct, pair join, triangles
+      val ev = Tables.events(spark, d).select(col("user_id"),
+        col("event_type"), expr("unix_micros(ts) div 3600000000").as("hb"))
+      time("ev-scan")(ev)
+      val b = ev.select(col("user_id").as("id"), col("event_type"), col("hb")).distinct()
+      time("bucket-distinct")(b)
+      val edges = graft.graph.Triangles.coOccurrenceEdges(ev, "user_id",
+        Seq("event_type", "hb"), 4L)
+      time("edges")(edges)
+      time("edges-again")(edges)
+      time("triangles")(graft.graph.Triangles.triangleCounts(edges, "a", "b"))
+      val e2 = edges.localCheckpoint(true)
+      time("triangles-on-checkpointed")(graft.graph.Triangles.triangleCounts(e2, "a", "b"))
+      spark.stop(); return
+    }
+
     // q42 decomposition: pair count, node count, then clustering
     val pairs42 = NearDup.minhashLshPairsFromRows(
       TextOps.wordShingleRows(Tables.documents(spark, d), "doc_id", "text", 3))
