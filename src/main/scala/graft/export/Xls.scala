@@ -47,6 +47,8 @@ object Xls {
       var v = n; var i = 0
       while (i < width) { out.write(v & 0xFF); v >>>= 8; i += 1 }
     }
+    def raw(src: Array[Byte], from: Int, len: Int): Unit =
+      out.write(src, from, len)
     def record(tpe: Int, body: Array[Byte]): Unit = {
       le(tpe, 2); le(body.length, 2); out.write(body)
     }
@@ -271,6 +273,140 @@ object Xls {
     * before the globals EOF). XlsSpec pins byte-identity of the
     * untouched regions on a foreign-record workbook.
     */
+  /** Rebuild one worksheet substream with the new grid's VALUES while
+    * PRESERVING the sheet's formatting — the xlutils-`copy` parity the
+    * reference relies on (`dischargeobs_write_xl.py:226-233`: re-open,
+    * write values, keep appearance). Three preservation channels:
+    *
+    *  1. Non-cell records pass through byte-identically in their original
+    *     order (COLINFO column widths, ROW heights/flags, MERGEDCELLS,
+    *     WINDOW2 panes, DEFAULTROWHEIGHT, …) — only DIMENSIONS is
+    *     rewritten (new bounds) and the cell table replaced.
+    *  2. Every old cell's ixfe (its index into the workbook-globals XF
+    *     table, which upsertSheet's splice leaves untouched) is re-applied
+    *     to the new value written at that position, so number formats,
+    *     fills, borders and fonts stay with their cells.
+    *  3. Formatted cells the new grid leaves EMPTY are re-emitted as
+    *     BLANK records carrying their old ixfe — a cleared value keeps its
+    *     cell's appearance, exactly as a values-write over a styled
+    *     template behaves in the reference.
+    *
+    * Replace semantics otherwise: formulas and old values not present in
+    * the new grid are dropped (the reference also writes values, not
+    * formulas). LABELSST cells are rewritten as inline LABELs; their SST
+    * entries in the globals become unreferenced, which BIFF8 permits.
+    */
+  private[export] def mergeSheetStream(s: Array[Byte], off: Int, end: Int,
+                                       grid: Grid): Array[Byte] = {
+    val (header, rows) = grid
+    val all = header +: rows.toSeq
+    val ncols = all.map(_.length).maxOption.getOrElse(0)
+    require(all.size <= 65536,
+      s"BIFF8 sheets hold at most 65536 rows, got ${all.size} — split the export")
+    require(ncols <= 256,
+      s"BIFF8 sheets hold at most 256 columns, got $ncols — split the export")
+    // pass 1: harvest per-cell ixfe from the old cell table
+    val oldXf = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    var p = off
+    var eofAt = -1
+    while (eofAt < 0 && p + 4 <= s.length && p < end) {
+      val t = u16(s, p); val len = u16(s, p + 2); val b = p + 4
+      t match {
+        // (row, col, ixfe)-headed single-cell records: NUMBER, LABEL,
+        // LABELSST, BLANK, BOOLERR, FORMULA, RSTRING, RK
+        case 0x0203 | 0x0204 | 0x00FD | 0x0201 | 0x0205 | 0x0006 | 0x00D6 |
+             0x027E =>
+          oldXf((u16(s, b), u16(s, b + 2))) = u16(s, b + 4)
+        case 0x00BD =>                                     // MULRK
+          val row = u16(s, b); val c0 = u16(s, b + 2)
+          (0 until (len - 6) / 6).foreach { i =>
+            oldXf((row, c0 + i)) = u16(s, b + 4 + 6 * i)
+          }
+        case 0x00BE =>                                     // MULBLANK
+          val row = u16(s, b); val c0 = u16(s, b + 2)
+          (0 until (len - 6) / 2).foreach { i =>
+            oldXf((row, c0 + i)) = u16(s, b + 4 + 2 * i)
+          }
+        case _ => ()
+      }
+      if (t == 0x000A) eofAt = p else p = b + len
+    }
+    require(eofAt >= 0, "worksheet substream has no EOF record")
+    def newVal(r: Int, c: Int): String =
+      if (r < all.size && c < all(r).length) all(r)(c) else ""
+    // formatted old cells the new grid leaves empty → BLANK with old ixfe
+    val keepBlank = oldXf.iterator.collect {
+      case ((r, c), xf) if xf != 15 && newVal(r, c).isEmpty => (r, c)
+    }.toSet
+    val maxR = (all.indices ++ keepBlank.map(_._1)).maxOption.getOrElse(0)
+    val maxC = ((if (ncols > 0) Seq(ncols - 1) else Seq(0)) ++
+      keepBlank.map(_._2)).max
+    val outB = new Biff
+    var cellsEmitted = false
+    def emitCellTable(): Unit = {
+      if (cellsEmitted) return
+      cellsEmitted = true
+      (0 to maxR).foreach { r =>
+        (0 to maxC).foreach { c =>
+          val v = newVal(r, c)
+          val xf = oldXf.getOrElse((r, c), 15)
+          if (v.nonEmpty) canonicalDouble(v) match {
+            case Some(d) =>
+              outB.record(0x0203, body(14) { b =>        // NUMBER
+                b.putShort(r.toShort); b.putShort(c.toShort)
+                b.putShort(xf.toShort); b.putDouble(d)
+              })
+            case None =>
+              val chars = v.toCharArray
+              require(chars.length <= 255, s"LABEL cell too long (${chars.length})")
+              outB.record(0x0204, body(9 + 2 * chars.length) { b => // LABEL
+                b.putShort(r.toShort); b.putShort(c.toShort)
+                b.putShort(xf.toShort)
+                b.putShort(chars.length.toShort); b.put(0x01.toByte)
+                chars.foreach(ch => b.putShort(ch.toShort))
+              })
+          }
+          else if (keepBlank((r, c)))
+            outB.record(0x0201, body(6) { b =>           // BLANK, old ixfe
+              b.putShort(r.toShort); b.putShort(c.toShort)
+              b.putShort(xf.toShort)
+            })
+        }
+      }
+    }
+    // pass 2: pass records through, swapping the cell table in place
+    p = off
+    var prevSkipped = false
+    while (p <= eofAt) {
+      val t = u16(s, p); val len = u16(s, p + 2)
+      t match {
+        case 0x0200 =>                                    // DIMENSIONS
+          outB.record(0x0200, body(14) { b =>
+            b.putInt(0); b.putInt(maxR + 1)
+            b.putShort(0); b.putShort((maxC + 1).toShort); b.putShort(0)
+          })
+          prevSkipped = false
+        case 0x0203 | 0x0204 | 0x00FD | 0x0201 | 0x0205 | 0x0006 | 0x00D6 |
+             0x027E | 0x00BD | 0x00BE | 0x0207 =>
+          // cell table (0x0207 = a FORMULA's cached STRING result)
+          emitCellTable()
+          prevSkipped = true
+        case 0x003C if prevSkipped =>
+          // CONTINUE extending a skipped cell record travels with it
+          ()
+        case 0x000A =>
+          emitCellTable()
+          outB.record(0x000A, Array.empty)
+          prevSkipped = false
+        case _ =>
+          outB.raw(s, p, 4 + len)
+          prevSkipped = false
+      }
+      p += 4 + len
+    }
+    outB.bytes
+  }
+
   def upsertSheet(path: String, name: String, grid: Grid): Unit = {
     if (!new java.io.File(path).exists()) { write(path, Seq(name -> grid)); return }
     val s = readWorkbookStream(path)
@@ -308,12 +444,15 @@ object Xls {
       }
       q
     }
-    val newSub = sheetStream(grid)
     val out = sheets.find(_._2 == name) match {
       case Some((_, _, off)) =>
         // substreams are contiguous and lbPlyPos-ordered: this one ends
-        // where the next begins (or at stream end)
+        // where the next begins (or at stream end). Rebuild THROUGH the
+        // old substream (mergeSheetStream) so the sheet's formatting —
+        // per-cell XF, column widths, row heights, merged ranges —
+        // survives the values rewrite.
         val end = sheets.map(_._3).filter(_ > off).minOption.getOrElse(sEnd)
+        val newSub = mergeSheetStream(s, off, end, grid)
         val delta = newSub.length - (end - off)
         val spliced = s.take(off) ++ newSub ++ s.slice(end, sEnd)
         sheets.foreach { case (fp, _, o) =>
@@ -335,7 +474,8 @@ object Xls {
           chars.foreach(ch => b.putShort(ch.toShort))
         })
         val rec = g.bytes
-        val spliced = s.take(eofPos) ++ rec ++ s.slice(eofPos, sEnd) ++ newSub
+        val spliced = s.take(eofPos) ++ rec ++ s.slice(eofPos, sEnd) ++
+          sheetStream(grid)
         putI32(spliced, eofPos + 4, sEnd + rec.length)
         sheets.foreach { case (fp, _, o) => putI32(spliced, fp, o + rec.length) }
         spliced

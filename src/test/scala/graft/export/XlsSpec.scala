@@ -125,6 +125,94 @@ class XlsSpec extends SparkSpec {
       "COLINFO record must survive the append splice too")
   }
 
+  test("upsert preserves in-sheet formatting: per-cell XF, COLINFO, blanks") {
+    // xlutils-copy parity: a values rewrite over a styled sheet keeps the
+    // sheet's appearance. Synthesize an "Excel-authored" FMT sheet: patch
+    // its NUMBER cell to a non-default XF (16), splice a COLINFO and a
+    // 2-run MULRK row with XFs 17/18, then upsert new VALUES and assert
+    // every formatting channel survived.
+    def u16(a: Array[Byte], p: Int): Int =
+      (a(p) & 0xFF) | ((a(p + 1) & 0xFF) << 8)
+    def i32(a: Array[Byte], p: Int): Int =
+      u16(a, p) | (u16(a, p + 2) << 16)
+    def putI32(a: Array[Byte], p: Int, v: Int): Unit = {
+      a(p) = (v & 0xFF).toByte; a(p + 1) = ((v >> 8) & 0xFF).toByte
+      a(p + 2) = ((v >> 16) & 0xFF).toByte; a(p + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def rec(tpe: Int, bodyBytes: Array[Byte]): Array[Byte] =
+      Array((tpe & 0xFF).toByte, ((tpe >> 8) & 0xFF).toByte,
+        (bodyBytes.length & 0xFF).toByte,
+        ((bodyBytes.length >> 8) & 0xFF).toByte) ++ bodyBytes
+    def recordsFrom(a: Array[Byte], from: Int): Seq[(Int, Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int, Int)]
+      var p = from
+      var done = false
+      while (!done && p + 4 <= a.length) {
+        out += ((p, u16(a, p), u16(a, p + 2)))
+        if (u16(a, p) == 0x000A) done = true
+        p += 4 + u16(a, p + 2)
+      }
+      out.result()
+    }
+    val path = tmp("fmtcell.xls")
+    Xls.write(path, Seq(
+      "FMT" -> ((Array("h"), Array(Array("5.0")))),
+      "ZZZ" -> ((Array("z"), Array(Array("1.0"))))))
+    val s0 = Xls.readWorkbookStream(path)
+    val bsFields = recordsFrom(s0, 0).filter(_._2 == 0x0085).map(_._1 + 4)
+    val Seq(offFmt, offZzz) = bsFields.map(i32(s0, _))
+    // patch the NUMBER cell (row 1, col 0) to ixfe 16
+    val numPos = recordsFrom(s0, offFmt).find(_._2 == 0x0203).get._1
+    s0(numPos + 8) = 16
+    // COLINFO col 0 width 3333 + a MULRK row 2 (cols 0-1, XFs 17/18,
+    // integer RKs 7 and 9), spliced before the FMT sheet EOF
+    val colinfo = rec(0x007D, Array[Byte](0, 0, 0, 0,
+      (3333 & 0xFF).toByte, (3333 >> 8).toByte, 15, 0, 0, 0, 0, 0))
+    def rkInt(n: Int): Array[Byte] = {
+      val v = (n << 2) | 2
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    }
+    val mulrk = rec(0x00BD, Array[Byte](2, 0, 0, 0) ++
+      (Array[Byte](17, 0) ++ rkInt(7)) ++ (Array[Byte](18, 0) ++ rkInt(9)) ++
+      Array[Byte](1, 0))
+    val fmtEof = recordsFrom(s0, offFmt).find(_._2 == 0x000A).get._1
+    val fmtBofEnd = offFmt + 4 + 16
+    val s1 = s0.take(fmtBofEnd) ++ colinfo ++ s0.slice(fmtBofEnd, fmtEof) ++
+      mulrk ++ s0.drop(fmtEof)
+    putI32(s1, bsFields(1), offZzz + colinfo.length + mulrk.length)
+    Xls.writeCfb(path, s1)
+    assert(Xls.read(path).head._2._2.map(_.toSeq) ===
+      Seq(Seq("5.0", ""), Seq("7.0", "9.0")), "seeded sheet must read back")
+    // VALUES rewrite: header stays, 5.0 -> 6.25, MULRK row left empty
+    Xls.upsertSheet(path, "FMT", (Array("h"), Array(Array("6.25"))))
+    val s2 = Xls.readWorkbookStream(path)
+    val fmtRecs = recordsFrom(s2, i32(s2, bsFields(0)))
+    def cellHead(p: Int) = (u16(s2, p + 4), u16(s2, p + 6), u16(s2, p + 8))
+    // the rewritten NUMBER keeps XF 16 and carries the new value
+    val nums = fmtRecs.filter(_._2 == 0x0203).map(r => cellHead(r._1))
+    assert(nums === Seq((1, 0, 16)), s"NUMBER cells: $nums")
+    val numPos2 = fmtRecs.find(_._2 == 0x0203).get._1
+    val d = java.nio.ByteBuffer.wrap(s2, numPos2 + 10, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
+    assert(d === 6.25)
+    // the emptied MULRK cells survive as BLANKs with their old XFs
+    val blanks = fmtRecs.filter(_._2 == 0x0201).map(r => cellHead(r._1))
+    assert(blanks === Seq((2, 0, 17), (2, 1, 18)), s"BLANK cells: $blanks")
+    // COLINFO passes through; no MULRK remains; header LABEL keeps XF 15
+    assert(fmtRecs.count(_._2 == 0x007D) === 1)
+    assert(fmtRecs.count(_._2 == 0x00BD) === 0)
+    val labels = fmtRecs.filter(_._2 == 0x0204).map(r => cellHead(r._1))
+    assert(labels === Seq((0, 0, 15)))
+    // DIMENSIONS covers the blank-preserved row
+    val dimPos = fmtRecs.find(_._2 == 0x0200).get._1
+    assert(i32(s2, dimPos + 8) === 3, "rwMac must cover the BLANK row")
+    // values read: 6.25 present, cleared row gone, ZZZ untouched
+    val back = Xls.read(path)
+    assert(back.head._2._2.map(_.toSeq) === Seq(Seq("6.25")))
+    assert(back(1)._2._2.head.head === "1.0")
+  }
+
   test("writeXlsSheet: DataFrame nulls render as blank cells, doubles survive") {
     import spark.implicits._
     val path = tmp("df.xls")
