@@ -275,6 +275,93 @@ case class TokenCount(child: Expression)
     copy(child = c)
 }
 
+/** Content-defined-chunking boundary positions in ONE codegen pass: the
+  * 1-based positions `i ∈ [window, len]` where the md5 of the trailing
+  * `window`-char slice satisfies `u32BE(digest[0..3]) mod 2^modBits = 0` —
+  * bit-identical to the oracle's `('0x' || substr(md5(win), 1, 8))::BIGINT
+  * % 2^modBits` (the first 8 hex chars ARE the first 4 digest bytes, and
+  * for modBits ≤ 32 the mod is a mask), with no hex rendering at all.
+  *
+  * Why a kernel: the declarative form is `filter(sequence(window, len),
+  * i -> pmod(conv(substring(md5(substr(...)))...)))` — a higher-order
+  * lambda, which Spark evaluates INTERPRETED per element (the r03 HOF
+  * lesson): at sf0.1 that is ~1.5M interpreted md5+substr+conv pipelines
+  * and the single most expensive scan stage in the suite (measured 6.1 s
+  * of q105's 6.7 s). The kernel digests byte slices of one UTF-8 copy
+  * per row (ASCII fast path; a char-sliced fallback keeps non-ASCII
+  * positions character-based, matching both engines' substr semantics).
+  * A production CDC would swap the per-window md5 for a rolling Rabin
+  * polynomial — O(1) per position — without changing this contract.
+  */
+case class CdcBoundaries(child: Expression, window: Int, modBits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(window >= 2 && modBits >= 1 && modBits <= 20,
+    s"need window >= 2 and modBits in [1, 20], got $window/$modBits")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val mask: Int = (1 << modBits) - 1
+
+  /** Called from both eval and generated code. */
+  def boundaries(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    val out = new java.util.ArrayList[Integer]()
+    val digest = md.get()
+    if (ascii) {
+      var p = window
+      while (p <= bytes.length) {
+        digest.reset()
+        digest.update(bytes, p - window, window)
+        val d = digest.digest()
+        val u32 = ((d(0) & 0xFF) << 24) | ((d(1) & 0xFF) << 16) |
+          ((d(2) & 0xFF) << 8) | (d(3) & 0xFF)
+        if ((u32 & mask) == 0) out.add(p)
+        p += 1
+      }
+    } else {
+      // char-positioned fallback: windows are CHARACTER slices re-encoded
+      // UTF-8, exactly substr semantics in both engines
+      val str = s.toString
+      var p = window
+      while (p <= str.length) {
+        val d = digest.digest(
+          str.substring(p - window, p).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val u32 = ((d(0) & 0xFF) << 24) | ((d(1) & 0xFF) << 16) |
+          ((d(2) & 0xFF) << 8) | (d(3) & 0xFF)
+        if ((u32 & mask) == 0) out.add(p)
+        p += 1
+      }
+    }
+    val arr = new Array[Int](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcbounds", this,
+      classOf[CdcBoundaries].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.boundaries($v);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    boundaries(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Banded Levenshtein with a PER-PAIR threshold: returns `lev(a, b)` when
   * it is ≤ k, −1 otherwise. Spark's `levenshtein(l, r, threshold)` takes
   * only a SCALAR threshold, so a pair join has to size it for the worst
@@ -675,6 +762,15 @@ object ArrayOps {
   def tokenCount(spark: SparkSession, text: Column): Column = {
     val name = "token_count_kernel"
     ensureRegistered(spark, name, exprs => TokenCount(exprs(0)))
+    org.apache.spark.sql.functions.call_function(name, text)
+  }
+
+  /** Column-typed API for the CDC boundary kernel. */
+  def cdcBoundaries(spark: SparkSession, text: Column, window: Int,
+                    modBits: Int): Column = {
+    val name = s"cdc_boundaries_w${window}_m$modBits"
+    ensureRegistered(spark, name,
+      exprs => CdcBoundaries(exprs(0), window, modBits))
     org.apache.spark.sql.functions.call_function(name, text)
   }
 

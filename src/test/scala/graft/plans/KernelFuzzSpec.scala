@@ -153,6 +153,42 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("cdc-boundaries kernel matches the filter(sequence, md5-lambda) composition") {
+    import spark.implicits._
+    // adversarial strings: repeats (every window identical), short docs
+    // (< window), exact-window docs, non-ASCII (char-positioned path),
+    // and random word soup
+    val strings = Seq(
+      "", "ab", "aaaaaaaaaa", "abcdefgh", "abcdefghi",
+      "aaaaaaaabbbbbbbbaaaaaaaa",
+      "naïve ünicode blåbær grüß æøå é" * 3,
+      (1 to 40).map(i => s"w${i % 7}").mkString(" "),
+      "key agg row scan slow fast table value part hash " * 5)
+    (Seq(2, 3) zip Seq(8, 4)).foreach { case (modBits, window) =>
+      val m = 1L << modBits
+      val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "t")
+      val out = df.select($"id",
+          ArrayOps.cdcBoundaries(spark, $"t", window, modBits).as("k"),
+          when(length($"t") < window, array().cast("array<int>"))
+            .otherwise(filter(sequence(lit(window), length($"t")),
+              i => pmod(conv(substring(md5($"t".substr(
+                i - lit(window - 1), lit(window))), 1, 8), 16, 10)
+                .cast("long"), lit(m)) === 0L)).as("c"))
+        .as[(Long, Seq[Int], Seq[Int])].collect()
+      out.foreach { case (id, k, c) =>
+        assert(k === c, s"id=$id window=$window modBits=$modBits " +
+          s"string=${strings(id.toInt).take(40)}")
+      }
+      // at least one case must produce a non-empty boundary list, or the
+      // comparison is vacuous
+      assert(out.exists(_._2.nonEmpty), s"all-empty at modBits=$modBits")
+    }
+    val nl = Seq((1L, null: String)).toDF("id", "t")
+      .select(ArrayOps.cdcBoundaries(spark, $"t", 8, 5)).collect()
+    assert(nl.head.isNullAt(0))
+  }
+
   test("banded levenshtein kernel: equals full DP below threshold, -1 above") {
     import spark.implicits._
     // independent full-matrix reference DP (no band, no early exit)
