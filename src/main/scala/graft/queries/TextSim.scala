@@ -2084,6 +2084,38 @@ object TextSim extends QueryPack {
         FROM documents d JOIN bench b
           ON d.doc_id % 20 <> 0 AND contains(d.text, b.pat)""")),
 
+    // The same contains semantics through the PLAN-REWRITE tier
+    // (plans/SubstringJoin.scala — SURVEY §7.3 preference (c): custom
+    // LogicalPlan + Rule + Strategy + SparkPlan): the query is the
+    // NATURAL declarative join `corpus JOIN spans ON contains(text,
+    // pat)`, and the injected optimizer rule swaps Spark's only built-in
+    // option (BroadcastNestedLoopJoin, one corpus rescan PER pattern)
+    // for a single Aho–Corasick scan pass. Shorter 24-char spans at a
+    // deeper offset than q112, so the two tiers are checked on distinct
+    // result sets. The oracle IS the nested-loop semantics the rewrite
+    // must preserve.
+    "q115_contains_join" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val spans = docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("bench_id"),
+            substring(col("text"), 31, 24).as("pat"))
+          .filter(length(col("pat")) === 24)
+        graft.plans.SubstringJoin.containsJoin(
+            docs.filter(col("doc_id") % 20 =!= 0)
+              .select(col("doc_id"), col("text")),
+            spans, col("text"), col("pat"))
+          .select(col("doc_id"), col("bench_id"))
+      },
+      Some("""
+        WITH bench AS (
+          SELECT doc_id AS bench_id, substr(text, 31, 24) AS pat
+          FROM documents
+          WHERE doc_id % 20 = 0 AND length(substr(text, 31, 24)) = 24)
+        SELECT d.doc_id, b.bench_id
+        FROM documents d JOIN bench b
+          ON d.doc_id % 20 <> 0 AND contains(d.text, b.pat)""")),
+
     // Content-defined chunking dedup profile: rolling-window boundaries
     // (h ≡ 0 mod 32 over 8-char windows), chunk-hash duplication per
     // source — byte-identical shared REGIONS (boilerplate, quoted
