@@ -368,6 +368,79 @@ object Advanced extends QueryPack {
         FROM (SELECT x AS user_id FROM tri UNION ALL
               SELECT y FROM tri UNION ALL
               SELECT z FROM tri)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // Per-user value trend by EXACT-INTEGER least squares: x = hours
+    // since the user's first event (bounded small), y = centi-value
+    // (2-dp inputs snap exactly), slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²)
+    // with every sum an exact long — both engines divide the SAME two
+    // integers, so the rounded double is bit-identical (the q109/PageRank
+    // integer-numerics doctrine). One user-keyed exchange serves both
+    // the min-window and the aggregation; degenerate single-hour users
+    // yield NULL (zero denominator) in both engines.
+    "q116_value_trend" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("yc"))
+          .withColumn("x",
+            expr("(tu - min(tu) OVER (PARTITION BY user_id)) div 3600000000"))
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("x")).as("sx"),
+            sum(col("yc")).as("sy"), sum(col("x") * col("yc")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("user_id"), col("n_events"),
+            when(col("n_events") * col("sxx") - col("sx") * col("sx") === 0,
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("n_events") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                  (col("n_events") * col("sxx") - col("sx") * col("sx")).cast("double"),
+                6)).as("slope_centi_per_h"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+                   // 3600000000 AS x,
+                 floor(value * 100 + 0.5)::BIGINT AS yc
+          FROM events),
+        agg AS (
+          SELECT user_id, count(*)::BIGINT AS n_events,
+                 sum(x)::BIGINT AS sx, sum(yc)::BIGINT AS sy,
+                 sum(x * yc)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+          FROM ev GROUP BY 1)
+        SELECT user_id, n_events,
+               CASE WHEN n_events * sxx - sx * sx = 0 THEN NULL
+                    ELSE round((n_events * sxy - sx * sy)::DOUBLE
+                               / (n_events * sxx - sx * sx)::DOUBLE, 6)
+               END AS slope_centi_per_h
+        FROM agg""")),
+
+    // Partition-level store checksums (anti-entropy / sync verification,
+    // the operational complement to K5's versioned-put): one
+    // order-independent 60-bit XOR of a canonical row rendering per
+    // monthly partition. XOR is commutative — no sort, no collect,
+    // constant per-group state, each partition verifiable independently
+    // at any scale — and 2-dp quantities snap to centi-ints so the
+    // rendering never hits float formatting.
+    "q117_store_checksum" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("yyyymm"),
+          conv(substring(md5(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_quantity") * 100 + lit(0.5)).cast("long"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("yyyymm")
+        .agg(expr("bit_xor(h)").as("checksum"), count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT strftime(l_shipdate, '%Y-%m') AS yyyymm,
+               bit_xor(('0x' || substr(md5(
+                 l_orderkey || '|' || l_linenumber || '|' ||
+                 floor(l_quantity * 100 + 0.5)::BIGINT || '|' ||
+                 strftime(l_shipdate, '%Y-%m-%d')), 1, 15))::BIGINT)
+                 AS checksum,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1"""))
   )
 }
