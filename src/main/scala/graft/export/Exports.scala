@@ -49,6 +49,18 @@ object Exports {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
 
+  /** JSONL corpus sink — the lingua franca of LLM corpus interchange
+    * (one JSON object per line, gzip-compressed shards). Distributed by
+    * construction: each task writes its own shard, no coalesce, no
+    * driver funnel; `maxRecordsPerFile` bounds shard size so downstream
+    * loaders stream fixed-size files at any corpus scale.
+    */
+  def writeJsonl(df: DataFrame, path: String, rowsPerFile: Int = 100000): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", rowsPerFile.toLong)
+      .json(path)
+
   /** K6 — round-trip a stored CSV to parquet. */
   def csvToParquet(spark: SparkSession, csvPath: String, parquetPath: String): Unit =
     spark.read.option("header", "true").option("inferSchema", "true").csv(csvPath)

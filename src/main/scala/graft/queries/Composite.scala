@@ -98,6 +98,46 @@ object Composite extends QueryPack {
     // declaratively, so the physical write→merge→read cycle must
     // preserve every cell bit-for-bit to pass. Mean uses the exact
     // integer-cents doctrine (see q44).
+    // JSONL corpus round-trip: documents → gzip JSONL shards
+    // (Exports.writeJsonl — each task its own shard, no driver funnel) →
+    // explicit-schema read-back (Sources.readJsonl — no inference pass)
+    // → per-source content digest. The checksum aggregates text md5s
+    // with an order-independent XOR (the q117 idiom), so any dropped
+    // row, mangled escape, or re-encoded character hash-fails against
+    // the oracle, which reads the PARQUET originals — the round-trip
+    // itself is what's under test.
+    "q118_jsonl_roundtrip" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q118")
+        Composite.deleteRecursivelyOnExit(tmp)
+        val dir = tmp.resolve("corpus_jsonl").toString
+        graft.export.Exports.writeJsonl(docs, dir, rowsPerFile = 2000)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        graft.sources.Sources.readJsonl(s, dir, schema)
+          .select(col("source"),
+            conv(substring(md5(col("text")), 1, 15), 16, 10)
+              .cast("long").as("h"),
+            length(col("text")).as("len"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("bit_xor(h)").as("text_checksum"),
+            sum(col("len")).as("total_chars"))
+      },
+      Some("""
+        SELECT source, count(*)::BIGINT AS n_docs,
+               bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                 AS text_checksum,
+               sum(length(text))::BIGINT AS total_chars
+        FROM documents GROUP BY 1""")),
+
     "q28_store_roundtrip" -> Q(
       (s, d) => {
         val ev = Tables.events(s, d).select(

@@ -25,6 +25,17 @@ object Sources {
     else
       throw new IllegalArgumentException(s"unsupported extension: $path")
 
+  /** JSONL corpus source with an EXPLICIT schema — inference on JSON
+    * triggers a whole extra pass over the data (Spark samples or scans
+    * the full input to derive types), which at corpus scale doubles the
+    * read; corpus schemas are known, so callers pass one and the scan is
+    * single-pass with column pruning intact. Handles .jsonl/.jsonl.gz
+    * shard directories as written by `Exports.writeJsonl`.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S10 — scan + date predicate; the filter is pushed to the scan. */
   def readAfter(spark: SparkSession, path: String, tsCol: String,
                 cutoff: Column): DataFrame =
