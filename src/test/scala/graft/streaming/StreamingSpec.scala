@@ -191,4 +191,33 @@ class StreamingSpec extends SparkSpec {
         === sketch(240), "incremental registers must equal the full batch build")
     } finally q.stop()
   }
+
+  test("exact decontamination runs as a streaming stateless projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the Aho–Corasick match is per-row projection work with the
+    // automaton riding the plan — no state, no watermark, so the SAME
+    // kernel column drops flagged docs in a streaming ingest gate (the
+    // arrival-time decontamination path: filter before anything is
+    // persisted), microbatch boundaries included
+    val pats = Array("leak me", "benchmark answer")
+    val in = { implicit val sqlCtx = spark.sqlContext; MemoryStream[(Long, String)] }
+    val flagged = in.toDF().toDF("doc_id", "text")
+      .withColumn("hits", org.apache.spark.sql.functions.size(
+        graft.plans.StringSearch.multiPatternFirstMatch(
+          spark, org.apache.spark.sql.functions.col("text"), pats, "stream1")))
+    val q = flagged.filter("hits = 0").drop("hits")
+      .writeStream.format("memory").queryName("decontam_pass")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "clean doc"), (2L, "please leak me now"), (3L, "also fine"))
+      q.processAllAvailable()
+      assert(spark.table("decontam_pass").as[(Long, String)].collect()
+        .map(_._1).sorted.toSeq === Seq(1L, 3L), "first batch gate")
+      in.addData((4L, "the benchmark answer is 42"), (5L, "ok"))
+      q.processAllAvailable()
+      assert(spark.table("decontam_pass").as[(Long, String)].collect()
+        .map(_._1).sorted.toSeq === Seq(1L, 3L, 5L), "second batch gate")
+    } finally q.stop()
+  }
 }
