@@ -393,12 +393,16 @@ case class LevenshteinWithin(first: Expression, second: Expression, third: Expre
 
   /** Called from both eval and generated code. */
   def banded(l: org.apache.spark.unsafe.types.UTF8String,
-             r: org.apache.spark.unsafe.types.UTF8String, k: Int): Int = {
-    if (k < 0) return -1
+             r: org.apache.spark.unsafe.types.UTF8String, k0: Int): Int = {
+    if (k0 < 0) return -1
     val a = l.toString; val b = r.toString
     val la = a.length; val lb = b.length
-    if (la == 0) return if (lb <= k) lb else -1
-    if (lb == 0) return if (la <= k) la else -1
+    if (la == 0) return if (lb <= k0) lb else -1
+    if (lb == 0) return if (la <= k0) la else -1
+    // lev never exceeds max(la, lb): clamping k keeps the sentinel k+1
+    // from overflowing on a caller passing Int.MaxValue-ish bounds, and
+    // never changes the result
+    val k = math.min(k0, math.max(la, lb))
     if (math.abs(la - lb) > k) return -1
     val inf = k + 1
     var prev = new Array[Int](lb + 2)

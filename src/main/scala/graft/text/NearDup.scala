@@ -799,7 +799,13 @@ object NearDup {
     */
   def editSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String], minSim: Double): DataFrame = {
-    require(minSim > 0.0 && minSim < 1.0, s"minSim must be in (0, 1), got $minSim")
+    // lower bound is the output rounding grid (the pairsFromShingleRows
+    // doctrine): at minSim <= 1e-4 the effective threshold t' underflows
+    // to <= 0 — an all-pairs request in disguise, and log(1/t') is no
+    // longer a valid band base
+    require(minSim > 1e-4 && minSim < 1.0,
+      s"minSim must be in (1e-4, 1), got $minSim — thresholds at or below " +
+        "the 4-decimal rounding grid degenerate to all-pairs")
     val spark = df.sparkSession
     // the q37 single-split trap (blockedJaccardPairsFromText scaladoc):
     // a small-file corpus scans as ONE task, and with the pair join

@@ -536,6 +536,13 @@ object TextOps {
                          maxPatternChars: Long = 64L << 20): org.apache.spark.sql.DataFrame = {
     val spark = corpus.sparkSession
     val collected = spans.collect()
+    // null or empty spans have no contains semantics worth silently
+    // inventing (null matches nothing, "" matches everything) — a
+    // decontamination suite containing either is malformed; fail loudly
+    collected.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(1) && r.getString(1).nonEmpty,
+        s"span row $i has a null/empty pattern — filter the suite first")
+    }
     val totalChars = collected.iterator.map(_.getString(1).length.toLong).sum
     require(totalChars <= maxPatternChars,
       s"pattern set is $totalChars chars, past the $maxPatternChars automaton " +
