@@ -105,6 +105,26 @@ object Probe {
     time("q37-full")(graft.text.NearDup.blockedJaccardPairsFromText(
       Tables.documents(spark, d), "doc_id", "text", Seq("lang", "source"), 5, 0.5))
 
+    if (args.headOption.contains("q54")) {
+      // q54 decomposition: embedding LSH pairs vs clustering loop
+      val emb = Tables.embeddings(spark, d)
+      val mk = () => graft.sim.Similarity.lshNeighborPairs(emb,
+        "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5,
+        minCosine = 0.2)
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        println(s"[probe] q54-pairs#$i: ${mk().count()} rows in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = NearDup.dedupClusters(mk(), "id_a", "id_b").count()
+        println(s"[probe] q54-full#$i: $n rows in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("tri")) {
       // q113/q114 decomposition: bucket distinct, pair join, triangles
       val ev = Tables.events(spark, d).select(col("user_id"),
