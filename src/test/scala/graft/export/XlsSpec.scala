@@ -213,6 +213,54 @@ class XlsSpec extends SparkSpec {
     assert(back(1)._2._2.head.head === "1.0")
   }
 
+  test("fuzz: upsert-over-existing preserves values exactly across random grid shapes") {
+    // the mergeSheetStream walk has per-record-type branches; fuzz it
+    // with random old/new grid shape combinations (grown, shrunk,
+    // widened, emptied, unicode, numerics) — after the upsert the sheet
+    // must read back as EXACTLY the new grid, and sibling sheets must
+    // be untouched
+    val rnd = new scala.util.Random(4242)
+    def cell(): String = rnd.nextInt(5) match {
+      case 0 => ""
+      case 1 => rnd.nextInt(10000).toString + ".5"
+      case 2 => s"tëxt${rnd.nextInt(100)}"
+      case 3 => (-rnd.nextInt(500)).toString
+      case _ => "x" * (1 + rnd.nextInt(12))
+    }
+    def grid(maxR: Int, maxC: Int): Xls.Grid = {
+      val nc = 1 + rnd.nextInt(maxC)
+      val header = Array.tabulate(nc)(i => s"c$i")
+      val rows = Array.fill(rnd.nextInt(maxR))(Array.fill(nc)(cell()))
+      (header, rows)
+    }
+    // reader normalization: trailing all-empty rows/columns are not
+    // representable (no cell records), so compare against the grid with
+    // trailing empties dropped the way the reader rebuilds it
+    def normalize(g: Xls.Grid): Seq[Seq[String]] = {
+      val all = (g._1 +: g._2.toSeq).map(_.toSeq)
+      val lastR = all.lastIndexWhere(_.exists(_.nonEmpty))
+      val trimmedR = all.take(math.max(lastR + 1, 1))
+      val lastC = trimmedR.map(_.lastIndexWhere(_.nonEmpty)).maxOption.getOrElse(-1)
+      trimmedR.map(_.take(math.max(lastC + 1, 0)))
+    }
+    (1 to 12).foreach { trial =>
+      val path = tmp(s"fuzzup$trial.xls")
+      val keep = grid(6, 5)
+      val old = grid(8, 6)
+      Xls.write(path, Seq("KEEP" -> keep, "TGT" -> old))
+      val next = grid(8, 6)
+      Xls.upsertSheet(path, "TGT", next)
+      val back = Xls.read(path)
+      assert(back.map(_._1) === Seq("KEEP", "TGT"), s"trial $trial")
+      val gotKeep = (back.head._2._1 +: back.head._2._2.toSeq).map(_.toSeq)
+      assert(gotKeep === normalize(keep), s"trial $trial KEEP drifted")
+      val gotTgt = (back(1)._2._1 +: back(1)._2._2.toSeq).map(_.toSeq)
+      assert(gotTgt === normalize(next),
+        s"trial $trial: old=${old._2.length}x${old._1.length} " +
+          s"new=${next._2.length}x${next._1.length}")
+    }
+  }
+
   test("writeXlsSheet: DataFrame nulls render as blank cells, doubles survive") {
     import spark.implicits._
     val path = tmp("df.xls")
