@@ -391,6 +391,12 @@ object Xls {
           // cell table (0x0207 = a FORMULA's cached STRING result)
           emitCellTable()
           prevSkipped = true
+        case 0x020B | 0x00D7 =>
+          // INDEX / DBCELL carry stream OFFSETS into the old cell table;
+          // passed through they would point into the rewritten one —
+          // both are optional lookup accelerators, so drop them and let
+          // readers parse sequentially (our own writer never emits them)
+          prevSkipped = false
         case 0x003C if prevSkipped =>
           // CONTINUE extending a skipped cell record travels with it
           ()

@@ -195,13 +195,25 @@ object AhoCorasick {
 }
 
 object StringSearch {
-  /** Column API; the registry name carries a pattern-set content hash so
-    * distinct pattern sets never collide in a session (the matVec
-    * discipline).
+  /** Column API. The registered name = caller namespace + an md5 content
+    * fingerprint of the pattern ARRAY, so the register-once-if-exists
+    * idempotence can never resolve a reused caller key to a different
+    * pattern set — same name ⟺ same patterns (the matVec content-key
+    * discipline, hardened: caller keys are a namespace, not the
+    * identity).
     */
   def multiPatternFirstMatch(spark: SparkSession, text: Column,
                              patterns: Array[String], key: String): Column = {
-    val name = s"multi_pattern_first_match_$key"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    patterns.foreach { p =>
+      val bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // length-prefixed framing: no delimiter ambiguity, whatever the
+      // pattern bytes are
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(bytes.length).array())
+      md.update(bytes)
+    }
+    val fp = md.digest().take(8).map(b => f"$b%02x").mkString
+    val name = s"multi_pattern_first_match_${key}_$fp"
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
       reg.createOrReplaceTempFunction(name,
