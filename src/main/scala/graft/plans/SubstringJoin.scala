@@ -84,8 +84,17 @@ case class SubstringJoinExec(left: SparkPlan, right: SparkPlan,
   // collected — the streamed partitioning survives for downstream reuse
   override def outputPartitioning = left.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numPatterns" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of patterns"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numPatterns = longMetric("numPatterns")
     val patRows = right.executeCollect().map(_.copy())
+    numPatterns.add(patRows.length)
     val boundPat = BindReferences.bindReference(pat, right.output)
     val pats: Array[String] = patRows.map { row =>
       val v = boundPat.eval(row)
@@ -114,7 +123,10 @@ case class SubstringJoinExec(left: SparkPlan, right: SparkPlan,
           val hits = Iterator.range(0, firstEnds.length)
             .filter(firstEnds(_) >= 0).map(k => searchable(k)._2) ++
             emptyIdxs.iterator
-          hits.map(pi => proj(joined(lrow, rowsL(pi))))
+          hits.map { pi =>
+            numOutputRows += 1
+            proj(joined(lrow, rowsL(pi)))
+          }
         }
       }
     }
