@@ -211,6 +211,33 @@ class XlsSpec extends SparkSpec {
     val back = Xls.read(path)
     assert(back.head._2._2.map(_.toSeq) === Seq(Seq("6.25")))
     assert(back(1)._2._2.head.head === "1.0")
+
+    // second round: splice a FORMULA (cell 1,0, XF 19) and a BOOLERR
+    // (cell 3,0, XF 21) into the rewritten sheet, then upsert again —
+    // values-replace semantics drop both record types, but their XFs
+    // must be harvested (FORMULA's onto the new value at (1,0),
+    // BOOLERR's onto a preserved BLANK at (3,0))
+    val sA = Xls.readWorkbookStream(path)
+    val fmtOffA = i32(sA, bsFields(0))
+    val formula = rec(0x0006, Array[Byte](1, 0, 0, 0, 19, 0) ++
+      new Array[Byte](8) ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    val boolerr = rec(0x0205, Array[Byte](3, 0, 0, 0, 21, 0, 1, 0))
+    val fmtEofA = recordsFrom(sA, fmtOffA).find(_._2 == 0x000A).get._1
+    val sB = sA.take(fmtEofA) ++ formula ++ boolerr ++ sA.drop(fmtEofA)
+    putI32(sB, bsFields(1),
+      i32(sB, bsFields(1)) + formula.length + boolerr.length)
+    Xls.writeCfb(path, sB)
+    Xls.upsertSheet(path, "FMT", (Array("h"), Array(Array("7.75"))))
+    val s3 = Xls.readWorkbookStream(path)
+    val recs3 = recordsFrom(s3, i32(s3, bsFields(0)))
+    def head3(p: Int) = (u16(s3, p + 4), u16(s3, p + 6), u16(s3, p + 8))
+    assert(recs3.count(r => r._2 == 0x0006 || r._2 == 0x0205) === 0,
+      "formula and boolerr must be values-replaced away")
+    val nums3 = recs3.filter(_._2 == 0x0203).map(r => head3(r._1))
+    assert(nums3 === Seq((1, 0, 19)), s"FORMULA XF must survive: $nums3")
+    val blanks3 = recs3.filter(_._2 == 0x0201).map(r => head3(r._1)).toSet
+    assert(blanks3.contains((3, 0, 21)), s"BOOLERR XF -> BLANK: $blanks3")
+    assert(Xls.read(path).head._2._2.map(_.toSeq) === Seq(Seq("7.75")))
   }
 
   test("fuzz: upsert-over-existing preserves values exactly across random grid shapes") {
