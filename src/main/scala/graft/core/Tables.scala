@@ -20,16 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and truncate to microseconds with a true
-    * FLOOR (pmod-based — `div` truncates toward zero, which disagrees with
-    * DuckDB's epoch_us for pre-1970 sub-microsecond timestamps).
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so it is read nanos-as-long and floored to microseconds
+    * (pmod-based FLOOR — `div` truncates toward zero, which disagrees with
+    * DuckDB's epoch_us for pre-1970 sub-microsecond timestamps) — and
+    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    * TIMESTAMP_NTZ. Both normalize to the same downstream contract:
+    * session-UTC TimestampType with microsecond values, so every query and
+    * oracle sees identical wall-clock instants regardless of encoding.
+    * The dispatch is on the READ schema, not the path, so mixed-generation
+    * directories still load.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        // TIMESTAMP_NTZ: the session timezone is pinned to UTC everywhere
+        // (Verify/Bench/specs), so the NTZ→TZ cast is value-preserving
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
