@@ -701,8 +701,13 @@ object NearDup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming is a pure function of the pair, so the threshold commutes
+      // with the distinct: filtering FIRST means the dedup shuffle carries
+      // only surviving pairs instead of every band collision (band
+      // collisions at hamming > maxHamming are the common case — random
+      // 12-bit band agreement among non-dups)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Blocked n-gram Jaccard near-dup pairs: quadratic only within a block.
