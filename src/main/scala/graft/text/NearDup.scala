@@ -406,8 +406,61 @@ object NearDup {
     edges
   }
 
+  /** Driver union-find over a COLLECTED pair list — the smallest tier of
+    * the sized strategy ladder (local < broadcast-probe < dst-partitioned
+    * sort-merge). Roots link max-root-under-min-root with path compression
+    * in find, so each tree's root IS its component's minimum id and the
+    * result matches the distributed min-label fixpoint exactly. Returns
+    * None when the rows don't fit the fast path's preconditions (a null
+    * id — undefined for connectivity, let the caller's distributed
+    * semantics apply).
+    */
+  private def localComponents(rows: Array[org.apache.spark.sql.Row])
+      : Option[Array[(Long, Long)]] = {
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    var i = 0
+    while (i < rows.length) {
+      val row = rows(i)
+      if (row.isNullAt(0) || row.isNullAt(1)) return None
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      i += 1
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var j = 0
+    while (it.hasNext) { val id = it.next(); out(j) = (id, find(id)); j += 1 }
+    // deterministic row order so repeated runs produce identical files
+    scala.util.Sorting.stableSort(out, (x: (Long, Long), y: (Long, Long)) => x._1 < y._1)
+    Some(out)
+  }
+
+  /** `maxLocalPairs` gates the driver union-find tier: a MEASURED pair
+    * count at or below it (and long-typed ids) resolves components on the
+    * driver in one collect — O(E α(E)) with zero per-round jobs — instead
+    * of paying the iterative loop's O(log n) scheduled rounds, which at
+    * gate scale are pure fixed overhead (the loop exists for the 100×
+    * graph, where it engages automatically because the count exceeds the
+    * bound). 1M pairs ≈ 16 MB of ids on the driver — the same order as a
+    * broadcast relation, so the tier admits exactly the graphs the
+    * broadcast tier already ships whole to every executor. 0 disables
+    * (specs force the distributed shapes through this).
+    */
   def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String,
-                    maxBroadcastEdges: Long = 4000000L): DataFrame = {
+                    maxBroadcastEdges: Long = 4000000L,
+                    maxLocalPairs: Long = 1000000L): DataFrame = {
     // CONF ISOLATION (r07 advice): the relayout and the loop need
     // session-LEVEL settings (AQE off so checkpoints keep their
     // partitioning, loop-sized shuffle width). Earlier rounds mutated
@@ -430,18 +483,37 @@ object NearDup {
     // never corpus-sized.
     val session0 = pairs.sparkSession
     val pairRows = pairs.select(col(idACol), col(idBCol)).localCheckpoint(true)
-    val child = session0.newSession()
-    // newSession starts from the SparkContext's base conf, not the
-    // caller's runtime values — carry the two the loop derives from
-    child.conf.set("spark.sql.shuffle.partitions",
-      session0.sessionState.conf.numShufflePartitions.toString)
-    child.conf.set("spark.sql.adaptive.enabled",
-      session0.conf.get("spark.sql.adaptive.enabled"))
-    val childPairs = child.createDataFrame(pairRows.rdd, pairRows.schema)
-    try dedupClustersOn(child, session0, childPairs, idACol, idBCol, maxBroadcastEdges)
-    finally
-      // edges materialized inside dedupClustersOn (or we are failing):
-      // either way the hand-off blocks are dead
+    try {
+      // sized-strategy tier 0: the count is one scalar job over the
+      // materialized checkpoint blocks; neither branch's result frame
+      // references the checkpoint once built, so ONE finally releases it
+      val longIds = pairRows.schema.fields
+        .forall(_.dataType == org.apache.spark.sql.types.LongType)
+      val localComp =
+        if (longIds && maxLocalPairs > 0 && pairRows.count() <= maxLocalPairs)
+          localComponents(pairRows.collect())
+        else None
+      localComp match {
+        case Some(comp) =>
+          import session0.implicits._
+          session0.sparkContext.parallelize(comp.toIndexedSeq,
+              math.max(1, math.min(session0.sparkContext.defaultParallelism,
+                comp.length / 50000 + 1)))
+            .toDF("doc_id", "keeper_id")
+        case None => // over-bound, non-long ids, or a null id: distributed
+          val child = session0.newSession()
+          // newSession starts from the SparkContext's base conf, not the
+          // caller's runtime values — carry the two the loop derives from
+          child.conf.set("spark.sql.shuffle.partitions",
+            session0.sessionState.conf.numShufflePartitions.toString)
+          child.conf.set("spark.sql.adaptive.enabled",
+            session0.conf.get("spark.sql.adaptive.enabled"))
+          val childPairs = child.createDataFrame(pairRows.rdd, pairRows.schema)
+          dedupClustersOn(child, session0, childPairs, idACol, idBCol, maxBroadcastEdges)
+      }
+    } finally
+      // local tier collected, or edges materialized inside dedupClustersOn
+      // (or we are failing): either way the hand-off blocks are dead
       checkpointRdd(pairRows).foreach(_.unpersist(blocking = false))
   }
 

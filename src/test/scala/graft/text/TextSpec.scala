@@ -269,14 +269,42 @@ class TextSpec extends SparkSpec {
       // on BOTH strategies: the broadcast fast path (default — these
       // edges are tiny) and the forced partitioned sort-merge path the
       // at-scale shape uses
-      val keepers = NearDup.dedupClusters(pairs, "id_a", "id_b")
+      // maxLocalPairs = 0 pins the DISTRIBUTED tiers — the default would
+      // resolve this tiny chain on the driver and never run the loop
+      val keepers = NearDup.dedupClusters(pairs, "id_a", "id_b",
+          maxLocalPairs = 0L)
         .as[(Long, Long)].collect().toMap
       assert(keepers.size === 41 && keepers.values.forall(_ == 1L))
       val keepersSmj = NearDup.dedupClusters(pairs, "id_a", "id_b",
-          maxBroadcastEdges = 0L)
+          maxBroadcastEdges = 0L, maxLocalPairs = 0L)
         .as[(Long, Long)].collect().toMap
       assert(keepersSmj === keepers)
+      // and the default engages the LOCAL tier on the same input with the
+      // identical result — the three strategies are one contract
+      val keepersLocal = NearDup.dedupClusters(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(keepersLocal === keepers)
     } finally graft.core.Checkpoints.release(edges)
+  }
+
+  test("dedupClusters: local union-find tier matches the distributed loop on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1837)
+    for (trial <- 1 to 3) {
+      // sparse random graph over a sparse id space: multiple components,
+      // duplicate and reversed pairs, self-loops — everything LSH emits
+      val n = 120 + trial * 40
+      val ids = Seq.fill(n)(rnd.nextLong(10000)).distinct
+      val pairs = Seq.fill(n * 2) {
+        val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+        (a, b)
+      }.toDF("id_a", "id_b")
+      val local = NearDup.dedupClusters(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val dist = NearDup.dedupClusters(pairs, "id_a", "id_b", maxLocalPairs = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(local === dist, s"trial=$trial")
+    }
   }
 
   test("dedupClusters: hub-skew star graph converges in O(1) rounds on both strategies") {
@@ -289,7 +317,7 @@ class TextSpec extends SparkSpec {
     val pairs = (2L to 400L).map(i => (1L, i)).toDF("id_a", "id_b")
     for (threshold <- Seq(Long.MaxValue, 0L)) {
       val got = NearDup.dedupClusters(pairs, "id_a", "id_b",
-          maxBroadcastEdges = threshold)
+          maxBroadcastEdges = threshold, maxLocalPairs = 0L)
         .as[(Long, Long)].collect().toMap
       assert(got.size === 400 && got.values.forall(_ == 1L),
         s"threshold=$threshold")
@@ -393,7 +421,8 @@ class TextSpec extends SparkSpec {
     val pairs = (1L to 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
     val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    val out = NearDup.dedupClusters(pairs, "id_a", "id_b")
+    // force the child-session loop — the tier this test is about
+    val out = NearDup.dedupClusters(pairs, "id_a", "id_b", maxLocalPairs = 0L)
     // the loop runs on a child session: even while the returned frame is
     // still lazy, the caller's conf has its original values (the old
     // implementation only RESTORED them, so a query planned mid-loop
