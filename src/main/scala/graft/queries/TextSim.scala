@@ -2031,6 +2031,66 @@ object TextSim extends QueryPack {
         JOIN sets da ON da.doc_id = c.id_a
         JOIN sets db ON db.doc_id = c.id_b""")),
 
+    // WATER-FILLING budget allocation: solve the cap c with
+    // Σ min(tokens_source, c) = budget in one windowed pass over the
+    // source-bounded dimension — tokenBudget's complement when no
+    // per-group targets exist (Terms.waterfillBudget scaladoc has the
+    // segment derivation). 20k binds against this corpus at every SF.
+    "q119_waterfill" -> Q(
+      (s, d) => Terms.waterfillBudget(Tables.documents(s, d), "text", "source",
+        budget = 20000L),
+      Some(s"""
+        WITH per AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 coalesce(sum(len($DUCK_TOKENS)), 0)::BIGINT AS tokens
+          FROM documents GROUP BY 1),
+        ord AS (
+          SELECT *, row_number() OVER (ORDER BY tokens, source) AS i,
+                 sum(tokens) OVER (ORDER BY tokens, source
+                                   ROWS UNBOUNDED PRECEDING) AS p,
+                 count(*) OVER () AS n, sum(tokens) OVER () AS g
+          FROM per),
+        seg AS (
+          SELECT *, min(CASE WHEN p + (n - i) * tokens >= 20000
+                             THEN i END) OVER () AS i0
+          FROM ord),
+        capd AS (
+          SELECT *, max(CASE WHEN i = i0 THEN
+                   (20000 - (p - tokens))::DOUBLE / (n - i + 1)::DOUBLE
+                 END) OVER () AS cap
+          FROM seg)
+        SELECT source, n_docs, tokens,
+               CASE WHEN g <= 20000 THEN (-1)::BIGINT
+                    ELSE floor(cap * 1e6 + 0.5)::BIGINT END AS cap_micro,
+               CASE WHEN g <= 20000 THEN tokens * 1000000
+                    ELSE floor(least(tokens::DOUBLE, cap) * 1e6 + 0.5)::BIGINT
+               END AS alloc_micro
+        FROM capd""")),
+
+    // Hard-negative mining: per query, top-3 highest-cosine vectors with
+    // a DIFFERENT label (Similarity.hardNegatives scaladoc has the scale
+    // path — the label test composes into IVF probe candidates).
+    "q120_hard_negatives" -> Q(
+      (s, d) => Similarity.hardNegatives(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label",
+        queryPred = col("vec_id") % 10 === 0, k = 3),
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv
+              FROM e WHERE vec_id % 10 = 0),
+        s AS (SELECT q.query_id, e.vec_id, e.label AS neg_label,
+                     round(list_dot_product(qv, v) /
+                           (sqrt(list_dot_product(qv, qv)) *
+                            sqrt(list_dot_product(v, v))), 6) AS cosine
+              FROM q JOIN e ON e.label <> q.qlbl)
+        SELECT query_id, vec_id, neg_label, cosine, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+        WHERE rank <= 3""")),
+
     // Character-level revision pairs by normalized EDIT similarity
     // (1 − lev/max-len ≥ 0.8, above this corpus's MEASURED same-block
     // noise floor of 0.2–0.45) inside (lang, source) blocks — the

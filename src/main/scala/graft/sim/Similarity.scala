@@ -108,6 +108,37 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: per query vector, the
+    * top-k highest-cosine vectors with a DIFFERENT label — close in
+    * embedding space yet semantically negative, exactly the examples a
+    * contrastive / reranker trainer wants next to each positive. Brute
+    * force over a broadcast query set (the q38 doctrine: the baseline the
+    * ANN paths are judged against); at corpus scale compose the same
+    * label-inequality predicate into `ivfProbe`'s cell-restricted
+    * candidates instead — the label test rides the probe's scan filter,
+    * so the quadratic stays confined to probed cells.
+    */
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val sp = vectors.sparkSession
+    val v = vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"), col(labelCol).as("neg_label"))
+      .withColumn("vn", norm(sp, col("v")))
+    val q = vectors.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("qlbl"))
+      .withColumn("qn", norm(sp, col("qv")))
+    val scored = v.join(broadcast(q), col("neg_label") =!= col("qlbl"))
+      .withColumn("cosine",
+        round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("neg_label"),
+        col("cosine"), col("rank"))
+  }
+
   /** IVF ANN with a fixed-size deterministic coarse quantizer (see object
     * doc): C centroids independent of N; per-row argmax assignment; queries
     * probe their `nprobe` best cells; top-k ranked inside probed cells only.

@@ -628,4 +628,56 @@ object Terms {
       .select(col("grp"), col("n_docs"), col("tokens"), col("share_micro"),
         col("target_micro"), col("alloc_tokens"), col("rate_micro"), col("deficit"))
   }
+
+  /** WATER-FILLING token-budget allocation: the cap c solving
+    * Σ_g min(tokens_g, c) = budget — the allocation a mixture planner
+    * uses when no per-group targets exist (tokenBudget's complement):
+    * small groups keep every token, large groups truncate at a common
+    * water level, and the level itself is SOLVED, not configured.
+    *
+    * One pass, no iteration, no collect: sort groups by token count;
+    * f(i) = P_i + (n−i)·T_i (the corpus kept if the cap were group i's
+    * own size) is nondecreasing, so the cap's segment is the FIRST i
+    * with f(i) ≥ budget and c = (budget − P_{i−1}) / (n − i + 1).
+    * Every step is exact integer arithmetic until that single division
+    * (IEEE double over exact integers — both engines agree bit-for-bit).
+    * The unpartitioned windows are legal ONLY because the frame is
+    * group-bounded (one row per source — the groupedMedian contract).
+    * cap_micro = −1 flags an unbinding budget (corpus ≤ budget: every
+    * group keeps everything).
+    */
+  def waterfillBudget(df: DataFrame, textCol: String, groupCol: String,
+                      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val per = df.groupBy(col(groupCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")),
+          lit(0L)).as("tokens"))
+    val ow = Window.orderBy(col("tokens"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rw = Window.orderBy(col("tokens"), col("source"))
+    val full = Window.partitionBy()
+    val ord = per
+      .withColumn("i", row_number().over(rw))
+      .withColumn("p", sum(col("tokens")).over(ow))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("g", sum(col("tokens")).over(full))
+    val seg = ord.withColumn("i0",
+      min(when(col("p") + (col("n") - col("i")) * col("tokens") >= budget,
+        col("i"))).over(full))
+    val capAtSeg = (lit(budget) - (col("p") - col("tokens"))).cast("double") /
+      (col("n") - col("i") + 1).cast("double")
+    seg
+      .withColumn("cap", max(when(col("i") === col("i0"), capAtSeg)).over(full))
+      .withColumn("cap_micro",
+        when(col("g") <= budget, lit(-1L))
+          .otherwise(floor(col("cap") * lit(1e6) + lit(0.5)).cast("long")))
+      .withColumn("alloc_micro",
+        when(col("g") <= budget, col("tokens") * lit(1000000L))
+          .otherwise(floor(least(col("tokens").cast("double"), col("cap")) *
+            lit(1e6) + lit(0.5)).cast("long")))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("cap_micro"), col("alloc_micro"))
+  }
 }

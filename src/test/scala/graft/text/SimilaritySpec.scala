@@ -33,6 +33,24 @@ class SimilaritySpec extends SparkSpec {
     hits.sum / hits.size
   }
 
+  test("hardNegatives: same-label neighbors are excluded, ranking is by cosine") {
+    import spark.implicits._
+    // id 1 is the query's nearest vector overall but SHARES its label —
+    // mining must skip it; ranks then follow cosine among other labels
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.5f, 0.5f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        queryPred = col("vec_id") === 0, k = 2)
+      .as[(Long, Long, Int, Double, Int)].collect().sortBy(_._5)
+    assert(out.map(r => (r._1, r._2, r._3, r._5)).toSeq ===
+      Seq((0L, 2L, 1, 1), (0L, 4L, 2, 2)))
+    assert(out.forall(_._3 != 0), "a same-label vector leaked into the negatives")
+  }
+
   test("banded LSH ANN recall vs brute force is measured and non-trivial") {
     val emb = Tables.embeddings(spark, dir)
     val r = recallOf(Similarity.lshTopK(emb, "vec_id", "embedding",

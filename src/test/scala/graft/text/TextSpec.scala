@@ -359,6 +359,34 @@ class TextSpec extends SparkSpec {
     assert(out("b") === (("b", 1L, 30L, 750000L, 0L, 0L, 0L, 0)))
   }
 
+  test("waterfillBudget: cap solves the budget; unbinding budget flags -1") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, Seq.fill(n)("t").mkString(" "))
+    // a:10, b:20, c:40 tokens; budget 50: f(a)=30<50, f(b)=50≥50 → the
+    // cap sits in b's segment: c = (50−10)/2 = 20 → alloc 10+20+20 = 50
+    val docs = Seq(doc(1, "a", 10), doc(2, "b", 20), doc(3, "c", 40))
+      .toDF("doc_id", "source", "text")
+    val out = Terms.waterfillBudget(docs, "text", "source", budget = 50L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 1L, 10L, 20000000L, 10000000L)))
+    assert(out("b") === (("b", 1L, 20L, 20000000L, 20000000L)))
+    assert(out("c") === (("c", 1L, 40L, 20000000L, 20000000L)))
+    // allocations must sum EXACTLY to the budget when it binds
+    assert(out.values.map(_._5).sum === 50L * 1000000L)
+    // budget ≥ corpus: cap unbounded (−1), everyone keeps everything
+    val loose = Terms.waterfillBudget(docs, "text", "source", budget = 70L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(loose.forall(_._4 === -1L))
+    assert(loose.map(_._5).sum === 70L * 1000000L)
+    // budget below the SMALLEST group: cap < min(tokens), uniform split
+    val tight = Terms.waterfillBudget(docs, "text", "source", budget = 9L)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(tight.forall(_._4 === 3000000L), tight.mkString(","))
+    assert(tight.forall(_._5 === 3000000L))
+  }
+
   test("containment pairs: an embedded copy scores ~1 on the contained side") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
