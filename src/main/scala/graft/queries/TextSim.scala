@@ -2091,6 +2091,47 @@ object TextSim extends QueryPack {
               FROM s)
         WHERE rank <= 3""")),
 
+    // Shard stitching: reconstruct split-document adjacency purely from
+    // content (TextOps.stitchPairs — one boundary-key equi-join, with
+    // the hot-boilerplate-key cap noted in the scaladoc). The synthetic
+    // corpus has no split documents, so the input FABRICATES them
+    // deterministically (the q80 vacuous-pass doctrine): every doc with
+    // ≥ 160 chars splits into three 80-char shards at stride 40, and the
+    // operator must recover each chain 1→2→3 from the 40-char overlaps
+    // alone.
+    "q121_shard_stitch" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(col("n_chars") >= 160).select(col("doc_id"), col("text"))
+        val shards = docs.select((col("doc_id") * 10 + 1).as("shard_id"),
+            substring(col("text"), 1, 80).as("stext"))
+          .union(docs.select((col("doc_id") * 10 + 2).as("shard_id"),
+            substring(col("text"), 41, 80).as("stext")))
+          .union(docs.select((col("doc_id") * 10 + 3).as("shard_id"),
+            substring(col("text"), 81, 80).as("stext")))
+        TextOps.stitchPairs(shards, "shard_id", "stext", k = 40)
+          .select(col("id_a"), col("id_b"), col("boundary"))
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE n_chars >= 160),
+        shards AS (
+          SELECT doc_id * 10 + 1 AS shard_id, substr(text, 1, 80) AS stext
+          FROM docs
+          UNION ALL
+          SELECT doc_id * 10 + 2, substr(text, 41, 80) FROM docs
+          UNION ALL
+          SELECT doc_id * 10 + 3, substr(text, 81, 80) FROM docs),
+        keyed AS (
+          SELECT shard_id,
+                 substr(stext, length(stext) - 39, 40) AS tail_key,
+                 substr(stext, 1, 40) AS head_key
+          FROM shards WHERE length(stext) >= 40)
+        SELECT a.shard_id AS id_a, b.shard_id AS id_b,
+               md5(a.tail_key) AS boundary
+        FROM keyed a JOIN keyed b ON a.tail_key = b.head_key
+        WHERE a.shard_id <> b.shard_id""")),
+
     // Character-level revision pairs by normalized EDIT similarity
     // (1 − lev/max-len ≥ 0.8, above this corpus's MEASURED same-block
     // noise floor of 0.2–0.45) inside (lang, source) blocks — the

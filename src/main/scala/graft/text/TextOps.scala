@@ -204,6 +204,33 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", ""))
 
+  /** SHARD STITCHING: directed pairs (a → b) where a's LAST k characters
+    * equal b's FIRST k — the content-only signal that two rows are
+    * consecutive shards of one original document (a crawler or exporter
+    * that split long pages with overlap; re-chunked corpora). Adjacency
+    * is reconstructed purely from content: no ordering metadata needed.
+    *
+    * Scale shape: ONE equi-join on the k-char boundary key — hash
+    * partitioned, no quadratic anywhere. A boilerplate boundary shared
+    * by many shards (a common footer) makes a hot key whose output IS
+    * quadratic in its multiplicity; cap it the q80 way (WindowGroupLimit
+    * per key) or pre-filter keys by an approx frequency sketch when a
+    * corpus has that shape. Emits the boundary's md5, not the raw text —
+    * join-result rows stay fixed-width.
+    */
+  def stitchPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val eligible = df.filter(length(col(textCol)) >= k)
+    val tails = eligible.select(col(idCol).as("id_a"),
+      substring(col(textCol), -k, k).as("__key"))
+    val heads = eligible.select(col(idCol).as("id_b"),
+      substring(col(textCol), 1, k).as("__key"))
+    tails.join(heads, Seq("__key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), md5(col("__key")).as("boundary"))
+  }
+
   /** WINNOWED fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing: Local
     * Algorithms for Document Fingerprinting", SIGMOD'03 — public result,
     * re-derived in Spark idiom): hash every word k-gram, slide a w-gram

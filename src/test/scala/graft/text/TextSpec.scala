@@ -359,6 +359,24 @@ class TextSpec extends SparkSpec {
     assert(out("b") === (("b", 1L, 30L, 750000L, 0L, 0L, 0L, 0)))
   }
 
+  test("stitchPairs: adjacency reconstructed from content overlap only") {
+    import spark.implicits._
+    // chain 1→2→3 by 4-char overlaps; 9 overlaps nothing; 7's head equals
+    // its own tail (self-match must be suppressed, not emitted)
+    val shards = Seq(
+      (1L, "abcdefgh"),
+      (2L, "efghijkl"),
+      (3L, "ijklmnop"),
+      (7L, "wxyzwxyz"),
+      (9L, "qqqqrrrr")).toDF("id", "t")
+    val out = TextOps.stitchPairs(shards, "id", "t", 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (2L, 3L)))
+    // rows shorter than k never enter the join
+    val short = Seq((1L, "ab"), (2L, "ab")).toDF("id", "t")
+    assert(TextOps.stitchPairs(short, "id", "t", 4).count() === 0)
+  }
+
   test("waterfillBudget: cap solves the budget; unbinding budget flags -1") {
     import spark.implicits._
     def doc(id: Long, src: String, n: Int) =
