@@ -24,6 +24,16 @@ object Probe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    if (args.headOption.contains("explain")) {
+      // formatted physical plan for any registered query:
+      //   sbt "runMain graft.tools.Probe explain q119_waterfill q121_shard_stitch"
+      args.drop(1).foreach { n =>
+        println(s"=== $n ===")
+        graft.SparkEntry.queries(n)(spark, d).explain("formatted")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("q33")) {
       // q33 decomposition: which term dominates langId?
       val docs = Tables.documents(spark, d)
