@@ -2132,6 +2132,23 @@ object TextSim extends QueryPack {
         FROM keyed a JOIN keyed b ON a.tail_key = b.head_key
         WHERE a.shard_id <> b.shard_id""")),
 
+    // Deterministic seeded corpus shuffle into 16 balanced shards
+    // (Terms.corpusShuffle — hash-spread shard assignment, per-shard
+    // rank; no global sort). Same seed ⇒ same (shard, pos) on any
+    // engine, input partitioning or rerun.
+    "q122_corpus_shuffle" -> Q(
+      (s, d) => Terms.corpusShuffle(Tables.documents(s, d), "doc_id",
+        seed = "shuf42", nShards = 16),
+      Some("""
+        WITH k AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('shuf42|' || doc_id), 1, 15))::BIGINT AS hk
+          FROM documents)
+        SELECT doc_id, hk % 16 AS shard,
+               (row_number() OVER (PARTITION BY hk % 16
+                                   ORDER BY hk, doc_id) - 1)::BIGINT AS pos
+        FROM k""")),
+
     // Character-level revision pairs by normalized EDIT similarity
     // (1 − lev/max-len ≥ 0.8, above this corpus's MEASURED same-block
     // noise floor of 0.2–0.45) inside (lang, source) blocks — the

@@ -680,4 +680,29 @@ object Terms {
       .select(col("source"), col("n_docs"), col("tokens"),
         col("cap_micro"), col("alloc_micro"))
   }
+
+  /** DETERMINISTIC CORPUS SHUFFLE: assign every document a (shard, pos)
+    * under a seeded pseudo-random permutation — the reproducible global
+    * shuffle a pretraining run applies before sequence packing, where
+    * "same seed ⇒ same order" must hold across reruns, engines and input
+    * partitionings. The permutation key is the engine-portable 60-bit
+    * md5 prefix of (seed | doc_id): shard = key mod nShards (balanced by
+    * hash spread — no global sort anywhere), pos = rank of the key
+    * within the shard (ties broken by doc_id; one window per shard, the
+    * unavoidable per-shard sort that MATERIALIZING a shuffled order
+    * costs — at scale each shard is one output file's worth of rows,
+    * sorted independently at full parallelism).
+    */
+  def corpusShuffle(df: DataFrame, idCol: String, seed: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+    df.select(col(idCol).as("doc_id"))
+      .withColumn("hk", TextOps.gramHash64(spark,
+        concat(lit(seed + "|"), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("hk"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 }

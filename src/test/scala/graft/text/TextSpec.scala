@@ -359,6 +359,27 @@ class TextSpec extends SparkSpec {
     assert(out("b") === (("b", 1L, 30L, 750000L, 0L, 0L, 0L, 0)))
   }
 
+  test("corpusShuffle: a seeded permutation — partitioning-invariant, dense per-shard positions") {
+    import spark.implicits._
+    val docs = (1L to 500L).toDF("doc_id")
+    val a = Terms.corpusShuffle(docs, "doc_id", "s1", nShards = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // same seed on a differently-partitioned input: identical assignment
+    val b = Terms.corpusShuffle(docs.repartition(13), "doc_id", "s1", nShards = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // every doc appears once; positions are dense 0..n-1 within each shard
+    assert(a.map(_._1).distinct.length === 500)
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // a different seed actually permutes (some doc moves shard or pos)
+    val c = Terms.corpusShuffle(docs, "doc_id", "s2", nShards = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(c.toSeq !== a.toSeq)
+  }
+
   test("stitchPairs: adjacency reconstructed from content overlap only") {
     import spark.implicits._
     // chain 1→2→3 by 4-char overlaps; 9 overlaps nothing; 7's head equals
