@@ -115,9 +115,13 @@ object Bench {
     // Short keys are unique by construction (the qNN prefix is the query
     // id) and BASELINE.md documents the mapping; full names stay in
     // target/bench.json and on stderr.
+    // Locale.ROOT: %f under a comma-decimal default locale would emit
+    // "0,123" and corrupt the one line the driver must json-parse
+    def num(prec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     def shortQs(prec: Int): String =
       out.map { case (k, best, _) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + s"%.${prec}f".format(best)
+        "\"" + k.takeWhile(_ != '_') + "\":" + num(prec, best)
       }.mkString("{", ",", "}")
     val reps = out.map { case (k, _, ts) =>
       "\"" + k + "\":" + ts.map(_.map(t => f"$t%.3f").getOrElse("null"))
@@ -135,7 +139,7 @@ object Bench {
     // then drop the per-query map entirely, before ever printing a line
     // that would be truncated into unparseable garbage.
     def stdoutLine(qsJson: String): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qsJson,"errors":$errs,"sf":"$sfDir"}"""
     val compact = Seq(shortQs(3), shortQs(2), shortQs(1), "{}")
       .map(stdoutLine)
       .find(_.length <= 1900)
