@@ -2149,6 +2149,50 @@ object TextSim extends QueryPack {
                                    ORDER BY hk, doc_id) - 1)::BIGINT AS pos
         FROM k""")),
 
+    // Shuffle-then-pack: q122's seeded permutation feeding q59-style
+    // fixed-token block packing — the END of a pretraining layout
+    // pipeline (shuffle for training-order decorrelation, pack for
+    // sequence efficiency), reproducible end to end from one seed. Per
+    // shard: running token sum in permuted order → 512-token block ids.
+    // One shard-keyed exchange serves the rank, the running sum and the
+    // block assignment.
+    "q123_shuffled_packing" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val shuffled = Terms.corpusShuffle(docs, "doc_id", "shuf42", nShards = 16)
+        val toks = docs.select(col("doc_id"),
+          TextOps.tokenCountFast(s, col("text")).cast("long").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("pos"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        shuffled.join(toks, Seq("doc_id"))
+          .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("block", expr("start_tok div 512"))
+          .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+            col("start_tok"), col("block"))
+      },
+      Some(s"""
+        WITH k AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('shuf42|' || doc_id), 1, 15))::BIGINT AS hk,
+                 len($DUCK_TOKENS)::BIGINT AS n_tokens
+          FROM documents),
+        sh AS (
+          SELECT doc_id, n_tokens, hk % 16 AS shard,
+                 (row_number() OVER (PARTITION BY hk % 16
+                                     ORDER BY hk, doc_id) - 1)::BIGINT AS pos
+          FROM k),
+        packed AS (
+          SELECT doc_id, shard, pos, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens)::BIGINT AS start_tok
+          FROM sh)
+        SELECT doc_id, shard, pos, n_tokens, start_tok,
+               (start_tok // 512)::BIGINT AS block
+        FROM packed""")),
+
     // Character-level revision pairs by normalized EDIT similarity
     // (1 − lev/max-len ≥ 0.8, above this corpus's MEASURED same-block
     // noise floor of 0.2–0.45) inside (lang, source) blocks — the
