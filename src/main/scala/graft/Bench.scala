@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main (driver contract): runs every registered query
-  * on SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  * on SPARK_GRAFT_SF_DIR, prints ONE JSON summary line (plus at most a few
+  * short regression-flag lines) on stdout.
   *
   * Measurement notes:
   *  - queries are fully materialized via a noop-format write — `count()`
@@ -21,26 +22,34 @@ import org.apache.spark.sql.SparkSession
   *    show — in the repeats list, where they belong, instead of being
   *    conflated with steady-state throughput.
   *
-  * Output contract (r06, tightened r09): stdout carries ONLY the bounded
-  * summary line (total + best-of per query + errors), printed as the
-  * LAST thing before exit — even if spark.stop() throws. The driver
-  * keeps just the final ~2000 chars of stdout, so anything printed after
-  * the summary — or any long line sharing stdout with it — evicts it
-  * from the capture window: r03 put repeats and summary on one line
-  * (truncated), r04 printed summary FIRST and the repeats line pushed it
-  * out, and by r07/r08 the summary line ITSELF outgrew the window
-  * (118 full-name entries ≈ 3.4 KB) and arrived front-truncated. The
-  * stdout line therefore uses short query keys ("q61") and degrades
-  * decimal precision — then drops the map — sooner than exceed 1900
-  * chars; the full-name/full-precision record goes to stderr and
-  * target/bench.json. The OTHER
-  * half of the contract lives in build.sbt: with fork:=true, sbt's
+  * Regression tripwire (r10): any query whose best-of-N lands >2.5× its
+  * recorded BASELINE.md column prints ITS OWN compact stdout flag line —
+  * repeats + a physical-plan digest — so the next q107-style anomaly is
+  * self-documenting from the driver capture alone (the r09 judge could
+  * not adjudicate noise-vs-structure for five queries because no repeats
+  * survived into BENCH_r09.json). Flag lines share the stdout budget
+  * with the summary; see below.
+  *
+  * Output contract (r06, tightened r09/r10): stdout carries ONLY the
+  * bounded flag+summary payload, printed as the LAST thing before exit —
+  * even if spark.stop() throws. The driver keeps just the final ~2000
+  * chars of stdout, so anything printed after the summary — or any long
+  * line sharing stdout with it — evicts it from the capture window: r03
+  * put repeats and summary on one line (truncated), r04 printed summary
+  * FIRST and the repeats line pushed it out, and by r07/r08 the summary
+  * line ITSELF outgrew the window (118 full-name entries ≈ 3.4 KB) and
+  * arrived front-truncated. The stdout payload therefore uses short
+  * query keys ("q61"), degrades decimal precision — then drops the map —
+  * and degrades the errors array (short keys, then a bare count: under
+  * mass failure even '{}' + 57 full-name errors would overflow) sooner
+  * than exceed the 1900-char budget, flag lines included. The full-name
+  * full-precision record (summary + per-repeat times + flags) goes to
+  * stderr and `target/bench.json`, where length doesn't matter. The
+  * OTHER half of the contract lives in build.sbt: with fork:=true, sbt's
   * default LoggedOutput prefixes every forked-stdout line with
   * "[info] ", which kept the line unparseable through r05 —
   * `run / outputStrategy := StdoutOutput` + showSuccess/showTiming off
-  * make the summary a BARE final line. The full record (summary +
-  * per-repeat times) goes to stderr and to `target/bench.json`, where
-  * length doesn't matter.
+  * make the summary a BARE final line.
   *
   * Env knobs (local iteration / diagnostics, unset in driver runs):
   *  - SPARK_GRAFT_BENCH_ONLY=q33,q34  run only the named queries
@@ -52,6 +61,120 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   val Repeats = 3
+
+  /** Stdout byte budget for the WHOLE payload (flags + summary + the
+    * newlines between them). The driver's capture window is ~2000 chars;
+    * 1900 leaves margin for the shell's trailing newline and any stray
+    * shutdown character.
+    */
+  val StdoutBudget = 1900
+
+  /** Flag any query whose best-of-N exceeds `TripwireFactor` × its
+    * BASELINE.md recorded column (the judge's 2.5× rule, VERDICT r09 #7).
+    */
+  val TripwireFactor = 2.5
+
+  // ---- pure helpers (spec'd in BenchFormatSpec without a session) ----
+
+  /** Parse per-query baseline seconds out of BASELINE.md's markdown
+    * table: rows shaped `| q61_pretraining_pipeline | 6.96 | 2.11 | note |`
+    * yield the RIGHTMOST numeric cell before the note column (the most
+    * recently recorded round). Parsing the doc the humans maintain —
+    * rather than a second machine file that can drift from it — keeps
+    * "its BASELINE.md column" literally true. Unparseable rows are
+    * skipped; a missing file yields an empty map (tripwire disabled,
+    * never a crash path for the bench itself).
+    */
+  def parseBaseline(lines: Iterator[String]): Map[String, Double] = {
+    val row = """^\|\s*(q\d+[a-z0-9_]*)\s*\|(.*)\|\s*$""".r
+    val num = """^\d+(?:\.\d+)?$""".r
+    lines.collect { case row(name, rest) =>
+      val cells = rest.split('|').map(_.trim)
+      cells.reverseIterator.collectFirst { case c @ num() => c.toDouble }
+        .map(name -> _)
+    }.flatten.toMap
+  }
+
+  /** SPARK_GRAFT_BENCH_BASELINE overrides the baseline path — local
+    * tripwire drills against a doctored copy, never the real file.
+    */
+  def loadBaseline(path: String = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BASELINE.md")): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try parseBaseline(src.getLines()) finally src.close()
+    } catch { case _: Throwable => Map.empty }
+
+  def num(prec: Int, v: Double): String =
+    // Locale.ROOT: %f under a comma-decimal default locale would emit
+    // "0,123" and corrupt the one line the driver must json-parse
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+
+  /** One per-query result: best-of-N (−1 when every repeat threw) and
+    * the raw repeat times (None = that repeat threw).
+    */
+  final case class QResult(name: String, best: Double, times: Seq[Option[Double]]) {
+    def short: String = name.takeWhile(_ != '_')
+    def repsJson: String =
+      times.map(_.map(t => num(3, t)).getOrElse("null")).mkString("[", ",", "]")
+  }
+
+  final case class Flag(q: QResult, base: Double, plan: String) {
+    def ratio: Double = q.best / base
+    /** Compact self-documenting stdout line: short key, best, recorded
+      * baseline, every repeat, plan digest. ~120 chars.
+      */
+    def line: String =
+      s"""{"metric":"flag","q":"${q.short}","best":${num(3, q.best)},"base":${num(2, base)},"x":${num(1, ratio)},"reps":${q.repsJson},"plan":"$plan"}"""
+    def fullJson: String =
+      s"""{"q":"${q.name}","best":${num(3, q.best)},"base":${num(2, base)},"x":${num(1, ratio)},"reps":${q.repsJson},"plan":"$plan"}"""
+  }
+
+  def findFlags(out: Seq[QResult], baseline: Map[String, Double]): Seq[QResult] =
+    out.filter(r => r.best > 0 &&
+      baseline.get(r.name).exists(b => b > 0 && r.best > TripwireFactor * b))
+
+  /** Compose the bounded stdout payload: flag lines (most-severe first,
+    * overflow collapsed to a count line) + the summary line, total ≤
+    * `budget`. The summary degrades in fidelity order — precision 3→2→1,
+    * then drop the query map; errors full names → short keys → bare
+    * count — and flags drop from the tail before the summary ever
+    * exceeds the budget. The LAST line is always a parseable summary.
+    */
+  def composeStdout(out: Seq[QResult], total: Double, errors: Seq[String],
+                    flags: Seq[Flag], sfDir: String,
+                    budget: Int = StdoutBudget): String = {
+    def qsJson(prec: Int): String =
+      out.map(r => "\"" + r.short + "\":" + num(prec, r.best))
+        .mkString("{", ",", "}")
+    val errVariants: Seq[String] = Seq(
+      errors.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      errors.map(e => "\"" + e.takeWhile(_ != '_') + "\"").mkString("[", ",", "]"),
+      errors.size.toString)
+    val summaryVariants: Seq[String] = for {
+      (qs, errs) <- Seq(
+        (qsJson(3), errVariants(0)), (qsJson(2), errVariants(0)),
+        (qsJson(1), errVariants(0)), (qsJson(1), errVariants(1)),
+        ("{}", errVariants(1)), ("{}", errVariants(2)))
+    } yield s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val minimalSummary = summaryVariants.last
+    // flags most-severe first; try keeping all, then drop from the tail
+    // (collapsed into an omitted-count line) until the payload fits
+    val ranked = flags.sortBy(-_.ratio)
+    val payloads = for {
+      keep <- ranked.size to 0 by -1
+      flagLines = ranked.take(keep).map(_.line) ++
+        (if (keep < ranked.size)
+          Seq(s"""{"metric":"flags_omitted","n":${ranked.size - keep}}""")
+        else Nil)
+      summary <- summaryVariants
+      payload = (flagLines :+ summary).mkString("\n")
+      if payload.length <= budget
+    } yield payload
+    payloads.headOption.getOrElse(minimalSummary)
+  }
+
+  // ---- main ----
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,68 +224,58 @@ object Bench {
         }
       }
       val ok = times.flatten
-      (name, if (ok.nonEmpty) ok.min else -1.0, times)
+      QResult(name, if (ok.nonEmpty) ok.min else -1.0, times)
     }
     // results print in sorted order regardless of RUN order so round-over-
     // round diffs line up
-    val out = results.sortBy(_._1)
-    val qs = out.map { case (k, best, _) => "\"" + k + "\":" + f"$best%.3f" }
+    val out = results.sortBy(_.name)
+    val total = out.map(_.best).filter(_ >= 0).sum
+
+    // tripwire: re-plan (not re-run) each flagged query for a digest —
+    // exchange/codegen-span counts + an 8-hex hash of the physical plan,
+    // enough to tell "same plan, slow box" from "the plan changed"
+    val baseline = loadBaseline()
+    val flags = findFlags(out, baseline).map { r =>
+      val plan = try {
+        val p = SparkEntry.queries(r.name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val ex = p.linesIterator.count(_.contains("Exchange"))
+        val cg = p.linesIterator.count(_.contains("WholeStageCodegen"))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        s"ex$ex/cg$cg/$h"
+      } catch { case e: Throwable => s"digest-failed:${e.getClass.getSimpleName}" }
+      Flag(r, baseline(r.name), plan)
+    }
+    flags.foreach(f => System.err.println("[bench] TRIPWIRE " + f.fullJson))
+
+    // full-fidelity record: ONE json object carrying full names, best-of,
+    // every repeat, and flags — stderr + target/bench.json (judge-
+    // adjudicable without the driver capture window; VERDICT r09 #3)
+    val qs = out.map(r => "\"" + r.name + "\":" + num(3, r.best))
       .mkString("{", ",", "}")
-    // stdout line uses SHORT keys ("q61" for "q61_pretraining_pipeline"):
-    // at 118 queries the full-name map alone is ~3.4 KB, which overflows
-    // the driver's ~2000-char capture window no matter how cleanly the
-    // line is printed (r07/r08 benches arrived truncated → unparseable).
-    // Short keys are unique by construction (the qNN prefix is the query
-    // id) and BASELINE.md documents the mapping; full names stay in
-    // target/bench.json and on stderr.
-    // Locale.ROOT: %f under a comma-decimal default locale would emit
-    // "0,123" and corrupt the one line the driver must json-parse
-    def num(prec: Int, v: Double): String =
-      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-    def shortQs(prec: Int): String =
-      out.map { case (k, best, _) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + num(prec, best)
-      }.mkString("{", ",", "}")
-    val reps = out.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(_.map(t => f"$t%.3f").getOrElse("null"))
-        .mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = out.map(_._2).filter(_ >= 0).sum
-    // failures are IN the JSON line, not just stderr — a throwing query
-    // must not read as a speedup
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // full-fidelity summary (full names, 3 decimals) — file + stderr only
-    val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // stdout summary: must fit the driver's ~2000-char window WHOLE.
-    // 3-decimal short keys ≈ 1.7 KB at 118 queries; degrade precision,
-    // then drop the per-query map entirely, before ever printing a line
-    // that would be truncated into unparseable garbage.
-    def stdoutLine(qsJson: String): String =
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qsJson,"errors":$errs,"sf":"$sfDir"}"""
-    val compact = Seq(shortQs(3), shortQs(2), shortQs(1), "{}")
-      .map(stdoutLine)
-      .find(_.length <= 1900)
-      .getOrElse(stdoutLine("{}"))
-    val repeats = s"""{"metric":"repeats","repeats":$reps,"sf":"$sfDir"}"""
-    // repeats + full-name summary: stderr (diagnostic, unbounded) +
-    // durable file copy
-    System.err.println(summary)
-    System.err.println(repeats)
+    val reps = out.map(r => "\"" + r.name + "\":" + r.repsJson)
+      .mkString("{", ",", "}")
+    val errsFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flagsFull = flags.map(_.fullJson).mkString("[", ",", "]")
+    val record =
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","repeats_per_query":$Repeats,"queries":$qs,"repeats":$reps,"errors":$errsFull,"flags":$flagsFull,"sf":"$sfDir"}"""
+    System.err.println(record)
     try {
       val p = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        (summary + "\n" + repeats + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (record + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
-    // summary LAST, alone on stdout: spark.stop() can emit shutdown noise,
-    // so even that runs before the one line the driver must see — but a
+
+    val payload = composeStdout(out, total, failed.toSeq, flags, sfDir)
+    // payload LAST, alone on stdout: spark.stop() can emit shutdown noise,
+    // so even that runs before the lines the driver must see — but a
     // throwing stop() must not take the summary down with it (finally)
     try spark.stop()
     catch { case e: Throwable =>
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
-    } finally println(compact)
+    } finally println(payload)
   }
 }

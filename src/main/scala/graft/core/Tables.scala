@@ -40,10 +40,16 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ =>
-        // TIMESTAMP_NTZ: the session timezone is pinned to UTC everywhere
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // the session timezone is pinned to UTC everywhere
         // (Verify/Bench/specs), so the NTZ→TZ cast is value-preserving
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // a FOURTH encoding (string? int32 days?) must fail loudly here,
+        // not silently cast-to-null through every downstream events query
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other — " +
+            "extend Tables.events with an explicit, value-checked branch")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")

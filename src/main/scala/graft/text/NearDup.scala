@@ -406,46 +406,132 @@ object NearDup {
     edges
   }
 
-  /** Driver union-find over a COLLECTED pair list — the smallest tier of
-    * the sized strategy ladder (local < broadcast-probe < dst-partitioned
-    * sort-merge). Roots link max-root-under-min-root with path compression
-    * in find, so each tree's root IS its component's minimum id and the
-    * result matches the distributed min-label fixpoint exactly. Returns
-    * None when the rows don't fit the fast path's preconditions (a null
-    * id — undefined for connectivity, let the caller's distributed
-    * semantics apply).
+  /** Open-addressed primitive long→long map for the driver union-find:
+    * parallel key/parent arrays, linear probing, power-of-two capacity.
+    * `java.util.HashMap[Long,Long]` boxes every key AND value (~48 bytes
+    * per entry plus Entry objects — ~200 MB at the 2M-node gate bound);
+    * this is 16 bytes/slot at ≤⅔ load, ~64 MB worst case, with no
+    * allocation in find/union. `Long.MinValue` is the empty-slot
+    * sentinel — an input id equal to it falls back to the distributed
+    * tier (checked by the caller), never a wrong answer.
     */
-  private def localComponents(rows: Array[org.apache.spark.sql.Row])
-      : Option[Array[(Long, Long)]] = {
-    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.get(r) != r) r = parent.get(r)
-      var c = x
-      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+  private final class DriverUnionFind(expectedNodes: Int) {
+    private val Empty = Long.MinValue
+    private var cap = {
+      var c = 16
+      while (c < expectedNodes * 3 / 2 + 1) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var keys = Array.fill[Long](cap)(Empty)
+    private var parents = new Array[Long](cap)
+    private var used = 0
+
+    def size: Int = used
+
+    private def slotOf(id: Long): Int = {
+      // finalizer from splitmix64 — linear probing needs scrambled bits
+      var h = id * -7046029254386353131L
+      h ^= h >>> 32
+      var i = (h & mask).toInt
+      while (keys(i) != Empty && keys(i) != id) i = (i + 1) & mask
+      i
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val op = parents
+      cap <<= 1; mask = cap - 1; used = 0
+      keys = Array.fill[Long](cap)(Empty)
+      parents = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) { val s = slotOf(ok(i)); keys(s) = ok(i); parents(s) = op(i); used += 1 }
+        i += 1
+      }
+    }
+
+    /** Root id of x's tree, inserting x as a singleton if absent; path
+      * compression on the way back up.
+      */
+    def findOrInsert(x: Long): Long = {
+      if (used * 3 > cap * 2) grow()
+      var s = slotOf(x)
+      if (keys(s) == Empty) { keys(s) = x; parents(s) = x; used += 1; return x }
+      var r = parents(s)
+      var rs = s
+      while ({ rs = slotOf(r); parents(rs) != r }) r = parents(rs)
+      var c = x; var cs = s
+      while (c != r) { val n = parents(cs); parents(cs) = r; cs = slotOf(n); c = n }
       r
     }
-    var i = 0
-    while (i < rows.length) {
-      val row = rows(i)
-      if (row.isNullAt(0) || row.isNullAt(1)) return None
-      val a = row.getLong(0); val b = row.getLong(1)
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+
+    def link(ra: Long, rb: Long): Unit =
+      if (ra < rb) parents(slotOf(rb)) = ra else parents(slotOf(ra)) = rb
+
+    /** (id, root) for every id, sorted by id — deterministic output. */
+    def components(): Array[(Long, Long)] = {
+      val out = new Array[(Long, Long)](used)
+      var i = 0; var j = 0
+      while (i < keys.length) {
+        if (keys(i) != Empty) { out(j) = (keys(i), findOrInsert(keys(i))); j += 1 }
+        i += 1
       }
-      i += 1
+      scala.util.Sorting.stableSort(out, (x: (Long, Long), y: (Long, Long)) => x._1 < y._1)
+      out
     }
-    val out = new Array[(Long, Long)](parent.size())
-    val it = parent.keySet().iterator()
-    var j = 0
-    while (it.hasNext) { val id = it.next(); out(j) = (id, find(id)); j += 1 }
-    // deterministic row order so repeated runs produce identical files
-    scala.util.Sorting.stableSort(out, (x: (Long, Long), y: (Long, Long)) => x._1 < y._1)
-    Some(out)
   }
+
+  /** Driver union-find over a COLLECTED pair list — the smallest tier of
+    * the sized strategy ladder (local < broadcast-probe < dst-partitioned
+    * sort-merge). Input is the per-partition FLAT long arrays from
+    * `collectFlatPairs` — never Row objects, whose headers and boxed
+    * fields would multiply the driver's transient footprint ~6× at the
+    * 1M-pair gate. Roots link max-root-under-min-root with path
+    * compression in find, so each tree's root IS its component's minimum
+    * id and the result matches the distributed min-label fixpoint
+    * exactly. Returns None when the rows don't fit the fast path's
+    * preconditions (a null id — undefined for connectivity — or an id
+    * colliding with the map's sentinel): let the caller's distributed
+    * semantics apply.
+    */
+  private def localComponents(parts: Array[Array[Long]])
+      : Option[Array[(Long, Long)]] = {
+    if (parts.exists(_ == null)) return None // a partition saw a null id
+    val nPairs = parts.iterator.map(_.length.toLong).sum / 2
+    val uf = new DriverUnionFind(math.min(nPairs * 2, Int.MaxValue / 4).toInt)
+    var p = 0
+    while (p < parts.length) {
+      val flat = parts(p)
+      var i = 0
+      while (i < flat.length) {
+        val a = flat(i); val b = flat(i + 1)
+        if (a == Long.MinValue || b == Long.MinValue) return None // sentinel clash
+        val ra = uf.findOrInsert(a); val rb = uf.findOrInsert(b)
+        if (ra != rb) uf.link(ra, rb)
+        i += 2
+      }
+      p += 1
+    }
+    Some(uf.components())
+  }
+
+  /** Collect `(idA, idB)` long pairs as one flat primitive array per
+    * partition: ~16 bytes/pair on the driver versus ~100 for collected
+    * GenericRows (object header + field box per id). A partition that
+    * sees a null id collects as `null` (the caller falls back to the
+    * distributed tier). Runs on the already-checkpointed pair blocks, so
+    * this is a scan of local shuffle-free partitions.
+    */
+  private def collectFlatPairs(pairRows: DataFrame): Array[Array[Long]] =
+    pairRows.rdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+      var hasNull = false
+      it.foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) hasNull = true
+        else { buf += r.getLong(0); buf += r.getLong(1) }
+      }
+      Iterator.single(if (hasNull) null else buf.result())
+    }.collect()
 
   /** `maxLocalPairs` gates the driver union-find tier: a MEASURED pair
     * count at or below it (and long-typed ids) resolves components on the
@@ -491,7 +577,7 @@ object NearDup {
         .forall(_.dataType == org.apache.spark.sql.types.LongType)
       val localComp =
         if (longIds && maxLocalPairs > 0 && pairRows.count() <= maxLocalPairs)
-          localComponents(pairRows.collect())
+          localComponents(collectFlatPairs(pairRows))
         else None
       localComp match {
         case Some(comp) =>

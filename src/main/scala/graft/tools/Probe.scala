@@ -34,6 +34,30 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("lsh")) {
+      // r10 adjudication (VERDICT r09 #2): candidate-pair volume of the
+      // q39/q49 LSH paths on the CURRENT embeddings parquet — a testdata
+      // regeneration that shifted band collision rates would show here
+      // as a candidate blow-up at the same banding parameters.
+      val emb = graft.core.Tables.embeddings(spark, d)
+      println(s"[probe] embeddings rows: ${emb.count()}")
+      val q49all = graft.sim.Similarity.lshNeighborPairs(emb,
+        "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5,
+        minCosine = -1.0).count() // threshold off => every candidate pair
+      val q49out = graft.sim.Similarity.lshNeighborPairs(emb,
+        "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5,
+        minCosine = 0.2).count()
+      println(s"[probe] q49 candidates=$q49all survivors(>=0.2)=$q49out")
+      val q39all = graft.sim.Similarity.lshTopK(emb, "vec_id", "embedding",
+        dims = 64, bands = 4, rowsPerBand = 5, k = Int.MaxValue,
+        queryPred = col("vec_id") % 10 === 0).count() // k unbounded => all candidates
+      val q39out = graft.sim.Similarity.lshTopK(emb, "vec_id", "embedding",
+        dims = 64, bands = 4, rowsPerBand = 5, k = 3,
+        queryPred = col("vec_id") % 10 === 0).count()
+      println(s"[probe] q39 candidates=$q39all topk_rows=$q39out")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("q33")) {
       // q33 decomposition: which term dominates langId?
       val docs = Tables.documents(spark, d)

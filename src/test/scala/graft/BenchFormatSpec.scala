@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Pure-format tests for the bench's driver contract: baseline parsing,
+  * the >2.5× tripwire, and the 1900-char stdout budget under every
+  * degradation path (the driver keeps only the final ~2000 chars of
+  * stdout and json-parses the LAST line — see Bench scaladoc).
+  */
+class BenchFormatSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private def lastLine(payload: String): String = payload.split('\n').last
+  private def parses(line: String): Boolean =
+    try { mapper.readTree(line); true } catch { case _: Throwable => false }
+
+  private def mkResults(n: Int, times: Int => Double): Seq[Bench.QResult] =
+    (1 to n).map { i =>
+      val t = times(i)
+      Bench.QResult(f"q$i%02d_synthetic_query_name_with_length_$i",
+        t, Seq(Some(t + 0.4), Some(t + 0.1), Some(t)))
+    }
+
+  test("parseBaseline picks the rightmost numeric column and skips dashes/notes") {
+    val md =
+      """|# BASELINE
+         || query | r01 sec | r07 sec | r09 sec | note |
+         ||---|---|---|---|---|
+         || q01_pricing_summary | 0.72 | 0.55 | 0.42 |  |
+         || q49_lsh_pairs | — | 0.59 | 0.62 |  |
+         || q107_interval_join | — | 0.65 | 0.42 | r08 second half ÷1.45 box ≈ 0.45 |
+         || q116_value_trend |  |  | 0.22 | r08: exact-integer least squares |
+         || **total** | **66.33** | **54.0** | whatever |
+         |not a table line""".stripMargin
+    val b = Bench.parseBaseline(md.linesIterator)
+    assert(b("q01_pricing_summary") == 0.42)
+    assert(b("q49_lsh_pairs") == 0.62)
+    assert(b("q107_interval_join") == 0.42) // note cell has digits but isn't a bare number
+    assert(b("q116_value_trend") == 0.22)
+    assert(!b.contains("**total**") && b.size == 4)
+  }
+
+  test("tripwire flags only >2.5x entries with a positive best and a baseline") {
+    val base = Map("q01_a" -> 0.40, "q02_b" -> 0.40, "q03_c" -> 0.40)
+    val out = Seq(
+      Bench.QResult("q01_a", 1.20, Seq(Some(1.2))),  // 3.0x -> flag
+      Bench.QResult("q02_b", 0.90, Seq(Some(0.9))),  // 2.25x -> no
+      Bench.QResult("q03_c", -1.0, Seq(None)),       // failed -> no (it's in errors)
+      Bench.QResult("q04_d", 99.0, Seq(Some(99.0)))) // no baseline -> no
+    assert(Bench.findFlags(out, base).map(_.name) == Seq("q01_a"))
+  }
+
+  test("123-query payload with one flagged query fits the budget, flag line first") {
+    val out = mkResults(123, i => if (i == 107) 4.651 else 0.3)
+    val flags = Seq(Bench.Flag(out(106), 0.42, "ex4/cg6/ab12cd34"))
+    val payload = Bench.composeStdout(out, 40.0, Nil, flags, "/sf")
+    assert(payload.length <= Bench.StdoutBudget)
+    val lines = payload.split('\n')
+    assert(lines.head.contains("\"metric\":\"flag\"") && lines.head.contains("\"q\":\"q107\""))
+    assert(lines.head.contains("\"reps\":[5.051,4.751,4.651]"))
+    assert(lines.head.contains("\"plan\":\"ex4/cg6/ab12cd34\""))
+    assert(lines.forall(parses))
+    assert(lastLine(payload).contains("\"metric\":\"total\""))
+  }
+
+  test("mass failure degrades errors to short keys then a count, stays parseable") {
+    // the ADVICE r09 scenario: most of 123 queries throwing — full-name
+    // errors alone would overflow even the '{}' fallback line
+    val out = mkResults(123, _ => -1.0).map(r => r.copy(times = Seq(None, None, None)))
+    val errors = out.map(_.name)
+    val payload = Bench.composeStdout(out, 0.0, errors, Nil, "/sf")
+    assert(payload.length <= Bench.StdoutBudget)
+    val last = lastLine(payload)
+    assert(parses(last))
+    val node = mapper.readTree(last)
+    val errs = node.get("errors")
+    // degraded form: either a short-key array or a bare count — never
+    // a front-truncated full-name list
+    assert(errs.isInt || (errs.isArray && errs.size == 123 &&
+      errs.get(0).asText.length <= 4))
+  }
+
+  test("flag overflow collapses the tail into flags_omitted, keeps most-severe") {
+    val out = mkResults(60, i => 5.0 + i * 0.01) // all slow
+    val flags = out.map(r => Bench.Flag(r, 0.30, "ex1/cg1/00000000"))
+    val payload = Bench.composeStdout(out, 300.0, Nil, flags, "/sf")
+    assert(payload.length <= Bench.StdoutBudget)
+    assert(payload.contains("\"metric\":\"flags_omitted\""))
+    // the kept flags are the most severe (highest best/base ratio = q60)
+    assert(payload.split('\n').head.contains("\"q\":\"q60\""))
+    assert(parses(lastLine(payload)))
+  }
+
+  test("no flags, healthy run: single summary line with 3-decimal short keys") {
+    val out = mkResults(123, _ => 0.345)
+    val payload = Bench.composeStdout(out, 42.4, Nil, Nil, "/root/testdata/sf0.1")
+    assert(!payload.contains('\n'))
+    assert(payload.contains("\"q01\":0.345"))
+    assert(parses(payload))
+  }
+
+  test("live BASELINE.md parses and covers the registered queries") {
+    val b = Bench.loadBaseline("BASELINE.md")
+    assert(b.size >= 100, s"only ${b.size} baseline rows parsed")
+    val missing = SparkEntry.queries.keySet.diff(b.keySet)
+    assert(missing.isEmpty, s"queries without a BASELINE.md row: $missing")
+  }
+}
