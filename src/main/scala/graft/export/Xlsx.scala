@@ -156,9 +156,139 @@ object Xlsx {
 
   /** The reference's replace-if-exists append (dischargeobs_write_xl.py:
     * 136-144): keep other sheets, replace `name` if present, else append.
+    *
+    * FORMATTING PASSTHROUGH (r10, mirroring the r08 .xls treatment): the
+    * openpyxl path the reference uses loads the whole workbook and
+    * replaces ONE sheet, so styles, column widths, themes and every
+    * other part of the OTHER sheets survive untouched
+    * (dischargeobs_write_xl.py:136-144, 211-216). This upsert edits the
+    * zip the same way: every part except the target sheet (and, for an
+    * append, the three registry parts) is copied BYTE-IDENTICALLY; the
+    * replaced sheet's own formatting is dropped exactly as openpyxl's
+    * delete-and-recreate drops it. Workbooks whose registry XML lacks
+    * the expected close tags (a prefixed `<x:sheets>`, say) fall back to
+    * the legacy full re-serialization, which preserves values only.
     */
-  def upsertSheet(path: String, name: String, grid: Grid): Unit =
-    upsert(path, name, grid, read, write)
+  def upsertSheet(path: String, name: String, grid: Grid): Unit = {
+    if (!new java.io.File(path).exists()) { write(path, Seq(name -> grid)); return }
+    if (!upsertInPlace(path, name, grid))
+      upsert(path, name, grid, read, write)
+  }
+
+  private val WsRelType =
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet"
+  private val WsContentType =
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"
+
+  /** Passthrough upsert on the zip container. Returns false when the
+    * workbook's structure defeats the targeted edit (missing parts,
+    * namespace-prefixed registry XML) — the caller then takes the legacy
+    * values-only path. Workbooks here are bounded product exports
+    * (driver-side boundary by design), so buffering parts in memory is
+    * the same contract as `read`.
+    */
+  private def upsertInPlace(path: String, name: String, grid: Grid): Boolean = {
+    val zf = new ZipFile(path)
+    val edits = try {
+      val entryNames = {
+        val en = zf.entries()
+        val b = Vector.newBuilder[String]
+        while (en.hasMoreElements) b += en.nextElement().getName
+        b.result()
+      }
+      val wbName = "xl/workbook.xml"
+      val relsName = "xl/_rels/workbook.xml.rels"
+      val ctName = "[Content_Types].xml"
+      val wbBytes = zipBytes(zf, wbName).getOrElse(return false)
+      val wb = parse(wbBytes)
+      val sheets = children(wb, "sheet")
+      val rels: Map[String, String] =
+        zipBytes(zf, relsName).map { b =>
+          children(parse(b), "Relationship")
+            .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap
+        }.getOrElse(Map.empty)
+      sheets.find(_.getAttribute("name") == name) match {
+        case Some(sh) =>
+          // REPLACE: swap the one worksheet part; drop its sheet-level
+          // rels (the recreated sheet references nothing — keeping them
+          // would leave dangling drawing/hyperlink relationships, the
+          // same cleanup openpyxl's delete-and-recreate performs)
+          val target = rels.getOrElse(sh.getAttribute("r:id"),
+            s"worksheets/sheet${sh.getAttribute("sheetId")}.xml")
+          val full = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+          if (!entryNames.contains(full)) return false
+          val dir = full.substring(0, full.lastIndexOf('/') + 1)
+          val base = full.substring(full.lastIndexOf('/') + 1)
+          Some((Map(full -> sheetXml(grid).getBytes("UTF-8")),
+            Set(dir + "_rels/" + base + ".rels"), Map.empty[String, Array[Byte]]))
+        case None =>
+          // APPEND: a fresh worksheet part plus one insertion in each of
+          // the three registry parts — everything else copies verbatim
+          val wbText = new String(wbBytes, "UTF-8")
+          val relsText = zipBytes(zf, relsName).map(new String(_, "UTF-8"))
+            .getOrElse(return false)
+          val ctText = zipBytes(zf, ctName).map(new String(_, "UTF-8"))
+            .getOrElse(return false)
+          if (!wbText.contains("</sheets>") ||
+              !relsText.contains("</Relationships>") ||
+              !ctText.contains("</Types>")) return false
+          val newSheetId = (1L +: sheets.map(_.getAttribute("sheetId"))
+            .flatMap(_.toLongOption)).max + 1
+          val newRid = "rId" + ((0L +: rels.keys.toSeq
+            .flatMap(id => if (id.startsWith("rId")) id.drop(3).toLongOption else None)).max + 1)
+          var k = 1
+          while (entryNames.contains(s"xl/worksheets/graftSheet$k.xml")) k += 1
+          val partName = s"xl/worksheets/graftSheet$k.xml"
+          Some((Map(
+            wbName -> wbText.replace("</sheets>",
+              s"""<sheet name="${esc(name)}" sheetId="$newSheetId" r:id="$newRid"/></sheets>""")
+              .getBytes("UTF-8"),
+            relsName -> relsText.replace("</Relationships>",
+              s"""<Relationship Id="$newRid" Type="$WsRelType" Target="worksheets/graftSheet$k.xml"/></Relationships>""")
+              .getBytes("UTF-8"),
+            ctName -> ctText.replace("</Types>",
+              s"""<Override PartName="/$partName" ContentType="$WsContentType"/></Types>""")
+              .getBytes("UTF-8")),
+            Set.empty[String],
+            Map(partName -> sheetXml(grid).getBytes("UTF-8"))))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None } finally zf.close()
+
+    edits match {
+      case None => false
+      case Some((replaced, dropped, added)) =>
+        val src = java.nio.file.Paths.get(path)
+        val tmpPath = java.nio.file.Files.createTempFile(
+          src.toAbsolutePath.getParent, ".graft-upsert", ".xlsx")
+        val zin = new ZipFile(path)
+        try {
+          val zos = new ZipOutputStream(
+            java.nio.file.Files.newOutputStream(tmpPath))
+          val en = zin.entries()
+          while (en.hasMoreElements) {
+            val e = en.nextElement()
+            if (!dropped.contains(e.getName)) {
+              zos.putNextEntry(new ZipEntry(e.getName))
+              replaced.get(e.getName) match {
+                case Some(b) => zos.write(b)
+                case None => zin.getInputStream(e).transferTo(zos)
+              }
+              zos.closeEntry()
+            }
+          }
+          added.foreach { case (n, b) =>
+            zos.putNextEntry(new ZipEntry(n)); zos.write(b); zos.closeEntry()
+          }
+          zos.close()
+          java.nio.file.Files.move(tmpPath, src,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        } finally {
+          zin.close()
+          java.nio.file.Files.deleteIfExists(tmpPath)
+        }
+    }
+  }
 
   // ---- reader ------------------------------------------------------------
 

@@ -647,13 +647,31 @@ object Terms {
     * group keeps everything).
     */
   def waterfillBudget(df: DataFrame, textCol: String, groupCol: String,
-                      budget: Long): DataFrame = {
+                      budget: Long, maxGroups: Long = 100000L): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     val per = df.groupBy(col(groupCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")),
           lit(0L)).as("tokens"))
+      .localCheckpoint(true)
+    // the unpartitioned windows below serialize the per-GROUP frame into
+    // one task — legal only while that frame is mixture-sized. Enforce
+    // the contract on the MEASURED group count (the groupedQuantile
+    // doctrine: a degenerate groupCol — doc_id, a url — must fail
+    // loudly, not quietly single-task a corpus-sized sort). The
+    // checkpoint makes the count a scalar job over materialized blocks,
+    // not a second aggregation. Past the bound the construction still
+    // exists distributed: range-partition by tokens and two-pass the
+    // prefix sums (the f(i) segment scan is order-statistics over
+    // sorted groups) — unimplemented because no real mixture axis
+    // (source, lang, domain bucket) approaches 100k groups.
+    val nGroups = per.count()
+    require(nGroups <= maxGroups,
+      s"waterfillBudget: $nGroups groups in '$groupCol' exceeds maxGroups=" +
+        s"$maxGroups — the single-task window contract is for mixture axes " +
+        "(source/lang/domain), not per-document keys; use a distributed " +
+        "range-partitioned prefix-sum for high-cardinality group columns")
     val ow = Window.orderBy(col("tokens"), col("source"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rw = Window.orderBy(col("tokens"), col("source"))

@@ -152,6 +152,132 @@ class XlsxSpec extends SparkSpec {
     assert(rows.exists(r => r(latIdx).nonEmpty && r(latIdx).toDouble > 48.0))
   }
 
+  test("upsertSheet passthrough: untouched sheets' XML and styles survive byte-identically") {
+    // an Excel-authored-shaped workbook: styles part, themed, styled cells
+    // (s= attrs), column widths, sharedStrings, a sheet-level rels part —
+    // everything our own writer never emits. Replacing ONE sheet must
+    // leave every other part byte-identical (the openpyxl replace-sheet
+    // contract, dischargeobs_write_xl.py:136-144).
+    val path = tmp("styled.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def part(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
+      """<Override PartName="/xl/theme/theme1.xml" ContentType="application/vnd.openxmlformats-officedocument.theme+xml"/></Types>""")
+    part("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+      """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="Config" sheetId="1" r:id="rId1"/><sheet name="2023" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+      """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>""" +
+      """<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/></Relationships>""")
+    val styledSheet1 =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<cols><col min="1" max="1" width="23.5" customWidth="1"/></cols><sheetData>""" +
+      """<row r="1" ht="21" customHeight="1"><c r="A1" t="inlineStr" s="3"><is><t>Station</t></is></c></row>""" +
+      """<row r="2"><c r="A2" t="inlineStr" s="1"><is><t>08MF005</t></is></c><c r="B2" s="2"><v>1.25</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    part("xl/worksheets/sheet1.xml", styledSheet1)
+    part("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>old</t></is></c></row></sheetData></worksheet>""")
+    part("xl/worksheets/_rels/sheet2.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"/>""")
+    val stylesXml =
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      """<fonts count="2"><font><sz val="11"/></font><font><b/><sz val="14"/></font></fonts></styleSheet>"""
+    part("xl/styles.xml", stylesXml)
+    part("xl/theme/theme1.xml", """<?xml version="1.0"?><a:theme xmlns:a="x"><a:name>Office</a:name></a:theme>""")
+    zos.close()
+
+    def partBytes(p: String, entry: String): Array[Byte] = {
+      val zf = new java.util.zip.ZipFile(p)
+      try {
+        val e = zf.getEntry(entry)
+        if (e == null) null
+        else {
+          val out = new java.io.ByteArrayOutputStream()
+          zf.getInputStream(e).transferTo(out); out.toByteArray
+        }
+      } finally zf.close()
+    }
+    val before = Seq("xl/worksheets/sheet1.xml", "xl/styles.xml",
+      "xl/theme/theme1.xml", "xl/workbook.xml", "[Content_Types].xml")
+      .map(n => n -> partBytes(path, n)).toMap
+
+    // REPLACE the 2023 sheet: every other part byte-identical, the
+    // replaced sheet's stale rels part dropped
+    Xlsx.upsertSheet(path, "2023", (Array("c"), Array(Array("new"))))
+    before.foreach { case (n, b) =>
+      assert(java.util.Arrays.equals(partBytes(path, n), b), s"$n changed on replace") }
+    assert(partBytes(path, "xl/worksheets/_rels/sheet2.xml.rels") == null)
+    val afterReplace = Xlsx.read(path)
+    assert(afterReplace.map(_._1) === Seq("Config", "2023"))
+    assert(afterReplace(1)._2._2.head.head === "new")
+    assert(afterReplace(0)._2._2.head.toSeq === Seq("08MF005", "1.25"))
+
+    // APPEND a new sheet: both existing worksheet parts + styles survive
+    // byte-identically; only the three registry parts gain one entry each
+    val sheet2After = partBytes(path, "xl/worksheets/sheet2.xml")
+    Xlsx.upsertSheet(path, "2024", (Array("c"), Array(Array("42"))))
+    assert(java.util.Arrays.equals(partBytes(path, "xl/worksheets/sheet1.xml"),
+      before("xl/worksheets/sheet1.xml")), "sheet1 changed on append")
+    assert(java.util.Arrays.equals(partBytes(path, "xl/worksheets/sheet2.xml"),
+      sheet2After), "sheet2 changed on append")
+    assert(java.util.Arrays.equals(partBytes(path, "xl/styles.xml"),
+      before("xl/styles.xml")), "styles changed on append")
+    val afterAppend = Xlsx.read(path)
+    assert(afterAppend.map(_._1) === Seq("Config", "2023", "2024"))
+    assert(afterAppend(2)._2._2.head.head === "42")
+  }
+
+  test("upsertSheet passthrough: appending to the Excel-authored reference workbook") {
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/reference/STN_list.xlsx")),
+      "reference workbook not present on this machine")
+    val path = tmp("stn.xlsx")
+    java.nio.file.Files.copy(java.nio.file.Paths.get("/root/reference/STN_list.xlsx"),
+      java.nio.file.Paths.get(path))
+    def partBytes(entry: String): Array[Byte] = {
+      val zf = new java.util.zip.ZipFile(path)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        zf.getInputStream(zf.getEntry(entry)).transferTo(out); out.toByteArray
+      } finally zf.close()
+    }
+    val zf0 = new java.util.zip.ZipFile(path)
+    val wsEntry = try {
+      val en = zf0.entries()
+      var found: String = null
+      while (en.hasMoreElements) {
+        val n = en.nextElement().getName
+        if (n.startsWith("xl/worksheets/") && n.endsWith(".xml")) found = n
+      }
+      found
+    } finally zf0.close()
+    val wsBefore = partBytes(wsEntry)
+    val stylesBefore = partBytes("xl/styles.xml")
+    Xlsx.upsertSheet(path, "graft_audit", (Array("k", "v"), Array(Array("rows", "460"))))
+    // Excel's own sheet + styles byte-identical through the upsert
+    assert(java.util.Arrays.equals(partBytes(wsEntry), wsBefore))
+    assert(java.util.Arrays.equals(partBytes("xl/styles.xml"), stylesBefore))
+    val back = Xlsx.read(path)
+    assert(back.map(_._1) === Seq("Sheet1", "graft_audit"))
+    assert(back(0)._2._2.length === 460)     // original data intact
+    assert(back(1)._2._2.head.toSeq === Seq("rows", "460"))
+  }
+
   test("xlsx/xls column refs: colRef/refToCol round-trip") {
     (0 until 200).foreach { i =>
       val ref = Xlsx.colRef(i)

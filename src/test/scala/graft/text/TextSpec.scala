@@ -426,6 +426,22 @@ class TextSpec extends SparkSpec {
     assert(tight.forall(_._5 === 3000000L))
   }
 
+  test("waterfillBudget: degenerate group cardinality fails loudly, not single-task") {
+    import spark.implicits._
+    // groupCol = the per-document key: the measured-group-count guard
+    // must reject it BEFORE the unpartitioned windows serialize a
+    // corpus-sized frame into one task (the groupedQuantile doctrine)
+    val perDoc = (1L to 50L).map(i => (i, s"d$i", "w x y z")).toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Terms.waterfillBudget(perDoc, "text", "source", budget = 10L, maxGroups = 20L)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    assert(e.getMessage.contains("range-partitioned")) // names the distributed alternative
+    // at-or-under the bound still computes
+    assert(Terms.waterfillBudget(perDoc, "text", "source",
+      budget = 10L, maxGroups = 50L).count() === 50L)
+  }
+
   test("containment pairs: an embedded copy scores ~1 on the contained side") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
