@@ -2327,5 +2327,257 @@ object TextSim extends QueryPack {
                 GROUP BY 1, 2)
         SELECT tok AS word, c::BIGINT AS true_count, est::BIGINT AS est_count,
                (est - c)::BIGINT AS overcount FROM est""")),
+
+    // CORPUS-LEVEL similarity matrix between sources (drift/overlap
+    // monitoring): one 64-position MinHash signature PER SOURCE (min
+    // over the union of its docs' 3-gram hashes — sources' signatures
+    // cost one corpus scan + an S×64 aggregate) gives the estimated
+    // Jaccard; the exact gram-set Jaccard rides the same hashed-gram
+    // frame (distinct per source → gram-keyed self-join, ≤ S²/2 rows
+    // per gram) so the estimator ships with its error measurable, the
+    // q106 count-min doctrine. At 100 TB the exact term is the one to
+    // drop — the signature matrix alone is S×64 longs from one pass.
+    // The S²-pair signature join is dimension-bounded (a nested loop
+    // over an S-row frame, S = distinct sources).
+    "q124_source_similarity" -> Q(
+      (s, d) => {
+        val k = 64
+        val P = NearDup.P
+        val hashed = TextOps
+          .wordShingleRows(Tables.documents(s, d), "source", "text", 3)
+          .select(col("id").as("source"),
+            TextOps.gramHash64(s, col("g")).as("hraw"),
+            (TextOps.gramHash64Hi(s, col("g")) % P).as("h2"))
+          .withColumn("h1", col("hraw") % P)
+        val aggs = (0 until k).map(i =>
+          min((col("h1") + lit(i.toLong) * col("h2")) % P).as(s"m$i"))
+        val sigs = hashed.groupBy("source").agg(aggs.head, aggs.tail: _*)
+        val gs = hashed.select(col("source"), col("hraw")).distinct()
+        val sizes = gs.groupBy("source").agg(count(lit(1)).as("ng"))
+        val inter = gs.as("a").join(gs.as("b"),
+            col("a.hraw") === col("b.hraw") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("ig"))
+        val sigMatches = (0 until k).map(i =>
+          when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L)).reduce(_ + _)
+        sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+            sigMatches.as("sm"))
+          .join(inter, Seq("source_a", "source_b"), "left")
+          .na.fill(0L, Seq("ig"))
+          .join(sizes.select(col("source").as("source_a"), col("ng").as("na")), Seq("source_a"))
+          .join(sizes.select(col("source").as("source_b"), col("ng").as("nb")), Seq("source_b"))
+          .select(col("source_a"), col("source_b"),
+            col("na").as("n_grams_a"), col("nb").as("n_grams_b"),
+            col("ig").as("inter_grams"),
+            floor(col("sm").cast("double") * lit(1e6) / lit(k.toDouble) + lit(0.5))
+              .cast("long").as("est_jaccard_micro"),
+            floor(col("ig").cast("double") * lit(1e6) /
+              (col("na") + col("nb") - col("ig")).cast("double") + lit(0.5))
+              .cast("long").as("jaccard_micro"))
+      },
+      Some {
+        val k = 64
+        val P = NearDup.P
+        val mins = (0 until k)
+          .map(i => s"min((h1 + $i * h2) % $P) AS m$i").mkString(",\n               ")
+        val matches = (0 until k)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH toks AS (SELECT source, $DUCK_TOKENS AS t FROM documents),
+        grams AS (
+          SELECT source, array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, unnest(range(1, len(t) - 1)) u(i)
+          WHERE len(t) >= 3),
+        hashed AS (
+          SELECT source,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT       AS hraw,
+                 ('0x' || substr(md5(g), 1, 15))::BIGINT  % $P AS h1,
+                 ('0x' || substr(md5(g), 17, 15))::BIGINT % $P AS h2
+          FROM grams),
+        sigs AS (SELECT source, $mins FROM hashed GROUP BY source),
+        gsets AS (SELECT DISTINCT source, hraw FROM hashed),
+        sizes AS (SELECT source, count(*)::BIGINT AS ng FROM gsets GROUP BY source),
+        inter AS (
+          SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS ig
+          FROM gsets a JOIN gsets b ON a.hraw = b.hraw AND a.source < b.source
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b, ($matches)::BIGINT AS sm
+          FROM sigs a JOIN sigs b ON a.source < b.source)
+        SELECT p.source_a, p.source_b,
+               sa.ng AS n_grams_a, sb.ng AS n_grams_b,
+               coalesce(i.ig, 0)::BIGINT AS inter_grams,
+               floor(p.sm::DOUBLE * 1e6 / $k + 0.5)::BIGINT AS est_jaccard_micro,
+               floor(coalesce(i.ig, 0)::DOUBLE * 1e6
+                     / (sa.ng + sb.ng - coalesce(i.ig, 0))::DOUBLE + 0.5)::BIGINT AS jaccard_micro
+        FROM pairs p
+        LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b
+        JOIN sizes sa ON sa.source = p.source_a
+        JOIN sizes sb ON sb.source = p.source_b"""
+      }),
+
+    // ORDER-INSENSITIVE exact dedup: the bag-of-words fingerprint (md5
+    // of the SORTED token multiset) catches template reorderings and
+    // shuffled boilerplate that byte-exact dedup (q32) misses while
+    // costing the same single hash-keyed shuffle — no pairwise term,
+    // no LSH. Emits the full keep/drop mapping (the q42 cluster-output
+    // convention: every doc with its family keeper — singletons keep
+    // themselves), so the result is non-vacuous at every SF; TextSpec
+    // pins the reorder-catching property the synthetic corpus lacks.
+    // Sorting happens PER ROW inside codegen (array_sort), so the
+    // shuffle carries 32-byte digests, never token arrays.
+    "q125_bag_dedup" -> Q(
+      (s, d) => {
+        val bagged = Tables.documents(s, d).select(col("doc_id"),
+          md5(concat_ws(" ", array_sort(TextOps.tokens(col("text"))))).as("bag"))
+        val fam = bagged.groupBy("bag").agg(
+          count(lit(1)).as("family_size"), min(col("doc_id")).as("keeper_id"))
+        bagged.join(fam, Seq("bag"))
+          .select(col("doc_id"), col("keeper_id"), col("family_size"),
+            (col("doc_id") === col("keeper_id")).cast("int").as("is_keeper"))
+      },
+      Some(s"""
+        WITH bagged AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort($DUCK_TOKENS), ' ')) AS bag
+          FROM documents),
+        fam AS (
+          SELECT bag, count(*)::BIGINT AS family_size,
+                 min(doc_id) AS keeper_id
+          FROM bagged GROUP BY bag)
+        SELECT b.doc_id, f.keeper_id, f.family_size,
+               (b.doc_id = f.keeper_id)::INT AS is_keeper
+        FROM bagged b JOIN fam f USING (bag)""")),
+
+    // Per-label embedding DRIFT statistics (corpus monitoring for
+    // embedding pipelines): micro-snapped centroid per label, mean
+    // vector norm, and mean cosine-to-centroid (spread). Numerics
+    // doctrine: components snap to micro ints (xm), the centroid
+    // component is the half-up integer mean (mm), and every cross-row
+    // sum is a sum of exact LONGS (xm·mm ≤ 1e12, ×dims ≪ 2^63) — so
+    // aggregation order can never flip a bit and both engines divide
+    // the same integers. The per-(label,pos) centroid frame is
+    // label×dims-sized → broadcast back; the only corpus-sized
+    // shuffles are the two keyed aggregations.
+    "q126_embedding_drift" -> Q(
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .select(col("label"), col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("xm",
+            floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+        val comp = ex.groupBy("label", "pos").agg(
+          sum(col("xm")).as("smm"), count(lit(1)).as("n"))
+          .withColumn("mm",
+            floor(col("smm").cast("double") / col("n").cast("double") + lit(0.5))
+              .cast("long"))
+        val per = ex.join(broadcast(comp.select("label", "pos", "mm")), Seq("label", "pos"))
+          .groupBy("label", "vec_id")
+          .agg(sum(col("xm") * col("mm")).as("dt"),
+            sum(col("xm") * col("xm")).as("a"))
+        val bl = comp.groupBy("label").agg(sum(col("mm") * col("mm")).as("b"))
+        per.join(broadcast(bl), Seq("label"))
+          .withColumn("cos_micro",
+            when(col("a") === 0 || col("b") === 0, lit(0L))
+              .otherwise(floor(col("dt").cast("double") /
+                (sqrt(col("a").cast("double")) * sqrt(col("b").cast("double"))) *
+                lit(1e6) + lit(0.5)).cast("long")))
+          .withColumn("norm_micro",
+            floor(sqrt(col("a").cast("double")) + lit(0.5)).cast("long"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            floor(sqrt(max(col("b")).cast("double")) + lit(0.5)).cast("long")
+              .as("centroid_norm_micro"),
+            floor(sum(col("norm_micro")).cast("double") /
+              count(lit(1)).cast("double") + lit(0.5)).cast("long")
+              .as("mean_norm_micro"),
+            floor(sum(col("cos_micro")).cast("double") /
+              count(lit(1)).cast("double") + lit(0.5)).cast("long")
+              .as("mean_cos_micro"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT label, vec_id, pos,
+                 floor(embedding[pos]::DOUBLE * 1e6 + 0.5)::BIGINT AS xm
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) u(pos)),
+        comp AS (
+          SELECT label, pos,
+                 floor(sum(xm)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT AS mm
+          FROM ex GROUP BY 1, 2),
+        per AS (
+          SELECT e.label, e.vec_id,
+                 sum(e.xm * c.mm)::BIGINT AS dt,
+                 sum(e.xm * e.xm)::BIGINT AS a
+          FROM ex e JOIN comp c ON e.label = c.label AND e.pos = c.pos
+          GROUP BY 1, 2),
+        bl AS (SELECT label, sum(mm * mm)::BIGINT AS b FROM comp GROUP BY label),
+        scored AS (
+          SELECT p.label, p.vec_id, b.b,
+                 CASE WHEN p.a = 0 OR b.b = 0 THEN 0
+                      ELSE floor(p.dt::DOUBLE
+                                 / (sqrt(p.a::DOUBLE) * sqrt(b.b::DOUBLE))
+                                 * 1e6 + 0.5)::BIGINT END AS cos_micro,
+                 floor(sqrt(p.a::DOUBLE) + 0.5)::BIGINT AS norm_micro
+          FROM per p JOIN bl b USING (label))
+        SELECT label, count(*)::BIGINT AS n_vecs,
+               floor(sqrt(max(b)::DOUBLE) + 0.5)::BIGINT AS centroid_norm_micro,
+               floor(sum(norm_micro)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT AS mean_norm_micro,
+               floor(sum(cos_micro)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT AS mean_cos_micro
+        FROM scored GROUP BY label""")),
+
+    // Vocabulary HEAD-COVERAGE curve: the share of total token
+    // occurrences covered by the top-k most frequent tokens, k ∈
+    // {10, 100, 1000} — the "head heaviness" dial a tokenizer-budget or
+    // stopword decision reads. One token-count shuffle; the global
+    // rank runs AFTER a limit(1000) (TakeOrdered — distributed
+    // partial top-k, no global sort), so the single-task window at the
+    // end sees a ≤1000-row frame — bounded by construction, the
+    // waterfill/groupedMedian doctrine. Ties break by (count DESC,
+    // token ASC) identically in both engines.
+    "q127_head_coverage" -> Q(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("t"))
+        val ord = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok").asc)
+        val w = ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        val ranked = counts.orderBy(col("n").desc, col("tok").asc).limit(1000)
+          .withColumn("r", row_number().over(ord))
+          .withColumn("cum", sum(col("n")).over(w))
+        import s.implicits._
+        val ks = Seq(10L, 100L, 1000L).toDF("k")
+        ranked.crossJoin(broadcast(ks)).filter(col("r") <= col("k"))
+          .groupBy("k")
+          .agg(max(col("r")).cast("long").as("n_terms"),
+            max(col("cum")).as("covered_tokens"))
+          .crossJoin(total)
+          .select(col("k"), col("n_terms"), col("covered_tokens"),
+            col("t").as("total_tokens"),
+            floor(col("covered_tokens").cast("double") * lit(1e6) /
+              col("t").cast("double") + lit(0.5)).cast("long")
+              .as("coverage_micro"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT unnest($DUCK_TOKENS) AS tok FROM documents),
+        cnt AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+        tot AS (SELECT sum(n)::BIGINT AS t FROM cnt),
+        ranked AS (
+          SELECT tok, n,
+                 row_number() OVER (ORDER BY n DESC, tok) AS r,
+                 sum(n) OVER (ORDER BY n DESC, tok
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+          FROM cnt),
+        top AS (SELECT * FROM ranked WHERE r <= 1000),
+        ks(k) AS (VALUES (10), (100), (1000))
+        SELECT k::BIGINT AS k, max(r)::BIGINT AS n_terms,
+               max(cum) AS covered_tokens, max(t) AS total_tokens,
+               floor(max(cum)::DOUBLE * 1e6 / max(t)::DOUBLE + 0.5)::BIGINT AS coverage_micro
+        FROM top, ks, tot WHERE r <= k GROUP BY k""")),
   )
 }

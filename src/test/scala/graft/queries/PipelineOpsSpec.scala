@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Semantics of the r10 corpus-monitoring composites (q124–q127) on
+  * crafted corpora — the properties the synthetic testdata can't pin
+  * (no reorder-duplicates exist in it, and its similarity structure is
+  * too diffuse for hand-checked values).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def corpusDir(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ops").toString
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q125 bag dedup: reordered token multisets family together; exact hash would not") {
+    val dir = corpusDir(Seq(
+      (1L, "alpha beta gamma", "en", "web"),
+      (2L, "gamma beta alpha", "en", "web"),   // reordering of doc 1
+      (3L, "alpha beta", "en", "web")))        // subset — NOT a bag match
+    val out = graft.SparkEntry.queries("q125_bag_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((1L, 2L)) && out(2L) === ((1L, 2L)),
+      "reordered copies must share a family with the min-id keeper")
+    assert(out(3L) === ((3L, 1L)), "a subset is not a multiset match")
+    // the property q32-style exact dedup lacks: the texts differ bytewise
+    import spark.implicits._
+    val exact = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+      .select(md5(col("text"))).distinct().count()
+    assert(exact === 2L)
+  }
+
+  test("q124 source similarity: identical sources estimate 1.0, disjoint estimate 0") {
+    val shared = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 160).map(i => s"zzz$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, shared, "en", "a"),
+      (2L, shared, "en", "b"),    // b == a gram-for-gram
+      (3L, other, "en", "c")))    // c disjoint from both
+    val rows = graft.SparkEntry.queries("q124_source_similarity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (interAb, estAb, exAb) = rows(("a", "b"))
+    assert(exAb === 1000000L && estAb === 1000000L && interAb === 58L,
+      s"identical gram sets must agree at 1.0 (got $exAb est $estAb inter $interAb)")
+    val (_, estAc, exAc) = rows(("a", "c"))
+    assert(exAc === 0L && estAc === 0L, "disjoint sources must score 0")
+  }
+
+  test("q126 embedding drift: identical vectors cohere at cos 1; a zero centroid guards to 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    Seq(
+      (1L, Array(3.0f, 4.0f), 0),    // label 0: two identical vectors
+      (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1),    // label 1: opposite vectors → centroid 0
+      (4L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q126_embedding_drift")(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // |(3,4)| = 5 → 5e6 micro; every member IS the centroid → cos exactly 1
+    assert(out(0) === ((2L, 5000000L, 5000000L, 1000000L)))
+    // centroid of (1,0),(−1,0) is the zero vector: norm 0, cos guarded to 0
+    val (n1, cn1, mn1, mc1) = out(1)
+    assert(n1 === 2L && cn1 === 0L && mn1 === 1000000L && mc1 === 0L)
+  }
+
+  test("q127 head coverage: hand-computed curve, n_terms caps at the vocabulary") {
+    // 12 distinct tokens, token i repeated i times → total 78; top-10 by
+    // count = tokens 12..3 → 75 covered
+    val text = (1 to 12).flatMap(i => Seq.fill(i)(s"w$i")).mkString(" ")
+    val dir = corpusDir(Seq((1L, text, "en", "web")))
+    val out = graft.SparkEntry.queries("q127_head_coverage")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(10L) === ((10L, 75L, 78L, 961538L)))
+    // vocab (12) < k: n_terms caps at 12, full coverage
+    assert(out(100L) === ((12L, 78L, 78L, 1000000L)))
+    assert(out(1000L) === ((12L, 78L, 78L, 1000000L)))
+  }
+}
