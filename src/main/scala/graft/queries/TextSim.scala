@@ -2348,11 +2348,26 @@ object TextSim extends QueryPack {
           .select(col("id").as("source"),
             TextOps.gramHash64(s, col("g")).as("hraw"),
             (TextOps.gramHash64Hi(s, col("g")) % P).as("h2"))
+        // ONE (source, gram) aggregation feeds all four consumers
+        // (signatures, set sizes, both intersection sides). Exchange
+        // reuse canNOT collapse them — column pruning gives each
+        // consumer a different exchange schema, so the canonical plans
+        // differ and the shingle explode would run 4× (measured: 6
+        // parquet scans in the first cut). The eager checkpoint is the
+        // repo's hand-off doctrine (dedupClusters, topQuantileGate):
+        // the distinct-gram frame materializes once and every consumer
+        // reads its blocks. It is distinct-gram-sized — at 100 TB this
+        // is the point where the frame becomes a persisted corpus
+        // index (the CorpusBuild pattern), not a per-query checkpoint.
+        // min(h2) makes the per-distinct-gram row deterministic under
+        // the (astronomically rare) 60-bit hraw collision; h1 is
+        // recomputable from hraw.
+        val gs = hashed.groupBy("source", "hraw").agg(min(col("h2")).as("h2"))
           .withColumn("h1", col("hraw") % P)
+          .localCheckpoint(true)
         val aggs = (0 until k).map(i =>
           min((col("h1") + lit(i.toLong) * col("h2")) % P).as(s"m$i"))
-        val sigs = hashed.groupBy("source").agg(aggs.head, aggs.tail: _*)
-        val gs = hashed.select(col("source"), col("hraw")).distinct()
+        val sigs = gs.groupBy("source").agg(aggs.head, aggs.tail: _*)
         val sizes = gs.groupBy("source").agg(count(lit(1)).as("ng"))
         val inter = gs.as("a").join(gs.as("b"),
             col("a.hraw") === col("b.hraw") && col("a.source") < col("b.source"))
@@ -2393,11 +2408,12 @@ object TextSim extends QueryPack {
         hashed AS (
           SELECT source,
                  ('0x' || substr(md5(g), 1, 15))::BIGINT       AS hraw,
-                 ('0x' || substr(md5(g), 1, 15))::BIGINT  % $P AS h1,
                  ('0x' || substr(md5(g), 17, 15))::BIGINT % $P AS h2
           FROM grams),
-        sigs AS (SELECT source, $mins FROM hashed GROUP BY source),
-        gsets AS (SELECT DISTINCT source, hraw FROM hashed),
+        gsets AS (
+          SELECT source, hraw, hraw % $P AS h1, min(h2) AS h2
+          FROM hashed GROUP BY 1, 2),
+        sigs AS (SELECT source, $mins FROM gsets GROUP BY source),
         sizes AS (SELECT source, count(*)::BIGINT AS ng FROM gsets GROUP BY source),
         inter AS (
           SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS ig
@@ -2579,5 +2595,84 @@ object TextSim extends QueryPack {
                max(cum) AS covered_tokens, max(t) AS total_tokens,
                floor(max(cum)::DOUBLE * 1e6 / max(t)::DOUBLE + 0.5)::BIGINT AS coverage_micro
         FROM top, ks, tot WHERE r <= k GROUP BY k""")),
+
+    // Per-source duplication INFLATION: how much bigger each source's
+    // token count is than its exact-unique and bag-unique (q125) views
+    // — the corpus-health number a dedup budget decision reads ("this
+    // crawl is 1.4× inflated"). One pass computes both fingerprints per
+    // row (md5 of text; md5 of the sorted token multiset); uniques
+    // count distinct fingerprints, unique token mass keeps each
+    // family's min-id representative (deterministic). Everything is a
+    // (source, hash)-keyed aggregation — no pairwise term; ratios are
+    // double divisions of exact longs.
+    "q128_dup_inflation" -> Q(
+      (s, d) => {
+        val rows = Tables.documents(s, d).select(col("source"), col("doc_id"),
+          TextOps.tokenCountFast(s, col("text")).cast("long").as("nt"),
+          md5(col("text")).as("eh"),
+          md5(concat_ws(" ", array_sort(TextOps.tokens(col("text"))))).as("bh"))
+        // one row per (source, bag-family): family token mass + its
+        // min-id keeper's tokens; exact-distinct count rides along
+        val fams = rows.groupBy("source", "bh").agg(
+          count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"),
+          min(struct(col("doc_id"), col("nt"))).as("kp"),
+          countDistinct(col("eh")).as("n_exact"))
+        fams.groupBy("source").agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("n_exact")).cast("long").as("n_exact_unique"),
+          count(lit(1)).as("n_bag_unique"),
+          sum(col("toks")).as("tokens"),
+          sum(col("kp.nt")).as("tokens_bag_unique"))
+        .select(col("source"), col("n_docs"), col("n_exact_unique"),
+          col("n_bag_unique"), col("tokens"), col("tokens_bag_unique"),
+          floor(col("tokens").cast("double") * lit(1e6) /
+            greatest(col("tokens_bag_unique"), lit(1L)).cast("double") + lit(0.5))
+            .cast("long").as("inflation_micro"))
+      },
+      Some(s"""
+        WITH rows_ AS (
+          SELECT source, doc_id, len($DUCK_TOKENS)::BIGINT AS nt,
+                 md5(text) AS eh,
+                 md5(array_to_string(list_sort($DUCK_TOKENS), ' ')) AS bh
+          FROM documents),
+        fams AS (
+          SELECT source, bh, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS toks,
+                 min(struct_pack(doc_id := doc_id, nt := nt)) AS kp,
+                 count(DISTINCT eh)::BIGINT AS n_exact
+          FROM rows_ GROUP BY 1, 2)
+        SELECT source, sum(n_docs)::BIGINT AS n_docs,
+               sum(n_exact)::BIGINT AS n_exact_unique,
+               count(*)::BIGINT AS n_bag_unique,
+               sum(toks)::BIGINT AS tokens,
+               sum(kp.nt)::BIGINT AS tokens_bag_unique,
+               floor(sum(toks)::DOUBLE * 1e6
+                     / greatest(sum(kp.nt), 1)::DOUBLE + 0.5)::BIGINT AS inflation_micro
+        FROM fams GROUP BY source""")),
+
+    // CORPUS MANIFEST — the data-versioning primitive a 100 TB corpus
+    // release ships: per (source, lang) partition, doc/token counts,
+    // id range, and an order-independent 60-bit XOR content checksum
+    // (the q117 store-checksum idiom applied to corpus content: any
+    // dropped, duplicated or altered document flips the cell; cells
+    // verify independently at any scale, constant aggregation state).
+    // Two manifests diff cell-by-cell without touching text — the
+    // corpus-level complement of q93's per-doc snapshot diff.
+    "q129_corpus_manifest" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("doc_id"),
+          TextOps.tokenCountFast(s, col("text")).cast("long").as("nt"),
+          conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 15),
+            16, 10).cast("long").as("h"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          expr("bit_xor(h)").as("content_checksum")),
+      Some("""
+        SELECT source, lang, count(*)::BIGINT AS n_docs,
+               sum(len(list_filter(str_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens,
+               min(doc_id) AS min_id, max(doc_id) AS max_id,
+               bit_xor(('0x' || substr(md5(doc_id || '|' || text), 1, 15))::BIGINT)
+                 AS content_checksum
+        FROM documents GROUP BY 1, 2""")),
   )
 }

@@ -73,6 +73,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n1 === 2L && cn1 === 0L && mn1 === 1000000L && mc1 === 0L)
   }
 
+  test("q128 dup inflation: reordered + exact copies inflate; keeper mass excludes them") {
+    val dir = corpusDir(Seq(
+      (1L, "a b c d", "en", "web"),       // keeper (min id)
+      (2L, "a b c d", "en", "web"),       // exact copy
+      (3L, "d c b a", "en", "web"),       // reordered copy — same bag family
+      (4L, "x y", "en", "web")))          // singleton
+    val r = graft.SparkEntry.queries("q128_dup_inflation")(spark, dir).collect().head
+    // (source, n_docs, n_exact_unique, n_bag_unique, tokens, tokens_bag_unique, inflation)
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 3L, "exact dedup sees texts 'abcd', 'dcba', 'xy'")
+    assert(r.getLong(3) === 2L, "bag dedup families {1,2,3} and {4}")
+    assert(r.getLong(4) === 14L && r.getLong(5) === 6L)  // 4+4+4+2 vs 4+2
+    assert(r.getLong(6) === 2333333L)                    // 14/6 inflation
+  }
+
   test("q127 head coverage: hand-computed curve, n_terms caps at the vocabulary") {
     // 12 distinct tokens, token i repeated i times → total 78; top-10 by
     // count = tokens 12..3 → 75 covered
