@@ -2658,15 +2658,7 @@ object TextSim extends QueryPack {
     // Two manifests diff cell-by-cell without touching text — the
     // corpus-level complement of q93's per-doc snapshot diff.
     "q129_corpus_manifest" -> Q(
-      (s, d) => Tables.documents(s, d)
-        .select(col("source"), col("lang"), col("doc_id"),
-          TextOps.tokenCountFast(s, col("text")).cast("long").as("nt"),
-          conv(substring(md5(concat_ws("|", col("doc_id"), col("text"))), 1, 15),
-            16, 10).cast("long").as("h"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
-          expr("bit_xor(h)").as("content_checksum")),
+      (s, d) => TextOps.corpusManifest(Tables.documents(s, d)),
       Some("""
         SELECT source, lang, count(*)::BIGINT AS n_docs,
                sum(len(list_filter(str_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens,

@@ -594,4 +594,48 @@ object TextOps {
       .join(broadcast(idDf), Seq("pidx"))
       .select(col("doc_id"), col("bench_id"), col("first_pos"))
   }
+
+  /** CORPUS MANIFEST — per-(source, lang) release cell: doc/token
+    * counts, id range, and an order-independent 60-bit XOR content
+    * checksum (the store-checksum idiom over corpus content): any
+    * dropped, duplicated or altered document flips its cell, cells
+    * verify independently at any scale, and the aggregation state is
+    * constant. Shared by the q129 oracle query and [[manifestMerge]]
+    * so the cell definition cannot drift between the one-shot and the
+    * incremental path.
+    */
+  def corpusManifest(df: org.apache.spark.sql.DataFrame,
+                     textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    df.select(col("source"), col("lang"), col("doc_id"),
+        tokenCountFast(df.sparkSession, col(textCol)).cast("long").as("nt"),
+        conv(substring(md5(concat_ws("|", col("doc_id"), col(textCol))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        expr("bit_xor(h)").as("content_checksum"))
+
+  /** Incremental manifest maintenance: fold an ARRIVING batch's cells
+    * into a standing manifest without re-reading the corpus — counts
+    * add, id ranges widen, and the XOR checksum merges because XOR is
+    * commutative and associative, so
+    * `manifestMerge(corpusManifest(A), B) == corpusManifest(A ∪ B)`
+    * exactly (TextSpec pins the algebra). This is what a streaming
+    * corpus-ingest tick appends alongside the data: the manifest stays
+    * current at per-batch cost, the mergeable-sketch doctrine (HLL/
+    * count-min) applied to release bookkeeping. Removals work the same
+    * way — XOR is self-inverse — as long as counts are subtracted.
+    */
+  def manifestMerge(standing: org.apache.spark.sql.DataFrame,
+                    batch: org.apache.spark.sql.DataFrame,
+                    textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val b = corpusManifest(batch, textCol)
+    standing.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("min_id"), col("max_id"), col("content_checksum"))
+      .unionByName(b)
+      .groupBy("source", "lang")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"),
+        expr("bit_xor(content_checksum)").as("content_checksum"))
+  }
 }

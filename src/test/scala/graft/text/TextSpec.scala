@@ -426,6 +426,30 @@ class TextSpec extends SparkSpec {
     assert(tight.forall(_._5 === 3000000L))
   }
 
+  test("manifestMerge: incremental fold equals the one-shot manifest; edits flip the cell") {
+    import spark.implicits._
+    def corpus(rows: (Long, String, String, String)*) =
+      rows.map { case (id, t, l, s) => (id, t, l, s) }
+        .toDF("doc_id", "text", "lang", "source")
+    val a = corpus((1L, "a b", "en", "web"), (2L, "c d e", "en", "web"),
+      (3L, "x", "de", "crawl"))
+    val b = corpus((4L, "f g", "en", "web"), (5L, "y z", "fr", "books"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "lang", "n_docs", "n_tokens", "min_id", "max_id",
+        "content_checksum")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    // the algebra: merge(manifest(A), B) == manifest(A ∪ B), bit-exact
+    val oneShot = canon(TextOps.corpusManifest(a.unionByName(b)))
+    val folded = canon(TextOps.manifestMerge(TextOps.corpusManifest(a), b))
+    assert(folded === oneShot && oneShot.size === 3)
+    // a single altered character flips exactly its (source, lang) cell
+    val tampered = canon(TextOps.corpusManifest(
+      corpus((1L, "a B", "en", "web"), (2L, "c d e", "en", "web"),
+        (3L, "x", "de", "crawl")).unionByName(b)))
+    val diff = tampered.diff(oneShot).map(r => (r._1, r._2))
+    assert(diff === Set(("web", "en")))
+  }
+
   test("waterfillBudget: degenerate group cardinality fails loudly, not single-task") {
     import spark.implicits._
     // groupCol = the per-document key: the measured-group-count guard
