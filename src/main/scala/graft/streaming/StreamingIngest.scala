@@ -100,14 +100,32 @@ object StreamingIngest {
           val uniq = exactUniq.join(dropped, Seq("doc_id"), "left_anti")
           val path = new org.apache.hadoop.fs.Path(corpusDir)
           val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
-          val fresh = if (fs.exists(path)) {
+          val fresh = (if (fs.exists(path)) {
             val corpus = sp.read.parquet(corpusDir)
             val flags = NearDup.incrementalDedup(corpus, uniq, "doc_id", "text",
               minJaccard = minJaccard)
             uniq.join(flags.filter(col("verdict") === "new").select("doc_id"),
               Seq("doc_id"), "left_semi")
-          } else uniq
+          } else uniq)
+            // eager: the survivors feed TWO writes (corpus append +
+            // manifest fold) — without the checkpoint the second one
+            // would re-run the whole incremental-dedup lineage
+            .localCheckpoint(true)
           fresh.write.mode("append").parquet(corpusDir)
+          // manifest maintenance (TextOps.manifestMerge scaladoc): the
+          // release cells stay current at per-batch cost. `_manifest`
+          // is underscore-hidden, so corpus parquet scans skip it; the
+          // standing frame is cell-bounded and checkpointed before the
+          // overwrite so the read never races its own replacement. The
+          // staged stream carries no (source, lang) → one global cell.
+          val manifestDir = s"$corpusDir/_manifest"
+          val merged =
+            if (fs.exists(new org.apache.hadoop.fs.Path(manifestDir)))
+              graft.text.TextOps.manifestMerge(
+                sp.read.parquet(manifestDir).localCheckpoint(true), fresh,
+                groupCols = Seq.empty)
+            else graft.text.TextOps.corpusManifest(fresh, groupCols = Seq.empty)
+          merged.write.mode("overwrite").parquet(manifestDir)
         } finally exactUniq.unpersist()
       }
       .start()

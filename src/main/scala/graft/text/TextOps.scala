@@ -605,12 +605,14 @@ object TextOps {
     * incremental path.
     */
   def corpusManifest(df: org.apache.spark.sql.DataFrame,
-                     textCol: String = "text"): org.apache.spark.sql.DataFrame =
-    df.select(col("source"), col("lang"), col("doc_id"),
+                     textCol: String = "text",
+                     groupCols: Seq[String] = Seq("source", "lang"))
+      : org.apache.spark.sql.DataFrame =
+    df.select(groupCols.map(col) ++ Seq(col("doc_id"),
         tokenCountFast(df.sparkSession, col(textCol)).cast("long").as("nt"),
         conv(substring(md5(concat_ws("|", col("doc_id"), col(textCol))), 1, 15),
-          16, 10).cast("long").as("h"))
-      .groupBy("source", "lang")
+          16, 10).cast("long").as("h")): _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
         expr("bit_xor(h)").as("content_checksum"))
@@ -628,12 +630,14 @@ object TextOps {
     */
   def manifestMerge(standing: org.apache.spark.sql.DataFrame,
                     batch: org.apache.spark.sql.DataFrame,
-                    textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val b = corpusManifest(batch, textCol)
-    standing.select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
-        col("min_id"), col("max_id"), col("content_checksum"))
+                    textCol: String = "text",
+                    groupCols: Seq[String] = Seq("source", "lang"))
+      : org.apache.spark.sql.DataFrame = {
+    val b = corpusManifest(batch, textCol, groupCols)
+    val metrics = Seq("n_docs", "n_tokens", "min_id", "max_id", "content_checksum")
+    standing.select((groupCols ++ metrics).map(col): _*)
       .unionByName(b)
-      .groupBy("source", "lang")
+      .groupBy(groupCols.map(col): _*)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"),
         expr("bit_xor(content_checksum)").as("content_checksum"))

@@ -64,6 +64,18 @@ class StreamingSpec extends SparkSpec {
       minJaccard = 0.3)
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet === Set(1L, 2L, 6L, 7L))
+
+    // the incrementally-folded manifest equals the one-shot manifest of
+    // the corpus on disk, bit-exact (TextOps.manifestMerge algebra) —
+    // two ticks of per-batch folds, never a corpus re-read
+    val folded = spark.read.parquet(s"$corpus/_manifest")
+      .select("n_docs", "n_tokens", "min_id", "max_id", "content_checksum")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val oneShot = graft.text.TextOps
+      .corpusManifest(spark.read.parquet(corpus), groupCols = Seq.empty)
+      .select("n_docs", "n_tokens", "min_id", "max_id", "content_checksum")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(folded === oneShot && folded.head._1 === 4L)
   }
 
   test("two ingest ticks: drain, upsert, no reprocessing, old-wins merge") {
