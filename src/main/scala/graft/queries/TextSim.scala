@@ -2666,5 +2666,67 @@ object TextSim extends QueryPack {
                bit_xor(('0x' || substr(md5(doc_id || '|' || text), 1, 15))::BIGINT)
                  AS content_checksum
         FROM documents GROUP BY 1, 2""")),
+
+    // PADDING-EFFICIENCY analysis — the measurement that justifies
+    // length-grouped batching in a training pipeline: pad-to-batch-max
+    // waste under arrival-order batching vs within-shard length-sorted
+    // batching, batch size 8. Batching happens WITHIN hash shards (the
+    // q122/q123 shard doctrine — a per-shard window at full
+    // parallelism, never a global sort), which is also how a real
+    // loader forms batches. All-integer: padded = Σ batch_max·batch_n,
+    // waste ratio as micro from two exact longs.
+    "q130_padding_efficiency" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"),
+            TextOps.tokenCountFast(s, col("text")).cast("long").as("nt"))
+          .withColumn("shard", pmod(TextOps.gramHash64(s,
+            concat(lit("pad|"), col("doc_id").cast("string"))), lit(16L)))
+        def policy(name: String, order: Seq[org.apache.spark.sql.Column]) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(order: _*)
+          base.withColumn("r", row_number().over(w) - 1)
+            .withColumn("batch", expr("r div 8"))
+            .groupBy("shard", "batch")
+            .agg(max(col("nt")).as("mx"), sum(col("nt")).as("tot"),
+              count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("n_batches"),
+              sum(col("mx") * col("n")).as("padded"), sum(col("tot")).as("real"))
+            .select(lit(name).as("policy"), col("n_batches"),
+              col("padded").as("padded_tokens"), col("real").as("real_tokens"),
+              floor((col("padded") - col("real")).cast("double") * lit(1e6) /
+                greatest(col("padded"), lit(1L)).cast("double") + lit(0.5))
+                .cast("long").as("waste_micro"))
+        }
+        policy("arrival", Seq(col("doc_id")))
+          .unionByName(policy("length_sorted", Seq(col("nt"), col("doc_id"))))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, len($DUCK_TOKENS)::BIGINT AS nt,
+                 ('0x' || substr(md5('pad|' || doc_id), 1, 15))::BIGINT % 16 AS shard
+          FROM documents),
+        arr AS (
+          SELECT shard, ((row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+                         // 8)::BIGINT AS batch, nt
+          FROM base),
+        srt AS (
+          SELECT shard, ((row_number() OVER (PARTITION BY shard ORDER BY nt, doc_id) - 1)
+                         // 8)::BIGINT AS batch, nt
+          FROM base),
+        arrb AS (SELECT shard, batch, max(nt) AS mx, sum(nt) AS tot, count(*) AS n
+                 FROM arr GROUP BY 1, 2),
+        srtb AS (SELECT shard, batch, max(nt) AS mx, sum(nt) AS tot, count(*) AS n
+                 FROM srt GROUP BY 1, 2),
+        u AS (
+          SELECT 'arrival' AS policy, count(*)::BIGINT AS n_batches,
+                 sum(mx * n)::BIGINT AS padded_tokens, sum(tot)::BIGINT AS real_tokens
+          FROM arrb
+          UNION ALL
+          SELECT 'length_sorted', count(*)::BIGINT, sum(mx * n)::BIGINT, sum(tot)::BIGINT
+          FROM srtb)
+        SELECT policy, n_batches, padded_tokens, real_tokens,
+               floor((padded_tokens - real_tokens)::DOUBLE * 1e6
+                     / greatest(padded_tokens, 1)::DOUBLE + 0.5)::BIGINT AS waste_micro
+        FROM u""")),
   )
 }
