@@ -6,7 +6,7 @@ import graft.graph.PageRank
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.plans.ArrayOps
-import graft.text.{NearDup, NgramLm, Retrieval, Sketch, Terms, TextOps}
+import graft.text.{Calibrate, Classify, NearDup, NgramLm, Retrieval, Sketch, Terms, TextOps}
 
 /** Training-data-pipeline surface (builder brief): text analysis, document
   * dedup (exact / MinHash+LSH / SimHash / blocked Jaccard), embedding
@@ -2728,5 +2728,153 @@ object TextSim extends QueryPack {
                floor((padded_tokens - real_tokens)::DOUBLE * 1e6
                      / greatest(padded_tokens, 1)::DOUBLE + 0.5)::BIGINT AS waste_micro
         FROM u""")),
+
+    // PER-SOURCE SCORE CALIBRATION — cume_dist via a bounded histogram
+    // (text/Calibrate.scala): raw quality scores are not comparable
+    // across sources, so one global threshold starves whole sources;
+    // the within-source cumulative fraction makes "top half" mean the
+    // top half OF EACH SOURCE. The naive window (`cume_dist() OVER
+    // (PARTITION BY source ORDER BY score)`) sorts each source in a
+    // single task — the calibrated form windows only the guarded
+    // (source × snapped-score) cell histogram and joins back.
+    "q131_score_calibration" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("text"))
+        Calibrate.cumeDist(docs, "source",
+            floor(TextOps.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+              .cast("long"))
+          .select(col("doc_id"), col("source"), col("score_micro"),
+            col("n_group"), col("pct_micro"),
+            (col("pct_micro") >= 500000L).cast("int").as("keep"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS score_micro
+          FROM documents),
+        cells AS (
+          SELECT source, score_micro, count(*)::BIGINT AS c
+          FROM scored GROUP BY 1, 2),
+        cum AS (
+          SELECT source, score_micro,
+                 sum(c) OVER (PARTITION BY source ORDER BY score_micro
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM cells),
+        n AS (SELECT source, sum(c)::BIGINT AS n_group FROM cells GROUP BY 1)
+        SELECT s.doc_id, s.source, s.score_micro, n.n_group,
+               floor(cum::DOUBLE * 1e6 / n_group::DOUBLE + 0.5)::BIGINT AS pct_micro,
+               (floor(cum::DOUBLE * 1e6 / n_group::DOUBLE + 0.5) >= 500000)::INT AS keep
+        FROM scored s
+        JOIN cum USING (source, score_micro)
+        JOIN n USING (source)""")),
+
+    // PER-SOURCE TOKEN-DISTRIBUTION KL DIVERGENCE vs the corpus — the
+    // token-level drift statistic (q126's embedding-drift sibling): a
+    // source whose unigram distribution matches the corpus scores ~0,
+    // a templated or single-domain source scores high. Contributions
+    // micro-snapped then integer-summed (q66 doctrine); double-first
+    // multiplies in the log ratio (PMI overflow doctrine).
+    "q132_source_kl" -> Q(
+      (s, d) => NgramLm.unigramKlByGroup(Tables.documents(s, d), "source", "text")
+        .withColumnRenamed("grp", "source"),
+      Some(s"""
+        WITH toks AS (SELECT source, unnest($DUCK_TOKENS) AS term FROM documents),
+        cg AS (SELECT source, term, count(*)::BIGINT AS c_gt FROM toks GROUP BY 1, 2),
+        ct AS (SELECT term, sum(c_gt)::BIGINT AS c_t FROM cg GROUP BY 1),
+        tg AS (SELECT source, sum(len($DUCK_TOKENS))::BIGINT AS t_g
+               FROM documents GROUP BY 1),
+        tot AS (SELECT sum(len($DUCK_TOKENS))::BIGINT AS t FROM documents),
+        k AS (
+          SELECT cg.source, tg.t_g,
+                 count(*)::BIGINT AS n_terms,
+                 sum(floor(c_gt::DOUBLE / t_g::DOUBLE
+                           * ln((c_gt::DOUBLE * t::DOUBLE)
+                                / (t_g::DOUBLE * c_t::DOUBLE))
+                           * 1e6 + 0.5)::BIGINT)::BIGINT AS kl_micro
+          FROM cg JOIN ct USING (term) JOIN tg USING (source) CROSS JOIN tot
+          GROUP BY 1, 2)
+        SELECT source, n_terms, t_g AS t_tokens, kl_micro,
+               kl_micro::DOUBLE / 1e6 AS kl
+        FROM k""")),
+
+    // MULTINOMIAL NAIVE BAYES language classifier, trained AND applied
+    // in one plan (text/Classify.scala) — the lightweight bootstrap
+    // classifier a labeling pipeline fits from weak labels and runs at
+    // corpus scale. Add-one smoothing; per-(term,label) log-probs and
+    // priors micro-snapped once in the model table, document scores
+    // exact integer sums; argmax ties to the larger label on both
+    // engines. Resubstitution accuracy rides out as the `correct` flag.
+    "q133_naive_bayes" -> Q(
+      (s, d) => Classify.naiveBayesSelfTest(Tables.documents(s, d),
+        "doc_id", "text", "lang"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, lang AS label_true,
+                             unnest($DUCK_TOKENS) AS term
+                      FROM documents),
+        ctl AS (SELECT label_true AS label, term, count(*)::BIGINT AS c_tl
+                FROM toks GROUP BY 1, 2),
+        labels AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,
+                          sum(len($DUCK_TOKENS))::BIGINT AS t_l
+                   FROM documents GROUP BY 1),
+        nall AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+        vc AS (SELECT count(DISTINCT term)::BIGINT AS v FROM ctl),
+        grid AS (
+          SELECT t.term, l.label,
+                 floor((ln(coalesce(c.c_tl, 0)::DOUBLE + 1.0)
+                        - ln((l.t_l + vc.v)::DOUBLE)) * 1e6 + 0.5)::BIGINT AS s_micro
+          FROM (SELECT DISTINCT term FROM ctl) t
+          CROSS JOIN labels l
+          LEFT JOIN ctl c ON c.term = t.term AND c.label = l.label
+          CROSS JOIN vc),
+        priors AS (
+          SELECT label,
+                 floor((ln(n_docs::DOUBLE) - ln(n_all::DOUBLE)) * 1e6 + 0.5)::BIGINT
+                   AS prior_micro
+          FROM labels CROSS JOIN nall),
+        sc AS (
+          SELECT tk.doc_id, tk.label_true, g.label,
+                 sum(g.s_micro)::BIGINT AS ll_micro
+          FROM toks tk JOIN grid g USING (term)
+          GROUP BY 1, 2, 3),
+        tot AS (
+          SELECT sc.doc_id, sc.label_true, sc.label AS cand,
+                 sc.ll_micro + p.prior_micro AS total
+          FROM sc JOIN priors p USING (label))
+        SELECT doc_id, label_true AS label, cand AS pred_label,
+               total AS score_micro, (cand = label_true)::INT AS correct
+        FROM tot
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY total DESC, cand DESC) = 1""")),
+
+    // PRODUCT-QUANTIZATION audit (Jégou et al. 2011): per-subspace code
+    // assignment + quantization SSE under a deterministic md5-derived
+    // codebook (m=4 subspaces × 8 codes over the 64-dim embeddings) —
+    // the compression-error census before committing a corpus to a
+    // PQ-compressed ANN index; q68's (scalar int8) vector-codebook
+    // sibling. Zero shuffles: per-row codegen slices + kernel dots,
+    // SSE micro-snapped BEFORE the argmin so both engines compare
+    // identical longs; ties to the lowest code.
+    "q134_pq_audit" -> Q(
+      (s, d) => Similarity.pqAudit(Tables.embeddings(s, d), "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 8),
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        subs AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sub
+                 FROM e, unnest(range(0, 4)) AS u(s)),
+        cc AS (SELECT s, c,
+                      [((('0x' || substr(md5('pq' || s || '_' || c || '_' || i), 1, 8))::BIGINT
+                         / 2147483648.0) - 1.0) for i in range(0, 16)] AS cv
+               FROM (SELECT unnest(range(0, 4)) AS s), (SELECT unnest(range(0, 8)) AS c)),
+        sse AS (
+          SELECT vec_id, subs.s AS subspace, cc.c AS code,
+                 floor(((list_dot_product(sub, sub) - 2 * list_dot_product(sub, cc.cv))
+                        + list_dot_product(cc.cv, cc.cv)) * 1e6 + 0.5)::BIGINT AS sse_micro
+          FROM subs JOIN cc ON cc.s = subs.s)
+        SELECT vec_id, subspace, code, sse_micro
+        FROM sse
+        QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                                   ORDER BY sse_micro, code) = 1""")),
   )
 }

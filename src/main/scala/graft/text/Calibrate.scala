@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group score CALIBRATION — the cross-source fairness primitive a
+  * mixture-building pipeline needs before it can apply one global quality
+  * threshold: raw quality scores are not comparable across sources (a
+  * boilerplate-heavy crawl scores lower everywhere than a curated wiki
+  * dump), so gating on the raw score silently starves whole sources.
+  * Mapping every score to its within-source cumulative fraction
+  * (`cume_dist`) makes "keep the top half" mean the top half OF EACH
+  * SOURCE. (Reference scope note: the reference engine
+  * (bcgov/nr-rfc-dischargeobs) has no corpus operators; this extends the
+  * post-parity LLM-pipeline pack, SURVEY §2 extension table.)
+  *
+  * Scale shape: the naive form — `cume_dist() OVER (PARTITION BY source
+  * ORDER BY score)` — sorts every source's full row set inside single
+  * tasks: one task per source at corpus scale, i.e. the exact
+  * single-task-window failure the repo's doctrine forbids
+  * (groupedQuantile, waterfillBudget). This operator instead windows over
+  * the (group, snapped-score) HISTOGRAM: the corpus pays one cell
+  * aggregation (map-side combined) and one join back; only the
+  * cell frame — guarded ≤ `maxHistCells`, the groupedQuantile contract —
+  * is windowed. The guard pass and the window share one checkpointed
+  * materialization (the q124 hand-off doctrine: per-consumer column
+  * pruning defeats exchange reuse, so an uncheckpointed cell frame would
+  * re-run the corpus aggregation per consumer).
+  *
+  * Determinism: ties in the raw score share a snapped cell, so they get
+  * the SAME calibrated value on any engine and any partitioning —
+  * `cume_dist` semantics exactly (count of rows ≤ mine / n), computed as
+  * `floor(cum·1e6/n + 0.5)` in integer-exact inputs with one final
+  * double division, mirrored op-for-op by the oracle.
+  */
+object Calibrate {
+
+  /** Appends `score_micro`, `pct_micro` (calibrated cume-dist in
+    * micro-units) and `n_group` to `df`. `scoreMicro` must be a
+    * LongType micro-snapped score expression (caller snaps; this keeps
+    * the operator reusable for scores that are already integers).
+    */
+  def cumeDist(df: DataFrame, groupCol: String, scoreMicro: Column,
+               maxHistCells: Long = 4000000L): DataFrame = {
+    val scored = df.withColumn("score_micro", scoreMicro)
+    // distributed histogram; checkpointed so the bound guard and the
+    // window consumer read one materialization
+    val cells = scored.groupBy(col(groupCol), col("score_micro"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxHistCells,
+      s"cumeDist histogram has $nCells (group × score) cells " +
+        s"(> $maxHistCells): the contract is a bounded group column and a " +
+        "snapped bounded score — reduce group cardinality or raise " +
+        "maxHistCells deliberately")
+    // window over CELLS only (bounded by the guard above) — cells are
+    // distinct per (group, score), so ROWS and RANGE frames agree
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("score_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum(col("c")).over(w))
+    val n = cells.groupBy(col(groupCol)).agg(sum(col("c")).as("n_group"))
+    // both joins are histogram-sized (cells / groups) — unhinted by the
+    // broadcast-scaling doctrine; AQE picks broadcast when they fit
+    scored
+      .join(cum.select(col(groupCol), col("score_micro"), col("cum")),
+        Seq(groupCol, "score_micro"))
+      .join(n, Seq(groupCol))
+      .withColumn("pct_micro",
+        floor(col("cum").cast("double") * lit(1e6) /
+          col("n_group").cast("double") + lit(0.5)).cast("long"))
+      .drop("cum")
+  }
+}

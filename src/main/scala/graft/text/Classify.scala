@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed MULTINOMIAL NAIVE BAYES over token counts — train and
+  * inference as ONE declarative plan. This is the classical lightweight
+  * text classifier a data pipeline bootstraps from weak labels (language,
+  * source, heuristic quality buckets) and then applies at corpus scale:
+  * fastText-class accuracy needs training; NB needs only counts, which is
+  * exactly what a Spark aggregation produces. (Public result: add-one
+  * smoothed multinomial NB, McCallum & Nigam 1998 formulation.)
+  *
+  *   score(d, l) = ln p(l) + Σ_{t ∈ d} ln p(t|l)
+  *   p(t|l)      = (c_tl + 1) / (T_l + V)        [add-one smoothing]
+  *   p(l)        = n_docs_l / N
+  *
+  * Numerics: per-(term, label) log-probabilities and the label priors are
+  * micro-snapped ONCE in the model table; a document's score is then an
+  * exact integer sum of snapped longs — aggregation-order-independent
+  * (the q66 doctrine), so the argmax is engine-exact. Ties break to the
+  * lexicographically LARGER label via max(struct) on both engines.
+  *
+  * Scale shape: one (label, term) shuffle with map-side combine builds
+  * the count model; the model frame is eagerly checkpointed because its
+  * consumers (vocabulary distinct, V count, the smoothing grid's left
+  * join) prune different columns — canonical-plan exchange reuse never
+  * fires and an uncheckpointed frame would re-run the corpus explode per
+  * consumer (the q124 lesson). The smoothing grid is vocabulary × labels
+  * (Heaps-bounded × label-bounded) and joins the token stream UNHINTED
+  * (a natural vocabulary is unbounded — the planner must pick broadcast
+  * from measured size, not a forced hint); label-bounded frames (priors,
+  * totals) broadcast explicitly. Inference replicates each token
+  * occurrence × L — L is the label count, a small constant; everything
+  * downstream is per-doc partial aggregation. Token-less documents carry
+  * no evidence and are dropped by both engines (the explode semantics).
+  */
+object Classify {
+
+  /** Self-train-and-predict: fit NB on (labelCol, tokens(textCol)) and
+    * score every document against every label. Output per document:
+    * the true label, the argmax label, its score, and a correctness
+    * flag — the resubstitution diagnostic a labeling pipeline watches.
+    */
+  def naiveBayesSelfTest(df: DataFrame, idCol: String, textCol: String,
+                         labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol).as("doc_id"),
+      col(labelCol).as("label_true"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val ctl = toks.groupBy(col("label_true").as("label"), col("term"))
+      .agg(count(lit(1)).as("c_tl"))
+      .localCheckpoint(true)
+    // label-bounded; checkpointed so its three consumers (the smoothing
+    // grid, the priors, and the N = Σ n_docs rollup — never another
+    // corpus scan) read one materialization
+    val labels = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")).as("t_l"))
+      .localCheckpoint(true)
+    val nAll = labels.agg(sum(col("n_docs")).as("n_all"))
+    val vCount = ctl.select(col("term")).distinct().agg(count(lit(1)).as("v"))
+    // smoothing grid: every (term, label) cell, zero counts included —
+    // absent (t, l) pairs are exactly where smoothing acts
+    val grid = ctl.select(col("term")).distinct()
+      .crossJoin(broadcast(labels))
+      .join(ctl, Seq("term", "label"), "left")
+      .na.fill(0L, Seq("c_tl"))
+      .crossJoin(broadcast(vCount))
+      .select(col("term"), col("label"),
+        floor((log(col("c_tl").cast("double") + lit(1.0)) -
+          log((col("t_l") + col("v")).cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("s_micro"))
+    val priors = labels.crossJoin(broadcast(nAll))
+      .select(col("label"),
+        floor((log(col("n_docs").cast("double")) -
+          log(col("n_all").cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("prior_micro"))
+    val scored = toks
+      .join(grid, Seq("term"))    // vocabulary×L-sized; unhinted by doctrine
+      .groupBy(col("doc_id"), col("label_true"), col("label"))
+      .agg(sum(col("s_micro")).as("ll_micro"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col("doc_id"), col("label_true"),
+        struct((col("ll_micro") + col("prior_micro")).as("s"),
+          col("label").as("l")).as("cand"))
+    scored.groupBy(col("doc_id"), col("label_true"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("doc_id"), col("label_true").as("label"),
+        col("best.l").as("pred_label"), col("best.s").as("score_micro"),
+        (col("best.l") === col("label_true")).cast("int").as("correct"))
+  }
+}

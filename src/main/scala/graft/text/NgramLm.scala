@@ -178,4 +178,59 @@ object NgramLm {
         col("n_pairs"), pmiMicro.as("pmi_micro"),
         (pmiMicro.cast("double") / lit(1e6)).as("pmi"))
   }
+
+  /** Per-group unigram KL DIVERGENCE vs the whole-corpus distribution —
+    * the token-level drift/contribution statistic (CCNet, Gopher data
+    * cards carry exactly this shape): KL(group ‖ corpus) =
+    * Σ_t p_g(t) · ln(p_g(t) / p(t)), with p_g(t) = c_gt/T_g and
+    * p(t) = c_t/T. A source whose token distribution matches the corpus
+    * scores ~0; templated or single-domain sources score high — the
+    * number a mixture designer watches when a new crawl snapshot lands.
+    *
+    * Numerics: per-term contributions are micro-snapped then integer-
+    * summed, so the per-group total is aggregation-order-independent
+    * (the q66 surprisal doctrine); the log ratio uses double-FIRST
+    * multiplies (c_gt·T and T_g·c_t overflow LONG at corpus scale — the
+    * PMI overflow doctrine) and the oracle mirrors the op order exactly.
+    * KL ≥ 0 only holds for the EXACT sum; snapping can leave a group of
+    * near-identical distributions a few micro-nats below zero — callers
+    * read magnitude, not sign.
+    *
+    * Scale: ONE (group, term) shuffle with map-side combine builds c_gt;
+    * the global term counts are an aggregate OVER the c_gt frame (never
+    * a second corpus pass), which is why c_gt is eagerly checkpointed —
+    * its two consumers (the KL join and the c_t rollup) prune different
+    * columns, so canonical-plan exchange reuse never fires and an
+    * uncheckpointed frame would re-run the corpus explode per consumer
+    * (the q124 lesson). T_g = Σ_t c_gt and T = Σ_g T_g are rollups over
+    * the same checkpointed frame — group-bounded and scalar respectively;
+    * the corpus is scanned exactly once in this operator.
+    */
+  def unigramKlByGroup(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val cg = df.select(col(groupCol).as("grp"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("c_gt"))
+      .localCheckpoint(true)
+    val ct = cg.groupBy("term").agg(sum(col("c_gt")).as("c_t"))
+    // T_g = Σ_t c_gt is a rollup OVER the checkpointed gram frame — the
+    // corpus is scanned exactly once in this operator; T = Σ T_g in turn.
+    // Checkpointed (tiny) so the KL join and the total share it.
+    val tg = cg.groupBy("grp").agg(sum(col("c_gt")).as("t_g"))
+      .localCheckpoint(true)
+    val total = tg.agg(sum(col("t_g")).as("t"))
+    val contribMicro = floor(
+      col("c_gt").cast("double") / col("t_g").cast("double") *
+        log((col("c_gt").cast("double") * col("t").cast("double")) /
+            (col("t_g").cast("double") * col("c_t").cast("double")))
+        * lit(1e6) + lit(0.5))
+      .cast("long")
+    cg.join(ct, Seq("term"))      // vocabulary-sized; unhinted by doctrine
+      .join(tg, Seq("grp"))       // group-bounded; unhinted
+      .crossJoin(broadcast(total))
+      .select(col("grp"), col("t_g"), contribMicro.as("km"))
+      .groupBy("grp", "t_g")
+      .agg(count(lit(1)).as("n_terms"), sum(col("km")).as("kl_micro"))
+      .select(col("grp"), col("n_terms"), col("t_g").as("t_tokens"),
+        col("kl_micro"), (col("kl_micro").cast("double") / lit(1e6)).as("kl"))
+  }
 }

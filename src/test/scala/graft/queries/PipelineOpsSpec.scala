@@ -101,4 +101,86 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(100L) === ((12L, 78L, 78L, 1000000L)))
     assert(out(1000L) === ((12L, 78L, 78L, 1000000L)))
   }
+
+  test("q131 calibration core: histogram cume_dist matches hand values; guard trips") {
+    import spark.implicits._
+    val df = Seq(("g1", 10L), ("g1", 20L), ("g1", 20L), ("g1", 30L),
+      ("g2", 5L)).toDF("source", "s")
+    val out = graft.text.Calibrate.cumeDist(df, "source", col("s"))
+      .select("source", "score_micro", "pct_micro")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // g1: 10 → 1/4, 20 → 3/4 (ties share the cell), 30 → 4/4; g2 singleton → 1
+    assert(out(("g1", 10L)) === 250000L)
+    assert(out(("g1", 20L)) === 750000L)
+    assert(out(("g1", 30L)) === 1000000L)
+    assert(out(("g2", 5L)) === 1000000L)
+    // an unbounded histogram must fail loudly, not OOM the window
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Calibrate.cumeDist(df, "source", col("s"), maxHistCells = 2L)
+    }
+    assert(e.getMessage.contains("maxHistCells"))
+  }
+
+  test("q132 source KL: corpus-identical distributions score exactly 0; disjoint scores ln-exact") {
+    val dir = corpusDir(Seq(
+      (1L, "x y", "en", "a"),
+      (2L, "x y", "en", "b"),     // a and b both match the corpus marginal of {x, y}
+      (3L, "z w", "en", "c")))    // c disjoint — and it skews a/b too
+    // corpus: x:1? no — x:2 y:2 z:1 w:1, T=6. For source a (T_g=2):
+    // term x: (1/2)·ln((1·6)/(2·2)); same for y.
+    val expA = {
+      val c = math.floor(0.5 * math.log(6.0 / 4.0) * 1e6 + 0.5).toLong
+      2 * c
+    }
+    val expC = {
+      val c = math.floor(0.5 * math.log(6.0 / 2.0) * 1e6 + 0.5).toLong
+      2 * c
+    }
+    val out = graft.SparkEntry.queries("q132_source_kl")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out("a") === ((2L, expA)) && out("b") === ((2L, expA)))
+    assert(out("c") === ((2L, expC)))
+    // the zero case: a corpus where every source IS the corpus marginal
+    val dir0 = corpusDir(Seq((1L, "x y", "en", "a"), (2L, "y x", "en", "b")))
+    val kl0 = graft.SparkEntry.queries("q132_source_kl")(spark, dir0)
+      .collect().map(_.getLong(3))
+    assert(kl0.forall(_ === 0L), "identical distributions must score exactly 0")
+  }
+
+  test("q133 naive Bayes: separable vocabularies classify perfectly; ties break high") {
+    val dir = corpusDir(Seq(
+      (1L, "the cat sat", "en", "web"),
+      (2L, "the dog sat", "en", "web"),
+      (3L, "le chat assis", "fr", "web"),
+      (4L, "le chien assis", "fr", "web")))
+    val rows = graft.SparkEntry.queries("q133_naive_bayes")(spark, dir).collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getInt(4) === 1), s"separable vocab must classify " +
+      s"perfectly: ${rows.mkString(";")}")
+    // symmetric corpus → every per-label score identical → the max(struct)
+    // tie rule must pick the lexicographically larger label for EVERY doc
+    val dirTie = corpusDir(Seq((1L, "m", "en", "web"), (2L, "m", "fr", "web")))
+    val tie = graft.SparkEntry.queries("q133_naive_bayes")(spark, dirTie).collect()
+    assert(tie.forall(_.getString(2) === "fr"),
+      "exact score ties must break to the larger label on both engines")
+  }
+
+  test("q134 PQ: a vector planted at a codebook entry assigns to it with ~0 SSE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val codes = Array(3, 5, 0, 7)
+    val planted = (0 until 4).flatMap(s =>
+      graft.sim.Similarity.pqCentroidVec(s, codes(s), 16).map(_.toFloat)).toArray
+    Seq((1L, planted, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q134_pq_audit")(spark, dir)
+      .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getLong(3))).toMap
+    (0 until 4).foreach { s =>
+      val (code, sse) = out(s)
+      assert(code === codes(s), s"subspace $s must assign to the planted code")
+      // float32 storage rounds the planted doubles — SSE is tiny, not 0
+      assert(sse < 100L, s"planted vector SSE should be ~0, got $sse micro")
+    }
+  }
 }
