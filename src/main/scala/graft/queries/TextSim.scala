@@ -157,6 +157,66 @@ object TextSim extends QueryPack {
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY ccos DESC, c) = 1)"""
 
+  /** MMR greedy oracle, unrolled: the k-step greedy of
+    * Similarity.mmrSelect as k window-argmax CTE layers — selection
+    * state is the UNION of the previous layers' picks, so each layer is
+    * pure relational algebra and the whole trajectory stays exact
+    * integer arithmetic (z = lamX10·rel − (10−lamX10)·maxsim on
+    * micro-snapped cosines, ties to the smaller vec id).
+    */
+  private def mmrSql(nCand: Int, k: Int, lamX10: Int): String = {
+    val hi = 10 - lamX10
+    val steps = (2 to k).map { t =>
+      val p = t - 1
+      s"""r$t AS (SELECT c.query_id, c.vec_id,
+                       $lamX10 * c.rel_micro - $hi * max(pp.sim_micro) AS z
+                FROM cand c
+                JOIN pairs pp ON pp.query_id = c.query_id AND pp.id_a = c.vec_id
+                JOIN sel$p s ON s.query_id = pp.query_id AND s.vec_id = pp.id_b
+                WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+                                  WHERE x.query_id = c.query_id
+                                    AND x.vec_id = c.vec_id)
+                GROUP BY c.query_id, c.vec_id, c.rel_micro),
+        s$t AS (SELECT query_id, vec_id, z FROM r$t
+                QUALIFY row_number() OVER (PARTITION BY query_id
+                                           ORDER BY z DESC, vec_id) = 1),
+        sel$t AS (SELECT query_id, vec_id FROM sel$p
+                  UNION ALL SELECT query_id, vec_id FROM s$t)"""
+    }.mkString(",\n        ")
+    val union = (1 to k)
+      .map(t => s"SELECT query_id, vec_id, $t AS pick, z AS mmr_z FROM s$t")
+      .mkString("\n        UNION ALL ")
+    s"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM nrm
+              WHERE vec_id % 25 = 0),
+        sc AS (SELECT query_id, nrm.vec_id,
+                      round(list_dot_product(qv, v) / (qn * vn), 6) AS cosine
+               FROM q, nrm WHERE nrm.vec_id <> q.query_id),
+        cand AS (SELECT query_id, vec_id,
+                        floor(cosine * 1e6 + 0.5)::BIGINT AS rel_micro
+                 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rnk FROM sc)
+                 WHERE rnk <= $nCand),
+        pairs AS (SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+                         floor(round(list_dot_product(na.v, nb.v)
+                                     / (na.vn * nb.vn), 6) * 1e6 + 0.5)::BIGINT
+                           AS sim_micro
+                  FROM cand a
+                  JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+                  JOIN nrm na ON na.vec_id = a.vec_id
+                  JOIN nrm nb ON nb.vec_id = b.vec_id),
+        s1 AS (SELECT query_id, vec_id, $lamX10 * rel_micro AS z FROM cand
+               QUALIFY row_number() OVER (PARTITION BY query_id
+                                          ORDER BY $lamX10 * rel_micro DESC,
+                                                   vec_id) = 1),
+        sel1 AS (SELECT query_id, vec_id FROM s1),
+        $steps
+        $union"""
+  }
+
   /** Duplicated-span CTEs mirroring NearDup.duplicatedSpans — ONE
     * generator for the q85 oracle and the q86 trim oracle so the two
     * cannot drift. Ends with a `spans` CTE of
@@ -2876,5 +2936,160 @@ object TextSim extends QueryPack {
         FROM sse
         QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
                                    ORDER BY sse_micro, code) = 1""")),
+
+    // HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION (Cormack et al. 2009):
+    // a dense ranker (embedding cosine top-20) and a sparse ranker
+    // (word-3-gram-overlap top-20, query-by-example) fused on RANKS —
+    // score = Σ 1/(60+rank), micro-snapped then integer-summed, so the
+    // fused ordering is engine-exact with the doc-id tie-break. Every
+    // post-ranker frame is |queries|×k-bounded: the fusion costs nothing
+    // at corpus scale beyond the rankers themselves.
+    "q135_rrf_fusion" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dense = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        val sparse = Retrieval.shingleOverlapTopK(Tables.documents(s, d),
+            "doc_id", "text", col("doc_id") % 25 === 0, n = 3, k = 20)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(dense, sparse), k0 = 60, k = 10)
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM nrm
+              WHERE vec_id % 25 = 0),
+        dsc AS (SELECT query_id, nrm.vec_id,
+                       round(list_dot_product(qv, v) / (qn * vn), 6) AS cosine
+                FROM q, nrm WHERE nrm.vec_id <> q.query_id),
+        dense AS (SELECT query_id, vec_id AS doc_id, rnk AS rank
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk FROM dsc)
+                  WHERE rnk <= 20),
+        dt AS (SELECT DISTINCT doc_id,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg
+               FROM (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                                            for i in range(1, len(toks) - 1)]) AS g
+                     FROM (SELECT doc_id, $DUCK_TOKENS AS toks FROM documents)
+                     WHERE len(toks) >= 3)),
+        qt AS (SELECT doc_id AS query_id, hg FROM dt WHERE doc_id % 25 = 0),
+        ov AS (SELECT qt.query_id, dt.doc_id, count(*)::BIGINT AS ov
+               FROM dt JOIN qt USING (hg) WHERE dt.doc_id <> qt.query_id
+               GROUP BY 1, 2),
+        sparse AS (SELECT query_id, doc_id, rnk AS rank
+                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ov DESC, doc_id) AS rnk FROM ov)
+                   WHERE rnk <= 20),
+        uni AS (SELECT query_id, doc_id,
+                       floor(1e6 / (60 + rank) + 0.5)::BIGINT AS c FROM dense
+                UNION ALL
+                SELECT query_id, doc_id,
+                       floor(1e6 / (60 + rank) + 0.5)::BIGINT FROM sparse),
+        fused AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_rankers,
+                         sum(c)::BIGINT AS rrf_micro
+                  FROM uni GROUP BY 1, 2)
+        SELECT query_id, doc_id, n_rankers, rrf_micro, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf_micro DESC, doc_id) AS rank FROM fused)
+        WHERE rank <= 10""")),
+
+    // MMR diversified top-k (Carbonell & Goldstein 1998): greedy
+    // redundancy-suppressing re-rank of each query's cosine top-8 down to
+    // 4 picks at λ=0.7. The greedy trajectory is exact integer arithmetic
+    // on micro-snapped cosines (z = 7·rel − 3·maxsim, ties to the smaller
+    // vec id), sequential in k but parallel across queries (typed
+    // flatMapGroups over ≤C²-row groups — the Recurrence doctrine). The
+    // oracle unrolls the k=4 greedy as four window-argmax layers.
+    "q136_mmr_select" -> Q(
+      (s, d) => Similarity.mmrSelect(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") % 25 === 0, nCandidates = 8, k = 4),
+      Some(mmrSql(nCand = 8, k = 4, lamX10 = 7))),
+
+    // Per-source Pearson correlation between the quality score and raw
+    // document length — the "has my scorer degenerated into a length
+    // proxy" drift diagnostic. Five exact integer moments per group, one
+    // fixed double-op sequence at the end (Calibrate.groupedPearson):
+    // no per-group ranking, so it scales as a plain aggregation.
+    "q137_score_length_corr" -> Q(
+      (s, d) => Calibrate.groupedPearson(
+        Tables.documents(s, d).select(col("source"), col("text"), col("n_chars")),
+        "source",
+        floor(TextOps.qualityScore(col("text")) * lit(1e6) + lit(0.5)),
+        col("n_chars")),
+      Some(s"""
+        WITH s AS (SELECT source,
+                          floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS x,
+                          n_chars AS y
+                   FROM documents),
+        m AS (SELECT source, count(*)::BIGINT AS n_rows,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                     sum(x * y)::BIGINT AS sxy
+              FROM s GROUP BY 1),
+        r AS (SELECT source, n_rows,
+                     CASE WHEN n_rows >= 2
+                               AND (n_rows::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0
+                               AND (n_rows::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0
+                          THEN floor((n_rows::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                                     / (sqrt(n_rows::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                                        * sqrt(n_rows::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                                     * 1e6 + 0.5)::BIGINT
+                     END AS corr_micro
+              FROM m)
+        SELECT source, n_rows, corr_micro,
+               corr_micro::DOUBLE / 1e6 AS corr
+        FROM r""")),
+
+    // DPO-style PREFERENCE-PAIR MINING: per (source, lang) bucket, the
+    // highest- vs lowest-quality document, kept when the margin clears
+    // 0.05. Both extremes from ONE groupBy via max/min(struct) — the q95
+    // keeper-argmax doctrine, no per-group window sort.
+    "q138_preference_pairs" -> Q(
+      (s, d) => Classify.preferencePairs(Tables.documents(s, d), "doc_id",
+        Seq("source", "lang"),
+        floor(TextOps.qualityScore(col("text")) * lit(1e6) + lit(0.5)).cast("long"),
+        minMarginMicro = 50000L),
+      Some(s"""
+        WITH s AS (SELECT source, lang, doc_id,
+                          floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS sm
+                   FROM documents),
+        g AS (SELECT source, lang, count(*)::BIGINT AS n_group
+              FROM s GROUP BY 1, 2),
+        ch AS (SELECT source, lang, doc_id AS chosen_id, sm AS chosen_micro
+               FROM s
+               QUALIFY row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY sm DESC, doc_id) = 1),
+        rj AS (SELECT source, lang, doc_id AS rejected_id, sm AS rejected_micro
+               FROM s
+               QUALIFY row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY sm ASC, doc_id) = 1)
+        SELECT source, lang, n_group, chosen_id, rejected_id,
+               chosen_micro, rejected_micro,
+               chosen_micro - rejected_micro AS margin_micro
+        FROM ch JOIN rj USING (source, lang) JOIN g USING (source, lang)
+        WHERE chosen_micro - rejected_micro >= 50000
+          AND chosen_id <> rejected_id""")),
+
+    // Class-balance weights by EFFECTIVE NUMBER OF SAMPLES (Cui et al.
+    // 2019) over the embedding labels: weight ∝ (1−β)/(1−β^n), plus each
+    // label's share of the weight mass. Label-bounded after one count
+    // aggregation; β^n is the per-row libm pow the micro snap absorbs.
+    "q139_class_weights" -> Q(
+      (s, d) => Classify.classWeights(Tables.embeddings(s, d), "label",
+        beta = 0.999),
+      Some("""
+        WITH c AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1),
+        w AS (SELECT label, n,
+                     floor((1.0::DOUBLE - 0.999::DOUBLE)
+                           / (1.0::DOUBLE - power(0.999::DOUBLE, n::DOUBLE))
+                           * 1e6 + 0.5)::BIGINT AS weight_micro
+              FROM c),
+        t AS (SELECT sum(weight_micro)::BIGINT AS w_total FROM w)
+        SELECT label, n, weight_micro,
+               floor(weight_micro::DOUBLE * 1e6 / w_total::DOUBLE + 0.5)::BIGINT
+                 AS share_micro
+        FROM w CROSS JOIN t""")),
   )
 }

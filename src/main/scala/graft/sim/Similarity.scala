@@ -139,6 +139,99 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  case class MmrCand(query_id: Long, vec_id: Long, rel_micro: Long,
+                     v: Array[Double], vn: Double)
+  case class MmrPick(query_id: Long, vec_id: Long, pick: Int, mmr_z: Long)
+
+  /** Spark's `round(x, 6)` semantics on the driver/executor side:
+    * BigDecimal HALF_UP at scale 6 — the exact algorithm the Round
+    * expression runs, so an in-JVM cosine snap is bit-identical to the
+    * codegen path (and to DuckDB's round, already proven equal by every
+    * kernel-based oracle match). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Sequential-order dot of two driver-side vectors (index-order fold —
+    * matches the codegen kernel and list_dot_product). */
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998, public)
+    * diversified top-k: from each query's `nCandidates` highest-cosine
+    * candidates, greedily select `k` maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the standard
+    * redundancy-suppressing re-rank for retrieval-augmented sampling and
+    * eval-set construction (a plain top-k returns near-duplicates; MMR
+    * spends the k slots on coverage).
+    *
+    * λ is passed as an integer tenth (`lamX10`, default 7 → λ=0.7) so the
+    * greedy comparison is EXACT integer arithmetic on micro-snapped
+    * cosines: z = lamX10·rel_micro − (10−lamX10)·maxsim_micro. The first
+    * pick has no selected set, so its z is lamX10·rel_micro (same
+    * ordering as relevance). Ties break to the smaller vec id at every
+    * step — the whole greedy trajectory is engine-exact.
+    *
+    * Scale shape: candidates come from [[bruteForceTopK]] (swap in
+    * [[ivfTopK]] at corpus scale — MMR only needs SOME candidate ranker);
+    * ONE keyed join re-attaches each candidate's vector, and the C²
+    * pairwise cosines are computed INSIDE the per-query group — C is a
+    * small constant, so C²·dims flops per query is cheaper than the
+    * pair-join alternative, which needed the candidate frame THREE times
+    * (a checkpoint whose cached blocks then lingered in the session —
+    * measured here polluting the NEXT query's first run). The in-group
+    * cosine uses the same sequential fold + HALF_UP-scale-6 rounding as
+    * the codegen kernel, so the trajectory stays engine-exact. The
+    * greedy is inherently sequential IN k but embarrassingly parallel
+    * ACROSS queries — typed `flatMapGroups` over ≤C-row groups (the
+    * Recurrence doctrine: one shuffle on the query key, sequential only
+    * within a key).
+    */
+  def mmrSelect(vectors: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, nCandidates: Int, k: Int,
+                lamX10: Int = 7): DataFrame = {
+    require(lamX10 >= 0 && lamX10 <= 10, s"lamX10 must be in [0,10], got $lamX10")
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val cand = bruteForceTopK(vectors, vectors.filter(queryPred),
+        idCol, vecCol, nCandidates)
+      .select(col("query_id"), col("vec_id"),
+        floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long").as("rel_micro"))
+    val v = vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", norm(sp, col("v")))
+    val rows = cand.join(v, Seq("vec_id")).as[MmrCand]
+    val lo = lamX10.toLong; val hi = (10 - lamX10).toLong
+    rows.groupByKey(_.query_id)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val all = it.toArray.sortBy(_.vec_id) // ascending ⇒ smaller id wins ties
+        def simMicro(a: MmrCand, b: MmrCand): Long =
+          math.floor(round6(seqDot(a.v, b.v) / (a.vn * b.vn)) * 1e6 + 0.5).toLong
+        val remaining = scala.collection.mutable.LinkedHashSet(all.indices: _*)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var pick = 1
+        while (pick <= k && remaining.nonEmpty) {
+          var best = -1; var bestZ = Long.MinValue; var first = true
+          for (c <- remaining) { // index order == id order ⇒ ties to smaller id
+            val z =
+              if (selected.isEmpty) lo * all(c).rel_micro
+              else lo * all(c).rel_micro -
+                hi * selected.iterator.map(s => simMicro(all(c), all(s))).max
+            if (first || z > bestZ) { best = c; bestZ = z; first = false }
+          }
+          remaining -= best; selected += best
+          out += MmrPick(qid, all(best).vec_id, pick, bestZ)
+          pick += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "vec_id", "pick", "mmr_z")
+  }
+
   /** IVF ANN with a fixed-size deterministic coarse quantizer (see object
     * doc): C centroids independent of N; per-row argmax assignment; queries
     * probe their `nprobe` best cells; top-k ranked inside probed cells only.

@@ -72,4 +72,54 @@ object Calibrate {
           col("n_group").cast("double") + lit(0.5)).cast("long"))
       .drop("cum")
   }
+
+  /** Per-group PEARSON CORRELATION between two integer-valued per-row
+    * signals — the score-drift diagnostic a curation pipeline runs to
+    * catch a scorer that has degenerated into a length proxy (or any two
+    * scores that should / should not co-move, per source). Rank-based
+    * coefficients (Spearman/Kendall) need a per-group total ordering —
+    * the single-task-window shape [[cumeDist]] exists to avoid — while
+    * Pearson is five plain distributed sums, so it is the coefficient
+    * that scales without ceremony.
+    *
+    * Exactness: `x` and `y` must be integer (LongType) expressions; the
+    * five moments (Σx, Σy, Σx², Σy², Σxy) are exact integer sums —
+    * aggregation-order-independent — and
+    * r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+    * is then evaluated in ONE fixed double-op sequence from those longs,
+    * mirrored op-for-op by the oracle; the output is micro-snapped.
+    * Degenerate groups (n < 2 or zero variance in either signal) emit a
+    * null coefficient rather than NaN.
+    *
+    * Overflow: Σxy sums |x·y| per row — with micro-snapped scores (~1e6)
+    * and natural counts (~1e4) the per-group budget is ~1e8 rows before
+    * a long saturates; past that, shift to coarser snap units (the same
+    * knob every micro-sum in this repo exposes). The long→double casts in
+    * the final formula are deliberate: n·Σxy as a LONG product could
+    * overflow where the double product only loses ulps, identically on
+    * both engines.
+    */
+  def groupedPearson(df: DataFrame, groupCol: String,
+                     x: Column, y: Column): DataFrame = {
+    val m = df
+      .select(col(groupCol), x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n_rows").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.withColumn("corr_micro",
+        when(col("n_rows") >= 2 && vx > 0.0 && vy > 0.0,
+          floor(num / (sqrt(vx) * sqrt(vy)) * lit(1e6) + lit(0.5)).cast("long")))
+      .select(col(groupCol), col("n_rows"), col("corr_micro"),
+        (col("corr_micro").cast("double") / lit(1e6)).as("corr"))
+  }
 }

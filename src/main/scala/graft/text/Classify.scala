@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed MULTINOMIAL NAIVE BAYES over token counts — train and
@@ -89,5 +89,67 @@ object Classify {
       .select(col("doc_id"), col("label_true").as("label"),
         col("best.l").as("pred_label"), col("best.s").as("score_micro"),
         (col("best.l") === col("label_true")).cast("int").as("correct"))
+  }
+
+  /** PREFERENCE-PAIR MINING for DPO/RLHF-style training-set construction:
+    * within each group (the "same prompt/context" bucket — here any
+    * grouping the caller picks), emit (chosen, rejected) = the highest-
+    * and lowest-scoring documents, kept only when the score margin clears
+    * `minMarginMicro` — pairs with no real quality gap teach a preference
+    * model nothing. `scoreMicro` must be a micro-snapped LongType score.
+    *
+    * Exactness + scale: both extremes come out of ONE groupBy via
+    * `max(struct)` / `min(struct)` — the q95 keeper-argmax doctrine: no
+    * per-group window sort, map-side combinable, engine-exact tie-breaks.
+    * Chosen ties resolve to the SMALLER doc id (max over (score, −id)),
+    * rejected ties likewise (min over (score, id)), so a group of equal
+    * scores yields chosen == rejected and is dropped by the margin gate
+    * before the identity check even matters.
+    */
+  def preferencePairs(df: DataFrame, idCol: String, groupCols: Seq[String],
+                      scoreMicro: Column, minMarginMicro: Long): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ col(idCol).as("__id") :+ scoreMicro.as("__sm"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_group"),
+        max(struct(col("__sm").as("s"), (-col("__id")).as("ni"))).as("mx"),
+        min(struct(col("__sm").as("s"), col("__id").as("i"))).as("mn"))
+      .select(g ++ Seq(col("n_group"),
+        (-col("mx.ni")).as("chosen_id"), col("mn.i").as("rejected_id"),
+        col("mx.s").as("chosen_micro"), col("mn.s").as("rejected_micro"),
+        (col("mx.s") - col("mn.s")).as("margin_micro")): _*)
+      .filter(col("margin_micro") >= minMarginMicro &&
+        col("chosen_id") =!= col("rejected_id"))
+  }
+
+  /** CLASS-BALANCE WEIGHTS by effective number of samples (Cui et al.
+    * 2019, public): per label, n_eff = (1 − β^n)/(1 − β) and
+    * weight ∝ 1/n_eff — the re-weighting a trainer applies when label
+    * frequencies are skewed; β→1 recovers inverse-frequency, β=0 gives
+    * uniform. Emits the raw weight and each label's share of the total
+    * weight mass (what a weighted sampler actually consumes).
+    *
+    * Numerics: one corpus-scan groupBy produces exact counts; β^n is a
+    * per-row libm `pow` on the label-bounded frame, micro-snapped like
+    * every ln in this repo (doctrine form 4); the share divides once by
+    * the exact integer Σ weight_micro. Scale: everything after the count
+    * aggregation is label-bounded — broadcast-sized by construction.
+    */
+  def classWeights(df: DataFrame, labelCol: String,
+                   beta: Double = 0.999): DataFrame = {
+    require(beta >= 0.0 && beta < 1.0, s"beta must be in [0,1), got $beta")
+    val counts = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("weight_micro",
+        floor((lit(1.0) - lit(beta)) /
+          (lit(1.0) - pow(lit(beta), col("n").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .localCheckpoint(true) // total + share read one materialization
+    val total = counts.agg(sum(col("weight_micro")).as("w_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("label"), col("n"), col("weight_micro"),
+        floor(col("weight_micro").cast("double") * lit(1e6) /
+          col("w_total").cast("double") + lit(0.5)).cast("long")
+          .as("share_micro"))
   }
 }

@@ -164,6 +164,87 @@ object Retrieval {
         col("n_target_grams"))
   }
 
+  /** Query-by-example LEXICAL ranker: per query document, the top-k other
+    * documents by DISTINCT word-n-gram overlap count (the set-intersection
+    * ranker of classical near-duplicate retrieval — the sparse half of a
+    * hybrid sparse+dense stack; BM25 with per-term weights is [[bm25TopK]],
+    * this is its unweighted, query-is-a-document sibling).
+    *
+    * SHINGLES, not tokens, deliberately: a single-token overlap join fans
+    * out as Σ_t df(t)·qf(t), and natural-language token frequency is
+    * Zipf — the head terms alone make the join quadratic-ish in practice
+    * (measured here: the token form produced a 17.6 M-row join on the
+    * sf0.1 corpus where the 3-gram form produces 107 k — a 160×
+    * difference; a token that appears in most documents carries no
+    * ranking signal but dominates the join). Word n-grams are the
+    * standard fix (the same reason every near-dup family in NearDup
+    * shingles first): df falls off sharply with n, so the join is
+    * signal-sized.
+    *
+    * Exactness: grams are md5-hashed to 64-bit ([[TextOps.gramHash64]] —
+    * the oracle renders the identical formula) and the score is an
+    * integer count of shared distinct hashes, so ranking is engine-exact
+    * with the doc-id tie-break — no fp enters at all.
+    *
+    * Scale shape: both sides reduce to DISTINCT (id, gram-hash) before
+    * the join. The query side is query-set-bounded (the caller picks the
+    * query predicate) and broadcast explicitly; the per-query top-k is
+    * the usual WindowGroupLimit heap, never a global sort.
+    */
+  def shingleOverlapTopK(docs: DataFrame, idCol: String, textCol: String,
+                         queryPred: Column, n: Int, k: Int): DataFrame = {
+    val sp = docs.sparkSession
+    def grams(d: DataFrame, out: String) =
+      TextOps.wordShingleRows(d, idCol, textCol, n)
+        .select(col("id").as(out),
+          TextOps.gramHash64(sp, col("g")).as("hg"))
+        .dropDuplicates(out, "hg")
+    val scored = grams(docs, "doc_id")
+      .join(broadcast(grams(docs.filter(queryPred), "query_id")), Seq("hg"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("overlap"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("overlap").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "overlap", "rank")
+  }
+
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Buettcher 2009, public) of any
+    * number of per-query rankings into one hybrid ranking — the standard
+    * way production retrieval stacks combine a sparse (lexical) and a
+    * dense (embedding) ranker without score normalization, since RRF
+    * consumes only RANKS: score(d) = Σ_r 1/(k0 + rank_r(d)).
+    *
+    * Inputs must each have (query_id, doc_id, rank) columns. Per-ranker
+    * contributions are micro-snapped (`floor(1e6/(k0+rank) + 0.5)` — one
+    * IEEE division from exact integers, engine-identical) then
+    * integer-summed, so the fused ordering is order-independent and
+    * engine-exact; ties break on doc_id. A document missing from one
+    * ranker simply contributes nothing (the union semantics of RRF).
+    *
+    * Scale shape: every input is already top-k-bounded per query (the
+    * rankers' own WindowGroupLimit), so the union and the fused groupBy
+    * run on |queries| × k × rankers rows — dimension-sized regardless of
+    * corpus size; the final per-query top-k is again a per-partition heap.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = rankings
+      .map(_.select(col("query_id"), col("doc_id"),
+        floor(lit(1e6) / (lit(k0) + col("rank")) + lit(0.5))
+          .cast("long").as("rrf_c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_rankers"), sum(col("rrf_c")).as("rrf_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "n_rankers", "rrf_micro", "rank")
+  }
+
   /** Domain-level quality gating (the "drop bad domains wholesale" step of
     * web-corpus curation): keep every document whose domain's MEAN quality
     * score clears `minMean`. The mean test is the integer comparison

@@ -34,6 +34,27 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("hybrid")) {
+      // r10 fourth batch: where do q135/q136 spend their ~2.2 s? Time
+      // each composite's stages in isolation (twice each — the second
+      // number is the warm one that matches converged bench repeats).
+      val emb = Tables.embeddings(spark, d)
+      val docs = Tables.documents(spark, d)
+      for (round <- 1 to 2) {
+        time(s"dense-top20 #$round")(graft.sim.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", 20))
+        time(s"sparse-shingle-top20 #$round")(graft.text.Retrieval
+          .shingleOverlapTopK(docs, "doc_id", "text", col("doc_id") % 25 === 0, 3, 20))
+        time(s"q135-full #$round")(
+          graft.SparkEntry.queries("q135_rrf_fusion")(spark, d))
+        time(s"mmr-cand-top8 #$round")(graft.sim.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", 8))
+        time(s"q136-full #$round")(
+          graft.SparkEntry.queries("q136_mmr_select")(spark, d))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("lsh")) {
       // r10 adjudication (VERDICT r09 #2): candidate-pair volume of the
       // q39/q49 LSH paths on the CURRENT embeddings parquet — a testdata

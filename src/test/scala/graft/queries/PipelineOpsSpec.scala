@@ -183,4 +183,95 @@ class PipelineOpsSpec extends SparkSpec {
       assert(sse < 100L, s"planted vector SSE should be ~0, got $sse micro")
     }
   }
+
+  test("q135 RRF core: rank-only fusion, union semantics, exact micro contributions") {
+    import spark.implicits._
+    val r1 = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val r2 = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = graft.text.Retrieval.rrfFuse(Seq(r1, r2), k0 = 60, k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    // floor(1e6/61 + .5) = 16393, floor(1e6/62 + .5) = 16129
+    assert(out(11L) === ((2L, 16393L + 16129L, 1)),
+      "doc in both rankers sums both contributions and wins")
+    assert(out(10L) === ((1L, 16393L, 2)))
+    assert(out(12L) === ((1L, 16129L, 3)))
+  }
+
+  test("q136 MMR: the greedy skips the near-duplicate a plain top-k would take") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmr").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),     // query
+      (1L, Array(1.0f, 0.05f), 0),    // best candidate
+      (2L, Array(1.0f, 0.06f), 0),    // near-duplicate of 1 (sim ≈ 1)
+      (3L, Array(0.6f, -0.8f), 0))    // diverse, lower relevance
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    // relevance rank order is 1, 2, 3 — a plain top-k keeps the near-dup
+    val plain = graft.sim.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(plain === Seq(1L, 2L, 3L))
+    // at λ=0.5 the redundancy penalty reorders: 1, then 3, then 2
+    val mmr = graft.sim.Similarity.mmrSelect(emb, "vec_id", "embedding",
+        col("vec_id") === 0L, nCandidates = 3, k = 3, lamX10 = 5)
+      .orderBy("pick").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(mmr === Seq((1L, 1), (3L, 2), (2L, 3)),
+      s"MMR must pick the diverse candidate second, got $mmr")
+    // λ=1 (lamX10=10) recovers pure relevance order
+    val pure = graft.sim.Similarity.mmrSelect(emb, "vec_id", "embedding",
+        col("vec_id") === 0L, nCandidates = 3, k = 3, lamX10 = 10)
+      .orderBy("pick").collect().map(_.getLong(1)).toSeq
+    assert(pure === plain)
+  }
+
+  test("q137 Pearson core: perfect ±1, zero-variance and singleton guards") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),      // y = 2x → +1
+      ("down", 1L, 30L), ("down", 2L, 20L), ("down", 3L, 10L), // → −1
+      ("flat", 1L, 7L), ("flat", 2L, 7L),                   // var(y) = 0 → null
+      ("one", 5L, 5L))                                      // n = 1 → null
+      .toDF("source", "x", "y")
+    val out = graft.text.Calibrate.groupedPearson(df, "source", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out("up") === Some(1000000L))
+    assert(out("down") === Some(-1000000L))
+    assert(out("flat") === None && out("one") === None)
+  }
+
+  test("q138 preference pairs: argmax/argmin tie-breaks, margin gate, degenerate groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 30L),  // clean pair 3 vs 1
+      ("g2", 4L, 50L), ("g2", 5L, 50L), ("g2", 6L, 10L),  // chosen tie → id 4
+      ("g3", 7L, 10L), ("g3", 8L, 12L),                   // margin 2 < 15 → drop
+      ("g4", 9L, 40L))                                    // singleton → drop
+      .toDF("grp", "id", "sm")
+    val out = graft.text.Classify.preferencePairs(df, "id", Seq("grp"),
+        col("sm"), minMarginMicro = 15L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    assert(out("g1") === ((3L, 1L, 20L)))
+    assert(out("g2") === ((4L, 6L, 40L)), "chosen score ties break to the smaller id")
+    assert(out.size === 2, s"g3 (thin margin) and g4 (singleton) must drop: $out")
+  }
+
+  test("q139 class weights: n=1 weighs exactly 1.0, weights fall with n, shares sum to ~1") {
+    import spark.implicits._
+    val df = (Seq.fill(1)(0) ++ Seq.fill(10)(1) ++ Seq.fill(100)(2))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("vec_id", "label")
+    val out = graft.text.Classify.classWeights(df, "label", beta = 0.999)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0)._2 === 1000000L, "(1-β)/(1-β^1) is exactly 1")
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2,
+      "effective-number weights must decrease with class size")
+    val shareSum = out.values.map(_._3).sum
+    assert(math.abs(shareSum - 1000000L) <= 2L,
+      s"shares are a partition of the weight mass, got $shareSum")
+  }
 }
