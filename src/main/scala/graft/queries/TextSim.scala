@@ -3091,5 +3091,143 @@ object TextSim extends QueryPack {
                floor(weight_micro::DOUBLE * 1e6 / w_total::DOUBLE + 0.5)::BIGINT
                  AS share_micro
         FROM w CROSS JOIN t""")),
+
+    // CHI-SQUARE INDEPENDENCE cells for source × lang — "are my sources
+    // language-balanced". One corpus cell aggregation; totals are window
+    // sums over the guarded cell frame (Calibrate.chiSquare); observed
+    // and totals exact integers, E and the contribution one fixed
+    // double-op sequence.
+    "q140_chi2_independence" -> Q(
+      (s, d) => Calibrate.chiSquare(
+        Tables.documents(s, d).select(col("source"), col("lang")),
+        "source", "lang"),
+      Some("""
+        WITH obs AS (SELECT source, lang, count(*)::BIGINT AS o
+                     FROM documents GROUP BY 1, 2),
+        cells AS (SELECT r.source, c.lang, coalesce(obs.o, 0)::BIGINT AS o
+                  FROM (SELECT DISTINCT source FROM obs) r
+                  CROSS JOIN (SELECT DISTINCT lang FROM obs) c
+                  LEFT JOIN obs ON obs.source = r.source AND obs.lang = c.lang),
+        w AS (SELECT source, lang, o,
+                     sum(o) OVER (PARTITION BY source) AS row_total,
+                     sum(o) OVER (PARTITION BY lang) AS col_total,
+                     sum(o) OVER () AS n_total
+              FROM cells)
+        SELECT source, lang, o,
+               row_total::BIGINT AS row_total, col_total::BIGINT AS col_total,
+               n_total::BIGINT AS n_total,
+               floor(row_total::DOUBLE * col_total::DOUBLE / n_total::DOUBLE
+                     * 1e6 + 0.5)::BIGINT AS e_micro,
+               floor((o::DOUBLE - row_total::DOUBLE * col_total::DOUBLE / n_total::DOUBLE)
+                     * (o::DOUBLE - row_total::DOUBLE * col_total::DOUBLE / n_total::DOUBLE)
+                     / (row_total::DOUBLE * col_total::DOUBLE / n_total::DOUBLE)
+                     * 1e6 + 0.5)::BIGINT AS contrib_micro
+        FROM w""")),
+
+    // SIGNED FEATURE HASHING (Weinberger et al. 2009): fixed-16-dim
+    // integer bag-of-words vectors with ± sign correction — no
+    // vocabulary table at all, pure integer arithmetic, engine-exact.
+    "q141_feature_hash" -> Q(
+      (s, d) => Terms.signedFeatureHash(Tables.documents(s, d),
+        "doc_id", "text", dims = 16),
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(term), 1, 15))::BIGINT % 16 AS dim,
+                 CASE WHEN ('0x' || substr(md5(term), 17, 15))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sign
+          FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS term FROM documents))
+        SELECT doc_id, dim, count(*)::BIGINT AS n_terms,
+               sum(sign)::BIGINT AS value
+        FROM h GROUP BY 1, 2""")),
+
+    // Per-doc BIGRAM CONDITIONAL ENTROPY RATE — the information-theoretic
+    // repetitiveness axis (q51's sibling): looping/templated text scores
+    // low, natural prose high. Everything keyed by doc; c_a is a rollup
+    // over the bigram-count frame, never a second corpus pass.
+    "q142_bigram_entropy" -> Q(
+      (s, d) => NgramLm.bigramEntropyRate(Tables.documents(s, d),
+        "doc_id", "text"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $DUCK_TOKENS AS tk FROM documents),
+        bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+               FROM t, unnest(range(1, len(tk))) AS u(i)
+               WHERE len(tk) >= 2),
+        cab AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c_ab
+                FROM bg GROUP BY 1, 2, 3),
+        ca AS (SELECT doc_id, w1, sum(c_ab)::BIGINT AS c_a
+               FROM cab GROUP BY 1, 2),
+        terms AS (SELECT cab.doc_id, c_ab,
+                         floor(c_ab::DOUBLE * (ln(c_a::DOUBLE) - ln(c_ab::DOUBLE))
+                               * 1e6 + 0.5)::BIGINT AS hm
+                  FROM cab JOIN ca USING (doc_id, w1))
+        SELECT doc_id, sum(c_ab)::BIGINT AS n_bigrams,
+               sum(hm)::BIGINT AS h_sum_micro,
+               sum(hm)::DOUBLE / (sum(c_ab)::DOUBLE * 1e6) AS entropy_rate
+        FROM terms GROUP BY 1""")),
+
+    // TEMPERATURE-SCALED MIXTURE (XLM-R sampling, α=0.3): per-source
+    // token-share p, tempered share q ∝ p^α and the boost q/p a weighted
+    // sampler consumes — the low-resource upsampling formula.
+    "q143_temperature_mixture" -> Q(
+      (s, d) => Terms.temperatureMixture(Tables.documents(s, d),
+        "source", "text", alpha = 0.3),
+      Some(s"""
+        WITH c AS (SELECT source, sum(len($DUCK_TOKENS))::BIGINT AS n_tokens
+                   FROM documents GROUP BY 1),
+        t AS (SELECT sum(n_tokens)::BIGINT AS n_total FROM c),
+        w AS (SELECT source, n_tokens, n_total,
+                     floor(power(n_tokens::DOUBLE / n_total::DOUBLE, 0.3::DOUBLE)
+                           * 1e6 + 0.5)::BIGINT AS w_micro
+              FROM c CROSS JOIN t),
+        wt AS (SELECT sum(w_micro)::BIGINT AS w_total FROM w),
+        f AS (SELECT source, n_tokens,
+                     floor(n_tokens::DOUBLE * 1e6 / n_total::DOUBLE + 0.5)::BIGINT
+                       AS p_micro,
+                     floor(w_micro::DOUBLE * 1e6 / w_total::DOUBLE + 0.5)::BIGINT
+                       AS q_micro,
+                     n_tokens::DOUBLE / n_total::DOUBLE AS p
+              FROM w CROSS JOIN wt)
+        SELECT source, n_tokens, p_micro, q_micro,
+               floor((q_micro::DOUBLE / 1e6) / p * 1e6 + 0.5)::BIGINT AS boost_micro
+        FROM f""")),
+
+    // Per-source KOLMOGOROV–SMIRNOV length-distribution shift vs the
+    // corpus marginal — the nonparametric drift test beside q132's
+    // token KL; the argmax runs on exact integers (|cum_g·N − cum_all·n|)
+    // with one trailing division (Calibrate.ksByGroup).
+    "q144_length_ks" -> Q(
+      (s, d) => Calibrate.ksByGroup(
+        Tables.documents(s, d).select(col("source"), col("n_chars")),
+        "source", "n_chars"),
+      Some("""
+        WITH cells AS (SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+                       FROM documents GROUP BY 1, 2),
+        grid AS (SELECT g.source, vv.v, coalesce(c.c, 0)::BIGINT AS c
+                 FROM (SELECT DISTINCT source FROM cells) g
+                 CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+                 LEFT JOIN cells c ON c.source = g.source AND c.v = vv.v),
+        cum AS (SELECT source, v,
+                       sum(c) OVER (PARTITION BY source ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum_g
+                FROM grid),
+        corpus AS (SELECT v,
+                          sum(c_all) OVER (ORDER BY v
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW) AS cum_all
+                   FROM (SELECT v, sum(c)::BIGINT AS c_all FROM cells GROUP BY 1)),
+        tot AS (SELECT source, sum(c)::BIGINT AS n_rows FROM cells GROUP BY 1),
+        n AS (SELECT sum(c)::BIGINT AS n_total FROM cells),
+        m AS (SELECT cum.source, tot.n_rows, n.n_total,
+                     max(abs(cum_g * n_total - cum_all * n_rows)) AS max_diff
+              FROM cum JOIN corpus USING (v) JOIN tot USING (source) CROSS JOIN n
+              GROUP BY 1, 2, 3)
+        SELECT source, n_rows, ks_micro, ks_micro::DOUBLE / 1e6 AS ks
+        FROM (SELECT source, n_rows,
+                     floor(max_diff::DOUBLE * 1e6
+                           / (n_rows::DOUBLE * n_total::DOUBLE) + 0.5)::BIGINT
+                       AS ks_micro
+              FROM m)""")),
   )
 }

@@ -122,4 +122,116 @@ object Calibrate {
       .select(col(groupCol), col("n_rows"), col("corr_micro"),
         (col("corr_micro").cast("double") / lit(1e6)).as("corr"))
   }
+
+  /** CHI-SQUARE INDEPENDENCE cells for two categorical columns — the
+    * "are my sources language-balanced" (or any category × category)
+    * monitoring statistic: per (row, col) cell the observed count, the
+    * independence-expected count E = rowTotal·colTotal/N, and the
+    * micro-snapped χ² contribution (O−E)²/E. The corpus pays ONE cell
+    * aggregation; row/col/grand totals are WINDOW sums over the
+    * checkpointed cell frame (bounded by the categorical-cardinality
+    * guard — the cumeDist contract), so nothing rescans the corpus and
+    * no corpus-sized window exists.
+    *
+    * Exactness: O and every total are exact integers; E and the
+    * contribution are one fixed double-op sequence from those integers,
+    * mirrored op-for-op by the oracle. Consumers sum `contrib_micro`
+    * for the statistic (exact integer sum) and compare against a χ²
+    * quantile with (R−1)(C−1) degrees of freedom.
+    */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String,
+                maxCells: Long = 4000000L): DataFrame = {
+    val observed = df.groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    // the full R×C grid: a ZERO cell (never observed together) still
+    // contributes E to the statistic — omitting it understates χ²
+    // exactly where the dependence is strongest
+    val cells = observed.select(col(rowCol)).distinct()
+      .crossJoin(observed.select(col(colCol)).distinct())
+      .join(observed, Seq(rowCol, colCol), "left")
+      .na.fill(0L, Seq("o"))
+    val nCells = observed.select(col(rowCol)).distinct().count() *
+      observed.select(col(colCol)).distinct().count()
+    require(nCells <= maxCells,
+      s"chiSquare grid has $nCells ($rowCol × $colCol) cells (> $maxCells): " +
+        "the contract is two bounded categorical columns")
+    val wr = Window.partitionBy(col(rowCol))
+    val wc = Window.partitionBy(col(colCol))
+    val wAll = Window.partitionBy() // grid-sized; bounded by the guard
+    val e = (col("row_total").cast("double") * col("col_total").cast("double")) /
+      col("n_total").cast("double")
+    val d = col("o").cast("double") - e
+    cells
+      .withColumn("row_total", sum(col("o")).over(wr))
+      .withColumn("col_total", sum(col("o")).over(wc))
+      .withColumn("n_total", sum(col("o")).over(wAll))
+      .select(col(rowCol), col(colCol), col("o"),
+        col("row_total"), col("col_total"), col("n_total"),
+        floor(e * lit(1e6) + lit(0.5)).cast("long").as("e_micro"),
+        floor(d * d / e * lit(1e6) + lit(0.5)).cast("long").as("contrib_micro"))
+  }
+
+  /** Per-group KOLMOGOROV–SMIRNOV statistic of an integer-valued signal
+    * against the whole-corpus marginal — the distribution-shift sibling
+    * of [[groupedPearson]] (correlation drift) and the token-KL (q132):
+    * KS asks "does this source's LENGTH (or any integer score)
+    * distribution look like everyone else's", nonparametrically.
+    *
+    *   D_g = max_v |ECDF_g(v) − ECDF(v)|
+    *
+    * evaluated at every observed value step — exact for step ECDFs.
+    *
+    * Exactness: the comparison runs entirely on integers —
+    * |cum_g·N − cum_all·n_g| — and divides by n_g·N ONCE at the end, so
+    * the argmax cannot be flipped by fp. (Overflow bound: cum·N tops out
+    * at N², so the exact path holds to N ≈ 3·10⁹ rows; past that, snap
+    * the value column to coarser units first — the micro-sum knob.)
+    *
+    * Scale shape: one (group, value) cell aggregation over the corpus;
+    * the evaluation grid is |groups| × |distinct values| — guarded
+    * ≤ `maxCells` (the cumeDist contract: a snapped bounded signal).
+    * Windows run over the guarded grid/histogram only, never the corpus;
+    * the checkpoint is shared by the guard and every grid consumer.
+    */
+  def ksByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                maxCells: Long = 4000000L): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nGroups = cells.select(col(groupCol)).distinct().count()
+    val nVals = cells.select(col("v")).distinct().count()
+    require(nGroups * nVals <= maxCells,
+      s"ksByGroup grid is $nGroups groups × $nVals values (> $maxCells): " +
+        "the contract is a bounded group column and a snapped bounded signal")
+    // full evaluation grid: every group × every observed value (a group
+    // missing a value still steps there in the CORPUS ECDF)
+    val grid = cells.select(col(groupCol)).distinct()
+      .crossJoin(cells.select(col("v")).distinct())
+      .join(cells, Seq(groupCol, "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val corpus = cells.groupBy(col("v")).agg(sum(col("c")).as("c_all"))
+      .withColumn("cum_all", sum(col("c_all")).over(wAllCum))
+    val totals = cells.groupBy(col(groupCol)).agg(sum(col("c")).as("n_rows"))
+    val nTotal = cells.agg(sum(col("c")).as("n_total"))
+    grid
+      .withColumn("cum_g", sum(col("c")).over(wg))
+      .join(corpus.select(col("v"), col("cum_all")), Seq("v"))
+      .join(totals, Seq(groupCol))
+      .crossJoin(broadcast(nTotal))
+      .select(col(groupCol), col("n_rows"), col("n_total"),
+        abs(col("cum_g") * col("n_total") - col("cum_all") * col("n_rows"))
+          .as("diff_scaled"))
+      .groupBy(col(groupCol), col("n_rows"), col("n_total"))
+      .agg(max(col("diff_scaled")).as("max_diff"))
+      .select(col(groupCol), col("n_rows"),
+        floor(col("max_diff").cast("double") * lit(1e6) /
+          (col("n_rows").cast("double") * col("n_total").cast("double")) +
+          lit(0.5)).cast("long").as("ks_micro"))
+      .withColumn("ks", col("ks_micro").cast("double") / lit(1e6))
+  }
 }

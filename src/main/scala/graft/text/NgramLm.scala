@@ -233,4 +233,52 @@ object NgramLm {
       .select(col("grp"), col("n_terms"), col("t_g").as("t_tokens"),
         col("kl_micro"), (col("kl_micro").cast("double") / lit(1e6)).as("kl"))
   }
+
+  /** Per-document BIGRAM CONDITIONAL ENTROPY RATE — the information-
+    * theoretic repetitiveness score (q51's dup-line ratio measures exact
+    * repeats; this measures how PREDICTABLE each next token is from the
+    * previous one):
+    *
+    *   H = −Σ_{ab} p(ab)·ln p(b|a) = (1/T)·Σ_{ab} c_ab·ln(c_a / c_ab)
+    *
+    * with c_ab the doc's bigram count, c_a its prefix count, T its total
+    * bigram tokens. Looping templated text (low entropy) separates from
+    * natural prose (high) — a filter axis perplexity-based curation uses
+    * without needing a trained LM.
+    *
+    * Exactness: counts are exact integers; each (a,b) term is a per-row
+    * derived micro-snapped then integer-summed per doc (the q66/q132
+    * doctrine), so the per-doc aggregate is order-independent; the rate
+    * divides once by T·1e6. Documents with < 2 tokens emit nothing (no
+    * bigrams — both engines' explode semantics).
+    *
+    * Scale shape: every aggregation is keyed by (doc, ...) —
+    * embarrassingly parallel across documents. c_a rides a WINDOW over
+    * the (doc, prefix) partition of the bigram-count frame rather than a
+    * rollup+join: the naive join form consumed the count frame twice
+    * (two corpus scans, five exchanges); the window form is ONE scan and
+    * the three hierarchical exchanges (doc,a,b) → (doc,a) → (doc), and
+    * its partitions are per-doc-prefix — tiny and numerous, so the
+    * single-task-per-partition property is parallelism, not the
+    * single-task-window failure (that failure is about per-GROUP-COLUMN
+    * partitions whose size grows with the corpus). Nothing is
+    * corpus-global, so no broadcast or driver bound exists to guard.
+    */
+  def bigramEntropyRate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cab = bigramRows(df, idCol, textCol)
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val wa = Window.partitionBy(col("id"), col("w1"))
+    val termMicro = floor(
+      col("c_ab").cast("double") *
+        (log(col("c_a").cast("double")) - log(col("c_ab").cast("double")))
+        * lit(1e6) + lit(0.5)).cast("long")
+    cab.withColumn("c_a", sum(col("c_ab")).over(wa))
+      .select(col("id"), col("c_ab"), termMicro.as("hm"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(sum(col("c_ab")).as("n_bigrams"), sum(col("hm")).as("h_sum_micro"))
+      .withColumn("entropy_rate",
+        col("h_sum_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6)))
+  }
 }

@@ -270,6 +270,80 @@ object Terms {
         (wMicro.cast("double") / lit(1e6)).as("w"))
   }
 
+  /** SIGNED FEATURE HASHING (Weinberger et al. 2009, public — the
+    * "hashing trick"): project each document's bag of words into a
+    * fixed `dims`-dimensional integer vector with no vocabulary table at
+    * all — dim = h(term) mod dims, sign = ±1 from an independent hash
+    * bit, value = Σ sign over occurrences. The sign bit is what makes
+    * the estimator unbiased under collisions (colliding terms cancel in
+    * expectation rather than always adding). This is the vectorizer a
+    * pipeline uses when even the hashed-TFIDF df table is too much
+    * ceremony — pure integers, stream-mergeable, and the natural input
+    * to a linear probe/classifier over corpus sketches.
+    *
+    * Exactness: everything is integer arithmetic on md5-derived hashes
+    * (both halves of the digest — the minhash double-hash family), so
+    * the output is engine-exact with no fp anywhere. Scale: one
+    * (doc, dim) shuffle with map-side combine; the dimension space is a
+    * modulus, so no frame grows with the vocabulary (the hashedTfIdf
+    * argument, minus even the df aggregate). Zero-sum buckets (signs
+    * cancelled exactly) are kept — dropping them would make the vector
+    * lossy in a way the consumer can't distinguish from absence.
+    */
+  def signedFeatureHash(df: DataFrame, idCol: String, textCol: String,
+                        dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val spark = df.sparkSession
+    df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .select(col("doc_id"),
+        pmod(TextOps.gramHash64(spark, col("term")), lit(dims.toLong)).as("dim"),
+        when(pmod(TextOps.gramHash64Hi(spark, col("term")), lit(2L)) === 0L,
+          lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("n_terms"), sum(col("sign")).as("value"))
+  }
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS (the multilingual sampling
+    * formula of XLM-R / mBERT, public): per group (language/source),
+    * q_l ∝ p_l^α with p_l the group's token share — α < 1 upsamples the
+    * tail so low-resource groups are not drowned by the head; α = 1 is
+    * proportional, α = 0 uniform. Emits p, q and the resampling boost
+    * q/p a weighted sampler (mixtureSample) consumes directly.
+    *
+    * Numerics: token counts are exact integers from ONE corpus scan;
+    * p^α is a per-row libm pow on the group-bounded frame, micro-snapped
+    * (doctrine form 4); the normalization divides by the exact integer
+    * Σ w_micro. The checkpoint is the classWeights pattern: the count
+    * frame is group-bounded and read by the total and the final select.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, textCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long"))
+        .as("n_tokens"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("n_tokens")).as("n_total"))
+    val withP = counts.crossJoin(broadcast(total))
+      .withColumn("w_micro",
+        floor(pow(col("n_tokens").cast("double") / col("n_total").cast("double"),
+          lit(alpha)) * lit(1e6) + lit(0.5)).cast("long"))
+    val wTotal = withP.agg(sum(col("w_micro")).as("w_total"))
+    withP.crossJoin(broadcast(wTotal))
+      .select(col(groupCol), col("n_tokens"),
+        floor(col("n_tokens").cast("double") * lit(1e6) /
+          col("n_total").cast("double") + lit(0.5)).cast("long").as("p_micro"),
+        floor(col("w_micro").cast("double") * lit(1e6) /
+          col("w_total").cast("double") + lit(0.5)).cast("long").as("q_micro"),
+        col("n_tokens").cast("double")./(col("n_total").cast("double")).as("__p"))
+      .withColumn("boost_micro",
+        floor((col("q_micro").cast("double") / lit(1e6)) / col("__p")
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .drop("__p")
+  }
+
   /** Sliding-window CHUNKING with stride — the "context-window carving"
     * step between tokenization and packing: every document yields windows
     * of up to `len` tokens starting every `stride` positions (the final

@@ -274,4 +274,104 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(shareSum - 1000000L) <= 2L,
       s"shares are a partition of the weight mass, got $shareSum")
   }
+
+  test("q140 chi2: independent table contributes 0; zero cells contribute E; guard trips") {
+    import spark.implicits._
+    // independent: rows a(4), b(6) × cols en/fr split 50/50 everywhere
+    val ind = Seq.fill(2)(("a", "en")) ++ Seq.fill(2)(("a", "fr")) ++
+      Seq.fill(3)(("b", "en")) ++ Seq.fill(3)(("b", "fr"))
+    val out = graft.text.Calibrate.chiSquare(ind.toDF("source", "lang"),
+        "source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(6), r.getLong(7))).toMap
+    assert(out.size === 4)
+    out.foreach { case (k, (_, _, contrib)) =>
+      assert(contrib === 0L, s"independent table must contribute 0 at $k")
+    }
+    // perfectly dependent 2×2: a→en only, b→fr only; the ZERO cells must
+    // exist and carry contribution E = 1·2/4... here rows 2,2 cols 2,2 →
+    // every cell E=1, contribs (O-1)²/1 = 1 each
+    val dep = Seq(("a", "en"), ("a", "en"), ("b", "fr"), ("b", "fr"))
+    val d = graft.text.Calibrate.chiSquare(dep.toDF("source", "lang"),
+        "source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(7))).toMap
+    assert(d.size === 4, "the full R×C grid must be emitted, zero cells included")
+    assert(d(("a", "fr"))._1 === 0L && d(("a", "fr"))._2 === 1000000L,
+      "a zero cell contributes its full E")
+    assert(d(("a", "en"))._2 === 1000000L)
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Calibrate.chiSquare(dep.toDF("source", "lang"),
+        "source", "lang", maxCells = 3L)
+    }
+    assert(e.getMessage.contains("maxCells") || e.getMessage.contains("cells"))
+  }
+
+  test("q141 feature hashing: identical texts vectorize identically; mass and parity invariants") {
+    val dir = corpusDir(Seq(
+      (1L, "alpha beta gamma alpha", "en", "web"),
+      (2L, "alpha beta gamma alpha", "en", "web"),   // same bag → same vector
+      (3L, "delta", "en", "web")))
+    val rows = graft.SparkEntry.queries("q141_feature_hash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1._1)
+    assert(byDoc(1L).map { case ((_, d), v) => d -> v }.toMap ===
+      byDoc(2L).map { case ((_, d), v) => d -> v }.toMap)
+    // Σ n_terms over dims == token count; |value| ≤ n_terms, same parity
+    assert(byDoc(1L).map(_._2._1).sum === 4L)
+    rows.foreach { case ((_, _), (n, v)) =>
+      assert(math.abs(v) <= n && (n - v) % 2 == 0,
+        s"value $v must be a ± partial sum of $n signs")
+    }
+  }
+
+  test("q142 bigram entropy: deterministic chain scores exactly 0; branching scores ln-exact") {
+    val dir = corpusDir(Seq(
+      (1L, "a b a b a b", "en", "web"),   // every next token determined → H = 0
+      (2L, "a a a b", "en", "web"),       // c(a,a)=2 c(a,b)=1 c_a(a)=3
+      (3L, "x", "en", "web")))            // < 2 tokens → no row
+    val out = graft.SparkEntry.queries("q142_bigram_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((5L, 0L)), "a deterministic chain has entropy exactly 0")
+    val expected = math.floor(2.0 * (math.log(3.0) - math.log(2.0)) * 1e6 + 0.5).toLong +
+      math.floor(1.0 * (math.log(3.0) - math.log(1.0)) * 1e6 + 0.5).toLong
+    assert(out(2L) === ((3L, expected)))
+    assert(!out.contains(3L), "a 1-token doc has no bigrams")
+  }
+
+  test("q143 temperature mixture: α=1 is proportional with boost 1; α<1 boosts the tail") {
+    val text9 = Seq.fill(9)("w").mkString(" ")
+    val dir = corpusDir(Seq((1L, text9, "en", "big"), (2L, "w", "en", "small")))
+    val docs = graft.core.Tables.documents(spark, dir)
+    val prop = graft.text.Terms.temperatureMixture(docs, "source", "text", 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(prop("big") === ((900000L, 900000L, 1000000L)))
+    assert(prop("small") === ((100000L, 100000L, 1000000L)))
+    val temp = graft.text.Terms.temperatureMixture(docs, "source", "text", 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // α=0.5: w = √p → q(small) = √.1/(√.9+√.1) ≈ 0.25, boost ≈ 2.5
+    assert(temp("small")._1 > 100000L && temp("small")._2 > 1000000L,
+      s"temperature must upsample the tail source: ${temp("small")}")
+    assert(temp("big")._2 < 1000000L, "the head source is downsampled")
+  }
+
+  test("q144 KS: matching distributions score 0; disjoint supports score the true D; guard trips") {
+    import spark.implicits._
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("source", "v")
+    val s = graft.text.Calibrate.ksByGroup(same, "source", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(s("a") === 0L && s("b") === 0L,
+      "a group matching the corpus marginal has D = 0")
+    // a={1,1}, b={2,2}: marginal ECDF(1)=.5, group ECDFs 1 and 0 → D=.5
+    val disj = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("source", "v")
+    val d = graft.text.Calibrate.ksByGroup(disj, "source", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d("a") === 500000L && d("b") === 500000L)
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Calibrate.ksByGroup(disj, "source", "v", maxCells = 2L)
+    }
+    assert(e.getMessage.contains("maxCells") || e.getMessage.contains("grid"))
+  }
 }
