@@ -157,6 +157,38 @@ object TextSim extends QueryPack {
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY ccos DESC, c) = 1)"""
 
+  /** The q135 hybrid-retrieval ranker CTEs, ending in `dense` and
+    * `sparse` (query_id, doc_id, rank ≤ 20) — ONE generator for the RRF
+    * fusion oracle (q135) and the RBO agreement oracle (q146) so the two
+    * rankers cannot drift between the queries that share them. */
+  private def hybridRankerCtes: String = s"""
+        e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM nrm
+              WHERE vec_id % 25 = 0),
+        dsc AS (SELECT query_id, nrm.vec_id,
+                       round(list_dot_product(qv, v) / (qn * vn), 6) AS cosine
+                FROM q, nrm WHERE nrm.vec_id <> q.query_id),
+        dense AS (SELECT query_id, vec_id AS doc_id, rnk AS rank
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk FROM dsc)
+                  WHERE rnk <= 20),
+        dt AS (SELECT DISTINCT doc_id,
+                      ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg
+               FROM (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                                            for i in range(1, len(toks) - 1)]) AS g
+                     FROM (SELECT doc_id, $DUCK_TOKENS AS toks FROM documents)
+                     WHERE len(toks) >= 3)),
+        qt AS (SELECT doc_id AS query_id, hg FROM dt WHERE doc_id % 25 = 0),
+        ov AS (SELECT qt.query_id, dt.doc_id, count(*)::BIGINT AS ov
+               FROM dt JOIN qt USING (hg) WHERE dt.doc_id <> qt.query_id
+               GROUP BY 1, 2),
+        sparse AS (SELECT query_id, doc_id, rnk AS rank
+                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ov DESC, doc_id) AS rnk FROM ov)
+                   WHERE rnk <= 20)"""
+
   /** MMR greedy oracle, unrolled: the k-step greedy of
     * Similarity.mmrSelect as k window-argmax CTE layers — selection
     * state is the UNION of the previous layers' picks, so each layer is
@@ -2956,32 +2988,7 @@ object TextSim extends QueryPack {
         Retrieval.rrfFuse(Seq(dense, sparse), k0 = 60, k = 10)
       },
       Some(s"""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-                   FROM embeddings),
-        nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
-        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM nrm
-              WHERE vec_id % 25 = 0),
-        dsc AS (SELECT query_id, nrm.vec_id,
-                       round(list_dot_product(qv, v) / (qn * vn), 6) AS cosine
-                FROM q, nrm WHERE nrm.vec_id <> q.query_id),
-        dense AS (SELECT query_id, vec_id AS doc_id, rnk AS rank
-                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, vec_id) AS rnk FROM dsc)
-                  WHERE rnk <= 20),
-        dt AS (SELECT DISTINCT doc_id,
-                      ('0x' || substr(md5(g), 1, 15))::BIGINT AS hg
-               FROM (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
-                                            for i in range(1, len(toks) - 1)]) AS g
-                     FROM (SELECT doc_id, $DUCK_TOKENS AS toks FROM documents)
-                     WHERE len(toks) >= 3)),
-        qt AS (SELECT doc_id AS query_id, hg FROM dt WHERE doc_id % 25 = 0),
-        ov AS (SELECT qt.query_id, dt.doc_id, count(*)::BIGINT AS ov
-               FROM dt JOIN qt USING (hg) WHERE dt.doc_id <> qt.query_id
-               GROUP BY 1, 2),
-        sparse AS (SELECT query_id, doc_id, rnk AS rank
-                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY ov DESC, doc_id) AS rnk FROM ov)
-                   WHERE rnk <= 20),
+        WITH $hybridRankerCtes,
         uni AS (SELECT query_id, doc_id,
                        floor(1e6 / (60 + rank) + 0.5)::BIGINT AS c FROM dense
                 UNION ALL
@@ -3229,5 +3236,136 @@ object TextSim extends QueryPack {
                            / (n_rows::DOUBLE * n_total::DOUBLE) + 0.5)::BIGINT
                        AS ks_micro
               FROM m)""")),
+
+    // MOORE-LEWIS contrastive data selection (Moore & Lewis 2010,
+    // unigram): score non-target docs by Σ (ln p_target − ln p_corpus)
+    // with add-one smoothing over the shared vocabulary — keep > 0.
+    // The per-term log-ratio is micro-snapped once in the model table
+    // (q133 pattern); doc scores are exact integer sums.
+    "q145_moore_lewis" -> Q(
+      (s, d) => Retrieval.mooreLewisScore(Tables.documents(s, d),
+        "doc_id", "text", col("source") === "src0"),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, source = 'src0' AS tgt,
+                             unnest($DUCK_TOKENS) AS term
+                      FROM documents),
+        counts AS (SELECT term, count(*)::BIGINT AS c_all,
+                          sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+                   FROM toks GROUP BY 1),
+        tot AS (SELECT sum(c_all)::BIGINT AS t_all, sum(c_tgt)::BIGINT AS t_tgt,
+                       count(*)::BIGINT AS v
+                FROM counts),
+        model AS (SELECT term,
+                         floor((ln(c_tgt::DOUBLE + 1.0) - ln((t_tgt + v)::DOUBLE)
+                                - (ln(c_all::DOUBLE + 1.0) - ln((t_all + v)::DOUBLE)))
+                               * 1e6 + 0.5)::BIGINT AS lr_micro
+                  FROM counts CROSS JOIN tot)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(lr_micro)::BIGINT AS ml_micro,
+               (sum(lr_micro) > 0)::INT AS keep
+        FROM toks JOIN model USING (term)
+        WHERE NOT tgt
+        GROUP BY 1""")),
+
+    // RANK-BIASED OVERLAP (Webber et al. 2010) between q135's dense and
+    // sparse rankers — the "are my hybrid rankers redundant or
+    // complementary" diagnostic. A doc in both prefixes contributes the
+    // driver-computed micro weight w(max(rank_a, rank_b)); per-query
+    // score is an exact integer sum. The weight table is ONE Scala fold
+    // shared with the oracle rendering, identical by construction.
+    "q146_rbo_agreement" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dense = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        val sparse = Retrieval.shingleOverlapTopK(Tables.documents(s, d),
+            "doc_id", "text", col("doc_id") % 25 === 0, n = 3, k = 20)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        Retrieval.rboAgreement(dense, sparse, k = 20, p = 0.9)
+      },
+      Some {
+        val w = Retrieval.rboWeights(20, 0.9).mkString("[", ", ", "]")
+        s"""
+        WITH $hybridRankerCtes,
+        j AS (SELECT d.query_id,
+                     $w[greatest(d.rank, s.rank)] AS wm
+              FROM dense d JOIN sparse s USING (query_id, doc_id)),
+        sc AS (SELECT query_id, count(*)::BIGINT AS n_common,
+                      sum(wm)::BIGINT AS rbo_micro
+               FROM j GROUP BY 1),
+        qs AS (SELECT DISTINCT query_id FROM
+                 (SELECT query_id FROM dense
+                  UNION ALL SELECT query_id FROM sparse))
+        SELECT query_id, coalesce(n_common, 0)::BIGINT AS n_common,
+               coalesce(rbo_micro, 0)::BIGINT AS rbo_micro,
+               coalesce(rbo_micro, 0)::DOUBLE / 1e6 AS rbo
+        FROM qs LEFT JOIN sc USING (query_id)"""
+      }),
+
+    // Per-source WINSORIZED MEAN of the quality score (clamp at the
+    // exact P10/P90 histogram quantiles — integer rank arithmetic, no
+    // fp quantile positions): the outlier-robust center for score
+    // monitoring (Calibrate.winsorizedMean).
+    "q147_winsorized_mean" -> Q(
+      (s, d) => Calibrate.winsorizedMean(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "source",
+        floor(TextOps.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+          .cast("long"),
+        pLo = 10, pHi = 90),
+      Some(s"""
+        WITH s AS (SELECT source,
+                          floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS v
+                   FROM documents),
+        cells AS (SELECT source, v, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        cum AS (SELECT source, v, c,
+                       sum(c) OVER (PARTITION BY source ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum
+                FROM cells),
+        n AS (SELECT source, sum(c)::BIGINT AS n_rows FROM cells GROUP BY 1),
+        k AS (SELECT cum.source, v, cum, n_rows,
+                     floor((n_rows * 10 + 99)::DOUBLE / 100.0)::BIGINT AS k_lo,
+                     floor((n_rows * 90 + 99)::DOUBLE / 100.0)::BIGINT AS k_hi
+              FROM cum JOIN n USING (source)),
+        lo AS (SELECT source, min(v) AS lo FROM k WHERE cum >= k_lo GROUP BY 1),
+        hi AS (SELECT source, min(v) AS hi FROM k WHERE cum >= k_hi GROUP BY 1),
+        cl AS (SELECT c.source, lo.lo, hi.hi, c.c,
+                      c.c * greatest(lo.lo, least(hi.hi, c.v)) AS clamped
+               FROM cells c JOIN lo USING (source) JOIN hi USING (source))
+        SELECT source, sum(c)::BIGINT AS n_rows, lo, hi,
+               floor(sum(clamped)::DOUBLE / sum(c)::DOUBLE + 0.5)::BIGINT
+                 AS wmean_micro
+        FROM cl GROUP BY 1, 3, 4""")),
+
+    // Per-source TERM DIVERSITY: Shannon entropy + Simpson collision
+    // index of the unigram distribution — template mills score low-H /
+    // high-Simpson; q132's KL measures distance from the corpus, these
+    // measure internal spread (NgramLm.termDiversityByGroup).
+    "q148_source_diversity" -> Q(
+      (s, d) => NgramLm.termDiversityByGroup(Tables.documents(s, d),
+        "source", "text").withColumnRenamed("grp", "source"),
+      Some(s"""
+        WITH cg AS (SELECT source, term, count(*)::BIGINT AS c
+                    FROM (SELECT source, unnest($DUCK_TOKENS) AS term
+                          FROM documents)
+                    GROUP BY 1, 2),
+        agg AS (SELECT source, count(*)::BIGINT AS n_terms,
+                       sum(c)::BIGINT AS t_tokens,
+                       sum(floor(c::DOUBLE * ln(c::DOUBLE) * 1e6 + 0.5)::BIGINT)::BIGINT
+                         AS s1,
+                       sum(c * (c - 1))::BIGINT AS s_coll
+                FROM cg GROUP BY 1)
+        SELECT source, n_terms, t_tokens,
+               floor((ln(t_tokens::DOUBLE)
+                      - s1::DOUBLE / (t_tokens::DOUBLE * 1e6))
+                     * 1e6 + 0.5)::BIGINT AS shannon_micro,
+               CASE WHEN t_tokens >= 2 THEN
+                 floor(s_coll::DOUBLE * 1e6
+                       / (t_tokens::DOUBLE * (t_tokens::DOUBLE - 1.0))
+                       + 0.5)::BIGINT
+               END AS simpson_micro
+        FROM agg""")),
   )
 }

@@ -172,6 +172,68 @@ object Calibrate {
         floor(d * d / e * lit(1e6) + lit(0.5)).cast("long").as("contrib_micro"))
   }
 
+  /** Per-group WINSORIZED MEAN of a micro-snapped score — the
+    * outlier-robust location estimate a monitoring pipeline tracks when
+    * a handful of pathological documents would otherwise move the plain
+    * mean (q109's MAD flags the outliers; this reports the center as if
+    * they were clamped). Values below the qLo-quantile / above the
+    * qHi-quantile are CLAMPED to those quantiles, then averaged.
+    *
+    * Quantile definition (exact, engine-mirrorable): the p-PERCENT
+    * quantile of a group of n is the smallest value whose cumulative
+    * count reaches ceil(p·n/100) = (p·n + 99) div 100 — INTEGER rank
+    * arithmetic (percent bounds are taken as integers precisely so no
+    * `0.1·n` double ever enters: 0.1·500 is 50.000000000000007 in
+    * binary fp and would ceil to 51), no interpolation, so both engines
+    * pick the identical value.
+    *
+    * Exactness: the clamped sum is an exact integer (Σ c·clamp(v)); one
+    * trailing division yields the mean. Scale: the cumeDist shape — one
+    * corpus cell aggregation, windows/argmins over the guarded histogram
+    * only.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, scoreMicro: Column,
+                     pLo: Int, pHi: Int,
+                     maxHistCells: Long = 4000000L): DataFrame = {
+    require(pLo >= 0 && pHi <= 100 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 100; got $pLo, $pHi")
+    val cells = df.select(col(groupCol), scoreMicro.as("v"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxHistCells,
+      s"winsorizedMean histogram has $nCells cells (> $maxHistCells): " +
+        "the contract is a bounded group column and a snapped bounded score")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum(col("c")).over(w))
+    val n = cells.groupBy(col(groupCol)).agg(sum(col("c")).as("n_rows"))
+    // rank targets: ceil(p·n/100) = floor((p·n + 99)/100) — the double
+    // division is exact for p·n < 2^53 and mirrors the SQL rendering
+    val withN = cum.join(n, Seq(groupCol))
+      .withColumn("k_lo",
+        floor((col("n_rows") * lit(pLo.toLong) + lit(99L)).cast("double") /
+          lit(100.0)).cast("long"))
+      .withColumn("k_hi",
+        floor((col("n_rows") * lit(pHi.toLong) + lit(99L)).cast("double") /
+          lit(100.0)).cast("long"))
+    def pick(kCol: String, out: String) = withN
+      .filter(col("cum") >= col(kCol))
+      .groupBy(col(groupCol)).agg(min(col("v")).as(out))
+    val bounds = pick("k_lo", "lo").join(pick("k_hi", "hi"), Seq(groupCol))
+    cells.join(bounds, Seq(groupCol))
+      .select(col(groupCol), col("lo"), col("hi"),
+        col("c"),
+        (col("c") * greatest(col("lo"), least(col("hi"), col("v"))))
+          .as("clamped"))
+      .groupBy(col(groupCol), col("lo"), col("hi"))
+      .agg(sum(col("c")).as("n_rows"), sum(col("clamped")).as("wsum"))
+      .select(col(groupCol), col("n_rows"), col("lo"), col("hi"),
+        floor(col("wsum").cast("double") / col("n_rows").cast("double") +
+          lit(0.5)).cast("long").as("wmean_micro"))
+  }
+
   /** Per-group KOLMOGOROV–SMIRNOV statistic of an integer-valued signal
     * against the whole-corpus marginal — the distribution-shift sibling
     * of [[groupedPearson]] (correlation drift) and the token-KL (q132):

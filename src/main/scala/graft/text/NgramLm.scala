@@ -234,6 +234,46 @@ object NgramLm {
         col("kl_micro"), (col("kl_micro").cast("double") / lit(1e6)).as("kl"))
   }
 
+  /** Per-group TERM-DISTRIBUTION DIVERSITY: Shannon entropy and the
+    * Simpson index of each group's unigram distribution — the "is this
+    * source a template mill or a real corpus" summary ([[unigramKlByGroup]]
+    * measures distance FROM the corpus; these measure internal spread).
+    *
+    *   H       = ln T − (Σ_t c_t·ln c_t) / T           (nats)
+    *   Simpson = Σ_t c_t·(c_t − 1) / (T·(T − 1))       (collision prob.)
+    *
+    * Exactness: Simpson is exact integer arithmetic with ONE trailing
+    * division. For Shannon, each c·ln c is a per-row derived
+    * micro-snapped then integer-summed (q66 doctrine); the final form
+    * evaluates `ln T − s1/(T·1e6)` as one fixed double-op sequence.
+    *
+    * Scale: rides the same single (group, term) aggregation as the KL —
+    * everything after is group-bounded.
+    */
+  def termDiversityByGroup(df: DataFrame, groupCol: String,
+                           textCol: String): DataFrame = {
+    val cg = df.select(col(groupCol).as("grp"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("c"))
+    val m = floor(col("c").cast("double") * log(col("c").cast("double"))
+      * lit(1e6) + lit(0.5)).cast("long")
+    cg.select(col("grp"), col("c"), m.as("m"),
+        (col("c") * (col("c") - lit(1L))).as("coll"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("t_tokens"),
+        sum(col("m")).as("s1"), sum(col("coll")).as("s_coll"))
+      .select(col("grp"), col("n_terms"), col("t_tokens"),
+        floor((log(col("t_tokens").cast("double")) -
+          col("s1").cast("double") /
+            (col("t_tokens").cast("double") * lit(1e6)))
+          * lit(1e6) + lit(0.5)).cast("long").as("shannon_micro"),
+        when(col("t_tokens") >= 2L,
+          floor(col("s_coll").cast("double") * lit(1e6) /
+            (col("t_tokens").cast("double") *
+              (col("t_tokens").cast("double") - lit(1.0))) + lit(0.5))
+            .cast("long")).as("simpson_micro"))
+  }
+
   /** Per-document BIGRAM CONDITIONAL ENTROPY RATE — the information-
     * theoretic repetitiveness score (q51's dup-line ratio measures exact
     * repeats; this measures how PREDICTABLE each next token is from the

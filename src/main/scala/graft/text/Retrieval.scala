@@ -245,6 +245,106 @@ object Retrieval {
       .select("query_id", "doc_id", "n_rankers", "rrf_micro", "rank")
   }
 
+  /** MOORE-LEWIS CONTRASTIVE DATA SELECTION (Moore & Lewis 2010, public —
+    * unigram form): score every non-target document by
+    * Σ_tokens (ln p_target(w) − ln p_corpus(w)) — positive means the
+    * document looks more like the target domain than like the general
+    * corpus, the classic "select pretraining data that resembles my
+    * domain sample" criterion ([[importanceResample]] is the hashed-
+    * n-gram cousin; this is the LM-ratio original). Add-one smoothing on
+    * BOTH models over the shared corpus vocabulary, so unseen-in-target
+    * terms score negative rather than −∞.
+    *
+    * Numerics: the per-TERM log-ratio is micro-snapped ONCE in the model
+    * table (the q133 pattern); a document's score is then an exact
+    * integer sum over its token occurrences — order-independent, so the
+    * keep decision (score > 0) is engine-exact.
+    *
+    * Scale shape: one (term) count aggregation per model (target side is
+    * sample-bounded by the caller's predicate); the model table is
+    * vocabulary-sized and joins the token stream UNHINTED (Heaps' law —
+    * the planner must pick broadcast from measured size). The token
+    * stream pays the explode it pays everywhere else; nothing else
+    * touches the corpus.
+    */
+  def mooreLewisScore(docs: DataFrame, idCol: String, textCol: String,
+                      targetPred: Column): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.withColumn("__tgt", targetPred)
+      .select(col(idCol).as("doc_id"), col("__tgt"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+    // corpus counts + target counts in ONE (term) aggregation pass
+    val counts = toks.groupBy("term")
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("c_tgt"))
+      .localCheckpoint(true) // consumers: V/totals rollup + the model join
+    val totals = counts.agg(
+      sum(col("c_all")).as("t_all"), sum(col("c_tgt")).as("t_tgt"),
+      count(lit(1)).as("v"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        floor((log(col("c_tgt").cast("double") + lit(1.0)) -
+          log((col("t_tgt") + col("v")).cast("double")) -
+          (log(col("c_all").cast("double") + lit(1.0)) -
+            log((col("t_all") + col("v")).cast("double"))))
+          * lit(1e6) + lit(0.5)).cast("long").as("lr_micro"))
+    toks.filter(!col("__tgt"))
+      .join(model, Seq("term")) // vocabulary-sized; unhinted by doctrine
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_micro")).as("ml_micro"))
+      .withColumn("keep", (col("ml_micro") > 0L).cast("int"))
+  }
+
+  /** RANK-BIASED OVERLAP, truncated (Webber et al. 2010, public): per
+    * query, the agreement of two top-k rankings —
+    * RBO@k = Σ_{d=1..k} (1−p)·p^(d−1)·(|A_d ∩ B_d| / d). A doc present
+    * in BOTH prefixes first counts at depth d₀ = max(rank_A, rank_B) and
+    * contributes Σ_{d=d₀..k} (1−p)·p^(d−1)/d — a k-entry weight table
+    * computed ONCE on the driver, micro-snapped, and shipped as an array
+    * literal both engines index identically. The per-query score is then
+    * an exact integer sum: engine-exact, no fp in the aggregation.
+    *
+    * Use: measures whether a hybrid stack's rankers are redundant
+    * (RBO → 1) or complementary (RBO → 0) — the diagnostic that says
+    * whether [[rrfFuse]] is buying anything. Inputs are the rankers'
+    * top-k outputs (query_id, doc_id, rank); the join is
+    * |queries|×k-bounded, dimension-sized at any corpus scale.
+    */
+  /** w(d0) = Σ_{d=d0..k} (1−p)·p^(d−1)/d, micro-snapped — sequential
+    * driver fold, shared with the oracle generator so the SQL list
+    * literal is the SAME longs by construction. */
+  private[graft] def rboWeights(k: Int, p: Double): Array[Long] =
+    Array.tabulate(k) { i =>
+      val d0 = i + 1
+      var acc = 0.0
+      var d = d0
+      while (d <= k) { acc += (1.0 - p) * math.pow(p, d - 1) / d; d += 1 }
+      math.floor(acc * 1e6 + 0.5).toLong
+    }
+
+  def rboAgreement(rankingA: DataFrame, rankingB: DataFrame,
+                   k: Int, p: Double): DataFrame = {
+    require(k > 0 && p > 0.0 && p < 1.0, s"need k>0, 0<p<1; got k=$k p=$p")
+    val wCol = array(rboWeights(k, p).map(lit): _*)
+    val scored = rankingA
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+      .join(rankingB.select(col("query_id"), col("doc_id"),
+        col("rank").as("rank_b")), Seq("query_id", "doc_id"))
+      .select(col("query_id"),
+        element_at(wCol, greatest(col("rank_a"), col("rank_b")).cast("int"))
+          .as("wm"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_common"), sum(col("wm")).as("rbo_micro"))
+    // a query whose prefixes share NOTHING is RBO = 0, not absent — the
+    // "fully complementary" reading must be distinguishable from "query
+    // was never ranked"
+    rankingA.select(col("query_id"))
+      .unionByName(rankingB.select(col("query_id"))).distinct()
+      .join(scored, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_common", "rbo_micro"))
+      .withColumn("rbo", col("rbo_micro").cast("double") / lit(1e6))
+  }
+
   /** Domain-level quality gating (the "drop bad domains wholesale" step of
     * web-corpus curation): keep every document whose domain's MEAN quality
     * score clears `minMean`. The mean test is the integer comparison

@@ -374,4 +374,72 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxCells") || e.getMessage.contains("grid"))
   }
+
+  test("q145 Moore-Lewis: target-like docs keep, corpus-like drop, values ln-exact") {
+    import org.apache.spark.sql.functions.col
+    val dir = corpusDir(Seq(
+      (1L, "t t", "en", "target"),       // the target-domain sample
+      (2L, "t t", "en", "web"),          // looks like the target → keep
+      (3L, "g g", "en", "web")))         // general-only vocab → drop
+    val docs = graft.core.Tables.documents(spark, dir)
+    val out = graft.text.Retrieval.mooreLewisScore(docs, "doc_id", "text",
+        col("source") === "target")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(!out.contains(1L), "target docs are the sample, not candidates")
+    // model: c_tgt(t)=2 c_all(t)=4; c_tgt(g)=0 c_all(g)=2; T_tgt=2 T_all=6 V=2
+    def lr(cT: Long, cA: Long) = math.floor(
+      (math.log(cT + 1.0) - math.log(2.0 + 2.0) -
+        (math.log(cA + 1.0) - math.log(6.0 + 2.0))) * 1e6 + 0.5).toLong
+    assert(out(2L) === ((2 * lr(2, 4), 1)), s"got ${out(2L)}")
+    assert(out(3L) === ((2 * lr(0, 2), 0)))
+    assert(out(2L)._1 > 0 && out(3L)._1 < 0)
+  }
+
+  test("q146 RBO: identical rankings score 1−p^k; disjoint rankings emit 0, not absence") {
+    import spark.implicits._
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2), (1L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 10L, 1), (0L, 11L, 2), (1L, 30L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.text.Retrieval.rboAgreement(a, b, k = 2, p = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wSum = graft.text.Retrieval.rboWeights(2, 0.9).sum
+    assert(out(0L) === ((2L, wSum)),
+      s"identical prefixes must sum the whole weight table (${out(0L)} vs $wSum)")
+    // Σw = 1−p^k up to the per-entry micro snap
+    assert(math.abs(wSum - math.floor((1.0 - 0.9 * 0.9) * 1e6 + 0.5).toLong) <= 2)
+    assert(out(1L) === ((0L, 0L)), "zero overlap is RBO 0, present in the output")
+  }
+
+  test("q147 winsorized mean: exact integer-rank quantiles clamp the tails") {
+    import spark.implicits._
+    val df = (1L to 10L).map(v => ("g", v)).toDF("source", "v")
+    val out = graft.text.Calibrate.winsorizedMean(df, "source",
+        org.apache.spark.sql.functions.col("v"), pLo = 10, pHi = 90)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // k_lo = ceil(1.0) = 1 → lo = 1; k_hi = ceil(9.0) = 9 → hi = 9;
+    // clamped sum = (1+..+9) + 9 = 54 → floor(5.4 + .5) = 5
+    assert(out.toSeq === Seq((10L, 1L, 9L, 5L)))
+    // heavier trim: P20/P80 → lo=2 hi=8;
+    // sum = 2 + (2+3+..+8) + 8 + 8 = 53 → floor(5.3 + .5) = 5
+    val out2 = graft.text.Calibrate.winsorizedMean(df, "source",
+        org.apache.spark.sql.functions.col("v"), pLo = 20, pHi = 80)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out2.toSeq === Seq((2L, 8L, 5L)))
+  }
+
+  test("q148 diversity: uniform maximizes Shannon; a one-term source pins both indices") {
+    val dir = corpusDir(Seq(
+      (1L, "a a b", "en", "mixed"),
+      (2L, "m m m m", "en", "mill")))
+    val out = graft.SparkEntry.queries("q148_source_diversity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // mixed: T=3, s1 = floor(2ln2·1e6+.5) = 1386294; H = ln3 − s1/3e6
+    val s1 = math.floor(2.0 * math.log(2.0) * 1e6 + 0.5)
+    val hExp = math.floor((math.log(3.0) - s1 / 3e6) * 1e6 + 0.5).toLong
+    assert(out("mixed") === ((2L, 3L, hExp, 333333L)))
+    // a single repeated term: H exactly 0, Simpson exactly 1
+    assert(out("mill") === ((1L, 4L, 0L, 1000000L)))
+  }
 }
