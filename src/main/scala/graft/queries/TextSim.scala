@@ -3367,5 +3367,51 @@ object TextSim extends QueryPack {
                        + 0.5)::BIGINT
                END AS simpson_micro
         FROM agg""")),
+
+    // DEDUP SELF-EVALUATION: banding recall + candidate precision of the
+    // q35 MinHash LSH configuration against exact blocked ground truth
+    // (lang × source blocks) — the audit that tunes k/bands before a
+    // corpus-scale run (NearDup.dedupRecallEval). Every count is an
+    // integer; the two ratios divide once.
+    "q149_dedup_recall" -> Q(
+      (s, d) => NearDup.dedupRecallEval(Tables.documents(s, d),
+        "doc_id", "text", Seq("lang", "source"),
+        nGram = 3, k = 16, bands = 8, minJaccard = 0.5),
+      Some(s"""
+        WITH ${minhashCtes(16, 8)},
+        blk AS (SELECT doc_id, lang, source FROM documents),
+        gt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM sets a
+               JOIN blk ba ON ba.doc_id = a.doc_id
+               JOIN sets b ON a.doc_id < b.doc_id
+               JOIN blk bb ON bb.doc_id = b.doc_id
+               WHERE ba.lang = bb.lang AND ba.source = bb.source
+                 AND round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                           (len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh))::DOUBLE),
+                           4) >= 0.5),
+        cb AS (SELECT c.id_a, c.id_b,
+                      (round(len(list_intersect(da.sh, db.sh))::DOUBLE /
+                             (len(da.sh) + len(db.sh)
+                              - len(list_intersect(da.sh, db.sh))::DOUBLE),
+                             4) >= 0.5)::BIGINT AS verified
+               FROM cand c
+               JOIN sets da ON da.doc_id = c.id_a
+               JOIN sets db ON db.doc_id = c.id_b
+               JOIN blk ba ON ba.doc_id = c.id_a
+               JOIN blk bb ON bb.doc_id = c.id_b
+               WHERE ba.lang = bb.lang AND ba.source = bb.source),
+        m AS (SELECT (SELECT count(*) FROM gt)::BIGINT AS n_truth,
+                     (SELECT count(*) FROM cb)::BIGINT AS n_cand,
+                     (SELECT coalesce(sum(verified), 0) FROM cb)::BIGINT
+                       AS n_verified)
+        SELECT n_truth, n_cand, n_verified,
+               CASE WHEN n_cand > 0
+                    THEN floor(n_verified::DOUBLE * 1e6 / n_cand::DOUBLE
+                               + 0.5)::BIGINT END AS precision_micro,
+               CASE WHEN n_truth > 0
+                    THEN floor(n_verified::DOUBLE * 1e6 / n_truth::DOUBLE
+                               + 0.5)::BIGINT END AS recall_micro
+        FROM m""")),
   )
 }

@@ -282,6 +282,75 @@ object NearDup {
         round(col("common") / size(col("sh_b")).cast("double"), 4).as("containment_b"))
   }
 
+  /** DEDUP SELF-EVALUATION: banding recall and candidate precision of
+    * the MinHash LSH path against EXACT blocked ground truth — the audit
+    * a curation team runs before trusting an LSH configuration at scale.
+    * Within each block (e.g. lang × source), ground truth is ALL pairs
+    * with hashed-shingle Jaccard ≥ `minJaccard` (the within-block
+    * quadratic is the audit's price and its premise: the exact answer is
+    * only computable blocked/sampled); the LSH side contributes its
+    * banded candidates restricted to the same blocks. One summary row:
+    *
+    *   recall    = verified candidates / ground truth  (what banding missed)
+    *   precision = verified candidates / all candidates (wasted verification)
+    *
+    * — exactly the two knobs `k`/`bands` trade against each other; the
+    * sweep (q101) tunes the threshold, this tunes the banding. Every
+    * pred pair is necessarily a truth pair (same sets, same test), so
+    * "verified" doubles as the true-positive count.
+    *
+    * Exactness: pair counts are integers; the two ratios divide once.
+    * Scale: ONE sigSets materialization feeds ground truth, candidates
+    * and verification (checkpointed — the q124 multi-consumer rule);
+    * the metric rollup is one aggregation over a union of pair lists.
+    */
+  def dedupRecallEval(docs: DataFrame, idCol: String, textCol: String,
+                      blockCols: Seq[String], nGram: Int = 3,
+                      k: Int = 16, bands: Int = 8,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val shingles = TextOps.wordShingleRows(docs, idCol, textCol, nGram)
+    val sigsets = sigSets(shingles, k).localCheckpoint(true)
+    val blocks = docs.select(col(idCol).as("id") +: blockCols.map(col): _*)
+    val sets = sigsets.select(col("id"), col("sh")).join(blocks, Seq("id"))
+    def jaccard(shA: Column, shB: Column): Column = {
+      val common = size(array_intersect(shA, shB)).cast("double")
+      round(common / (size(shA) + size(shB) - common), 4)
+    }
+    val sameBlock = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val gt = sets.as("a").join(sets.as("b"), sameBlock && col("a.id") < col("b.id"))
+      .filter(jaccard(col("a.sh"), col("b.sh")) >= minJaccard)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = bandRows(sigsets, k, bands).as("ba")
+      .join(bandRows(sigsets, k, bands).as("bb"),
+        col("ba.band_hash") === col("bb.band_hash") && col("ba.id") < col("bb.id"))
+      .select(col("ba.id").as("id_a"), col("bb.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(sets.select(Seq(col("id").as("id_a"), col("sh").as("sh_a")) ++
+        blockCols.map(c => col(c).as(s"a_$c")): _*), Seq("id_a"))
+      .join(sets.select(Seq(col("id").as("id_b"), col("sh").as("sh_b")) ++
+        blockCols.map(c => col(c).as(s"b_$c")): _*), Seq("id_b"))
+      .filter(blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _))
+      .withColumn("verified",
+        (jaccard(col("sh_a"), col("sh_b")) >= minJaccard).cast("long"))
+      .select(col("id_a"), col("id_b"), col("verified"))
+    // one rollup over the union: per pair, is it truth / candidate / both
+    val labeled = gt.select(col("id_a"), col("id_b"),
+        lit(1L).as("t"), lit(0L).as("c"), lit(0L).as("v"))
+      .unionByName(cand.select(col("id_a"), col("id_b"),
+        lit(0L).as("t"), lit(1L).as("c"), col("verified").as("v")))
+    labeled.agg(sum(col("t")).as("n_truth"), sum(col("c")).as("n_cand"),
+        sum(col("v")).as("n_verified"))
+      .select(col("n_truth"), col("n_cand"), col("n_verified"),
+        when(col("n_cand") > 0L,
+          floor(col("n_verified").cast("double") * lit(1e6) /
+            col("n_cand").cast("double") + lit(0.5)).cast("long"))
+          .as("precision_micro"),
+        when(col("n_truth") > 0L,
+          floor(col("n_verified").cast("double") * lit(1e6) /
+            col("n_truth").cast("double") + lit(0.5)).cast("long"))
+          .as("recall_micro"))
+  }
+
   /** Dedup THRESHOLD SWEEP — the tuning curve a curation run reads before
     * committing to a Jaccard cutoff: for each candidate threshold, how
     * many verified pairs survive and how many distinct documents they

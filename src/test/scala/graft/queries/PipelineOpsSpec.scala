@@ -442,4 +442,21 @@ class PipelineOpsSpec extends SparkSpec {
     // a single repeated term: H exactly 0, Simpson exactly 1
     assert(out("mill") === ((1L, 4L, 0L, 1000000L)))
   }
+
+  test("q149 dedup eval: identical in-block pairs recall 1; cross-block truth is excluded") {
+    val dup = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 120).map(i => s"zzz$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, dup, "en", "a"),
+      (2L, dup, "en", "a"),      // identical, same block → the one truth pair
+      (3L, dup, "en", "b"),      // identical but OTHER block → not ground truth
+      (4L, other, "en", "a")))   // unrelated
+    val r = graft.SparkEntry.queries("q149_dedup_recall")(spark, dir).collect().head
+    assert(r.getLong(0) === 1L, s"blocked ground truth is the in-block pair only: $r")
+    assert(r.getLong(2) === 1L, "identical signatures must survive banding")
+    assert(r.getLong(4) === 1000000L, "recall on an identical pair is exactly 1")
+    // candidates may include the cross-block identical pair — it is
+    // filtered by the block restriction, not verified
+    assert(r.getLong(1) >= 1L)
+  }
 }
