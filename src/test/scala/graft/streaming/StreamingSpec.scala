@@ -232,4 +232,68 @@ class StreamingSpec extends SparkSpec {
         .map(_._1).sorted.toSeq === Seq(1L, 3L, 5L), "second batch gate")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: exact below capacity, space-saving invariants above") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingHeavyHitters.{HeavyHitter, Item}
+
+    // tier 1: capacity covers the vocabulary — counts are EXACT across
+    // triggers, errors all 0, Σ counts == N
+    val in = { implicit val sqlCtx = spark.sqlContext; MemoryStream[Item] }
+    val q = StreamingHeavyHitters.heavyHitters(in.toDS(), capacity = 8)
+      .writeStream.format("memory").queryName("hh_exact")
+      .outputMode("update").start()
+    try {
+      in.addData(Item(0, "a", 1), Item(0, "a", 1), Item(0, "b", 1))
+      q.processAllAvailable()
+      in.addData(Item(0, "a", 1), Item(0, "c", 1))
+      q.processAllAvailable()
+      val all = spark.table("hh_exact").as[HeavyHitter].collect()
+      val lastN = all.map(_.shard_n).max
+      val snap = all.filter(_.shard_n == lastN)
+        .map(h => h.item -> (h.count, h.err)).toMap
+      assert(lastN === 5L)
+      assert(snap === Map("a" -> (3L, 0L), "b" -> (1L, 0L), "c" -> (1L, 0L)))
+    } finally q.stop()
+
+    // tier 2: capacity 2 under a skewed stream — the paper's invariants:
+    // the guaranteed-heavy item is tracked with true ≤ count ≤ true+err,
+    // and Σ counts == N exactly (every arrival incremented one counter)
+    val in2 = { implicit val sqlCtx = spark.sqlContext; MemoryStream[Item] }
+    val q2 = StreamingHeavyHitters.heavyHitters(in2.toDS(), capacity = 2)
+      .writeStream.format("memory").queryName("hh_evict")
+      .outputMode("update").start()
+    try {
+      val heavy = Seq.fill(6)(Item(0, "hot", 1))
+      val tail = Seq(Item(0, "x", 1), Item(0, "y", 1), Item(0, "z", 1))
+      in2.addData(heavy ++ tail: _*)
+      q2.processAllAvailable()
+      val all = spark.table("hh_evict").as[HeavyHitter].collect()
+      val lastN = all.map(_.shard_n).max
+      val snap = all.filter(_.shard_n == lastN)
+        .map(h => h.item -> (h.count, h.err)).toMap
+      assert(lastN === 9L && snap.size === 2)
+      val (hotC, hotE) = snap("hot")
+      assert(hotC >= 6L && hotC - hotE <= 6L,
+        s"true ≤ count ≤ true + err must hold for the heavy item: $snap")
+      assert(snap.values.map(_._1).sum === 9L,
+        s"space-saving conserves N exactly: $snap")
+    } finally q2.stop()
+
+    // determinism: the victim tie-break is (count, item) — replaying the
+    // identical arrivals rebuilds the identical sketch
+    val s1 = StreamingHeavyHitters.step(
+      StreamingHeavyHitters.HHState(Map.empty, 0L),
+      Iterator(Item(0, "b", 1), Item(0, "a", 1), Item(0, "c", 1)), 2)
+    val s2 = StreamingHeavyHitters.step(
+      StreamingHeavyHitters.HHState(Map.empty, 0L),
+      Iterator(Item(0, "b", 1), Item(0, "a", 1), Item(0, "c", 1)), 2)
+    assert(s1 === s2)
+    assert(!s1.counts.contains("a"),
+      s"ties evict the lexicographically smallest item: $s1")
+    // the stable shard function spreads and is engine-stable
+    val sh = (0 until 100).map(i => StreamingHeavyHitters.shardOf(s"t$i", 8))
+    assert(sh.forall(s => s >= 0 && s < 8) && sh.distinct.size > 1)
+  }
 }
