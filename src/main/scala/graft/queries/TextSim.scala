@@ -3413,5 +3413,35 @@ object TextSim extends QueryPack {
                     THEN floor(n_verified::DOUBLE * 1e6 / n_truth::DOUBLE
                                + 0.5)::BIGINT END AS recall_micro
         FROM m""")),
+
+    // CROSS-SOURCE PERPLEXITY MATRIX: mean cross-entropy of each source
+    // under every other source's add-one unigram LM — which sources
+    // predict which (the Moore-Lewis contrast widened to a full S×S
+    // affinity map). The smoothing denominator folds out of the sum, so
+    // only the INNER vocab join is materialized — never a vocab×S² grid
+    // (NgramLm.crossSourcePerplexity).
+    "q150_cross_perplexity" -> Q(
+      (s, d) => NgramLm.crossSourcePerplexity(Tables.documents(s, d),
+        "source", "text"),
+      Some(s"""
+        WITH cg AS (SELECT source AS grp, term, count(*)::BIGINT AS c
+                    FROM (SELECT source, unnest($DUCK_TOKENS) AS term
+                          FROM documents)
+                    GROUP BY 1, 2),
+        tg AS (SELECT grp, sum(c)::BIGINT AS t_g FROM cg GROUP BY 1),
+        vv AS (SELECT count(DISTINCT term)::BIGINT AS v FROM cg),
+        pairs AS (SELECT e.grp AS eval_source, t.grp AS train_source,
+                         sum(floor(e.c::DOUBLE * ln(t.c::DOUBLE + 1.0)
+                                   * 1e6 + 0.5)::BIGINT)::BIGINT AS s
+                  FROM cg e JOIN cg t USING (term) GROUP BY 1, 2),
+        grid AS (SELECT te.grp AS train_source, te.t_g AS t_train,
+                        ee.grp AS eval_source, ee.t_g AS t_eval
+                 FROM tg te CROSS JOIN tg ee)
+        SELECT train_source, eval_source, t_eval,
+               floor((ln((t_train + v)::DOUBLE)
+                      - coalesce(s, 0)::DOUBLE / (t_eval::DOUBLE * 1e6))
+                     * 1e6 + 0.5)::BIGINT AS xent_micro
+        FROM grid LEFT JOIN pairs USING (train_source, eval_source)
+        CROSS JOIN vv""")),
   )
 }

@@ -234,6 +234,58 @@ object NgramLm {
         col("kl_micro"), (col("kl_micro").cast("double") / lit(1e6)).as("kl"))
   }
 
+  /** CROSS-SOURCE PERPLEXITY MATRIX: for every (train, eval) source
+    * pair, the mean cross-entropy of eval's token stream under train's
+    * add-one unigram LM — "which sources predict which" (the full-matrix
+    * generalization of Moore-Lewis's two-model contrast; high self-xent
+    * = internally diverse source, low cross-xent = near-duplicate
+    * sources; the matrix is the source-level plagiarism/affinity map).
+    *
+    *   xent(t, e) = ln(T_t + V) − (1/T_e)·Σ_w c_ew·ln(c_tw + 1)
+    *
+    * — the algebra folds the smoothing denominator out of the sum, and
+    * terms ABSENT from the train source contribute ln(0+1) = 0, so the
+    * Σ needs only the INNER join of the two count frames on `term`:
+    * no vocabulary × S² smoothing grid is ever materialized.
+    *
+    * Exactness: each c_ew·ln(c_tw+1) is micro-snapped then
+    * integer-summed (q66 doctrine); the closing form is one fixed
+    * double-op sequence from exact longs. Missing (t, e) sums (no
+    * shared vocabulary) coalesce to 0 via the S²-bounded grid.
+    *
+    * Scale: ONE (group, term) corpus aggregation (checkpointed — its
+    * consumers are the pair join's two sides and the totals rollup);
+    * the pair join is vocabulary-keyed and ≤ vocab·S² rows — Heaps-
+    * bounded, not corpus-bounded; with many sources, run on a source
+    * sample (the matrix is quadratic in S by definition).
+    */
+  def crossSourcePerplexity(df: DataFrame, groupCol: String,
+                            textCol: String): DataFrame = {
+    val cg = df.select(col(groupCol).as("grp"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tg = cg.groupBy("grp").agg(sum(col("c")).as("t_g"))
+    val vv = cg.select(col("term")).distinct().agg(count(lit(1)).as("v"))
+    val m = floor(col("e.c").cast("double") *
+      log(col("t.c").cast("double") + lit(1.0)) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val pairs = cg.as("e").join(cg.as("t"), Seq("term"))
+      .select(col("e.grp").as("eval_source"), col("t.grp").as("train_source"),
+        m.as("m"))
+      .groupBy("eval_source", "train_source")
+      .agg(sum(col("m")).as("s"))
+    val grid = tg.select(col("grp").as("train_source"), col("t_g").as("t_train"))
+      .crossJoin(tg.select(col("grp").as("eval_source"), col("t_g").as("t_eval")))
+    grid.join(pairs, Seq("train_source", "eval_source"), "left")
+      .na.fill(0L, Seq("s"))
+      .crossJoin(broadcast(vv))
+      .select(col("train_source"), col("eval_source"), col("t_eval"),
+        floor((log((col("t_train") + col("v")).cast("double")) -
+          col("s").cast("double") / (col("t_eval").cast("double") * lit(1e6)))
+          * lit(1e6) + lit(0.5)).cast("long").as("xent_micro"))
+  }
+
   /** Per-group TERM-DISTRIBUTION DIVERSITY: Shannon entropy and the
     * Simpson index of each group's unigram distribution — the "is this
     * source a template mill or a real corpus" summary ([[unigramKlByGroup]]

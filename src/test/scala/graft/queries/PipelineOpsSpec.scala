@@ -459,4 +459,25 @@ class PipelineOpsSpec extends SparkSpec {
     // filtered by the block restriction, not verified
     assert(r.getLong(1) >= 1L)
   }
+
+  test("q150 cross perplexity: identical sources are interchangeable, disjoint pay ln(T+V)") {
+    val dir = corpusDir(Seq(
+      (1L, "x x", "en", "a"),
+      (2L, "x x", "en", "b"),    // b is a's clone
+      (3L, "z z", "en", "c")))   // c shares nothing
+    val out = graft.SparkEntry.queries("q150_cross_perplexity")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out.size === 9, "the full S×S grid must be emitted")
+    // self-xent for a: ln(2+2) − floor(2·ln3·1e6+.5)/(2·1e6)
+    val s = math.floor(2.0 * math.log(3.0) * 1e6 + 0.5)
+    val selfA = math.floor((math.log(4.0) - s / 2e6) * 1e6 + 0.5).toLong
+    assert(out(("a", "a")) === selfA)
+    // clones are interchangeable in every role
+    assert(out(("a", "b")) === selfA && out(("b", "a")) === selfA)
+    // zero shared vocabulary: the sum vanishes, xent = ln(T_t + V)
+    val disjoint = math.floor(math.log(4.0) * 1e6 + 0.5).toLong
+    assert(out(("c", "a")) === disjoint)
+    assert(out(("c", "a")) > out(("a", "a")),
+      "a foreign model must cost more nats than the home model")
+  }
 }
