@@ -4,9 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.graph.PageRank
 import graft.multimodal.Multimodal
-import graft.sim.Similarity
+import graft.sim.{Similarity, Spectral}
 import graft.plans.ArrayOps
-import graft.text.{Calibrate, Classify, NearDup, NgramLm, Retrieval, Sketch, Terms, TextOps}
+import graft.text.{Calibrate, Classify, Eval, NearDup, NgramLm, Retrieval, Sketch, Terms, TextOps}
 
 /** Training-data-pipeline surface (builder brief): text analysis, document
   * dedup (exact / MinHash+LSH / SimHash / blocked Jaccard), embedding
@@ -3443,5 +3443,219 @@ object TextSim extends QueryPack {
                      * 1e6 + 0.5)::BIGINT AS xent_micro
         FROM grid LEFT JOIN pairs USING (train_source, eval_source)
         CROSS JOIN vv""")),
+
+    // nDCG@20 of the dense ranker against seeded graded relevance: the
+    // judged pool is every 5th vector per query (a qrels set
+    // INDEPENDENT of the ranking, as real judgments are), md5-graded
+    // 0-3 — so ranked-but-unjudged docs exercise the grade-0 coalesce
+    // and the IDCG truncation bites (top-20 of a wider judged pool).
+    // Per-rank gain terms micro-snap before the per-query sum
+    // (Eval.ndcgAtK).
+    "q151_ndcg" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ranking = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+            k = 20)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        val grades = emb.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("doc_id"))
+          .crossJoin(broadcast(emb.filter(col("vec_id") % 25 === 0)
+            .select(col("vec_id").as("query_id"))))
+          .withColumn("grade",
+            pmod(TextOps.hashPrefix("rel|",
+              concat(col("query_id").cast("string"), lit("#"),
+                col("doc_id").cast("string"))), lit(4L)).cast("int"))
+        Eval.ndcgAtK(ranking, grades, k = 20)
+      },
+      Some(s"""
+        WITH $hybridRankerCtes,
+        g AS (SELECT q.query_id, p.doc_id,
+                     ('0x' || substr(md5('rel|' || q.query_id || '#' || p.doc_id),
+                                     1, 8))::BIGINT % 4 AS grade
+              FROM (SELECT vec_id AS doc_id FROM embeddings
+                    WHERE vec_id % 5 = 0) p
+              CROSS JOIN (SELECT vec_id AS query_id FROM embeddings
+                          WHERE vec_id % 25 = 0) q),
+        dc AS (SELECT d.query_id,
+                      sum(floor((power(2.0, coalesce(g.grade, 0)) - 1.0)
+                                * ln(2.0)
+                                / ln(d.rank + 1.0) * 1e6 + 0.5)::BIGINT
+                         )::BIGINT AS dcg_micro
+               FROM dense d LEFT JOIN g USING (query_id, doc_id)
+               GROUP BY 1),
+        ig AS (SELECT query_id,
+                      sum(floor((power(2.0, grade) - 1.0) * ln(2.0)
+                                / ln(irank + 1.0) * 1e6 + 0.5)::BIGINT
+                         )::BIGINT AS idcg_micro
+               FROM (SELECT query_id, grade,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY grade DESC, doc_id) AS irank
+                     FROM g)
+               WHERE irank <= 20 GROUP BY 1)
+        SELECT query_id,
+               coalesce(dcg_micro, 0)::BIGINT AS dcg_micro,
+               coalesce(idcg_micro, 0)::BIGINT AS idcg_micro,
+               CASE WHEN coalesce(idcg_micro, 0) > 0
+                    THEN floor(coalesce(dcg_micro, 0)::DOUBLE * 1e6
+                               / idcg_micro::DOUBLE + 0.5)::BIGINT
+               END AS ndcg_micro
+        FROM dc FULL OUTER JOIN ig USING (query_id)""")),
+
+    // Embedding COVARIANCE MATRIX — the PCA/whitening/drift front-end:
+    // one corpus scan to d(d+1)/2 upper-triangular cells with exact
+    // integer moments (products micro-snapped pre-sum). The d²-bounded
+    // result feeds Spectral.topEigenvector's driver power iteration
+    // (SpectralSpec), the loadCentroids collect class.
+    "q152_embedding_covariance" -> Q(
+      (s, d) => Spectral.covarianceMatrix(Tables.embeddings(s, d),
+        "embedding"),
+      Some("""
+        WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        ex AS (SELECT generate_subscripts(v, 1) - 1 AS i, unnest(v) AS xi, v
+               FROM e),
+        px AS (SELECT i, xi, generate_subscripts(v, 1) - 1 AS j,
+                      unnest(v) AS xj
+               FROM ex),
+        cells AS (SELECT i, j, count(*)::BIGINT AS n,
+                         sum(floor(xi * xj * 1e6 + 0.5)::BIGINT)::BIGINT AS sxy,
+                         sum(floor(xi * 1e6 + 0.5)::BIGINT)::BIGINT AS sx,
+                         sum(floor(xj * 1e6 + 0.5)::BIGINT)::BIGINT AS sy
+                  FROM px WHERE j >= i GROUP BY 1, 2)
+        SELECT i, j, n, sxy, sx, sy,
+               floor(sxy::DOUBLE / n - (sx::DOUBLE / n) * (sy::DOUBLE / n)
+                     / 1e6 + 0.5)::BIGINT AS cov_micro
+        FROM cells""")),
+
+    // COHEN'S KAPPA between two cheap labelers (quality-gate vs
+    // char-length rule), per lang — the inter-annotator agreement gate
+    // before trusting either heuristic as a corpus filter. Confusion
+    // cells are exact integers from one scan; marginal products go
+    // double-first (n² overflows BIGINT at corpus scale)
+    // (Eval.cohensKappa).
+    "q153_labeler_kappa" -> Q(
+      (s, d) => Eval.cohensKappa(Tables.documents(s, d), "lang",
+          TextOps.qualityScore(col("text")) >= 0.5,
+          size(TextOps.tokens(col("text"))) >= 20)
+        .withColumnRenamed("grp", "lang"),
+      Some(s"""
+        WITH t AS (SELECT lang, ($qualitySql) >= 0.5 AS a,
+                          len($DUCK_TOKENS) >= 20 AS b
+                   FROM documents),
+        c AS (SELECT lang, count(*)::BIGINT AS n,
+                     sum((a AND b)::BIGINT)::BIGINT AS n11,
+                     sum((a AND NOT b)::BIGINT)::BIGINT AS n10,
+                     sum((NOT a AND b)::BIGINT)::BIGINT AS n01,
+                     sum((NOT a AND NOT b)::BIGINT)::BIGINT AS n00
+              FROM t GROUP BY 1),
+        k AS (SELECT *,
+                     (n11 + n00)::DOUBLE / n::DOUBLE AS po,
+                     ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                      + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+                       / (n::DOUBLE * n::DOUBLE) AS pe
+              FROM c)
+        SELECT lang, n, n11, n10, n01, n00,
+               floor(po * 1e6 + 0.5)::BIGINT AS po_micro,
+               floor(pe * 1e6 + 0.5)::BIGINT AS pe_micro,
+               CASE WHEN pe < 1.0
+                    THEN floor((po - pe) / (1.0 - pe) * 1e6 + 0.5)::BIGINT
+               END AS kappa_micro
+        FROM k""")),
+
+    // Per-source mean quality with a POISSON-BOOTSTRAP 95% CI (Chamandy
+    // et al.'s map-reduce bootstrap — the only bootstrap that
+    // distributes: each (doc, replicate) draws an independent seeded
+    // Poisson(1) weight, so no group row-count is needed up front).
+    // CI bounds are exact order statistics of the 32 replicate means
+    // (Eval.poissonBootstrapCI; the CDF table is one shared literal).
+    "q154_bootstrap_ci" -> Q(
+      (s, d) => Eval.poissonBootstrapCI(
+          Tables.documents(s, d), "source", "doc_id",
+          floor(TextOps.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+            .cast("long"),
+          b = 32)
+        .withColumnRenamed("grp", "source"),
+      Some {
+        val cdf = Eval.POISSON1_CDF_MICRO
+        val wCase = cdf.zipWithIndex
+          .map { case (c, w) => s"WHEN u < $c THEN $w" }
+          .mkString("CASE ", " ", s" ELSE ${cdf.length} END")
+        s"""
+        WITH s AS (SELECT source, doc_id,
+                          floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS s
+                   FROM documents),
+        reps AS (SELECT source, doc_id, s, r.range AS rep
+                 FROM s, range(0, 32) r),
+        drawn AS (SELECT source, rep, s,
+                         ('0x' || substr(md5('boot|' || doc_id || '#' || rep),
+                                         1, 8))::BIGINT % 1000000 AS u
+                  FROM reps),
+        wtd AS (SELECT source, rep, s, $wCase AS w FROM drawn),
+        rm AS (SELECT source, rep, sum(w)::BIGINT AS sw,
+                      sum(w * s)::BIGINT AS sws
+               FROM wtd GROUP BY 1, 2),
+        mm AS (SELECT source, rep,
+                      floor(sws::DOUBLE / sw::DOUBLE + 0.5)::BIGINT AS mean_rep
+               FROM rm WHERE sw > 0),
+        rk AS (SELECT source, mean_rep,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY mean_rep, rep) AS rn,
+                      count(*) OVER (PARTITION BY source) AS n_reps
+               FROM mm),
+        ci AS (SELECT source, max(n_reps)::BIGINT AS n_reps,
+                      max(CASE WHEN rn = greatest(
+                            floor((n_reps * 25 + 999) / 1000)::BIGINT, 1)
+                          THEN mean_rep END) AS boot_lo_micro,
+                      max(CASE WHEN rn = greatest(
+                            floor((n_reps * 975 + 999) / 1000)::BIGINT, 1)
+                          THEN mean_rep END) AS boot_hi_micro
+               FROM rk GROUP BY 1),
+        f AS (SELECT source, count(*)::BIGINT AS n_rows,
+                     floor(sum(s)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
+                       AS mean_micro
+              FROM s GROUP BY 1)
+        SELECT f.source, n_rows, mean_micro, n_reps,
+               boot_lo_micro, boot_hi_micro
+        FROM f LEFT JOIN ci USING (source)"""
+      }),
+
+    // Head-to-head WIN RATES between sources under the quality score —
+    // a deterministic hash-bucketed tournament pairs id-adjacent docs
+    // within md5 buckets; cross-source pairs score (winner = higher
+    // score, tie → smaller id); the win-rate logit is the one-step
+    // Bradley-Terry strength (Eval.tournamentWinRates; nBuckets is the
+    // parallelism knob — per-bucket sorts are the only ordered pass).
+    "q155_pairwise_winrate" -> Q(
+      (s, d) => Eval.tournamentWinRates(
+        Tables.documents(s, d), "doc_id", "source",
+        floor(TextOps.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+          .cast("long"),
+        nBuckets = 64),
+      Some(s"""
+        WITH t AS (SELECT doc_id AS id, source AS entity,
+                          floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS s,
+                          ('0x' || substr(md5('pair|' || doc_id), 1, 8))::BIGINT
+                            % 64 AS bucket
+                   FROM documents),
+        p AS (SELECT *, lead(id) OVER w AS nid, lead(entity) OVER w AS nentity,
+                     lead(s) OVER w AS ns
+              FROM t WINDOW w AS (PARTITION BY bucket ORDER BY id)),
+        pp AS (SELECT *, (s > ns OR (s = ns AND id < nid)) AS a_wins
+               FROM p WHERE nid IS NOT NULL AND entity <> nentity),
+        sides AS (SELECT entity, a_wins AS win FROM pp
+                  UNION ALL SELECT nentity, NOT a_wins FROM pp),
+        agg AS (SELECT entity, count(*)::BIGINT AS n_pairs,
+                       sum(win::BIGINT)::BIGINT AS n_wins
+                FROM sides GROUP BY 1)
+        SELECT entity, n_pairs, n_wins,
+               floor(n_wins::DOUBLE * 1e6 / n_pairs::DOUBLE + 0.5)::BIGINT
+                 AS winrate_micro,
+               CASE WHEN n_wins > 0 AND n_wins < n_pairs
+                    THEN floor(ln(n_wins::DOUBLE
+                                  / (n_pairs - n_wins)::DOUBLE)
+                               * 1e6 + 0.5)::BIGINT
+               END AS logit_micro
+        FROM agg""")),
   )
 }
