@@ -161,6 +161,27 @@ object TextSim extends QueryPack {
     * `sparse` (query_id, doc_id, rank ≤ 20) — ONE generator for the RRF
     * fusion oracle (q135) and the RBO agreement oracle (q146) so the two
     * rankers cannot drift between the queries that share them. */
+  /** PQ quantizer CTE chain (subspaces, md5 codebooks, per-(vector,
+    * subspace, code) SSE) shared by the q134 audit and the q158 ADC
+    * search so the quantizer formula cannot drift between them.
+    * Ends in `sse (vec_id, subspace, code, sse_micro)` with `e` and
+    * `cc` also available. Parameters mirror pqAudit(dims=64, m=4,
+    * ksub=8) — dsub = 16. */
+  private def pqCtes: String = """
+        e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        subs AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sub
+                 FROM e, unnest(range(0, 4)) AS u(s)),
+        cc AS (SELECT s, c,
+                      [((('0x' || substr(md5('pq' || s || '_' || c || '_' || i), 1, 8))::BIGINT
+                         / 2147483648.0) - 1.0) for i in range(0, 16)] AS cv
+               FROM (SELECT unnest(range(0, 4)) AS s), (SELECT unnest(range(0, 8)) AS c)),
+        sse AS (
+          SELECT vec_id, subs.s AS subspace, cc.c AS code,
+                 floor(((list_dot_product(sub, sub) - 2 * list_dot_product(sub, cc.cv))
+                        + list_dot_product(cc.cv, cc.cv)) * 1e6 + 0.5)::BIGINT AS sse_micro
+          FROM subs JOIN cc ON cc.s = subs.s)"""
+
   private def hybridRankerCtes: String = s"""
         e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                    FROM embeddings),
@@ -2950,20 +2971,8 @@ object TextSim extends QueryPack {
     "q134_pq_audit" -> Q(
       (s, d) => Similarity.pqAudit(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, m = 4, ksub = 8),
-      Some("""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-                   FROM embeddings),
-        subs AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sub
-                 FROM e, unnest(range(0, 4)) AS u(s)),
-        cc AS (SELECT s, c,
-                      [((('0x' || substr(md5('pq' || s || '_' || c || '_' || i), 1, 8))::BIGINT
-                         / 2147483648.0) - 1.0) for i in range(0, 16)] AS cv
-               FROM (SELECT unnest(range(0, 4)) AS s), (SELECT unnest(range(0, 8)) AS c)),
-        sse AS (
-          SELECT vec_id, subs.s AS subspace, cc.c AS code,
-                 floor(((list_dot_product(sub, sub) - 2 * list_dot_product(sub, cc.cv))
-                        + list_dot_product(cc.cv, cc.cv)) * 1e6 + 0.5)::BIGINT AS sse_micro
-          FROM subs JOIN cc ON cc.s = subs.s)
+      Some(s"""
+        WITH $pqCtes
         SELECT vec_id, subspace, code, sse_micro
         FROM sse
         QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
@@ -3657,5 +3666,121 @@ object TextSim extends QueryPack {
                                * 1e6 + 0.5)::BIGINT
                END AS logit_micro
         FROM agg""")),
+
+    // DIFFERENTIALLY-PRIVATE histogram release: per-(lang, source) doc
+    // counts with seeded Laplace(1/ε) noise (count sensitivity 1 →
+    // ε-DP, Dwork et al.) — the governance op a corpus card needs when
+    // exact per-slice counts would leak membership. The seeded
+    // inverse-CDF draw makes the release deterministic per (seed, cell)
+    // — idempotent re-release, oracle-checkable; the privacy/seed
+    // accounting caveat is documented at Eval.dpNoisyCounts.
+    "q156_dp_histogram" -> Q(
+      (s, d) => Eval.dpNoisyCounts(Tables.documents(s, d),
+        Seq("lang", "source"), epsilon = 1.0),
+      Some("""
+        WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+                   FROM documents GROUP BY 1, 2),
+        nz AS (SELECT lang, source,
+                      (('0x' || substr(md5('dp|' || lang || '#' || source),
+                                       1, 8))::BIGINT::DOUBLE + 0.5)
+                        / 4294967296.0 AS u, n
+               FROM c),
+        r AS (SELECT lang, source,
+                     floor((n::DOUBLE
+                            - (CASE WHEN u < 0.5 THEN -1.0 ELSE 1.0 END)
+                              * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0)
+                           * 1e6 + 0.5)::BIGINT AS noisy_micro
+              FROM nz)
+        SELECT lang, source, noisy_micro,
+               greatest(0, floor(noisy_micro::DOUBLE / 1e6 + 0.5)::BIGINT)
+                 AS released
+        FROM r""")),
+
+    // Per-source SPEARMAN rank correlation between the (centi-snapped)
+    // quality score and document length — the monotone-association
+    // sibling of q137's Pearson, computed the doctrine-safe way:
+    // tie-averaged midranks from the guarded joint histogram (doubled
+    // to stay integer), exact integer moments, one double tail
+    // (Calibrate.groupedSpearman; the ≤1.3e6-rows-per-group require is
+    // the honest 64-bit bound of cubic rank moments — larger groups
+    // compose q71's per-group sample first).
+    "q157_score_length_spearman" -> Q(
+      (s, d) => Calibrate.groupedSpearman(Tables.documents(s, d), "source",
+          floor(TextOps.qualityScore(col("text")) * lit(100) + lit(0.5))
+            .cast("long"),
+          col("n_chars").cast("long"))
+        .withColumnRenamed("grp", "source"),
+      Some(s"""
+        WITH t AS (SELECT source,
+                          floor(($qualitySql) * 100 + 0.5)::BIGINT AS x,
+                          n_chars::BIGINT AS y
+                   FROM documents),
+        cells AS (SELECT source, x, y, count(*)::BIGINT AS c
+                  FROM t GROUP BY 1, 2, 3),
+        xr AS (SELECT source, x,
+                      2 * (sum(cm) OVER (PARTITION BY source ORDER BY x)
+                           - cm) + cm + 1 AS mr2x
+               FROM (SELECT source, x, sum(c)::BIGINT AS cm
+                     FROM cells GROUP BY 1, 2)),
+        yr AS (SELECT source, y,
+                      2 * (sum(cm) OVER (PARTITION BY source ORDER BY y)
+                           - cm) + cm + 1 AS mr2y
+               FROM (SELECT source, y, sum(c)::BIGINT AS cm
+                     FROM cells GROUP BY 1, 2)),
+        mom AS (SELECT source, sum(c)::BIGINT AS n,
+                       sum(c * mr2x)::BIGINT AS sx,
+                       sum(c * mr2y)::BIGINT AS sy,
+                       sum(c * mr2x * mr2x)::BIGINT AS sxx,
+                       sum(c * mr2y * mr2y)::BIGINT AS syy,
+                       sum(c * mr2x * mr2y)::BIGINT AS sxy
+                FROM cells JOIN xr USING (source, x)
+                           JOIN yr USING (source, y)
+                GROUP BY 1)
+        SELECT source, n,
+               CASE WHEN (n::DOUBLE * sxx::DOUBLE
+                          - sx::DOUBLE * sx::DOUBLE) > 0
+                     AND (n::DOUBLE * syy::DOUBLE
+                          - sy::DOUBLE * sy::DOUBLE) > 0
+                    THEN floor((n::DOUBLE * sxy::DOUBLE
+                                - sx::DOUBLE * sy::DOUBLE)
+                               / sqrt((n::DOUBLE * sxx::DOUBLE
+                                       - sx::DOUBLE * sx::DOUBLE)
+                                      * (n::DOUBLE * syy::DOUBLE
+                                         - sy::DOUBLE * sy::DOUBLE))
+                               * 1e6 + 0.5)::BIGINT
+               END AS spearman_micro
+        FROM mom""")),
+
+    // PQ ASYMMETRIC-DISTANCE top-k (ADC, Jégou et al. 2011): corpus
+    // vectors live only as their q134 codes; each query broadcasts an
+    // m×ksub distance table and approximate distance = one equi-join +
+    // integer sum of m lookups — the scoring regime a PQ-compressed ANN
+    // index actually serves. Shares the q134 quantizer CTEs so the
+    // codebooks cannot drift (Similarity.pqAdcTopK).
+    "q158_pq_adc_topk" -> Q(
+      (s, d) => Similarity.pqAdcTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", dims = 64, m = 4, ksub = 8,
+        queryPred = col("vec_id") % 25 === 0, k = 10),
+      Some(s"""
+        WITH $pqCtes,
+        codes AS (SELECT vec_id, subspace, code FROM sse
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                                             ORDER BY sse_micro, code) = 1),
+        qsubs AS (SELECT vec_id AS query_id, s, sub
+                  FROM subs WHERE vec_id % 25 = 0),
+        tbl AS (SELECT query_id, qsubs.s AS subspace, cc.c AS code,
+                       floor(((list_dot_product(sub, sub)
+                               - 2 * list_dot_product(sub, cc.cv))
+                              + list_dot_product(cc.cv, cc.cv))
+                             * 1e6 + 0.5)::BIGINT AS t_micro
+                FROM qsubs JOIN cc ON cc.s = qsubs.s),
+        adc AS (SELECT query_id, vec_id, sum(t_micro)::BIGINT AS adc_micro
+                FROM codes JOIN tbl USING (subspace, code)
+                WHERE vec_id <> query_id GROUP BY 1, 2)
+        SELECT query_id, vec_id, adc_micro, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_micro, vec_id) AS rank
+              FROM adc)
+        WHERE rank <= 10""")),
   )
 }

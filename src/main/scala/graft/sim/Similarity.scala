@@ -724,4 +724,64 @@ object Similarity {
       .select(col("vec_id"), col("p.subspace").as("subspace"),
         col("p.best.code").as("code"), col("p.best.sse_micro").as("sse_micro"))
   }
+
+  /** PQ ASYMMETRIC-DISTANCE top-k search (the ADC of Jégou et al. 2011):
+    * corpus vectors are represented ONLY by their [[pqAudit]] codes
+    * (m·log₂(ksub) bits each); each query precomputes its distance table
+    * to every (subspace, sub-centroid) pair — a |Q|·m·ksub-bounded frame
+    * that BROADCASTS — and the approximate squared distance is the sum
+    * of m table lookups, realized as one equi-join on (subspace, code).
+    *
+    * This is the lookup-table complement of [[ivfTopK]]: IVF prunes
+    * WHICH vectors are scored, ADC makes each scoring O(m) table adds
+    * instead of O(dims) float ops. A production index composes both
+    * (probe cells, then ADC within them); here ADC scans the full code
+    * table so the oracle can mirror it exactly.
+    *
+    * Numerics: table entries micro-snap at construction (same SSE
+    * composition as pqAudit, bit-identical to the oracle); the per-pair
+    * distance is then an exact integer sum of m longs, and the top-k
+    * rank is totally ordered by (adc_micro, vec_id).
+    *
+    * Scale shape: the code table joins a BROADCAST distance table —
+    * no shuffle of the corpus side; the only exchange is the
+    * (query_id, vec_id) aggregation, pre-pruned map-side by partial
+    * aggregation, and the rank runs under WindowGroupLimit (≤ k rows
+    * per query per partition cross the exchange).
+    */
+  def pqAdcTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                dims: Int, m: Int, ksub: Int,
+                queryPred: Column, k: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sp = vectors.sparkSession
+    val dsub = dims / m
+    val codes = pqAudit(vectors, idCol, vecCol, dims, m, ksub)
+      .select(col("vec_id"), col("subspace"), col("code"))
+    val q = vectors.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+    val entries = (0 until m).flatMap { s =>
+      val sub = slice(col("qv"), s * dsub + 1, dsub)
+      val aa = dot(sp, sub, sub) // shared across the ksub entries via codegen CSE
+      (0 until ksub).map { c =>
+        val cv = pqCentroidVec(s, c, dsub)
+        val t = (aa - lit(2.0) * dot(sp, sub, typedLit(cv.toSeq))) +
+          lit(seqSelfDot(cv))
+        struct(lit(s).as("subspace"), lit(c).as("code"),
+          floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"))
+      }
+    }
+    val table = q.select(col("query_id"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.t_micro").as("t_micro"))
+    val adc = codes.join(broadcast(table), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("t_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
+  }
 }

@@ -296,4 +296,74 @@ object Calibrate {
           lit(0.5)).cast("long").as("ks_micro"))
       .withColumn("ks", col("ks_micro").cast("double") / lit(1e6))
   }
+
+  /** Per-group SPEARMAN rank correlation between two snapped signals —
+    * the monotone-association sibling of [[groupedPearson]] (which q137
+    * chose precisely because raw Spearman needs per-group total
+    * orderings, the single-task-window failure). This operator gets
+    * Spearman the doctrine-safe way: ranks come from the JOINT
+    * (group × x × y) histogram — midranks (tie-averaged, Spearman's
+    * standard treatment) are window sums over the guarded cell frame,
+    * never a corpus sort, and they are kept DOUBLED
+    * (mr2 = 2·cum_before + c + 1) so every moment is an exact integer.
+    *
+    * The moment sums are the honest bound: Σ c·mr2x·mr2y ≤ 4n³ per
+    * group, so exactness in 64-bit demands n_group ≤ ~1.3e6 — the
+    * `maxGroupRows` require. Rank statistics over bigger groups should
+    * compose a per-group sample (q71) first; the refusal names that.
+    * The final rho is a fixed double tail over exact longs (same-long →
+    * same-double on both engines, so the snap is engine-identical even
+    * where the longs exceed 2^53's absolute precision).
+    */
+  def groupedSpearman(df: DataFrame, groupCol: String,
+                      xMicro: Column, yMicro: Column,
+                      maxHistCells: Long = 4000000L,
+                      maxGroupRows: Long = 1300000L): DataFrame = {
+    val cells = df.select(col(groupCol).as("grp"), xMicro.as("x"), yMicro.as("y"))
+      .groupBy(col("grp"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxHistCells,
+      s"groupedSpearman histogram has $nCells (group × x × y) cells " +
+        s"(> $maxHistCells): snap the signals coarser or raise the bound")
+    val maxRows = cells.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(maxRows <= maxGroupRows,
+      s"groupedSpearman group has $maxRows rows (> $maxGroupRows): rank " +
+        "moments overflow 64-bit beyond ~1.3e6 rows — sample per group " +
+        "(perGroupSample, q71) before correlating")
+    def midranks(valCol: String, out: String) = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.groupBy(col("grp"), col(valCol)).agg(sum(col("c")).as("cm"))
+        .withColumn("cum", sum(col("cm")).over(w))
+        .select(col("grp"), col(valCol),
+          (lit(2L) * (col("cum") - col("cm")) + col("cm") + 1).as(out))
+    }
+    val joined = cells
+      .join(midranks("x", "mr2x"), Seq("grp", "x"))
+      .join(midranks("y", "mr2y"), Seq("grp", "y"))
+    val mom = joined.groupBy(col("grp")).agg(
+      sum(col("c")).as("n"),
+      sum(col("c") * col("mr2x")).as("sx"),
+      sum(col("c") * col("mr2y")).as("sy"),
+      sum(col("c") * col("mr2x") * col("mr2x")).as("sxx"),
+      sum(col("c") * col("mr2y") * col("mr2y")).as("syy"),
+      sum(col("c") * col("mr2x") * col("mr2y")).as("sxy"))
+    val nD = col("n").cast("double")
+    // NOTE: keep each difference inside ONE parenthesized expression — a
+    // leading-minus continuation line is parsed as a separate (discarded)
+    // unary statement by semicolon inference, silently dropping the term
+    val cov = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double"))
+    val dx = (nD * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double"))
+    val dy = (nD * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double"))
+    mom.select(col("grp"), col("n"),
+      when(dx > 0.0 && dy > 0.0,
+        floor(cov / sqrt(dx * dy) * lit(1e6) + lit(0.5)).cast("long"))
+        .as("spearman_micro"))
+  }
 }

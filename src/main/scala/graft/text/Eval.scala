@@ -194,6 +194,49 @@ object Eval {
         col("n_reps"), col("boot_lo_micro"), col("boot_hi_micro"))
   }
 
+  /** Differentially-private histogram release: per-group counts with
+    * seeded Laplace(1/ε) noise (count queries have sensitivity 1, so
+    * Laplace(1/ε) noise gives ε-DP per release — Dwork et al.'s
+    * standard mechanism). The noise draw is the inverse-CDF transform
+    * of a seeded md5 uniform PER CELL KEY, which makes the release a
+    * pure function of (seed, group key): deterministic for the oracle
+    * and for idempotent re-releases — but NOTE the privacy caveat this
+    * implies, stated plainly: re-releasing with the SAME seed spends no
+    * extra budget (identical output), while releasing with a NEW seed
+    * is a fresh ε spend; a production deployment rotates seeds
+    * deliberately and accounts ε per rotation.
+    *
+    * Numerics: u = (h + 0.5)/2³² is strictly inside (0, 1) (the +0.5
+    * keeps ln(1−2|u−½|) finite at both extremes and can never hit the
+    * u = ½ sign boundary — h + 0.5 is a half-integer, 2³¹ is not), and
+    * the whole noise chain is per-row double arithmetic over exact
+    * inputs — engine-identical, mirrored op-for-op by the oracle.
+    * Scale shape: one aggregation with map-side combine; noise is one
+    * codegen expression over the (group-bounded) count frame.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+                    seed: String = "dp|"): DataFrame = {
+    require(groupCols.nonEmpty, "dpNoisyCounts needs at least one group column")
+    require(epsilon > 0.0, s"epsilon $epsilon must be positive")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val key = concat_ws("#", groupCols.map(c => col(c).cast("string")): _*)
+    val u = (TextOps.hashPrefix(seed, key).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val sgn = when(u < 0.5, lit(-1.0)).otherwise(lit(1.0))
+    val noisy = (col("n").cast("double")
+      - sgn * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))) / lit(epsilon))
+    counts
+      .withColumn("noisy_micro",
+        floor(noisy * lit(1e6) + lit(0.5)).cast("long"))
+      // non-negative integer post-processing (free under DP)
+      .withColumn("released",
+        greatest(lit(0L),
+          floor(col("noisy_micro").cast("double") / lit(1e6) + lit(0.5))
+            .cast("long")))
+      .drop("n") // the release carries ONLY the noised values
+  }
+
   /** Head-to-head win rates between entities (e.g. sources) under a
     * quality score, from a deterministic hash-bucketed tournament:
     * rows land in md5 buckets, each bucket pairs id-adjacent rows, and

@@ -480,4 +480,94 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(("c", "a")) > out(("a", "a")),
       "a foreign model must cost more nats than the home model")
   }
+
+  test("q157 Spearman core: rank-perfect ±1 under nonlinearity, tie midranks, guards") {
+    import spark.implicits._
+    val df = Seq(
+      // y = x³: monotone but NOT linear — Spearman 1, Pearson < 1
+      ("up", 1L, 1L), ("up", 2L, 8L), ("up", 3L, 27L), ("up", 4L, 64L),
+      ("down", 1L, 64L), ("down", 2L, 27L), ("down", 3L, 8L),
+      // ties both sides: midranks x (1.5, 1.5, 3), y (1, 2.5, 2.5) → ρ = 0.5
+      ("tied", 1L, 1L), ("tied", 1L, 2L), ("tied", 2L, 2L),
+      ("flat", 5L, 1L), ("flat", 5L, 2L)) // zero x-variance → NULL
+      .toDF("source", "x", "y")
+    val out = graft.text.Calibrate.groupedSpearman(df, "source",
+        col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out("up") === Some(1000000L))
+    assert(out("down") === Some(-1000000L))
+    assert(out("tied") === Some(500000L))
+    assert(out("flat") === None)
+    intercept[IllegalArgumentException] {
+      graft.text.Calibrate.groupedSpearman(df, "source", col("x"), col("y"),
+        maxHistCells = 3L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.Calibrate.groupedSpearman(df, "source", col("x"), col("y"),
+        maxGroupRows = 3L).collect()
+    }
+  }
+
+  test("q156 DP release: deterministic per (seed, cell), seed-sensitive, clamp fires") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 1), ("c", 1), ("d", 1))
+      .toDF("g", "v")
+    def run(eps: Double, seed: String) =
+      graft.text.Eval.dpNoisyCounts(df, Seq("g"), eps, seed)
+        .orderBy("g").collect().toSeq
+    assert(run(1.0, "dp|") == run(1.0, "dp|"), "re-release must be idempotent")
+    assert(run(1.0, "dp|") != run(1.0, "dp2|"), "a new seed is a new draw")
+    // near-zero noise: released counts equal the exact histogram
+    val exact = run(1e9, "dp|").map(r => r.getString(0) -> r.getAs[Long]("released")).toMap
+    assert(exact === Map("a" -> 2L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    // strong noise: at ε = 0.001 the Laplace scale is 1000, so any cell
+    // whose seeded draw lands below ½ goes deeply negative — the
+    // non-negativity clamp must fire somewhere while raw noisy_micro
+    // stays visibly negative (deterministic for this seed + key set)
+    val strong = run(0.001, "dp|")
+    assert(strong.exists(_.getAs[Long]("noisy_micro") < 0L),
+      s"expected a negative raw draw in $strong")
+    assert(strong.forall(_.getAs[Long]("released") >= 0L))
+    assert(strong.exists(r => r.getAs[Long]("released") == 0L
+      && r.getAs[Long]("noisy_micro") < 0L), "clamp must fire on a negative cell")
+  }
+
+  test("q158 ADC: exact ranking when corpus vectors sit on the codebook grid") {
+    import spark.implicits._
+    import graft.sim.Similarity
+    val dims = 4; val m = 2; val ksub = 2; val dsub = 2
+    def cent(s: Int, c: Int) = Similarity.pqCentroidVec(s, c, dsub)
+    // corpus = all 4 codebook concatenations → per-subspace SSE of each
+    // corpus vector is 0, so ADC distance == true squared L2 distance
+    val corpus = for (a <- 0 until ksub; b <- 0 until ksub)
+      yield ((a * ksub + b).toLong, (cent(0, a) ++ cent(1, b)).toSeq)
+    val q = Seq((100L, Seq(0.3, -0.2, 0.8, 0.1)))
+    val df = (corpus ++ q).toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+        dims, m, ksub, queryPred = col("vec_id") === 100L, k = 4)
+      .orderBy("rank").collect()
+    assert(out.length == 4 && out.forall(_.getAs[Long]("query_id") == 100L))
+    // expected: micro-snapped per-subspace SSE sums, the operator's own
+    // decomposition (sequential dots — same fold as the kernel)
+    def seqDot(x: Seq[Double], y: Seq[Double]) =
+      x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+    val qv = q.head._2
+    val expected = corpus.map { case (id, v) =>
+      val t = (0 until m).map { s =>
+        val qs = qv.slice(s * dsub, s * dsub + dsub)
+        val cs = v.slice(s * dsub, s * dsub + dsub)
+        math.floor(((seqDot(qs, qs) - 2.0 * seqDot(qs, cs)) + seqDot(cs, cs))
+          * 1e6 + 0.5).toLong
+      }.sum
+      id -> t
+    }.sortBy { case (id, t) => (t, id) }
+    assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adc_micro")))
+      .toSeq === expected)
+    // ranking must be repartition-invariant
+    val again = Similarity.pqAdcTopK(df.repartition(5), "vec_id", "embedding",
+        dims, m, ksub, queryPred = col("vec_id") === 100L, k = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
