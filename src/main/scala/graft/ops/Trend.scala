@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-entity trend statistics over event streams — the smoothing /
+  * change-detection layer of the monitoring surface (EWMA level, CUSUM
+  * changepoint). Both are exact-integer window computations: no
+  * cross-engine `pow` is ever evaluated (decay weights are ONE
+  * driver-side multiply fold rendered as literal tables in both the
+  * Spark plan and the DuckDB oracle — the q146 rboWeights doctrine),
+  * and every aggregate sums micro-snapped longs.
+  */
+object Trend {
+
+  /** Decay-weight tables for [[ewmaLastK]] in nano units, driver-folded:
+    * `body(i) = floor(α·β^i·1e9 + 0.5)`, `tail(i) = floor(β^i·1e9+0.5)`
+    * with β^i an ITERATIVE product (never a pow call — libm pow differs
+    * across engines in the last ulp; an iterative IEEE multiply fold is
+    * exactly reproducible anywhere, and as literal longs it doesn't even
+    * need to be). Shared by the Spark expression and the oracle SQL so
+    * the two weight functions cannot drift.
+    */
+  private[graft] def ewmaWeightsNano(alpha: Double,
+                                     k: Int): (Array[Long], Array[Long]) = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha $alpha outside (0, 1)")
+    require(k >= 1 && k <= 4096, s"window $k outside [1, 4096]")
+    val beta = 1.0 - alpha
+    val pow = new Array[Double](k)
+    pow(0) = 1.0
+    var i = 1
+    while (i < k) { pow(i) = pow(i - 1) * beta; i += 1 }
+    (pow.map(p => math.floor(alpha * p * 1e9 + 0.5).toLong),
+      pow.map(p => math.floor(p * 1e9 + 0.5).toLong))
+  }
+
+  /** Windowed EWMA level per entity: the classic recurrence
+    * s₁ = x₁, sₜ = α·xₜ + (1−α)·sₜ₋₁ unrolled over the LAST `k` events
+    * (rank-from-newest rk gets weight α·β^(rk−1); the oldest in-window
+    * event carries the full tail weight β^(m−1), m = min(n, k)) — the
+    * bounded-memory form a streaming smoother actually keeps, and the
+    * truncation that makes the per-row weight a FINITE literal table.
+    * Terms micro-snap per row before the per-entity sum.
+    *
+    * Scale shape: one (entity)-keyed window (numerous bounded
+    * partitions — per-entity event counts, not corpus-sized), a rank
+    * filter to ≤ k rows per entity, one aggregation.
+    */
+  def ewmaLastK(events: DataFrame, entityCol: String, valueCol: String,
+                orderCols: Seq[Column], alpha: Double, k: Int): DataFrame = {
+    val (body, tail) = ewmaWeightsNano(alpha, k)
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(_.desc): _*)
+    val wg = Window.partitionBy(col(entityCol))
+    val ranked = events
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(wg))
+      .filter(col("rk") <= k)
+      .withColumn("m", least(col("n_events"), lit(k.toLong)))
+      .withColumn("wn",
+        when(col("rk") === col("m"),
+          element_at(typedlit(tail.toSeq), col("rk").cast("int")))
+          .otherwise(element_at(typedlit(body.toSeq), col("rk").cast("int"))))
+      .withColumn("term",
+        floor(col(valueCol) * col("wn") / lit(1000.0) + lit(0.5)).cast("long"))
+    ranked.groupBy(col(entityCol))
+      .agg(max(col("n_events")).as("n_events"),
+        sum(col("term")).as("ewma_micro"))
+  }
+
+  /** CUSUM changepoint per entity: the split point k maximizing the
+    * scaled mean-shift statistic |n·P_k − k·T| (P_k = prefix sum of the
+    * centi-snapped value, T = total) — algebraically n·k·|mean(1..k) −
+    * mean(all)| with every intermediate an EXACT integer (no division
+    * until the final normalized emit; exact while n²·max|x_centi| <
+    * 2^63 ≈ per-entity event counts up to ~10⁶ at centi scale).
+    * Tie-break: the smallest k. Entities with fewer than 2 events have
+    * no interior split and are dropped. `cusum_micro` normalizes by the
+    * |D| ≤ n·T bound, so it is comparable across entities.
+    */
+  def cusumChangepoint(events: DataFrame, entityCol: String,
+                       valueCenti: Column,
+                       orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(entityCol))
+    val d = events
+      .withColumn("xc", valueCenti)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("xc")).over(wRun))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("t", sum(col("xc")).over(wg))
+      .filter(col("rn") < col("n")) // interior splits only
+      .withColumn("absd", abs(col("n") * col("p") - col("rn") * col("t")))
+    val wPick = Window.partitionBy(col(entityCol))
+      .orderBy(col("absd").desc, col("rn"))
+    d.withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") === 1)
+      .select(col(entityCol), col("n").as("n_events"),
+        col("rn").as("cp_k"), col("absd").as("dmax"),
+        floor(col("absd").cast("double") * lit(1e6)
+          / (col("n").cast("double") * col("t").cast("double")) + lit(0.5))
+          .cast("long").as("cusum_micro"))
+  }
+}

@@ -441,6 +441,72 @@ object Advanced extends QueryPack {
                  strftime(l_shipdate, '%Y-%m-%d')), 1, 15))::BIGINT)
                  AS checksum,
                count(*) AS n_rows
-        FROM lineitem GROUP BY 1"""))
+        FROM lineitem GROUP BY 1""")),
+
+    // Per-user EWMA level over the LAST 64 events (α = 0.05 — slow decay, so the window-boundary weights stay visibly nonzero after nano snapping; a fast decay would make the cutoff dead code): the
+    // bounded-memory streaming smoother, unrolled so each
+    // rank-from-newest carries a literal decay weight. The weight
+    // tables are ONE driver-side multiply fold rendered into both
+    // engines as nano-unit longs (Trend.ewmaWeightsNano — never a
+    // cross-engine pow); terms micro-snap per row, the per-user sum is
+    // an exact integer.
+    "q159_ewma_level" -> Q(
+      (s, d) => graft.ops.Trend.ewmaLastK(Tables.events(s, d), "user_id",
+          "value", Seq(col("ts"), col("event_id")), alpha = 0.05, k = 64)
+        .select(col("user_id"), col("n_events"), col("ewma_micro")),
+      Some {
+        val (body, tail) = graft.ops.Trend.ewmaWeightsNano(0.05, 64)
+        val bodyL = body.mkString("[", ", ", "]")
+        val tailL = tail.mkString("[", ", ", "]")
+        s"""
+        WITH ranked AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rk,
+                 count(*) OVER (PARTITION BY user_id) AS n_events
+          FROM events),
+        wtd AS (
+          SELECT user_id, n_events,
+                 CASE WHEN rk = least(n_events, 64)
+                      THEN $tailL[rk] ELSE $bodyL[rk] END AS wn,
+                 value
+          FROM ranked WHERE rk <= 64)
+        SELECT user_id, max(n_events)::BIGINT AS n_events,
+               sum(floor(value * wn / 1000.0 + 0.5)::BIGINT)::BIGINT
+                 AS ewma_micro
+        FROM wtd GROUP BY 1"""
+      }),
+
+    // Per-user CUSUM changepoint: the split k maximizing
+    // |n·P_k − k·T| over centi-snapped values — n·k·|mean-shift| with
+    // every intermediate an exact integer, ties to the smallest k, one
+    // division at the normalized emit (Trend.cusumChangepoint).
+    "q160_cusum_changepoint" -> Q(
+      (s, d) => graft.ops.Trend.cusumChangepoint(Tables.events(s, d),
+        "user_id", floor(col("value") * 100 + lit(0.5)).cast("long"),
+        Seq(col("ts"), col("event_id"))),
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 floor(value * 100 + 0.5)::BIGINT AS xc,
+                 row_number() OVER w AS rn,
+                 sum(floor(value * 100 + 0.5)::BIGINT) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 sum(floor(value * 100 + 0.5)::BIGINT) OVER (
+                   PARTITION BY user_id) AS t
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        interior AS (
+          SELECT user_id, n, rn, abs(n * p - rn * t) AS absd, t
+          FROM ev WHERE rn < n)
+        SELECT user_id, n::BIGINT AS n_events, rn::BIGINT AS cp_k,
+               absd::BIGINT AS dmax,
+               floor(absd::DOUBLE * 1e6 / (n::DOUBLE * t::DOUBLE) + 0.5)::BIGINT
+                 AS cusum_micro
+        FROM interior
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY absd DESC, rn) = 1"""))
   )
 }

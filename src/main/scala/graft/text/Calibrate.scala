@@ -366,4 +366,59 @@ object Calibrate {
         floor(cov / sqrt(dx * dy) * lit(1e6) + lit(0.5)).cast("long"))
         .as("spearman_micro"))
   }
+
+  /** ISOTONIC score calibration via pool-adjacent-violators (PAVA):
+    * fit the best monotone-nondecreasing map from a snapped score to a
+    * binary outcome rate — the standard post-hoc calibrator when a
+    * quality score should predict a downstream keep/convert label but
+    * its raw scale is distorted. The corpus pays ONE aggregation to the
+    * guarded (score → n, positives) histogram; PAVA itself is a
+    * driver-side linear walk over those cells (the q78/q88 legal-collect
+    * class: bounded by score RESOLUTION, never corpus size), with block
+    * rates compared by EXACT cross-multiplication (pos_a·n_b vs
+    * pos_b·n_a — no fp in the pooling decisions, so the fit is
+    * deterministic on any engine and any partitioning).
+    *
+    * Returns one row per fitted block: [score_lo, score_hi] and the
+    * pooled rate (exact pos/n integers plus a micro-snapped rate for
+    * joining). Monotone by construction; Σn over blocks = corpus rows.
+    * Not oracle-registered: PAVA's sequential pooling has no
+    * SQL-window rendering — the operator is spec-verified
+    * (PipelineOpsSpec) like the other driver-walk tails.
+    */
+  def isotonicFit(df: DataFrame, scoreMicro: Column, positive: Column,
+                  maxCells: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val cells = df.select(scoreMicro.as("s"), positive.cast("boolean").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"isotonicFit histogram has $nCells score cells (> $maxCells): " +
+        "snap the score coarser or raise the bound deliberately")
+    val sorted = cells.orderBy(col("s")).collect()
+    // PAVA: maintain a stack of blocks; pool while the last block's rate
+    // exceeds the incoming one (pos_a/n_a > pos_b/n_b as exact cross-mult)
+    final case class Block(var sLo: Long, var sHi: Long, var n: Long, var pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Block]
+    sorted.foreach { r =>
+      val b = Block(r.getLong(0), r.getLong(0), r.getLong(1), r.getLong(2))
+      stack += b
+      while (stack.length >= 2 && {
+        val a = stack(stack.length - 2); val c = stack.last
+        // BigInt: pooled pos·n products outgrow 64 bits near 3e9 rows
+        BigInt(a.pos) * c.n > BigInt(c.pos) * a.n
+      }) {
+        val c = stack.remove(stack.length - 1)
+        val a = stack.last
+        a.sHi = c.sHi; a.n += c.n; a.pos += c.pos
+      }
+    }
+    import spark.implicits._
+    stack.toSeq.map(b => (b.sLo, b.sHi, b.n, b.pos,
+        math.floor(b.pos.toDouble * 1e6 / b.n.toDouble + 0.5).toLong))
+      .toDF("score_lo", "score_hi", "n", "pos", "rate_micro")
+  }
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Trend operators: EWMA-vs-recurrence parity, window/tail branches and
+  * tie-breaks the synthetic events can't pin, CUSUM hand cases, and the
+  * PAVA isotonic fit (driver-walk tail, no oracle by design).
+  */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.toDF("user_id", "tsu", "event_id", "value")
+      .withColumn("ts", timestamp_micros(col("tsu"))).drop("tsu")
+
+  test("ewmaLastK matches the sequential recurrence when n <= k") {
+    val xs = Seq(10.0, 20.0, 5.0, 40.0)
+    val df = ev(xs.zipWithIndex.map { case (x, i) => (1L, i * 1000000L, i.toLong, x) })
+    val out = Trend.ewmaLastK(df, "user_id", "value",
+      Seq(col("ts"), col("event_id")), alpha = 0.05, k = 64).head()
+    // reference: snapped-weight unroll equals the operator's contract;
+    // check it against the RAW recurrence within snapping tolerance
+    var s = xs.head
+    xs.tail.foreach(x => s = 0.05 * x + 0.95 * s)
+    val got = out.getAs[Long]("ewma_micro")
+    assert(math.abs(got - s * 1e6) < xs.length + 1,
+      s"snapped unroll $got vs recurrence ${s * 1e6}")
+    assert(out.getAs[Long]("n_events") == 4L)
+  }
+
+  test("ewmaLastK: events beyond the window are ignored; oldest in-window gets the tail weight") {
+    // n = 70 > k = 4: only the newest 4 count, the 4th carries beta^3
+    val df = ev((0 until 70).map(i => (1L, i * 1000000L, i.toLong, 100.0)))
+    val out = Trend.ewmaLastK(df, "user_id", "value",
+      Seq(col("ts"), col("event_id")), alpha = 0.25, k = 4).head()
+    // constant series: EWMA = x exactly when weights sum to 1; snapped
+    // weights sum to floor-rounded parts of 1e9 → within 4 nano-units
+    val got = out.getAs[Long]("ewma_micro")
+    assert(math.abs(got - 100000000L) <= 1L, s"constant series must smooth to itself: $got")
+    assert(out.getAs[Long]("n_events") == 70L)
+  }
+
+  test("ewmaLastK: equal timestamps break ties by event_id (newest = highest id)") {
+    val sameTs = Seq((1L, 0L, 1L, 10.0), (1L, 0L, 2L, 90.0))
+    val out = Trend.ewmaLastK(ev(sameTs), "user_id", "value",
+      Seq(col("ts"), col("event_id")), alpha = 0.5, k = 8).head()
+    // rk1 = event 2 (value 90, weight α=0.5), rk2 = event 1 (tail 0.5)
+    assert(out.getAs[Long]("ewma_micro") == 50000000L)
+    // flipping ids flips nothing here (weights equal at α=0.5) — use an
+    // asymmetric α to actually pin the orientation
+    val out2 = Trend.ewmaLastK(ev(sameTs), "user_id", "value",
+      Seq(col("ts"), col("event_id")), alpha = 0.25, k = 8).head()
+    // newest (id 2, 90.0) gets α = 0.25; oldest (id 1, 10.0) gets 0.75
+    assert(out2.getAs[Long]("ewma_micro") == 30000000L)
+  }
+
+  test("cusumChangepoint finds a hand-planted mean shift, ties to smallest k") {
+    // 5 at 10.0 then 5 at 50.0 → split at k = 5
+    val df = ev((0 until 10).map(i =>
+      (1L, i * 1000000L, i.toLong, if (i < 5) 10.0 else 50.0)))
+    val out = Trend.cusumChangepoint(df, "user_id",
+      floor(col("value") * 100 + lit(0.5)).cast("long"),
+      Seq(col("ts"), col("event_id"))).head()
+    assert(out.getAs[Long]("cp_k") == 5L)
+    // D_5 = |10·5000 − 5·30000| = 100000 (centi units)
+    assert(out.getAs[Long]("dmax") == 100000L)
+    // normalized: 100000 / (10 · 30000) = 1/3
+    assert(out.getAs[Long]("cusum_micro") == 333333L)
+    // constant series: every interior |D| = 0 → tie → smallest k = 1
+    val flat = ev((0 until 6).map(i => (2L, i * 1000000L, i.toLong, 7.0)))
+    val f = Trend.cusumChangepoint(flat, "user_id",
+      floor(col("value") * 100 + lit(0.5)).cast("long"),
+      Seq(col("ts"), col("event_id"))).head()
+    assert(f.getAs[Long]("cp_k") == 1L && f.getAs[Long]("dmax") == 0L)
+    // singleton user: no interior split → dropped
+    val single = ev(Seq((3L, 0L, 0L, 5.0)))
+    assert(Trend.cusumChangepoint(single, "user_id",
+      floor(col("value") * 100 + lit(0.5)).cast("long"),
+      Seq(col("ts"), col("event_id"))).count() == 0L)
+  }
+
+  test("isotonicFit: PAVA pools violators, preserves mass, stays monotone") {
+    import graft.text.Calibrate
+    // rates by cell: 0.2, 0.8, 0.4 → cells 2,3 pool to 0.6
+    val rows =
+      Seq.fill(8)((1L, false)) ++ Seq.fill(2)((1L, true)) ++   // 0.2
+      Seq.fill(2)((2L, false)) ++ Seq.fill(8)((2L, true)) ++   // 0.8
+      Seq.fill(6)((3L, false)) ++ Seq.fill(4)((3L, true))      // 0.4
+    val d = rows.toDF("s", "y")
+    val out = Calibrate.isotonicFit(d, col("s"), col("y"))
+      .orderBy("score_lo").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("score_lo") == 1L && out(0).getAs[Long]("rate_micro") == 200000L)
+    assert(out(1).getAs[Long]("score_lo") == 2L && out(1).getAs[Long]("score_hi") == 3L)
+    assert(out(1).getAs[Long]("n") == 20L && out(1).getAs[Long]("pos") == 12L)
+    assert(out(1).getAs[Long]("rate_micro") == 600000L)
+    // globally decreasing → single pooled block at the overall rate
+    val dec = (Seq.fill(9)((1L, true)) ++ Seq.fill(1)((1L, false)) ++
+      Seq.fill(1)((2L, true)) ++ Seq.fill(9)((2L, false))).toDF("s", "y")
+    val one = Calibrate.isotonicFit(dec, col("s"), col("y")).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("rate_micro") == 500000L)
+    // monotone invariant on arbitrary data
+    val rnd = (1 to 200).map(i => ((i % 13).toLong, (i * 7 % 3) == 0)).toDF("s", "y")
+    val fit = Calibrate.isotonicFit(rnd, col("s"), col("y"))
+      .orderBy("score_lo").collect()
+    val rates = fit.map(_.getAs[Long]("rate_micro")).toSeq
+    assert(rates == rates.sorted, s"fitted rates must be nondecreasing: $rates")
+    assert(fit.map(_.getAs[Long]("n")).sum == 200L)
+    intercept[IllegalArgumentException] {
+      Calibrate.isotonicFit(rnd, col("s"), col("y"), maxCells = 3L)
+    }
+  }
+}
