@@ -6,7 +6,7 @@ import graft.graph.PageRank
 import graft.multimodal.Multimodal
 import graft.sim.{Similarity, Spectral}
 import graft.plans.ArrayOps
-import graft.text.{Calibrate, Classify, Eval, NearDup, NgramLm, Retrieval, Sketch, Terms, TextOps}
+import graft.text.{Calibrate, Classify, CorpusStats, Eval, NearDup, NgramLm, Retrieval, Sketch, Terms, TextOps}
 
 /** Training-data-pipeline surface (builder brief): text analysis, document
   * dedup (exact / MinHash+LSH / SimHash / blocked Jaccard), embedding
@@ -3782,5 +3782,125 @@ object TextSim extends QueryPack {
                         ORDER BY adc_micro, vec_id) AS rank
               FROM adc)
         WHERE rank <= 10""")),
+
+    // Per-source GINI of the term-frequency vector — token-mass
+    // concentration from the count-of-counts histogram (rank blocks in
+    // closed form, so the only window is over O(√T) cells; Gini is
+    // tie-order invariant, making the block form exact)
+    // (CorpusStats.giniTokenMass).
+    "q161_token_gini" -> Q(
+      (s, d) => CorpusStats.giniTokenMass(Tables.documents(s, d),
+          "source", "text")
+        .withColumnRenamed("grp", "source"),
+      Some(s"""
+        WITH tf AS (SELECT source, term, count(*)::BIGINT AS c
+                    FROM (SELECT source, unnest($DUCK_TOKENS) AS term
+                          FROM documents)
+                    GROUP BY 1, 2),
+        cc AS (SELECT source, c, count(*)::BIGINT AS m FROM tf GROUP BY 1, 2),
+        wt AS (SELECT source, c, m,
+                      sum(m) OVER (PARTITION BY source ORDER BY c
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)::BIGINT AS cumm,
+                      sum(m) OVER (PARTITION BY source)::BIGINT AS n,
+                      sum(c * m) OVER (PARTITION BY source)::BIGINT AS t
+               FROM cc)
+        SELECT source, max(n)::BIGINT AS n_terms, max(t)::BIGINT AS t_tokens,
+               floor(sum(c * m * (2 * (cumm - m) + m - n))::DOUBLE * 1e6
+                     / (max(n)::DOUBLE * max(t)::DOUBLE) + 0.5)::BIGINT
+                 AS gini_micro
+        FROM wt GROUP BY 1""")),
+
+    // BURSTINESS of the top-20 terms across sources (Fano factor
+    // var/mean with zero cells included — the Church & Gale topical-
+    // vs-filler signal; Fano ≈ 1 = Poisson-uniform, ≫ 1 = bursty)
+    // (CorpusStats.tokenBurstiness).
+    "q162_token_burstiness" -> Q(
+      (s, d) => CorpusStats.tokenBurstiness(Tables.documents(s, d),
+        "source", "text", topK = 20),
+      Some(s"""
+        WITH terms AS (SELECT source AS bin, unnest($DUCK_TOKENS) AS term
+                       FROM documents),
+        top AS (SELECT term, count(*)::BIGINT AS ctot FROM terms
+                GROUP BY 1 ORDER BY ctot DESC, term LIMIT 20),
+        bins AS (SELECT DISTINCT source AS bin FROM documents),
+        pb AS (SELECT term, bin, count(*)::BIGINT AS c
+               FROM terms JOIN (SELECT term FROM top) USING (term)
+               GROUP BY 1, 2),
+        grid AS (SELECT top.term, top.ctot, bins.bin,
+                        coalesce(pb.c, 0)::BIGINT AS c
+                 FROM top CROSS JOIN bins
+                 LEFT JOIN pb USING (term, bin)),
+        agg AS (SELECT term, ctot, count(*)::BIGINT AS b,
+                       sum(c * c)::BIGINT AS s2
+                FROM grid GROUP BY 1, 2)
+        SELECT term, ctot AS total, b AS n_bins,
+               floor((b * s2 - ctot * ctot)::DOUBLE * 1e6
+                     / (b::DOUBLE * ctot::DOUBLE) + 0.5)::BIGINT AS fano_micro
+        FROM agg""")),
+
+    // ZIPF SLOPE: log-log least squares over the top-20 rank-frequency
+    // points — the corpus-shape exponent (≈ −1 for natural text). The
+    // regression frame is TakeOrdered-bounded; ln points micro-snap,
+    // moments are exact integers (CorpusStats.zipfSlope).
+    "q163_zipf_slope" -> Q(
+      (s, d) => CorpusStats.zipfSlope(Tables.documents(s, d), "text",
+        topN = 20),
+      Some(s"""
+        WITH tf AS (SELECT term, count(*)::BIGINT AS c
+                    FROM (SELECT unnest($DUCK_TOKENS) AS term FROM documents)
+                    GROUP BY 1),
+        top AS (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT 20),
+        rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+               FROM top),
+        pts AS (SELECT floor(ln(r::DOUBLE) * 1e6 + 0.5)::BIGINT AS x,
+                       floor(ln(c::DOUBLE) * 1e6 + 0.5)::BIGINT AS y
+                FROM rk),
+        mom AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                       sum(x * x)::BIGINT AS sxx
+                FROM pts)
+        SELECT n,
+               CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                         > 0
+                    THEN floor((n::DOUBLE * sxy::DOUBLE
+                                - sx::DOUBLE * sy::DOUBLE)
+                               / (n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                               * 1e6 + 0.5)::BIGINT
+               END AS slope_micro
+        FROM mom""")),
+
+    // SPLIT-CONFORMAL novelty p-values: every non-calibration doc's
+    // quality score ranked against the held-out calibration sample
+    // (docs ≡ 0 mod 5) — p = (1 + #{cal ≤ s})/(n_cal + 1), the
+    // finite-sample-valid outlier gate. The centi grid makes the rank
+    // lookup one equi-join against a 101-row cumulative table
+    // (Calibrate.conformalPValues).
+    "q164_conformal_novelty" -> Q(
+      (s, d) => Calibrate.conformalPValues(Tables.documents(s, d), "doc_id",
+          col("doc_id") % 5 === 0,
+          floor(TextOps.qualityScore(col("text")) * lit(100) + lit(0.5))
+            .cast("long"))
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        WITH s AS (SELECT doc_id, doc_id % 5 = 0 AS is_cal,
+                          floor(($qualitySql) * 100 + 0.5)::BIGINT AS sc
+                   FROM documents),
+        cells AS (SELECT sc, count(*)::BIGINT AS cm FROM s
+                  WHERE is_cal GROUP BY 1),
+        grid AS (SELECT r.range::BIGINT AS v FROM range(0, 101) r),
+        cum AS (SELECT v,
+                       sum(coalesce(cm, 0)) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       )::BIGINT AS cum_le
+                FROM grid LEFT JOIN cells ON cells.sc = grid.v),
+        nc AS (SELECT count(*)::BIGINT AS n_cal FROM s WHERE is_cal)
+        SELECT id AS doc_id, sc AS score_centi, n_cal,
+               floor((1 + cum_le)::DOUBLE * 1e6 / (n_cal + 1.0) + 0.5)::BIGINT
+                 AS p_micro
+        FROM (SELECT doc_id AS id, sc FROM s WHERE NOT is_cal) t
+        JOIN cum ON t.sc = cum.v
+        CROSS JOIN nc""")),
   )
 }

@@ -367,6 +367,51 @@ object Calibrate {
         .as("spearman_micro"))
   }
 
+  /** SPLIT-CONFORMAL novelty p-values (Vovk et al.): score every
+    * non-calibration row against a held-out calibration sample —
+    * p = (1 + #{cal ≤ s}) / (n_cal + 1), the finite-sample-valid
+    * "how unusual is this score" quantile. Low p = the row scores
+    * below nearly all of the calibration set (for a quality score:
+    * the distribution-free drop gate).
+    *
+    * Doctrine shape: the score is snapped onto a FIXED literal grid
+    * [0, gridMax] (caller contract, checked loudly), so "count cal ≤ s"
+    * becomes an equi-join against a dense (gridMax+1)-row cumulative
+    * table — no range join, no corpus-sized window; the test side pays
+    * one broadcast hash join. n_cal and the score bounds come from one
+    * driver-collected aggregate (row-bounded, the months-routing class).
+    */
+  def conformalPValues(df: DataFrame, idCol: String, calPred: Column,
+                       scoreCenti: Column, gridMax: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    val scored = df.select(col(idCol).as("id"),
+      calPred.cast("boolean").as("is_cal"), scoreCenti.as("sc"))
+    val stats = scored.agg(min(col("sc")), max(col("sc")),
+      sum(when(col("is_cal"), 1L).otherwise(0L))).head()
+    require(!stats.isNullAt(0) && stats.getLong(0) >= 0L
+        && stats.getLong(1) <= gridMax.toLong,
+      s"conformalPValues scores span [${stats.get(0)}, ${stats.get(1)}] " +
+        s"outside the [0, $gridMax] grid — snap the score into the grid")
+    val nCal = stats.getLong(2)
+    require(nCal > 0L, "conformalPValues needs a nonempty calibration set")
+    val calCells = scored.filter(col("is_cal"))
+      .groupBy(col("sc")).agg(count(lit(1)).as("cm"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // literal grid: the one unpartitioned window is gridMax+1 rows
+    val cum = spark.range(0, gridMax + 1L).select(col("id").as("v"))
+      .join(calCells, col("v") === col("sc"), "left")
+      .na.fill(0L, Seq("cm"))
+      .withColumn("cum_le", sum(col("cm")).over(w))
+      .select(col("v"), col("cum_le"))
+    scored.filter(!col("is_cal"))
+      .join(broadcast(cum), col("sc") === col("v"))
+      .select(col("id"), col("sc").as("score_centi"),
+        lit(nCal).as("n_cal"),
+        floor((lit(1L) + col("cum_le")).cast("double") * lit(1e6)
+          / lit(nCal + 1.0) + lit(0.5)).cast("long").as("p_micro"))
+  }
+
   /** ISOTONIC score calibration via pool-adjacent-violators (PAVA):
     * fit the best monotone-nondecreasing map from a snapped score to a
     * binary outcome rate — the standard post-hoc calibrator when a

@@ -570,4 +570,66 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("q161 Gini core: uniform frequencies → 0, hand-checked concentration") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", "a b a b"),   // counts (2, 2): perfectly uniform → 0
+      ("k", "x y y y"))   // counts (1, 3): G = 2/(2·4) = 0.25
+      .toDF("source", "text")
+    val out = graft.text.CorpusStats.giniTokenMass(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("gini_micro")).toMap
+    assert(out("u") == 0L)
+    assert(out("k") == 250000L)
+  }
+
+  test("q162 burstiness core: absent (term, bin) cells count as zero") {
+    import spark.implicits._
+    // t lives only in s1, u only in s2: with the zero cells each has
+    // Fano = (2·16 − 16)/(2·4) = 2; omitting the zero cell gives 0 —
+    // exactly the variance-understatement the grid expand prevents
+    val df = Seq(("s1", "t t t t"), ("s2", "u u u u")).toDF("source", "text")
+    val out = graft.text.CorpusStats.tokenBurstiness(df, "source", "text",
+        topK = 5)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("fano_micro")).toMap
+    assert(out("t") == 2000000L && out("u") == 2000000L)
+  }
+
+  test("q163 Zipf core: exact −1 slope on a constructed 2-point curve") {
+    import spark.implicits._
+    // counts (4, 2) at ranks (1, 2): snapped points make the slope
+    // EXACTLY −1 (ln4 = 2·ln2 survives the micro snap additively)
+    val df = Seq(("s", "a a a a b b")).toDF("source", "text")
+    val out = graft.text.CorpusStats.zipfSlope(df, "text", topN = 10).head()
+    assert(out.getAs[Long]("n") == 2L)
+    assert(out.getAs[Long]("slope_micro") == -1000000L)
+    // degenerate: a single point has no slope
+    val one = graft.text.CorpusStats.zipfSlope(
+      Seq(("s", "only only")).toDF("source", "text"), "text", 10).head()
+    assert(one.isNullAt(one.fieldIndex("slope_micro")))
+  }
+
+  test("q164 conformal core: exact p-values, grid and calibration guards") {
+    import spark.implicits._
+    val df = (Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)) ++
+      Seq((6L, 5L), (7L, 25L), (8L, 50L), (9L, 99L)))
+      .toDF("doc_id", "sc")
+    val out = graft.text.Calibrate.conformalPValues(df, "doc_id",
+        col("doc_id") <= 5, col("sc"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("p_micro")).toMap
+    assert(out.keySet == Set(6L, 7L, 8L, 9L))
+    assert(out(6L) == 166667L)   // (1+0)/6
+    assert(out(7L) == 500000L)   // (1+2)/6
+    assert(out(8L) == 1000000L)  // ≥ all five calibration scores
+    assert(out(9L) == 1000000L)
+    intercept[IllegalArgumentException] { // score off the grid fails loudly
+      graft.text.Calibrate.conformalPValues(
+        df.withColumn("sc", col("sc") + 10), "doc_id",
+        col("doc_id") <= 5, col("sc"))
+    }
+    intercept[IllegalArgumentException] { // empty calibration set
+      graft.text.Calibrate.conformalPValues(df, "doc_id",
+        lit(false), col("sc"))
+    }
+  }
 }
