@@ -3902,5 +3902,138 @@ object TextSim extends QueryPack {
         FROM (SELECT doc_id AS id, sc FROM s WHERE NOT is_cal) t
         JOIN cum ON t.sc = cum.v
         CROSS JOIN nc""")),
+
+    // WELCH's t of each source vs the rest of the corpus (unequal
+    // variances) on the centi-snapped quality score — the parametric
+    // source-shift monitor. One aggregation of exact integer moments;
+    // rest-of-corpus = global − group, no second scan
+    // (Calibrate.welchTTest).
+    "q165_source_ttest" -> Q(
+      (s, d) => Calibrate.welchTTest(Tables.documents(s, d), "source",
+          floor(TextOps.qualityScore(col("text")) * lit(100) + lit(0.5))
+            .cast("long"))
+        .withColumnRenamed("grp", "source"),
+      Some(s"""
+        WITH s AS (SELECT source, floor(($qualitySql) * 100 + 0.5)::BIGINT AS v
+                   FROM documents),
+        g AS (SELECT source, count(*)::BIGINT AS n1, sum(v)::BIGINT AS s1,
+                     sum(v * v)::BIGINT AS q1
+              FROM s GROUP BY 1),
+        tot AS (SELECT count(*)::BIGINT AS nt, sum(v)::BIGINT AS st,
+                       sum(v * v)::BIGINT AS qt
+                FROM s),
+        j AS (SELECT *, nt - n1 AS n2, st - s1 AS s2, qt - q1 AS q2
+              FROM g CROSS JOIN tot),
+        k AS (SELECT *,
+                     sqrt(((q1::DOUBLE - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE)
+                           / (n1::DOUBLE - 1.0)) / n1::DOUBLE
+                          + ((q2::DOUBLE - s2::DOUBLE * s2::DOUBLE / n2::DOUBLE)
+                             / (n2::DOUBLE - 1.0)) / n2::DOUBLE) AS se
+              FROM j)
+        SELECT source, n1 AS n_group, n2 AS n_rest,
+               floor(s1::DOUBLE / n1::DOUBLE * 1e4 + 0.5)::BIGINT
+                 AS mean_group_micro,
+               floor(s2::DOUBLE / n2::DOUBLE * 1e4 + 0.5)::BIGINT
+                 AS mean_rest_micro,
+               CASE WHEN n1 >= 2 AND n2 >= 2 AND se > 0.0
+                    THEN floor((s1::DOUBLE / n1::DOUBLE
+                                - s2::DOUBLE / n2::DOUBLE) / se * 1e6
+                               + 0.5)::BIGINT
+               END AS t_micro
+        FROM k""")),
+
+    // MANN-WHITNEY rank-sum of each source vs the rest — the
+    // distribution-free location test, ranks from the bounded global
+    // histogram (doubled tie-averaged midranks, exact U2 integers,
+    // tie-corrected normal z) (Calibrate.mannWhitney).
+    "q166_source_ranksum" -> Q(
+      (s, d) => Calibrate.mannWhitney(Tables.documents(s, d), "source",
+          floor(TextOps.qualityScore(col("text")) * lit(100) + lit(0.5))
+            .cast("long"))
+        .withColumnRenamed("grp", "source"),
+      Some(s"""
+        WITH s AS (SELECT source, floor(($qualitySql) * 100 + 0.5)::BIGINT AS v
+                   FROM documents),
+        cells AS (SELECT source, v, count(*)::BIGINT AS c
+                  FROM s GROUP BY 1, 2),
+        vm AS (SELECT v, sum(c)::BIGINT AS cm FROM cells GROUP BY 1),
+        vr AS (SELECT v,
+                      2 * (sum(cm) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - cm) + cm + 1 AS mr2
+               FROM vm),
+        tt AS (SELECT sum(cm * cm * cm - cm)::BIGINT AS tiesum,
+                      sum(cm)::BIGINT AS ntot
+               FROM vm),
+        r2 AS (SELECT source, sum(c)::BIGINT AS n1,
+                      sum(c * mr2)::BIGINT AS rr2
+               FROM cells JOIN vr USING (v) GROUP BY 1),
+        k AS (SELECT source, n1, ntot - n1 AS n2,
+                     rr2 - n1 * (n1 + 1) AS u2, tiesum, ntot
+              FROM r2 CROSS JOIN tt),
+        z AS (SELECT *,
+                     sqrt(n1::DOUBLE * n2::DOUBLE / 3.0
+                          * ((ntot::DOUBLE + 1.0)
+                             - tiesum::DOUBLE
+                               / (ntot::DOUBLE * (ntot::DOUBLE - 1.0))))
+                       AS sig
+              FROM k)
+        SELECT source, n1 AS n_group, n2 AS n_rest, u2,
+               CASE WHEN n1 >= 1 AND n2 >= 1 AND sig > 0.0
+                    THEN floor((u2::DOUBLE - n1::DOUBLE * n2::DOUBLE) / sig
+                               * 1e6 + 0.5)::BIGINT
+               END AS z_micro
+        FROM z""")),
+
+    // FDR-CONTROLLED anomaly gate: conformal p-values calibrated on the
+    // trusted long-form slice (n_chars ≥ 300), then Benjamini-Hochberg
+    // at α = 0.1 — "flag the docs that are anomalously low-quality
+    // relative to the reference slice, with false-discovery control".
+    // The BH order statistics live in the bounded p-histogram: no
+    // corpus sort anywhere (Calibrate.conformalPValues → bhReject).
+    "q167_fdr_anomalies" -> Q(
+      (s, d) => {
+        val p = Calibrate.conformalPValues(Tables.documents(s, d), "doc_id",
+          col("n_chars") >= 300,
+          floor(TextOps.qualityScore(col("text")) * lit(100) + lit(0.5))
+            .cast("long"))
+        Calibrate.bhReject(p, "id", col("p_micro"), alphaMicro = 100000L)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        WITH s AS (SELECT doc_id, n_chars >= 300 AS is_cal,
+                          floor(($qualitySql) * 100 + 0.5)::BIGINT AS sc
+                   FROM documents),
+        cells AS (SELECT sc, count(*)::BIGINT AS cm FROM s
+                  WHERE is_cal GROUP BY 1),
+        grid AS (SELECT r.range::BIGINT AS v FROM range(0, 101) r),
+        cum AS (SELECT v,
+                       sum(coalesce(cm, 0)) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       )::BIGINT AS cum_le
+                FROM grid LEFT JOIN cells ON cells.sc = grid.v),
+        nc AS (SELECT count(*)::BIGINT AS n_cal FROM s WHERE is_cal),
+        pv AS (SELECT id AS doc_id,
+                      floor((1 + cum_le)::DOUBLE * 1e6 / (n_cal + 1.0)
+                            + 0.5)::BIGINT AS p_micro
+               FROM (SELECT doc_id AS id, sc FROM s WHERE NOT is_cal) t
+               JOIN cum ON t.sc = cum.v
+               CROSS JOIN nc),
+        pc AS (SELECT p_micro AS p, count(*)::BIGINT AS cm FROM pv
+               GROUP BY 1),
+        pcum AS (SELECT p,
+                        sum(cm) OVER (ORDER BY p
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        )::BIGINT AS cum,
+                        sum(cm) OVER ()::BIGINT AS m
+                 FROM pc),
+        thr AS (SELECT coalesce(max(CASE WHEN p * m <= 100000 * cum
+                                         THEN p END), -1) AS thr_p,
+                       coalesce(max(CASE WHEN p * m <= 100000 * cum
+                                         THEN cum END), 0) AS n_rejected
+                FROM pcum)
+        SELECT doc_id, p_micro, p_micro <= thr_p AS rejected,
+               thr_p AS threshold_p_micro, n_rejected
+        FROM pv CROSS JOIN thr""")),
   )
 }

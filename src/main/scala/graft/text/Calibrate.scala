@@ -367,6 +367,131 @@ object Calibrate {
         .as("spearman_micro"))
   }
 
+  /** WELCH'S t-test of each group against the rest of the corpus —
+    * "is this source's score level genuinely shifted?" with unequal
+    * variances assumed (the realistic case across crawl sources).
+    * One aggregation produces per-group exact integer moments
+    * (n, Σs, Σs²); the rest-of-corpus moments are global − group (no
+    * second scan); t is one mirrored double tail. Exactness bound:
+    * Σs² needs value² · rows < 2^63 — snap scores to CENTI for corpus
+    * scale (10⁴·rows, good to ~10¹⁴ rows). NULL t when either side has
+    * n < 2 or zero variance.
+    */
+  def welchTTest(df: DataFrame, groupCol: String,
+                 valueCenti: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), valueCenti.as("v"))
+    val g = base.groupBy(col("grp")).agg(count(lit(1)).as("n1"),
+      sum(col("v")).as("s1"), sum(col("v") * col("v")).as("q1"))
+    val tot = base.agg(count(lit(1)).as("nt"), sum(col("v")).as("st"),
+      sum(col("v") * col("v")).as("qt"))
+    val j = g.crossJoin(broadcast(tot))
+      .withColumn("n2", col("nt") - col("n1"))
+      .withColumn("s2", col("st") - col("s1"))
+      .withColumn("q2", col("qt") - col("q1"))
+    def meanD(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def varD(q: String, s: String, n: String) =
+      (col(q).cast("double")
+        - col(s).cast("double") * col(s).cast("double")
+          / col(n).cast("double")) / (col(n).cast("double") - lit(1.0))
+    val se = sqrt(varD("q1", "s1", "n1") / col("n1").cast("double")
+      + varD("q2", "s2", "n2") / col("n2").cast("double"))
+    j.select(col("grp"), col("n1").as("n_group"), col("n2").as("n_rest"),
+      floor(meanD("s1", "n1") * lit(1e4) + lit(0.5)).cast("long")
+        .as("mean_group_micro"),
+      floor(meanD("s2", "n2") * lit(1e4) + lit(0.5)).cast("long")
+        .as("mean_rest_micro"),
+      when(col("n1") >= 2 && col("n2") >= 2 && se > 0.0,
+        floor((meanD("s1", "n1") - meanD("s2", "n2")) / se * lit(1e6)
+          + lit(0.5)).cast("long")).as("t_micro"))
+  }
+
+  /** MANN-WHITNEY rank-sum test of each group against the rest — the
+    * distribution-free sibling of [[welchTTest]] (location shift
+    * without normality). Ranks are tie-averaged midranks of the
+    * GLOBAL value histogram (one bounded-cell window — the
+    * groupedSpearman construction, here over one marginal), kept
+    * DOUBLED so the rank sum R2 and the doubled statistic
+    * U2 = R2 − n₁(n₁+1) are exact integers. z uses the tie-corrected
+    * normal approximation; its tail runs in doubles over the exact
+    * longs (same-long → same-double on both engines).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: Column,
+                  maxCells: Long = 4000000L): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), valueCol.as("v"))
+    val cells = base.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"mannWhitney histogram has $nCells (group × value) cells " +
+        s"(> $maxCells): snap the value coarser or raise the bound")
+    val vm = cells.groupBy(col("v")).agg(sum(col("c")).as("cm"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global marginal: one bounded window (≤ nCells rows)
+    val vr = vm.withColumn("cum", sum(col("cm")).over(w))
+      .select(col("v"),
+        (lit(2L) * (col("cum") - col("cm")) + col("cm") + 1).as("mr2"),
+        col("cm"))
+    val tieTerm = vm
+      .agg(sum(col("cm") * col("cm") * col("cm") - col("cm")).as("tiesum"),
+        sum(col("cm")).as("ntot"))
+    val r2 = cells.join(vr.select(col("v"), col("mr2")), Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n1"), sum(col("c") * col("mr2")).as("rr2"))
+    val nD = (c: String) => col(c).cast("double")
+    val joined = r2.crossJoin(broadcast(tieTerm))
+      .withColumn("n2", col("ntot") - col("n1"))
+      .withColumn("u2", col("rr2") - col("n1") * (col("n1") + 1))
+    val muU2 = nD("n1") * nD("n2") // doubled mean: 2·n1n2/2
+    val sigmaU2 = sqrt(nD("n1") * nD("n2") / lit(3.0)
+      * ((nD("ntot") + 1.0)
+        - col("tiesum").cast("double")
+          / (nD("ntot") * (nD("ntot") - 1.0))))
+    joined.select(col("grp"), col("n1").as("n_group"), col("n2").as("n_rest"),
+      col("u2"),
+      when(col("n1") >= 1 && col("n2") >= 1 && sigmaU2 > 0.0,
+        floor((col("u2").cast("double") - muU2) / sigmaU2 * lit(1e6)
+          + lit(0.5)).cast("long")).as("z_micro"))
+  }
+
+  /** BENJAMINI-HOCHBERG FDR threshold over a p-value column: the
+    * largest p with p_(i) ≤ α·i/m, found WITHOUT sorting the corpus —
+    * p-values land on a snapped grid, so the order statistics live in
+    * the bounded p-histogram: a value p's highest sorted index is
+    * cum(≤ p), and the BH condition `p ≤ α·cum/m` is the integer
+    * comparison p_micro·m ≤ α_micro·cum (exact while p_micro·m < 2^63
+    * — rows to ~9·10¹²). Emits each input row flagged, plus the
+    * threshold and rejection count on every row (a grid-join constant).
+    */
+  def bhReject(df: DataFrame, idCol: String, pMicroCol: Column,
+               alphaMicro: Long, maxCells: Long = 4000000L): DataFrame = {
+    require(alphaMicro > 0L && alphaMicro < 1000000L,
+      s"alphaMicro $alphaMicro outside (0, 1e6)")
+    val base = df.select(col(idCol).as("id"), pMicroCol.as("p"))
+    val cells = base.groupBy(col("p")).agg(count(lit(1)).as("cm"))
+      .localCheckpoint(true)
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"bhReject p-histogram has $nCells cells (> $maxCells): " +
+        "p-values must land on a snapped grid")
+    val w = Window.orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val cum = cells.withColumn("cum", sum(col("cm")).over(w))
+      .withColumn("m", sum(col("cm")).over(wAll))
+    val thr = cum
+      .agg(max(when(col("p") * col("m") <= lit(alphaMicro) * col("cum"),
+        struct(col("p"), col("cum")))).as("t"))
+      .select(coalesce(col("t.p"), lit(-1L)).as("thr_p"),
+        coalesce(col("t.cum"), lit(0L)).as("n_rejected"))
+    base.crossJoin(broadcast(thr))
+      .select(col("id"), col("p").as("p_micro"),
+        (col("p") <= col("thr_p")).as("rejected"),
+        col("thr_p").as("threshold_p_micro"), col("n_rejected"))
+  }
+
   /** SPLIT-CONFORMAL novelty p-values (Vovk et al.): score every
     * non-calibration row against a held-out calibration sample —
     * p = (1 + #{cal ≤ s}) / (n_cal + 1), the finite-sample-valid

@@ -632,4 +632,70 @@ class PipelineOpsSpec extends SparkSpec {
         lit(false), col("sc"))
     }
   }
+
+  test("q165 Welch core: hand-checked t, degenerate variances NULL") {
+    import spark.implicits._
+    val df = Seq(("g", 10L), ("g", 20L), ("h", 30L), ("h", 40L))
+      .toDF("source", "v")
+    val out = graft.text.Calibrate.welchTTest(df, "source", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // g vs h: (15−35)/√(50/2 + 50/2) = −2.8284271…
+    assert(out("g").getAs[Long]("t_micro") == -2828427L)
+    assert(out("h").getAs[Long]("t_micro") == 2828427L)
+    assert(out("g").getAs[Long]("mean_group_micro") == 150000L)
+    // both sides constant → se = 0 → NULL
+    val flat = Seq(("z", 5L), ("z", 5L), ("w", 5L), ("w", 5L))
+      .toDF("source", "v")
+    val f = graft.text.Calibrate.welchTTest(flat, "source", col("v"))
+      .collect()
+    assert(f.forall(r => r.isNullAt(r.fieldIndex("t_micro"))))
+    // singleton group → NULL (n < 2 guard)
+    val single = Seq(("s", 1L), ("r", 2L), ("r", 9L), ("r", 4L))
+      .toDF("source", "v")
+    val sOut = graft.text.Calibrate.welchTTest(single, "source", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(sOut("s").isNullAt(sOut("s").fieldIndex("t_micro")))
+  }
+
+  test("q166 Mann-Whitney core: separation U = 0, all-ties degenerate NULL") {
+    import spark.implicits._
+    val df = Seq(("g", 1L), ("g", 2L), ("h", 3L), ("h", 4L))
+      .toDF("source", "v")
+    val out = graft.text.Calibrate.mannWhitney(df, "source", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Long]("u2") == 0L) // complete separation
+    assert(out("h").getAs[Long]("u2") == 8L) // doubled U = 2·n1·n2 − 0
+    // z = ±4/√(20/3) = ±1.5491933…
+    assert(out("g").getAs[Long]("z_micro") == -1549193L)
+    assert(out("h").getAs[Long]("z_micro") == 1549193L)
+    // every value tied: U = n1·n2/2 exactly, variance collapses → NULL z
+    val ties = Seq(("g", 1L), ("g", 1L), ("h", 1L), ("h", 1L))
+      .toDF("source", "v")
+    val t = graft.text.Calibrate.mannWhitney(ties, "source", col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(t("g").getAs[Long]("u2") == 4L) // doubled n1·n2/2
+    assert(t("g").isNullAt(t("g").fieldIndex("z_micro")))
+  }
+
+  test("q167 BH core: textbook rejection set, none-qualify sentinel") {
+    import spark.implicits._
+    // m = 4, α = 0.25·1e6: p = (10'000, 100'000, 200'000, 900'000)
+    // BH: p(2) = 1e5 ≤ 0.25·2/4 = 125'000 ✓, p(3) = 2e5 ≤ 187'500 ✗
+    val df = Seq((1L, 10000L), (2L, 100000L), (3L, 200000L), (4L, 900000L))
+      .toDF("id", "p")
+    val out = graft.text.Calibrate.bhReject(df, "id", col("p"),
+        alphaMicro = 250000L)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("rejected") && out(2L).getAs[Boolean]("rejected"))
+    assert(!out(3L).getAs[Boolean]("rejected") && !out(4L).getAs[Boolean]("rejected"))
+    assert(out(1L).getAs[Long]("threshold_p_micro") == 100000L)
+    assert(out(1L).getAs[Long]("n_rejected") == 2L)
+    // nothing qualifies → sentinel threshold −1, zero rejections
+    val none = Seq((1L, 800000L), (2L, 900000L)).toDF("id", "p")
+    val n = graft.text.Calibrate.bhReject(none, "id", col("p"),
+      alphaMicro = 100000L).collect()
+    assert(n.forall(r => !r.getAs[Boolean]("rejected")
+      && r.getAs[Long]("threshold_p_micro") == -1L
+      && r.getAs[Long]("n_rejected") == 0L))
+  }
 }
