@@ -507,6 +507,75 @@ object Advanced extends QueryPack {
                  AS cusum_micro
         FROM interior
         QUALIFY row_number() OVER (PARTITION BY user_id
-                                   ORDER BY absd DESC, rn) = 1"""))
+                                   ORDER BY absd DESC, rn) = 1""")),
+
+    // FIRST-ORDER MARKOV transition matrix of event types: per-user
+    // event sequences yield (prev → next) counts and row-normalized
+    // transition probabilities — the behavioral-model summary every
+    // funnel/attribution analysis starts from. One user-keyed window +
+    // two integer aggregations; the division happens once per matrix
+    // cell.
+    "q170_event_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val seq = Tables.events(s, d)
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("prev_type"),
+            col("nxt").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = seq.groupBy(col("prev_type")).agg(sum(col("n")).as("tn"))
+        seq.join(tot, Seq("prev_type"))
+          .select(col("prev_type"), col("next_type"), col("n"),
+            floor(col("n").cast("double") * lit(1e6)
+              / col("tn").cast("double") + lit(0.5)).cast("long")
+              .as("p_micro"))
+      },
+      Some("""
+        WITH seq AS (SELECT user_id, event_type,
+                            lead(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+                     FROM events),
+        c AS (SELECT event_type AS prev_type, nxt AS next_type,
+                     count(*)::BIGINT AS n
+              FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT prev_type, sum(n)::BIGINT AS tn FROM c GROUP BY 1)
+        SELECT prev_type, next_type, n,
+               floor(n::DOUBLE * 1e6 / tn::DOUBLE + 0.5)::BIGINT AS p_micro
+        FROM c JOIN tot USING (prev_type)""")),
+
+    // INTER-ARRIVAL TIME distribution: per event type, a log₂-bucketed
+    // histogram of the gap (seconds) to the user's previous event —
+    // the latency/cadence profile. The bucket is integer bit-length
+    // (the q83 rho trick: length(bin(g)) — immune to fp log2 at exact
+    // powers of two); gap 0 keeps its own bucket.
+    "q171_interarrival_hist" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("gap_s",
+            ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+              / lit(1000000L)).cast("long"))
+          .filter(col("gap_s").isNotNull)
+          .withColumn("bucket",
+            when(col("gap_s") === 0, lit(0L))
+              .otherwise(length(bin(col("gap_s"))).cast("long")))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH g AS (SELECT event_type,
+                          (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)))
+                            // 1000000 AS gap_s
+                   FROM events),
+        b AS (SELECT event_type,
+                     CASE WHEN gap_s = 0 THEN 0
+                          ELSE length(bin(gap_s)) END::BIGINT AS bucket
+              FROM g WHERE gap_s IS NOT NULL)
+        SELECT event_type, bucket, count(*)::BIGINT AS n
+        FROM b GROUP BY 1, 2"""))
   )
 }

@@ -4035,5 +4035,68 @@ object TextSim extends QueryPack {
         SELECT doc_id, p_micro, p_micro <= thr_p AS rejected,
                thr_p AS threshold_p_micro, n_rejected
         FROM pv CROSS JOIN thr""")),
+
+    // JOHNSON-LINDENSTRAUSS random projection to 16 dims via seeded
+    // md5 planes — the dimensionality-reduction preprocessing of the
+    // ANN stack, a zero-shuffle map-only pass whose output is the
+    // reduced table (Similarity.jlProject; q169 measures what the 16
+    // dims preserve).
+    "q168_jl_projection" -> Q(
+      (s, d) => Similarity.jlProject(Tables.embeddings(s, d), "vec_id",
+        "embedding", dims = 64, k = 16),
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        planes AS (SELECT p,
+                          [((('0x' || substr(md5('jl' || p || '_' || i), 1, 8))::BIGINT
+                             / 2147483648.0) - 1.0) for i in range(0, 64)] AS pv
+                   FROM (SELECT unnest(range(0, 16)) AS p))
+        SELECT vec_id, p AS dim,
+               floor(list_dot_product(v, pv) * 1e6 + 0.5)::BIGINT AS y_micro
+        FROM e CROSS JOIN planes""")),
+
+    // JL DISTORTION audit on hash-adjacent pairs: projected vs original
+    // squared distance scaled by the 3/k plane-variance factor —
+    // E[ratio] = 1; the spread is the evidence behind choosing k.
+    // Per-plane squared diffs micro-snap before the k-term sum so the
+    // SQL GROUP BY sum is order-free (Similarity.jlDistortion).
+    "q169_jl_distortion" -> Q(
+      (s, d) => Similarity.jlDistortion(Tables.embeddings(s, d), "vec_id",
+        "embedding", dims = 64, k = 16),
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+                          ('0x' || substr(md5('jlpair|' || vec_id), 1, 8))::BIGINT
+                            % 64 AS bucket
+                   FROM embeddings),
+        pr AS (SELECT vec_id AS id_a, v AS va,
+                      lead(vec_id) OVER w AS id_b, lead(v) OVER w AS vb
+               FROM e WINDOW w AS (PARTITION BY bucket ORDER BY vec_id)),
+        pairs AS (SELECT id_a, id_b, va, vb,
+                         floor(((list_dot_product(va, va)
+                                 - 2 * list_dot_product(va, vb))
+                                + list_dot_product(vb, vb)) * 1e6 + 0.5
+                              )::BIGINT AS dorig_micro
+                  FROM pr WHERE id_b IS NOT NULL),
+        planes AS (SELECT p,
+                          [((('0x' || substr(md5('jl' || p || '_' || i), 1, 8))::BIGINT
+                             / 2147483648.0) - 1.0) for i in range(0, 64)] AS pv
+                   FROM (SELECT unnest(range(0, 16)) AS p)),
+        terms AS (SELECT id_a, id_b, dorig_micro,
+                         floor((list_dot_product(va, pv)
+                                - list_dot_product(vb, pv))
+                               * (list_dot_product(va, pv)
+                                  - list_dot_product(vb, pv))
+                               * 1e6 + 0.5)::BIGINT AS tsq
+                  FROM pairs CROSS JOIN planes),
+        agg AS (SELECT id_a, id_b, dorig_micro,
+                       sum(tsq)::BIGINT AS sproj_micro
+                FROM terms GROUP BY 1, 2, 3)
+        SELECT id_a, id_b, dorig_micro, sproj_micro,
+               CASE WHEN dorig_micro > 0
+                    THEN floor(sproj_micro::DOUBLE * 3.0
+                               / (16.0 * dorig_micro::DOUBLE) * 1e6
+                               + 0.5)::BIGINT
+               END AS ratio_micro
+        FROM agg""")),
   )
 }

@@ -725,6 +725,86 @@ object Similarity {
         col("p.best.code").as("code"), col("p.best.sse_micro").as("sse_micro"))
   }
 
+  /** JL plane p over `dims` dimensions: component i = md5("jl{p}_{i}")
+    * — a seed family distinct from the LSH planes and both centroid
+    * families. */
+  private[graft] def jlPlaneVec(p: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims)(i => mdComponent(s"jl${p}_$i"))
+
+  /** JOHNSON-LINDENSTRAUSS random projection: embed `dims`-dim vectors
+    * into `k` dims via deterministic md5-seeded planes (components
+    * uniform on [−1, 1], so E[proj²] = ‖x‖²·k/3 — [[jlDistortion]]
+    * measures how tight that is on real pairs). The cheap-preprocessing
+    * half of the ANN stack: downstream banding/clustering on k ≪ dims
+    * coordinates pays k/dims of every distance computation.
+    *
+    * Scale shape: zero shuffles — k kernel dots per row in one codegen
+    * span, then one explode to the (vec_id, dim) grain (the q134
+    * map-only-pass shape; the output IS the reduced table, ready to
+    * write partitioned).
+    */
+  def jlProject(vectors: DataFrame, idCol: String, vecCol: String,
+                dims: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= dims, s"target dims $k outside [1, $dims]")
+    val sp = vectors.sparkSession
+    val v = vectors.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val comps = (0 until k).map { p =>
+      val pv = jlPlaneVec(p, dims)
+      struct(lit(p).as("dim"),
+        floor(dot(sp, col("v"), typedLit(pv.toSeq)) * lit(1e6) + lit(0.5))
+          .cast("long").as("y_micro"))
+    }
+    v.select(col("vec_id"), explode(array(comps: _*)).as("c"))
+      .select(col("vec_id"), col("c.dim").as("dim"),
+        col("c.y_micro").as("y_micro"))
+  }
+
+  /** JL DISTORTION AUDIT: on deterministic hash-bucket-adjacent pairs,
+    * the ratio of projected to original squared distance, scaled by the
+    * 3/k variance factor of uniform[−1,1] planes — E[ratio] = 1, spread
+    * = how much geometry k dims actually preserve (the measurement that
+    * turns [[jlProject]]'s k into an evidence-based choice).
+    *
+    * Numerics: per-plane squared diffs micro-snap BEFORE the k-term sum
+    * (an fp sum of 16 doubles would be engine-order-dependent in SQL),
+    * the original distance snaps once, and the ratio is one double tail
+    * over the two exact longs. Projection of the DIFFERENCE is computed
+    * as dot(a, p) − dot(b, p) — linearity keeps the pair row free of
+    * array arithmetic.
+    */
+  def jlDistortion(vectors: DataFrame, idCol: String, vecCol: String,
+                   dims: Int, k: Int, nBuckets: Int = 64,
+                   seed: String = "jlpair|"): DataFrame = {
+    val sp = vectors.sparkSession
+    val v = vectors.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", pmod(
+        graft.text.TextOps.hashPrefix(seed, col("id")), lit(nBuckets.toLong)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val pairs = v
+      .withColumn("nid", lead(col("id"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .filter(col("nid").isNotNull)
+    val aa = dot(sp, col("v"), col("v"))
+    val bb = dot(sp, col("nv"), col("nv"))
+    val ab = dot(sp, col("v"), col("nv"))
+    val dorigMicro = floor(((aa - lit(2.0) * ab) + bb) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val sprojMicro = (0 until k).map { p =>
+      val pv = typedLit(jlPlaneVec(p, dims).toSeq)
+      val t = dot(sp, col("v"), pv) - dot(sp, col("nv"), pv)
+      floor(t * t * lit(1e6) + lit(0.5)).cast("long")
+    }.reduce(_ + _)
+    pairs.select(col("id").as("id_a"), col("nid").as("id_b"),
+        dorigMicro.as("dorig_micro"), sprojMicro.as("sproj_micro"))
+      .withColumn("ratio_micro",
+        when(col("dorig_micro") > 0,
+          floor(col("sproj_micro").cast("double") * lit(3.0)
+            / (lit(k.toDouble) * col("dorig_micro").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long")))
+  }
+
   /** PQ ASYMMETRIC-DISTANCE top-k search (the ADC of Jégou et al. 2011):
     * corpus vectors are represented ONLY by their [[pqAudit]] codes
     * (m·log₂(ksub) bits each); each query precomputes its distance table

@@ -633,6 +633,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q171 bucket core: zero gap, power-of-two edges, sub-second floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    // one user; gaps between consecutive events: 0s, 1s, 2s, 3s, 8s, 0.4s
+    val tsu = Seq(0L, 0L, 1000000L, 3000000L, 6000000L, 14000000L, 14400000L)
+    tsu.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, 1L, "e", 1.0, "{}") }
+      .toDF("event_id", "tsu", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("tsu"))).drop("tsu")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q171_interarrival_hist")(spark, dir)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    // gaps 0 and 0.4s (floored to 0) → bucket 0 (n=2); 1s → 1; 2s,3s → 2; 8s → 4
+    assert(out === Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 4L -> 1L))
+  }
+
   test("q165 Welch core: hand-checked t, degenerate variances NULL") {
     import spark.implicits._
     val df = Seq(("g", 10L), ("g", 20L), ("h", 30L), ("h", 40L))
