@@ -576,6 +576,72 @@ object Advanced extends QueryPack {
                           ELSE length(bin(gap_s)) END::BIGINT AS bucket
               FROM g WHERE gap_s IS NOT NULL)
         SELECT event_type, bucket, count(*)::BIGINT AS n
-        FROM b GROUP BY 1, 2"""))
+        FROM b GROUP BY 1, 2""")),
+
+    // VIEW→PURCHASE CONVERSION LATENCY: per converting user, the delay
+    // from first view to first purchase (purchase strictly after the
+    // view), with the q171 log₂ bucket — the funnel-latency table a
+    // conversion analysis reads. One user-keyed aggregation.
+    "q174_conversion_latency" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view",
+            unix_micros(col("ts")))).as("v"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("p"))
+        .filter(col("v").isNotNull && col("p").isNotNull && col("p") > col("v"))
+        .withColumn("latency_s",
+          ((col("p") - col("v")) / lit(1000000L)).cast("long"))
+        .withColumn("bucket",
+          when(col("latency_s") === 0, lit(0L))
+            .otherwise(length(bin(col("latency_s"))).cast("long")))
+        .select(col("user_id"), col("latency_s"), col("bucket")),
+      Some("""
+        WITH f AS (SELECT user_id,
+                          min(CASE WHEN event_type = 'view'
+                                   THEN epoch_us(ts) END) AS v,
+                          min(CASE WHEN event_type = 'purchase'
+                                   THEN epoch_us(ts) END) AS p
+                   FROM events GROUP BY 1)
+        SELECT user_id, (p - v) // 1000000 AS latency_s,
+               CASE WHEN (p - v) // 1000000 = 0 THEN 0
+                    ELSE length(bin((p - v) // 1000000)) END::BIGINT AS bucket
+        FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p > v""")),
+
+    // TOP BEHAVIORAL PATHS: third-order event-type sequences
+    // (consecutive triples per user) with share of all observed
+    // triples — the path-mining summary above q170's first-order
+    // matrix. The path dimension is |types|³-bounded by construction.
+    "q175_event_paths" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val c = Tables.events(s, d)
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        c.crossJoin(broadcast(c.agg(sum(col("n")).as("tot"))))
+          .select(col("path"), col("n"),
+            floor(col("n").cast("double") * lit(1e6)
+              / col("tot").cast("double") + lit(0.5)).cast("long")
+              .as("share_micro"))
+      },
+      Some("""
+        WITH s AS (SELECT user_id, event_type,
+                          lead(event_type, 1) OVER w AS e2,
+                          lead(event_type, 2) OVER w AS e3
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        c AS (SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                     count(*)::BIGINT AS n
+              FROM s WHERE e3 IS NOT NULL GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+        SELECT path, n,
+               floor(n::DOUBLE * 1e6 / tot::DOUBLE + 0.5)::BIGINT
+                 AS share_micro
+        FROM c CROSS JOIN t"""))
   )
 }

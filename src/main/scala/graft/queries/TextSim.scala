@@ -4098,5 +4098,109 @@ object TextSim extends QueryPack {
                                + 0.5)::BIGINT
                END AS ratio_micro
         FROM agg""")),
+
+    // QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty 2001, μ = 2000) — the language-modeling ranker beside
+    // q65's BM25: sparse decomposition (query constant + length term +
+    // present-term bonus), every component micro-snapped per term so
+    // scores and ranks are engine-exact (Retrieval.qlDirichletTopK).
+    "q172_ql_retrieval" -> Q(
+      (s, d) => Retrieval.qlDirichletTopK(Tables.documents(s, d), "doc_id",
+        "text", queryPred = col("doc_id") % 250 === 0, mu = 2000.0, k = 10),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest($DUCK_TOKENS) AS term
+                      FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS c
+               FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+        coll AS (SELECT term, sum(c)::BIGINT AS ctf FROM tf GROUP BY 1),
+        tt AS (SELECT sum(dl)::BIGINT AS t_total FROM dl),
+        q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 250 = 0),
+        qtf AS (SELECT query_id, term, c AS qf FROM tf
+                JOIN q ON tf.doc_id = q.query_id),
+        qlen AS (SELECT query_id, dl.dl AS qlen FROM dl
+                 JOIN q ON dl.doc_id = q.query_id),
+        qc AS (SELECT query_id,
+                      sum(floor(qf::DOUBLE
+                                * ln(2000.0 * ctf::DOUBLE / t_total::DOUBLE)
+                                * 1e6 + 0.5)::BIGINT)::BIGINT AS qconst_micro
+               FROM qtf JOIN coll USING (term) CROSS JOIN tt GROUP BY 1),
+        pres AS (SELECT query_id, tf.doc_id AS cand_id,
+                        sum(floor(qf::DOUBLE
+                                  * ln(1.0 + tf.c::DOUBLE * t_total::DOUBLE
+                                       / (2000.0 * ctf::DOUBLE))
+                                  * 1e6 + 0.5)::BIGINT)::BIGINT AS pm
+                 FROM qtf JOIN tf USING (term) JOIN coll USING (term)
+                 CROSS JOIN tt
+                 WHERE tf.doc_id <> query_id GROUP BY 1, 2),
+        grid AS (SELECT query_id, qconst_micro, qlen, dl.doc_id AS cand_id,
+                        dl.dl
+                 FROM qlen JOIN qc USING (query_id) CROSS JOIN dl
+                 WHERE dl.doc_id <> query_id),
+        scored AS (SELECT query_id, cand_id,
+                          qconst_micro
+                          - floor(qlen::DOUBLE * ln(dl::DOUBLE + 2000.0)
+                                  * 1e6 + 0.5)::BIGINT
+                          + coalesce(pm, 0) AS score_micro
+                   FROM grid LEFT JOIN pres USING (query_id, cand_id))
+        SELECT query_id, cand_id AS doc_id, score_micro, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, cand_id) AS rank
+              FROM scored)
+        WHERE rank <= 10""")),
+
+    // WEIGHTED (bag) JACCARD verification of the q35 LSH candidates:
+    // Σ min(c_a, c_b)/Σ max(c_a, c_b) over token COUNTS — repetition-
+    // aware similarity where set Jaccard saturates (a doc repeating a
+    // template 10× vs once scores identically as a set). One side-
+    // labeled union + two aggregations over the pair-bounded frame.
+    "q173_bag_jaccard" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs.select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val pairs = NearDup.minhashLshPairsFromRows(
+            TextOps.wordShingleRows(docs, "doc_id", "text", 3),
+            k = 16, bands = 8)
+          .select(col("id_a"), col("id_b"))
+        val aSide = pairs.join(tf, tf("doc_id") === pairs("id_a"))
+          .select(col("id_a"), col("id_b"), col("term"),
+            col("c").as("ca"), lit(0L).as("cb"))
+        val bSide = pairs.join(tf, tf("doc_id") === pairs("id_b"))
+          .select(col("id_a"), col("id_b"), col("term"),
+            lit(0L).as("ca"), col("c").as("cb"))
+        aSide.unionByName(bSide)
+          .groupBy(col("id_a"), col("id_b"), col("term"))
+          .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(sum(least(col("ca"), col("cb"))).as("inter_mass"),
+            sum(greatest(col("ca"), col("cb"))).as("union_mass"))
+          .withColumn("jw_micro",
+            floor(col("inter_mass").cast("double") * lit(1e6)
+              / col("union_mass").cast("double") + lit(0.5)).cast("long"))
+      },
+      Some(s"""
+        WITH ${minhashCtes(16, 8)},
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS c
+               FROM (SELECT doc_id, unnest($DUCK_TOKENS) AS term
+                     FROM documents)
+               GROUP BY 1, 2),
+        pr AS (SELECT id_a, id_b FROM cand),
+        sides AS (SELECT id_a, id_b, term, c AS ca, 0::BIGINT AS cb
+                  FROM pr JOIN tf ON tf.doc_id = pr.id_a
+                  UNION ALL
+                  SELECT id_a, id_b, term, 0::BIGINT, c
+                  FROM pr JOIN tf ON tf.doc_id = pr.id_b),
+        m AS (SELECT id_a, id_b, term, sum(ca)::BIGINT AS ca,
+                     sum(cb)::BIGINT AS cb
+              FROM sides GROUP BY 1, 2, 3)
+        SELECT id_a, id_b,
+               sum(least(ca, cb))::BIGINT AS inter_mass,
+               sum(greatest(ca, cb))::BIGINT AS union_mass,
+               floor(sum(least(ca, cb))::DOUBLE * 1e6
+                     / sum(greatest(ca, cb))::DOUBLE + 0.5)::BIGINT
+                 AS jw_micro
+        FROM m GROUP BY 1, 2""")),
   )
 }

@@ -39,6 +39,88 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling ranker next to [[bm25TopK]]:
+    * score(q, d) = Σ_{t∈q} qf_t · ln p(t|d) with
+    * p(t|d) = (c_td + μ·P(t|C)) / (dl + μ). Computed in the standard
+    * sparse decomposition — a query constant Σ qf·ln(μ·P_t), a
+    * document-length term −|q|·ln(dl + μ), and a PRESENT-TERM-only
+    * bonus Σ qf·ln(1 + c_td·T/(μ·ctf_t)) — so the postings join carries
+    * only matching occurrences.
+    *
+    * Queries here are query-by-example documents (`queryPred` rows);
+    * each is its own token multiset. Every component micro-snaps per
+    * term before its integer sum (q65 doctrine), so scores and ranks
+    * are engine-exact.
+    *
+    * Scale note: the final frame scores the FULL query×doc grid (the
+    * dl term differentiates even zero-overlap docs) — the honest
+    * brute-force baseline, q38's role for ANN. A deployment prunes to
+    * overlap candidates plus a dl-extreme fringe, or composes the
+    * score into an impact-ordered index; the grid keeps the oracle
+    * exactly mirrorable.
+    */
+  def qlDirichletTopK(docs: DataFrame, idCol: String, textCol: String,
+                      queryPred: Column, mu: Double, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    // (doc, term) postings are consumed by FOUR frames (collection
+    // stats, dl, query side, candidate side) whose different pruned
+    // schemas defeat canonical exchange reuse (the q124 lesson) — an
+    // uncheckpointed tf re-runs the corpus explode per consumer. The
+    // frame is vocabulary×docs-bounded (distinct terms per doc), the
+    // genuinely-multi-consumed case the checkpoint doctrine reserves
+    // this for; dl derives from it instead of a second explode.
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
+    val coll = tf.groupBy(col("term")).agg(sum(col("c")).as("ctf"))
+    val tTotal = dl.agg(sum(col("dl")).as("t_total"))
+    val qids = docs.filter(queryPred).select(col(idCol).as("query_id"))
+    val qtf = tf.join(qids, tf("doc_id") === qids("query_id"))
+      .select(col("query_id"), col("term"), col("c").as("qf"))
+    val qlen = dl.join(qids, dl("doc_id") === qids("query_id"))
+      .select(col("query_id"), col("dl").as("qlen"))
+    // per-query constant: Σ qf·ln(μ·ctf/T), snapped per term
+    val qconst = qtf.join(coll, Seq("term")).crossJoin(broadcast(tTotal))
+      .withColumn("t", floor(col("qf").cast("double")
+        * log(lit(mu) * col("ctf").cast("double")
+          / col("t_total").cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("query_id")).agg(sum(col("t")).as("qconst_micro"))
+    // present-term bonus: Σ qf·ln(1 + c·T/(μ·ctf)), snapped per term
+    val present = qtf
+      .join(tf.withColumnRenamed("doc_id", "cand_id"), Seq("term"))
+      .join(coll, Seq("term")).crossJoin(broadcast(tTotal))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("t", floor(col("qf").cast("double")
+        * log(lit(1.0) + col("c").cast("double")
+          * col("t_total").cast("double")
+          / (lit(mu) * col("ctf").cast("double"))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("t")).as("present_micro"))
+    // full grid: the dl term scores every candidate, matched or not
+    val grid = qlen.join(qconst, Seq("query_id"))
+      .crossJoin(dl.withColumnRenamed("doc_id", "cand_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("len_micro", floor(col("qlen").cast("double")
+        * log(col("dl").cast("double") + lit(mu)) * lit(1e6) + lit(0.5))
+        .cast("long"))
+    val scored = grid
+      .join(present, Seq("query_id", "cand_id"), "left")
+      .withColumn("score_micro",
+        col("qconst_micro") - col("len_micro")
+          + coalesce(col("present_micro"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        col("score_micro"), col("rank"))
+  }
+
   /** BM25 (Robertson/Spärck Jones, public) top-k documents per query.
     *
     * Scoring uses the Lucene-shaped idf `ln(1 + (N - df + 0.5)/(df + 0.5))`

@@ -650,6 +650,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 4L -> 1L))
   }
 
+  test("q172 QL core: zero-overlap docs still score (length term only)") {
+    import spark.implicits._
+    // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
+    // — with k covering the corpus, the disjoint doc must appear via
+    // the grid's length term (coalesce(present, 0)), ranked below the
+    // overlapping doc, and a LONGER disjoint doc must rank below a
+    // shorter one (the dl term is the only discriminator)
+    val docs = Seq(
+      (0L, "a a b"), (1L, "a b b"), (2L, "z z z"), (3L, "z z z z z z"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Retrieval.qlDirichletTopK(docs, "doc_id", "text",
+        queryPred = col("doc_id") === 0L, mu = 10.0, k = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L),
+      "overlap first, then disjoint docs by ascending length")
+    // hand-check doc 2's score: qconst(q={a:2,b:1}) − 3·ln(3+10)
+    val T = 15.0 // total tokens
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val qconst = snap(2.0 * math.log(10.0 * 3.0 / T)) +
+      snap(1.0 * math.log(10.0 * 3.0 / T))
+    val expected2 = qconst - snap(3.0 * math.log(3.0 + 10.0))
+    assert(out(1).getAs[Long]("score_micro") == expected2)
+  }
+
   test("q165 Welch core: hand-checked t, degenerate variances NULL") {
     import spark.implicits._
     val df = Seq(("g", 10L), ("g", 20L), ("h", 30L), ("h", 40L))
