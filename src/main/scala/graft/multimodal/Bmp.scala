@@ -172,6 +172,37 @@ object Bmp {
     * survive, and the output is always the canonical bottom-up layout
     * whatever the source's row order was.
     */
+  /** 64-bit DIFFERENCE HASH (dHash — Krawetz's public perceptual-hash
+    * construction): sample a fixed 9×8 nearest-neighbor grid through the
+    * validated header walk (source pixel (⌊x·w/9⌋, ⌊y·h/8⌋) — pure
+    * integer arithmetic, any source geometry), integer luma
+    * (b+g+r)/3 per sample, bit (y·8+x) = 1 iff luma(x+1,y) > luma(x,y).
+    * Robust to resize/re-encode (the grid normalizes geometry) and
+    * brightness-monotone edits (only gradient SIGNS survive) — the
+    * image-side analog of SimHash for near-duplicate detection.
+    */
+  def dHash(bytes: Array[Byte]): Long = {
+    val h = parseHeader(bytes)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h.height / 8
+      var x = 0
+      var prev = 0
+      while (x < 9) {
+        val sx = x * h.width / 9
+        val p = h.at(sx, sy)
+        val luma = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff)
+          + (bytes(p + 2) & 0xff)) / 3
+        if (x > 0 && luma > prev) hash |= 1L << (y * 8 + (x - 1))
+        prev = luma
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   def resizeNearest(bytes: Array[Byte], factor: Int): Array[Byte] = {
     val h = parseHeader(bytes)
     require(factor >= 1, s"factor=$factor must be >= 1")

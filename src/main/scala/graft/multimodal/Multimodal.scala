@@ -199,6 +199,126 @@ object Multimodal {
     * leave the executors, nothing collects, and at 100 TB the operator
     * is embarrassingly parallel (per-row work, zero shuffle).
     */
+  /** CONTENT-TEXTURED image fixture: 36×32 gray BMP whose pixel (x, y)
+    * is the first md5 byte of the 16-char text window starting at
+    * ((y·36+x)·7 mod L) — a deterministic stand-in for "the document's
+    * image render". Locality-sensitive by construction: an edit touches
+    * only the windows overlapping it, so near-duplicate TEXTS yield
+    * near-duplicate TEXTURES (small dHash hamming), while unrelated
+    * texts get avalanche-independent pixels — unlike [[bmpFixture]]'s
+    * gradient (whose dHash collapses to one value for every w ≥ 9,
+    * a degenerate clique under near-dup pairing). Windows are CHAR
+    * slices md5'd as UTF-8, so the oracle's substr/md5 mirrors exactly
+    * at any encoding.
+    */
+  def texturedBmpFixture(text: String): Array[Byte] = {
+    val l = text.length
+    require(l > 0, "textured fixture needs non-empty text")
+    // one digest instance per image, reset per window — a fresh
+    // getInstance per pixel measured ~2× the whole fixture cost
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // ASCII fast path: char offsets == byte offsets, so the window can
+    // feed the digest as an in-place slice (no substring / re-encode
+    // per pixel); non-ASCII text falls back to the char-correct form
+    // the oracle's substr mirrors
+    val ascii = bytes.length == l
+    Bmp.encode(36, 32, (x, y) => {
+      val p = ((y * 36 + x) * 7) % l
+      md.reset()
+      if (ascii) md.update(bytes, p, math.min(16, l - p))
+      else md.update(text.substring(p, math.min(p + 16, l))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest()(0) & 0xff
+    })
+  }
+
+  /** One textured image per document (all doc_ids — this is the
+    * image-dedup fixture corpus, not [[mediaFixtures]]' mixed one). */
+  def texturedImageFixtures(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRow(id, "image", texturedBmpFixture(text)) }
+  }
+
+  /** CONTENT-TEXTURED audio fixture: 65 frames × 64 samples of 16-bit
+    * PCM, frame f held constant at the int16 read from the first two
+    * md5 bytes of the 16-char text window starting at (f·11 mod L) —
+    * [[texturedBmpFixture]]'s audio sibling, same locality argument
+    * (an edit perturbs only the frames whose windows overlap it).
+    */
+  def texturedWavFixture(text: String): Array[Byte] = {
+    val l = text.length
+    require(l > 0, "textured fixture needs non-empty text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ascii = bytes.length == l
+    val samples = new Array[Short](65 * 64)
+    var f = 0
+    while (f < 65) {
+      val p = (f * 11) % l
+      md.reset()
+      if (ascii) md.update(bytes, p, math.min(16, l - p))
+      else md.update(text.substring(p, math.min(p + 16, l))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val u = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      val a = (if (u >= 32768) u - 65536 else u).toShort
+      java.util.Arrays.fill(samples, f * 64, (f + 1) * 64, a)
+      f += 1
+    }
+    Wav.encode(8000, samples)
+  }
+
+  /** One textured audio clip per document — the audio-dedup fixture. */
+  def texturedAudioFixtures(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) => MediaRow(id, "audio", texturedWavFixture(text)) }
+  }
+
+  /** ENERGY-DELTA audio fingerprint — (doc_id, ahash LONG): bit f = 1
+    * iff frame f+1's Σ|sample| exceeds frame f's, over the first 65
+    * decoded 64-sample frames (→ 64 bits). The Haitsma-Kalker-family
+    * sign-of-derivative construction on the exact integer energy
+    * envelope (`Wav.frameAbsSums` — no fp anywhere): amplitude-scale
+    * edits that preserve the envelope's SHAPE keep the hash, so it
+    * feeds `NearDup.hammingPairs` exactly like the image dHash. Clips
+    * shorter than 66 frames hash their available deltas (remaining
+    * bits 0). Scan-stage mapPartitions, zero shuffle.
+    */
+  def audioEnergyHashes(spark: SparkSession, media: DataFrame,
+                        frameSamples: Int = 64): DataFrame = {
+    import spark.implicits._
+    asMediaRows(spark, media.filter(col("media_type") === "audio"))
+      .mapPartitions(rows => rows.map { r =>
+        val e = Wav.frameAbsSums(r.payload, frameSamples)
+        var hash = 0L
+        var f = 0
+        val nBits = math.min(64, e.length - 1)
+        while (f < nBits) {
+          if (e(f + 1) > e(f)) hash |= 1L << f
+          f += 1
+        }
+        (r.doc_id, hash)
+      })
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Perceptual dHash per image payload — (doc_id, dhash LONG) through
+    * the real codec, scan-stage mapPartitions, zero shuffle. Feed the
+    * result to `NearDup.hammingPairs` for banded image near-dup pairs
+    * (the multimodal arm of the dedup family: the hash is 64 bits per
+    * image regardless of pixel count, so the pair stage costs the same
+    * as SimHash text dedup at any image size).
+    */
+  def imageDHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    asMediaRows(spark, media.filter(col("media_type") === "image"))
+      .mapPartitions(rows => rows.map(r => (r.doc_id, Bmp.dHash(r.payload))))
+      .toDF("doc_id", "dhash")
+  }
+
   def resizeImages(spark: SparkSession, media: DataFrame,
                    factor: Int): Dataset[ResizedImage] = {
     import spark.implicits._

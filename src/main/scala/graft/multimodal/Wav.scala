@@ -60,13 +60,18 @@ object Wav {
   /** Parse + full sample walk. Rejects anything that is not PCM 16-bit
     * with a complete `fmt ` + `data` pair.
     */
-  def decode(bytes: Array[Byte]): Info = {
+  /** Validated chunk geometry — shared by every sample walk ([[decode]],
+    * [[frameAbsSums]]) so they cannot diverge on header semantics. */
+  private final case class Parsed(rate: Int, channels: Int, bits: Int,
+                                  dataOff: Int, dataLen: Int)
+
+  private def parse(bytes: Array[Byte]): Parsed = {
     def fail(msg: String) = throw new IllegalArgumentException(s"WAV: $msg")
     if (bytes.length < 12) fail("truncated RIFF header")
     if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") fail("bad magic")
     var off = 12
     var rate = -1; var channels = -1; var bits = -1; var blockAlign = -1
-    var nSamples = -1L; var peak = 0
+    var dataOff = -1; var dataLen = -1
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
       val size = le32(bytes, off + 4)
@@ -75,8 +80,7 @@ object Wav {
       id match {
         case "fmt " =>
           // a second fmt/data chunk would silently overwrite or blend
-          // state (peak keeps accumulating across data chunks) — reject
-          // loudly, matching the strictness of the other validations
+          // state — reject loudly, matching the other validations
           if (rate >= 0) fail("duplicate fmt chunk")
           if (size < 16) fail("fmt chunk too short")
           if (le16(bytes, body) != 1) fail("non-PCM format unsupported")
@@ -89,23 +93,56 @@ object Wav {
             fail(s"inconsistent fmt: ch=$channels rate=$rate align=$blockAlign")
         case "data" =>
           if (rate < 0) fail("data chunk before fmt")
-          if (nSamples >= 0) fail("duplicate data chunk")
+          if (dataOff >= 0) fail("duplicate data chunk")
           if (size % blockAlign != 0) fail("data length not frame-aligned")
-          nSamples = size.toLong / 2 // per-channel int16 count × channels
-          var p = body
-          val end = body + size
-          while (p < end) {
-            val v = le16(bytes, p).toShort.toInt
-            val a = math.abs(v)
-            if (a > peak) peak = a
-            p += 2
-          }
+          dataOff = body; dataLen = size
         case _ => () // unknown chunk (LIST, fact, ...) — skip
       }
       off = body + size + (size & 1) // RIFF pads odd chunks to even
     }
     if (rate < 0) fail("missing fmt chunk")
-    if (nSamples < 0) fail("missing data chunk")
-    Info(rate, channels, bits, nSamples / channels, peak)
+    if (dataOff < 0) fail("missing data chunk")
+    Parsed(rate, channels, bits, dataOff, dataLen)
+  }
+
+  def decode(bytes: Array[Byte]): Info = {
+    val h = parse(bytes)
+    var peak = 0
+    var p = h.dataOff
+    val end = h.dataOff + h.dataLen
+    while (p < end) {
+      val v = le16(bytes, p).toShort.toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      p += 2
+    }
+    Info(h.rate, h.channels, h.bits, h.dataLen.toLong / 2 / h.channels, peak)
+  }
+
+  /** Per-frame Σ|sample| over consecutive `frameSamples`-sample frames
+    * (channels interleaved; the tail partial frame is dropped) — the
+    * exact-integer energy envelope an audio fingerprint reads. A real
+    * decode pass through the validated chunk walk, not a header trick.
+    */
+  def frameAbsSums(bytes: Array[Byte], frameSamples: Int): Array[Long] = {
+    require(frameSamples > 0, s"frameSamples=$frameSamples must be positive")
+    val h = parse(bytes)
+    val total = h.dataLen / 2
+    val nFrames = total / frameSamples
+    val out = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0L
+      var i = 0
+      var p = h.dataOff + f * frameSamples * 2
+      while (i < frameSamples) {
+        acc += math.abs(le16(bytes, p).toShort.toInt)
+        i += 1
+        p += 2
+      }
+      out(f) = acc
+      f += 1
+    }
+    out
   }
 }

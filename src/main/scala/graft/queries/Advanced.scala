@@ -642,6 +642,212 @@ object Advanced extends QueryPack {
         SELECT path, n,
                floor(n::DOUBLE * 1e6 / tot::DOUBLE + 0.5)::BIGINT
                  AS share_micro
-        FROM c CROSS JOIN t"""))
+        FROM c CROSS JOIN t""")),
+
+    // KAPLAN-MEIER conversion survival (ops/Survival.scala): time to
+    // first purchase with right-censoring at each user's last event —
+    // the unbiased conversion curve (naive funnel rates count not-yet
+    // converters as failures). ln S(t) as exact integer sums of
+    // micro-snapped per-step terms; windows over the guarded day
+    // histogram only.
+    "q180_km_survival" -> Q(
+      (s, d) => graft.ops.Survival.kaplanMeier(Tables.events(s, d),
+        "user_id", "ts", col("event_type") === "purchase"),
+      Some("""
+        WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+                           min(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts) END) AS tp,
+                           max(epoch_us(ts)) AS tl
+                    FROM events GROUP BY 1),
+        dur AS (SELECT CASE WHEN tp IS NOT NULL
+                            THEN (tp - t0) // 86400000000
+                            ELSE (tl - t0) // 86400000000 END AS dur_days,
+                       CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+                FROM pu),
+        hist AS (SELECT dur_days, sum(ev)::BIGINT AS d,
+                        sum(1 - ev)::BIGINT AS c
+                 FROM dur GROUP BY 1),
+        t AS (SELECT sum(d + c)::BIGINT AS n_total FROM hist),
+        r AS (SELECT dur_days, d, c,
+                     n_total - coalesce(sum(d + c) OVER
+                       (ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n_risk
+              FROM hist CROSS JOIN t),
+        tm AS (SELECT *, CASE WHEN d = 0 THEN 0
+                              WHEN d = n_risk THEN -1000000000000000
+                              ELSE floor(ln((n_risk - d)::DOUBLE
+                                            / n_risk::DOUBLE)
+                                         * 1e6 + 0.5)::BIGINT END AS term
+               FROM r)
+        SELECT dur_days, n_risk::BIGINT AS n_risk, d, c,
+               sum(term) OVER (ORDER BY dur_days ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW)::BIGINT
+                 AS ln_surv_micro
+        FROM tm""")),
+
+    // RFM SEGMENTATION (recency / frequency / monetary quintiles) — the
+    // classic customer-value census, built on Calibrate.cumeDist's
+    // guarded-histogram machinery three times (never a per-metric corpus
+    // sort): each metric maps to its exact ties-inclusive cumulative
+    // fraction, quintile = ceil(5·pct) in integer arithmetic, recency
+    // flipped so 5 = most recent. Monetary SCORES on whole units (the
+    // histogram-boundedness contract) while the output keeps exact
+    // centi-units.
+    "q182_rfm_segments" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val maxTs = ev.agg(max(unix_micros(col("ts"))).as("t_max"))
+        val users = ev.groupBy(col("user_id"))
+          .agg(max(unix_micros(col("ts"))).as("t_last"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("freq"),
+            coalesce(sum(when(col("event_type") === "purchase",
+              floor(col("value") * lit(100) + lit(0.5)).cast("long"))),
+              lit(0L)).as("mon_centi"))
+          .crossJoin(broadcast(maxTs))
+          .withColumn("rec_days", expr("(t_max - t_last) div 86400000000"))
+          .select(col("user_id"), col("rec_days"), col("freq"),
+            col("mon_centi"))
+          .withColumn("g", lit("all"))
+          .localCheckpoint(true) // three cumeDist passes share one frame
+        val withR = graft.text.Calibrate.cumeDist(users, "g", col("rec_days"))
+          .withColumnRenamed("pct_micro", "pct_r")
+          .drop("score_micro", "n_group")
+        val withF = graft.text.Calibrate.cumeDist(withR, "g", col("freq"))
+          .withColumnRenamed("pct_micro", "pct_f")
+          .drop("score_micro", "n_group")
+        val withM = graft.text.Calibrate.cumeDist(withF, "g",
+            expr("mon_centi div 100"))
+          .withColumnRenamed("pct_micro", "pct_m")
+          .drop("score_micro", "n_group")
+        withM
+          .withColumn("r", lit(6L) - expr("(pct_r * 5 + 999999) div 1000000"))
+          .withColumn("f", expr("(pct_f * 5 + 999999) div 1000000"))
+          .withColumn("m", expr("(pct_m * 5 + 999999) div 1000000"))
+          .select(col("user_id"), col("rec_days"), col("freq"),
+            col("mon_centi"), col("r"), col("f"), col("m"),
+            concat(col("r"), col("f"), col("m")).as("segment"))
+      },
+      Some("""
+        WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+        u AS (SELECT user_id,
+                     (t_max - max(epoch_us(ts))) // 86400000000 AS rec_days,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END)::BIGINT AS freq,
+                     coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN floor(value * 100 + 0.5)::BIGINT END), 0)::BIGINT
+                       AS mon_centi
+              FROM events CROSS JOIN mx GROUP BY user_id, t_max),
+        n AS (SELECT count(*)::BIGINT AS n FROM u),
+        p AS (SELECT user_id, rec_days, freq, mon_centi,
+                     floor((count(*) OVER (ORDER BY rec_days RANGE BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                       * 1e6 / n::DOUBLE + 0.5)::BIGINT AS pct_r,
+                     floor((count(*) OVER (ORDER BY freq RANGE BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                       * 1e6 / n::DOUBLE + 0.5)::BIGINT AS pct_f,
+                     floor((count(*) OVER (ORDER BY mon_centi // 100
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                       * 1e6 / n::DOUBLE + 0.5)::BIGINT AS pct_m
+              FROM u CROSS JOIN n)
+        SELECT user_id, rec_days, freq, mon_centi,
+               6 - (pct_r * 5 + 999999) // 1000000 AS r,
+               (pct_f * 5 + 999999) // 1000000 AS f,
+               (pct_m * 5 + 999999) // 1000000 AS m,
+               concat((6 - (pct_r * 5 + 999999) // 1000000)::VARCHAR,
+                 ((pct_f * 5 + 999999) // 1000000)::VARCHAR,
+                 ((pct_m * 5 + 999999) // 1000000)::VARCHAR) AS segment
+        FROM p""")),
+
+    // BOT-REGULARITY FLAG: per-user squared coefficient of variation of
+    // inter-event gaps — scripted clients fire on near-fixed intervals
+    // (CV² ≈ 0) where humans are bursty (CV² ≳ 1); the standard traffic-
+    // hygiene gate before any engagement metric. Exact rational:
+    // CV² = (n·Σg² − S²)/S² on second-snapped integer gaps (µs gaps
+    // squared would overflow BIGINT at calendar spans), one user-keyed
+    // window + one aggregation, flag at CV² < 0.01.
+    "q186_bot_regularity" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("nxt", lead(unix_micros(col("ts")), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .withColumn("gap_s", expr("(nxt - unix_micros(ts)) div 1000000"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sg"),
+            sum(col("gap_s") * col("gap_s")).as("sg2"))
+          .filter(col("n_gaps") >= 4 && col("sg") > 0)
+          .withColumn("cv2_micro",
+            floor((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
+              .cast("double") * lit(1e6)
+              / (col("sg") * col("sg")).cast("double") + lit(0.5))
+              .cast("long"))
+          .withColumn("is_regular", (col("cv2_micro") < 10000L).cast("int"))
+          .select(col("user_id"), col("n_gaps"), col("cv2_micro"),
+            col("is_regular"))
+      },
+      Some("""
+        WITH g AS (SELECT user_id,
+                          (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) - epoch_us(ts))
+                            // 1000000 AS gap_s
+                   FROM events),
+        u AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+                     sum(gap_s)::BIGINT AS sg,
+                     sum(gap_s * gap_s)::BIGINT AS sg2
+              FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        SELECT user_id, n_gaps,
+               floor((n_gaps * sg2 - sg * sg)::DOUBLE * 1e6
+                     / (sg * sg)::DOUBLE + 0.5)::BIGINT AS cv2_micro,
+               (floor((n_gaps * sg2 - sg * sg)::DOUBLE * 1e6
+                      / (sg * sg)::DOUBLE + 0.5) < 10000)::INT AS is_regular
+        FROM u WHERE n_gaps >= 4 AND sg > 0""")),
+
+    // 3-CORE of the q113 co-occurrence graph (graph/KCore.scala): the
+    // cohesive-community filter — nodes keeping ≥ 3 neighbors INSIDE
+    // the surviving subgraph after 3 peels (fixed unrolled rounds, the
+    // q77 oracle-mirrorable iteration discipline; equal survivor counts
+    // across budgets ⇒ converged). Each peel: one degree aggregation +
+    // two semi joins on the shrinking edge frame.
+    "q188_kcore" -> Q(
+      (s, d) => graft.graph.KCore.peel(
+        Triangles.coOccurrenceEdges(
+          Tables.events(s, d).select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hb")),
+          "user_id", Seq("event_type", "hb"), minShared = 4L),
+        "a", "b", k = 3, rounds = 3)
+        .select(col("node").as("user_id"), col("deg")),
+      Some("""
+        WITH b AS (
+          SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hb,
+                 user_id
+          FROM events),
+        e0 AS (
+          SELECT a.user_id AS a, c.user_id AS b
+          FROM b a JOIN b c USING (event_type, hb)
+          WHERE a.user_id < c.user_id
+          GROUP BY 1, 2 HAVING count(*) >= 4),
+        k0 AS (SELECT node FROM (SELECT a AS node FROM e0 UNION ALL
+                                 SELECT b FROM e0)
+               GROUP BY 1 HAVING count(*) >= 3),
+        e1 AS (SELECT a, b FROM e0
+               WHERE a IN (SELECT node FROM k0)
+                 AND b IN (SELECT node FROM k0)),
+        k1 AS (SELECT node FROM (SELECT a AS node FROM e1 UNION ALL
+                                 SELECT b FROM e1)
+               GROUP BY 1 HAVING count(*) >= 3),
+        e2 AS (SELECT a, b FROM e1
+               WHERE a IN (SELECT node FROM k1)
+                 AND b IN (SELECT node FROM k1)),
+        k2 AS (SELECT node FROM (SELECT a AS node FROM e2 UNION ALL
+                                 SELECT b FROM e2)
+               GROUP BY 1 HAVING count(*) >= 3),
+        e3 AS (SELECT a, b FROM e2
+               WHERE a IN (SELECT node FROM k2)
+                 AND b IN (SELECT node FROM k2))
+        SELECT node AS user_id, count(*)::BIGINT AS deg
+        FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+        GROUP BY 1"""))
   )
 }

@@ -167,6 +167,44 @@ object TextSim extends QueryPack {
     * Ends in `sse (vec_id, subspace, code, sse_micro)` with `e` and
     * `cc` also available. Parameters mirror pqAudit(dims=64, m=4,
     * ksub=8) — dsub = 16. */
+  /** The multinomial-NB model CTE chain (q133's formula), ending in
+    * `tot (doc_id, label_true, cand, total)` — one generator for the
+    * argmax self-test (q133) and the margin-calibration table (q177) so
+    * the model formula cannot drift between them. */
+  private def nbCtes: String = s"""
+        toks AS (SELECT doc_id, lang AS label_true,
+                             unnest($DUCK_TOKENS) AS term
+                      FROM documents),
+        ctl AS (SELECT label_true AS label, term, count(*)::BIGINT AS c_tl
+                FROM toks GROUP BY 1, 2),
+        labels AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,
+                          sum(len($DUCK_TOKENS))::BIGINT AS t_l
+                   FROM documents GROUP BY 1),
+        nall AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+        vc AS (SELECT count(DISTINCT term)::BIGINT AS v FROM ctl),
+        grid AS (
+          SELECT t.term, l.label,
+                 floor((ln(coalesce(c.c_tl, 0)::DOUBLE + 1.0)
+                        - ln((l.t_l + vc.v)::DOUBLE)) * 1e6 + 0.5)::BIGINT AS s_micro
+          FROM (SELECT DISTINCT term FROM ctl) t
+          CROSS JOIN labels l
+          LEFT JOIN ctl c ON c.term = t.term AND c.label = l.label
+          CROSS JOIN vc),
+        priors AS (
+          SELECT label,
+                 floor((ln(n_docs::DOUBLE) - ln(n_all::DOUBLE)) * 1e6 + 0.5)::BIGINT
+                   AS prior_micro
+          FROM labels CROSS JOIN nall),
+        sc AS (
+          SELECT tk.doc_id, tk.label_true, g.label,
+                 sum(g.s_micro)::BIGINT AS ll_micro
+          FROM toks tk JOIN grid g USING (term)
+          GROUP BY 1, 2, 3),
+        tot AS (
+          SELECT sc.doc_id, sc.label_true, sc.label AS cand,
+                 sc.ll_micro + p.prior_micro AS total
+          FROM sc JOIN priors p USING (label))"""
+
   private def pqCtes: String = """
         e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                    FROM embeddings),
@@ -2922,38 +2960,7 @@ object TextSim extends QueryPack {
       (s, d) => Classify.naiveBayesSelfTest(Tables.documents(s, d),
         "doc_id", "text", "lang"),
       Some(s"""
-        WITH toks AS (SELECT doc_id, lang AS label_true,
-                             unnest($DUCK_TOKENS) AS term
-                      FROM documents),
-        ctl AS (SELECT label_true AS label, term, count(*)::BIGINT AS c_tl
-                FROM toks GROUP BY 1, 2),
-        labels AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,
-                          sum(len($DUCK_TOKENS))::BIGINT AS t_l
-                   FROM documents GROUP BY 1),
-        nall AS (SELECT count(*)::BIGINT AS n_all FROM documents),
-        vc AS (SELECT count(DISTINCT term)::BIGINT AS v FROM ctl),
-        grid AS (
-          SELECT t.term, l.label,
-                 floor((ln(coalesce(c.c_tl, 0)::DOUBLE + 1.0)
-                        - ln((l.t_l + vc.v)::DOUBLE)) * 1e6 + 0.5)::BIGINT AS s_micro
-          FROM (SELECT DISTINCT term FROM ctl) t
-          CROSS JOIN labels l
-          LEFT JOIN ctl c ON c.term = t.term AND c.label = l.label
-          CROSS JOIN vc),
-        priors AS (
-          SELECT label,
-                 floor((ln(n_docs::DOUBLE) - ln(n_all::DOUBLE)) * 1e6 + 0.5)::BIGINT
-                   AS prior_micro
-          FROM labels CROSS JOIN nall),
-        sc AS (
-          SELECT tk.doc_id, tk.label_true, g.label,
-                 sum(g.s_micro)::BIGINT AS ll_micro
-          FROM toks tk JOIN grid g USING (term)
-          GROUP BY 1, 2, 3),
-        tot AS (
-          SELECT sc.doc_id, sc.label_true, sc.label AS cand,
-                 sc.ll_micro + p.prior_micro AS total
-          FROM sc JOIN priors p USING (label))
+        WITH $nbCtes
         SELECT doc_id, label_true AS label, cand AS pred_label,
                total AS score_micro, (cand = label_true)::INT AS correct
         FROM tot
@@ -4202,5 +4209,440 @@ object TextSim extends QueryPack {
                      / sum(greatest(ca, cb))::DOUBLE + 0.5)::BIGINT
                  AS jw_micro
         FROM m GROUP BY 1, 2""")),
+
+    // POPULATION STABILITY INDEX per source vs the corpus marginal
+    // (text/Calibrate.scala) — the production drift score beside q132's
+    // token-level KL: PSI over log₂ doc-length buckets, add-one smoothed
+    // on a zero-cell-complete grid, per-bin terms micro-snapped. The
+    // corpus pays one (group, bucket) aggregation; everything after is
+    // (groups × ≤64 buckets)-bounded.
+    "q176_psi_drift" -> Q(
+      (s, d) => Calibrate.psiByGroup(Tables.documents(s, d), "source",
+          col("n_chars"))
+        .withColumnRenamed("grp", "source"),
+      Some("""
+        WITH b AS (SELECT source AS grp,
+                          CASE WHEN n_chars <= 0 THEN 0
+                               ELSE length(bin(n_chars)) END::BIGINT AS bucket
+                   FROM documents),
+        cg AS (SELECT grp, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        g AS (SELECT grp, sum(c)::BIGINT AS n_g FROM cg GROUP BY 1),
+        bk AS (SELECT bucket, sum(c)::BIGINT AS c_all FROM cg GROUP BY 1),
+        nb AS (SELECT count(*)::BIGINT AS b, sum(c_all)::BIGINT AS n_all
+               FROM bk),
+        grid AS (SELECT g.grp, g.n_g, bk.bucket, bk.c_all,
+                        coalesce(cg.c, 0)::BIGINT AS c
+                 FROM g CROSS JOIN bk
+                 LEFT JOIN cg ON cg.grp = g.grp AND cg.bucket = bk.bucket)
+        SELECT grp AS source, n_g,
+               sum(floor(((c + 1)::DOUBLE / (n_g + b)::DOUBLE
+                          - (c_all + 1)::DOUBLE / (n_all + b)::DOUBLE)
+                         * ln(((c + 1)::DOUBLE / (n_g + b)::DOUBLE)
+                              / ((c_all + 1)::DOUBLE / (n_all + b)::DOUBLE))
+                         * 1e6 + 0.5)::BIGINT)::BIGINT AS psi_micro
+        FROM grid CROSS JOIN nb GROUP BY 1, 2""")),
+
+    // NB MARGIN-CALIBRATION TABLE (text/Classify.scala): per log₂
+    // confidence-margin bucket, the classifier's empirical accuracy —
+    // the reliability diagram for a log-space classifier. Shares the
+    // nbCtes model chain with q133 so the formula cannot drift; top-1
+    // and runner-up via two argmax passes, no per-doc window sort.
+    "q177_margin_calibration" -> Q(
+      (s, d) => Classify.nbMarginCalibration(Tables.documents(s, d),
+        "doc_id", "text", "lang"),
+      Some(s"""
+        WITH $nbCtes,
+        ranked AS (SELECT doc_id, label_true, cand, total,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY total DESC, cand DESC)
+                            AS rn
+                   FROM tot),
+        m AS (SELECT b.doc_id, b.label_true, b.cand AS pred,
+                     b.total - s.total AS margin
+              FROM ranked b JOIN ranked s
+                ON b.doc_id = s.doc_id AND b.rn = 1 AND s.rn = 2),
+        bb AS (SELECT CASE WHEN margin <= 0 THEN 0
+                           ELSE length(bin(margin)) END::BIGINT AS bucket,
+                      (pred = label_true)::INT AS ok
+               FROM m)
+        SELECT bucket, count(*)::BIGINT AS n, sum(ok)::BIGINT AS n_correct,
+               floor(sum(ok)::DOUBLE * 1e6 / count(*)::DOUBLE + 0.5)::BIGINT
+                 AS acc_micro
+        FROM bb GROUP BY 1""")),
+
+    // LINEAR-KERNEL MMD² MATRIX between label populations: the
+    // two-sample drift statistic ||μ_a − μ_b||² over the q126 centroid
+    // frame (micro-snapped half-up integer means, so the squared-diff
+    // sum is exact), one row per unordered label pair — "which cohorts
+    // moved apart" read at a glance. Linear-kernel MMD² IS the centroid
+    // distance (Gretton et al. 2012 reduces to it for k(x,y)=x·y), so
+    // the cost is one corpus scan + a label×dims-bounded self-join.
+    "q178_mmd_matrix" -> Q(
+      (s, d) => {
+        val ex = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("xm",
+            floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+        val comp = ex.groupBy("label", "pos").agg(
+            sum(col("xm")).as("smm"), count(lit(1)).as("n"))
+          .withColumn("mm",
+            floor(col("smm").cast("double") / col("n").cast("double") + lit(0.5))
+              .cast("long"))
+          .select(col("label"), col("pos"), col("mm"))
+        val a = comp.select(col("label").as("label_a"), col("pos"),
+          col("mm").as("ma"))
+        val b = comp.select(col("label").as("label_b"), col("pos"),
+          col("mm").as("mb"))
+        a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+          .groupBy(col("label_a"), col("label_b"))
+          .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("d2"))
+          .withColumn("dist_micro",
+            floor(sqrt(col("d2").cast("double")) + lit(0.5)).cast("long"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT label, vec_id, pos,
+                 floor(embedding[pos]::DOUBLE * 1e6 + 0.5)::BIGINT AS xm
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) u(pos)),
+        comp AS (
+          SELECT label, pos,
+                 floor(sum(xm)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT AS mm
+          FROM ex GROUP BY 1, 2),
+        p AS (SELECT a.label AS label_a, b.label AS label_b,
+                     sum((a.mm - b.mm) * (a.mm - b.mm))::BIGINT AS d2
+              FROM comp a JOIN comp b
+                ON a.pos = b.pos AND a.label < b.label
+              GROUP BY 1, 2)
+        SELECT label_a, label_b, d2,
+               floor(sqrt(d2::DOUBLE) + 0.5)::BIGINT AS dist_micro
+        FROM p""")),
+
+    // SIMPLIFIED SILHOUETTE per IVF cell (sim/Similarity.scala): the
+    // clustering-quality census of the q43 index's cell structure —
+    // a/b distances read off the assignment kernel's existing ccos
+    // array (no second scan), s = (b − a)/b micro-exact, per-cell mean.
+    "q179_cell_silhouette" -> Q(
+      (s, d) => Similarity.silhouetteByCell(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, centroids = 16),
+      Some(s"""
+        WITH ${ivfAssignCtes(16, 64)},
+        ranked AS (SELECT vec_id, c, ccos,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY ccos DESC, c) AS rn
+                   FROM scored_cells),
+        ab AS (SELECT r1.vec_id, r1.c AS cell,
+                      floor((1 - r1.ccos) * 1e6 + 0.5)::BIGINT AS am,
+                      floor((1 - r2.ccos) * 1e6 + 0.5)::BIGINT AS bm
+               FROM ranked r1 JOIN ranked r2
+                 ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+        sil AS (SELECT vec_id, cell,
+                       CASE WHEN bm <= 0 THEN 0
+                            ELSE floor((bm - am)::DOUBLE * 1e6 / bm::DOUBLE
+                                       + 0.5) END::BIGINT AS s_micro
+                FROM ab)
+        SELECT cell, count(*)::BIGINT AS n_vecs,
+               floor(sum(s_micro)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
+                 AS mean_sil_micro
+        FROM sil GROUP BY 1""")),
+
+    // HILL TAIL-INDEX of the token-frequency distribution
+    // (text/CorpusStats.scala): the heavy-tail exponent MLE beside
+    // q163's regression slope — α drifting low = head fattening
+    // (template flooding). One count aggregation + the bounded
+    // top-(k+1) cut; tie-invariant by construction.
+    "q181_hill_tail" -> Q(
+      (s, d) => CorpusStats.hillTailIndex(Tables.documents(s, d), "text",
+        k = 20),
+      Some(s"""
+        WITH tf AS (SELECT term, count(*)::BIGINT AS c
+                    FROM (SELECT unnest($DUCK_TOKENS) AS term
+                          FROM documents)
+                    GROUP BY 1),
+        head AS (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT 21),
+        ft AS (SELECT min(c)::BIGINT AS f_tail FROM head),
+        mom AS (SELECT (count(*) - 1)::BIGINT AS n_head, f_tail,
+                       sum(floor(ln(c::DOUBLE / f_tail::DOUBLE) * 1e6
+                                 + 0.5)::BIGINT)::BIGINT AS s
+                FROM head CROSS JOIN ft GROUP BY f_tail)
+        SELECT n_head, f_tail,
+               CASE WHEN n_head > 0 AND s > 0
+                    THEN floor(s::DOUBLE / n_head::DOUBLE + 0.5)::BIGINT
+               END AS h_micro,
+               CASE WHEN n_head > 0 AND s > 0
+                    THEN floor(1e12 / floor(s::DOUBLE / n_head::DOUBLE
+                                            + 0.5) + 0.5)::BIGINT
+               END AS alpha_micro
+        FROM mom""")),
+
+    // IMAGE NEAR-DUP PAIRS via perceptual dHash + hamming banding — the
+    // multimodal arm of the dedup family: 64-bit difference hash through
+    // the REAL BMP codec (multimodal/Bmp.dHash: fixed 9×8 nearest grid,
+    // integer luma gradients) over the content-textured fixture corpus,
+    // then the SAME pigeonhole-complete banding engine as text SimHash
+    // (NearDup.hammingPairs, 8 bands, ham ≤ 2). The oracle needs no
+    // codec: the texture is md5-of-window per pixel and the dHash grid
+    // samples pixels (4x, 4y), so the hash has a closed md5 form — and
+    // the oracle's QUADRATIC pair scan doubles as a banding-completeness
+    // proof (recall 1: any pair the bands missed would fail the compare).
+    "q183_image_neardup" -> Q(
+      (s, d) => {
+        val media = Multimodal.texturedImageFixtures(s,
+          Tables.documents(s, d)).toDF()
+        NearDup.hammingPairs(Multimodal.imageDHashes(s, media),
+          "doc_id", "dhash", bits = 64, bands = 8, maxHamming = 2)
+      },
+      Some("""
+        WITH img AS (SELECT doc_id, text, length(text)::BIGINT AS L
+                     FROM documents),
+        pix AS (SELECT doc_id, y, x,
+                       ('0x' || substr(md5(substr(text,
+                          (((144 * y + 4 * x) * 7) % L) + 1, 16)), 1, 2))::INT
+                         AS g
+                FROM img, unnest(range(0, 8)) uy(y),
+                     unnest(range(0, 9)) ux(x)),
+        bits AS (SELECT doc_id, y, x - 1 AS bx,
+                        (g > lag(g) OVER (PARTITION BY doc_id, y
+                                          ORDER BY x))::INT AS b
+                 FROM pix QUALIFY x > 0),
+        hs AS (SELECT doc_id,
+                      -- two's-complement assembly: bit 63 contributes its
+                      -- signed value directly, so the BIGINT sum IS the
+                      -- engine's (possibly negative) Long — no HUGEINT
+                      sum(CASE WHEN 8 * y + bx = 63
+                               THEN b * (-9223372036854775807 - 1)
+                               ELSE b * (1::BIGINT << (8 * y + bx))
+                          END)::BIGINT AS dhash
+               FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""")),
+
+    // AUDIO NEAR-DUP PAIRS via the energy-delta fingerprint — the third
+    // modality's dedup arm (q183's audio sibling): per-frame Σ|sample|
+    // through the REAL WAV codec (Wav.frameAbsSums — exact integers,
+    // no fp), bit f = energy rises into frame f+1 (the Haitsma-Kalker
+    // sign-of-derivative family), then the SAME banding engine. The
+    // textured fixture holds each frame at an md5-window int16, so the
+    // oracle's closed form needs no codec and its quadratic scan again
+    // proves banding recall 1.
+    "q184_audio_neardup" -> Q(
+      (s, d) => {
+        val media = Multimodal.texturedAudioFixtures(s,
+          Tables.documents(s, d)).toDF()
+        NearDup.hammingPairs(Multimodal.audioEnergyHashes(s, media),
+          "doc_id", "ahash", bits = 64, bands = 8, maxHamming = 2)
+      },
+      Some("""
+        WITH aud AS (SELECT doc_id, text, length(text)::BIGINT AS L
+                     FROM documents),
+        amp AS (SELECT doc_id, f,
+                       abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+                         AS absa
+                FROM (SELECT doc_id, f,
+                             ('0x' || substr(md5(substr(text,
+                                ((f * 11) % L) + 1, 16)), 1, 4))::INT AS u
+                      FROM aud, unnest(range(0, 65)) uf(f))),
+        bits AS (SELECT doc_id, f - 1 AS bx,
+                        (absa > lag(absa) OVER (PARTITION BY doc_id
+                                                ORDER BY f))::INT AS b
+                 FROM amp QUALIFY f > 0),
+        hs AS (SELECT doc_id,
+                      sum(CASE WHEN bx = 63
+                               THEN b * (-9223372036854775807 - 1)
+                               ELSE b * (1::BIGINT << bx) END)::BIGINT
+                        AS ahash
+               FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 2""")),
+
+    // IVF RECALL-vs-NPROBE CURVE (sim/Similarity.scala): the index-
+    // tuning evidence table — recall@3 of the q43 quantizer at
+    // nprobe ∈ {1, 2, 4} against the exact brute-force truth, one row
+    // per sweep point. The oracle replays the whole sweep from the
+    // shared ivfAssignCtes, so quantizer, probe order, tie-breaks and
+    // truth all stay pinned to q43's semantics.
+    "q185_ivf_recall_curve" -> Q(
+      (s, d) => Similarity.ivfRecallCurve(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, centroids = 16,
+        nprobes = Seq(1, 2, 4), k = 3, queryPred = col("vec_id") % 25 === 0),
+      Some(s"""
+        WITH ${ivfAssignCtes(16, 64)},
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM en
+              WHERE vec_id % 25 = 0),
+        truth AS (SELECT query_id, en.vec_id
+                  FROM q, en WHERE en.vec_id <> q.query_id
+                  QUALIFY row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(list_dot_product(qv, v)
+                                         / (qn * vn), 6) DESC,
+                                   en.vec_id) <= 3),
+        pr AS (SELECT np, query_id, cell
+               FROM (SELECT vec_id AS query_id, c AS cell,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY ccos DESC, c) AS rn
+                     FROM scored_cells WHERE vec_id % 25 = 0),
+                    unnest([1, 2, 4]) un(np)
+               WHERE rn <= np),
+        cand AS (SELECT DISTINCT pr.np, pr.query_id, a.vec_id, a.v, a.vn
+                 FROM pr JOIN assigned a ON a.cell = pr.cell
+                 WHERE a.vec_id <> pr.query_id),
+        ranked AS (SELECT np, query_id, vec_id
+                   FROM cand JOIN q USING (query_id)
+                   QUALIFY row_number() OVER (PARTITION BY np, query_id
+                           ORDER BY round(list_dot_product(qv, cand.v)
+                                          / (qn * cand.vn), 6) DESC,
+                                    vec_id) <= 3),
+        hits AS (SELECT np, count(*)::BIGINT AS hit
+                 FROM ranked JOIN truth USING (query_id, vec_id)
+                 GROUP BY 1),
+        nq AS (SELECT count(*)::BIGINT AS n FROM q)
+        SELECT un.np AS nprobe, nq.n AS n_queries,
+               coalesce(hits.hit, 0)::BIGINT AS hits,
+               (nq.n * 3)::BIGINT AS possible,
+               floor(coalesce(hits.hit, 0)::DOUBLE * 1e6
+                     / (nq.n * 3)::DOUBLE + 0.5)::BIGINT AS recall_micro
+        FROM unnest([1, 2, 4]) un(np)
+        LEFT JOIN hits ON hits.np = un.np CROSS JOIN nq""")),
+
+    // LABEL-NOISE AUDIT (text/Classify.scala): wide-margin
+    // disagreements between the NB model and its own training labels —
+    // the confident-learning re-annotation queue. Shares nbCtes with
+    // q133/q177; the margin threshold (1.0 in the micro·nat scale) is
+    // read off q177's calibration table.
+    "q187_label_noise" -> Q(
+      (s, d) => Classify.labelNoiseCandidates(Tables.documents(s, d),
+        "doc_id", "text", "lang", minMarginMicro = 1000000L),
+      Some(s"""
+        WITH $nbCtes,
+        ranked AS (SELECT doc_id, label_true, cand, total,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY total DESC, cand DESC)
+                            AS rn
+                   FROM tot)
+        SELECT b.doc_id, b.label_true AS label, b.cand AS pred_label,
+               (b.total - s.total)::BIGINT AS margin_micro
+        FROM ranked b JOIN ranked s
+          ON b.doc_id = s.doc_id AND b.rn = 1 AND s.rn = 2
+        WHERE b.cand <> b.label_true
+          AND b.total - s.total >= 1000000""")),
+
+    // NEYMAN-ALLOCATION SAMPLING PLAN (text/Terms.scala): split a
+    // 1000-draw audit budget across sources ∝ n_h·σ_h of doc length —
+    // the optimal stratified design. n_h·σ_h = √(n·Σx² − S²) exactly;
+    // integer largest-remainder apportionment sums to the budget by
+    // construction.
+    "q189_neyman_plan" -> Q(
+      (s, d) => Terms.neymanAllocation(Tables.documents(s, d), "source",
+        col("n_chars"), budget = 1000L),
+      Some("""
+        WITH mom AS (SELECT source AS stratum, count(*)::BIGINT AS n_h,
+                            sum(n_chars)::BIGINT AS s,
+                            sum(n_chars * n_chars)::BIGINT AS s2
+                     FROM documents GROUP BY 1),
+        w AS (SELECT stratum, n_h,
+                     floor(sqrt((n_h * s2 - s * s)::DOUBLE) + 0.5)::BIGINT
+                       AS w
+              FROM mom),
+        t AS (SELECT sum(w)::BIGINT AS tw FROM w),
+        b AS (SELECT stratum, n_h, w, (1000 * w) // tw AS base,
+                     (1000 * w) % tw AS rem
+              FROM w CROSS JOIN t),
+        l AS (SELECT sum(base)::BIGINT AS sb FROM b)
+        SELECT stratum, n_h, w AS nh_sigma,
+               (base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                    stratum)
+                                 <= 1000 - sb
+                            THEN 1 ELSE 0 END)::BIGINT AS alloc
+        FROM b CROSS JOIN l""")),
+
+    // PREFIX-FILTERED EXACT SIMILARITY JOIN (text/NearDup.scala, the
+    // AllPairs/PPJoin family): word-set Jaccard ≥ 0.5 pairs with zero
+    // false negatives by construction — the exact complement to q35's
+    // probabilistic LSH banding. The oracle computes the FULL
+    // overlapping-pair ground truth (no prefix filter), so a pass
+    // doubles as a no-false-negative proof of the prefix bound.
+    "q190_prefix_jaccard" -> Q(
+      (s, d) => NearDup.prefixJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, minJaccard = 0.5),
+      Some(s"""
+        WITH toks AS (SELECT DISTINCT doc_id,
+                             ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                      FROM (SELECT doc_id,
+                                   unnest(list_distinct(
+                                     [array_to_string(tk[i:i+2], ' ')
+                                      for i in range(1, len(tk) - 1)])) AS g
+                            FROM (SELECT doc_id, $DUCK_TOKENS AS tk
+                                  FROM documents)
+                            WHERE len(tk) >= 3)),
+        sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM toks GROUP BY 1),
+        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                         count(*)::BIGINT AS c
+                  FROM toks a JOIN toks b
+                    ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT ia, ib,
+                     round(c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE, 4)
+                       AS jaccard
+              FROM inter JOIN sz sa ON sa.doc_id = ia
+              JOIN sz sb ON sb.doc_id = ib)
+        SELECT ia AS id_a, ib AS id_b, jaccard
+        FROM j WHERE jaccard >= 0.5""")),
+
+    // HEAPS'-LAW VOCABULARY-GROWTH EXPONENT per source
+    // (text/CorpusStats.scala): β from a 10-checkpoint log-log fit
+    // along each source's id range — β → 0 is the template-mill
+    // signature. Progress checkpoints are exact integer id-range
+    // splits (no per-group windows, no doc-count histograms).
+    "q191_heaps_exponent" -> Q(
+      (s, d) => CorpusStats.heapsExponent(Tables.documents(s, d),
+          "source", "doc_id", "text")
+        .withColumnRenamed("grp", "source"),
+      Some(s"""
+        WITH base AS (SELECT source AS grp, doc_id AS id, $DUCK_TOKENS AS tk
+                      FROM documents),
+        bounds AS (SELECT grp, min(id) AS mn, max(id) AS mx
+                   FROM base GROUP BY 1),
+        cp AS (SELECT grp, j, mn + ((mx - mn) * j) // 10 AS thr
+               FROM bounds, unnest(range(1, 11)) u(j)),
+        tat AS (SELECT b.grp, cp.j, sum(len(b.tk))::BIGINT AS tt
+                FROM base b JOIN cp ON cp.grp = b.grp AND b.id <= cp.thr
+                GROUP BY 1, 2),
+        fs AS (SELECT grp, term, min(id) AS fd
+               FROM (SELECT grp, id, unnest(tk) AS term FROM base)
+               GROUP BY 1, 2),
+        vat AS (SELECT fs.grp, cp.j, count(*)::BIGINT AS v
+                FROM fs JOIN cp ON cp.grp = fs.grp AND fs.fd <= cp.thr
+                GROUP BY 1, 2),
+        pts AS (SELECT t.grp,
+                       floor(ln(tt::DOUBLE) * 1e6 + 0.5)::BIGINT AS x,
+                       floor(ln(v::DOUBLE) * 1e6 + 0.5)::BIGINT AS y
+                FROM tat t JOIN vat USING (grp, j)
+                WHERE tt > 0 AND v > 0),
+        mom AS (SELECT grp, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                       sum(x * x)::BIGINT AS sxx
+                FROM pts GROUP BY 1)
+        SELECT grp AS source, n AS n_points,
+               CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                    THEN floor((n::DOUBLE * sxy::DOUBLE
+                                - sx::DOUBLE * sy::DOUBLE)
+                               / (n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                               * 1e6 + 0.5)::BIGINT
+               END AS beta_micro
+        FROM mom""")),
+
+    // COMPRESSION-RATIO quality signal (text/TextOps.scala): the zlib
+    // filter of the RefinedWeb/Gopher cleaning batteries — template
+    // text compresses hard, byte soup not at all; both tails are drop
+    // candidates. DuckDB has no deflate, so this is the rows-only +
+    // spec-verified class (q23/A3): PipelineOpsSpec pins the
+    // repetitive < natural < random ordering and determinism.
+    "q192_compression_ratio" -> Q(
+      (s, d) => TextOps.compressionStats(s, Tables.documents(s, d),
+        "doc_id", "text"),
+      None),
   )
 }

@@ -309,6 +309,80 @@ object Similarity {
                cents: Array[Array[Double]]): DataFrame =
     assignCells(vectors, idCol, vecCol, cents)
 
+  /** IVF RECALL-vs-NPROBE CURVE — the evidence table behind choosing an
+    * index's probe budget: for each nprobe, recall@k of the IVF path
+    * against the brute-force truth on the same query set. The curve is
+    * what an index build publishes next to its cell-balance stats
+    * (SimilaritySpec measures one point; this sweeps the knob).
+    *
+    * Cost shape: ONE brute-force truth pass (checkpointed — it is the
+    * expensive term and every sweep point reads it) + one IVF execution
+    * per sweep point; the per-point result is |queries|×k-bounded and
+    * the join back to truth is a semi join on that bounded frame. The
+    * driver collects only the |nprobes| summary numbers. Ties at the
+    * rounded-cosine rank boundary break by vec_id in both the engine
+    * and the oracle, so the truth SET is engine-exact and recall is an
+    * integer ratio.
+    */
+  def ivfRecallCurve(vectors: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, centroids: Int, nprobes: Seq[Int], k: Int,
+                     queryPred: Column): DataFrame = {
+    require(nprobes.nonEmpty, "ivfRecallCurve needs at least one sweep point")
+    val truth = bruteForceTopK(vectors, vectors.filter(queryPred),
+        idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val nq = vectors.filter(queryPred).count()
+    val rows = nprobes.map { np =>
+      val got = ivfTopK(vectors, idCol, vecCol, dims, centroids, np, k,
+          queryPred)
+        .select(col("query_id"), col("vec_id"))
+      val hits = got.join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+      (np, nq, hits, nq * k,
+        math.floor(hits.toDouble * 1e6 / (nq * k).toDouble + 0.5).toLong)
+    }
+    import vectors.sparkSession.implicits._
+    rows.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+  }
+
+  /** SIMPLIFIED SILHOUETTE per IVF cell (Rousseeuw 1987's silhouette
+    * with centroid distances standing in for mean pairwise distances —
+    * the standard large-N variant, since the full form is quadratic per
+    * cell): for each vector, a = cosine distance to its OWN centroid,
+    * b = distance to the nearest OTHER centroid, s = (b − a)/max(a, b).
+    * Per-cell mean s is the clustering-quality census an index build
+    * reads before trusting its cell structure — cells near 0 are
+    * boundary mush (probe more cells), cells near 1 are tight.
+    *
+    * Exactness + scale: both distances come from the ONE kernel pass
+    * that assignment already runs (the ccos array — no second scan, no
+    * shuffle beyond the per-cell rollup); a and b micro-snap from the
+    * 6-dp-rounded cosines before the ratio, and since b ≥ a by
+    * construction (own cell is the argmax), s = (b − a)/b with one
+    * trailing division. Top ties give a = b ⇒ s = 0 — the honest
+    * "equally close to two cells" verdict. O(C) work per row; the
+    * output is C-bounded.
+    */
+  def silhouetteByCell(vectors: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, centroids: Int): DataFrame = {
+    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    val assigned = assignCells(vectors, idCol, vecCol, cents)
+    val own = element_at(col("ccos"), (col("cell") + 1).cast("int"))
+    val second = element_at(sort_array(col("ccos"), asc = false), 2)
+    assigned
+      .withColumn("am", floor((lit(1.0) - own) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("bm", floor((lit(1.0) - second) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("s_micro",
+        when(col("bm") <= 0, lit(0L))
+          .otherwise(floor((col("bm") - col("am")).cast("double") * lit(1e6)
+            / col("bm").cast("double") + lit(0.5)).cast("long")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        floor(sum(col("s_micro")).cast("double")
+          / count(lit(1)).cast("double") + lit(0.5)).cast("long")
+          .as("mean_sil_micro"))
+  }
+
   /** Offline IVF TRAINING: Lloyd iterations from the deterministic seed
     * directions. Each pass = one assignment scan + ONE aggregation
     * (posexplode → per-(cell, dim) mean) collected to the driver —

@@ -591,4 +591,50 @@ object Calibrate {
         math.floor(b.pos.toDouble * 1e6 / b.n.toDouble + 0.5).toLong))
       .toDF("score_lo", "score_hi", "n", "pos", "rate_micro")
   }
+
+  /** POPULATION STABILITY INDEX per group vs the corpus marginal — the
+    * standard production drift score (credit-scoring lineage, public):
+    * PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) where p is the group's bin
+    * distribution and q the corpus-wide one. Bins are log₂ magnitude
+    * buckets of `valueCol` (the q171 bit-length idiom — integer-exact,
+    * immune to fp log2 at power-of-two edges; value 0 keeps bucket 0),
+    * so the bin universe is ≤ ~64 cells and the (group × bin) grid is
+    * group-bounded.
+    *
+    * Zero cells: the grid includes every (group, observed-bin) cell and
+    * add-one smooths BOTH sides — p_b = (c_gb+1)/(n_g+B), q_b =
+    * (c_b+1)/(N+B) with B the observed-bin count — so ln stays finite
+    * without dropping exactly the bins where drift is total (a bin one
+    * side never produces is the strongest shift evidence). Per-bin
+    * contributions micro-snap before the integer sum (q66 doctrine);
+    * the division and ln run on exact integer inputs, so both engines
+    * snap identical doubles. Conventional reading: PSI < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 major shift.
+    */
+  def psiByGroup(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val binned = df.select(col(groupCol).as("grp"), valueCol.as("v"))
+      .withColumn("bucket",
+        when(col("v") <= 0, lit(0L))
+          .otherwise(length(bin(col("v"))).cast("long")))
+    // (group, bucket) counts — one map-side-combined aggregation; the
+    // grid below is (groups × ≤64 buckets)-bounded, tiny at any scale
+    val cg = binned.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val groups = cg.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
+    val buckets = cg.groupBy(col("bucket")).agg(sum(col("c")).as("c_all"))
+    val nBuckets = buckets.agg(count(lit(1)).as("b"),
+      sum(col("c_all")).as("n_all"))
+    val grid = groups.crossJoin(buckets.select(col("bucket"), col("c_all")))
+      .join(cg, Seq("grp", "bucket"), "left").na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(nBuckets))
+    grid.withColumn("t", {
+        val p = (col("c") + lit(1)).cast("double") /
+          (col("n_g") + col("b")).cast("double")
+        val q = (col("c_all") + lit(1)).cast("double") /
+          (col("n_all") + col("b")).cast("double")
+        floor((p - q) * log(p / q) * lit(1e6) + lit(0.5)).cast("long")
+      })
+      .groupBy(col("grp")).agg(max(col("n_g")).as("n_g"),
+        sum(col("t")).as("psi_micro"))
+  }
 }

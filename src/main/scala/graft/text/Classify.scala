@@ -44,6 +44,22 @@ object Classify {
     */
   def naiveBayesSelfTest(df: DataFrame, idCol: String, textCol: String,
                          labelCol: String): DataFrame = {
+    val scored = naiveBayesScores(df, idCol, textCol, labelCol)
+      .select(col("doc_id"), col("label_true"),
+        struct(col("total_micro").as("s"), col("label").as("l")).as("cand"))
+    scored.groupBy(col("doc_id"), col("label_true"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("doc_id"), col("label_true").as("label"),
+        col("best.l").as("pred_label"), col("best.s").as("score_micro"),
+        (col("best.l") === col("label_true")).cast("int").as("correct"))
+  }
+
+  /** The full per-(document, candidate-label) NB score frame —
+    * (doc_id, label_true, label, total_micro) — shared by the argmax
+    * self-test above and the margin-calibration diagnostic below so the
+    * model formula cannot drift between them. */
+  def naiveBayesScores(df: DataFrame, idCol: String, textCol: String,
+                       labelCol: String): DataFrame = {
     val spark = df.sparkSession
     val toks = df.select(col(idCol).as("doc_id"),
       col(labelCol).as("label_true"),
@@ -76,19 +92,89 @@ object Classify {
         floor((log(col("n_docs").cast("double")) -
           log(col("n_all").cast("double"))) * lit(1e6) + lit(0.5))
           .cast("long").as("prior_micro"))
-    val scored = toks
+    toks
       .join(grid, Seq("term"))    // vocabulary×L-sized; unhinted by doctrine
       .groupBy(col("doc_id"), col("label_true"), col("label"))
       .agg(sum(col("s_micro")).as("ll_micro"))
       .join(broadcast(priors), Seq("label"))
+      .select(col("doc_id"), col("label_true"), col("label"),
+        (col("ll_micro") + col("prior_micro")).as("total_micro"))
+  }
+
+  /** MARGIN-CALIBRATION TABLE: does the classifier's own confidence
+    * margin (top-1 − top-2 score, exact micro integers) predict its
+    * accuracy? The reliability-diagram analog for a log-space classifier
+    * whose scores never normalize to probabilities: per log₂ margin
+    * bucket (the q171 bit-length idiom), the doc count and the empirical
+    * accuracy — a monotone-rising table means the margin is a usable
+    * triage knob (auto-accept wide margins, route narrow ones to review).
+    *
+    * Exactness + scale: top-1 and top-2 come from TWO max(struct) passes
+    * over the label-bounded score frame (the q95 keeper-argmax doctrine,
+    * no per-doc window sort): best = max(s, l), runner-up = max over the
+    * remaining candidates after an equi-join drops the winner. Ties at
+    * the top give margin 0 — bucket 0 collects exactly the coin-flip
+    * cases. Everything after the NB score frame is per-doc bounded.
+    */
+  /** Top-1 / top-2 candidate extraction from the NB score frame:
+    * (doc_id, label_true, pred_label, best_micro, second_micro) — the
+    * shared front half of the margin-calibration table and the
+    * label-noise audit. Two keeper-argmax passes (q95 doctrine), no
+    * per-doc window sort.
+    */
+  private def topTwo(scores: DataFrame): DataFrame = {
+    val best = scores
       .select(col("doc_id"), col("label_true"),
-        struct((col("ll_micro") + col("prior_micro")).as("s"),
-          col("label").as("l")).as("cand"))
-    scored.groupBy(col("doc_id"), col("label_true"))
+        struct(col("total_micro").as("s"), col("label").as("l")).as("cand"))
+      .groupBy(col("doc_id"), col("label_true"))
       .agg(max(col("cand")).as("best"))
+      .select(col("doc_id"), col("label_true"),
+        col("best.l").as("pred_label"), col("best.s").as("best_micro"))
+    val second = scores.join(best, Seq("doc_id"))
+      .filter(col("label") =!= col("pred_label"))
+      .groupBy(col("doc_id")).agg(max(col("total_micro")).as("second_micro"))
+    best.join(second, Seq("doc_id"))
+  }
+
+  def nbMarginCalibration(df: DataFrame, idCol: String, textCol: String,
+                          labelCol: String): DataFrame = {
+    val scores = naiveBayesScores(df, idCol, textCol, labelCol)
+      .localCheckpoint(true) // two argmax consumers + the runner-up join
+    topTwo(scores)
+      .withColumn("margin", col("best_micro") - col("second_micro"))
+      .withColumn("bucket",
+        when(col("margin") <= 0, lit(0L))
+          .otherwise(length(bin(col("margin"))).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("pred_label") === col("label_true")).cast("long"))
+          .as("n_correct"))
+      .withColumn("acc_micro",
+        floor(col("n_correct").cast("double") * lit(1e6)
+          / col("n").cast("double") + lit(0.5)).cast("long"))
+  }
+
+  /** LABEL-NOISE AUDIT (the confident-learning idea, Northcutt et al.
+    * 2021, reduced to its distributable core): documents where the
+    * model trained ON the given labels still disagrees with its own
+    * training label BY A WIDE MARGIN are the strongest mislabel
+    * candidates — a weak-label pipeline routes exactly these to
+    * re-annotation. Emits (doc_id, label, pred_label, margin_micro)
+    * for disagreements with margin ≥ `minMarginMicro`, margin being
+    * the exact top-1 − top-2 integer of [[nbMarginCalibration]]'s
+    * scale (so the threshold is calibrated by q177's table).
+    */
+  def labelNoiseCandidates(df: DataFrame, idCol: String, textCol: String,
+                           labelCol: String,
+                           minMarginMicro: Long): DataFrame = {
+    val scores = naiveBayesScores(df, idCol, textCol, labelCol)
+      .localCheckpoint(true)
+    topTwo(scores)
+      .withColumn("margin_micro", col("best_micro") - col("second_micro"))
+      .filter(col("pred_label") =!= col("label_true") &&
+        col("margin_micro") >= minMarginMicro)
       .select(col("doc_id"), col("label_true").as("label"),
-        col("best.l").as("pred_label"), col("best.s").as("score_micro"),
-        (col("best.l") === col("label_true")).cast("int").as("correct"))
+        col("pred_label"), col("margin_micro"))
   }
 
   /** PREFERENCE-PAIR MINING for DPO/RLHF-style training-set construction:

@@ -123,4 +123,111 @@ object CorpusStats {
           / den * lit(1e6) + lit(0.5)).cast("long"))
         .as("slope_micro"))
   }
+
+  /** HILL TAIL-INDEX estimator (Hill 1975, the standard heavy-tail
+    * exponent MLE) over the token-frequency distribution:
+    * H = (1/k)·Σ_{i=1..k} ln(f_(i)/f_(k+1)) over the k largest
+    * frequencies, α = 1/H. Zipf-like corpora give α ≈ 1; α drifting
+    * low means the head is fattening (template/boilerplate flooding),
+    * high means the head is thinning — the single-number companion to
+    * [[zipfSlope]]'s regression (Hill is the MLE, the regression the
+    * visual-fit diagnostic; disagreement between them flags a bent,
+    * non-power-law head worth looking at).
+    *
+    * Exactness + scale: one token-count aggregation, then the
+    * TakeOrdered-bounded top-(k+1) frame (the q53 bounded-cut class —
+    * no corpus sort). f_(k+1) = min(c) over that frame (it IS the
+    * (k+1)-th by construction; boundary ties change which TOKEN holds
+    * the rank but not the value, so the estimator is tie-invariant).
+    * Per-term ln ratios micro-snap from exact integer pairs before the
+    * integer sum; H and α are one mirrored double tail each.
+    */
+  /** HEAPS'-LAW VOCABULARY-GROWTH EXPONENT per group (Heaps 1978,
+    * V(T) ≈ K·T^β — natural text sits near β ≈ 0.5; β collapsing
+    * toward 0 means the source stopped contributing new vocabulary,
+    * the template-mill signature the Gini/burstiness battery reads
+    * from the other side): log-log least squares of cumulative
+    * vocabulary V against cumulative tokens T at 10 checkpoints along
+    * each group's doc-id range.
+    *
+    * Scale shape: the progress axis is the ID RANGE (thr_j = min +
+    * j·(max−min)/10, exact integer arithmetic) — NOT a per-group
+    * row-number, which would be one window task per group over every
+    * doc, and NOT a count quantile, whose histogram is doc-count-sized.
+    * For an append-log corpus ids ARE arrival order; callers with
+    * re-keyed ids substitute their own progress column. V(thr) comes
+    * from the q102 first-seen idiom (token's min doc_id per group —
+    * one token aggregation), T(thr) from per-doc token counts; both
+    * checkpoint sums are a ×10 conditional replication of group-keyed
+    * aggregates, no windows over data. ln values micro-snap; the
+    * 10-point LS runs on exact integer moments per group (the q163
+    * machinery).
+    */
+  def heapsExponent(docs: DataFrame, groupCol: String, idCol: String,
+                    textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(textCol).as("t"))
+    val bounds = base.groupBy(col("grp"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val checkpoints = bounds
+      .select(col("grp"), col("mn"), col("mx"),
+        explode(sequence(lit(1), lit(10))).as("j"))
+      .withColumn("thr", expr("mn + ((mx - mn) * j) div 10"))
+      .select(col("grp"), col("j"), col("thr"))
+    val perDoc = base.select(col("grp"), col("id"),
+      TextOps.tokenCountFast(spark, col("t")).cast("long").as("nt"))
+    val tAt = perDoc.join(checkpoints, Seq("grp"))
+      .filter(col("id") <= col("thr"))
+      .groupBy(col("grp"), col("j")).agg(sum(col("nt")).as("tt"))
+    val firstSeen = base.select(col("grp"), col("id"),
+        explode(TextOps.tokens(col("t"))).as("term"))
+      .groupBy(col("grp"), col("term")).agg(min(col("id")).as("fd"))
+    val vAt = firstSeen.join(checkpoints, Seq("grp"))
+      .filter(col("fd") <= col("thr"))
+      .groupBy(col("grp"), col("j")).agg(count(lit(1)).as("v"))
+    val pts = tAt.join(vAt, Seq("grp", "j"))
+      .filter(col("tt") > 0 && col("v") > 0)
+      .withColumn("x", floor(log(col("tt").cast("double")) * lit(1e6)
+        + lit(0.5)).cast("long"))
+      .withColumn("y", floor(log(col("v").cast("double")) * lit(1e6)
+        + lit(0.5)).cast("long"))
+    val mom = pts.groupBy(col("grp")).agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val den = (nD * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double"))
+    mom.select(col("grp"), col("n").as("n_points"),
+      when(den > 0.0,
+        floor((nD * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / den * lit(1e6) + lit(0.5)).cast("long"))
+        .as("beta_micro"))
+  }
+
+  def hillTailIndex(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val head = docs.select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(k + 1)
+      .localCheckpoint(true) // the tail value and the sum share the cut
+    val fTail = head.agg(min(col("c")).as("f_tail"))
+    // sum over ALL k+1 rows: the tail row and any boundary ties
+    // contribute ln(1) = 0 exactly, so the numerator is tie-invariant;
+    // the divisor is k = rows − 1 regardless of which token holds rank
+    // k+1
+    val mom = head.crossJoin(broadcast(fTail))
+      .withColumn("t", floor(log(col("c").cast("double")
+        / col("f_tail").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+      .agg((count(lit(1)) - lit(1)).as("n_head"), sum(col("t")).as("sum_micro"))
+    mom.crossJoin(broadcast(fTail)).select(
+      col("n_head"), col("f_tail"),
+      when(col("n_head") > 0 && col("sum_micro") > 0,
+        floor(col("sum_micro").cast("double") / col("n_head").cast("double")
+          + lit(0.5)).cast("long")).as("h_micro"))
+      .withColumn("alpha_micro",
+        when(col("h_micro").isNotNull && col("h_micro") > 0,
+          floor(lit(1e12) / col("h_micro").cast("double") + lit(0.5))
+            .cast("long")))
+  }
 }

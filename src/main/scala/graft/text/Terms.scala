@@ -797,4 +797,48 @@ object Terms {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
   }
+
+  /** NEYMAN-ALLOCATION SAMPLING PLAN (Neyman 1934, the optimal
+    * stratified-sampling allocation): split a sampling `budget` across
+    * strata proportionally to n_h·σ_h — high-variance strata earn more
+    * of the audit/eval budget than uniform or size-proportional splits,
+    * the standard design for QA sampling over a heterogeneous corpus.
+    *
+    * Exactness: n_h·σ_h = √(n_h·Σx² − S²) EXACTLY (the n in σ's
+    * denominator cancels), so the weight is one sqrt of an exact long,
+    * half-up snapped to an integer weight; the split is then pure
+    * integer largest-remainder apportionment — base_h = ⌊budget·w_h/W⌋
+    * plus one for the r largest remainders (ties to the smaller
+    * stratum name) — which sums to the budget by construction. One
+    * corpus aggregation; every window runs over the strata frame only.
+    * Allocations may exceed a stratum's population (Neyman's formula is
+    * unconstrained); callers clamp and re-run on the residual if they
+    * need n_h-capped draws.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: Column,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    val mom = df.select(col(stratumCol).as("stratum"), valueCol.as("x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("s2"))
+      .withColumn("w",
+        floor(sqrt((col("n_h") * col("s2") - col("s") * col("s"))
+          .cast("double")) + lit(0.5)).cast("long"))
+      .localCheckpoint(true) // total, base and remainder rank share it
+    val tot = mom.agg(sum(col("w")).as("tw"))
+    val based = mom.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val wr = Window.orderBy(col("rem").desc, col("stratum"))
+    val wsum = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    based
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(wsum))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("stratum"), col("n_h"), col("w").as("nh_sigma"),
+        col("alloc"))
+  }
 }

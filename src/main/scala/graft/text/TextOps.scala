@@ -82,6 +82,46 @@ object TextOps {
                      text: Column): Column =
     graft.plans.ArrayOps.tokenCount(spark, text)
 
+  /** COMPRESSION-RATIO quality signal (the zlib filter of the
+    * RefinedWeb/Gopher-era cleaning batteries, public): deflate(text)
+    * size over raw size — repetitive/templated text compresses far
+    * below natural prose, and near-random byte soup sits at ~1.0, so
+    * BOTH tails of the ratio are drop candidates. The per-row zlib
+    * pass is a Dataset map (the multimodal-codec precedent: there is
+    * no built-in, and the deflate state machine is not expressible as
+    * a Catalyst kernel), one Deflater reused per partition batch.
+    * DuckDB has no deflate, so this is a rows-only + spec-verified
+    * operator BY NATURE (the q23/A3 class); the spec pins known
+    * repetitive-vs-random orderings and determinism.
+    */
+  def compressionStats(spark: org.apache.spark.sql.SparkSession,
+                       docs: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        it.map { case (id, t) =>
+          val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          // worst case: stored blocks ≈ input + 5 bytes per 16 KiB + slop
+          val buf = new Array[Byte](in.length + in.length / 16384 * 5 + 64)
+          var n = 0
+          while (!deflater.finished() && n < buf.length)
+            n += deflater.deflate(buf, n, buf.length - n)
+          val ratio =
+            if (in.length == 0) 1000000L
+            else math.floor(n.toDouble * 1e6 / in.length.toDouble + 0.5).toLong
+          (id, in.length.toLong, n.toLong, ratio)
+        }
+      }
+      .toDF("doc_id", "n_raw", "n_deflate", "ratio_micro")
+  }
+
   /** Word n-gram shingles from an ALREADY-MATERIALIZED tokens column
     * (an attribute, not an expression). Guarded for docs shorter than n
     * tokens (Spark's `sequence(1,0)` would count DOWN, not return empty).

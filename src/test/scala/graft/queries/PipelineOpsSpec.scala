@@ -650,6 +650,347 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 4L -> 1L))
   }
 
+  test("q176 PSI core: whole-corpus group scores exactly 0, a shifted group reads as drift") {
+    import spark.implicits._
+    // a group that IS the corpus has p ≡ q even after add-one smoothing
+    // — every (p − q)·ln(p/q) term is exactly 0
+    val whole = Seq(("A", 1L), ("A", 1L), ("A", 9L)).toDF("grp", "v")
+    val out = graft.text.Calibrate.psiByGroup(whole, "grp", col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("A" -> 0L))
+    // proportionally identical SUBgroups are near-zero but not exactly 0:
+    // add-one smoothing divides by n_g + B vs N + B (documented behavior)
+    val same = Seq(("A", 1L), ("A", 1L), ("A", 9L), ("B", 1L), ("B", 1L), ("B", 9L))
+      .toDF("grp", "v")
+    val out1 = graft.text.Calibrate.psiByGroup(same, "grp", col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out1.values.forall(p => p >= 0L && p < 10000L),
+      s"matching subgroups must read clearly stable, got $out1")
+    // concentrate group C in one bucket the rest of the corpus avoids —
+    // PSI must be strictly positive for BOTH sides of the shift
+    val shifted = Seq(("A", 1L), ("A", 1L), ("A", 9L), ("C", 900L), ("C", 901L),
+      ("C", 902L)).toDF("grp", "v")
+    val out2 = graft.text.Calibrate.psiByGroup(shifted, "grp", col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2("C") > 100000L && out2("A") > 100000L,
+      s"a total bucket shift must read as major drift, got $out2")
+  }
+
+  test("q177 margin calibration: symmetric tie lands in bucket 0 at 50% accuracy") {
+    import spark.implicits._
+    // perfectly symmetric labels: both docs score identically under A
+    // and B → margin 0 (bucket 0); the tie-break picks the larger label
+    // for both, so exactly one of the two is correct
+    val docs = Seq((1L, "x x", "A"), (2L, "x x", "B")).toDF("doc_id", "text", "lang")
+    val out = graft.text.Classify.nbMarginCalibration(docs, "doc_id", "text", "lang")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 2L && r.getLong(2) === 1L &&
+      r.getLong(3) === 500000L)
+    // separable labels: wide positive margins, all correct
+    val sep = Seq((1L, "cat cat cat", "A"), (2L, "cat cat", "A"),
+      (3L, "dog dog dog", "B"), (4L, "dog dog", "B")).toDF("doc_id", "text", "lang")
+    val out2 = graft.text.Classify.nbMarginCalibration(sep, "doc_id", "text", "lang")
+      .collect()
+    assert(out2.forall(r => r.getLong(0) > 0L && r.getLong(1) === r.getLong(2)),
+      "separable vocab must give nonzero margins and perfect accuracy")
+    assert(out2.map(_.getLong(1)).sum === 4L, "buckets partition the docs")
+  }
+
+  test("q178 MMD: planted centroids give the exact euclidean distance") {
+    import spark.implicits._
+    // label 0 at (0,0), label 1 at (3,4) — dist_micro must be exactly
+    // 5e6; label 2 duplicates label 0 so its pair with 0 scores 0
+    val rows = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 0f), 0),
+      (3L, Array(3f, 4f), 1), (4L, Array(3f, 4f), 1),
+      (5L, Array(0f, 0f), 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmd").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q178_mmd_matrix")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(out((0, 1)) === 5000000L)
+    assert(out((0, 2)) === 0L)
+    assert(out((1, 2)) === 5000000L)
+  }
+
+  test("q179 silhouette: a vector ON its centroid scores the full 1e6") {
+    import spark.implicits._
+    // vectors exactly on centroid directions: cos to own centroid = 1
+    // (a = 0) ⇒ s = (b − 0)/b = 1e6 regardless of b
+    val c0 = graft.sim.Similarity.centroidVec(0, 4).map(_.toFloat)
+    val c1 = graft.sim.Similarity.centroidVec(1, 4).map(_.toFloat)
+    val df = Seq((1L, c0), (2L, c1)).toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.silhouetteByCell(df, "vec_id", "embedding",
+        dims = 4, centroids = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(0 -> ((1L, 1000000L)), 1 -> ((1L, 1000000L))))
+  }
+
+  test("q180 KM core: hand-checked risk sets, censoring, and the d=n sentinel") {
+    import spark.implicits._
+    val day = 86400L
+    def ts(d: Long, h: Long) = new java.sql.Timestamp((d * day + h * 3600) * 1000)
+    // A converts day 0, B converts day 2, C censored at day 1
+    val ev = Seq(
+      (1L, ts(0, 9), "view"), (1L, ts(0, 10), "purchase"),
+      (2L, ts(0, 9), "view"), (2L, ts(2, 9), "purchase"),
+      (3L, ts(0, 9), "view"), (3L, ts(1, 9), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.ops.Survival.kaplanMeier(ev, "user_id", "ts",
+        col("event_type") === "purchase")
+      .orderBy("dur_days").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val t0 = snap(math.log(2.0 / 3.0))
+    assert(out(0) === ((0L, 3L, 1L, 0L, t0)))
+    assert(out(1) === ((1L, 2L, 0L, 1L, t0)),
+      "a censor-only day holds the curve and shrinks the risk set")
+    assert(out(2) === ((2L, 1L, 1L, 0L, t0 - 1000000000000000L)),
+      "exhausting the risk set pins the -1e15 sentinel (S = 0)")
+  }
+
+  test("q181 Hill core: hand frequencies give the exact estimator") {
+    import spark.implicits._
+    // freqs a:8 b:4 c:2 d:1; k=2 → head = {8,4,2}, f_tail = 2
+    val docs = Seq((1L, ("a " * 8 + "b " * 4 + "c c d").trim))
+      .toDF("doc_id", "text")
+    val r = graft.text.CorpusStats.hillTailIndex(docs, "text", k = 2)
+      .collect().head
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val h = math.floor((snap(math.log(4.0)) + snap(math.log(2.0))
+      + 0.0).toDouble / 2.0 + 0.5).toLong
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === h)
+    assert(r.getLong(3) === math.floor(1e12 / h + 0.5).toLong)
+  }
+
+  test("q182 RFM core: hand-checked quintiles with a monetary tie") {
+    import spark.implicits._
+    val day = 86400L
+    def ts(d: Long) = new java.sql.Timestamp(d * day * 1000)
+    val ev = Seq(
+      (1L, ts(9), "purchase", 10.0), (2L, ts(5), "purchase", 5.0),
+      (2L, ts(4), "purchase", 5.0), (3L, ts(1), "view", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rfm").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q182_rfm_segments")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("rec_days"), r.getAs[Long]("freq"),
+          r.getAs[Long]("mon_centi"), r.getAs[String]("segment")))).toMap
+    // n=3: pct steps 333333/666667/1000000 → ceil5 = 2/4/5
+    assert(out(1L) === ((0L, 1L, 1000L, "445")))
+    assert(out(2L) === ((4L, 2L, 1000L, "255")),
+      "monetary tie: both 10-unit users share cum=3 → m=5")
+    assert(out(3L) === ((8L, 0L, 0L, "122")))
+  }
+
+  test("q183 dHash core: one-char edits stay near, unrelated texts go far") {
+    import graft.multimodal.{Bmp, Multimodal}
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = base.updated(300, if (base(300) == 'q') 'r' else 'q')
+    val other = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def h(t: String) = Bmp.dHash(Multimodal.texturedBmpFixture(t))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(base) === h(base), "deterministic")
+    assert(ham(h(base), h(edited)) <= 10,
+      s"a one-char edit touches ~2 of 72 sampled windows, " +
+        s"got ${ham(h(base), h(edited))}")
+    assert(ham(h(base), h(other)) > 16,
+      s"unrelated texts avalanche apart, got ${ham(h(base), h(other))}")
+    // identical texts pair through the banding engine end to end
+    import spark.implicits._
+    val docs = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val media = Multimodal.texturedImageFixtures(spark, docs).toDF()
+    val pairs = graft.text.NearDup.hammingPairs(
+        Multimodal.imageDHashes(spark, media),
+        "doc_id", "dhash", bits = 64, bands = 8, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("q184 audio fingerprint: edit locality, avalanche, banded pairing") {
+    import graft.multimodal.{Multimodal, Wav}
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = base.updated(300, if (base(300) == 'q') 'r' else 'q')
+    val other = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def h(t: String): Long = {
+      val e = Wav.frameAbsSums(Multimodal.texturedWavFixture(t), 64)
+      assert(e.length === 65, "fixture is 65 constant frames")
+      (0 until 64).foldLeft(0L)((acc, f) =>
+        if (e(f + 1) > e(f)) acc | (1L << f) else acc)
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(base), h(edited)) <= 10,
+      s"one-char edit touches ~2 of 65 windows, got ${ham(h(base), h(edited))}")
+    assert(ham(h(base), h(other)) > 16,
+      s"unrelated texts avalanche apart, got ${ham(h(base), h(other))}")
+    import spark.implicits._
+    val docs = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val media = Multimodal.texturedAudioFixtures(spark, docs).toDF()
+    val pairs = graft.text.NearDup.hammingPairs(
+        Multimodal.audioEnergyHashes(spark, media),
+        "doc_id", "ahash", bits = 64, bands = 8, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("q185 recall curve: monotone in nprobe, exact at full probe budget") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.ivfRecallCurve(df, "vec_id", "embedding",
+        dims = 8, centroids = 4, nprobes = Seq(1, 2, 4), k = 3,
+        queryPred = col("vec_id") % 10 === 0)
+      .orderBy("nprobe").collect()
+      .map(r => r.getInt(0) -> r.getLong(4))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 4))
+    assert(out.map(_._2).toSeq === out.map(_._2).toSeq.sorted,
+      "recall must not decrease with probe budget")
+    assert(out.last._2 === 1000000L,
+      "probing every cell IS the brute-force scan — recall exactly 1")
+  }
+
+  test("q186 regularity: a metronome user flags, a bursty one does not") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // user 1: exact 60 s cadence (CV² = 0); user 2: gaps 1s/1s/1s/597s
+    val ev = ((1 to 6).map(i => (100L + i, ts(i * 60L), 1L, "view", 0.0, "{}")) ++
+      Seq((201L, ts(1), 2L, "view", 0.0, "{}"), (202L, ts(2), 2L, "view", 0.0, "{}"),
+        (203L, ts(3), 2L, "view", 0.0, "{}"), (204L, ts(4), 2L, "view", 0.0, "{}"),
+        (205L, ts(601), 2L, "view", 0.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bot").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q186_bot_regularity")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("cv2_micro"), r.getAs[Int]("is_regular")))).toMap
+    assert(out(1L) === ((0L, 1)), "constant cadence is CV² = 0 → flagged")
+    // user 2: n=4, gaps (1,1,1,597): S=600, Σg²=356412; CV² = (4·356412−360000)/360000
+    val cv2 = math.floor((4L * 356412L - 360000L).toDouble * 1e6 / 360000.0 + 0.5).toLong
+    assert(out(2L) === ((cv2, 0)), s"bursty user must not flag (cv2=$cv2)")
+  }
+
+  test("q187 label noise: the planted mislabel surfaces, clean docs stay out") {
+    import spark.implicits._
+    // separable vocab; doc 5 is a "cat" document mislabeled B
+    val docs = Seq(
+      (1L, "cat cat cat", "A"), (2L, "cat cat", "A"), (3L, "cat", "A"),
+      (4L, "dog dog dog", "B"), (5L, "cat cat cat cat", "B"),
+      (6L, "dog dog", "B")).toDF("doc_id", "text", "lang")
+    val out = graft.text.Classify.labelNoiseCandidates(docs, "doc_id", "text",
+        "lang", minMarginMicro = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq === Seq((5L, "B", "A")),
+      s"exactly the planted mislabel, got ${out.toSeq}")
+  }
+
+  test("q188 k-core: K4 survives 3-core peeling, pendants die") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every degree 3) + pendant 5—1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val out = graft.graph.KCore.peel(edges, "a", "b", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "the 3-core is exactly K4 with interior degrees")
+  }
+
+  test("q189 Neyman: zero-variance strata get nothing; remainders sum exactly") {
+    import spark.implicits._
+    val a = Seq(("A", 5L), ("A", 5L), ("B", 0L), ("B", 10L)).toDF("s", "x")
+    val out = graft.text.Terms.neymanAllocation(a, "s", col("x"), budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out === Map("A" -> 0L, "B" -> 7L),
+      "a constant stratum carries no sampling information")
+    // three identical strata, budget 10: base 3 each, equal remainders —
+    // the tie rule hands the extra draw to the lexicographically first
+    val b = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L), ("c", 1L),
+      ("c", 3L)).toDF("s", "x")
+    val out2 = graft.text.Terms.neymanAllocation(b, "s", col("x"), budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out2 === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    assert(out2.values.sum === 10L, "apportionment must sum to the budget")
+  }
+
+  test("q190 prefix join: fuzz equals the quadratic truth — no false negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vocab = (0 until 12).map(i => s"w$i")
+    // near-dup structure: half the docs are light edits of a template
+    val template = (0 until 20).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val docs = (0L until 40L).map { i =>
+      val toks =
+        if (i % 2 == 0) template.map(t =>
+          if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else t)
+        else (0 until 5 + rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.text.NearDup.prefixJaccardPairs(df, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // quadratic ground truth on exact shingle STRING sets
+    def sh(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.map { case (i, t) => i -> sh(t) }.toMap
+    val truth = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sa = sets(a); sb = sets(b)
+      if sa.nonEmpty && sb.nonEmpty
+      c = (sa intersect sb).size
+      j = BigDecimal(c.toDouble / (sa.size + sb.size - c))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(got === truth,
+      s"prefix filter must be lossless: missing ${truth.keySet -- got.keySet}, " +
+        s"extra ${got.keySet -- truth.keySet}")
+    assert(truth.nonEmpty, "fixture must actually produce qualifying pairs")
+  }
+
+  test("q191 Heaps: all-new tokens fit beta=1 exactly, a frozen vocab fits 0") {
+    import spark.implicits._
+    // every token corpus-unique → V(T) = T at every checkpoint → the
+    // log-log points are y = x and the LS slope is exactly 1e6
+    val fresh = (0L until 20L).map(i =>
+      (i, (0 until 5).map(j => s"u${i}_$j").mkString(" "), "new"))
+    // frozen vocabulary → V constant → slope exactly 0
+    val frozen = (100L until 120L).map(i => (i, "a b c d e", "old"))
+    val df = (fresh ++ frozen).toDF("doc_id", "text", "source")
+    val out = graft.text.CorpusStats.heapsExponent(df, "source", "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("new") === 1000000L, s"all-new tokens must fit beta=1, got $out")
+    assert(out("old") === 0L, s"a frozen vocabulary must fit beta=0, got $out")
+  }
+
+  test("q192 compression: repetitive < natural < random, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rep = "ab" * 300
+    val nat = ("the quick brown fox jumps over the lazy dog and then " * 12).take(600)
+    val random = (0 until 600).map(_ => (33 + rnd.nextInt(90)).toChar).mkString
+    val df = Seq((1L, rep), (2L, nat), (3L, random)).toDF("doc_id", "text")
+    val out = graft.text.TextOps.compressionStats(spark, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L),
+      s"ratio must order repetitive < natural < random, got $out")
+    assert(out(3L) > 800000L, "near-random text must be near-incompressible")
+    val out2 = graft.text.TextOps.compressionStats(spark, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === out2, "deterministic re-run")
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
