@@ -156,4 +156,47 @@ object StreamingIngest {
       .select(col("station"), col("param"),
         col("window.start").as("bucket"),
         col("mean_value"), col("max_value"), col("last_value"), col("n_obs"))
+
+  /** STREAMING DRIFT MONITOR: one `Trigger.AvailableNow` tick drains
+    * newly staged docs, folds their log₂ length buckets into the
+    * persisted (group, bucket) count grid (`Calibrate.psiGrid` — the
+    * grid is MERGEABLE by cell-wise add, the manifest-maintenance
+    * algebra), and rewrites the current per-source PSI table from the
+    * merged cells. Cost per tick = one pass over the NEW docs plus
+    * cell-grid arithmetic — the corpus is never re-read, yet the PSI
+    * out of the maintained grid is BIT-IDENTICAL to the batch
+    * `psiByGroup` over everything ingested so far (StreamingSpec pins
+    * this across multi-tick arrivals). The standing grid is
+    * checkpointed before the overwrite so the read never races its own
+    * replacement (the manifest-tick lesson).
+    */
+  def driftMonitorTick(spark: SparkSession, stagingDir: String,
+                       monitorDir: String, checkpointDir: String): Unit = {
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING, n_chars LONG")
+      .option("header", "true")
+      .csv(stagingDir)
+    val q: StreamingQuery = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.text.Calibrate
+        val sp = batch.sparkSession
+        val gridDir = s"$monitorDir/_grid"
+        val psiDir = s"$monitorDir/psi"
+        val fresh = Calibrate.psiGrid(batch, "source", col("n_chars"))
+        val path = new org.apache.hadoop.fs.Path(gridDir)
+        val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
+        val merged = (if (fs.exists(path))
+          sp.read.parquet(gridDir).localCheckpoint(true)
+            .unionByName(fresh)
+            .groupBy(col("grp"), col("bucket")).agg(sum(col("c")).as("c"))
+        else fresh).localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(gridDir)
+        Calibrate.psiFromGrid(merged)
+          .write.mode("overwrite").parquet(psiDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -618,8 +618,29 @@ object Calibrate {
           .otherwise(length(bin(col("v"))).cast("long")))
     // (group, bucket) counts — one map-side-combined aggregation; the
     // grid below is (groups × ≤64 buckets)-bounded, tiny at any scale
-    val cg = binned.groupBy(col("grp"), col("bucket"))
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    psiFromGrid(binned.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** The log₂ (group, bucket) count grid for `valueCol` — [[psiByGroup]]'s
+    * front half, exposed because the grid is trivially MERGEABLE
+    * (cell-wise add): a streaming tick maintains it incrementally and
+    * recomputes PSI from cells at per-batch cost, never re-reading the
+    * corpus (StreamingIngest.driftMonitorTick). */
+  def psiGrid(df: DataFrame, groupCol: String, valueCol: Column): DataFrame =
+    df.select(col(groupCol).as("grp"), valueCol.as("v"))
+      .withColumn("bucket",
+        when(col("v") <= 0, lit(0L))
+          .otherwise(length(bin(col("v"))).cast("long")))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** PSI from a (grp, bucket, c) cell grid — the back half of
+    * [[psiByGroup]]; add-one smoothing over the zero-cell-complete
+    * grid, per-bin terms micro-snapped. */
+  def psiFromGrid(cellGrid: DataFrame): DataFrame = {
+    val cg = cellGrid.select(col("grp"), col("bucket"), col("c"))
+      .localCheckpoint(true)
     val groups = cg.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
     val buckets = cg.groupBy(col("bucket")).agg(sum(col("c")).as("c_all"))
     val nBuckets = buckets.agg(count(lit(1)).as("b"),

@@ -154,6 +154,134 @@ object Classify {
           / col("n").cast("double") + lit(0.5)).cast("long"))
   }
 
+  /** LEAVE-ONE-SOURCE-OUT DATA VALUATION: for every source s, the NB
+    * label-model's accuracy on a fixed eval slice when trained WITHOUT
+    * s, against the full-corpus model — the distributable core of
+    * influence-style data valuation (which sources actually help the
+    * downstream label model, which are noise). A source whose removal
+    * RAISES accuracy is hurting training; the delta column ranks
+    * sources for culling or down-weighting.
+    *
+    * The key algebra: every LOO model's counts derive from ONE corpus
+    * scan — c_tl^(−s) = c_tl − c_tls, T_l^(−s) = T_l − T_ls,
+    * V^(−s) = V − |terms exclusive to s|, priors likewise — so "train
+    * S models" costs one (source, term, label) aggregation plus
+    * vocab×L×S grid arithmetic, never S corpus passes. Inference
+    * replicates eval-doc tokens ×L×S; keep the eval slice a sample
+    * (`evalPred`) — the replication, not the training, is the scale
+    * knob (scale path: restrict the grid to eval-doc terms first).
+    *
+    * Semantics notes, both engines: docs whose every token is
+    * exclusive to the held-out source carry no evidence under that
+    * model and drop from its eval (n_scored is per-source for this
+    * reason); labels wholly contributed by s die with it (their grid
+    * and prior rows are filtered on n_docs > 0, so they simply cannot
+    * be predicted). Scores are micro-snapped integer sums throughout —
+    * the q133 exactness doctrine.
+    */
+  def looSourceValuation(df: DataFrame, idCol: String, textCol: String,
+                         labelCol: String, sourceCol: String,
+                         evalPred: Column): DataFrame = {
+    val spark = df.sparkSession
+    // the token stream feeds the count model AND the eval slice — one
+    // materialization (the q172/q124 multi-consumer rule)
+    val toks = df.select(col(idCol).as("doc_id"),
+      col(labelCol).as("label_true"), col(sourceCol).as("src"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+      .localCheckpoint(true)
+    val ctls = toks.groupBy(col("src"), col("label_true").as("label"),
+        col("term"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val sources = ctls.select(col("src")).distinct().localCheckpoint(true)
+    val ctl = ctls.groupBy(col("label"), col("term"))
+      .agg(sum(col("c")).as("c_all")).localCheckpoint(true)
+    // per-label totals, full and per-source
+    val lab = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")).as("t_l"))
+      .localCheckpoint(true)
+    val labS = df.groupBy(col(sourceCol).as("src"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_ls"),
+        sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")).as("t_ls"))
+    val nAll = lab.agg(sum(col("n_docs")).as("n_all"))
+    // vocabulary sizes: V, and V^(−s) = V − (terms exclusive to s)
+    val termTot = ctl.groupBy(col("term")).agg(sum(col("c_all")).as("ct"))
+    val termSrc = ctls.groupBy(col("src"), col("term"))
+      .agg(sum(col("c")).as("cs"))
+    val v = termTot.agg(count(lit(1)).as("v"))
+    val vS = termSrc.join(termTot, Seq("term"))
+      .filter(col("ct") === col("cs"))
+      .groupBy(col("src")).agg(count(lit(1)).as("excl"))
+    // per-source LOO model grid: vocab × labels × sources, zero cells
+    // included (smoothing acts exactly there) — EXCEPT terms whose
+    // entire corpus count came from the held-out source: model −s has
+    // never seen them, so they are out-of-vocabulary for it (their
+    // rows drop, matching the V correction; at inference they behave
+    // like any unknown token — the join misses)
+    val grid = ctl.select(col("term")).distinct()
+      .crossJoin(broadcast(lab.select(col("label"))))
+      .crossJoin(broadcast(sources))
+      .join(ctl, Seq("label", "term"), "left").na.fill(0L, Seq("c_all"))
+      .join(ctls.withColumnRenamed("c", "c_s"), Seq("src", "label", "term"), "left")
+      .na.fill(0L, Seq("c_s"))
+      .join(broadcast(lab), Seq("label"))
+      .join(labS, Seq("src", "label"), "left")
+      .na.fill(0L, Seq("n_ls", "t_ls"))
+      .crossJoin(broadcast(v))
+      .join(broadcast(vS), Seq("src"), "left").na.fill(0L, Seq("excl"))
+      .join(broadcast(termTot), Seq("term"))
+      .join(termSrc.withColumnRenamed("cs", "cs_term"), Seq("src", "term"), "left")
+      .na.fill(0L, Seq("cs_term"))
+      .filter(col("cs_term") < col("ct")) // term survives the hold-out
+      .filter(col("n_docs") - col("n_ls") > 0) // label dies with s
+      .select(col("src"), col("term"), col("label"),
+        floor((log((col("c_all") - col("c_s")).cast("double") + lit(1.0)) -
+          log((col("t_l") - col("t_ls") + col("v") - col("excl"))
+            .cast("double"))) * lit(1e6) + lit(0.5)).cast("long").as("s_micro"))
+    val priors = lab.crossJoin(broadcast(sources))
+      .join(labS, Seq("src", "label"), "left").na.fill(0L, Seq("n_ls"))
+      .crossJoin(broadcast(nAll))
+      .join(df.groupBy(col(sourceCol).as("src")).agg(count(lit(1)).as("n_s")),
+        Seq("src"))
+      .filter(col("n_docs") - col("n_ls") > 0)
+      .select(col("src"), col("label"),
+        floor((log((col("n_docs") - col("n_ls")).cast("double")) -
+          log((col("n_all") - col("n_s")).cast("double"))) * lit(1e6)
+          + lit(0.5)).cast("long").as("prior_micro"))
+    // eval slice scored under every LOO model
+    val evalToks = toks.join(
+      df.filter(evalPred).select(col(idCol).as("doc_id")), Seq("doc_id"))
+      .drop("src")
+    val scored = evalToks
+      .join(grid, Seq("term")) // ×L×S replication — the documented knob
+      .groupBy(col("src"), col("doc_id"), col("label_true"), col("label"))
+      .agg(sum(col("s_micro")).as("ll_micro"))
+      .join(broadcast(priors), Seq("src", "label"))
+      .select(col("src"), col("doc_id"), col("label_true"),
+        struct((col("ll_micro") + col("prior_micro")).as("s"),
+          col("label").as("l")).as("cand"))
+    val looAcc = scored.groupBy(col("src"), col("doc_id"), col("label_true"))
+      .agg(max(col("cand")).as("best"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum((col("best.l") === col("label_true")).cast("long")).as("n_ok"))
+      .withColumn("acc_loo_micro",
+        floor(col("n_ok").cast("double") * lit(1e6)
+          / col("n_scored").cast("double") + lit(0.5)).cast("long"))
+    // full-model accuracy on the same slice, once
+    val full = naiveBayesSelfTest(df, idCol, textCol, labelCol)
+      .join(df.filter(evalPred).select(col(idCol).as("doc_id")), Seq("doc_id"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("correct").cast("long")).as("ok"))
+      .select(col("n_eval"),
+        floor(col("ok").cast("double") * lit(1e6)
+          / col("n_eval").cast("double") + lit(0.5)).cast("long")
+          .as("acc_full_micro"))
+    looAcc.crossJoin(broadcast(full))
+      .select(col("src").as("source"), col("n_scored"), col("n_eval"),
+        col("acc_full_micro"), col("acc_loo_micro"),
+        (col("acc_loo_micro") - col("acc_full_micro")).as("delta_micro"))
+  }
+
   /** LABEL-NOISE AUDIT (the confident-learning idea, Northcutt et al.
     * 2021, reduced to its distributable core): documents where the
     * model trained ON the given labels still disagrees with its own

@@ -991,6 +991,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === out2, "deterministic re-run")
   }
 
+  test("q193 LOO valuation: removing the noisy source raises accuracy; " +
+      "exclusive-vocab docs drop from that model's eval") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, "cat cat cat", "A", "good"), (2L, "cat cat", "A", "good"),
+      (3L, "dog dog dog", "B", "good"), (4L, "dog dog", "B", "good"),
+      (5L, "cat cat cat cat", "A", "good2"), (6L, "dog dog dog dog", "B", "good2"))
+    // 'noisy' floods label B with ENOUGH cat-vocabulary to flip the
+    // full model's cat verdict to B (a balanced poisoning only MOVES
+    // errors — accuracy needs the poisoned mass to dominate)
+    val noisy = (7L to 9L).map(i => (i, ("cat " * 10).trim, "B", "noisy"))
+    // 'island' owns its entire vocabulary — its doc is unscoreable
+    // under the model trained without it
+    val island = Seq((0L, "zzz zzz zzz", "A", "island"))
+    val df = (clean ++ noisy ++ island).toDF("doc_id", "text", "lang", "source")
+    // eval on the TRUSTED slice only (the valuation protocol: never let
+    // the suspect data grade itself)
+    val out = graft.text.Classify.looSourceValuation(df, "doc_id", "text",
+        "lang", "source", evalPred = col("doc_id") <= 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("noisy")._2 === 1000000L && out("noisy")._3 > 0L,
+      s"holding out the label-noise source must raise accuracy, got $out")
+    // island's doc is OOV under LOO(island) → dropped from its scoring
+    assert(out("island")._1 === 6L,
+      s"exclusive-vocab docs must drop from the held-out model's eval, got $out")
+    assert(out("good")._1 === 7L, "other models score every trusted doc")
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab

@@ -78,6 +78,41 @@ class StreamingSpec extends SparkSpec {
     assert(folded === oneShot && folded.head._1 === 4L)
   }
 
+  test("drift ticks: maintained grid + PSI equal the batch computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("drift").toString
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    val monitor = s"$base/monitor"
+
+    def line(id: Long, src: String, n: Long) = s"$id,doc $id,$src,$n\n"
+    // wave 1: two sources, distinct magnitudes
+    Files.writeString(Paths.get(s"$staging/w1.csv"),
+      "doc_id,text,source,n_chars\n" +
+        line(1, "a", 10) + line(2, "a", 12) + line(3, "b", 900) +
+        line(4, "b", 1000))
+    StreamingIngest.driftMonitorTick(spark, staging, monitor, s"$base/ckpt")
+    // wave 2 shifts source a upward; w1 is not re-drained
+    Files.writeString(Paths.get(s"$staging/w2.csv"),
+      "doc_id,text,source,n_chars\n" +
+        line(5, "a", 800) + line(6, "a", 950) + line(7, "b", 1100))
+    StreamingIngest.driftMonitorTick(spark, staging, monitor, s"$base/ckpt")
+
+    val all = Seq((1L, "a", 10L), (2L, "a", 12L), (3L, "b", 900L),
+      (4L, "b", 1000L), (5L, "a", 800L), (6L, "a", 950L), (7L, "b", 1100L))
+      .toDF("doc_id", "source", "n_chars")
+    val batch = graft.text.Calibrate.psiByGroup(all, "source", col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = spark.read.parquet(s"$monitor/psi")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      "two per-batch folds must equal the one-shot batch PSI bit-exactly")
+    val grid = spark.read.parquet(s"$monitor/_grid")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(grid.values.sum === 7L, "grid cells count every ingested doc once")
+  }
+
   test("two ingest ticks: drain, upsert, no reprocessing, old-wins merge") {
     import spark.implicits._
     val base = Files.createTempDirectory("stream").toString
