@@ -848,6 +848,193 @@ object Advanced extends QueryPack {
                  AND b IN (SELECT node FROM k2))
         SELECT node AS user_id, count(*)::BIGINT AS deg
         FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // THEIL-SEN robust value trend per user (Theil 1950 / Sen 1968, the
+    // median-of-pairwise-slopes estimator): q116's least squares is
+    // yanked around by a single outlier purchase; the Theil-Sen slope
+    // has a 29% breakdown point. Slopes are micro-snapped from exact
+    // integer (Δcenti, Δhour) pairs; the median is the exact
+    // ⌈n/2⌉-th order statistic under a deterministic total order.
+    // Scale shape: the pair term is PER-USER quadratic only (events
+    // per user is calendar-bounded — the q74 within-cell discipline);
+    // the rank window partitions by user over those bounded pair sets.
+    "q195_theilsen_trend" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            floor(col("value") * lit(100) + lit(0.5)).cast("long").as("yc"))
+        val base = ev.join(
+            ev.groupBy(col("user_id")).agg(min(col("tus")).as("t0")),
+            Seq("user_id"))
+          .withColumn("x", expr("(tus - t0) div 3600000000"))
+          .select(col("user_id"), col("event_id"), col("x"), col("yc"))
+        val a = base.select(col("user_id"), col("x").as("x1"),
+          col("yc").as("y1"), col("event_id").as("e1"))
+        val b = base.select(col("user_id"), col("x").as("x2"),
+          col("yc").as("y2"), col("event_id").as("e2"))
+        val slopes = a.join(b, Seq("user_id"))
+          .filter(col("x1") < col("x2"))
+          .withColumn("slope_micro",
+            floor((col("y2") - col("y1")).cast("double") * lit(1e6)
+              / (col("x2") - col("x1")).cast("double") + lit(0.5))
+              .cast("long"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("slope_micro"), col("e1"), col("e2"))
+        slopes
+          .withColumn("rn", row_number().over(w))
+          .withColumn("np", count(lit(1))
+            .over(Window.partitionBy(col("user_id"))))
+          .filter(col("rn") === expr("(np + 1) div 2"))
+          .select(col("user_id"), col("np").as("n_pairs"),
+            col("slope_micro").as("ts_slope_micro"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                           floor(value * 100 + 0.5)::BIGINT AS yc
+                    FROM events),
+        base AS (SELECT e.user_id, e.event_id,
+                        (e.tus - t.t0) // 3600000000 AS x, e.yc
+                 FROM ev e JOIN (SELECT user_id, min(tus) AS t0
+                                 FROM ev GROUP BY 1) t USING (user_id)),
+        sl AS (SELECT a.user_id,
+                      floor((b.yc - a.yc)::DOUBLE * 1e6
+                            / (b.x - a.x)::DOUBLE + 0.5)::BIGINT
+                        AS slope_micro,
+                      a.event_id AS e1, b.event_id AS e2
+               FROM base a JOIN base b
+                 ON a.user_id = b.user_id AND a.x < b.x),
+        r AS (SELECT user_id, slope_micro,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY slope_micro, e1, e2) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS np
+              FROM sl)
+        SELECT user_id, np::BIGINT AS n_pairs,
+               slope_micro AS ts_slope_micro
+        FROM r WHERE rn = (np + 1) // 2""")),
+
+    // TIME-WINDOWED CONVERSION FUNNEL: did the user purchase within
+    // 24 h of their FIRST view (the attribution-window form of q110's
+    // unconstrained funnel)? One user aggregation for the anchor, one
+    // windowed min over qualifying purchases; latency carried for the
+    // converting rows, NULL for the rest.
+    "q196_windowed_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(min(unix_micros(col("ts"))).as("v0"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("pt"))
+        v.join(p, Seq("user_id"), "left")
+          .withColumn("qual",
+            when(col("pt") > col("v0") &&
+              col("pt") <= col("v0") + lit(86400000000L), col("pt")))
+          .groupBy(col("user_id"))
+          .agg(min(col("qual")).as("p0"), max(col("v0")).as("v0"))
+          .select(col("user_id"),
+            col("p0").isNotNull.cast("int").as("converted"),
+            expr("(p0 - v0) div 1000000").as("latency_s"))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v0
+                   FROM events WHERE event_type = 'view' GROUP BY 1),
+        p AS (SELECT user_id, epoch_us(ts) AS pt
+              FROM events WHERE event_type = 'purchase'),
+        j AS (SELECT v.user_id, v.v0,
+                     min(CASE WHEN p.pt > v.v0
+                               AND p.pt <= v.v0 + 86400000000
+                              THEN p.pt END) AS p0
+              FROM v LEFT JOIN p ON p.user_id = v.user_id
+              GROUP BY 1, 2)
+        SELECT user_id, (p0 IS NOT NULL)::INT AS converted,
+               (p0 - v0) // 1000000 AS latency_s
+        FROM j""")),
+
+    // CUPED-ADJUSTED A/B READOUT (Deng et al. 2013, the standard
+    // experimentation variance-reduction): users deterministically
+    // hash-bucketed into two arms; the post-period value metric is
+    // adjusted by the pre-period covariate, ȳ_cuped = ȳ_arm −
+    // θ·(x̄_arm − x̄), θ = cov(x,y)/var(x) pooled. The period split is
+    // the exact µs midpoint of the observed range (no calendar
+    // literal to drift when testdata regenerates). Every moment is an
+    // exact integer sum; θ and the means are one mirrored double tail.
+    "q197_cuped_readout" -> Q(
+      (s, d) => {
+        val sp = s
+        val ev = Tables.events(sp, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            floor(col("value") * lit(100) + lit(0.5)).cast("long").as("vc"))
+        val mid = ev.agg(expr("min(tus) + (max(tus) - min(tus)) div 2")
+          .as("mid"))
+        val users = ev.crossJoin(broadcast(mid))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("tus") < col("mid"), col("vc")).otherwise(0L))
+            .as("x"),
+            sum(when(col("tus") >= col("mid"), col("vc")).otherwise(0L))
+              .as("y"))
+          .withColumn("arm", pmod(graft.text.TextOps.gramHash64(sp,
+            col("user_id").cast("string")), lit(2L)))
+          .localCheckpoint(true) // pooled moments + per-arm sums share it
+        val pooled = users.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        val arms = users.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n_users"), sum(col("x")).as("ax"),
+            sum(col("y")).as("ay"))
+        val nD = col("n").cast("double")
+        val den = nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        arms.crossJoin(broadcast(pooled))
+          .withColumn("theta",
+            when(den > 0.0, (nD * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) / den)
+              .otherwise(lit(0.0)))
+          .withColumn("mean_raw_micro",
+            floor(col("ay").cast("double") * lit(1e4)
+              / col("n_users").cast("double") + lit(0.5)).cast("long"))
+          .withColumn("mean_cuped_micro",
+            floor((col("ay").cast("double") / col("n_users").cast("double")
+              - col("theta") * (col("ax").cast("double")
+                / col("n_users").cast("double")
+                - col("sx").cast("double") / nD)) * lit(1e4) + lit(0.5))
+              .cast("long"))
+          .select(col("arm"), col("n_users"), col("mean_raw_micro"),
+            col("mean_cuped_micro"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+                           floor(value * 100 + 0.5)::BIGINT AS vc
+                    FROM events),
+        mid AS (SELECT min(tus) + (max(tus) - min(tus)) // 2 AS mid FROM ev),
+        u AS (SELECT user_id,
+                     sum(CASE WHEN tus < mid THEN vc ELSE 0 END)::BIGINT AS x,
+                     sum(CASE WHEN tus >= mid THEN vc ELSE 0 END)::BIGINT AS y,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2
+                       AS arm
+              FROM ev CROSS JOIN mid GROUP BY user_id),
+        pooled AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                          sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                          sum(x * x)::BIGINT AS sxx
+                   FROM u),
+        arms AS (SELECT arm, count(*)::BIGINT AS n_users,
+                        sum(x)::BIGINT AS ax, sum(y)::BIGINT AS ay
+                 FROM u GROUP BY 1)
+        SELECT arm, n_users,
+               floor(ay::DOUBLE * 1e4 / n_users::DOUBLE + 0.5)::BIGINT
+                 AS mean_raw_micro,
+               floor((ay::DOUBLE / n_users::DOUBLE
+                      - (CASE WHEN n::DOUBLE * sxx::DOUBLE
+                                   - sx::DOUBLE * sx::DOUBLE > 0
+                              THEN (n::DOUBLE * sxy::DOUBLE
+                                    - sx::DOUBLE * sy::DOUBLE)
+                                   / (n::DOUBLE * sxx::DOUBLE
+                                      - sx::DOUBLE * sx::DOUBLE)
+                              ELSE 0 END)
+                        * (ax::DOUBLE / n_users::DOUBLE
+                           - sx::DOUBLE / n::DOUBLE)) * 1e4 + 0.5)::BIGINT
+                 AS mean_cuped_micro
+        FROM arms CROSS JOIN pooled"""))
   )
 }

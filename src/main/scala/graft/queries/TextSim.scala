@@ -167,6 +167,22 @@ object TextSim extends QueryPack {
     * Ends in `sse (vec_id, subspace, code, sse_micro)` with `e` and
     * `cc` also available. Parameters mirror pqAudit(dims=64, m=4,
     * ksub=8) — dsub = 16. */
+  /** The q33 language-ID heuristic as one SQL CASE over `text` — ONE
+    * generator for the per-doc prediction (q33) and the confusion
+    * matrix (q194) so the heuristic cannot drift between them. */
+  private def langIdCaseSql: String = {
+    def score(ms: Seq[String]) =
+      s"len(list_filter(list_filter(str_split(lower(text), ' '), x -> x <> ''), " +
+        s"t -> list_contains(${ms.map(m => s"'$m'").mkString("[", ",", "]")}, t)))"
+    val (en, de, es, fr) = (score(TextOps.EN_MARKERS), score(TextOps.DE_MARKERS),
+      score(TextOps.ES_MARKERS), score(TextOps.FR_MARKERS))
+    s"""CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+               WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+               WHEN $de >= $es AND $de >= $fr THEN 'de'
+               WHEN $es >= $fr THEN 'es'
+               ELSE 'fr' END"""
+  }
+
   /** The multinomial-NB model CTE chain (q133's formula), ending in
     * `tot (doc_id, label_true, cand, total)` — one generator for the
     * argmax self-test (q133) and the margin-calibration table (q177) so
@@ -604,21 +620,9 @@ object TextSim extends QueryPack {
     "q33_lang_id" -> Q(
       (s, d) => TextOps.withLangId(Tables.documents(s, d), "text", "pred_lang")
         .select(col("doc_id"), col("pred_lang")),
-      Some {
-        def score(ms: Seq[String]) =
-          s"len(list_filter(list_filter(str_split(lower(text), ' '), x -> x <> ''), " +
-            s"t -> list_contains(${ms.map(m => s"'$m'").mkString("[", ",", "]")}, t)))"
-        val (en, de, es, fr) = (score(TextOps.EN_MARKERS), score(TextOps.DE_MARKERS),
-          score(TextOps.ES_MARKERS), score(TextOps.FR_MARKERS))
-        s"""
-        SELECT doc_id,
-          CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
-               WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
-               WHEN $de >= $es AND $de >= $fr THEN 'de'
-               WHEN $es >= $fr THEN 'es'
-               ELSE 'fr' END AS pred_lang
-        FROM documents"""
-      }),
+      Some(s"""
+        SELECT doc_id, $langIdCaseSql AS pred_lang
+        FROM documents""")),
 
     // Quality score: length / punctuation / stopword-density gates.
     "q34_quality_score" -> Q(
@@ -4748,5 +4752,117 @@ object TextSim extends QueryPack {
                  - floor(ok::DOUBLE * 1e6 / n_eval::DOUBLE + 0.5)::BIGINT
                  AS delta_micro
         FROM xloo CROSS JOIN xfull""")),
+
+    // LANGUAGE-ID CONFUSION MATRIX: the q33 heuristic graded against
+    // the lang labels — observed (label, prediction) cells with row
+    // (recall-axis) and column (precision-axis) shares, the standard
+    // classifier-quality census. Shares langIdCaseSql with q33 so the
+    // heuristic cannot drift; everything after the per-doc prediction
+    // is |langs|²-bounded.
+    "q194_langid_confusion" -> Q(
+      (s, d) => {
+        val cells = TextOps.withLangId(Tables.documents(s, d), "text", "pred")
+          .groupBy(col("lang").as("label"), col("pred"))
+          .agg(count(lit(1)).as("n")).localCheckpoint(true)
+        val rt = cells.groupBy(col("label")).agg(sum(col("n")).as("rt"))
+        val ct = cells.groupBy(col("pred")).agg(sum(col("n")).as("ct"))
+        cells.join(rt, Seq("label")).join(ct, Seq("pred"))
+          .select(col("label"), col("pred").as("pred_lang"), col("n"),
+            floor(col("n").cast("double") * lit(1e6)
+              / col("rt").cast("double") + lit(0.5)).cast("long")
+              .as("row_share_micro"),
+            floor(col("n").cast("double") * lit(1e6)
+              / col("ct").cast("double") + lit(0.5)).cast("long")
+              .as("col_share_micro"))
+      },
+      Some(s"""
+        WITH p AS (SELECT lang AS label, $langIdCaseSql AS pred
+                   FROM documents),
+        cells AS (SELECT label, pred, count(*)::BIGINT AS n
+                  FROM p GROUP BY 1, 2),
+        rt AS (SELECT label, sum(n)::BIGINT AS rt FROM cells GROUP BY 1),
+        ct AS (SELECT pred, sum(n)::BIGINT AS ct FROM cells GROUP BY 1)
+        SELECT label, pred AS pred_lang, n,
+               floor(n::DOUBLE * 1e6 / rt::DOUBLE + 0.5)::BIGINT
+                 AS row_share_micro,
+               floor(n::DOUBLE * 1e6 / ct::DOUBLE + 0.5)::BIGINT
+                 AS col_share_micro
+        FROM cells JOIN rt USING (label) JOIN ct USING (pred)""")),
+
+    // EMPIRICAL-BAYES RATE SHRINKAGE (the Efron-Morris/beta-binomial
+    // construction, public): per-source quality-gate pass rates shrunk
+    // toward the cross-source prior — a 10-doc source's raw 0.9 rate
+    // is noise, and ranking sources on raw rates rewards small n; the
+    // shrunk rate is what a mixture planner should read. Prior (α, β)
+    // by method of moments over the micro-snapped rate vector (integer
+    // sums — a double sum over sources would be aggregation-order-
+    // dependent); negative MoM mass (rates less dispersed than
+    // binomial) falls back to no shrinkage in both engines.
+    "q198_eb_shrinkage" -> Q(
+      (s, d) => {
+        val src = Tables.documents(s, d)
+          .select(col("source"),
+            (TextOps.qualityScore(col("text")) >= 0.55).cast("long").as("keep"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("keep")).as("k"))
+          .withColumn("rate_micro",
+            floor(col("k").cast("double") * lit(1e6)
+              / col("n").cast("double") + lit(0.5)).cast("long"))
+          .localCheckpoint(true)
+        val mom = src.agg(count(lit(1)).as("ns"),
+          sum(col("rate_micro")).as("sr"),
+          sum(col("rate_micro") * col("rate_micro")).as("sr2"))
+        val m = col("sr").cast("double") / col("ns").cast("double")
+        val v = (col("ns").cast("double") * col("sr2").cast("double")
+          - col("sr").cast("double") * col("sr").cast("double")) /
+          (col("ns").cast("double") * col("ns").cast("double"))
+        src.crossJoin(broadcast(mom))
+          .withColumn("ab", m * (lit(1e6) - m) / v - lit(1.0))
+          .withColumn("shrunk_micro",
+            when(v > 0.0 && col("ab") > 0.0,
+              floor((col("k").cast("double") + col("ab") * m / lit(1e6))
+                / (col("n").cast("double") + col("ab")) * lit(1e6)
+                + lit(0.5)).cast("long"))
+              .otherwise(col("rate_micro")))
+          .select(col("source"), col("n"), col("k"), col("rate_micro"),
+            col("shrunk_micro"))
+      },
+      Some(s"""
+        WITH sc AS (SELECT source,
+                           (($qualitySql) >= 0.55)::INT AS keep
+                    FROM documents),
+        src AS (SELECT source, count(*)::BIGINT AS n,
+                       sum(keep)::BIGINT AS k,
+                       floor(sum(keep)::DOUBLE * 1e6
+                             / count(*)::DOUBLE + 0.5)::BIGINT AS rate_micro
+                FROM sc GROUP BY 1),
+        mom AS (SELECT count(*)::BIGINT AS ns,
+                       sum(rate_micro)::BIGINT AS sr,
+                       sum(rate_micro * rate_micro)::BIGINT AS sr2
+                FROM src)
+        SELECT source, n, k, rate_micro,
+               CASE WHEN (ns::DOUBLE * sr2::DOUBLE - sr::DOUBLE * sr::DOUBLE)
+                         / (ns::DOUBLE * ns::DOUBLE) > 0
+                     AND (sr::DOUBLE / ns::DOUBLE)
+                         * (1e6 - sr::DOUBLE / ns::DOUBLE)
+                         / ((ns::DOUBLE * sr2::DOUBLE
+                             - sr::DOUBLE * sr::DOUBLE)
+                            / (ns::DOUBLE * ns::DOUBLE)) - 1.0 > 0
+                    THEN floor((k::DOUBLE
+                                + ((sr::DOUBLE / ns::DOUBLE)
+                                   * (1e6 - sr::DOUBLE / ns::DOUBLE)
+                                   / ((ns::DOUBLE * sr2::DOUBLE
+                                       - sr::DOUBLE * sr::DOUBLE)
+                                      / (ns::DOUBLE * ns::DOUBLE)) - 1.0)
+                                  * (sr::DOUBLE / ns::DOUBLE) / 1e6)
+                               / (n::DOUBLE
+                                  + ((sr::DOUBLE / ns::DOUBLE)
+                                     * (1e6 - sr::DOUBLE / ns::DOUBLE)
+                                     / ((ns::DOUBLE * sr2::DOUBLE
+                                         - sr::DOUBLE * sr::DOUBLE)
+                                        / (ns::DOUBLE * ns::DOUBLE)) - 1.0))
+                               * 1e6 + 0.5)::BIGINT
+                    ELSE rate_micro END AS shrunk_micro
+        FROM src CROSS JOIN mom""")),
   )
 }

@@ -1020,6 +1020,123 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("good")._1 === 7L, "other models score every trusted doc")
   }
 
+  test("q194 confusion: hand cells with exact row/column shares") {
+    val dir = corpusDir(Seq(
+      (1L, "the and of it", "en", "w"),   // correctly-labeled English
+      (2L, "the and of them", "de", "w"), // mislabeled — predicts en
+      (3L, "der die und das", "de", "w")))
+    val out = graft.SparkEntry.queries("q194_langid_confusion")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // key = (label, pred); columns: n, row_share, col_share
+    assert(out(("en", "en")) === ((1L, 1000000L, 500000L)))
+    assert(out(("de", "en")) === ((1L, 500000L, 500000L)),
+      "the mislabeled doc splits en's column and de's row")
+    assert(out(("de", "de")) === ((1L, 500000L, 1000000L)))
+  }
+
+  test("q195 Theil-Sen: the median slope shrugs off one outlier") {
+    import spark.implicits._
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000)
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 0.10, "{}"), (2L, ts(1), 7L, "view", 0.20, "{}"),
+      (3L, ts(2), 7L, "view", 0.30, "{}"), (4L, ts(3), 7L, "view", 0.40, "{}"),
+      (5L, ts(4), 7L, "view", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q195_theilsen_trend")(spark, dir)
+      .collect()
+    assert(out.length === 1)
+    // clean pairs (6 of 10) all slope exactly 10 centi/hour = 1e7 micro;
+    // the median rank 5 lands inside them — the outlier's 4 pairs don't move it
+    assert(out.head.getAs[Long]("n_pairs") === 10L)
+    assert(out.head.getAs[Long]("ts_slope_micro") === 10000000L)
+  }
+
+  test("q196 windowed funnel: inside/outside window and pre-view purchases") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, ts(100), 1L, "view", 0.0, "{}"),
+      (2L, ts(100 + 3600), 1L, "purchase", 5.0, "{}"),      // within 24 h
+      (3L, ts(200), 2L, "view", 0.0, "{}"),
+      (4L, ts(200 + 90000), 2L, "purchase", 5.0, "{}"),     // 25 h — outside
+      (5L, ts(50), 3L, "purchase", 5.0, "{}"),              // BEFORE the view
+      (6L, ts(300), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wf").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q196_windowed_funnel")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("converted"), Option(r.getAs[Any]("latency_s"))))).toMap
+    assert(out(1L) === ((1, Some(3600L))))
+    assert(out(2L) === ((0, None)), "a purchase past the window is no conversion")
+    assert(out(3L) === ((0, None)), "a purchase before the view never attributes")
+  }
+
+  test("q197 CUPED: perfect pre/post correlation equalizes the arms exactly") {
+    import spark.implicits._
+    // y = 2x per user ⇒ θ = 2 ⇒ ȳ_cuped = 2·x̄ identically in both arms:
+    // the adjustment removes ALL assignment imbalance
+    val rnd = new scala.util.Random(31)
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000)
+    val ev = (1L to 60L).flatMap { u =>
+      val v = 1.0 + rnd.nextInt(50)
+      Seq((u * 2, ts(u % 5), u, "view", v, "{}"),          // pre period
+        (u * 2 + 1, ts(400 + u % 5), u, "view", 2 * v, "{}")) // post period
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cuped").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q197_cuped_readout")(spark, dir)
+      .collect().map(r => r.getAs[Long]("arm") ->
+        ((r.getAs[Long]("mean_raw_micro"), r.getAs[Long]("mean_cuped_micro"))))
+      .toMap
+    assert(out.size === 2, "both hash arms populated")
+    val Seq(a, b) = out.values.toSeq
+    assert(a._2 === b._2,
+      s"perfectly-correlated covariate must equalize cuped means, got $out")
+    assert(a._1 !== b._1, "raw means differ (the imbalance CUPED removes)")
+  }
+
+  test("q198 EB shrinkage: small samples shrink hard, large ones barely move") {
+    import graft.text.TextOps
+    import org.apache.spark.sql.functions.col
+    // find a passing and a failing text by ASKING the score function —
+    // the spec must not hardcode the quality formula
+    val probe = Seq(
+      "The quick brown fox jumps over the lazy dog near the riverbank today.",
+      "x x x x x")
+    val scored = {
+      import spark.implicits._
+      probe.toDF("text").select(TextOps.qualityScore(col("text")).as("s"))
+        .collect().map(_.getDouble(0))
+    }
+    val (passText, failText) =
+      (probe(if (scored(0) >= 0.55) 0 else 1),
+        probe(if (scored(0) >= 0.55) 1 else 0))
+    assert(scored.exists(_ >= 0.55) && scored.exists(_ < 0.55),
+      s"probe texts must straddle the gate, scores were ${scored.toSeq}")
+    val docs =
+      (1L to 20L).map(i => (i, passText, "en", "bigA")) ++
+      (21L to 40L).map(i => (i, failText, "en", "bigA")) ++
+      (41L to 60L).map(i => (i, passText, "en", "bigB")) ++
+      (61L to 80L).map(i => (i, failText, "en", "bigB")) ++
+      Seq((81L, passText, "en", "tiny"), (82L, passText, "en", "tiny"))
+    val dir = corpusDir(docs.map { case (i, t, l, s) => (i, t, l, s) })
+    val out = graft.SparkEntry.queries("q198_eb_shrinkage")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("rate_micro"), r.getAs[Long]("shrunk_micro")))).toMap
+    // tiny (n=2, raw 1.0) must be pulled far toward the ~0.5 prior;
+    // the n=40 sources barely move
+    val tinyPull = out("tiny")._1 - out("tiny")._2
+    val bigPull = math.abs(out("bigA")._1 - out("bigA")._2)
+    assert(tinyPull > 100000L,
+      s"a 2-doc perfect rate must shrink hard, got $out")
+    assert(bigPull < tinyPull / 4,
+      s"large samples must move far less, got $out")
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
