@@ -1035,6 +1035,107 @@ object Advanced extends QueryPack {
                         * (ax::DOUBLE / n_users::DOUBLE
                            - sx::DOUBLE / n::DOUBLE)) * 1e4 + 0.5)::BIGINT
                  AS mean_cuped_micro
-        FROM arms CROSS JOIN pooled"""))
+        FROM arms CROSS JOIN pooled""")),
+
+    // FORECAST BACKTEST via MASE (Hyndman & Koehler 2006, the scale-
+    // free forecast-accuracy standard): per event type, does a weekly
+    // seasonal-naive forecast (count = same type, 7 rows back) beat the
+    // plain naive (yesterday's count)? mase < 1e6 micro ⇒ weekly
+    // seasonality is real signal a capacity planner should model.
+    // Exact integer |error| sums over the (type × epoch-day) frame —
+    // bounded partitions (calendar days), rows where either lag is
+    // undefined excluded from BOTH sums so the ratio compares like for
+    // like. Lags are ROW lags over observed days (gap days absent from
+    // both forecasts identically — documented).
+    "q199_mase_backtest" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        daily
+          .withColumn("l1", lag(col("n"), 1).over(w))
+          .withColumn("l7", lag(col("n"), 7).over(w))
+          .filter(col("l1").isNotNull && col("l7").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("n") - col("l1"))).as("sum_e1"),
+            sum(abs(col("n") - col("l7"))).as("sum_e7"))
+          .withColumn("mase_micro",
+            when(col("sum_e1") > 0,
+              floor(col("sum_e7").cast("double") * lit(1e6)
+                / col("sum_e1").cast("double") + lit(0.5)).cast("long")))
+      },
+      Some("""
+        WITH daily AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+        lagged AS (SELECT event_type, n,
+                          lag(n, 1) OVER w AS l1, lag(n, 7) OVER w AS l7
+                   FROM daily
+                   WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, count(*)::BIGINT AS n_days,
+               sum(abs(n - l1))::BIGINT AS sum_e1,
+               sum(abs(n - l7))::BIGINT AS sum_e7,
+               CASE WHEN sum(abs(n - l1)) > 0
+                    THEN floor(sum(abs(n - l7))::DOUBLE * 1e6
+                               / sum(abs(n - l1))::DOUBLE + 0.5)::BIGINT
+               END AS mase_micro
+        FROM lagged WHERE l1 IS NOT NULL AND l7 IS NOT NULL
+        GROUP BY 1""")),
+
+    // EVENT-TYPE LIFT MATRIX (market-basket association over user-day
+    // baskets): lift(a,b) = P(a,b)/(P(a)·P(b)) — which behaviors
+    // co-occur beyond chance within a user's day. Basket = distinct
+    // (user, epoch-day); the pair join is |types|²-bounded per basket.
+    // n_ab·N and n_a·n_b are exact integer products; one division.
+    "q200_event_lift" -> Q(
+      (s, d) => {
+        val b = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("event_type")).distinct()
+          .localCheckpoint(true) // marginals, pairs and N share it
+        val n = b.select(col("user_id"), col("day")).distinct().count()
+        val marg = b.groupBy(col("event_type")).agg(count(lit(1)).as("na"))
+        val pairs = b.as("a").join(b.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.day") === col("b.day") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("et_a"),
+            col("b.event_type").as("et_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(marg.select(col("event_type").as("et_a"), col("na")), Seq("et_a"))
+          .join(marg.select(col("event_type").as("et_b"),
+            col("na").as("nb")), Seq("et_b"))
+          .select(col("et_a"), col("et_b"), col("n_ab"),
+            floor((col("n_ab") * lit(n)).cast("double") * lit(1e6)
+              / (col("na") * col("nb")).cast("double") + lit(0.5))
+              .cast("long").as("lift_micro"))
+      },
+      Some("""
+        WITH b AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day, event_type
+                   FROM events),
+        n AS (SELECT count(*)::BIGINT AS n
+              FROM (SELECT DISTINCT user_id, day FROM b)),
+        marg AS (SELECT event_type, count(*)::BIGINT AS na
+                 FROM b GROUP BY 1),
+        pairs AS (SELECT a.event_type AS et_a, c.event_type AS et_b,
+                         count(*)::BIGINT AS n_ab
+                  FROM b a JOIN b c
+                    ON a.user_id = c.user_id AND a.day = c.day
+                   AND a.event_type < c.event_type
+                  GROUP BY 1, 2)
+        SELECT et_a, et_b, n_ab,
+               floor((n_ab * n.n)::DOUBLE * 1e6
+                     / (ma.na * mb.na)::DOUBLE + 0.5)::BIGINT AS lift_micro
+        FROM pairs
+        JOIN marg ma ON ma.event_type = et_a
+        JOIN marg mb ON mb.event_type = et_b
+        CROSS JOIN n"""))
   )
 }

@@ -1137,6 +1137,57 @@ class PipelineOpsSpec extends SparkSpec {
       s"large samples must move far less, got $out")
   }
 
+  test("q199 MASE: a pure weekly-period series scores 0, a trend favors naive") {
+    import spark.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400 * 1000 + 3600000)
+    // 'weekly': counts cycle with period 7 → seasonal error 0 → MASE 0;
+    // 'trend': counts rise by 1/day → e1 = 1, e7 = 7 → MASE exactly 7e6
+    val weekly = (0L until 21L).flatMap { d =>
+      (0 until (1 + (d % 7).toInt)).map(i =>
+        (d * 100 + i, ts(d), i.toLong, "weekly", 0.0, "{}"))
+    }
+    val trend = (0L until 21L).flatMap { d =>
+      (0 until (1 + d.toInt)).map(i =>
+        (10000 + d * 100 + i, ts(d), i.toLong, "trend", 0.0, "{}"))
+    }
+    val ev = (weekly ++ trend)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mase").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q199_mase_backtest")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("mase_micro")))).toMap
+    assert(out("weekly") === ((14L, 0L)),
+      s"a period-7 series has zero seasonal error, got $out")
+    assert(out("trend") === ((14L, 7000000L)),
+      s"a unit trend makes the weekly forecast exactly 7x worse, got $out")
+  }
+
+  test("q200 lift: always-together pair lifts above 1, disjoint pair gets 0 cell") {
+    import spark.implicits._
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400 * 1000 + 60000)
+    // users 1-2: a+b together each day; users 3-4: c alone — (a,b) lift
+    // = N/(na·nb) · nab = 4·2/(2·2)... hand: baskets N=4·? compute below
+    val ev = (0L until 2L).flatMap { d =>
+      Seq((d * 10 + 1, ts(d), 1L, "a", 0.0, "{}"),
+        (d * 10 + 2, ts(d), 1L, "b", 0.0, "{}"),
+        (d * 10 + 3, ts(d), 2L, "a", 0.0, "{}"),
+        (d * 10 + 4, ts(d), 2L, "b", 0.0, "{}"),
+        (d * 10 + 5, ts(d), 3L, "c", 0.0, "{}"),
+        (d * 10 + 6, ts(d), 4L, "c", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lift").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q200_event_lift")(spark, dir)
+      .collect().map(r => (r.getAs[String]("et_a"), r.getAs[String]("et_b")) ->
+        ((r.getAs[Long]("n_ab"), r.getAs[Long]("lift_micro")))).toMap
+    // N = 8 baskets; na = nb = 4, nab = 4 → lift = 4·8/(4·4) = 2.0
+    assert(out(("a", "b")) === ((4L, 2000000L)),
+      s"always-together pair lifts to exactly 2.0 here, got $out")
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")),
+      "never-co-occurring pairs emit no cell (n_ab = 0)")
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
