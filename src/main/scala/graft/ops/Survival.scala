@@ -82,4 +82,77 @@ object Survival {
       .select(col("dur_days"), col("n_risk"), col("d"), col("c"),
         col("ln_surv_micro"))
   }
+
+  /** LOG-RANK TEST (Mantel 1966 — the standard two-cohort survival
+    * comparison): does cohort A convert on a different clock than
+    * cohort B? At each duration day t with d(t) total conversions,
+    * cohort g's expected share under the null is
+    * E_g(t) = d·n_g/n, with hypergeometric variance
+    * V(t) = d·(n_g/n)·(1 − n_g/n)·(n − d)/(n − 1); the statistic is
+    * z = Σ(O_1 − E_1)/√ΣV — |z| > 1.96 rejects "same hazard".
+    *
+    * Exactness + scale: same shape as [[kaplanMeier]] — one entity
+    * aggregation, a guarded (day × cohort) histogram, windows over the
+    * histogram only. O, d, n, n_g are exact integers at every step;
+    * E and V contributions micro-snap per day before the integer sums
+    * (the q66 doctrine), so both engines carry identical longs into
+    * the single final z division. Days with n ≤ 1 or d = 0 contribute
+    * zero to both sums in both engines.
+    */
+  def logRank(events: DataFrame, entityCol: String, tsCol: String,
+              eventPred: Column, cohortCol: Column,
+              maxCells: Long = 100000L): DataFrame = {
+    val perEntity = events.groupBy(col(entityCol).as("entity"))
+      .agg(min(unix_micros(col(tsCol))).as("t0"),
+        min(when(eventPred, unix_micros(col(tsCol)))).as("tp"),
+        max(unix_micros(col(tsCol))).as("tl"),
+        max(cohortCol).as("cohort"))
+    val dur = perEntity.select(col("cohort"),
+      when(col("tp").isNotNull,
+        expr(s"(tp - t0) div $DayMicros"))
+        .otherwise(expr(s"(tl - t0) div $DayMicros")).as("dur_days"),
+      when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+    val hist = dur.groupBy(col("dur_days"), col("cohort"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val nCells = hist.count()
+    require(nCells <= maxCells,
+      s"logRank histogram has $nCells (day × cohort) cells " +
+        s"(> $maxCells): coarsen the duration unit or raise maxCells")
+    // per-day totals + cohort-1 slice, then risk sets from cumulative
+    // windows over the bounded day frame
+    val day = hist.groupBy(col("dur_days"))
+      .agg(sum(col("d")).as("d_all"), sum(col("m")).as("m_all"),
+        sum(when(col("cohort") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("cohort") === 1, col("m")).otherwise(0L)).as("m1"))
+    val wPrev = Window.orderBy(col("dur_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = day.agg(sum(col("m_all")).as("n_tot"), sum(col("m1")).as("n1_tot"))
+    val risk = day.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("n_tot") - coalesce(sum(col("m_all")).over(wPrev), lit(0L)))
+      .withColumn("n1",
+        col("n1_tot") - coalesce(sum(col("m1")).over(wPrev), lit(0L)))
+    val contrib = risk
+      .withColumn("oe_micro",
+        when(col("d_all") === 0 || col("n") <= 1, lit(0L))
+          .otherwise(floor((col("d1").cast("double")
+            - col("d_all").cast("double") * col("n1").cast("double")
+              / col("n").cast("double")) * lit(1e6) + lit(0.5)).cast("long")))
+      .withColumn("v_micro",
+        when(col("d_all") === 0 || col("n") <= 1, lit(0L))
+          .otherwise(floor(col("d_all").cast("double")
+            * (col("n1").cast("double") / col("n").cast("double"))
+            * (lit(1.0) - col("n1").cast("double") / col("n").cast("double"))
+            * (col("n") - col("d_all")).cast("double")
+            / (col("n") - 1).cast("double") * lit(1e6) + lit(0.5))
+            .cast("long")))
+    contrib.agg(sum(col("oe_micro")).as("oe_sum_micro"),
+        sum(col("v_micro")).as("v_sum_micro"))
+      .withColumn("z_micro",
+        when(col("v_sum_micro") > 0,
+          floor(col("oe_sum_micro").cast("double")
+            / sqrt(col("v_sum_micro").cast("double") / lit(1e6)) + lit(0.5))
+            .cast("long")))
+  }
 }

@@ -1136,6 +1136,144 @@ object Advanced extends QueryPack {
         FROM pairs
         JOIN marg ma ON ma.event_type = et_a
         JOIN marg mb ON mb.event_type = et_b
-        CROSS JOIN n"""))
+        CROSS JOIN n""")),
+
+    // LOG-RANK TEST between hash cohorts (ops/Survival.scala): do the
+    // two q197 arms convert on the same clock? The survival-curve
+    // comparison that reads q180's machinery as a hypothesis test —
+    // |z| > 1.96 rejects equal hazards. On hash-split cohorts the null
+    // is TRUE by construction, so the expected |z| is small — the
+    // honest A/A-test reading an experimentation stack starts from.
+    "q201_logrank_test" -> Q(
+      (s, d) => graft.ops.Survival.logRank(
+        Tables.events(s, d)
+          .withColumn("arm", pmod(graft.text.TextOps.gramHash64(s,
+            col("user_id").cast("string")), lit(2L))),
+        "user_id", "ts", col("event_type") === "purchase", col("arm")),
+      Some("""
+        WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+                           min(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts) END) AS tp,
+                           max(epoch_us(ts)) AS tl,
+                           max(('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                               ::BIGINT % 2) AS cohort
+                    FROM events GROUP BY 1),
+        dur AS (SELECT cohort,
+                       CASE WHEN tp IS NOT NULL
+                            THEN (tp - t0) // 86400000000
+                            ELSE (tl - t0) // 86400000000 END AS dur_days,
+                       CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+                FROM pu),
+        hist AS (SELECT dur_days, cohort, sum(ev)::BIGINT AS d,
+                        count(*)::BIGINT AS m
+                 FROM dur GROUP BY 1, 2),
+        day AS (SELECT dur_days, sum(d)::BIGINT AS d_all,
+                       sum(m)::BIGINT AS m_all,
+                       sum(CASE WHEN cohort = 1 THEN d ELSE 0 END)::BIGINT
+                         AS d1,
+                       sum(CASE WHEN cohort = 1 THEN m ELSE 0 END)::BIGINT
+                         AS m1
+                FROM hist GROUP BY 1),
+        tot AS (SELECT sum(m_all)::BIGINT AS n_tot,
+                       sum(m1)::BIGINT AS n1_tot FROM day),
+        risk AS (SELECT dur_days, d_all, d1,
+                        n_tot - coalesce(sum(m_all) OVER
+                          (ORDER BY dur_days ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS n,
+                        n1_tot - coalesce(sum(m1) OVER
+                          (ORDER BY dur_days ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS n1
+                 FROM day CROSS JOIN tot),
+        contrib AS (
+          SELECT CASE WHEN d_all = 0 OR n <= 1 THEN 0
+                      ELSE floor((d1::DOUBLE - d_all::DOUBLE * n1::DOUBLE
+                                  / n::DOUBLE) * 1e6 + 0.5)::BIGINT
+                 END AS oe_micro,
+                 CASE WHEN d_all = 0 OR n <= 1 THEN 0
+                      ELSE floor(d_all::DOUBLE * (n1::DOUBLE / n::DOUBLE)
+                                 * (1.0 - n1::DOUBLE / n::DOUBLE)
+                                 * (n - d_all)::DOUBLE / (n - 1)::DOUBLE
+                                 * 1e6 + 0.5)::BIGINT
+                 END AS v_micro
+          FROM risk)
+        SELECT sum(oe_micro)::BIGINT AS oe_sum_micro,
+               sum(v_micro)::BIGINT AS v_sum_micro,
+               CASE WHEN sum(v_micro) > 0
+                    THEN floor(sum(oe_micro)::DOUBLE
+                               / sqrt(sum(v_micro)::DOUBLE / 1e6)
+                               + 0.5)::BIGINT
+               END AS z_micro
+        FROM contrib""")),
+
+    // BENFORD FIRST-DIGIT AUDIT (Newcomb 1881 / Benford 1938, the
+    // classic forensic-accounting screen): first significant digits of
+    // purchase amounts against log₁₀(1+1/d), per-digit χ² contribution.
+    // The digit comes from the CENTI-integer's decimal string (fp log10
+    // at powers of ten would be engine-fragile); the Benford table is
+    // ONE driver-computed micro literal rendered into both engines (the
+    // q154 shared-literal doctrine, so the law's constants cannot
+    // drift). Synthetic uniform-ish values SHOULD flag — the spec pins
+    // that a genuinely log-uniform sample passes.
+    "q202_benford_audit" -> Q(
+      (s, d) => {
+        val ben = benfordMicro
+        val benDf = {
+          import s.implicits._
+          ben.zipWithIndex.map { case (p, i) => (i + 1L, p) }
+            .toDF("digit", "benford_micro")
+        }
+        val obs = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(floor(col("value") * lit(100) + lit(0.5)).cast("long")
+            .as("vc"))
+          .filter(col("vc") >= 1)
+          .withColumn("digit",
+            substring(col("vc").cast("string"), 1, 1).cast("long"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val tot = obs.agg(sum(col("n_obs")).as("n"))
+        benDf.join(obs, Seq("digit"), "left").na.fill(0L, Seq("n_obs"))
+          .crossJoin(broadcast(tot))
+          .withColumn("share_micro",
+            floor(col("n_obs").cast("double") * lit(1e6)
+              / col("n").cast("double") + lit(0.5)).cast("long"))
+          .withColumn("chi2_contrib_micro", {
+            val e = col("n").cast("double") *
+              col("benford_micro").cast("double") / lit(1e6)
+            floor((col("n_obs").cast("double") - e)
+              * (col("n_obs").cast("double") - e) / e * lit(1e6) + lit(0.5))
+              .cast("long")
+          })
+          .select(col("digit"), col("n_obs"), col("share_micro"),
+            col("benford_micro"), col("chi2_contrib_micro"))
+      },
+      Some(s"""
+        WITH ben AS (SELECT * FROM (VALUES ${benfordMicro.zipWithIndex
+          .map { case (p, i) => s"(${i + 1}, ${p}::BIGINT)" }
+          .mkString(", ")}) AS t(digit, benford_micro)),
+        obs AS (SELECT (substr((floor(value * 100 + 0.5)::BIGINT)::VARCHAR,
+                               1, 1))::BIGINT AS digit,
+                       count(*)::BIGINT AS n_obs
+                FROM events
+                WHERE event_type = 'purchase'
+                  AND floor(value * 100 + 0.5)::BIGINT >= 1
+                GROUP BY 1),
+        tot AS (SELECT sum(n_obs)::BIGINT AS n FROM obs)
+        SELECT ben.digit, coalesce(obs.n_obs, 0)::BIGINT AS n_obs,
+               floor(coalesce(obs.n_obs, 0)::DOUBLE * 1e6 / n::DOUBLE
+                     + 0.5)::BIGINT AS share_micro,
+               ben.benford_micro,
+               floor((coalesce(obs.n_obs, 0)::DOUBLE
+                      - n::DOUBLE * ben.benford_micro::DOUBLE / 1e6)
+                     * (coalesce(obs.n_obs, 0)::DOUBLE
+                        - n::DOUBLE * ben.benford_micro::DOUBLE / 1e6)
+                     / (n::DOUBLE * ben.benford_micro::DOUBLE / 1e6)
+                     * 1e6 + 0.5)::BIGINT AS chi2_contrib_micro
+        FROM ben LEFT JOIN obs USING (digit) CROSS JOIN tot"""))
   )
+
+  /** Benford first-digit probabilities log₁₀(1+1/d), micro-snapped on
+    * the driver ONCE and rendered into both the engine literal frame
+    * and the oracle VALUES list (the q154 shared-literal doctrine). */
+  private def benfordMicro: Seq[Long] =
+    (1 to 9).map(dd => math.floor(math.log10(1.0 + 1.0 / dd) * 1e6 + 0.5).toLong)
 }

@@ -1188,6 +1188,58 @@ class PipelineOpsSpec extends SparkSpec {
       "never-co-occurring pairs emit no cell (n_ab = 0)")
   }
 
+  test("q201 log-rank: identical cohorts score exactly 0, divergent ones don't") {
+    import spark.implicits._
+    def ts(day: Long, h: Long) = new java.sql.Timestamp((day * 86400 + h * 3600) * 1000)
+    // mirror cohorts: same sizes, same conversion days ⇒ at every day
+    // d1 = d_all·n1/n EXACTLY ⇒ every O−E term is 0
+    val mirror = (0L until 10L).flatMap { u =>
+      val c = u % 2 // cohort by explicit column below
+      Seq((u * 10, ts(0, 1), u, "view", 0.0), (u * 10 + 1, ts(u / 2 + 1, 2), u, "purchase", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.Survival.logRank(
+        mirror.withColumn("cohort", (col("user_id") % 2).cast("long")),
+        "user_id", "ts", col("event_type") === "purchase", col("cohort"))
+      .collect().head
+    assert(out.getLong(0) === 0L, "mirrored cohorts: every O−E term is 0")
+    assert(out.getLong(2) === 0L)
+    // divergent: cohort 1 converts day 1, cohort 0 day 9 — |z| large
+    val div = (0L until 20L).flatMap { u =>
+      val d = if (u % 2 == 1) 1L else 9L
+      Seq((u * 10, ts(0, 1), u, "view", 0.0), (u * 10 + 1, ts(d, 2), u, "purchase", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out2 = graft.ops.Survival.logRank(
+        div.withColumn("cohort", (col("user_id") % 2).cast("long")),
+        "user_id", "ts", col("event_type") === "purchase", col("cohort"))
+      .collect().head
+    assert(math.abs(out2.getLong(2)) > 1960000L,
+      s"early-vs-late cohorts must reject equal hazards, z=${out2.getLong(2)}")
+  }
+
+  test("q202 Benford: the literal table is the law; a spiked digit flags") {
+    import spark.implicits._
+    // a log-uniform sample follows Benford; an all-9s ledger does not
+    val rnd = new scala.util.Random(41)
+    def row(id: Long, cents: Long) =
+      (id, new java.sql.Timestamp(1000L + id), id % 7, "purchase",
+        cents / 100.0, "{}")
+    val benign = (1L to 4000L).map(i =>
+      row(i, math.pow(10.0, rnd.nextDouble() * 4).toLong.max(1)))
+    val spiked = (4001L to 4400L).map(i => row(i, 900L + (i % 90)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ben").toString
+    (benign ++ spiked)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q202_benford_audit")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("benford_micro"), r.getAs[Long]("chi2_contrib_micro"))))
+      .toMap
+    assert(out(1L)._1 === 301030L && out(9L)._1 === 45757L,
+      "the literal table must be log10(1+1/d) micro-snapped")
+    assert(out(9L)._2 > out.filterKeys(_ <= 4).values.map(_._2).max,
+      s"the spiked digit must carry the largest chi2 contribution, got $out")
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
