@@ -4789,6 +4789,138 @@ object TextSim extends QueryPack {
                  AS col_share_micro
         FROM cells JOIN rt USING (label) JOIN ct USING (pred)""")),
 
+    // TEXTTILING-LITE topic-shift signal (Hearst 1997's lexical-
+    // cohesion segmentation, reduced to its distributable core): per
+    // doc, adjacent 20-token blocks compared by vocabulary Jaccard —
+    // deep valleys mean a topic boundary (a concatenation seam, a
+    // template splice). Emits per-doc block count, boundary count at
+    // sim < 0.1, and the mean/min gap similarity — the "is this doc
+    // one document or several stapled together" screen. Everything
+    // after the one token explode is per-doc bounded; gap sims
+    // micro-snap before the per-doc mean.
+    "q203_texttiling" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+          .withColumn("blk", expr("pos div 20"))
+          .select(col("doc_id"), col("blk"), col("term")).distinct()
+          .localCheckpoint(true) // sizes + the adjacent join share it
+        val sizes = toks.groupBy(col("doc_id"), col("blk"))
+          .agg(count(lit(1)).as("sz"))
+        val inter = toks.as("a").join(toks.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.blk") + 1 === col("b.blk") &&
+              col("a.term") === col("b.term"))
+          .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("blk"))
+          .agg(count(lit(1)).as("c"))
+        val gaps = sizes.as("s1").join(
+            sizes.as("s2"),
+            col("s1.doc_id") === col("s2.doc_id") &&
+              col("s1.blk") + 1 === col("s2.blk"))
+          .select(col("s1.doc_id").as("doc_id"), col("s1.blk").as("blk"),
+            col("s1.sz").as("sza"), col("s2.sz").as("szb"))
+          .join(inter, Seq("doc_id", "blk"), "left").na.fill(0L, Seq("c"))
+          .withColumn("sim_micro",
+            floor(col("c").cast("double") * lit(1e6)
+              / (col("sza") + col("szb") - col("c")).cast("double")
+              + lit(0.5)).cast("long"))
+        gaps.groupBy(col("doc_id"))
+          .agg((max(col("blk")) + 2).as("n_blocks"),
+            sum((col("sim_micro") < 100000L).cast("long")).as("n_boundaries"),
+            floor(sum(col("sim_micro")).cast("double")
+              / count(lit(1)).cast("double") + lit(0.5)).cast("long")
+              .as("mean_sim_micro"),
+            min(col("sim_micro")).as("min_sim_micro"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT DISTINCT doc_id, (pos - 1) // 20 AS blk,
+                             tk[pos] AS term
+                      FROM (SELECT doc_id, $DUCK_TOKENS AS tk
+                            FROM documents),
+                           unnest(range(1, len(tk) + 1)) u(pos)),
+        sizes AS (SELECT doc_id, blk, count(*)::BIGINT AS sz
+                  FROM toks GROUP BY 1, 2),
+        inter AS (SELECT a.doc_id, a.blk, count(*)::BIGINT AS c
+                  FROM toks a JOIN toks b
+                    ON a.doc_id = b.doc_id AND a.blk + 1 = b.blk
+                   AND a.term = b.term
+                  GROUP BY 1, 2),
+        gaps AS (SELECT s1.doc_id, s1.blk,
+                        floor(coalesce(i.c, 0)::DOUBLE * 1e6
+                              / (s1.sz + s2.sz - coalesce(i.c, 0))::DOUBLE
+                              + 0.5)::BIGINT AS sim_micro
+                 FROM sizes s1 JOIN sizes s2
+                   ON s1.doc_id = s2.doc_id AND s1.blk + 1 = s2.blk
+                 LEFT JOIN inter i
+                   ON i.doc_id = s1.doc_id AND i.blk = s1.blk)
+        SELECT doc_id, (max(blk) + 2)::BIGINT AS n_blocks,
+               sum((sim_micro < 100000)::INT)::BIGINT AS n_boundaries,
+               floor(sum(sim_micro)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
+                 AS mean_sim_micro,
+               min(sim_micro)::BIGINT AS min_sim_micro
+        FROM gaps GROUP BY 1""")),
+
+    // SIMPSON'S-PARADOX DETECTOR: does the pooled length→quality trend
+    // REVERSE inside any source? The aggregation-bias tripwire — a
+    // pooled slope read off a mixed corpus can point the opposite way
+    // from every stratum (the classic Simpson structure), and a
+    // mixture decision made on the pooled number is then wrong for
+    // every source. Per-source and pooled slopes from the q116
+    // exact-integer least-squares moments; one mirrored double tail
+    // each; flip = sign(source) ≠ sign(pooled) with zero-denominator
+    // sources emitting NULL and no flag.
+    "q204_simpson_detector" -> Q(
+      (s, d) => Calibrate.groupedSlopeFlip(Tables.documents(s, d), "source",
+          col("n_chars"),
+          floor(TextOps.qualityScore(col("text")) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        .withColumnRenamed("grp", "source"),
+      Some(s"""
+        WITH base AS (SELECT source, n_chars AS x,
+                             floor(($qualitySql) * 1e6 + 0.5)::BIGINT AS y
+                      FROM documents),
+        per AS (SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                       sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                       sum(x * x)::BIGINT AS sxx
+                FROM base GROUP BY 1),
+        pooled AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                          sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                          sum(x * x)::BIGINT AS sxx
+                   FROM base),
+        ps AS (SELECT CASE WHEN n::DOUBLE * sxx::DOUBLE
+                                - sx::DOUBLE * sx::DOUBLE > 0
+                           THEN floor((n::DOUBLE * sxy::DOUBLE
+                                       - sx::DOUBLE * sy::DOUBLE)
+                                      / (n::DOUBLE * sxx::DOUBLE
+                                         - sx::DOUBLE * sx::DOUBLE)
+                                      * 1e6 + 0.5)::BIGINT
+                      END AS pooled_slope_micro
+               FROM pooled)
+        SELECT source, n,
+               CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                    THEN floor((n::DOUBLE * sxy::DOUBLE
+                                - sx::DOUBLE * sy::DOUBLE)
+                               / (n::DOUBLE * sxx::DOUBLE
+                                  - sx::DOUBLE * sx::DOUBLE)
+                               * 1e6 + 0.5)::BIGINT
+               END AS slope_micro,
+               pooled_slope_micro,
+               CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                    THEN (sign(floor((n::DOUBLE * sxy::DOUBLE
+                                      - sx::DOUBLE * sy::DOUBLE)
+                                     / (n::DOUBLE * sxx::DOUBLE
+                                        - sx::DOUBLE * sx::DOUBLE)
+                                     * 1e6 + 0.5))
+                          <> sign(pooled_slope_micro)
+                          AND floor((n::DOUBLE * sxy::DOUBLE
+                                     - sx::DOUBLE * sy::DOUBLE)
+                                    / (n::DOUBLE * sxx::DOUBLE
+                                       - sx::DOUBLE * sx::DOUBLE)
+                                    * 1e6 + 0.5) <> 0)::INT
+               END AS sign_flipped
+        FROM per CROSS JOIN ps""")),
+
     // EMPIRICAL-BAYES RATE SHRINKAGE (the Efron-Morris/beta-binomial
     // construction, public): per-source quality-gate pass rates shrunk
     // toward the cross-source prior — a 10-doc source's raw 0.9 rate

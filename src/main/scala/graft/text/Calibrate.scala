@@ -592,6 +592,45 @@ object Calibrate {
       .toDF("score_lo", "score_hi", "n", "pos", "rate_micro")
   }
 
+  /** SIMPSON'S-PARADOX DETECTOR: per-group least-squares slope of
+    * (x, y) against the pooled slope, flagging groups whose trend
+    * REVERSES the pooled one — the aggregation-bias tripwire (a pooled
+    * trend over a mixed corpus can point opposite to every stratum).
+    * Exact integer moments at both levels (the q116 doctrine), one
+    * mirrored double tail each; zero-variance groups emit NULL slope
+    * and no flag. `x`/`y` must be integer (LongType) expressions.
+    */
+  def groupedSlopeFlip(df: DataFrame, groupCol: String,
+                       x: Column, y: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), x.as("x"), y.as("y"))
+      .localCheckpoint(true) // pooled + grouped moments share it
+    def slope = {
+      val nD = col("n").cast("double")
+      val den = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      when(den > 0.0,
+        floor((nD * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / den * lit(1e6) + lit(0.5)).cast("long"))
+    }
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      g.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val per = moments(base.groupBy(col("grp")))
+      .withColumn("slope_micro", slope)
+      .select(col("grp"), col("n"), col("slope_micro"))
+    val pooled = moments(base.groupBy())
+      .withColumn("pooled_slope_micro", slope)
+      .select(col("pooled_slope_micro"))
+    per.crossJoin(broadcast(pooled))
+      .withColumn("sign_flipped",
+        when(col("slope_micro").isNotNull,
+          (signum(col("slope_micro").cast("double")) =!=
+            signum(col("pooled_slope_micro").cast("double")) &&
+            col("slope_micro") =!= 0L).cast("int")))
+  }
+
   /** POPULATION STABILITY INDEX per group vs the corpus marginal — the
     * standard production drift score (credit-scoring lineage, public):
     * PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) where p is the group's bin

@@ -1178,6 +1178,10 @@ object NearDup {
       .filter(col("rk") <=
         col("sz") - ceil(col("sz").cast("double") * lit(tEff)) + 1)
       .select(col("id"), col("h"), col("sz"))
+      // both sides of the candidate self-join read this frame — without
+      // the checkpoint each side re-runs the df join + per-doc rank
+      // window (measured in the q190 plan audit: two Window branches)
+      .localCheckpoint(true)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")).cast("double") >=

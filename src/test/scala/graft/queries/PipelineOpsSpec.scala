@@ -1240,6 +1240,46 @@ class PipelineOpsSpec extends SparkSpec {
       s"the spiked digit must carry the largest chi2 contribution, got $out")
   }
 
+  test("q203 TextTiling: a stapled doc shows the seam, a homogeneous one doesn't") {
+    // doc 1: two disjoint 40-token vocabularies stapled → the block-2/3
+    // gap has sim EXACTLY 0 → one boundary; doc 2: one vocabulary
+    val half1 = (0 until 40).map(i => s"alpha${i % 10}").mkString(" ")
+    val half2 = (0 until 40).map(i => s"omega${i % 10}").mkString(" ")
+    val homog = (0 until 80).map(i => s"base${i % 10}").mkString(" ")
+    val dir = corpusDir(Seq(
+      (1L, s"$half1 $half2", "en", "w"), (2L, homog, "en", "w")))
+    val out = graft.SparkEntry.queries("q203_texttiling")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_boundaries"),
+          r.getAs[Long]("min_sim_micro")))).toMap
+    assert(out(1L) === ((4L, 1L, 0L)),
+      s"the seam gap must score exactly 0 and flag one boundary, got $out")
+    assert(out(2L)._2 === 0L && out(2L)._3 === 1000000L,
+      s"identical blocks have sim exactly 1, got $out")
+  }
+
+  test("q204 Simpson: a planted reversal flags; aligned strata don't") {
+    import spark.implicits._
+    // classic structure: within BOTH strata y falls with x (slope −1e6
+    // exactly), but stratum B sits at higher x AND higher y, so the
+    // pooled slope is positive → both strata flag
+    val df = Seq(
+      ("A", 1L, 10L), ("A", 2L, 9L), ("A", 3L, 8L),
+      ("B", 11L, 30L), ("B", 12L, 29L), ("B", 13L, 28L)).toDF("g", "x", "y")
+    val out = graft.text.Calibrate.groupedSlopeFlip(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("slope_micro"), r.getAs[Int]("sign_flipped")))).toMap
+    assert(out("A") === ((-1000000L, 1)) && out("B") === ((-1000000L, 1)),
+      s"the reversal must flag both strata, got $out")
+    // aligned strata: same negative trend, same level → pooled negative
+    val df2 = Seq(
+      ("A", 1L, 10L), ("A", 2L, 9L), ("A", 3L, 8L),
+      ("B", 1L, 11L), ("B", 2L, 10L), ("B", 3L, 9L)).toDF("g", "x", "y")
+    val out2 = graft.text.Calibrate.groupedSlopeFlip(df2, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getAs[Int]("sign_flipped")).toMap
+    assert(out2 === Map("A" -> 0, "B" -> 0))
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
