@@ -167,6 +167,38 @@ object TextSim extends QueryPack {
     * Ends in `sse (vec_id, subspace, code, sse_micro)` with `e` and
     * `cc` also available. Parameters mirror pqAudit(dims=64, m=4,
     * ksub=8) — dsub = 16. */
+  /** The q183 textured-fixture dHash closed form as a CTE chain ending
+    * in `ipairs (id_a, id_b, hamming)` at ham ≤ 2 — one generator for
+    * the image-pair oracle (q183) and the multimodal dedup closure
+    * (q205) so the hash formula cannot drift between them. */
+  private def dhashPairCtes: String = """
+        img AS (SELECT doc_id, text, length(text)::BIGINT AS L
+                     FROM documents),
+        pix AS (SELECT doc_id, y, x,
+                       ('0x' || substr(md5(substr(text,
+                          (((144 * y + 4 * x) * 7) % L) + 1, 16)), 1, 2))::INT
+                         AS g
+                FROM img, unnest(range(0, 8)) uy(y),
+                     unnest(range(0, 9)) ux(x)),
+        bits AS (SELECT doc_id, y, x - 1 AS bx,
+                        (g > lag(g) OVER (PARTITION BY doc_id, y
+                                          ORDER BY x))::INT AS b
+                 FROM pix QUALIFY x > 0),
+        hsimg AS (SELECT doc_id,
+                      -- two's-complement assembly: bit 63 contributes its
+                      -- signed value directly, so the BIGINT sum IS the
+                      -- engine's (possibly negative) Long — no HUGEINT
+                      sum(CASE WHEN 8 * y + bx = 63
+                               THEN b * (-9223372036854775807 - 1)
+                               ELSE b * (1::BIGINT << (8 * y + bx))
+                          END)::BIGINT AS dhash
+               FROM bits GROUP BY doc_id),
+        ipairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+          FROM hsimg a JOIN hsimg b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= 2)"""
+
   /** The q33 language-ID heuristic as one SQL CASE over `text` — ONE
     * generator for the per-doc prediction (q33) and the confusion
     * matrix (q194) so the heuristic cannot drift between them. */
@@ -4395,32 +4427,42 @@ object TextSim extends QueryPack {
         NearDup.hammingPairs(Multimodal.imageDHashes(s, media),
           "doc_id", "dhash", bits = 64, bands = 8, maxHamming = 2)
       },
-      Some("""
-        WITH img AS (SELECT doc_id, text, length(text)::BIGINT AS L
-                     FROM documents),
-        pix AS (SELECT doc_id, y, x,
-                       ('0x' || substr(md5(substr(text,
-                          (((144 * y + 4 * x) * 7) % L) + 1, 16)), 1, 2))::INT
-                         AS g
-                FROM img, unnest(range(0, 8)) uy(y),
-                     unnest(range(0, 9)) ux(x)),
-        bits AS (SELECT doc_id, y, x - 1 AS bx,
-                        (g > lag(g) OVER (PARTITION BY doc_id, y
-                                          ORDER BY x))::INT AS b
-                 FROM pix QUALIFY x > 0),
-        hs AS (SELECT doc_id,
-                      -- two's-complement assembly: bit 63 contributes its
-                      -- signed value directly, so the BIGINT sum IS the
-                      -- engine's (possibly negative) Long — no HUGEINT
-                      sum(CASE WHEN 8 * y + bx = 63
-                               THEN b * (-9223372036854775807 - 1)
-                               ELSE b * (1::BIGINT << (8 * y + bx))
-                          END)::BIGINT AS dhash
-               FROM bits GROUP BY doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
-        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.dhash, b.dhash)) <= 2""")),
+      Some(s"""
+        WITH $dhashPairCtes
+        SELECT id_a, id_b, hamming FROM ipairs""")),
+
+    // MULTIMODAL DEDUP CLOSURE: ONE cluster family over the UNION of
+    // text near-dup pairs (q35's banded MinHash candidates) and image
+    // near-dup pairs (q183's dHash hamming pairs) — the cross-modal
+    // composition a mixed corpus needs: a doc pair invisible to one
+    // modality (template reskin vs pixel-identical render) still
+    // families together if EITHER modality links it, and the shared
+    // pointer-jumping/union-find engine (q42) consumes the union
+    // unchanged. Oracle = transitive closure over the unioned pair
+    // CTEs (closureTail — the same generator as q42/q54, so closure
+    // semantics cannot drift across all three clustering surfaces).
+    "q205_multimodal_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val text = NearDup.minhashLshPairsFromRows(
+            TextOps.wordShingleRows(docs, "doc_id", "text", 3),
+            k = 16, bands = 8)
+          .select(col("id_a"), col("id_b"))
+        val img = NearDup.hammingPairs(
+            Multimodal.imageDHashes(s,
+              Multimodal.texturedImageFixtures(s, docs).toDF()),
+            "doc_id", "dhash", bits = 64, bands = 8, maxHamming = 2)
+          .select(col("id_a"), col("id_b"))
+        NearDup.dedupClusters(
+          text.unionByName(img).dropDuplicates("id_a", "id_b"),
+          "id_a", "id_b")
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashCtes(16, 8)},
+        $dhashPairCtes,
+        upair AS (SELECT id_a, id_b FROM cand
+                  UNION SELECT id_a, id_b FROM ipairs),
+        ${closureTail("upair", "doc_id")}""")),
 
     // AUDIO NEAR-DUP PAIRS via the energy-delta fingerprint — the third
     // modality's dedup arm (q183's audio sibling): per-frame Σ|sample|

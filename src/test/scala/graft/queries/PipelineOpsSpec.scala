@@ -1280,6 +1280,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out2 === Map("A" -> 0, "B" -> 0))
   }
 
+  test("q205 multimodal closure: either modality's link families docs together") {
+    val rnd = new scala.util.Random(47)
+    val words = (0 until 40).map(_ => s"w${rnd.nextInt(12)}")
+    // A-B: high shingle overlap (text link; chars differ enough that the
+    // one-char-edit image guarantee doesn't apply), C-D: exact copies
+    // (both modalities fire), E: unrelated
+    val a = words.mkString(" ")
+    val b = (words.take(38) ++ Seq("zz1", "zz2")).mkString(" ")
+    val c = (0 until 40).map(_ => s"c${rnd.nextInt(9)}").mkString(" ")
+    val e = (0 until 40).map(_ => s"e${rnd.nextInt(9)}").mkString(" ")
+    val dir = corpusDir(Seq((1L, a, "en", "w"), (2L, b, "en", "w"),
+      (3L, c, "en", "w"), (4L, c, "en", "w"), (5L, e, "en", "w")))
+    val out = graft.SparkEntry.queries("q205_multimodal_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.get(1L).contains(1L) && out.get(2L).contains(1L),
+      s"the text link must family A with B under keeper A, got $out")
+    assert(out.get(3L).contains(3L) && out.get(4L).contains(3L),
+      s"exact copies family under the min id via both modalities, got $out")
+    assert(!out.contains(5L), "an unlinked doc joins no family")
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
