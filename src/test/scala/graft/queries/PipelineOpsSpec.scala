@@ -1301,6 +1301,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(5L), "an unlinked doc joins no family")
   }
 
+  test("hammingPairs fuzz: equals the quadratic truth at two thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // 60 random hashes + 40 near-dups made by flipping <= 5 bits of a
+    // random base — exercises both the pigeonhole guarantee and the
+    // precision filter, including negative (bit-63) hashes
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong()))
+    val near = (60 until 100).map { i =>
+      val (_, h) = base(rnd.nextInt(60))
+      val flips = rnd.nextInt(6)
+      val h2 = (0 until flips).foldLeft(h)((acc, _) =>
+        acc ^ (1L << rnd.nextInt(64)))
+      (i.toLong, h2)
+    }
+    val all = base ++ near
+    for (tau <- Seq(2, 5)) {
+      val got = graft.text.NearDup.hammingPairs(all.toDF("id", "h"),
+          "id", "h", bits = 64, bands = 8, maxHamming = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val truth = (for {
+        (ia, ha) <- all; (ib, hb) <- all if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= tau
+      } yield (ia, ib) -> d).toMap
+      assert(got === truth,
+        s"tau=$tau: missing ${truth.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- truth.keySet}")
+      assert(truth.nonEmpty, s"tau=$tau fixture must produce pairs")
+    }
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
