@@ -1205,6 +1205,61 @@ object Advanced extends QueryPack {
                END AS z_micro
         FROM contrib""")),
 
+    // RAYLEIGH DIURNAL-UNIFORMITY TEST (circular statistics — Rayleigh
+    // 1880; Mardia's standard form): is an event type's time-of-day
+    // distribution uniform around the 24 h clock, or does it have a
+    // daily rhythm? θ = 2π·(µs-of-day)/86400e6; R = |Σe^{iθ}|/n, the
+    // Rayleigh statistic z = n·R² with z ≳ 3 rejecting uniformity at
+    // p < .05 — the circular test that catches diurnal structure a
+    // linear histogram χ² dilutes across bins. Per-row cos/sin
+    // micro-snap before the integer sums (the ln doctrine extended to
+    // the other transcendentals); the |·|² tail runs on identical
+    // doubles from identical longs in one mirrored op sequence.
+    "q206_rayleigh_diurnal" -> Q(
+      (s, d) => {
+        val theta = (pmod(unix_micros(col("ts")), lit(86400000000L))
+          .cast("double") / lit(86400000000.0)) * lit(TwoPi)
+        Tables.events(s, d)
+          .select(col("event_type"),
+            floor(cos(theta) * lit(1e6) + lit(0.5)).cast("long").as("c"),
+            floor(sin(theta) * lit(1e6) + lit(0.5)).cast("long").as("sn"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("sn")).as("ss"))
+          .withColumn("r_micro",
+            floor(sqrt(col("sc").cast("double") * col("sc").cast("double")
+              + col("ss").cast("double") * col("ss").cast("double"))
+              / col("n").cast("double") + lit(0.5)).cast("long"))
+          .withColumn("z_micro",
+            floor((col("sc").cast("double") * col("sc").cast("double")
+              + col("ss").cast("double") * col("ss").cast("double"))
+              / (col("n").cast("double") * lit(1e6)) + lit(0.5)).cast("long"))
+          .withColumn("nonuniform", (col("z_micro") > 3000000L).cast("int"))
+          .select(col("event_type"), col("n"), col("r_micro"),
+            col("z_micro"), col("nonuniform"))
+      },
+      Some("""
+        WITH th AS (SELECT event_type,
+                           ((epoch_us(ts) % 86400000000)::DOUBLE
+                            / 86400000000.0) * (2 * pi()) AS theta
+                    FROM events),
+        sn AS (SELECT event_type,
+                      floor(cos(theta) * 1e6 + 0.5)::BIGINT AS c,
+                      floor(sin(theta) * 1e6 + 0.5)::BIGINT AS s
+               FROM th),
+        agg AS (SELECT event_type, count(*)::BIGINT AS n,
+                       sum(c)::BIGINT AS sc, sum(s)::BIGINT AS ss
+                FROM sn GROUP BY 1)
+        SELECT event_type, n,
+               floor(sqrt(sc::DOUBLE * sc::DOUBLE + ss::DOUBLE * ss::DOUBLE)
+                     / n::DOUBLE + 0.5)::BIGINT AS r_micro,
+               floor((sc::DOUBLE * sc::DOUBLE + ss::DOUBLE * ss::DOUBLE)
+                     / (n::DOUBLE * 1e6) + 0.5)::BIGINT AS z_micro,
+               (floor((sc::DOUBLE * sc::DOUBLE + ss::DOUBLE * ss::DOUBLE)
+                      / (n::DOUBLE * 1e6) + 0.5) > 3000000)::INT
+                 AS nonuniform
+        FROM agg""")),
+
     // BENFORD FIRST-DIGIT AUDIT (Newcomb 1881 / Benford 1938, the
     // classic forensic-accounting screen): first significant digits of
     // purchase amounts against log₁₀(1+1/d), per-digit χ² contribution.
@@ -1276,4 +1331,9 @@ object Advanced extends QueryPack {
     * and the oracle VALUES list (the q154 shared-literal doctrine). */
   private def benfordMicro: Seq[Long] =
     (1 to 9).map(dd => math.floor(math.log10(1.0 + 1.0 / dd) * 1e6 + 0.5).toLong)
+
+  /** 2π as ONE Scala double rendered identically into the oracle
+    * (`2 * pi()` computes the same IEEE value — java Math.PI and
+    * DuckDB pi() are the same 3.141592653589793). */
+  private val TwoPi: Double = 2 * math.Pi
 }

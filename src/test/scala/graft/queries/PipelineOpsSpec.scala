@@ -1331,6 +1331,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q206 Rayleigh: a fixed-hour ritual maxes R; a uniform clock stays null") {
+    import spark.implicits._
+    def ts(day: Long, sec: Long) = new java.sql.Timestamp((day * 86400 + sec) * 1000)
+    val rnd = new scala.util.Random(59)
+    // 'ritual' fires at exactly 09:00:00 every day → all θ equal →
+    // R = 1 (±1 micro from the snap) and z ≈ n·1e6; 'uniform' spreads
+    // around the clock → z far below the 3.0 threshold
+    val ritual = (0L until 50L).map(i =>
+      (i, ts(i % 25, 9 * 3600), i % 7, "ritual", 0.0, "{}"))
+    val uniform = (100L until 500L).map(i =>
+      (i, ts(i % 25, rnd.nextInt(86400).toLong), i % 7, "uniform", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ray").toString
+    (ritual ++ uniform)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q206_rayleigh_diurnal")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("r_micro"), r.getAs[Long]("z_micro"),
+          r.getAs[Int]("nonuniform")))).toMap
+    assert(math.abs(out("ritual")._1 - 1000000L) <= 1L,
+      s"identical clock angles give R = 1 to the snap, got $out")
+    assert(out("ritual")._3 === 1, "the ritual must reject uniformity")
+    assert(out("uniform")._3 === 0,
+      s"a uniform clock must not reject, got $out")
+  }
+
   test("q172 QL core: zero-overlap docs still score (length term only)") {
     import spark.implicits._
     // query doc 0 shares terms with doc 1 only; doc 2 is disjoint vocab
