@@ -30,6 +30,15 @@ import org.apache.spark.sql.SparkSession
   * survived into BENCH_r09.json). Flag lines share the stdout budget
   * with the summary; see below.
   *
+  * Tripwire self-adjudication (r11): every flagged query is re-measured
+  * ONCE after the full suite completes — same JVM, quiet tail — and the
+  * flag is kept as a stdout line only if the tail re-measure still
+  * exceeds the tripwire; flags whose tail time drops back under it are
+  * annotated `contended:true` (folded to one count line on stdout, full
+  * detail in target/bench.json). r09's 5 and r10's 8 driver flags each
+  * cost the judge a manual re-measure pass and all adjudicated to box
+  * contention; this does that adjudication in-process.
+  *
   * Output contract (r06, tightened r09/r10): stdout carries ONLY the
   * bounded flag+summary payload, printed as the LAST thing before exit —
   * even if spark.stop() throws. The driver keeps just the final ~2000
@@ -39,8 +48,12 @@ import org.apache.spark.sql.SparkSession
   * FIRST and the repeats line pushed it out, and by r07/r08 the summary
   * line ITSELF outgrew the window (118 full-name entries ≈ 3.4 KB) and
   * arrived front-truncated. The stdout payload therefore uses short
-  * query keys ("q61"), degrades decimal precision — then drops the map —
-  * and degrades the errors array (short keys, then a bare count: under
+  * query keys ("q61"), degrades decimal precision — then swaps the map
+  * for a positional `qt` times array (r11: at 206 queries even the
+  * 1-decimal short-key OBJECT is ~2.3 kB, over the window by itself, so
+  * under flag pressure per-query times ride as `"qn":N,"qt":[…]`,
+  * positional over this commit's sorted query names, ~1 kB) — and
+  * degrades the errors array (short keys, then a bare count: under
   * mass failure even '{}' + 57 full-name errors would overflow) sooner
   * than exceed the 1900-char budget, flag lines included. The full-name
   * full-precision record (summary + per-repeat times + flags) goes to
@@ -119,27 +132,73 @@ object Bench {
       times.map(_.map(t => num(3, t)).getOrElse("null")).mkString("[", ",", "]")
   }
 
-  final case class Flag(q: QResult, base: Double, plan: String) {
+  /** A tripwire hit. `tail` is the quiet-tail re-measure (one extra
+    * materialize AFTER the whole suite finishes — same JVM, nothing else
+    * running); `contended` means that re-measure came back under the
+    * tripwire line, i.e. the in-suite slowness did not reproduce once the
+    * box went quiet. r10 closed with 8 driver flags and r09 with 5, every
+    * one adjudicated to box contention by hand — this field is that
+    * adjudication done by the bench itself (VERDICT r10 #2).
+    */
+  final case class Flag(q: QResult, base: Double, plan: String,
+                        tail: Option[Double] = None, contended: Boolean = false) {
     def ratio: Double = q.best / base
+    private def tailJson: String =
+      tail.map(t => s""","tail":${num(3, t)}""").getOrElse("")
     /** Compact self-documenting stdout line: short key, best, recorded
-      * baseline, every repeat, plan digest. ~120 chars.
+      * baseline, repeats, quiet-tail re-measure, plan digest. ~130 chars;
+      * `reps(2)` = first+last repeat when the budget is tight (the
+      * convergent-vs-uniform shape survives; best is its own field).
       */
-    def line: String =
-      s"""{"metric":"flag","q":"${q.short}","best":${num(3, q.best)},"base":${num(2, base)},"x":${num(1, ratio)},"reps":${q.repsJson},"plan":"$plan"}"""
+    def line: String = lineWithReps(q.repsJson)
+    def line2: String = lineWithReps(reps2Json)
+    private def reps2Json: String = {
+      val ts = q.times
+      val kept = if (ts.size <= 2) ts else Seq(ts.head, ts.last)
+      kept.map(_.map(t => num(3, t)).getOrElse("null")).mkString("[", ",", "]")
+    }
+    private def lineWithReps(reps: String): String =
+      s"""{"metric":"flag","q":"${q.short}","best":${num(3, q.best)},"base":${num(2, base)},"x":${num(1, ratio)},"reps":$reps$tailJson,"plan":"$plan"}"""
     def fullJson: String =
-      s"""{"q":"${q.name}","best":${num(3, q.best)},"base":${num(2, base)},"x":${num(1, ratio)},"reps":${q.repsJson},"plan":"$plan"}"""
+      s"""{"q":"${q.name}","best":${num(3, q.best)},"base":${num(2, base)},"x":${num(1, ratio)},"reps":${q.repsJson}$tailJson,"contended":$contended,"plan":"$plan"}"""
   }
 
   def findFlags(out: Seq[QResult], baseline: Map[String, Double]): Seq[QResult] =
     out.filter(r => r.best > 0 &&
       baseline.get(r.name).exists(b => b > 0 && r.best > TripwireFactor * b))
 
-  /** Compose the bounded stdout payload: flag lines (most-severe first,
-    * overflow collapsed to a count line) + the summary line, total ≤
-    * `budget`. The summary degrades in fidelity order — precision 3→2→1,
-    * then drop the query map; errors full names → short keys → bare
-    * count — and flags drop from the tail before the summary ever
-    * exceeds the budget. The LAST line is always a parseable summary.
+  /** Self-adjudication (VERDICT r10 #2): re-measure each flagged query
+    * once on the quiet tail and split reproduced-vs-contended right
+    * here, instead of leaving that call to a human round-trip. A flag
+    * whose tail re-measure is back under `TripwireFactor × base` is
+    * annotated `contended:true` (kept in the full record, folded to a
+    * count line on stdout); one that stays slow is a reproduced flag.
+    * A failed re-measure (None) keeps the flag un-annotated — never
+    * downgrade a flag on missing evidence.
+    */
+  def adjudicate(flags: Seq[Flag], tailTime: String => Option[Double]): Seq[Flag] =
+    flags.map { f =>
+      tailTime(f.q.name) match {
+        case Some(t) => f.copy(tail = Some(t),
+          contended = t <= TripwireFactor * f.base)
+        case None => f
+      }
+    }
+
+  /** Compose the bounded stdout payload: reproduced-flag lines
+    * (most-severe first, overflow collapsed to a count line), one
+    * contended-flags fold line, and the summary line, total ≤ `budget`.
+    *
+    * Fidelity ladder (r11): the summary degrades precision 3→2→1, then
+    * swaps the short-key `queries` OBJECT for the positional `qt` ARRAY
+    * — at 206 queries the object is ~2.3 kB at one decimal, over the
+    * window BY ITSELF, so the per-query record under flag pressure is
+    * `"qn":N,"qt":[t…]` (1–2 decimals, positional over the SORTED full
+    * query names of this commit, ~1 kB; full names + repeats always in
+    * target/bench.json). Flag lines trim their repeats to first+last
+    * (`line2`) before the qt map is given up, and flags drop from the
+    * tail only after that. Errors degrade full names → short keys →
+    * bare count. The LAST line is always a parseable summary.
     */
   def composeStdout(out: Seq[QResult], total: Double, errors: Seq[String],
                     flags: Seq[Flag], sfDir: String,
@@ -147,28 +206,47 @@ object Bench {
     def qsJson(prec: Int): String =
       out.map(r => "\"" + r.short + "\":" + num(prec, r.best))
         .mkString("{", ",", "}")
+    def qtJson(prec: Int): String =
+      s""""qn":${out.size},"qt":""" +
+        out.map(r => num(prec, r.best)).mkString("[", ",", "]")
     val errVariants: Seq[String] = Seq(
       errors.map("\"" + _ + "\"").mkString("[", ",", "]"),
       errors.map(e => "\"" + e.takeWhile(_ != '_') + "\"").mkString("[", ",", "]"),
       errors.size.toString)
-    val summaryVariants: Seq[String] = for {
-      (qs, errs) <- Seq(
-        (qsJson(3), errVariants(0)), (qsJson(2), errVariants(0)),
-        (qsJson(1), errVariants(0)), (qsJson(1), errVariants(1)),
-        ("{}", errVariants(1)), ("{}", errVariants(2)))
-    } yield s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    val minimalSummary = summaryVariants.last
-    // flags most-severe first; try keeping all, then drop from the tail
-    // (collapsed into an omitted-count line) until the payload fits
-    val ranked = flags.sortBy(-_.ratio)
+    def summary(qs: String, qt: Option[String], errs: String): String = {
+      val qtField = qt.map("," + _).getOrElse("")
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$qtField,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    // (summary, use-trimmed-flag-reps) in strict fidelity order: full
+    // flag reps survive down to the 1-decimal object; the positional qt
+    // rungs pay for themselves by trimming flag reps first.
+    val rungs: Seq[(String, Boolean)] = Seq(
+      (summary(qsJson(3), None, errVariants(0)), false),
+      (summary(qsJson(2), None, errVariants(0)), false),
+      (summary(qsJson(1), None, errVariants(0)), false),
+      (summary(qsJson(1), None, errVariants(1)), false),
+      (summary("{}", Some(qtJson(2)), errVariants(1)), true),
+      (summary("{}", Some(qtJson(1)), errVariants(2)), true),
+      (summary("{}", None, errVariants(2)), true))
+    val minimalSummary = rungs.last._1
+    val (contended, live) = flags.partition(_.contended)
+    val contendedVariants: Seq[Seq[String]] =
+      if (contended.isEmpty) Seq(Nil)
+      else Seq(
+        Seq(s"""{"metric":"flags_contended","n":${contended.size},"qs":${contended.map("\"" + _.q.short + "\"").mkString("[", ",", "]")}}"""),
+        Seq(s"""{"metric":"flags_contended","n":${contended.size}}"""))
+    // reproduced flags most-severe first; keep all if possible, drop from
+    // the tail (collapsed into an omitted-count line) as a last resort
+    val ranked = live.sortBy(-_.ratio)
     val payloads = for {
       keep <- ranked.size to 0 by -1
-      flagLines = ranked.take(keep).map(_.line) ++
+      (sum, trimmed) <- rungs
+      cv <- contendedVariants
+      flagLines = ranked.take(keep).map(f => if (trimmed) f.line2 else f.line) ++
         (if (keep < ranked.size)
           Seq(s"""{"metric":"flags_omitted","n":${ranked.size - keep}}""")
         else Nil)
-      summary <- summaryVariants
-      payload = (flagLines :+ summary).mkString("\n")
+      payload = (flagLines ++ cv :+ sum).mkString("\n")
       if payload.length <= budget
     } yield payload
     payloads.headOption.getOrElse(minimalSummary)
@@ -233,9 +311,13 @@ object Bench {
 
     // tripwire: re-plan (not re-run) each flagged query for a digest —
     // exchange/codegen-span counts + an 8-hex hash of the physical plan,
-    // enough to tell "same plan, slow box" from "the plan changed"
+    // enough to tell "same plan, slow box" from "the plan changed" —
+    // then ADJUDICATE: one quiet-tail re-measure per flag, after the
+    // whole suite is done, splits reproduced from contended right here
+    // (r09's 5 and r10's 8 driver flags all adjudicated to contention
+    // by hand; this closes that loop in-process, VERDICT r10 #2)
     val baseline = loadBaseline()
-    val flags = findFlags(out, baseline).map { r =>
+    val rawFlags = findFlags(out, baseline).map { r =>
       val plan = try {
         val p = SparkEntry.queries(r.name)(spark, sfDir)
           .queryExecution.executedPlan.toString
@@ -247,6 +329,12 @@ object Bench {
       } catch { case e: Throwable => s"digest-failed:${e.getClass.getSimpleName}" }
       Flag(r, baseline(r.name), plan)
     }
+    val flags = adjudicate(rawFlags, name => {
+      val t0 = System.nanoTime()
+      try { materialize(SparkEntry.queries(name)(spark, sfDir))
+            Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
+    })
     flags.foreach(f => System.err.println("[bench] TRIPWIRE " + f.fullJson))
 
     // full-fidelity record: ONE json object carrying full names, best-of,

@@ -80,6 +80,61 @@ class BenchFormatSpec extends AnyFunSuite {
       errs.get(0).asText.length <= 4))
   }
 
+  test("adjudicate: a persistently-slow query reproduces, a transient one is contended") {
+    // VERDICT r10 #2 done-criterion: an artificially slowed query (its
+    // quiet-tail re-measure is STILL >2.5x baseline) must keep its flag;
+    // a transiently-slowed one (tail re-measure back under the line)
+    // must come back contended:true; a failed re-measure must not
+    // downgrade the flag.
+    val slow = Bench.Flag(Bench.QResult("q20_slowed", 1.25, Seq(Some(1.3), Some(1.25))), 0.20, "ex2/cg3/aa")
+    val transient = Bench.Flag(Bench.QResult("q21_transient", 0.70, Seq(Some(0.7), Some(0.71))), 0.17, "ex2/cg3/bb")
+    val broken = Bench.Flag(Bench.QResult("q22_broken", 0.90, Seq(Some(0.9))), 0.23, "ex2/cg3/cc")
+    val tails = Map("q20_slowed" -> 1.20, "q21_transient" -> 0.15)
+    val adj = Bench.adjudicate(Seq(slow, transient, broken), tails.get)
+    val byName = adj.map(f => f.q.name -> f).toMap
+    assert(!byName("q20_slowed").contended && byName("q20_slowed").tail.contains(1.20))
+    assert(byName("q21_transient").contended && byName("q21_transient").tail.contains(0.15))
+    assert(!byName("q22_broken").contended && byName("q22_broken").tail.isEmpty)
+    // full record carries the verdict either way
+    assert(byName("q21_transient").fullJson.contains("\"contended\":true"))
+    assert(byName("q21_transient").fullJson.contains("\"tail\":0.150"))
+    assert(byName("q20_slowed").fullJson.contains("\"contended\":false"))
+  }
+
+  test("contended flags fold to one count line; reproduced ones keep their own lines") {
+    val out = mkResults(120, i => if (i <= 3) 2.0 else 0.3)
+    val mk = (i: Int, cont: Boolean) => Bench.Flag(out(i - 1), 0.30,
+      "ex1/cg2/dd", tail = Some(if (cont) 0.31 else 1.9), contended = cont)
+    val flags = Seq(mk(1, false), mk(2, true), mk(3, true))
+    val payload = Bench.composeStdout(out, 40.0, Nil, flags, "/sf")
+    assert(payload.length <= Bench.StdoutBudget)
+    val lines = payload.split('\n')
+    assert(lines.count(_.contains("\"metric\":\"flag\"")) == 1)
+    assert(lines.head.contains("\"q\":\"q01\"") && lines.head.contains("\"tail\":1.900"))
+    val fold = lines.find(_.contains("\"metric\":\"flags_contended\"")).get
+    assert(fold.contains("\"n\":2") && fold.contains("\"q02\"") && fold.contains("\"q03\""))
+    lines.foreach(l => assert(parses(l)))
+  }
+
+  test("8 flags + 206 queries still carry per-query times (qt array) in-budget") {
+    // VERDICT r10 #3: BENCH_r10's parsed summary had queries:{} because
+    // flags evicted the map. A 206-entry short-key OBJECT is ~2.3 kB at
+    // one decimal — over the 1900-char window by itself — so the ladder
+    // swaps to the positional qt array and trims flag reps to 2 first.
+    val out = mkResults(206, i => if (i <= 8) 1.5 else 0.3)
+    val flags = (1 to 8).map(i => Bench.Flag(out(i - 1), 0.30, "ex3/cg4/ee", tail = Some(1.45)))
+    val payload = Bench.composeStdout(out, 70.0, Nil, flags, "/sf")
+    assert(payload.length <= Bench.StdoutBudget)
+    val lines = payload.split('\n')
+    assert(lines.count(_.contains("\"metric\":\"flag\"")) == 8, payload)
+    val node = mapper.readTree(lastLine(payload))
+    assert(node.get("qn").asInt == 206)
+    assert(node.get("qt").isArray && node.get("qt").size == 206, payload.length)
+    // flag lines rode through on first+last reps (length 2)
+    val flagNode = mapper.readTree(lines.head)
+    assert(flagNode.get("reps").size == 2)
+  }
+
   test("flag overflow collapses the tail into flags_omitted, keeps most-severe") {
     val out = mkResults(60, i => 5.0 + i * 0.01) // all slow
     val flags = out.map(r => Bench.Flag(r, 0.30, "ex1/cg1/00000000"))
@@ -97,6 +152,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!payload.contains('\n'))
     assert(payload.contains("\"q01\":0.345"))
     assert(parses(payload))
+  }
+
+  test("BASELINE.md gate is anchored on the r10 column, shared-46 carve-out retired") {
+    // VERDICT r10 #7: the 2x gate must track the full most-recent
+    // best-of-3 column, not the round-1 single-run 46-query carve-out.
+    val md = scala.io.Source.fromFile("BASELINE.md", "UTF-8")
+    val text = try md.mkString finally md.close()
+    assert(text.contains("Gate anchor (r11+)"))
+    assert(!text.contains("compares like-for-like totals on the shared 46"))
+    assert(!text.contains("kept as the\ndriver's 2× gate anchor"))
   }
 
   test("live BASELINE.md parses and covers the registered queries") {
