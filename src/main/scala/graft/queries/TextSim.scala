@@ -4683,8 +4683,12 @@ object TextSim extends QueryPack {
     // COMPRESSION-RATIO quality signal (text/TextOps.scala): the zlib
     // filter of the RefinedWeb/Gopher cleaning batteries — template
     // text compresses hard, byte soup not at all; both tails are drop
-    // candidates. DuckDB has no deflate, so this is the rows-only +
-    // spec-verified class (q23/A3): PipelineOpsSpec pins the
+    // candidates. DuckDB has no deflate, so the DRIVER records rows-only;
+    // locally tools/check.py carries a Python-zlib oracle arm (r11,
+    // PYCHECKS) — an independent RFC 1951 implementation reproducing
+    // Deflater(6, nowrap) byte counts exactly (corruption-tested: level-1
+    // and formula mutations both FAIL; level 5 is a no-op corruption on
+    // this corpus, documented). PipelineOpsSpec additionally pins the
     // repetitive < natural < random ordering and determinism.
     "q192_compression_ratio" -> Q(
       (s, d) => TextOps.compressionStats(s, Tables.documents(s, d),

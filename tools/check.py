@@ -13,6 +13,32 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+
+def pycheck_q192(con, sfdir):
+    """Non-DuckDB oracle arm for q192_compression_ratio (VERDICT r10 #5):
+    DuckDB has no deflate, but Python zlib emits the same RFC 1951 raw
+    stream as java.util.zip.Deflater(6, nowrap=true) — independent
+    implementation, same algorithm. Returns (cols, rows) in canon form.
+    """
+    import zlib
+    import math
+    df = con.sql(f"SELECT doc_id, text FROM '{sfdir}/documents.parquet'").df()
+    rows = []
+    for doc_id, text in df.itertuples(index=False, name=None):
+        raw = ("" if text is None else text).encode("utf-8")
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        n = len(c.compress(raw) + c.flush())
+        ratio = 1000000 if len(raw) == 0 else int(math.floor(n * 1e6 / len(raw) + 0.5))
+        rows.append((int(doc_id), len(raw), n, ratio))
+    cols = sorted(["doc_id", "n_raw", "n_deflate", "ratio_micro"])
+    order = [["doc_id", "n_raw", "n_deflate", "ratio_micro"].index(c) for c in cols]
+    out = sorted(tuple(str(r[i]) for i in order) for r in rows)
+    return cols, out
+
+
+# queries whose oracle is a Python function, not DuckDB SQL
+PYCHECKS = {"q192_compression_ratio": pycheck_q192}
+
 def canon(con, rel_sql):
     df = con.sql(rel_sql).df()
     df = df[sorted(df.columns)]
@@ -42,13 +68,16 @@ def main(sfdir, outdir):
             n_fail += 1
             continue
         spark_sql = f"SELECT * FROM '{outdir}/{name}/*.parquet'"
-        if name not in oracles:
+        if name not in oracles and name not in PYCHECKS:
             n = con.sql(spark_sql).df().shape[0]
             print(f"ROWS {name}: {n} rows (no oracle)")
             continue
         try:
             scols, srows = canon(con, spark_sql)
-            ocols, orows = canon(con, oracles[name])
+            if name in PYCHECKS:
+                ocols, orows = PYCHECKS[name](con, sfdir)
+            else:
+                ocols, orows = canon(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
