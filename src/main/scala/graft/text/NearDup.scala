@@ -644,10 +644,19 @@ object NearDup {
       // references the checkpoint once built, so ONE finally releases it
       val longIds = pairRows.schema.fields
         .forall(_.dataType == org.apache.spark.sql.types.LongType)
+      val measured = if (longIds && maxLocalPairs > 0) pairRows.count() else -1L
       val localComp =
-        if (longIds && maxLocalPairs > 0 && pairRows.count() <= maxLocalPairs)
+        if (measured >= 0 && measured <= maxLocalPairs)
           localComponents(collectFlatPairs(pairRows))
         else None
+      // scale-study diagnostics (SCALE.md): the tier decision and the
+      // measured volume it was made on, as a stderr line — evidence that
+      // the distributed path ENGAGES past the bound, not just that it
+      // exists (VERDICT r10 #1). Off unless explicitly asked for.
+      if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+        System.err.println(s"[scale] dedupClusters pairs=$measured " +
+          s"bound=$maxLocalPairs tier=" +
+          (if (localComp.isDefined) "driver-local" else "distributed"))
       localComp match {
         case Some(comp) =>
           import session0.implicits._

@@ -60,6 +60,12 @@ object TextOps {
                     maxBroadcastKeys: Long = 4000000L): org.apache.spark.sql.DataFrame = {
     val mat = keys.localCheckpoint(true)
     val n = mat.count()
+    // scale-study diagnostics (SCALE.md, VERDICT r10 #1): which side of
+    // the measured-size gate this call landed on, and on what volume
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] sizedSemiJoin keys=$n " +
+        s"bound=$maxBroadcastKeys tier=" +
+        (if (n <= maxBroadcastKeys) "broadcast" else "merge"))
     if (n <= maxBroadcastKeys)
       probe.join(broadcast(mat), Seq(keyCol), "left_semi")
     else

@@ -1,0 +1,197 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.storage.ObsStore
+
+/** Reference-envelope benchmark (VERDICT r10 #4): run the three cron
+  * tick CLIs at the reference's OWN stated scale, not PipelineCliSpec's
+  * tiny fixtures, and time them against the cron bounds in BASELINE.md
+  * ("Derived reference envelope"): ingest tick hourly (≪1 h), ECCC tick
+  * hourly (≪1 h), exports daily (≪24 h).
+  *
+  * The synthesized year matches the envelope rows derived from the
+  * reference's code: 931 WSC stations at 5-minute cadence for a full
+  * year (discharge Q for all stations, stage H for 100 — ≈ 108 M cells,
+  * the "yearly working set ~105 M cells" row), a per-tick staging batch
+  * of 2 days × 288 obs/day × 931 stations × 2 params ≈ 1.07 M staged
+  * values fully OVERLAPPING the stored window (the reference re-downloads
+  * a 2-day lookback every tick, so old-wins re-merge of an already-stored
+  * window is the common case AND the worst case — the touched December
+  * partition re-merges ~9 M rows), and a 60-station hourly weather grid
+  * for the year (525 k cells) with a 48-hour staged SWOB batch (2,880
+  * single-cell XML files, the reference's one-file-per-station-hour
+  * DataMart shape).
+  *
+  * Everything is generated under `outRoot` (default /tmp/envelope);
+  * timings print as one JSON line:
+  *   {"metric":"envelope","bootstrap":…,"ingest_tick":…,"export_daily":…,
+  *    "eccc_tick":…,"unit":"sec","store_rows":…,…}
+  * Each phase is also compared against its cron bound so the line carries
+  * an explicit ok/FAIL verdict per tick.
+  *
+  * This is a MEASUREMENT main, not part of the driver contract; run it
+  * manually (quiet box — same discipline as Bench):
+  *   sbt "runMain graft.tools.Envelope /tmp/envelope"
+  */
+object Envelope {
+  val Stations = 931
+  val StageStations = 100
+  val EcccStations = 60
+  val SlotsPerDay = 288 // 5-minute cadence
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def stationId(i: Column): Column =
+    concat(lit("08EV"), lpad(i.cast("string"), 4, "0"))
+
+  /** One deterministic year of 5-min obs: Q for all stations, H for the
+    * first `StageStations`. Values are a seeded hash walk — incompressible
+    * enough to be honest parquet work.
+    */
+  def yearObs(spark: SparkSession, year: Int): DataFrame = {
+    val slots = 365L * SlotsPerDay
+    val start = s"$year-01-01 00:00:00"
+    val base = spark.range(Stations.toLong * slots)
+      .withColumn("st", (col("id") / slots).cast("long"))
+      .withColumn("slot", pmod(col("id"), lit(slots)))
+      .withColumn("station", stationId(col("st")))
+      .withColumn("ts", to_timestamp(lit(start)) +
+        make_dt_interval(lit(0), lit(0), lit(0), col("slot") * 300))
+      .withColumn("value",
+        (pmod(xxhash64(col("st"), col("slot")), lit(100000)).cast("double") / 100.0))
+    val q = base.select(col("station"), col("ts"), lit("Q").as("param"), col("value"))
+    val h = base.filter(col("st") < StageStations)
+      .select(col("station"), col("ts"), lit("H").as("param"),
+        (col("value") / 100.0).as("value"))
+    q.unionByName(h)
+  }
+
+  /** Stage the 2-day WSC lookback batch as per-station-bucketed CSVs in
+    * the reference's 10-column DataMart shape (Wsc.schema positional).
+    */
+  def stageWscBatch(spark: SparkSession, dir: String, year: Int): Unit = {
+    val slots = 2L * SlotsPerDay
+    val start = s"$year-12-30 00:00:00"
+    val dayBase = 363L * SlotsPerDay // slot offset of Dec 30 within the year
+    spark.range(Stations.toLong * slots)
+      .withColumn("st", (col("id") / slots).cast("long"))
+      .withColumn("slot", pmod(col("id"), lit(slots)))
+      .withColumn("ID", stationId(col("st")))
+      .withColumn("Date", date_format(to_timestamp(lit(start)) +
+        make_dt_interval(lit(0), lit(0), lit(0), col("slot") * 300),
+        "yyyy-MM-dd'T'HH:mm:ss") + lit("-00:00"))
+      // same seeded values as the stored year (old-wins no-op on overlap)
+      .withColumn("v", pmod(xxhash64(col("st"), col("slot") + dayBase),
+        lit(100000)).cast("double") / 100.0)
+      .select(col("ID"), col("Date"),
+        (col("v") / 100.0).as("stage"), lit("").as("grade_h"),
+        lit("").as("symbol_h"), lit("1").as("qaqc_h"),
+        col("v").as("discharge"), lit("").as("grade_q"),
+        lit("").as("symbol_q"), lit("1").as("qaqc_q"))
+      .repartition(Stations, col("ID"))
+      .write.option("header", "true").mode("overwrite").csv(s"$dir/wsc")
+  }
+
+  /** Prior ECCC grid: 60 stations × hourly year, persisted in EcccTick's
+    * grid layout (station, ts, param, value, f_read).
+    */
+  def seedEcccGrid(spark: SparkSession, gridDir: String, year: Int): Long = {
+    val hours = 365L * 24
+    val grid = spark.range(EcccStations.toLong * hours)
+      .withColumn("st", (col("id") / hours).cast("long"))
+      .withColumn("h", pmod(col("id"), lit(hours)))
+      .withColumn("station", concat(lit("W"), lpad(col("st").cast("string"), 2, "0")))
+      .withColumn("ts", to_timestamp(lit(s"$year-01-01 00:00:00")) +
+        make_dt_interval(lit(0), col("h"), lit(0), lit(0)))
+      .withColumn("pv", explode(array(
+        struct(lit("TA").as("param"),
+          (pmod(xxhash64(col("st"), col("h"), lit("ta")), lit(600)).cast("double") / 10.0 - 30.0).as("value")),
+        struct(lit("PC").as("param"),
+          (pmod(xxhash64(col("st"), col("h"), lit("pc")), lit(100)).cast("double") / 10.0).as("value")))))
+      .select(col("station"), col("ts"), col("pv.param"), col("pv.value"),
+        lit(true).as("f_read"))
+    grid.repartition(8).write.mode("overwrite").parquet(gridDir)
+    EcccStations.toLong * hours * 2
+  }
+
+  /** Stage the 48-h SWOB batch: one XML file per (station, hour) — the
+    * DataMart shape, written driver-side (2,880 tiny files is the point).
+    */
+  def stageSwobBatch(dir: String, year: Int): Int = {
+    val d = Paths.get(dir, "swob")
+    Files.createDirectories(d)
+    var n = 0
+    for (st <- 0 until EcccStations; day <- Seq("1230", "1231"); h <- 0 until 24) {
+      val station = f"W$st%02d"
+      val hh = f"$h%02d"
+      val xml =
+        s"""<om:ObservationCollection xmlns:om="http://dms.ec.gc.ca/schema/point-observation/2.0">
+           |  <elements>
+           |    <element name="air_temp" uom="degC" value="${(st * 7 + h) % 300 / 10.0 - 10}"/>
+           |    <element name="pcpn_amt_pst1hr" uom="mm" value="${(st + h) % 40 / 10.0}"/>
+           |  </elements>
+           |</om:ObservationCollection>
+           |""".stripMargin
+      Files.write(d.resolve(s"${station}_$year$day$hh.xml"),
+        xml.getBytes("UTF-8"))
+      n += 1
+    }
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/envelope")
+    val year = 2025
+    val spark = ToolSession.local()
+    val storeDir = s"$root/store"
+    val stagingDir = s"$root/staging"
+    val exportDir = s"$root/exports"
+    val gridDir = s"$root/eccc_grid"
+    val ecccOut = s"$root/eccc_out"
+
+    // ---- bootstrap: one year at reference scale into the (yyyymm,param)
+    // store + the prior ECCC grid + both staged tick batches ----
+    val (_, tBoot) = time {
+      new ObsStore(spark, storeDir).write(yearObs(spark, year))
+      stageWscBatch(spark, stagingDir, year)
+      seedEcccGrid(spark, gridDir, year)
+      stageSwobBatch(stagingDir, year)
+    }
+    val storeRows = spark.read.parquet(storeDir).count()
+
+    // ---- E1 ingest tick: 2-day lookback re-merge into the year store ----
+    val (ingestRows, tIngest) = time {
+      IngestTick.run(spark, stagingDir, storeDir)
+    }
+
+    // ---- E2 daily exports: rollups + coffee CSV + model workbooks ----
+    val (exportCounts, tExport) = time {
+      ExportDaily.run(spark, storeDir, exportDir, Some(s"$year-12-31T23:55:00"), Nil)
+    }
+
+    // ---- E3 ECCC tick: 48-h SWOB merge into the year grid + pivots ----
+    val (ecccCounts, tEccc) = time {
+      EcccTick.run(spark, s"$stagingDir/swob", gridDir, ecccOut)
+    }
+
+    def verdict(t: Double, boundSec: Double) = if (t < boundSec) "ok" else "FAIL"
+    val line =
+      f"""{"metric":"envelope","unit":"sec","bootstrap":$tBoot%.1f,""" +
+      f""""ingest_tick":$tIngest%.1f,"ingest_bound_s":3600,"ingest":"${verdict(tIngest, 3600)}",""" +
+      f""""export_daily":$tExport%.1f,"export_bound_s":86400,"export":"${verdict(tExport, 86400)}",""" +
+      f""""eccc_tick":$tEccc%.1f,"eccc_bound_s":3600,"eccc":"${verdict(tEccc, 3600)}",""" +
+      f""""store_rows":$storeRows,"post_ingest_rows":$ingestRows,""" +
+      f""""hourly_rows":${exportCounts._1},"daily_rows":${exportCounts._2},""" +
+      f""""eccc_grid_rows":${ecccCounts._1},"eccc_pending":${ecccCounts._2}}"""
+    System.err.println(line)
+    try spark.stop() finally println(line)
+  }
+}

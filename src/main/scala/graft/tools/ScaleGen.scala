@@ -1,0 +1,179 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived-corpus generator for the scale-up study (VERDICT r10 #1).
+  *
+  * Testdata is read-only and tops out at sf0.1 (5k documents / 2k
+  * embeddings / 100k events), so every "this holds at 100×" claim in the
+  * repo has been a PLAN argument, not a measurement. This tool
+  * synthesizes a ×`mult` corpus into a scratch directory by replicating
+  * the sf0.1 tables with SEEDED perturbation — all decisions derive from
+  * xxhash64(id, replica, salt), so the corpus is bit-reproducible — and
+  * the heavy query families then run against it unmodified (they read
+  * `dir/<table>.parquet` through [[graft.core.Tables]]).
+  *
+  * Perturbation design (documents): replica 0 is the original corpus
+  * (its natural near-dup structure rides along). Every other replica is
+  * a HEAVY rewrite — each token independently substituted with
+  * probability 0.65 by another token of the same document (seeded by
+  * (doc, anchor-replica, position)) — which keeps unigram statistics and
+  * document length but drives 3-gram Jaccard vs the source below ~0.05
+  * and between two heavy replicas below ~0.01 (two rewrites share only 0.35² of positions — without this the replica family itself becomes a quadratic candidate term at r=2 banding): far under every dedup
+  * threshold in the suite, i.e. heavy replicas are NEW documents, and
+  * corpus-wide dup RATE stays constant as mult grows. Near-dup structure
+  * scales linearly through TWINS: an odd replica is, with probability
+  * `twinFrac`, a LIGHT perturbation (3% token drop → shingle Jaccard
+  * ~0.84) of its even predecessor's heavy rewrite instead of an
+  * independent rewrite — so clusters (size ~2) arrive in proportion to
+  * corpus size, the shape the banding/candidate-volume linearity claim
+  * is about. The dup-DENSE variant for tier-engagement tests
+  * (anchorClusters = true) instead anchors every light replica on the
+  * replica-0 original: cluster size grows with mult and the pair volume
+  * crosses dedupClusters' 1M driver-tier bound at mult≈100 —
+  * deliberately super-linear, used to prove the distributed tier
+  * engages, never for scaling ratios.
+  *
+  * Embeddings: replica 0 original; heavy replicas add per-dimension
+  * seeded uniform noise at 2× the RMS component scale then renormalize
+  * (cos ≈ 0.65 vs source — new vectors, label direction partly kept);
+  * twin replicas add 0.1× noise (cos ≈ 0.998 — near-dup). Events:
+  * replicas shift user_id/event_id into disjoint stride ranges and keep
+  * timelines verbatim (per-user behavior is scale-invariant).
+  *
+  * Usage: ScaleGen <srcDir> <outDir> <mult> [twinFrac] [anchorClusters]
+  * e.g.   ScaleGen /root/testdata/sf0.1 /tmp/scale10 10 0.2 false
+  */
+object ScaleGen {
+  val IdStride = 10000000L
+
+  /** token-level seeded perturbation of a space-separated text column */
+  private def perturbText(textCol: String): org.apache.spark.sql.Column = {
+    val tk = split(col(textCol), " ")
+    // heavy rewrite, seeded by the ANCHOR replica so a twin's light pass
+    // applies on top of its partner's heavy text, not a fresh rewrite
+    val heavy = transform(tk, (t, i) =>
+      when(pmod(xxhash64(col("doc_id"), col("anchor"), i, lit("sub")), lit(100)) < 65,
+        element_at(tk,
+          (pmod(xxhash64(col("doc_id"), col("anchor"), i, lit("pick")),
+            size(tk)) + 1).cast("int")))
+        .otherwise(t))
+    // light pass: 3% token drop, seeded by the replica ITSELF
+    val light = filter(heavy, (t, i) =>
+      pmod(xxhash64(col("doc_id"), col("rep"), i, lit("drop")), lit(100)) >= 3)
+    when(col("rep") === 0, col(textCol))
+      .otherwise(concat_ws(" ", when(col("isTwin"), light).otherwise(heavy)))
+  }
+
+  def scaleDocuments(docs: DataFrame, mult: Int, twinFrac: Double,
+                     anchorClusters: Boolean): DataFrame = {
+    val spark = docs.sparkSession
+    val reps = broadcast(spark.range(mult).toDF("rep"))
+    // non-anchored twins pair an ODD replica with its even predecessor's
+    // heavy rewrite; rep 1 is excluded because its predecessor (rep 0)
+    // emits the VERBATIM original, not a heavy rewrite — a rep-1 "twin"
+    // would be an orphan with no partner text in the corpus
+    val base = docs.crossJoin(reps)
+      .withColumn("isTwin",
+        col("rep") > 0 && (if (anchorClusters) lit(true)
+          else pmod(col("rep"), lit(2)) === 1 && col("rep") > 1) &&
+          pmod(xxhash64(col("doc_id"), col("rep"), lit("twin")), lit(1000))
+            < (twinFrac * 1000).toLong)
+      .withColumn("anchor",
+        when(!col("isTwin"), col("rep"))
+          .otherwise(if (anchorClusters) lit(0L) else col("rep") - 1))
+    base
+      .withColumn("text2", perturbText("text"))
+      .select(
+        (col("doc_id") + col("rep") * IdStride).as("doc_id"),
+        col("text2").as("text"),
+        col("lang"), col("source"),
+        length(col("text2")).as("n_chars"))
+  }
+
+  def scaleEmbeddings(emb: DataFrame, mult: Int, twinFrac: Double): DataFrame = {
+    val spark = emb.sparkSession
+    val reps = broadcast(spark.range(mult).toDF("rep"))
+    // same rep-1 exclusion as documents: rep 0 is the verbatim original
+    val base = emb.crossJoin(reps)
+      .withColumn("isTwin",
+        col("rep") > 1 && pmod(col("rep"), lit(2)) === 1 &&
+          pmod(xxhash64(col("vec_id"), col("rep"), lit("twin")), lit(1000))
+            < (twinFrac * 1000).toLong)
+      .withColumn("anchor",
+        when(!col("isTwin"), col("rep")).otherwise(col("rep") - 1))
+    val d = size(col("embedding"))
+    val norm0 = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x * x))
+    // seeded uniform [-1,1] per dimension, scaled to a×(rms component)
+    def noisy(amp: org.apache.spark.sql.Column) = transform(col("embedding"),
+      (x, i) => x + amp * (norm0 / sqrt(d)) *
+        (pmod(xxhash64(col("vec_id"), col("anchor"), i, lit("n")), lit(2001)) - 1000)
+          .cast("double") / 1000.0)
+    // twins: light noise ON TOP of the anchor's heavy vector — rebuild the
+    // anchor's heavy pass (seeded by anchor), then add the twin's own
+    val heavyAmp = lit(2.0)
+    val heavy = noisy(heavyAmp)
+    val twin = transform(heavy, (x, i) => x + lit(0.1) * (norm0 / sqrt(d)) *
+      (pmod(xxhash64(col("vec_id"), col("rep"), i, lit("t")), lit(2001)) - 1000)
+        .cast("double") / 1000.0)
+    val vec = when(col("rep") === 0, col("embedding"))
+      .otherwise(when(col("isTwin"), twin).otherwise(heavy))
+    val withVec = base.withColumn("v", vec)
+    // renormalize back to the source norm so dot- and cosine-consumers
+    // see the same scale as the original corpus
+    val newNorm = sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
+    withVec
+      .withColumn("vn", transform(col("v"),
+        x => (x * norm0 / newNorm).cast("float")))
+      .select(
+        (col("vec_id") + col("rep") * IdStride).as("vec_id"),
+        col("vn").as("embedding"),
+        col("label"))
+  }
+
+  def scaleEvents(events: DataFrame, mult: Int): DataFrame = {
+    val spark = events.sparkSession
+    val reps = broadcast(spark.range(mult).toDF("rep"))
+    events.crossJoin(reps).select(
+      (col("event_id") + col("rep") * IdStride * 100).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("rep") * IdStride).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val mult = args(2).toInt
+    val twinFrac = if (args.length > 3) args(3).toDouble else 0.2
+    val anchorClusters = args.length > 4 && args(4).toBoolean
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.core.Tables
+    scaleDocuments(Tables.documents(spark, src), mult, twinFrac, anchorClusters)
+      .repartition(math.max(8, mult / 2))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    scaleEmbeddings(Tables.embeddings(spark, src), mult, twinFrac)
+      .repartition(math.max(8, mult / 4))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    scaleEvents(Tables.events(spark, src), mult)
+      .repartition(math.max(8, mult))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // the relational tables ride along unscaled so any query that joins
+    // them still resolves (none of the heavy families do)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"))
+      Tables.read(spark, src, t).write.mode("overwrite")
+        .parquet(s"$out/$t.parquet")
+    println(s"[scalegen] wrote x$mult corpus to $out (twinFrac=$twinFrac, anchorClusters=$anchorClusters)")
+    spark.stop()
+  }
+}
