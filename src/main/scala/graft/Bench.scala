@@ -73,7 +73,11 @@ import org.apache.spark.sql.SparkSession
   *    GC pressure) contaminates the numbers.
   */
 object Bench {
-  val Repeats = 3
+  /** SPARK_GRAFT_BENCH_REPEATS overrides for local triage runs (e.g. one
+    * repeat while hunting a scale pig); driver runs leave it unset → 3.
+    */
+  val Repeats: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(3)
 
   /** Stdout byte budget for the WHOLE payload (flags + summary + the
     * newlines between them). The driver's capture window is ~2000 chars;

@@ -478,8 +478,13 @@ object TextSim extends QueryPack {
     // the builder brief closed as an actionable keep/drop table.
     "q54_embedding_dedup" -> Q(
       (s, d) => {
-        val pairs = Similarity.lshNeighborPairs(Tables.embeddings(s, d),
-          "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5,
+        // occupancy-adaptive width (r11): rowsPerBand = 5 up to 4096
+        // vectors (every oracle/bench scale — bit-identical results),
+        // widened to hold ~128/bucket above (the fixed width measured
+        // 13.3× wall at ×10: bucket occupancy ∝ n makes the band
+        // self-join quadratic by construction)
+        val pairs = Similarity.lshNeighborPairsAuto(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = 64, bands = 4, floorRowsPerBand = 5,
           minCosine = 0.2)
         NearDup.dedupClusters(pairs, "id_a", "id_b")
           .select(col("doc_id").as("vec_id"), col("keeper_id"))
@@ -729,8 +734,13 @@ object TextSim extends QueryPack {
     // planes; recall < 1 vs q38 by design — but the output itself is
     // exact, so it still has an oracle.
     "q39_lsh_ann" -> Q(
-      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        dims = 64, bands = 4, rowsPerBand = 5, k = 3,
+      // sized dispatch (r11): below 4096 corpus rows this IS
+      // lshTopK(rowsPerBand = 5) — broadcast plan and results, the shape
+      // the oracle pins; above it the banded equi-join + occupancy-
+      // adaptive width serves (the ×100 study measured the broadcast-OR
+      // nested loop at 198× wall for 100× data)
+      (s, d) => Similarity.lshTopKAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        dims = 64, bands = 4, floorRowsPerBand = 5, k = 3,
         queryPred = col("vec_id") % 10 === 0),
       Some {
         val (bands, rpb) = (4, 5)
@@ -769,8 +779,12 @@ object TextSim extends QueryPack {
     // top-3 within cells. The cell id is the inverted file — at scale the
     // table is bucketed/partitioned by it and a probe reads only its cells.
     "q43_ivf_ann" -> Q(
-      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        dims = 64, centroids = 16, nprobe = 2, k = 3,
+      // √N centroid rule (r11): K = 16 while √n ≤ 16 (the oracle scale),
+      // K ≈ √N above — a FIXED 16-cell quantizer leaves per-probe scans
+      // ∝ N/16 (measured 154× wall at ×100); √N cells make the serving
+      // path sublinear per query
+      (s, d) => Similarity.ivfTopKAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        dims = 64, floorCentroids = 16, nprobe = 2, k = 3,
         queryPred = col("vec_id") % 10 === 0),
       Some(s"""
         WITH ${ivfAssignCtes(16, 64)},
@@ -3820,6 +3834,62 @@ object TextSim extends QueryPack {
         adc AS (SELECT query_id, vec_id, sum(t_micro)::BIGINT AS adc_micro
                 FROM codes JOIN tbl USING (subspace, code)
                 WHERE vec_id <> query_id GROUP BY 1, 2)
+        SELECT query_id, vec_id, adc_micro, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_micro, vec_id) AS rank
+              FROM adc)
+        WHERE rank <= 10""")),
+
+    // IVF-PQ ADC top-k (Jégou et al. 2011's full IVFADC, public): the
+    // q158 ADC scorer behind the q43 coarse quantizer's cell pruning —
+    // each query ADC-scores ONLY the codes in its nprobe best cells, the
+    // composition that turns the exhaustive N·N_q ADC scan (measured
+    // 226× wall at ×100 in the r11 study) into an nprobe·N/K-per-query
+    // serving path. Shares both md5 quantizer families with q43/q158 so
+    // neither codebook can drift (Similarity.ivfPqTopK).
+    "q207_ivfpq_adc" -> Q(
+      (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", dims = 64, m = 4, ksub = 8, centroids = 16, nprobe = 2,
+        k = 10, queryPred = col("vec_id") % 25 === 0),
+      Some(s"""
+        WITH ${ivfAssignCtes(16, 64)},
+        asubs AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sub
+                  FROM e, unnest(range(0, 4)) AS u(s)),
+        pcc AS (SELECT s, c,
+                       [((('0x' || substr(md5('pq' || s || '_' || c || '_' || i), 1, 8))::BIGINT
+                          / 2147483648.0) - 1.0) for i in range(0, 16)] AS cv
+                FROM (SELECT unnest(range(0, 4)) AS s),
+                     (SELECT unnest(range(0, 8)) AS c)),
+        psse AS (
+          SELECT vec_id, asubs.s AS subspace, pcc.c AS code,
+                 floor(((list_dot_product(sub, sub) - 2 * list_dot_product(sub, pcc.cv))
+                        + list_dot_product(pcc.cv, pcc.cv)) * 1e6 + 0.5)::BIGINT AS sse_micro
+          FROM asubs JOIN pcc ON pcc.s = asubs.s),
+        codes AS (SELECT vec_id, subspace, code FROM psse
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                                             ORDER BY sse_micro, code) = 1),
+        cwc AS (SELECT codes.vec_id, codes.subspace, codes.code, a.cell
+                FROM codes JOIN assigned a USING (vec_id)),
+        probes AS (SELECT vec_id AS query_id, c AS cell
+                   FROM scored_cells WHERE vec_id % 25 = 0
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY ccos DESC, c) <= 2),
+        qsubs AS (SELECT vec_id AS query_id, s, sub FROM asubs
+                  WHERE vec_id % 25 = 0),
+        tbl AS (SELECT query_id, qsubs.s AS subspace, pcc.c AS code,
+                       floor(((list_dot_product(sub, sub)
+                               - 2 * list_dot_product(sub, pcc.cv))
+                              + list_dot_product(pcc.cv, pcc.cv))
+                             * 1e6 + 0.5)::BIGINT AS t_micro
+                FROM qsubs JOIN pcc ON pcc.s = qsubs.s),
+        adc AS (SELECT p.query_id, cwc.vec_id,
+                       sum(t_micro)::BIGINT AS adc_micro
+                FROM cwc JOIN probes p ON cwc.cell = p.cell
+                JOIN tbl ON tbl.query_id = p.query_id
+                        AND tbl.subspace = cwc.subspace
+                        AND tbl.code = cwc.code
+                WHERE cwc.vec_id <> p.query_id
+                GROUP BY 1, 2)
         SELECT query_id, vec_id, adc_micro, rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY adc_micro, vec_id) AS rank

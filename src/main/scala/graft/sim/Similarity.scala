@@ -654,6 +654,59 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Occupancy-adaptive band width for [[lshNeighborPairs]]: the number
+    * of sign bits per band such that the EXPECTED bucket occupancy
+    * n / 2^bits stays at or under `targetOccupancy`, never below the
+    * registered small-scale `floor`.
+    *
+    * Why this exists (SCALE.md, the ×100 study's first real finding): a
+    * FIXED band width saturates — 5 bits is 32 buckets per band forever,
+    * so bucket occupancy grows ∝ n and the band self-join's candidate
+    * volume grows ∝ n²/2^bits. At sf0.1 (2 k vectors, occupancy ~62)
+    * that term is invisible; at ×10 it already measured 13.3× wall for
+    * ×10 data; at ×100 it is ~2.5 BILLION candidate pairs — the fixed
+    * width is quadratic by construction, the measurement caught it.
+    * Widening restores ~targetOccupancy buckets, making candidates
+    * ~n·targetOccupancy/2 per band — linear in n at fixed occupancy.
+    *
+    * The semantic trade is explicit and belongs to the caller: collision
+    * probability per band is p^bits with p = 1 − θ/π, so widening prunes
+    * MODERATE-cosine pairs fastest while near-dup pairs (cos → 1,
+    * p → 1) keep ~full recall — e.g. cos 0.998 at 11 bits: p ≈ 0.986,
+    * p¹¹ ≈ 0.86, and 4 bands give 1−(1−0.86)⁴ ≈ 0.9996; cos 0.2 drops
+    * to ~1% candidate rate. Right for DEDUP (the q54 shape, where the
+    * pairs that matter are high-cos); wrong for low-threshold similarity
+    * SWEEPS, which should raise `bands` (more independent probes)
+    * instead of accepting quadratic candidates.
+    */
+  def adaptiveRowsPerBand(n: Long, floor: Int, targetOccupancy: Long = 128L): Int = {
+    require(floor >= 1 && floor <= 62, s"floor $floor out of range")
+    var bits = floor
+    while (bits < 24 && (n >> bits) > targetOccupancy) bits += 1
+    bits
+  }
+
+  /** [[lshNeighborPairs]] behind a measured-size width decision — the
+    * sizedSemiJoin doctrine applied to banding. One count() picks the
+    * band width; at or under the floor threshold the plan is BIT-
+    * IDENTICAL to the fixed-width call (SimilaritySpec pins this), so
+    * the oracle-checked small-scale shape is unchanged and only the
+    * over-threshold corpus pays the (deliberate, documented) recall
+    * trade above.
+    */
+  def lshNeighborPairsAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                           dims: Int, bands: Int, floorRowsPerBand: Int,
+                           minCosine: Double,
+                           targetOccupancy: Long = 128L): DataFrame = {
+    val n = vectors.count()
+    val r = adaptiveRowsPerBand(n, floorRowsPerBand, targetOccupancy)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] lshNeighborPairsAuto n=$n " +
+        s"floor=$floorRowsPerBand rowsPerBand=$r " +
+        s"(buckets/band=${1L << r}, target occupancy <= $targetOccupancy)")
+    lshNeighborPairs(vectors, idCol, vecCol, dims, bands, r, minCosine)
+  }
+
   /** `probeFlips` enables QUERY-DIRECTED MULTI-PROBE (Lv et al., VLDB'07 —
     * public result): besides its own bucket, each query band probes the
     * buckets reached by flipping the `probeFlips` sign bits whose
@@ -729,6 +782,219 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** [[lshTopK]] re-planned as a banded EQUI-join — the corpus-scale
+    * serving path for a LARGE query side. The broadcast-OR shape above is
+    * a BroadcastNestedLoopJoin: every (corpus row, query row) pair pays
+    * the `bands` bucket compares, an N·N_q term that measured 198× wall
+    * at ×100 corpus/query scale in the r11 study. Here both sides explode
+    * to (id, band, bucket) rows and ONE shuffle equi-join on
+    * (band, bucket) finds the identical candidate set — per-candidate
+    * cost, not per-pair: with occupancy-bounded buckets
+    * ([[adaptiveRowsPerBand]]) candidates stay ~N_q·bands·occupancy.
+    * Results are EXACTLY [[lshTopK]]'s at equal rowsPerBand (the
+    * OR-over-bands collapse is replaced by dropDuplicates before the
+    * cosine; SimilaritySpec pins parity, including probeFlips > 0).
+    */
+  def lshTopKBanded(vectors: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, bands: Int, rowsPerBand: Int, k: Int,
+                    queryPred: Column, probeFlips: Int = 0): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= rowsPerBand,
+      s"probeFlips must be in [0, rowsPerBand], got $probeFlips")
+    val sp = vectors.sparkSession
+    val planes = bands * rowsPerBand
+    val planeMat = (0 until planes).map(p => planeVec(p, dims)).toArray
+    val v = vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", norm(sp, col("v")))
+    val withPr = v.withColumn("__pr",
+      graft.plans.ArrayOps.matVec(sp, col("v"), planeMat, s"lsh_${planes}x$dims"))
+    def bucketCol(b: Int): Column =
+      (0 until rowsPerBand).map { r =>
+        when(element_at(col("__pr"), b * rowsPerBand + r + 1) >= 0,
+          lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // corpus side: one (id, band, bucket) row per band
+    val sig = withPr
+      .select(col("vec_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_idx"), bucketCol(b).as("bucket"))): _*)).as("bd"))
+      .select(col("vec_id"), col("bd.band_idx").as("band_idx"),
+        col("bd.bucket").as("bucket"))
+    // query side: one row per PROBE — own bucket plus the probeFlips
+    // boundary-nearest bit flips (same probe set as lshTopK's arrays)
+    val pows = array((0 until rowsPerBand).map(r => lit(1L << r)): _*)
+    val qsig = withPr.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("__pr"),
+        explode(array((0 until bands).map { b =>
+          val bucket = bucketCol(b)
+          val byDist = sort_array(array((0 until rowsPerBand).map { r =>
+            struct(abs(element_at(col("__pr"), b * rowsPerBand + r + 1)).as("d"),
+                   lit(r).as("r"))
+          }: _*))
+          val probes = bucket +: (0 until probeFlips).map { i =>
+            bucket.bitwiseXOR(
+              element_at(pows, element_at(byDist, i + 1).getField("r") + 1))
+          }
+          struct(lit(b).as("band_idx"), array(probes: _*).as("buckets"))
+        }: _*)).as("bd"))
+      .select(col("query_id"), col("bd.band_idx").as("band_idx"),
+        explode(col("bd.buckets")).as("bucket"))
+    val cand = sig.join(qsig, Seq("band_idx", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand
+      .join(v, Seq("vec_id"))
+      .join(v.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn")), Seq("query_id"))
+      .withColumn("cosine",
+        round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** Sized dispatch over the two lshTopK plans plus the occupancy-
+    * adaptive band width: ONE count() reads the corpus size; below
+    * `bnlMaxRows` the call is BIT-IDENTICAL to
+    * `lshTopK(..., rowsPerBand = floor)` (broadcast plan AND results —
+    * the registered oracle shape); above it, the banded equi-join runs
+    * at [[adaptiveRowsPerBand]] width — the N·N_q nested-loop term and
+    * the bucket-saturation term both go away, at the documented
+    * moderate-cosine recall trade. The q39 serving policy at scale.
+    */
+  def lshTopKAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                  dims: Int, bands: Int, floorRowsPerBand: Int, k: Int,
+                  queryPred: Column, probeFlips: Int = 0,
+                  bnlMaxRows: Long = 4096L,
+                  targetOccupancy: Long = 128L): DataFrame = {
+    val n = vectors.count()
+    if (n <= bnlMaxRows)
+      lshTopK(vectors, idCol, vecCol, dims, bands, floorRowsPerBand, k,
+        queryPred, probeFlips)
+    else {
+      val r = adaptiveRowsPerBand(n, floorRowsPerBand, targetOccupancy)
+      if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+        System.err.println(s"[scale] lshTopKAuto n=$n -> banded equi-join, " +
+          s"rowsPerBand=$r (floor $floorRowsPerBand)")
+      lshTopKBanded(vectors, idCol, vecCol, dims, bands, r, k, queryPred,
+        probeFlips)
+    }
+  }
+
+  /** Classic IVF sizing (Jégou et al.; the FAISS √N rule, public): the
+    * power of two NEAREST √n — the smallest k with 2k² ≥ n, i.e. within
+    * a factor √2 of √n — clamped to [floor, cap]. At K ≈ √N cells the
+    * serving cost per query is nprobe·√N index reads — the sublinear-
+    * per-query property that IS the point of IVF — while the one-off
+    * assignment build pays N·K kernel dots. A FIXED K keeps per-cell
+    * population ∝ N: the r11 ×100 study measured the 16-cell registered
+    * shape at 154× wall for 100× data (every probe scans N/16 vectors).
+    * Through n ≤ 2·floor² (512 rows at the registered floor 16 — every
+    * oracle scale) the count IS the floor, so small-scale registered
+    * shapes are unchanged.
+    */
+  def adaptiveCentroids(n: Long, floor: Int, cap: Int = 4096): Int = {
+    require(floor >= 1 && cap >= floor, s"bad floor/cap $floor/$cap")
+    var k = floor
+    while (k < cap && 2L * k * k < n) k = k << 1
+    k
+  }
+
+  /** [[ivfTopK]] behind the measured-size centroid rule: one count()
+    * picks K = [[adaptiveCentroids]](n, floor) — identical to
+    * `ivfTopK(..., centroids = floor)` while √n ≤ floor (the oracle
+    * scale), √N-sized above it. Same md5 quantizer family, so cell
+    * assignments at equal K match the fixed call exactly.
+    */
+  def ivfTopKAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                  dims: Int, floorCentroids: Int, nprobe: Int, k: Int,
+                  queryPred: Column): DataFrame = {
+    val n = vectors.count()
+    val c = adaptiveCentroids(n, floorCentroids)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] ivfTopKAuto n=$n -> centroids=$c " +
+        s"(floor $floorCentroids)")
+    ivfTopK(vectors, idCol, vecCol, dims, c, nprobe, k, queryPred)
+  }
+
+  /** IVF-PQ ADC top-k (Jégou et al. 2011's full IVFADC system, public):
+    * the composition that makes PQ scoring SERVE at corpus scale. Plain
+    * [[pqAdcTopK]] is an exhaustive ADC scan — every query scores every
+    * code row, an N·N_q term the r11 ×100 study measured at 226× wall
+    * for 100× data. Here the [[ivfTopK]] coarse quantizer prunes first:
+    * vectors carry (cell, PQ code); a query probes its `nprobe` best
+    * cells and ADC-scores ONLY the codes living there — per-query work
+    * is nprobe·N/K code lookups (sublinear at the √N centroid rule)
+    * instead of N.
+    *
+    * Semantics: identical distance tables and micro-snapped ADC sums as
+    * [[pqAdcTopK]] (same codebooks, same fold order — the oracle
+    * recomputes both quantizers from the shared md5 formulas); the
+    * result is pqAdcTopK RESTRICTED to candidates in probed cells, the
+    * recall/cost trade every deployed IVFADC index makes. k/nprobe/m/
+    * ksub are the standard serving knobs.
+    *
+    * Plan shape: the assignment+codes pass is the index build
+    * (map-only, materialized once); serving is one tiny probe window,
+    * one broadcast of the probe list, one broadcast of the per-query
+    * distance tables (both queries×-bounded), a cell equi-join, and the
+    * grouped m-term sum — no N×N_q term anywhere.
+    */
+  def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                dims: Int, m: Int, ksub: Int, centroids: Int, nprobe: Int,
+                k: Int, queryPred: Column): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sp = vectors.sparkSession
+    val dsub = dims / m
+    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    // index build: coarse cell + m PQ codes per vector, materialized once
+    val cells = assignCells(vectors, idCol, vecCol, cents)
+      .select(col("vec_id"), col("v"), col("vn"), col("ccos"), col("cell"))
+      .localCheckpoint(true)
+    val codes = pqAudit(cells, "vec_id", "v", dims, m, ksub)
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("subspace"), col("code"))
+    // probe list: per query, the nprobe best cells by centroid cosine
+    val q = cells.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        posexplode(col("ccos")).as(Seq("pcell", "pcos")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("pcell"))
+    val probes = q.withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("pcell").as("cell"))
+    // per-query ADC distance tables (the pqAdcTopK construction)
+    val qv = cells.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val entries = (0 until m).flatMap { s =>
+      val sub = slice(col("qv"), s * dsub + 1, dsub)
+      val aa = dot(sp, sub, sub)
+      (0 until ksub).map { c =>
+        val cv = pqCentroidVec(s, c, dsub)
+        val t = (aa - lit(2.0) * dot(sp, sub, typedLit(cv.toSeq))) +
+          lit(seqSelfDot(cv))
+        struct(lit(s).as("subspace"), lit(c).as("code"),
+          floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"))
+      }
+    }
+    val table = qv.select(col("query_id"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.t_micro").as("t_micro"))
+    // cell-pruned ADC: only codes in a query's probed cells are scored
+    val adc = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(table), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("t_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
   }
 
   /** Sub-centroid c of subspace s over `dsub` dimensions: component

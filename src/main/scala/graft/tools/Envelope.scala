@@ -85,9 +85,9 @@ object Envelope {
       .withColumn("st", (col("id") / slots).cast("long"))
       .withColumn("slot", pmod(col("id"), lit(slots)))
       .withColumn("ID", stationId(col("st")))
-      .withColumn("Date", date_format(to_timestamp(lit(start)) +
+      .withColumn("Date", concat(date_format(to_timestamp(lit(start)) +
         make_dt_interval(lit(0), lit(0), lit(0), col("slot") * 300),
-        "yyyy-MM-dd'T'HH:mm:ss") + lit("-00:00"))
+        "yyyy-MM-dd'T'HH:mm:ss"), lit("-00:00")))
       // same seeded values as the stored year (old-wins no-op on overlap)
       .withColumn("v", pmod(xxhash64(col("st"), col("slot") + dayBase),
         lit(100000)).cast("double") / 100.0)

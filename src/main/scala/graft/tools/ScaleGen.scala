@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * Perturbation design (documents): replica 0 is the original corpus
   * (its natural near-dup structure rides along). Every other replica is
   * a HEAVY rewrite — each token independently substituted with
-  * probability 0.65 by another token of the same document (seeded by
-  * (doc, anchor-replica, position)) — which keeps unigram statistics and
-  * document length but drives 3-gram Jaccard vs the source below ~0.05
+  * probability 0.65 by a replica-SALTED copy of another token of the
+  * same document (seeded by (doc, anchor-replica, position); salting
+  * rationale on [[perturbText]]) — which keeps per-doc token-frequency
+  * shape and document length, grows vocabulary ∝ corpus (Heaps-law
+  * realism), and drives 3-gram Jaccard vs the source below ~0.05
   * and between two heavy replicas below ~0.01 (two rewrites share only 0.35² of positions — without this the replica family itself becomes a quadratic candidate term at r=2 banding): far under every dedup
   * threshold in the suite, i.e. heavy replicas are NEW documents, and
   * corpus-wide dup RATE stays constant as mult grows. Near-dup structure
@@ -48,16 +50,36 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
   val IdStride = 10000000L
 
-  /** token-level seeded perturbation of a space-separated text column */
+  /** token-level seeded perturbation of a space-separated text column.
+    *
+    * Substituted tokens carry a (doc, anchor)-seeded `~salt` suffix, so
+    * each replica instance contributes FRESH vocabulary — the corpus's
+    * distinct-token and distinct-shingle counts grow with size the way
+    * Heaps' law says a real crawl's do. The r11 study measured why this
+    * matters: the unsalted generator (substitute with another token of
+    * the SAME document) saturates the ×100 corpus at ~30k distinct
+    * 3-grams, which (a) leaves the sizedSemiJoin tier gate 130× under
+    * its 4M-key bound on "real" traffic and (b) gives every token a
+    * document frequency ∝ N, so q190's prefix filter — whose entire
+    * premise is that each doc owns some RARE tokens — degenerates to a
+    * quadratic candidate join (>600 s at ×100). Doc-level salting keeps
+    * within-doc token-frequency shape (two picks of the same source
+    * token agree) and document length, while cross-replica token overlap
+    * drops to the 35% unsubstituted share — twins still share their
+    * partner's salted vocabulary because the suffix is seeded by the
+    * ANCHOR replica, exactly like the heavy pass itself.
+    */
   private def perturbText(textCol: String): org.apache.spark.sql.Column = {
     val tk = split(col(textCol), " ")
+    val salt = pmod(xxhash64(col("doc_id"), col("anchor"), lit("vocab")),
+      lit(1000000L))
     // heavy rewrite, seeded by the ANCHOR replica so a twin's light pass
     // applies on top of its partner's heavy text, not a fresh rewrite
     val heavy = transform(tk, (t, i) =>
       when(pmod(xxhash64(col("doc_id"), col("anchor"), i, lit("sub")), lit(100)) < 65,
-        element_at(tk,
+        concat(element_at(tk,
           (pmod(xxhash64(col("doc_id"), col("anchor"), i, lit("pick")),
-            size(tk)) + 1).cast("int")))
+            size(tk)) + 1).cast("int")), lit("~"), salt))
         .otherwise(t))
     // light pass: 3% token drop, seeded by the replica ITSELF
     val light = filter(heavy, (t, i) =>

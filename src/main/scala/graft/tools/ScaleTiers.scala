@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.sim.Similarity
 import graft.text.{NearDup, TextOps}
 
 /** Tier-engagement proof harness (VERDICT r10 #1, second half).
@@ -78,12 +79,47 @@ object ScaleTiers {
       s"[tiers] sizedSemiJoin big keys=$nBig plan={$mergedDigest} rows=$nMergedRows; " +
       s"control keys=10000 plan={$bcastDigest}")
 
+    // ---- 3. embedding-dedup scale path: the q54 shape at x100 through
+    // the occupancy-adaptive band width (the fixed 5-bit width is
+    // ~2.5 B candidate pairs at 200 k vectors — measured quadratic; the
+    // auto width restores linearity and must keep near-dup recall,
+    // which we can measure exactly because ScaleGen's twin predicate is
+    // reconstructible) ----
+    val emb100 = ScaleGen.scaleEmbeddings(Tables.embeddings(spark, src),
+      mult = 100, twinFrac = 0.2).localCheckpoint(true)
+    val nVecs = emb100.count()
+    val t2 = System.nanoTime()
+    val embPairs = Similarity.lshNeighborPairsAuto(emb100, "vec_id", "embedding",
+      dims = 64, bands = 4, floorRowsPerBand = 5, minCosine = 0.9)
+      .localCheckpoint(true)
+    val nEmbPairs = embPairs.count()
+    val embClusters = NearDup.dedupClusters(embPairs, "id_a", "id_b")
+    val nEmbClustered = embClusters.count()
+    val tEmb = (System.nanoTime() - t2) / 1e9
+    // exact twin recall: rebuild the generator's twin predicate and
+    // check each expected (anchor, twin) pair arrived
+    val stride = ScaleGen.IdStride
+    val twins = emb100
+      .select(pmod(col("vec_id"), lit(stride)).as("base"),
+        (col("vec_id") / stride).cast("long").as("rep"))
+      .filter(col("rep") > 1 && pmod(col("rep"), lit(2)) === 1 &&
+        pmod(xxhash64(col("base"), col("rep"), lit("twin")), lit(1000)) < 200)
+      .select((col("base") + (col("rep") - 1) * stride).as("id_a"),
+        (col("base") + col("rep") * stride).as("id_b"))
+    val nTwins = twins.count()
+    val nTwinsFound = twins.join(embPairs, Seq("id_a", "id_b"), "left_semi").count()
+    System.err.println(
+      f"[tiers] embDedup x100 vecs=$nVecs pairs=$nEmbPairs clustered=$nEmbClustered " +
+      f"wall_s=$tEmb%.1f twin_recall=$nTwinsFound/$nTwins")
+
     val line =
       f"""{"metric":"tiers","pairs":$nPairs,"pairs_bound":1000000,""" +
       f""""unionfind_distributed":$tierEngaged,"pairs_s":$tPairs%.1f,"clusters_s":$tClusters%.1f,""" +
       f""""clustered":$nClustered,"keepers":$nKeepers,""" +
       f""""semijoin_keys":$nBig,"semijoin_bound":4000000,""" +
-      f""""semijoin_plan":"$mergedDigest","semijoin_control_plan":"$bcastDigest"}"""
+      f""""semijoin_plan":"$mergedDigest","semijoin_control_plan":"$bcastDigest",""" +
+      f""""emb_vecs":$nVecs,"emb_pairs":$nEmbPairs,"emb_clustered":$nEmbClustered,""" +
+      f""""emb_wall_s":$tEmb%.1f,"emb_twin_found":$nTwinsFound,"emb_twin_total":$nTwins}"""
     try spark.stop() finally println(line)
   }
 }

@@ -234,6 +234,84 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.sortBy(r => (r._1, r._2)).toSeq === re.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("lshTopKBanded: the equi-join plan returns EXACTLY lshTopK's rows, incl. multi-probe") {
+    val emb = Tables.embeddings(spark, dir)
+    for (flips <- Seq(0, 2)) {
+      val bnl = Similarity.lshTopK(emb, "vec_id", "embedding",
+        dims = 64, bands = 4, rowsPerBand = 5, k = 3, queryPred = pred,
+        probeFlips = flips)
+      val eq = Similarity.lshTopKBanded(emb, "vec_id", "embedding",
+        dims = 64, bands = 4, rowsPerBand = 5, k = 3, queryPred = pred,
+        probeFlips = flips)
+      assert(eq.exceptAll(bnl).isEmpty && bnl.exceptAll(eq).isEmpty,
+        s"banded equi-join diverged from the broadcast plan at probeFlips=$flips")
+    }
+  }
+
+  test("lshTopKAuto: below bnlMaxRows the result is the registered lshTopK shape") {
+    val emb = Tables.embeddings(spark, dir)
+    val fixed = Similarity.lshTopK(emb, "vec_id", "embedding",
+      dims = 64, bands = 4, rowsPerBand = 5, k = 3, queryPred = pred)
+    val auto = Similarity.lshTopKAuto(emb, "vec_id", "embedding",
+      dims = 64, bands = 4, floorRowsPerBand = 5, k = 3, queryPred = pred)
+    assert(auto.exceptAll(fixed).isEmpty && fixed.exceptAll(auto).isEmpty)
+  }
+
+  test("adaptiveCentroids: floor at oracle scales, ~sqrt(n) power of two above, capped") {
+    assert(Similarity.adaptiveCentroids(500, 16) == 16)    // sf0.001/sf0.01 oracle scales
+    assert(Similarity.adaptiveCentroids(512, 16) == 16)    // 2*16^2 exactly
+    assert(Similarity.adaptiveCentroids(513, 16) == 32)    // first n past the floor hold
+    assert(Similarity.adaptiveCentroids(2000, 16) == 32)   // sf0.1
+    assert(Similarity.adaptiveCentroids(20000, 16) == 128) // x10 study point
+    assert(Similarity.adaptiveCentroids(200000, 16) == 512)// x100 study point
+    assert(Similarity.adaptiveCentroids(Long.MaxValue / 2, 16) == 4096) // cap
+  }
+
+  test("ivfPqTopK: cell-pruned ADC scores agree with the exhaustive q158 scan") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val qp = col("vec_id") % 25 === 0
+    val full = Similarity.pqAdcTopK(emb, "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 8, queryPred = qp, k = Int.MaxValue)
+      .select($"query_id", $"vec_id", $"adc_micro")
+    val pruned = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      dims = 64, m = 4, ksub = 8, centroids = 16, nprobe = 2, k = 10,
+      queryPred = qp)
+    // every pruned (query, vec) pair carries the SAME micro-snapped ADC sum
+    // the exhaustive scan assigns it — pruning changes the candidate set,
+    // never a score
+    val joined = pruned.as("p").join(full.as("f"),
+      Seq("query_id", "vec_id"), "left")
+    assert(joined.filter($"f.adc_micro".isNull ||
+      $"p.adc_micro" =!= $"f.adc_micro").isEmpty,
+      "an IVF-PQ candidate scored differently from the exhaustive ADC scan")
+    // and pruning actually prunes: nprobe=2 of 16 cells keeps the top-10
+    // list non-empty for every query while scanning a fraction of codes
+    val nq = emb.filter(qp).count()
+    assert(pruned.select("query_id").distinct().count() == nq)
+  }
+
+  test("adaptive band width: floor below target occupancy, widens ~log2(n) above, capped") {
+    // registered small-scale shapes stay put: sf0.1's 2k vectors at
+    // floor 5 are already under 128/bucket
+    assert(Similarity.adaptiveRowsPerBand(2000, 5) == 5)
+    assert(Similarity.adaptiveRowsPerBand(4096, 5) == 5)     // 4096/32 = 128, at target
+    assert(Similarity.adaptiveRowsPerBand(4128, 5) == 6)     // first n whose occupancy exceeds 128
+    assert(Similarity.adaptiveRowsPerBand(20000, 5) == 8)    // x10 study point
+    assert(Similarity.adaptiveRowsPerBand(200000, 5) == 11)  // x100 study point
+    assert(Similarity.adaptiveRowsPerBand(Long.MaxValue / 4, 5) == 24) // cap
+    assert(Similarity.adaptiveRowsPerBand(10, 5) == 5)       // never below floor
+  }
+
+  test("lshNeighborPairsAuto is bit-identical to the fixed call under the threshold") {
+    val emb = Tables.embeddings(spark, dir)
+    val fixed = Similarity.lshNeighborPairs(emb, "vec_id", "embedding",
+      dims = 64, bands = 4, rowsPerBand = 5, minCosine = 0.2)
+    val auto = Similarity.lshNeighborPairsAuto(emb, "vec_id", "embedding",
+      dims = 64, bands = 4, floorRowsPerBand = 5, minCosine = 0.2)
+    assert(auto.exceptAll(fixed).isEmpty && fixed.exceptAll(auto).isEmpty)
+  }
+
   test("semantic dedup: identical cell-mates collapse to the lowest id") {
     import spark.implicits._
     val e1 = Array(1.0f) ++ Array.fill(7)(0.0f)

@@ -71,6 +71,22 @@ class ScaleGenSpec extends AnyFunSuite with SparkSpec {
       assert(jaccard3(a, b) > 0.4)
   }
 
+  test("salted substitution grows vocabulary with corpus size (Heaps realism)") {
+    // the r11 study's corpus-fidelity lesson: the unsalted generator
+    // saturated distinct 3-grams at ~30k for a ×100 corpus, handing every
+    // token a document frequency ∝ N — which silently broke the prefix
+    // filter's rare-token premise (q190) and left the semi-join tier gate
+    // 130× under its bound. Distinct TOKENS must grow ~linearly in mult.
+    val docs = graft.core.Tables.documents(spark, sf)
+    def vocab(mult: Int): Long =
+      ScaleGen.scaleDocuments(docs, mult, 0.0, anchorClusters = false)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "").select("t").distinct().count()
+    val (v2, v8) = (vocab(2), vocab(8))
+    // 1 verbatim + (mult−1) salted replicas → distinct tokens ≈ V0·mult
+    assert(v8 > v2 * 3, s"vocabulary saturates: x2=$v2, x8=$v8")
+  }
+
   test("embeddings: twins cos≈1, heavies decorrelated, norms preserved") {
     val emb = graft.core.Tables.embeddings(spark, sf).filter(col("vec_id") < 30)
     val out = ScaleGen.scaleEmbeddings(emb, 4, 1.0)
