@@ -3848,8 +3848,11 @@ object TextSim extends QueryPack {
     // serving path. Shares both md5 quantizer families with q43/q158 so
     // neither codebook can drift (Similarity.ivfPqTopK).
     "q207_ivfpq_adc" -> Q(
-      (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id",
-        "embedding", dims = 64, m = 4, ksub = 8, centroids = 16, nprobe = 2,
+      // √N coarse sizing (floor-held at 16 through n ≤ 512 — every
+      // oracle scale): the fixed-16 registration measured 139× at ×100
+      // (probed cells hold N/16 codes); see adaptiveCentroids
+      (s, d) => Similarity.ivfPqTopKAuto(Tables.embeddings(s, d), "vec_id",
+        "embedding", dims = 64, m = 4, ksub = 8, floorCentroids = 16, nprobe = 2,
         k = 10, queryPred = col("vec_id") % 25 === 0),
       Some(s"""
         WITH ${ivfAssignCtes(16, 64)},

@@ -288,9 +288,15 @@ object Similarity {
       .withColumn("vn", norm(sp, col("v")))
       .withColumn("cdx", graft.plans.ArrayOps.matVecArgMaxCos(sp, col("v"), cents,
         s"ivf_${cents.length}x${dims}_$key"))
-    val ccosArr = array(cents.indices.map { c =>
-      round(element_at(col("cdx"), c + 1) / (lit(cnorms(c)) * col("vn")), 6)
-    }: _*)
+    // ccos via ONE zip_with over a single slice of the kernel output — an
+    // array() of C per-element expressions would reference `cdx` C+1
+    // times, and projection collapse inlines a kernel call per reference:
+    // fine at the registered C=16 (the original design note below), a
+    // C²·dims-per-row term once adaptiveCentroids picks C ≈ √N (the r11
+    // ×10 study measured q43 at 12.4 s vs 1.5 s exactly from this).
+    val ccosArr = zip_with(
+      slice(col("cdx"), 1, cents.length), typedLit(cnorms.toSeq),
+      (d, cn) => round(d / (cn * col("vn")), 6))
     v.withColumn("ccos", ccosArr)
       .withColumn("cell", element_at(col("cdx"), cents.length + 1).cast("int"))
       .drop("cdx")
@@ -613,6 +619,25 @@ object Similarity {
     * clustering. Same banding/recall trade as lshTopK (SimilaritySpec
     * measures it).
     */
+  /** Band bucket codes from the plane-projection array in ONE pass per
+    * band: bucket b = Σ_i [pr[b·r+i] ≥ 0]·2^i via zip_with + aggregate
+    * over a slice — ONE reference to `pr` per band instead of
+    * rowsPerBand. A sum of per-bit element_at terms references the
+    * projection rowsPerBand times per band, and projection collapse
+    * inlines the matVec kernel once per reference: invisible at the
+    * registered r=5 width, a planes²·dims-per-row term once
+    * adaptiveRowsPerBand widens r (the assignCells ccos lesson — its
+    * ×10 measurement showed the shape 8× slower from exactly this).
+    */
+  private def bandBuckets(pr: Column, bands: Int, rowsPerBand: Int): IndexedSeq[Column] =
+    (0 until bands).map { b =>
+      aggregate(
+        zip_with(slice(pr, b * rowsPerBand + 1, rowsPerBand),
+          typedLit((0 until rowsPerBand).map(i => 1L << i)),
+          (x, p) => when(x >= 0, p).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    }
+
   def lshNeighborPairs(vectors: DataFrame, idCol: String, vecCol: String,
                        dims: Int, bands: Int, rowsPerBand: Int,
                        minCosine: Double): DataFrame = {
@@ -624,13 +649,10 @@ object Similarity {
       .withColumn("vn", norm(sp, col("v")))
     val withPr = v.withColumn("__pr",
       graft.plans.ArrayOps.matVec(sp, col("v"), planeMat, s"lsh_${planes}x$dims"))
-    val bandCols = (0 until bands).map { b =>
-      val bucket = (0 until rowsPerBand).map { r =>
-        when(element_at(col("__pr"), b * rowsPerBand + r + 1) >= 0,
-          lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band_idx"), bucket.as("bucket"))
-    }
+    val bandCols = bandBuckets(col("__pr"), bands, rowsPerBand)
+      .zipWithIndex.map { case (bk, b) =>
+        struct(lit(b).as("band_idx"), bk.as("bucket"))
+      }
     // the band join carries ONLY (id, band, bucket) — vectors join back in
     // for surviving candidate pairs
     val banded = withPr
@@ -729,17 +751,15 @@ object Similarity {
     val v = vectors.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("vn", norm(sp, col("v")))
-    // all `planes` projections in ONE kernel pass (see DoubleMatVec doc)
-    def bucketCol(b: Int): Column =
-      (0 until rowsPerBand).map { r =>
-        when(element_at(col("__pr"), b * rowsPerBand + r + 1) >= 0,
-          lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    // all `planes` projections in ONE kernel pass (see DoubleMatVec doc);
+    // buckets via bandBuckets (one kernel reference per band)
+    def bucketCol(b: Int): Column = bandBuckets(col("__pr"), bands, rowsPerBand)(b)
     def withBuckets(df: DataFrame, vc: String, prefix: String): DataFrame = {
       val withPr = df.withColumn("__pr",
         graft.plans.ArrayOps.matVec(sp, col(vc), planeMat, s"lsh_${planes}x$dims"))
+      val bks = bandBuckets(col("__pr"), bands, rowsPerBand)
       (0 until bands).foldLeft(withPr) { (d, b) =>
-        d.withColumn(s"${prefix}b$b", bucketCol(b))
+        d.withColumn(s"${prefix}b$b", bks(b))
       }.drop("__pr")
     }
     /** query side with probe ARRAYS per band: own bucket + the buckets at
@@ -810,11 +830,7 @@ object Similarity {
       .withColumn("vn", norm(sp, col("v")))
     val withPr = v.withColumn("__pr",
       graft.plans.ArrayOps.matVec(sp, col("v"), planeMat, s"lsh_${planes}x$dims"))
-    def bucketCol(b: Int): Column =
-      (0 until rowsPerBand).map { r =>
-        when(element_at(col("__pr"), b * rowsPerBand + r + 1) >= 0,
-          lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    def bucketCol(b: Int): Column = bandBuckets(col("__pr"), bands, rowsPerBand)(b)
     // corpus side: one (id, band, bucket) row per band
     val sig = withPr
       .select(col("vec_id"), explode(array((0 until bands).map(b =>
@@ -944,6 +960,23 @@ object Similarity {
     * distance tables (both queries×-bounded), a cell equi-join, and the
     * grouped m-term sum — no N×N_q term anywhere.
     */
+  /** [[ivfPqTopK]] behind the √N centroid rule (one count(), the
+    * ivfTopKAuto doctrine): K = floor through every oracle scale, √N
+    * above — a fixed coarse K leaves the probed-cell population ∝ N/K,
+    * which with the residue-class query workload measured 139× wall at
+    * ×100 on the registered fixed-16 shape; √N cells bound it.
+    */
+  def ivfPqTopKAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                    dims: Int, m: Int, ksub: Int, floorCentroids: Int,
+                    nprobe: Int, k: Int, queryPred: Column): DataFrame = {
+    val n = vectors.count()
+    val c = adaptiveCentroids(n, floorCentroids)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] ivfPqTopKAuto n=$n -> centroids=$c " +
+        s"(floor $floorCentroids)")
+    ivfPqTopK(vectors, idCol, vecCol, dims, m, ksub, c, nprobe, k, queryPred)
+  }
+
   def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
                 dims: Int, m: Int, ksub: Int, centroids: Int, nprobe: Int,
                 k: Int, queryPred: Column): DataFrame = {

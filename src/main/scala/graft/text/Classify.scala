@@ -212,13 +212,24 @@ object Classify {
     val vS = termSrc.join(termTot, Seq("term"))
       .filter(col("ct") === col("cs"))
       .groupBy(col("src")).agg(count(lit(1)).as("excl"))
-    // per-source LOO model grid: vocab × labels × sources, zero cells
+    // eval slice tokens, needed below to bound the grid
+    val evalToks = toks.join(
+      df.filter(evalPred).select(col(idCol).as("doc_id")), Seq("doc_id"))
+      .drop("src")
+    // per-source LOO model grid: labels × sources over EVAL-SLICE terms
+    // only (r11 — the scale knob the scaladoc names): the grid's sole
+    // consumer is the evalToks inference join, so terms absent from the
+    // eval slice can never contribute a row — dropping them changes
+    // nothing (verified by the unchanged oracle) while the smoothing
+    // corrections (V, V^(−s), T_l, T_ls) still come from FULL-corpus
+    // counts computed above. On the ×100 salted-vocab corpus this cut
+    // the grid from corpus-vocab×L×S to eval-vocab×L×S. Zero cells stay
     // included (smoothing acts exactly there) — EXCEPT terms whose
     // entire corpus count came from the held-out source: model −s has
     // never seen them, so they are out-of-vocabulary for it (their
     // rows drop, matching the V correction; at inference they behave
     // like any unknown token — the join misses)
-    val grid = ctl.select(col("term")).distinct()
+    val grid = evalToks.select(col("term")).distinct()
       .crossJoin(broadcast(lab.select(col("label"))))
       .crossJoin(broadcast(sources))
       .join(ctl, Seq("label", "term"), "left").na.fill(0L, Seq("c_all"))
@@ -249,9 +260,6 @@ object Classify {
           log((col("n_all") - col("n_s")).cast("double"))) * lit(1e6)
           + lit(0.5)).cast("long").as("prior_micro"))
     // eval slice scored under every LOO model
-    val evalToks = toks.join(
-      df.filter(evalPred).select(col(idCol).as("doc_id")), Seq("doc_id"))
-      .drop("src")
     val scored = evalToks
       .join(grid, Seq("term")) // ×L×S replication — the documented knob
       .groupBy(col("src"), col("doc_id"), col("label_true"), col("label"))

@@ -172,9 +172,17 @@ object Envelope {
       IngestTick.run(spark, stagingDir, storeDir)
     }
 
-    // ---- E2 daily exports: rollups + coffee CSV + model workbooks ----
+    // ---- E2 daily exports: rollups + coffee CSV + model workbooks.
+    // The workbook station list mirrors the reference's shape: its model
+    // export carries the STN_list.xlsx forecast subset (~dozens of
+    // stations), never the full network — a 931-station pivot would be a
+    // 932-column sheet, past BIFF8's 256-column hard cap (Xls.scala
+    // enforces it). 120 stations is comfortably reference-scale wide;
+    // the hourly/daily rollups and the coffee CSV still cover all 931.
+    val wbStations = (0 until 120).map(i => f"08EV$i%04d")
     val (exportCounts, tExport) = time {
-      ExportDaily.run(spark, storeDir, exportDir, Some(s"$year-12-31T23:55:00"), Nil)
+      ExportDaily.run(spark, storeDir, exportDir, Some(s"$year-12-31T23:55:00"),
+        wbStations)
     }
 
     // ---- E3 ECCC tick: 48-h SWOB merge into the year grid + pivots ----

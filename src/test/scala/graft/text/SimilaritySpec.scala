@@ -289,6 +289,11 @@ class SimilaritySpec extends SparkSpec {
     // list non-empty for every query while scanning a fraction of codes
     val nq = emb.filter(qp).count()
     assert(pruned.select("query_id").distinct().count() == nq)
+    // the auto-sized registration is the fixed call at every oracle scale
+    val auto = Similarity.ivfPqTopKAuto(emb, "vec_id", "embedding",
+      dims = 64, m = 4, ksub = 8, floorCentroids = 16, nprobe = 2, k = 10,
+      queryPred = qp)
+    assert(auto.exceptAll(pruned).isEmpty && pruned.exceptAll(auto).isEmpty)
   }
 
   test("adaptive band width: floor below target occupancy, widens ~log2(n) above, capped") {
