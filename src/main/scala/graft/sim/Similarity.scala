@@ -638,9 +638,22 @@ object Similarity {
         lit(0L), (acc, x) => acc + x)
     }
 
+  /** `broadcastVectors`: hash-join the candidate→vector join-backs
+    * against a BROADCAST of the (id, v, vn) table instead of shuffling
+    * vector payloads per candidate. The r11 ×1000 spot-check measured
+    * why this is the scale decision that matters here: candidates are
+    * ~bands·N·occupancy/2 rows, and a shuffle join-back materializes
+    * the dims-wide vectors through TWO exchanges — ~60 GB of sort
+    * spill at 2M×64f and 55M candidates, versus ONE ~1 GB broadcast
+    * the candidates stream against map-side. The Auto wrapper gates it
+    * on the measured vector-payload size; above the gate (vectors that
+    * genuinely don't fit an executor) the shuffle join-back is correct
+    * — that's an aggregate-disk budget a cluster has.
+    */
   def lshNeighborPairs(vectors: DataFrame, idCol: String, vecCol: String,
                        dims: Int, bands: Int, rowsPerBand: Int,
-                       minCosine: Double): DataFrame = {
+                       minCosine: Double,
+                       broadcastVectors: Boolean = false): DataFrame = {
     val sp = vectors.sparkSession
     val planes = bands * rowsPerBand
     val planeMat = (0 until planes).map(p => planeVec(p, dims)).toArray
@@ -665,11 +678,13 @@ object Similarity {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    def side(df: DataFrame): DataFrame =
+      if (broadcastVectors) broadcast(df) else df
     cand
-      .join(v.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("vn").as("na")), Seq("id_a"))
-      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("vn").as("nb")), Seq("id_b"))
+      .join(side(v.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("vn").as("na"))), Seq("id_a"))
+      .join(side(v.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("vn").as("nb"))), Seq("id_b"))
       .withColumn("cosine",
         round(dot(sp, col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= minCosine)
@@ -710,23 +725,33 @@ object Similarity {
 
   /** [[lshNeighborPairs]] behind a measured-size width decision — the
     * sizedSemiJoin doctrine applied to banding. One count() picks the
-    * band width; at or under the floor threshold the plan is BIT-
-    * IDENTICAL to the fixed-width call (SimilaritySpec pins this), so
-    * the oracle-checked small-scale shape is unchanged and only the
-    * over-threshold corpus pays the (deliberate, documented) recall
-    * trade above.
+    * band width AND the join-back strategy; at or under the floor
+    * threshold the band width matches the fixed-width call so RESULTS
+    * are bit-identical (SimilaritySpec pins this — the join-back
+    * broadcast is a plan-only change), and only the over-threshold
+    * corpus pays the (deliberate, documented) recall trade above.
     */
   def lshNeighborPairsAuto(vectors: DataFrame, idCol: String, vecCol: String,
                            dims: Int, bands: Int, floorRowsPerBand: Int,
                            minCosine: Double,
-                           targetOccupancy: Long = 128L): DataFrame = {
+                           targetOccupancy: Long = 128L,
+                           maxBroadcastVectorBytes: Long = 1500000000L): DataFrame = {
     val n = vectors.count()
     val r = adaptiveRowsPerBand(n, floorRowsPerBand, targetOccupancy)
+    // vector-payload size gate for the candidate join-back (scaladoc on
+    // lshNeighborPairs): broadcast while the (id, v, vn) table fits an
+    // executor, shuffle above — and also shuffle BELOW 64k rows, where
+    // the candidate volume is small enough that the fixed broadcast
+    // build cost (~0.3 s measured at sf0.1) exceeds what it saves and
+    // the registered small-scale plan shape stays put
+    val bcast = n >= 65536L && n * (dims * 8L + 32L) <= maxBroadcastVectorBytes
     if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
       System.err.println(s"[scale] lshNeighborPairsAuto n=$n " +
         s"floor=$floorRowsPerBand rowsPerBand=$r " +
-        s"(buckets/band=${1L << r}, target occupancy <= $targetOccupancy)")
-    lshNeighborPairs(vectors, idCol, vecCol, dims, bands, r, minCosine)
+        s"(buckets/band=${1L << r}, target occupancy <= $targetOccupancy, " +
+        s"joinback=${if (bcast) "broadcast" else "shuffle"})")
+    lshNeighborPairs(vectors, idCol, vecCol, dims, bands, r, minCosine,
+      broadcastVectors = bcast)
   }
 
   /** `probeFlips` enables QUERY-DIRECTED MULTI-PROBE (Lv et al., VLDB'07 —
@@ -909,15 +934,24 @@ object Similarity {
     * assignment build pays N·K kernel dots. A FIXED K keeps per-cell
     * population ∝ N: the r11 ×100 study measured the 16-cell registered
     * shape at 154× wall for 100× data (every probe scans N/16 vectors).
-    * Through n ≤ 2·floor² (512 rows at the registered floor 16 — every
-    * oracle scale) the count IS the floor, so small-scale registered
-    * shapes are unchanged.
+    * Through `holdRows` (default 4096 — the SAME engage point as
+    * lshTopKAuto's broadcast threshold, so every sized dispatch in the
+    * family flips at one documented corpus size) the count IS the
+    * floor: the registered fixed-K shape, bit-identical to its static
+    * oracle at every testdata scale — the r11 3-SF check caught the
+    * earlier 2·floor² hold diverging from the sf0.1 oracle. Above the
+    * hold, the nearest power of two to √n (smallest k with 2k² ≥ n),
+    * clamped to [floor, cap].
     */
-  def adaptiveCentroids(n: Long, floor: Int, cap: Int = 4096): Int = {
+  def adaptiveCentroids(n: Long, floor: Int, cap: Int = 4096,
+                        holdRows: Long = 4096L): Int = {
     require(floor >= 1 && cap >= floor, s"bad floor/cap $floor/$cap")
-    var k = floor
-    while (k < cap && 2L * k * k < n) k = k << 1
-    k
+    if (n <= holdRows) floor
+    else {
+      var k = floor
+      while (k < cap && 2L * k * k < n) k = k << 1
+      k
+    }
   }
 
   /** [[ivfTopK]] behind the measured-size centroid rule: one count()
@@ -975,6 +1009,76 @@ object Similarity {
       System.err.println(s"[scale] ivfPqTopKAuto n=$n -> centroids=$c " +
         s"(floor $floorCentroids)")
     ivfPqTopK(vectors, idCol, vecCol, dims, m, ksub, c, nprobe, k, queryPred)
+  }
+
+  /** The IVF-PQ INDEX as a DataFrame: (vec_id, cell, subspace, code) —
+    * m·log2(ksub) bits of code plus a cell id per vector, the payload a
+    * deployment persists `bucketBy(cell)` (the ivfIndex doctrine: probe
+    * scans become bucket-pruned, cell joins consume the distribution
+    * with no exchange). Build cost is the one-off N·K assignment pass +
+    * the map-only PQ encode; [[ivfPqProbe]] is the read side.
+    */
+  def ivfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                 dims: Int, m: Int, ksub: Int, centroids: Int): DataFrame = {
+    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    val cells = assignCells(vectors, idCol, vecCol, cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .localCheckpoint(true)
+    pqAudit(cells, "vec_id", "v", dims, m, ksub)
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("subspace"), col("code"))
+  }
+
+  /** Probe an ALREADY-BUILT IVF-PQ index with EXTERNAL raw-vector
+    * queries — the serve half of the build-once/probe-many lifecycle
+    * (the regime §F5 of SCALE.md is about: queries arrive at a rate
+    * independent of corpus size). Per query: one K-dot cell ranking +
+    * one m·ksub distance table (both query-side only), then ADC over
+    * the nprobe probed cells' codes. Results are [[ivfPqTopK]]'s
+    * exactly when the queries are corpus rows (spec pins parity — same
+    * quantizer formulas, same micro-snapped sums, same self-exclusion).
+    */
+  def ivfPqProbe(index: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, dims: Int, m: Int, ksub: Int,
+                 centroids: Int, nprobe: Int, k: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sp = index.sparkSession
+    val dsub = dims / m
+    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    // query-side cell ranking: the same assignment kernel, queries only
+    val q = assignCells(queries, idCol, vecCol, cents)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("ccos"))
+      .localCheckpoint(true)
+    val probes = q
+      .select(col("query_id"), posexplode(col("ccos")).as(Seq("pcell", "pcos")))
+      .withColumn("prank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("pcos").desc, col("pcell"))))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("pcell").as("cell"))
+    val entries = (0 until m).flatMap { s =>
+      val sub = slice(col("qv"), s * dsub + 1, dsub)
+      val aa = dot(sp, sub, sub)
+      (0 until ksub).map { c =>
+        val cv = pqCentroidVec(s, c, dsub)
+        val t = (aa - lit(2.0) * dot(sp, sub, typedLit(cv.toSeq))) +
+          lit(seqSelfDot(cv))
+        struct(lit(s).as("subspace"), lit(c).as("code"),
+          floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"))
+      }
+    }
+    val table = q.select(col("query_id"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("e.subspace").as("subspace"),
+        col("e.code").as("code"), col("e.t_micro").as("t_micro"))
+    val adc = index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(table), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("t_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
   }
 
   def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,

@@ -40,6 +40,46 @@ object ScaleTiers {
     s"$join /ex$ex"
   }
 
+  /** The embedding-dedup scale measurement at ×`mult` (in-memory seeded
+    * corpus, generation off the measured path): occupancy-adaptive
+    * banding + clustering, with EXACT twin recall against the
+    * generator's reconstructed twin predicate. Returns (vecs, pairs,
+    * clustered, wall_s, twinsFound, twinsTotal). Shared by the ×100
+    * tier run and the ×1000 spot-check main ([[ScaleSpot]]).
+    */
+  def embDedupStudy(spark: org.apache.spark.sql.SparkSession, src: String,
+                    mult: Int, targetOccupancy: Long = 128L)
+      : (Long, Long, Long, Double, Long, Long) = {
+    val emb = ScaleGen.scaleEmbeddings(Tables.embeddings(spark, src),
+      mult = mult, twinFrac = 0.2).localCheckpoint(true)
+    val nVecs = emb.count()
+    val t2 = System.nanoTime()
+    val embPairs = Similarity.lshNeighborPairsAuto(emb, "vec_id", "embedding",
+      dims = 64, bands = 4, floorRowsPerBand = 5, minCosine = 0.9,
+      targetOccupancy = targetOccupancy)
+      .localCheckpoint(true)
+    val nEmbPairs = embPairs.count()
+    val embClusters = NearDup.dedupClusters(embPairs, "id_a", "id_b")
+    val nEmbClustered = embClusters.count()
+    val tEmb = (System.nanoTime() - t2) / 1e9
+    // exact twin recall: rebuild the generator's twin predicate and
+    // check each expected (anchor, twin) pair arrived
+    val stride = ScaleGen.IdStride
+    val twins = emb
+      .select(pmod(col("vec_id"), lit(stride)).as("base"),
+        (col("vec_id") / stride).cast("long").as("rep"))
+      .filter(col("rep") > 1 && pmod(col("rep"), lit(2)) === 1 &&
+        pmod(xxhash64(col("base"), col("rep"), lit("twin")), lit(1000)) < 200)
+      .select((col("base") + (col("rep") - 1) * stride).as("id_a"),
+        (col("base") + col("rep") * stride).as("id_b"))
+    val nTwins = twins.count()
+    val nTwinsFound = twins.join(embPairs, Seq("id_a", "id_b"), "left_semi").count()
+    System.err.println(
+      f"[tiers] embDedup x$mult vecs=$nVecs pairs=$nEmbPairs clustered=$nEmbClustered " +
+      f"wall_s=$tEmb%.1f twin_recall=$nTwinsFound/$nTwins")
+    (nVecs, nEmbPairs, nEmbClustered, tEmb, nTwinsFound, nTwins)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = ToolSession.local()
@@ -85,32 +125,8 @@ object ScaleTiers {
     // auto width restores linearity and must keep near-dup recall,
     // which we can measure exactly because ScaleGen's twin predicate is
     // reconstructible) ----
-    val emb100 = ScaleGen.scaleEmbeddings(Tables.embeddings(spark, src),
-      mult = 100, twinFrac = 0.2).localCheckpoint(true)
-    val nVecs = emb100.count()
-    val t2 = System.nanoTime()
-    val embPairs = Similarity.lshNeighborPairsAuto(emb100, "vec_id", "embedding",
-      dims = 64, bands = 4, floorRowsPerBand = 5, minCosine = 0.9)
-      .localCheckpoint(true)
-    val nEmbPairs = embPairs.count()
-    val embClusters = NearDup.dedupClusters(embPairs, "id_a", "id_b")
-    val nEmbClustered = embClusters.count()
-    val tEmb = (System.nanoTime() - t2) / 1e9
-    // exact twin recall: rebuild the generator's twin predicate and
-    // check each expected (anchor, twin) pair arrived
-    val stride = ScaleGen.IdStride
-    val twins = emb100
-      .select(pmod(col("vec_id"), lit(stride)).as("base"),
-        (col("vec_id") / stride).cast("long").as("rep"))
-      .filter(col("rep") > 1 && pmod(col("rep"), lit(2)) === 1 &&
-        pmod(xxhash64(col("base"), col("rep"), lit("twin")), lit(1000)) < 200)
-      .select((col("base") + (col("rep") - 1) * stride).as("id_a"),
-        (col("base") + col("rep") * stride).as("id_b"))
-    val nTwins = twins.count()
-    val nTwinsFound = twins.join(embPairs, Seq("id_a", "id_b"), "left_semi").count()
-    System.err.println(
-      f"[tiers] embDedup x100 vecs=$nVecs pairs=$nEmbPairs clustered=$nEmbClustered " +
-      f"wall_s=$tEmb%.1f twin_recall=$nTwinsFound/$nTwins")
+    val (nVecs, nEmbPairs, nEmbClustered, tEmb, nTwinsFound, nTwins) =
+      embDedupStudy(spark, src, mult = 100)
 
     val line =
       f"""{"metric":"tiers","pairs":$nPairs,"pairs_bound":1000000,""" +

@@ -257,11 +257,11 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.exceptAll(fixed).isEmpty && fixed.exceptAll(auto).isEmpty)
   }
 
-  test("adaptiveCentroids: floor at oracle scales, ~sqrt(n) power of two above, capped") {
+  test("adaptiveCentroids: floor through the 4096-row hold, ~sqrt(n) power of two above, capped") {
     assert(Similarity.adaptiveCentroids(500, 16) == 16)    // sf0.001/sf0.01 oracle scales
-    assert(Similarity.adaptiveCentroids(512, 16) == 16)    // 2*16^2 exactly
-    assert(Similarity.adaptiveCentroids(513, 16) == 32)    // first n past the floor hold
-    assert(Similarity.adaptiveCentroids(2000, 16) == 32)   // sf0.1
+    assert(Similarity.adaptiveCentroids(2000, 16) == 16)   // sf0.1 — still the oracle shape
+    assert(Similarity.adaptiveCentroids(4096, 16) == 16)   // the shared engage point
+    assert(Similarity.adaptiveCentroids(4097, 16) == 64)   // first n past the hold: 2*64^2 >= n
     assert(Similarity.adaptiveCentroids(20000, 16) == 128) // x10 study point
     assert(Similarity.adaptiveCentroids(200000, 16) == 512)// x100 study point
     assert(Similarity.adaptiveCentroids(Long.MaxValue / 2, 16) == 4096) // cap
@@ -294,6 +294,14 @@ class SimilaritySpec extends SparkSpec {
       dims = 64, m = 4, ksub = 8, floorCentroids = 16, nprobe = 2, k = 10,
       queryPred = qp)
     assert(auto.exceptAll(pruned).isEmpty && pruned.exceptAll(auto).isEmpty)
+    // build-once/probe-many lifecycle answers identically: an external
+    // probe of the persisted-index shape == the one-shot composition
+    val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = 64, m = 4, ksub = 8, centroids = 16)
+    val served = Similarity.ivfPqProbe(idx, emb.filter(qp), "vec_id",
+      "embedding", dims = 64, m = 4, ksub = 8, centroids = 16, nprobe = 2,
+      k = 10)
+    assert(served.exceptAll(pruned).isEmpty && pruned.exceptAll(served).isEmpty)
   }
 
   test("adaptive band width: floor below target occupancy, widens ~log2(n) above, capped") {
