@@ -316,6 +316,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveRowsPerBand(10, 5) == 5)       // never below floor
   }
 
+  test("broadcast join-back returns exactly the shuffle join-back's pairs") {
+    // the F9 scale path (engaged by Auto past 64k rows) is a plan-only
+    // change — pin result parity on the flag itself
+    val emb = Tables.embeddings(spark, dir)
+    val shuffled = Similarity.lshNeighborPairs(emb, "vec_id", "embedding",
+      dims = 64, bands = 4, rowsPerBand = 5, minCosine = 0.2,
+      broadcastVectors = false)
+    val bcast = Similarity.lshNeighborPairs(emb, "vec_id", "embedding",
+      dims = 64, bands = 4, rowsPerBand = 5, minCosine = 0.2,
+      broadcastVectors = true)
+    assert(bcast.exceptAll(shuffled).isEmpty && shuffled.exceptAll(bcast).isEmpty)
+  }
+
   test("lshNeighborPairsAuto is bit-identical to the fixed call under the threshold") {
     val emb = Tables.embeddings(spark, dir)
     val fixed = Similarity.lshNeighborPairs(emb, "vec_id", "embedding",
