@@ -75,9 +75,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** SPARK_GRAFT_BENCH_REPEATS overrides for local triage runs (e.g. one
     * repeat while hunting a scale pig); driver runs leave it unset → 3.
+    * Malformed or non-positive values fall back to 3 / clamp to 1 — a
+    * typo'd env var must not crash the bench before any measurement, and
+    * zero repeats would be a best-of over an empty set (ADVICE r11).
     */
   val Repeats: Int =
-    sys.env.get("SPARK_GRAFT_BENCH_REPEATS").map(_.toInt).getOrElse(3)
+    sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .map(math.max(1, _)).getOrElse(3)
 
   /** Stdout byte budget for the WHOLE payload (flags + summary + the
     * newlines between them). The driver's capture window is ~2000 chars;
@@ -188,6 +193,29 @@ object Bench {
         case None => f
       }
     }
+
+  /** Fold each CONTENDED flag's quiet-tail re-measure into the per-query
+    * results used for the compact stdout payload (VERDICT r11 #4): a
+    * contended query's `qt` / `queries` entry carries min(best, tail) —
+    * the tail is a real measurement on the same JVM after the suite went
+    * quiet — so the driver's compact artifact can't show phantom 17×
+    * regressions that the tripwire itself already adjudicated to box
+    * contention (BENCH_r11 showed six such rows, e.g. q192 4.43 s vs a
+    * quiet 0.20 s). Reproduced (non-contended) flags and the raw
+    * full-fidelity record (target/bench.json, stderr) keep the original
+    * in-suite values — only the compact view is adjudicated.
+    */
+  def foldAdjudicated(out: Seq[QResult], flags: Seq[Flag]): Seq[QResult] = {
+    val tails = flags.collect {
+      case f if f.contended && f.tail.isDefined => f.q.name -> f.tail.get
+    }.toMap
+    out.map { r =>
+      tails.get(r.name) match {
+        case Some(t) if r.best > 0 => r.copy(best = math.min(r.best, t))
+        case _ => r
+      }
+    }
+  }
 
   /** Compose the bounded stdout payload: reproduced-flag lines
     * (most-severe first, overflow collapsed to a count line), one
@@ -361,7 +389,15 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
     }
 
-    val payload = composeStdout(out, total, failed.toSeq, flags, sfDir)
+    // compact payload carries ADJUDICATED values (VERDICT r11 #4): a
+    // contended flag's quiet-tail re-measure replaces its in-suite time
+    // in queries/qt and the total, so the driver artifact and the full
+    // record (which keeps the raw values + the flag lines) agree on what
+    // actually reproduced
+    val adjudicatedOut = foldAdjudicated(out, flags)
+    val adjudicatedTotal = adjudicatedOut.map(_.best).filter(_ >= 0).sum
+    val payload =
+      composeStdout(adjudicatedOut, adjudicatedTotal, failed.toSeq, flags, sfDir)
     // payload LAST, alone on stdout: spark.stop() can emit shutdown noise,
     // so even that runs before the lines the driver must see — but a
     // throwing stop() must not take the summary down with it (finally)

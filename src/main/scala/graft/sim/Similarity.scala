@@ -678,15 +678,20 @@ object Similarity {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Both join-backs reference the SAME projection (alias qualifiers,
+    // not per-side renames): with identical children the two broadcast
+    // exchanges canonicalize equal and ReuseExchange collapses them to
+    // ONE built broadcast + a ReusedExchange — per-side renamed
+    // projections measured as TWO built exchanges (2× the gated memory,
+    // ADVICE r11). SimilaritySpec pins the reuse on the executed plan.
+    val bv = v.select(col("vec_id"), col("v"), col("vn"))
     def side(df: DataFrame): DataFrame =
       if (broadcastVectors) broadcast(df) else df
     cand
-      .join(side(v.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("vn").as("na"))), Seq("id_a"))
-      .join(side(v.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("vn").as("nb"))), Seq("id_b"))
+      .join(side(bv).as("A"), col("id_a") === col("A.vec_id"))
+      .join(side(bv).as("B"), col("id_b") === col("B.vec_id"))
       .withColumn("cosine",
-        round(dot(sp, col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        round(dot(sp, col("A.v"), col("B.v")) / (col("A.vn") * col("B.vn")), 6))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -717,7 +722,10 @@ object Similarity {
     * instead of accepting quadratic candidates.
     */
   def adaptiveRowsPerBand(n: Long, floor: Int, targetOccupancy: Long = 128L): Int = {
-    require(floor >= 1 && floor <= 62, s"floor $floor out of range")
+    // floor ≤ 24 because the widening loop caps at 24 bits — the doc math
+    // (2^bits buckets, probe flips) assumes that cap, so a wider floor
+    // must be rejected, not silently passed through (ADVICE r11)
+    require(floor >= 1 && floor <= 24, s"floor $floor out of range [1, 24]")
     var bits = floor
     while (bits < 24 && (n >> bits) > targetOccupancy) bits += 1
     bits

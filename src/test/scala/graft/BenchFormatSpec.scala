@@ -101,6 +101,38 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(byName("q20_slowed").fullJson.contains("\"contended\":false"))
   }
 
+  test("a contended query's qt/queries entry carries the quiet-tail value") {
+    // VERDICT r11 #4 done-criterion: BENCH_rN's compact artifact must
+    // not show a phantom 17× regression the tripwire itself adjudicated
+    // to box contention — the contended query's compact entry is the
+    // tail re-measure, the reproduced flag and the broken-tail flag keep
+    // their in-suite values.
+    val out = Seq(
+      Bench.QResult("q01_contended", 4.43, Seq(Some(4.43), Some(4.50), Some(4.6))),
+      Bench.QResult("q02_reproduced", 2.00, Seq(Some(2.0), Some(2.1), Some(2.2))),
+      Bench.QResult("q03_healthy", 0.30, Seq(Some(0.3), Some(0.31), Some(0.32))),
+      Bench.QResult("q04_allfailed", -1.0, Seq(None, None, None)))
+    val flags = Seq(
+      Bench.Flag(out(0), 0.26, "ex2/cg3/aa", tail = Some(0.20), contended = true),
+      Bench.Flag(out(1), 0.30, "ex2/cg3/bb", tail = Some(1.95), contended = false),
+      // contended without a tail must never happen via adjudicate, but
+      // foldAdjudicated must not crash or invent a value if it does
+      Bench.Flag(out(3), 0.30, "ex2/cg3/cc", tail = None, contended = true))
+    val folded = Bench.foldAdjudicated(out, flags)
+    val byName = folded.map(r => r.name -> r.best).toMap
+    assert(byName("q01_contended") == 0.20) // tail replaces the contended in-suite time
+    assert(byName("q02_reproduced") == 2.00) // reproduced flags keep the real slowness
+    assert(byName("q03_healthy") == 0.30)
+    assert(byName("q04_allfailed") == -1.0) // error sentinel survives untouched
+    // raw repeats are untouched — only the compact best is adjudicated
+    assert(folded.head.times == out.head.times)
+    // and the compact payload renders the adjudicated value
+    val total = folded.map(_.best).filter(_ >= 0).sum
+    val payload = Bench.composeStdout(folded, total, Seq("q04_allfailed"), flags, "/sf")
+    assert(payload.linesIterator.toSeq.last.contains("\"q01\":0.200"))
+    assert(!payload.contains("4.430") || payload.contains("\"metric\":\"flag\""))
+  }
+
   test("contended flags fold to one count line; reproduced ones keep their own lines") {
     val out = mkResults(120, i => if (i <= 3) 2.0 else 0.3)
     val mk = (i: Int, cont: Boolean) => Bench.Flag(out(i - 1), 0.30,

@@ -327,6 +327,20 @@ class SimilaritySpec extends SparkSpec {
       dims = 64, bands = 4, rowsPerBand = 5, minCosine = 0.2,
       broadcastVectors = true)
     assert(bcast.exceptAll(shuffled).isEmpty && shuffled.exceptAll(bcast).isEmpty)
+    // the memory contract behind the Auto gate (ADVICE r11): the two
+    // join-backs (A/B aliases of the SAME (id, v, vn) projection) must
+    // share ONE broadcast exchange via ReusedExchange, or peak executor
+    // broadcast memory is 2× what the gate sized. Execute THIS df's own
+    // QueryExecution (collect, not a .write — that plans a separate
+    // QueryExecution whose AQE stages never finalize) and read the final
+    // adaptive plan: the section before "Initial Plan" must carry a
+    // ReusedExchange for the join-back mode.
+    bcast.collect()
+    val plan = bcast.queryExecution.executedPlan.toString
+    val finalSection = plan.split("Initial Plan")(0)
+    val reused = finalSection.linesIterator.count(_.contains("ReusedExchange"))
+    assert(reused >= 1,
+      s"expected the second join-back to be a ReusedExchange in the final AQE plan:\n$finalSection")
   }
 
   test("lshNeighborPairsAuto is bit-identical to the fixed call under the threshold") {
