@@ -37,6 +37,19 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // deflate-VALUED artifact for tools/check.py's Python-zlib arm
+    // (VERDICT r11 #7): written OUTSIDE outDir — the driver enumerates
+    // outDir subdirs, and an oracle-less extra dir there would register
+    // as exactly the no_oracle row the q192 split removes. Written
+    // whenever the deflate query ran, so check.py can require it then.
+    if (selected.contains("q192_compression_signal"))
+      try graft.text.TextOps.compressionStats(spark,
+          graft.core.Tables.documents(spark, sfDir), "doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir.extras/deflate_bytes")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] deflate extras failed: ${e.getMessage}")
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

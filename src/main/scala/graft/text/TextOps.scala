@@ -96,9 +96,13 @@ object TextOps {
     * pass is a Dataset map (the multimodal-codec precedent: there is
     * no built-in, and the deflate state machine is not expressible as
     * a Catalyst kernel), one Deflater reused per partition batch.
-    * DuckDB has no deflate, so this is a rows-only + spec-verified
-    * operator BY NATURE (the q23/A3 class); the spec pins known
-    * repetitive-vs-random orderings and determinism.
+    * DuckDB has no deflate, so the deflate-VALUED output is checked by
+    * the independent Python-zlib arm in tools/check.py (over the
+    * `<outDir>.extras/deflate_bytes` artifact Verify writes) plus the
+    * spec's repetitive-vs-random orderings, determinism, and
+    * Python-precomputed golden byte counts; the DRIVER-registered query
+    * is [[compressionSignal]], whose every output column DuckDB can
+    * recompute (VERDICT r11 #7).
     */
   def compressionStats(spark: org.apache.spark.sql.SparkSession,
                        docs: org.apache.spark.sql.DataFrame,
@@ -110,7 +114,9 @@ object TextOps {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, true)
         it.map { case (id, t) =>
-          val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // null → "" mirrors the zlib arm's handling (tools/check.py)
+          val in = (if (t == null) "" else t)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(in)
           deflater.finish()
@@ -126,6 +132,53 @@ object TextOps {
         }
       }
       .toDF("doc_id", "n_raw", "n_deflate", "ratio_micro")
+  }
+
+  /** The DRIVER-checkable face of the compression-ratio signal (VERDICT
+    * r11 #7): runs the SAME per-row deflate as [[compressionStats]] —
+    * and FAILS the query if a deflate invariant breaks (must finish
+    * inside the stored-block bound; nonempty input must emit bytes) —
+    * but emits only columns an engine without deflate can recompute:
+    * the UTF-8 byte count the deflater consumed and an MD5 of those
+    * bytes (DuckDB: `strlen`/`md5`). A broken or skipped deflate pass
+    * therefore throws (red driver row) rather than passing silently;
+    * the deflate VALUES are checked by the Python-zlib arm over the
+    * `.extras` artifact and the golden-bytes spec.
+    */
+  def compressionSignal(spark: org.apache.spark.sql.SparkSession,
+                        docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) =>
+          val in = (if (t == null) "" else t)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          val buf = new Array[Byte](in.length + in.length / 16384 * 5 + 64)
+          var n = 0
+          while (!deflater.finished() && n < buf.length)
+            n += deflater.deflate(buf, n, buf.length - n)
+          require(deflater.finished() && n <= buf.length
+            && (in.length == 0 || n > 0),
+            s"deflate invariant broken for id=$id: n=$n raw=${in.length}")
+          md.reset()
+          val dg = md.digest(in)
+          val hex = new java.lang.StringBuilder(32)
+          dg.foreach { b =>
+            hex.append(Character.forDigit((b >> 4) & 0xF, 16))
+            hex.append(Character.forDigit(b & 0xF, 16))
+          }
+          (id, in.length.toLong, hex.toString)
+        }
+      }
+      .toDF("doc_id", "n_raw", "text_md5")
   }
 
   /** Word n-gram shingles from an ALREADY-MATERIALIZED tokens column

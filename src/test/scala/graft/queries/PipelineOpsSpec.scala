@@ -991,6 +991,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === out2, "deterministic re-run")
   }
 
+  test("q192 deflate matches Python-zlib golden byte counts (independent oracle)") {
+    import spark.implicits._
+    // goldens precomputed with CPython zlib.compressobj(6, DEFLATED, -15)
+    // — an independent RFC 1951 implementation; same role as
+    // tools/check.py's extras arm, but runnable inside sbt test with no
+    // driver in the loop. (text, n_raw, n_deflate):
+    val golden = Seq(
+      ("", 0L, 2L),
+      ("a", 1L, 3L),
+      ("ab" * 300, 600L, 10L),
+      ("the quick brown fox jumps over the lazy dog 0123456789", 54L, 55L),
+      ("hello world\nhello world\n" * 7, 168L, 17L),
+      ("élève naïve 世界 😀", 26L, 28L))
+    val df = golden.zipWithIndex
+      .map { case ((t, _, _), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.text.TextOps.compressionStats(spark, df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    golden.zipWithIndex.foreach { case ((t, nRaw, nDef), i) =>
+      assert(out(i.toLong) === ((nRaw, nDef)),
+        s"deflate mismatch vs zlib golden for ${t.take(20)}")
+    }
+  }
+
+  test("q192 signal face: n_raw/text_md5 match column-function truth; null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "élève 世界"))
+      .toDF("doc_id", "text")
+      .union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val sig = graft.text.TextOps.compressionSignal(spark, df, "doc_id", "text")
+    // the signal's byte count and digest are computed in-map on the SAME
+    // bytes the deflater consumed; pin them against Spark's independent
+    // column implementations (null → '' mirrors the oracle's coalesce)
+    val truth = df.select(col("doc_id"),
+      octet_length(coalesce(col("text"), lit(""))).cast("long").as("n_raw"),
+      md5(coalesce(col("text"), lit("")).cast("binary")).as("text_md5"))
+    assert(sig.exceptAll(truth).isEmpty && truth.exceptAll(sig).isEmpty)
+  }
+
   test("q193 LOO valuation: removing the noisy source raises accuracy; " +
       "exclusive-vocab docs drop from that model's eval") {
     import spark.implicits._

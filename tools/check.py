@@ -14,11 +14,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def pycheck_q192(con, sfdir):
-    """Non-DuckDB oracle arm for q192_compression_ratio (VERDICT r10 #5):
-    DuckDB has no deflate, but Python zlib emits the same RFC 1951 raw
-    stream as java.util.zip.Deflater(6, nowrap=true) — independent
-    implementation, same algorithm. Returns (cols, rows) in canon form.
+def pycheck_deflate(con, sfdir):
+    """Non-DuckDB oracle arm for the deflate-valued artifact (VERDICT
+    r10 #5, repointed r12): DuckDB has no deflate, but Python zlib emits
+    the same RFC 1951 raw stream as java.util.zip.Deflater(6,
+    nowrap=true) — independent implementation, same algorithm. Since
+    r12 the registered q192 emits only DuckDB-checkable columns; the
+    deflate VALUES live in <outdir>.extras/deflate_bytes, written by
+    Verify whenever q192 runs. Returns (cols, rows) in canon form.
     """
     import zlib
     import math
@@ -36,8 +39,37 @@ def pycheck_q192(con, sfdir):
     return cols, out
 
 
-# queries whose oracle is a Python function, not DuckDB SQL
-PYCHECKS = {"q192_compression_ratio": pycheck_q192}
+def check_deflate_extras(con, sfdir, outdir):
+    """Check the deflate-valued extras artifact against the zlib arm.
+    REQUIRED whenever the run included q192 (Verify writes the artifact
+    in that case — a missing one means the deflate pass broke or was
+    skipped); prefix-filtered runs without q192 skip it silently.
+    Returns (n_pass, n_fail)."""
+    ran_q192 = bool(glob.glob(f"{outdir}/q192_compression_signal/*.parquet"))
+    files = glob.glob(f"{outdir}.extras/deflate_bytes/*.parquet")
+    if not files:
+        if ran_q192:
+            print("FAIL deflate_extras: q192 ran but "
+                  f"{outdir}.extras/deflate_bytes is missing")
+            return 0, 1
+        return 0, 0
+    try:
+        scols, srows = canon(
+            con, f"SELECT * FROM '{outdir}.extras/deflate_bytes/*.parquet'")
+        ocols, orows = pycheck_deflate(con, sfdir)
+    except Exception as e:
+        print(f"FAIL deflate_extras: error {e}")
+        return 0, 1
+    if scols != ocols:
+        print(f"FAIL deflate_extras: columns {scols} != {ocols}")
+        return 0, 1
+    if srows != orows:
+        diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+        print(f"FAIL deflate_extras: {len(srows)} vs {len(orows)} rows; "
+              f"first diffs: {diffs}")
+        return 0, 1
+    print(f"PASS deflate_extras: {len(srows)} rows (Python-zlib arm)")
+    return 1, 0
 
 def canon(con, rel_sql):
     df = con.sql(rel_sql).df()
@@ -68,16 +100,13 @@ def main(sfdir, outdir):
             n_fail += 1
             continue
         spark_sql = f"SELECT * FROM '{outdir}/{name}/*.parquet'"
-        if name not in oracles and name not in PYCHECKS:
+        if name not in oracles:
             n = con.sql(spark_sql).df().shape[0]
             print(f"ROWS {name}: {n} rows (no oracle)")
             continue
         try:
             scols, srows = canon(con, spark_sql)
-            if name in PYCHECKS:
-                ocols, orows = PYCHECKS[name](con, sfdir)
-            else:
-                ocols, orows = canon(con, oracles[name])
+            ocols, orows = canon(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
@@ -92,6 +121,9 @@ def main(sfdir, outdir):
         else:
             print(f"PASS {name}: {len(srows)} rows")
             n_pass += 1
+    p, f = check_deflate_extras(con, sfdir, outdir)
+    n_pass += p
+    n_fail += f
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
