@@ -178,6 +178,16 @@ object Classify {
     * and prior rows are filtered on n_docs > 0, so they simply cannot
     * be predicted). Scores are micro-snapped integer sums throughout —
     * the q133 exactness doctrine.
+    *
+    * Scale rule (SCALE.md F12, measured r12): cost is ∝ the OBSERVED
+    * (source, term, label) cube — ≈ min(V·S·L, corpus tokens) — NOT
+    * raw vocabulary. A calibrated Heaps-β≈0.5 corpus with 30× less
+    * vocabulary at ×100 left the cube at 5.96M vs 7.33M rows and the
+    * wall at 0.87× (110.9 vs 128.0 s); an intermediate variant with
+    * 4.3× less vocabulary but the SAME cube ran 1.28× SLOWER (higher
+    * per-key multiplicity). Do not expect vocabulary reductions to
+    * shrink this operator once the cube saturates. Linear-in-corpus
+    * holds on every regime (×10→×100 = 5.8–7.3× wall for 10× data).
     */
   def looSourceValuation(df: DataFrame, idCol: String, textCol: String,
                          labelCol: String, sourceCol: String,

@@ -45,7 +45,10 @@ import org.apache.spark.sql.functions._
   * timelines verbatim (per-user behavior is scale-invariant).
   *
   * Usage: ScaleGen <srcDir> <outDir> <mult> [twinFrac] [anchorClusters]
+  *                 [shiftCalendar] [vocabBeta] [tables]
   * e.g.   ScaleGen /root/testdata/sf0.1 /tmp/scale10 10 0.2 false
+  *        ScaleGen /root/testdata/sf0.1 /tmp/scale100s 100 0.2 false true 1.0 events
+  *        ScaleGen /root/testdata/sf0.1 /tmp/scale100h 100 0.2 false false 0.5 documents
   */
 object ScaleGen {
   val IdStride = 10000000L
@@ -69,10 +72,30 @@ object ScaleGen {
     * partner's salted vocabulary because the suffix is seeded by the
     * ANCHOR replica, exactly like the heavy pass itself.
     */
-  private def perturbText(textCol: String): org.apache.spark.sql.Column = {
+  /** Salt-pool size for `nDraws` (doc, anchor) substitution draws at
+    * vocabulary-growth exponent `beta` (Heaps' law: V ∝ T^β). Each
+    * (doc, anchor) pair draws ONE salt, so the distinct-salt count —
+    * and with it the salted-variant vocabulary — is ≈ min(nDraws,
+    * pool). β = 1 keeps the r11 generator bit-identical (fixed 1M pool
+    * ≫ draws at every measured tier: worst-case ∝N vocabulary, the F6
+    * corpus). β < 1 sizes the pool ∝ nDraws^β, so vocabulary follows
+    * Heaps' law in TOTAL corpus volume (not in mult alone — a pool
+    * keyed on mult never binds on a small source corpus); the constant
+    * 10 is calibrated so the ×100 sf0.1 tier lands near a real English
+    * crawl's vocabulary at the same token count (K·T^0.5 with K ≈ 40 ⇒
+    * ~2×10⁵ distinct tokens at 27M tokens). The generated corpus's
+    * ACTUAL vocabulary is measured and reported in SCALE.md §9 (the F6
+    * lesson: verify corpus properties, never assume them).
+    */
+  def vocabPool(nDraws: Long, beta: Double): Long =
+    if (beta >= 1.0) 1000000L
+    else math.max(1L, math.round(10.0 * math.pow(nDraws.toDouble, beta)))
+
+  private def perturbText(textCol: String,
+                          pool: Long): org.apache.spark.sql.Column = {
     val tk = split(col(textCol), " ")
     val salt = pmod(xxhash64(col("doc_id"), col("anchor"), lit("vocab")),
-      lit(1000000L))
+      lit(pool))
     // heavy rewrite, seeded by the ANCHOR replica so a twin's light pass
     // applies on top of its partner's heavy text, not a fresh rewrite
     val heavy = transform(tk, (t, i) =>
@@ -89,7 +112,8 @@ object ScaleGen {
   }
 
   def scaleDocuments(docs: DataFrame, mult: Int, twinFrac: Double,
-                     anchorClusters: Boolean): DataFrame = {
+                     anchorClusters: Boolean,
+                     vocabBeta: Double = 1.0): DataFrame = {
     val spark = docs.sparkSession
     val reps = broadcast(spark.range(mult).toDF("rep"))
     // non-anchored twins pair an ODD replica with its even predecessor's
@@ -105,8 +129,11 @@ object ScaleGen {
       .withColumn("anchor",
         when(!col("isTwin"), col("rep"))
           .otherwise(if (anchorClusters) lit(0L) else col("rep") - 1))
+    val pool =
+      if (vocabBeta >= 1.0) vocabPool(0L, vocabBeta)
+      else vocabPool(docs.count() * mult, vocabBeta)
     base
-      .withColumn("text2", perturbText("text"))
+      .withColumn("text2", perturbText("text", pool))
       .select(
         (col("doc_id") + col("rep") * IdStride).as("doc_id"),
         col("text2").as("text"),
@@ -155,12 +182,36 @@ object ScaleGen {
         col("label"))
   }
 
-  def scaleEvents(events: DataFrame, mult: Int): DataFrame = {
+  /** `shiftCalendar = false` (the r11 default) replicates timelines
+    * VERBATIM: the calendar stays fixed while users grow ∝ mult, so any
+    * fixed-granularity co-occurrence bucket densifies ∝ mult and pair
+    * volume grows ∝ mult² — BY CONSTRUCTION (the r12 graph-family study
+    * measured 14.1B candidate pairs at ×100 for q113's (type, hour)
+    * blocking; finding F10). `shiftCalendar = true` instead shifts each
+    * replica's timeline into its own disjoint calendar range (span + 1 h
+    * apart): the corpus grows the way a service that RAN LONGER grows —
+    * per-bucket occupancy constant, co-occurrence structure arriving
+    * ∝ mult — which is the corpus that can measure whether the graph
+    * ALGORITHMS scale, as opposed to measuring the densifying corpus
+    * itself. Per-user behavior (funnels, retention offsets, paths) is
+    * identical either way: a whole timeline shifts rigidly.
+    */
+  def scaleEvents(events: DataFrame, mult: Int,
+                  shiftCalendar: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     val reps = broadcast(spark.range(mult).toDF("rep"))
+    val ts =
+      if (!shiftCalendar) col("ts")
+      else {
+        val mm = events.agg(
+          unix_micros(min(col("ts"))).as("lo"),
+          unix_micros(max(col("ts"))).as("hi")).head()
+        val spanSec = (mm.getLong(1) - mm.getLong(0)) / 1000000L + 3600L
+        expr(s"timestampadd(SECOND, rep * ${spanSec}L, ts)")
+      }
     events.crossJoin(reps).select(
       (col("event_id") + col("rep") * IdStride * 100).as("event_id"),
-      col("ts"),
+      ts.as("ts"),
       (col("user_id") + col("rep") * IdStride).as("user_id"),
       col("event_type"), col("value"), col("props"))
   }
@@ -171,6 +222,13 @@ object ScaleGen {
     val mult = args(2).toInt
     val twinFrac = if (args.length > 3) args(3).toDouble else 0.2
     val anchorClusters = args.length > 4 && args(4).toBoolean
+    val shiftCalendar = args.length > 5 && args(5).toBoolean
+    val vocabBeta = if (args.length > 6) args(6).toDouble else 1.0
+    // which tables to (re)generate — a shifted-events or natural-vocab
+    // variant reuses the expensive unchanged tables from a sibling dir
+    val tables: Set[String] =
+      if (args.length > 7 && args(7) != "all") args(7).split(",").toSet
+      else Set("documents", "embeddings", "events", "relational")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -180,22 +238,29 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.core.Tables
-    scaleDocuments(Tables.documents(spark, src), mult, twinFrac, anchorClusters)
-      .repartition(math.max(8, mult / 2))
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    scaleEmbeddings(Tables.embeddings(spark, src), mult, twinFrac)
-      .repartition(math.max(8, mult / 4))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    scaleEvents(Tables.events(spark, src), mult)
-      .repartition(math.max(8, mult))
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (tables("documents"))
+      scaleDocuments(Tables.documents(spark, src), mult, twinFrac,
+          anchorClusters, vocabBeta)
+        .repartition(math.max(8, mult / 2))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (tables("embeddings"))
+      scaleEmbeddings(Tables.embeddings(spark, src), mult, twinFrac)
+        .repartition(math.max(8, mult / 4))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (tables("events"))
+      scaleEvents(Tables.events(spark, src), mult, shiftCalendar)
+        .repartition(math.max(8, mult))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     // the relational tables ride along unscaled so any query that joins
     // them still resolves (none of the heavy families do)
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem"))
-      Tables.read(spark, src, t).write.mode("overwrite")
-        .parquet(s"$out/$t.parquet")
-    println(s"[scalegen] wrote x$mult corpus to $out (twinFrac=$twinFrac, anchorClusters=$anchorClusters)")
+    if (tables("relational"))
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem"))
+        Tables.read(spark, src, t).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+    println(s"[scalegen] wrote x$mult corpus to $out (twinFrac=$twinFrac, " +
+      s"anchorClusters=$anchorClusters, shiftCalendar=$shiftCalendar, " +
+      s"vocabBeta=$vocabBeta, tables=${tables.mkString("+")})")
     spark.stop()
   }
 }

@@ -87,6 +87,59 @@ class ScaleGenSpec extends AnyFunSuite with SparkSpec {
     assert(v8 > v2 * 3, s"vocabulary saturates: x2=$v2, x8=$v8")
   }
 
+  test("vocabBeta < 1 grows vocabulary sublinearly; beta=1 is the r11 generator verbatim") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    def vocab(mult: Int, beta: Double): Long =
+      ScaleGen.scaleDocuments(docs, mult, 0.0, anchorClusters = false,
+          vocabBeta = beta)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "").select("t").distinct().count()
+    // default-beta output is bit-identical to the explicit-1.0 call (the
+    // r11 corpora regenerate unchanged)
+    val a = ScaleGen.scaleDocuments(docs, 4, 0.5, anchorClusters = false)
+    val b = ScaleGen.scaleDocuments(docs, 4, 0.5, anchorClusters = false,
+      vocabBeta = 1.0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the salt pool shrinks ∝ mult^beta: at the same mult, beta=0.5 must
+    // produce materially less vocabulary than beta=1 (distinct salts
+    // ≈ min(draws, pool)), and still more than the unsalted floor
+    val (v1, vH) = (vocab(8, 1.0), vocab(8, 0.5))
+    assert(vH < v1 * 3 / 4, s"beta=0.5 did not shrink vocabulary: $vH vs $v1")
+    assert(vH > vocab(1, 0.5) * 2, s"beta=0.5 saturated at the floor: $vH")
+  }
+
+  test("shiftCalendar: replica calendars disjoint, per-user timelines rigid; default verbatim") {
+    val ev = graft.core.Tables.events(spark, sf).filter(col("user_id") < 50)
+    val shifted = ScaleGen.scaleEvents(ev, 3, shiftCalendar = true)
+    val verbatim = ScaleGen.scaleEvents(ev, 3)
+    // default mode: timestamps verbatim (each replica repeats the calendar)
+    assert(verbatim.select("ts").distinct().count() ===
+      ev.select("ts").distinct().count())
+    // shifted mode: replicas occupy disjoint ranges — the max of rep r is
+    // strictly before the min of rep r+1
+    val bounds = shifted
+      .groupBy((col("event_id") / (ScaleGen.IdStride * 100)).cast("long").as("rep"))
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .orderBy("rep").collect()
+    assert(bounds.length === 3)
+    bounds.sliding(2).foreach { w =>
+      assert(w(0).getLong(2) < w(1).getLong(1),
+        s"replica calendars overlap: ${w.toSeq}")
+    }
+    // rigid shift: inter-event deltas per (base user, rep) match rep 0's
+    val deltas = shifted
+      .select(pmod(col("user_id"), lit(ScaleGen.IdStride)).as("u"),
+        (col("user_id") / ScaleGen.IdStride).cast("long").as("rep"),
+        unix_micros(col("ts")).as("tu"))
+      .groupBy("u", "rep")
+      .agg(sort_array(collect_list(col("tu"))).as("ts"))
+      .withColumn("d", expr("transform(slice(ts, 2, size(ts)), (x, i) -> x - ts[i + 1])"))
+      .select("u", "rep", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    for (((u, rep), d) <- deltas if rep > 0)
+      assert(d === deltas((u, 0L)), s"user $u rep $rep timeline not rigid")
+  }
+
   test("embeddings: twins cos≈1, heavies decorrelated, norms preserved") {
     val emb = graft.core.Tables.embeddings(spark, sf).filter(col("vec_id") < 30)
     val out = ScaleGen.scaleEmbeddings(emb, 4, 1.0)
