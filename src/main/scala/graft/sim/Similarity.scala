@@ -1048,11 +1048,19 @@ object Similarity {
     */
   def ivfPqProbe(index: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, dims: Int, m: Int, ksub: Int,
-                 centroids: Int, nprobe: Int, k: Int): DataFrame = {
+                 centroids: Int, nprobe: Int, k: Int,
+                 coarseCodebook: Option[Array[Array[Double]]] = None,
+                 pqCodebook: Option[(Int, Int) => Array[Double]] = None): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sp = index.sparkSession
     val dsub = dims / m
-    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    // codebooks default to the shared formula quantizers; a persisted
+    // artifact (tools/IvfPqBuild) passes its OWN loaded codebooks so the
+    // serve path genuinely exercises what was written to disk
+    val cents = coarseCodebook.getOrElse(
+      (0 until centroids).map(c => centroidVec(c, dims)).toArray)
+    require(cents.length == centroids,
+      s"coarse codebook carries ${cents.length} centroids, expected $centroids")
     // query-side cell ranking: the same assignment kernel, queries only
     val q = assignCells(queries, idCol, vecCol, cents)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("ccos"))
@@ -1067,7 +1075,10 @@ object Similarity {
       val sub = slice(col("qv"), s * dsub + 1, dsub)
       val aa = dot(sp, sub, sub)
       (0 until ksub).map { c =>
-        val cv = pqCentroidVec(s, c, dsub)
+        val cv = pqCodebook.map(f => f(s, c))
+          .getOrElse(pqCentroidVec(s, c, dsub))
+        require(cv.length == dsub,
+          s"PQ codebook entry ($s,$c) carries ${cv.length} dims, expected $dsub")
         val t = (aa - lit(2.0) * dot(sp, sub, typedLit(cv.toSeq))) +
           lit(seqSelfDot(cv))
         struct(lit(s).as("subspace"), lit(c).as("code"),

@@ -206,6 +206,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ lifecycle: persisted artifact serves probes identical to the one-shot; " +
+      "reopened table bucket-prunes; codebooks round-trip bit-exact") {
+    import graft.tools.IvfPqBuild
+    val emb = Tables.embeddings(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val pred = col("vec_id") % 25 === 0
+    try {
+      // BUILD: encode + persist codes (bucketed by cell), codebooks, params
+      val n = IvfPqBuild.build(spark, dir, out, m = 8, ksub = 16,
+        centroids = 16, buckets = 8)
+      assert(n === emb.count() * 8, "code rows = vectors x m subspaces")
+      // codebooks round-trip bit-exact against the formula quantizers
+      val cents = Similarity.loadCentroids(spark, s"$out/centroids.parquet")
+      (0 until 16).foreach { c =>
+        assert(cents(c).toSeq === Similarity.centroidVec(c, 64).toSeq,
+          s"coarse centroid $c drifted through persistence")
+      }
+      val pq = IvfPqBuild.loadPqCodebook(spark, out)
+      assert(pq.size === 8 * 16)
+      assert(pq((3, 7)).toSeq === Similarity.pqCentroidVec(3, 7, 8).toSeq,
+        "PQ codebook entry drifted through persistence")
+      // PROBE from the persisted artifact (loaded codebooks, reopened
+      // bucketed codes) == the one-shot ivfPqTopK: same micro-snapped
+      // ADC sums, same tie-breaks
+      val fresh = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        dims = 64, m = 8, ksub = 16, centroids = 16, nprobe = 2, k = 3,
+        queryPred = pred)
+      val served = IvfPqBuild.probe(spark, out, emb.filter(pred),
+        "vec_id", "embedding", nprobe = 2, k = 3)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "vec_id", "adc_micro", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).toSet
+      val (f, s) = (key(fresh), key(served))
+      assert(f === s, s"reopened IVF-PQ probe diverged: ${(f diff s) ++ (s diff f)}")
+      assert(f.nonEmpty, "probe returned no rows — vacuous comparison")
+      // reopened table: bucket pruning + exchange-free cell aggregation
+      val reopened = IvfPqBuild.openIndex(spark, out)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val plan = reopened.filter(col("cell").isin(1, 5))
+          .queryExecution.executedPlan.toString
+        val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+        assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+          s"reopened IVF-PQ index lost bucket pruning:\n$plan")
+        val aggPlan = reopened.groupBy(col("cell")).count()
+          .queryExecution.executedPlan.toString
+        assert(!aggPlan.contains("Exchange"),
+          s"groupBy(cell) over the bucketed codes still shuffles:\n$aggPlan")
+      } finally {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${IvfPqBuild.tableName(out)}")
+    }
+  }
+
   test("exact Lloyd step: complete per-cell dims, conserved mass, partitioning-invariant") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
