@@ -199,6 +199,39 @@ object TextSim extends QueryPack {
           FROM hsimg a JOIN hsimg b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.dhash, b.dhash)) <= 2)"""
 
+  /** The q184 textured-fixture audio-fingerprint closed form as a CTE
+    * chain ending in `apairs (id_a, id_b, hamming)` at ham ≤ 2 — one
+    * generator for the audio-pair oracle (q184) and the trimodal dedup
+    * closure (q208) so the fingerprint formula cannot drift between
+    * them. CTE names are audio-prefixed (abits/hsaud) because q208
+    * composes this chain WITH dhashPairCtes (whose chain owns `bits`)
+    * — the ivfAssignCtes/pqCtes collision lesson. */
+  private def audioPairCtes: String = """
+        aud AS (SELECT doc_id, text, length(text)::BIGINT AS L
+                     FROM documents),
+        amp AS (SELECT doc_id, f,
+                       abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+                         AS absa
+                FROM (SELECT doc_id, f,
+                             ('0x' || substr(md5(substr(text,
+                                ((f * 11) % L) + 1, 16)), 1, 4))::INT AS u
+                      FROM aud, unnest(range(0, 65)) uf(f))),
+        abits AS (SELECT doc_id, f - 1 AS bx,
+                        (absa > lag(absa) OVER (PARTITION BY doc_id
+                                                ORDER BY f))::INT AS b
+                 FROM amp QUALIFY f > 0),
+        hsaud AS (SELECT doc_id,
+                      sum(CASE WHEN bx = 63
+                               THEN b * (-9223372036854775807 - 1)
+                               ELSE b * (1::BIGINT << bx) END)::BIGINT
+                        AS ahash
+               FROM abits GROUP BY doc_id),
+        apairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+          FROM hsaud a JOIN hsaud b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 2)"""
+
   /** The q33 language-ID heuristic as one SQL CASE over `text` — ONE
     * generator for the per-doc prediction (q33) and the confusion
     * matrix (q194) so the heuristic cannot drift between them. */
@@ -4560,30 +4593,55 @@ object TextSim extends QueryPack {
         NearDup.hammingPairs(Multimodal.audioEnergyHashes(s, media),
           "doc_id", "ahash", bits = 64, bands = 8, maxHamming = 2)
       },
-      Some("""
-        WITH aud AS (SELECT doc_id, text, length(text)::BIGINT AS L
-                     FROM documents),
-        amp AS (SELECT doc_id, f,
-                       abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
-                         AS absa
-                FROM (SELECT doc_id, f,
-                             ('0x' || substr(md5(substr(text,
-                                ((f * 11) % L) + 1, 16)), 1, 4))::INT AS u
-                      FROM aud, unnest(range(0, 65)) uf(f))),
-        bits AS (SELECT doc_id, f - 1 AS bx,
-                        (absa > lag(absa) OVER (PARTITION BY doc_id
-                                                ORDER BY f))::INT AS b
-                 FROM amp QUALIFY f > 0),
-        hs AS (SELECT doc_id,
-                      sum(CASE WHEN bx = 63
-                               THEN b * (-9223372036854775807 - 1)
-                               ELSE b * (1::BIGINT << bx) END)::BIGINT
-                        AS ahash
-               FROM bits GROUP BY doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
-        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.ahash, b.ahash)) <= 2""")),
+      Some(s"""
+        WITH $audioPairCtes
+        SELECT id_a, id_b, hamming FROM apairs""")),
+
+    // TRIMODAL DEDUP CLOSURE (VERDICT r11 #8): q205's cross-modal
+    // family extended with the THIRD modality — text MinHash pairs ∪
+    // image dHash pairs ∪ audio fingerprint pairs through the one
+    // shared clustering engine. The same hamming banding serves image
+    // and audio (both are 64-bit fingerprints), so the marginal cost
+    // over q205 is one more fixture+hash pass and a bigger pair union.
+    // Oracle = transitive closure over the three unioned pair CTE
+    // chains (closureTail — the q42/q54/q205 generator, so closure
+    // semantics stay pinned across all four clustering surfaces).
+    // Binding note: the synthetic corpus yields ZERO audio pairs below
+    // sf0.1 (the fixture's energy-delta fingerprints only collide on
+    // the larger corpus), so the audio arm is vacuous at the sf0.01
+    // driver gate but BINDS at sf0.1 — 21 pairs, q208 ≠ q205, and the
+    // drop-apairs oracle corruption FAILs there (r12, part of the 3-SF
+    // check this family always runs).
+    "q208_trimodal_dedup" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val text = NearDup.minhashLshPairsFromRows(
+            TextOps.wordShingleRows(docs, "doc_id", "text", 3),
+            k = 16, bands = 8)
+          .select(col("id_a"), col("id_b"))
+        val img = NearDup.hammingPairs(
+            Multimodal.imageDHashes(s,
+              Multimodal.texturedImageFixtures(s, docs).toDF()),
+            "doc_id", "dhash", bits = 64, bands = 8, maxHamming = 2)
+          .select(col("id_a"), col("id_b"))
+        val aud = NearDup.hammingPairs(
+            Multimodal.audioEnergyHashes(s,
+              Multimodal.texturedAudioFixtures(s, docs).toDF()),
+            "doc_id", "ahash", bits = 64, bands = 8, maxHamming = 2)
+          .select(col("id_a"), col("id_b"))
+        NearDup.dedupClusters(
+          text.unionByName(img).unionByName(aud)
+            .dropDuplicates("id_a", "id_b"),
+          "id_a", "id_b")
+      },
+      Some(s"""
+        WITH RECURSIVE ${minhashCtes(16, 8)},
+        $dhashPairCtes,
+        $audioPairCtes,
+        upair AS (SELECT id_a, id_b FROM cand
+                  UNION SELECT id_a, id_b FROM ipairs
+                  UNION SELECT id_a, id_b FROM apairs),
+        ${closureTail("upair", "doc_id")}""")),
 
     // IVF RECALL-vs-NPROBE CURVE (sim/Similarity.scala): the index-
     // tuning evidence table — recall@3 of the q43 quantizer at

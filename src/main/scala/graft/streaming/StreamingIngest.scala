@@ -132,6 +132,76 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** STREAMING EMBEDDING-DEDUP TICK (VERDICT r11 #6): one
+    * `Trigger.AvailableNow` tick drains newly staged vectors, dedups
+    * them within the batch (LSH pairs → cluster keepers, the
+    * corpusIngestTick discipline), flags survivors against the
+    * PERSISTED corpus through its persisted LSH band index
+    * (`Similarity.embeddingCorpusFlags` — batch side broadcasts, the
+    * corpus streams map-side through two BroadcastHashJoins, no
+    * corpus×corpus term and no corpus repartition; the only shuffle is
+    * the partial-aggregated per-new-vector max-cosine fold), and
+    * appends only the genuinely new vectors — plus their band rows, so
+    * the index stays current without ever recomputing corpus
+    * signatures. Band/plane formulas are `lshBandRows`'s, shared with
+    * the batch pair join, so index and query banding cannot drift.
+    *
+    * Layout under `corpusDir`: vector parquet at the root, the band
+    * index at `_bands` (underscore-hidden from corpus scans, the
+    * `_manifest` trick). Idempotence: the file source's checkpoint
+    * prevents re-draining; within a tick, in-batch keepers are chosen
+    * before the corpus check so two near-dup arrivals in one tick
+    * cannot both enter (order-independence, the corpusIngestTick
+    * lesson). StreamingSpec pins two-tick contents, no-reprocess, and
+    * the plan shape.
+    */
+  def embeddingIngestTick(spark: SparkSession, stagingDir: String,
+                          corpusDir: String, checkpointDir: String,
+                          dims: Int = 64, bands: Int = 4,
+                          rowsPerBand: Int = 5,
+                          minCosine: Double = 0.9): Unit = {
+    import graft.sim.Similarity
+    val vecs = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+      .parquet(stagingDir)
+    val q: StreamingQuery = vecs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.text.NearDup
+        val sp = batch.sparkSession
+        val b = batch.dropDuplicates("vec_id").persist()
+        try {
+          // in-batch near-dedup: keepers only (min id per component)
+          val pairs = Similarity.lshNeighborPairs(b, "vec_id", "embedding",
+            dims, bands, rowsPerBand, minCosine)
+          val dropped = NearDup.dedupClusters(pairs, "id_a", "id_b")
+            .filter(col("doc_id") =!= col("keeper_id"))
+            .select(col("doc_id").as("vec_id"))
+          val uniq = b.join(dropped, Seq("vec_id"), "left_anti")
+          val path = new org.apache.hadoop.fs.Path(corpusDir)
+          val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
+          val fresh = (if (fs.exists(path)) {
+            val flags = Similarity.embeddingCorpusFlags(
+              sp.read.parquet(corpusDir),
+              sp.read.parquet(s"$corpusDir/_bands"),
+              uniq, "vec_id", "embedding", dims, bands, rowsPerBand)
+            uniq.join(flags.filter(col("best_cosine") >= minCosine)
+                .select("vec_id"),
+              Seq("vec_id"), "left_anti")
+          } else uniq)
+            // two writes read the survivors (vectors + band rows)
+            .localCheckpoint(true)
+          fresh.write.mode("append").parquet(corpusDir)
+          Similarity.lshBandRows(fresh, "vec_id", "embedding",
+              dims, bands, rowsPerBand)
+            .write.mode("append").parquet(s"$corpusDir/_bands")
+        } finally b.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming dedup across micro-batches: drops re-delivered
     * (station, ts, param) observations while bounding state with the 48 h
     * lookback watermark — the streaming form of D1/D2 (the batch path

@@ -1340,6 +1340,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(5L), "an unlinked doc joins no family")
   }
 
+  test("q208 trimodal closure: refines q205 merge-only; audio pairs are connected; " +
+      "exact copies keep their q205 family") {
+    val rnd = new scala.util.Random(47)
+    val words = (0 until 40).map(_ => s"w${rnd.nextInt(12)}")
+    val a = words.mkString(" ")
+    val b = (words.take(38) ++ Seq("zz1", "zz2")).mkString(" ")
+    val c = (0 until 40).map(_ => s"c${rnd.nextInt(9)}").mkString(" ")
+    val e = (0 until 40).map(_ => s"e${rnd.nextInt(9)}").mkString(" ")
+    val dir = corpusDir(Seq((1L, a, "en", "w"), (2L, b, "en", "w"),
+      (3L, c, "en", "w"), (4L, c, "en", "w"), (5L, e, "en", "w")))
+    val m205 = graft.SparkEntry.queries("q205_multimodal_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m208 = graft.SparkEntry.queries("q208_trimodal_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merge-only refinement: every doc familied by q205 is familied by
+    // q208, and two docs sharing a q205 keeper share a q208 keeper
+    assert(m205.keySet.subsetOf(m208.keySet),
+      s"q208 dropped members q205 had: ${m205.keySet -- m208.keySet}")
+    for (x <- m205.keySet; y <- m205.keySet
+         if m205(x) == m205(y) && m208(x) != m208(y))
+      fail(s"q205 family ($x,$y) split by q208: $m208")
+    // audio connectivity: every q184 audio pair shares one q208 family
+    val aud = graft.SparkEntry.queries("q184_audio_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((x, y) <- aud)
+      assert(m208.get(x).isDefined && m208(x) === m208(y),
+        s"audio pair ($x,$y) not familied together: $m208")
+    // the exact-copy pair still families (all three modalities agree)
+    assert(m208.get(3L).contains(3L) && m208.get(4L).contains(3L))
+    assert(!m208.contains(5L) || aud.exists(p => p._1 == 5L || p._2 == 5L),
+      "an unlinked doc joins no family")
+  }
+
   test("hammingPairs fuzz: equals the quadratic truth at two thresholds") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)

@@ -78,6 +78,77 @@ class StreamingSpec extends SparkSpec {
     assert(folded === oneShot && folded.head._1 === 4L)
   }
 
+  test("embedding ticks: in-batch keepers, corpus-index dedup, only new appended, " +
+      "no reprocess, batch parity, corpus never repartitioned") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("embcorpus").toString
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    val corpus = s"$base/corpus"
+    val rnd = new scala.util.Random(7)
+    def unit(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def near(v: Array[Double], seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      val w = v.map(_ + r.nextGaussian() * 0.001)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    val (e1, e2, e3, e4) = (unit(1), unit(2), unit(3), unit(4))
+    // tick 1: 2 near-dups e1 (keeper 1) + one new e2
+    Seq((1L, e1.toSeq), (2L, near(e1, 12).toSeq), (3L, e2.toSeq))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.embeddingIngestTick(spark, staging, corpus, s"$base/ckpt")
+    assert(spark.read.parquet(corpus).select("vec_id")
+      .as[Long].collect().toSet === Set(1L, 3L))
+    // tick 2: 4 dups corpus e1 (dropped via the PERSISTED index), 5 new,
+    // 6/7 near-dup each other in-batch (keeper 6); b1 not re-drained
+    Seq((4L, near(e1, 13).toSeq), (5L, e3.toSeq),
+        (6L, e4.toSeq), (7L, near(e4, 14).toSeq))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.embeddingIngestTick(spark, staging, corpus, s"$base/ckpt")
+    val got = spark.read.parquet(corpus).select("vec_id")
+      .as[Long].collect().toSet
+    assert(got === Set(1L, 3L, 5L, 6L))
+    // band index stayed current: one row per (vector, band)
+    assert(spark.read.parquet(s"$corpus/_bands").count() === 4L * 4L)
+    // batch parity: the streamed corpus equals the one-shot dedup
+    // keepers of everything staged (fixtures arrival-order-neutral:
+    // keepers are also first arrivals)
+    val all = Seq((1L, e1.toSeq), (2L, near(e1, 12).toSeq), (3L, e2.toSeq),
+      (4L, near(e1, 13).toSeq), (5L, e3.toSeq), (6L, e4.toSeq),
+      (7L, near(e4, 14).toSeq)).toDF("vec_id", "embedding")
+    val oneShot = graft.text.NearDup.dedupClusters(
+      graft.sim.Similarity.lshNeighborPairs(all, "vec_id", "embedding",
+        dims = 64, bands = 4, rowsPerBand = 5, minCosine = 0.9),
+      "id_a", "id_b")
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got === (1L to 7L).toSet -- oneShot, "streamed != one-shot keepers")
+    // plan shape: the corpus-vs-batch flags run the corpus through
+    // broadcast joins only — the single shuffle is the partial-aggregated
+    // max-cosine fold, never a corpus repartition
+    val flags = graft.sim.Similarity.embeddingCorpusFlags(
+      spark.read.parquet(corpus), spark.read.parquet(s"$corpus/_bands"),
+      Seq((9L, near(e1, 15).toSeq)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dims = 64, bands = 4, rowsPerBand = 5)
+    assert(flags.collect().map(_.getLong(0)).toSet === Set(9L))
+    // AQE's toString carries Final AND Initial plan sections — count
+    // exchanges in the FINAL (executed) one only
+    val plan = flags.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1, s"corpus flags plan has $shuffles hash exchanges:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"corpus side must stream through broadcast joins:\n$plan")
+  }
+
   test("drift ticks: maintained grid + PSI equal the batch computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
