@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *    enumerated only WITHIN a bucket, so the quadratic term is bounded
   *    by the largest bucket, and the `minShared` HAVING filter runs
   *    map-side-combinable aggregation on (a, b) — one shuffle keyed by
-  *    the pair. At 100 TB the hub-bucket mitigation is the documented
-  *    cap: drop (and log) buckets past a size bound — a hub hour in a
-  *    co-visitation graph carries no pairwise signal anyway.
+  *    the pair. At 100 TB the hub-bucket mitigation is the
+  *    `maxOccupancy` cap (implemented r12, registered as q210): drop
+  *    buckets past a size bound — a hub hour in a co-visitation graph
+  *    carries no pairwise signal anyway.
   *  - Triangle counting uses DEGREE-ORDERED ORIENTATION (Cohen 2009 /
   *    Suri–Vassilvitskii 2011, public): orient every edge from its
   *    (degree, id)-smaller endpoint; every node's OUT-degree is then
@@ -31,11 +32,35 @@ object Triangles {
     * distinct buckets (the bucketCols tuple) become an undirected edge
     * (a, b, shared) with a < b. One distinct pass, one within-bucket
     * pair join, one pair-keyed count — no cross-bucket term.
+    *
+    * `maxOccupancy` is the HUB-BUCKET CAP this scaladoc always
+    * documented as the 100 TB dial, now a first-class parameter
+    * (SCALE.md F10): buckets holding more than `maxOccupancy` distinct
+    * ids are DROPPED before pair enumeration, bounding the per-bucket
+    * quadratic term at cap² and total candidates at ~buckets·cap² — a
+    * hub hour in a co-visitation graph carries no pairwise signal
+    * anyway (any two ids co-occur there by crowd size, not behavior).
+    * The cap CHANGES the query's meaning (edges whose shared count
+    * relied on hub buckets lose them), so it is never auto-engaged:
+    * the default keeps every bucket, and the capped form is its own
+    * registered query (q210). The occupancy census rides the same
+    * bucket-key exchange as the pair join's distinct pass.
     */
   def coOccurrenceEdges(df: DataFrame, idCol: String,
-                        bucketCols: Seq[String], minShared: Long): DataFrame = {
+                        bucketCols: Seq[String], minShared: Long,
+                        maxOccupancy: Long = Long.MaxValue): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
-    val b = df.select(col(idCol).as("id") +: bucketCols.map(col): _*).distinct()
+    require(maxOccupancy >= 1, s"maxOccupancy=$maxOccupancy must be >= 1")
+    val b0 = df.select(col(idCol).as("id") +: bucketCols.map(col): _*).distinct()
+    val b =
+      if (maxOccupancy == Long.MaxValue) b0
+      else {
+        val keep = b0.groupBy(bucketCols.map(col): _*)
+          .agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") <= maxOccupancy)
+          .select(bucketCols.map(col): _*)
+        b0.join(keep, bucketCols, "left_semi")
+      }
     val bk = bucketCols.map(c => col(c))
     val l = b.select(col("id").as("a") +: bk: _*)
     val r = b.select(col("id").as("b") +: bk: _*)

@@ -335,6 +335,37 @@ object Advanced extends QueryPack {
         WHERE a.user_id < c.user_id
         GROUP BY 1, 2 HAVING count(*) >= 4""")),
 
+    // OCCUPANCY-CAPPED co-occurrence graph (graph/Triangles.scala): the
+    // q113 edge builder with the hub-bucket cap in the QUERY DEFINITION
+    // — SCALE.md F10's documented 100 TB dial as a first-class,
+    // oracle-checked operator (a bucket holding more than 40 distinct
+    // users carries crowd-size signal, not pairwise behavior, and its
+    // cap² term is what densifies the fixed-calendar graph). The cap
+    // binds at sf0.1 (27 of 3600 buckets dropped; cap-constant
+    // corruption FAILs there) and is inert below (sf0.01 max occupancy
+    // 10) — the q208 binding precedent, covered by the 3-SF check.
+    "q210_cooccur_capped" -> Q(
+      (s, d) => Triangles.coOccurrenceEdges(
+        Tables.events(s, d).select(col("user_id"),
+          col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hb")),
+        "user_id", Seq("event_type", "hb"), minShared = 4L,
+        maxOccupancy = 40L)
+        .select(col("a").as("user_a"), col("b").as("user_b"), col("shared")),
+      Some("""
+        WITH b AS (
+          SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hb,
+                 user_id
+          FROM events),
+        keep AS (SELECT event_type, hb FROM b
+                 GROUP BY 1, 2 HAVING count(*) <= 40),
+        bk AS (SELECT b.* FROM b JOIN keep USING (event_type, hb))
+        SELECT a.user_id AS user_a, c.user_id AS user_b,
+               count(*)::BIGINT AS shared
+        FROM bk a JOIN bk c USING (event_type, hb)
+        WHERE a.user_id < c.user_id
+        GROUP BY 1, 2 HAVING count(*) >= 4""")),
+
     // Per-user triangle participation over the q113 graph — local
     // community structure (PageRank q77 is the centrality view; this is
     // the clustering view). Degree-ordered orientation bounds the wedge

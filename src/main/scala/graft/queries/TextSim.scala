@@ -423,7 +423,13 @@ object TextSim extends QueryPack {
     * (id_a, id_b, cosine) — ONE generator serving both the q49 pair
     * oracle and the q54 clustering oracle, so the bucket formula and
     * rounding cannot drift between them. */
-  private def embPairsCtes(bands: Int, rpb: Int, minCosine: Double): String = {
+  /** The embedding LSH band-row CTE chain ending in `bands (vec_id,
+    * band_idx, bucket)` with `en (vec_id, v, vn)` also available — ONE
+    * generator for the all-pairs oracles (via [[embPairsCtes]]) and
+    * the batch-vs-corpus flags oracle (q209), mirroring the engine's
+    * `Similarity.lshBandRows` factoring so the banding formula cannot
+    * drift between its consumers in either engine. */
+  private def embBandRowsCtes(bands: Int, rpb: Int): String = {
     val buckets = (0 until bands).map { b =>
       (0 until rpb).map { r =>
         val p = b * rpb + r
@@ -438,7 +444,11 @@ object TextSim extends QueryPack {
       sig AS (SELECT vec_id,
               $buckets AS buckets FROM e),
       bands AS (SELECT vec_id, b AS band_idx, buckets[b + 1] AS bucket
-                FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
+                FROM sig, (SELECT unnest(range(0, $bands)) AS b))"""
+  }
+
+  private def embPairsCtes(bands: Int, rpb: Int, minCosine: Double): String = {
+    s"""${embBandRowsCtes(bands, rpb)},
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM bands a JOIN bands b
                  ON a.band_idx = b.band_idx AND a.bucket = b.bucket
@@ -4642,6 +4652,42 @@ object TextSim extends QueryPack {
                   UNION SELECT id_a, id_b FROM ipairs
                   UNION SELECT id_a, id_b FROM apairs),
         ${closureTail("upair", "doc_id")}""")),
+
+    // BATCH-vs-CORPUS embedding flags (sim/Similarity.scala): the
+    // serving kernel of the streaming embedding-dedup tick
+    // (embeddingIngestTick) as an oracle-checked query — a "new" batch
+    // (vec_id % 17 = 0) scored against the disjoint rest of the table
+    // through the SAME lshBandRows banding the persisted index uses:
+    // per batch vector, the best cosine among its band-collision
+    // candidates. Batch side broadcasts; the corpus streams map-side;
+    // the one shuffle is the partial-aggregated max fold (StreamingSpec
+    // pins the plan). Oracle composes the factored embBandRowsCtes —
+    // the engine/oracle banding formulas are the same pair of
+    // generators q49/q54/q77 already pin.
+    // Registered through the occupancy-adaptive Auto wrapper (the F11
+    // lesson applied up front): width = 5 bits through the 4096-row
+    // floor — every oracle scale, bit-identical — widening above so
+    // corpus bucket occupancy never grows ∝ N.
+    "q209_corpus_flags" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.embeddingCorpusFlagsAuto(
+          emb.filter(col("vec_id") % 17 =!= 0),
+          emb.filter(col("vec_id") % 17 === 0),
+          "vec_id", "embedding", dims = 64, bands = 4, floorRowsPerBand = 5)
+      },
+      Some(s"""
+        WITH ${embBandRowsCtes(4, 5)},
+        corp AS (SELECT * FROM bands WHERE vec_id % 17 <> 0),
+        bat  AS (SELECT * FROM bands WHERE vec_id % 17 = 0),
+        cand AS (SELECT DISTINCT c.vec_id AS cid, q.vec_id AS nid
+                 FROM corp c JOIN bat q USING (band_idx, bucket))
+        SELECT cand.nid AS vec_id,
+               max(round(list_dot_product(ec.v, eq.v) / (ec.vn * eq.vn), 6))
+                 AS best_cosine
+        FROM cand JOIN en ec ON ec.vec_id = cand.cid
+                  JOIN en eq ON eq.vec_id = cand.nid
+        GROUP BY 1""")),
 
     // IVF RECALL-vs-NPROBE CURVE (sim/Similarity.scala): the index-
     // tuning evidence table — recall@3 of the q43 quantizer at

@@ -760,6 +760,31 @@ object Similarity {
       .agg(max(col("cosine")).as("best_cosine"))
   }
 
+  /** [[embeddingCorpusFlags]] behind the measured-width decision (the
+    * F11 lesson applied at REGISTRATION time rather than after a ×100
+    * measurement): one corpus count() picks the same occupancy-adaptive
+    * width a deployed tick's persisted index carries (tools/TickSpot
+    * runs 11 bits at 200k vectors), building the corpus band rows at
+    * that width. At or under the 4096-row floor hold the width equals
+    * the fixed registration, so results are bit-identical at every
+    * oracle scale — a fixed 5-bit width would leave corpus bucket
+    * occupancy ∝ N and the candidate volume ∝ N²/2⁵, exactly the F2
+    * arithmetic.
+    */
+  def embeddingCorpusFlagsAuto(corpusVecs: DataFrame, batch: DataFrame,
+                               idCol: String, vecCol: String, dims: Int,
+                               bands: Int, floorRowsPerBand: Int,
+                               targetOccupancy: Long = 128L): DataFrame = {
+    val n = corpusVecs.count()
+    val r = adaptiveRowsPerBand(n, floorRowsPerBand, targetOccupancy)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] embeddingCorpusFlagsAuto n=$n " +
+        s"floor=$floorRowsPerBand rowsPerBand=$r")
+    embeddingCorpusFlags(corpusVecs,
+      lshBandRows(corpusVecs, idCol, vecCol, dims, bands, r),
+      batch, idCol, vecCol, dims, bands, r)
+  }
+
   /** Occupancy-adaptive band width for [[lshNeighborPairs]]: the number
     * of sign bits per band such that the EXPECTED bucket occupancy
     * n / 2^bits stays at or under `targetOccupancy`, never below the

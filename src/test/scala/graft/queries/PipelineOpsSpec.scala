@@ -1373,6 +1373,34 @@ class PipelineOpsSpec extends SparkSpec {
       "an unlinked doc joins no family")
   }
 
+  test("q210 occupancy cap: hub-bucket cliques vanish, small-bucket cliques survive") {
+    import spark.implicits._
+    import graft.graph.Triangles
+    // 45 users co-visit 4 'view' hour-buckets (occupancy 45 > cap 40 —
+    // every bucket a hub: C(45,2) edges uncapped, ZERO capped); 3 users
+    // co-visit 4 'click' buckets (occupancy 3 — survives the cap)
+    val hub = for (u <- 1L to 45L; h <- 0L until 4L)
+      yield (u, "view", h)
+    val small = for (u <- 100L to 102L; h <- 0L until 4L)
+      yield (u, "click", h)
+    val df = (hub ++ small).toDF("user_id", "event_type", "hb")
+    val capped = Triangles.coOccurrenceEdges(df, "user_id",
+        Seq("event_type", "hb"), minShared = 4L, maxOccupancy = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"only the small clique survives the cap: $capped")
+    val uncapped = Triangles.coOccurrenceEdges(df, "user_id",
+        Seq("event_type", "hb"), minShared = 4L)
+      .count()
+    assert(uncapped === 45L * 44 / 2 + 3,
+      s"uncapped keeps the hub clique: $uncapped")
+    // boundary: cap exactly at the hub occupancy keeps it
+    val at = Triangles.coOccurrenceEdges(df, "user_id",
+        Seq("event_type", "hb"), minShared = 4L, maxOccupancy = 45L)
+      .count()
+    assert(at === 45L * 44 / 2 + 3, "cap is inclusive at the bound")
+  }
+
   test("hammingPairs fuzz: equals the quadratic truth at two thresholds") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
