@@ -38,11 +38,27 @@ object PageRank {
   /** Ranks after `iters` iterations over the symmetrized `edges`
     * (srcCol, dstCol) — pairs are treated as undirected and must not
     * repeat. Emits (node, rank_micro, rank).
+    *
+    * `checkpointEvery` (r12, closing the scaladoc's own note): a
+    * production run past ~20 iterations must truncate the rank frame's
+    * lineage periodically — each iteration embeds the previous one's
+    * join+agg, so an uncheckpointed 50-round plan is 50 joins deep
+    * (analysis/codegen time grows superlinearly and the lineage
+    * re-executes on any recompute). Every `checkpointEvery` rounds the
+    * rank frame is eagerly localCheckpoint'ed (node-sized — the cheap
+    * thing to materialize; the edge frame is already checkpointed
+    * once). 0 keeps the plain unrolled form and the 20-iteration
+    * budget; results are bit-identical either way (integer update rule
+    * — PageRankSpec pins parity), so checkpointing is purely a plan
+    * decision. On a cluster needing fault tolerance, substitute
+    * checkpoint(dir) — the dedupClusters doctrine.
     */
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
-                    iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 20,
-      s"iters=$iters: fixed-iteration analytics expects 1..20 (checkpoint beyond)")
+                    iters: Int, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1 && (iters <= 20 || checkpointEvery >= 1),
+      s"iters=$iters: fixed-iteration analytics expects 1..20 " +
+        "(set checkpointEvery >= 1 to unroll beyond)")
+    require(checkpointEvery >= 0, s"checkpointEvery=$checkpointEvery")
     // Eager localCheckpoint, the dedupClusters doctrine: deg, nodes, and
     // every iteration's contrib join all reference the edge frame, so
     // without truncation the edge-PRODUCING pipeline (an LSH candidate
@@ -57,7 +73,7 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
@@ -66,6 +82,8 @@ object PageRank {
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(coalesce(s, 0L) * 85) div 100")).as("rank_micro"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("rank_micro"),
       (col("rank_micro").cast("double") / lit(1e6)).as("rank"))

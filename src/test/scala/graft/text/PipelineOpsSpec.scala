@@ -164,6 +164,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r === 1.1275)
   }
 
+  test("pageRankMicro checkpointing is plan-only: bit-identical ranks, unlocks >20 iters") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val plain = PageRank.pageRankMicro(edges, "a", "b", iters = 7)
+      .select("node", "rank_micro").as[(Long, Long)].collect().toMap
+    val ckpt = PageRank.pageRankMicro(edges, "a", "b", iters = 7,
+        checkpointEvery = 3)
+      .select("node", "rank_micro").as[(Long, Long)].collect().toMap
+    assert(plain === ckpt, "checkpointing changed integer ranks")
+    // past the unrolled budget: rejected plain, accepted checkpointed —
+    // and on this symmetric cycle the long run converges to equal ranks
+    assertThrows[IllegalArgumentException] {
+      PageRank.pageRankMicro(edges, "a", "b", iters = 40)
+    }
+    val long = PageRank.pageRankMicro(edges, "a", "b", iters = 40,
+        checkpointEvery = 10)
+      .select("node", "rank_micro").as[(Long, Long)].collect().toMap
+    assert(long.values.toSet.size === 1,
+      s"4-cycle must converge to equal ranks: $long")
+  }
+
   test("duplicatedSpans merges runs, honours span threshold, ignores unique text") {
     import spark.implicits._
     // shared verbatim run of 10 tokens (s0..s9) inside otherwise-unique
