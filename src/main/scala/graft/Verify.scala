@@ -30,6 +30,18 @@ object Verify {
     // the filter exists for
     require(selected.nonEmpty,
       s"query filter '${args.drop(2).headOption.getOrElse("")}' matched no queries")
+    // stale-extras guard (ADVICE r12): the deflate write below catches its
+    // own failure and only logs, so an artifact left by a PREVIOUS run at
+    // this outDir would be re-validated by tools/check.py as a false PASS.
+    // Deleting up front means a failed (or skipped) write leaves nothing.
+    if (selected.contains("q192_compression_signal")) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val extras = new java.io.File(s"$outDir.extras")
+      if (extras.exists()) rm(extras)
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

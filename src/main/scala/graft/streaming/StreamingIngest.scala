@@ -152,8 +152,13 @@ object StreamingIngest {
     * prevents re-draining; within a tick, in-batch keepers are chosen
     * before the corpus check so two near-dup arrivals in one tick
     * cannot both enter (order-independence, the corpusIngestTick
-    * lesson). StreamingSpec pins two-tick contents, no-reprocess, and
-    * the plan shape.
+    * lesson). CRASH REPLAY is also safe (ADVICE r12): the two appends
+    * inside foreachBatch are not atomic, so a replayed batch probes
+    * corpus membership directly by vec_id (pruned-column scan, batch
+    * side broadcast) — it never re-appends vectors and it heals band
+    * rows missing from the crash window; see the inline guard.
+    * StreamingSpec pins two-tick contents, no-reprocess, replay
+    * convergence, and the plan shape.
     */
   def embeddingIngestTick(spark: SparkSession, stagingDir: String,
                           corpusDir: String, checkpointDir: String,
@@ -181,21 +186,49 @@ object StreamingIngest {
           val uniq = b.join(dropped, Seq("vec_id"), "left_anti")
           val path = new org.apache.hadoop.fs.Path(corpusDir)
           val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
-          val fresh = (if (fs.exists(path)) {
+          if (fs.exists(path)) {
+            val corpus = sp.read.parquet(corpusDir)
             val flags = Similarity.embeddingCorpusFlags(
-              sp.read.parquet(corpusDir),
+              corpus,
               sp.read.parquet(s"$corpusDir/_bands"),
               uniq, "vec_id", "embedding", dims, bands, rowsPerBand)
-            uniq.join(flags.filter(col("best_cosine") >= minCosine)
+            // multiple consumers below (vector append + band append)
+            val keep = uniq.join(flags.filter(col("best_cosine") >= minCosine)
                 .select("vec_id"),
               Seq("vec_id"), "left_anti")
-          } else uniq)
+              .localCheckpoint(true)
+            // CRASH-REPLAY GUARD (ADVICE r12): the two dependent appends
+            // below are not atomic — a crash between them leaves vectors
+            // in the corpus with no band rows, and a replayed batch (the
+            // checkpoint commits only after foreachBatch returns) would
+            // re-append them because the flag check consults only the
+            // index. Probe corpus membership DIRECTLY by vec_id — the
+            // batch side broadcasts and the corpus streams map-side
+            // reading just the pruned id column — so a replay (a) never
+            // re-appends a vector already in the corpus and (b) still
+            // appends the MISSING band rows for the crash-window
+            // vectors, healing the index. An already-fully-ingested
+            // replay self-flags through the index (cosine 1.0) and
+            // no-ops both appends, so band rows are never duplicated
+            // either; repeated replays converge.
+            val inCorpus = corpus.select(col("vec_id"))
+              .join(broadcast(keep.select(col("vec_id").as("bid"))),
+                col("vec_id") === col("bid"))
+              .select("vec_id").distinct()
+              .localCheckpoint(true)
+            keep.join(broadcast(inCorpus), Seq("vec_id"), "left_anti")
+              .write.mode("append").parquet(corpusDir)
+            Similarity.lshBandRows(keep, "vec_id", "embedding",
+                dims, bands, rowsPerBand)
+              .write.mode("append").parquet(s"$corpusDir/_bands")
+          } else {
             // two writes read the survivors (vectors + band rows)
-            .localCheckpoint(true)
-          fresh.write.mode("append").parquet(corpusDir)
-          Similarity.lshBandRows(fresh, "vec_id", "embedding",
-              dims, bands, rowsPerBand)
-            .write.mode("append").parquet(s"$corpusDir/_bands")
+            val fresh = uniq.localCheckpoint(true)
+            fresh.write.mode("append").parquet(corpusDir)
+            Similarity.lshBandRows(fresh, "vec_id", "embedding",
+                dims, bands, rowsPerBand)
+              .write.mode("append").parquet(s"$corpusDir/_bands")
+          }
         } finally b.unpersist()
       }
       .start()

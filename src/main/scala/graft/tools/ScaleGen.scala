@@ -226,9 +226,15 @@ object ScaleGen {
     val vocabBeta = if (args.length > 6) args(6).toDouble else 1.0
     // which tables to (re)generate — a shifted-events or natural-vocab
     // variant reuses the expensive unchanged tables from a sibling dir
+    val knownTables = Set("documents", "embeddings", "events", "relational")
     val tables: Set[String] =
       if (args.length > 7 && args(7) != "all") args(7).split(",").toSet
-      else Set("documents", "embeddings", "events", "relational")
+      else knownTables
+    // a typo'd table name silently generating NOTHING (exit 0) would let a
+    // sweep measure a stale sibling corpus — fail loudly instead (ADVICE r12)
+    require(tables.subsetOf(knownTables),
+      s"unknown table name(s) ${(tables -- knownTables).mkString(", ")}; " +
+        s"known: ${knownTables.toSeq.sorted.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

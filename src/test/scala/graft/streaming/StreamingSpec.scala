@@ -149,6 +149,50 @@ class StreamingSpec extends SparkSpec {
       s"corpus side must stream through broadcast joins:\n$plan")
   }
 
+  test("embedding tick crash replay: no duplicate vectors, missing band rows healed, " +
+      "full replay a no-op (ADVICE r12)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("embreplay").toString
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    val corpus = s"$base/corpus"
+    def unit(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // tick 1: establish a corpus of two distinct vectors
+    Seq((1L, unit(1).toSeq), (2L, unit(2).toSeq))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.embeddingIngestTick(spark, staging, corpus, s"$base/ckptA")
+    assert(spark.read.parquet(s"$corpus/_bands").count() === 2L * 4L)
+    // simulate the crash window: a tick appended vector 10 to the corpus
+    // and DIED before the band append (and before the checkpoint commit)
+    Seq((10L, unit(5).toSeq)).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    // the replayed batch re-delivers 10 plus a genuinely new 11; a fresh
+    // checkpoint re-drains everything staged — the worst-case replay
+    Seq((10L, unit(5).toSeq), (11L, unit(6).toSeq))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.embeddingIngestTick(spark, staging, corpus, s"$base/ckptB")
+    val ids = spark.read.parquet(corpus).select("vec_id").as[Long].collect()
+    assert(ids.sorted.toSeq === Seq(1L, 2L, 10L, 11L), s"got ${ids.toSeq}")
+    assert(ids.length === ids.distinct.length, "replay duplicated corpus vectors")
+    // the crash-window vector's band rows were healed, 11's were added
+    val bands = spark.read.parquet(s"$corpus/_bands")
+    assert(bands.count() === 4L * 4L)
+    assert(bands.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 10L, 11L))
+    // a SECOND full replay (everything already ingested + banded):
+    // every vector self-flags through the index — both appends no-op
+    StreamingIngest.embeddingIngestTick(spark, staging, corpus, s"$base/ckptC")
+    assert(spark.read.parquet(corpus).count() === 4L)
+    assert(spark.read.parquet(s"$corpus/_bands").count() === 16L)
+  }
+
   test("drift ticks: maintained grid + PSI equal the batch computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

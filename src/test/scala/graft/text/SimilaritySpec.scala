@@ -373,6 +373,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveRowsPerBand(10, 5) == 5)       // never below floor
   }
 
+  test("oracle-SF embeddings stay under the adaptive floor threshold (ADVICE r12)") {
+    // q49/q54/q77/q209 register the occupancy-adaptive Auto wrappers
+    // against FIXED 5-bit-width SQL oracles; equivalence silently
+    // depends on every oracle-scale embeddings table staying at or
+    // under 4096 rows (targetOccupancy << floorRowsPerBand = 128·32),
+    // where adaptiveRowsPerBand still picks the floor. Enforce the
+    // bound here so a future larger test corpus fails THIS spec with
+    // the reason spelled out, not the driver gate with a hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val p = s"/root/testdata/$sf/embeddings.parquet"
+      if (new java.io.File(p).exists()) {
+        val n = spark.read.parquet(p).count()
+        assert(n <= 4096L,
+          s"$sf embeddings has $n rows > 4096: the Auto LSH wrappers would " +
+            "widen past the fixed 5-bit oracle width — re-render the " +
+            "q49/q54/q77/q209 oracles at adaptiveRowsPerBand(n, 5) bits")
+        assert(Similarity.adaptiveRowsPerBand(n, 5) == 5)
+      }
+    }
+  }
+
   test("broadcast join-back returns exactly the shuffle join-back's pairs") {
     // the F9 scale path (engaged by Auto past 64k rows) is a plan-only
     // change — pin result parity on the flag itself
