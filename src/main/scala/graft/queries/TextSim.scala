@@ -157,6 +157,57 @@ object TextSim extends QueryPack {
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY ccos DESC, c) = 1)"""
 
+  /** Unrolled snapped-Lloyd training CTEs (q211): `iters` rounds, each =
+    * cosine-argmax assignment against the previous round's centroid
+    * matrix (seeded md5 directions at round 0 — the q43/q73 formula) →
+    * per-(cell, dim) micro-snapped means → per-round `coalesce` carry
+    * for emptied cells. Ends in `cr{iters} (c, i, x, n_members)` — the
+    * trained matrix in row form. Every arithmetic step is the exact
+    * cross-engine form (integer sums + one IEEE division per component;
+    * 6-dp-rounded cosines with the `ORDER BY ccos DESC, c` argmax
+    * tie-break the engine kernel implements), which is what makes an
+    * ITERATIVE trainer oracle-checkable at all — raw fp means would
+    * diverge in the last ulps by round 2.
+    */
+  private def kmeansTrainCtes(centroids: Int, dims: Int, iters: Int): String = {
+    val base = s"""
+        e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM e),
+        cr0 AS (SELECT c, i,
+                       ((('0x' || substr(md5('c' || c || '_' || i), 1, 8))::BIGINT
+                         / 2147483648.0) - 1.0) AS x
+                FROM (SELECT unnest(range(0, $centroids)) AS c),
+                     (SELECT unnest(range(0, $dims)) AS i))"""
+    val steps = (1 to iters).map { t =>
+      s"""
+        cm${t - 1} AS (SELECT c, list(x ORDER BY i) AS cv
+                       FROM cr${t - 1} GROUP BY c),
+        sc$t AS (SELECT en.vec_id, en.v, q.c,
+                        round(list_dot_product(en.v, q.cv)
+                              / (sqrt(list_dot_product(q.cv, q.cv)) * en.vn),
+                              6) AS ccos
+                 FROM en CROSS JOIN cm${t - 1} q),
+        asg$t AS (SELECT vec_id, v, c AS cell FROM sc$t
+                  QUALIFY row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY ccos DESC, c) = 1),
+        mn$t AS (SELECT cell, i, count(*)::BIGINT AS n_members,
+                        sum(floor(x * 1e6 + 0.5))::BIGINT AS m_micro
+                 FROM (SELECT cell, unnest(range(0, $dims)) AS i,
+                              unnest(v) AS x
+                       FROM asg$t)
+                 GROUP BY 1, 2),
+        cr$t AS (SELECT p.c, p.i,
+                        coalesce(m.m_micro::DOUBLE
+                                   / (m.n_members::DOUBLE * 1e6),
+                                 p.x) AS x,
+                        coalesce(m.n_members, 0)::BIGINT AS n_members
+                 FROM cr${t - 1} p
+                 LEFT JOIN mn$t m ON m.cell = p.c AND m.i = p.i)"""
+    }.mkString(",")
+    base + "," + steps
+  }
+
   /** The q135 hybrid-retrieval ranker CTEs, ending in `dense` and
     * `sparse` (query_id, doc_id, rank ≤ 20) — ONE generator for the RRF
     * fusion oracle (q135) and the RBO agreement oracle (q146) so the two
@@ -1455,6 +1506,21 @@ object TextSim extends QueryPack {
                sum(floor(x * 1e6 + 0.5))::BIGINT AS m_micro,
                sum(floor(x * 1e6 + 0.5))::DOUBLE / (count(*)::DOUBLE * 1e6) AS m
         FROM pos GROUP BY 1, 2""")),
+
+    // ITERATIVE snapped-Lloyd training (VERDICT r12 #1): 3 unrolled
+    // engine-exact refine steps — assignment re-rooted at the source
+    // scan per round with the previous round's snapped means as kernel
+    // literals (bounded C·d driver data between rounds; NO growing
+    // lineage, see trainCentroidsExactMatrix scaladoc), emitted as the
+    // full trained C×d grid with empty-cell carry. The oracle replays
+    // all 3 rounds from the shared seeded-quantizer formula.
+    "q211_kmeans_train" -> Q(
+      (s, d) => Similarity.trainCentroidsExact(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, centroids = 16, iterations = 3),
+      Some(s"""
+        WITH ${kmeansTrainCtes(16, 64, 3)}
+        SELECT c::BIGINT AS cell, i::BIGINT AS i, n_members, x AS m
+        FROM cr3""")),
 
     // SemDeDup: drop any vector with a lower-id cell-mate within cosine
     // 0.2 — the clustering-bounded semantic dedup (quadratic term runs

@@ -389,49 +389,19 @@ object Similarity {
           .as("mean_sil_micro"))
   }
 
-  /** Offline IVF TRAINING: Lloyd iterations from the deterministic seed
-    * directions. Each pass = one assignment scan + ONE aggregation
-    * (posexplode → per-(cell, dim) mean) collected to the driver —
-    * O(C·dims) driver data, independent of N; empty cells keep their
-    * previous centroid. Returns the refined matrix for `ivfTopKWith`.
-    *
-    * Deliberately NOT the oracle path: fp aggregation order makes trained
-    * centroids run-varying in the last ulps, so the oracle-checked q43
-    * keeps the seeded quantizer; training is the index-build step a real
-    * deployment runs offline. Its value at scale is cell BALANCE — the
-    * probe cost bound is the largest probed cell — measured in
-    * SimilaritySpec.
-    */
-  def trainCentroids(vectors: DataFrame, idCol: String, vecCol: String,
-                     dims: Int, centroids: Int, iterations: Int): Array[Array[Double]] = {
-    var cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
-    (1 to iterations).foreach { _ =>
-      val means = assignCells(vectors, idCol, vecCol, cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("cell"), col("i"))
-        .agg(avg(col("x")).as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      }
-      cents = next
-    }
-    cents
-  }
-
   /** ORACLE-CHECKABLE distributed Lloyd step: assign every vector to its
     * seeded-quantizer cell, then emit each cell's member count and
     * per-dimension mean as EXACT cross-engine arithmetic — each
     * coordinate micro-snaps (`floor(x·1e6 + 0.5)`, an integer-valued
     * double) before the per-(cell, dim) sum, so the aggregate is
     * order-independent and the single trailing division is one IEEE op.
-    * This is the fix for exactly the reason [[trainCentroids]] is NOT
-    * oracle-checked (fp aggregation order makes its means run-varying in
-    * the last ulps): the snapped mean differs from the exact mean by at
-    * most 5e-7 per coordinate — irrelevant to clustering — and is
-    * bit-identical everywhere, so an iterative training loop built on it
-    * would be REPRODUCIBLE across engines, runs, and partitionings.
+    * This is the fix for exactly the reason the retired fp-mean trainer
+    * was NOT oracle-checked (fp aggregation order made its means
+    * run-varying in the last ulps): the snapped mean differs from the
+    * exact mean by at most 5e-7 per coordinate — irrelevant to
+    * clustering — and is bit-identical everywhere, which is what lets
+    * [[trainCentroidsExactMatrix]] iterate it into a REPRODUCIBLE
+    * training loop (identical across engines, runs, and partitionings).
     *
     * Emits (cell, i, n_members, m_micro, m): 1024 rows at C=16, d=64 —
     * the refined matrix in row form, distributed end to end (the
@@ -439,8 +409,17 @@ object Similarity {
     * aggregation; nothing corpus-sized reaches the driver).
     */
   def refineCentroidsExact(vectors: DataFrame, idCol: String, vecCol: String,
-                           dims: Int, centroids: Int): DataFrame = {
-    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+                           dims: Int, centroids: Int): DataFrame =
+    refineStepExact(vectors, idCol, vecCol,
+      (0 until centroids).map(c => centroidVec(c, dims)).toArray)
+
+  /** One snapped Lloyd step against an ARBITRARY centroid matrix — the
+    * building block [[refineCentroidsExact]] (seeded matrix) and the
+    * iterative trainer share, so the step arithmetic cannot drift
+    * between the single-step and trained registrations. */
+  private def refineStepExact(vectors: DataFrame, idCol: String,
+                              vecCol: String,
+                              cents: Array[Array[Double]]): DataFrame =
     assignCells(vectors, idCol, vecCol, cents)
       .select(col("cell").cast("long").as("cell"),
         posexplode(col("v")).as(Seq("i", "x")))
@@ -451,6 +430,72 @@ object Similarity {
         col("m_micro"),
         (col("m_micro").cast("double") /
           (col("n_members").cast("double") * lit(1e6))).as("m"))
+
+  /** Offline IVF TRAINING, engine-exact (VERDICT r12 #1 — replaces the
+    * retired fp-mean `trainCentroids`): `iterations` unrolled
+    * [[refineStepExact]] Lloyd steps from the deterministic seed
+    * directions. Each step = one assignment scan + ONE (cell, dim)-keyed
+    * aggregation whose C·d snapped means are collected to the driver —
+    * the means are read back off the SAME `m` column the oracle
+    * recomputes (`m_micro / (n·1e6)`, integer inputs + one IEEE
+    * division), so the matrix after every step is bit-identical across
+    * engines, runs, and partitionings. Empty cells keep their previous
+    * centroid (the standard Lloyd convention; rendered as the oracle's
+    * per-round `coalesce` carry).
+    *
+    * Scale shape: the bounded O(C·d) collect IS the lineage barrier —
+    * each iteration's plan re-roots at the source scan with the next
+    * literal matrix, so lineage never grows with `iterations` (the
+    * reason this loop needs no `checkpointEvery`: unlike PageRank's
+    * node-frame recursion there is no growing distributed lineage to
+    * cut). The matrix must reach executors as kernel literals anyway
+    * (the `assignCells` argmax contract), and at the IVF sizing rule
+    * C ≈ √N even 100 TB keeps C·d driver-side megabytes, not gigabytes.
+    */
+  def trainCentroidsExactMatrix(vectors: DataFrame, idCol: String,
+                                vecCol: String, dims: Int, centroids: Int,
+                                iterations: Int): Array[Array[Double]] = {
+    require(iterations >= 0, s"iterations $iterations < 0")
+    var cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    (1 to iterations).foreach { _ =>
+      val step = refineStepExact(vectors, idCol, vecCol, cents)
+        .select("cell", "i", "m").collect()
+      val next = cents.map(_.clone())
+      step.foreach { r =>
+        next(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** The registered FACE of [[trainCentroidsExactMatrix]]: the full
+    * C×d trained grid after `iterations` snapped Lloyd steps —
+    * (cell, i, n_members, m) where `n_members` is the cell's population
+    * in the FINAL step (0 for a cell that emptied) and `m` the trained
+    * component (final-step snapped mean, or the carried previous value
+    * for an empty cell). Exactly the matrix a deployment would persist
+    * via [[saveCentroids]], in oracle-comparable row form: the final
+    * step runs distributed against the (iterations−1)-trained matrix
+    * and left-joins onto the C·d-row carry grid — nothing corpus-sized
+    * leaves the executors.
+    */
+  def trainCentroidsExact(vectors: DataFrame, idCol: String, vecCol: String,
+                          dims: Int, centroids: Int,
+                          iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations $iterations < 1")
+    val sp = vectors.sparkSession
+    import sp.implicits._
+    val prev = trainCentroidsExactMatrix(vectors, idCol, vecCol, dims,
+      centroids, iterations - 1)
+    val grid = sp.createDataset(for {
+      c <- 0 until centroids; i <- 0 until dims
+    } yield (c.toLong, i.toLong, prev(c)(i))).toDF("cell", "i", "prev_x")
+    val last = refineStepExact(vectors, idCol, vecCol, prev)
+    grid.join(last, Seq("cell", "i"), "left")
+      .select(col("cell"), col("i"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("m"), col("prev_x")).as("m"))
   }
 
   /** SemDeDup (Abbas et al. 2023, public): semantic dedup WITHIN

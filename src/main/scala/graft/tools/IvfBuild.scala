@@ -48,8 +48,12 @@ object IvfBuild {
             buckets: Int = 8): Array[Array[Double]] = {
     val emb = Tables.embeddings(spark, sfDir)
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
-    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
-      dims, centroids, iterations)
+    // engine-exact trainer (VERDICT r12 #1): snapped Lloyd steps are
+    // bit-identical across runs/partitionings, so rebuilding an index
+    // reproduces the SAME quantizer — the retired fp-mean trainer could
+    // flip argmax cells between builds in the last ulps
+    val cents = Similarity.trainCentroidsExactMatrix(emb, "vec_id",
+      "embedding", dims, centroids, iterations)
     Similarity.saveCentroids(spark, cents, s"$outDir/centroids.parquet")
     val table = tableName(outDir)
     spark.sql(s"DROP TABLE IF EXISTS $table")

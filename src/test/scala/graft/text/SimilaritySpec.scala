@@ -73,11 +73,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r > 0.2, f"IVF recall $r%.3f is no better than probing random cells")
   }
 
-  test("trained centroids: Lloyd passes improve cell balance, search stays well-formed") {
+  test("trained centroids: snapped Lloyd passes are reproducible, improve balance, " +
+      "search stays well-formed") {
     val emb = Tables.embeddings(spark, dir)
     val seed = (0 until 16).map(c => Similarity.centroidVec(c, 64)).toArray
-    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding",
-      dims = 64, centroids = 16, iterations = 2)
+    val trained = Similarity.trainCentroidsExactMatrix(emb, "vec_id",
+      "embedding", dims = 64, centroids = 16, iterations = 2)
+    // the r12 verdict's point: the snapped trainer is ENGINE-EXACT —
+    // a re-run over a differently-partitioned copy of the corpus
+    // reproduces the matrix bit-for-bit (the fp-mean trainer could not)
+    val again = Similarity.trainCentroidsExactMatrix(emb.repartition(7),
+      "vec_id", "embedding", dims = 64, centroids = 16, iterations = 2)
+    assert(trained.flatten.toSeq === again.flatten.toSeq,
+      "snapped training must be partitioning-invariant, bit-for-bit")
+    // zero iterations is the seed matrix itself
+    assert(Similarity.trainCentroidsExactMatrix(emb, "vec_id", "embedding",
+      dims = 64, centroids = 16, iterations = 0).flatten.toSeq ===
+      seed.flatten.toSeq)
     val hSeed = Similarity.cellHistogram(emb, "vec_id", "embedding", seed)
     val hTrained = Similarity.cellHistogram(emb, "vec_id", "embedding", trained)
     val n = hSeed.values.sum
@@ -85,10 +97,9 @@ class SimilaritySpec extends SparkSpec {
     info(s"cell population max/nonempty: seed=${hSeed.values.max}/${hSeed.size} " +
       s"trained=${hTrained.values.max}/${hTrained.size} (N=$n)")
     // the scale claim: probe cost is bounded by the largest probed cell.
-    // Lloyd does not strictly guarantee monotone max-cell shrinkage and
-    // trained centroids are fp-order run-varying in final ulps, so assert
-    // with slack: training must not make the worst cell MATERIALLY worse
-    // (observed on this fixture: 44 -> 38)
+    // Lloyd does not strictly guarantee monotone max-cell shrinkage, so
+    // assert with slack: training must not make the worst cell MATERIALLY
+    // worse (observed on this fixture: 44 -> 38)
     assert(hTrained.values.max <= (hSeed.values.max * 1.25).toLong,
       s"training materially worsened the largest cell: " +
         s"${hTrained.values.max} vs seed ${hSeed.values.max}")
@@ -96,6 +107,14 @@ class SimilaritySpec extends SparkSpec {
       trained, nprobe = 2, k = 3, queryPred = pred))
     info(f"trained-IVF recall@3 (nprobe=2/16): $r%.3f")
     assert(r > 0.2, f"trained IVF recall $r%.3f below the chance floor")
+    // the registered face agrees with the matrix: the (cell, i, ...,  m)
+    // grid IS the trained matrix in row form, empty cells carried
+    val rows = Similarity.trainCentroidsExact(emb, "vec_id", "embedding",
+      dims = 64, centroids = 16, iterations = 2).collect()
+    assert(rows.length === 16 * 64)
+    rows.foreach { r =>
+      assert(r.getDouble(3) === trained(r.getLong(0).toInt)(r.getLong(1).toInt))
+    }
   }
 
   test("multi-probe LSH lifts recall over single-probe at equal candidate budget") {
