@@ -4468,6 +4468,57 @@ object TextSim extends QueryPack {
                          * 1e6 + 0.5)::BIGINT)::BIGINT AS psi_micro
         FROM grid CROSS JOIN nb GROUP BY 1, 2""")),
 
+    // ISOTONIC CALIBRATION via PAVA (VERDICT r12 #7 — the last
+    // spec-only operator gains its oracle row): best monotone map from
+    // the doc-length centi-bucket (n_chars div 100 — non-monotone
+    // P(en) per bucket at EVERY test SF, so pooling genuinely binds;
+    // the coarser log₂ bucket pooled to one trivial block) to
+    // P(lang = en). Engine: one corpus aggregation to the bounded cell
+    // histogram + the driver-walk PAVA (exact cross-mult pooling,
+    // canonical strictly-increasing blocks). Oracle: the fit's UNIQUE
+    // fixed point has the minimax closed form
+    // ŷ_i = max_{j≤i} min_{k≥i} rate(j..k) — quadratic in CELLS only,
+    // rendered over interval prefix sums with an 18-digit fixed-point
+    // HUGEINT rate key (exact ordering while pairwise n_a·n_b < 1e18 —
+    // astronomically above any histogram the maxCells guard admits);
+    // blocks = level sets of the fitted value.
+    "q212_isotonic_calibration" -> Q(
+      (s, d) => Calibrate.isotonicFit(Tables.documents(s, d),
+        scoreMicro = expr("n_chars div 100"),
+        positive = col("lang") === lit("en")),
+      Some("""
+        WITH cells AS (
+          SELECT (n_chars // 100)::BIGINT AS s,
+                 count(*)::BIGINT AS n,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+          FROM documents GROUP BY 1),
+        ord AS (SELECT s, n, pos, row_number() OVER (ORDER BY s) AS idx
+                FROM cells),
+        cum AS (SELECT idx, s, n, pos,
+                       sum(n) OVER (ORDER BY idx) AS cn,
+                       sum(pos) OVER (ORDER BY idx) AS cpos
+                FROM ord),
+        ivq AS (SELECT a.idx AS j, b.idx AS k,
+                       ((b.cpos - a.cpos + a.pos)::HUGEINT
+                        * 1000000000000000000)
+                         // (b.cn - a.cn + a.n)::HUGEINT AS q
+                FROM cum a JOIN cum b ON a.idx <= b.idx),
+        mn AS (SELECT o.idx AS i, v.j, min(v.q) AS mq
+               FROM ord o JOIN ivq v ON v.j <= o.idx AND v.k >= o.idx
+               GROUP BY 1, 2),
+        fit AS (SELECT i, max(mq) AS fq FROM mn GROUP BY 1),
+        marks AS (SELECT i,
+                         CASE WHEN fq = lag(fq) OVER (ORDER BY i) THEN 0
+                              ELSE 1 END AS brk
+                  FROM fit),
+        grps AS (SELECT i, sum(brk) OVER (ORDER BY i) AS g FROM marks)
+        SELECT min(o.s) AS score_lo, max(o.s) AS score_hi,
+               sum(o.n)::BIGINT AS n, sum(o.pos)::BIGINT AS pos,
+               floor(sum(o.pos)::DOUBLE * 1e6 / sum(o.n)::DOUBLE
+                     + 0.5)::BIGINT AS rate_micro
+        FROM grps JOIN ord o ON o.idx = grps.i
+        GROUP BY g""")),
+
     // NB MARGIN-CALIBRATION TABLE (text/Classify.scala): per log₂
     // confidence-margin bucket, the classifier's empirical accuracy —
     // the reliability diagram for a log-space classifier. Shares the

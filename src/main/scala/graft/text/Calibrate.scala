@@ -551,10 +551,16 @@ object Calibrate {
     *
     * Returns one row per fitted block: [score_lo, score_hi] and the
     * pooled rate (exact pos/n integers plus a micro-snapped rate for
-    * joining). Monotone by construction; Σn over blocks = corpus rows.
-    * Not oracle-registered: PAVA's sequential pooling has no
-    * SQL-window rendering — the operator is spec-verified
-    * (PipelineOpsSpec) like the other driver-walk tails.
+    * joining). Blocks are the CANONICAL representation — adjacent
+    * block rates strictly increase (equal-rate neighbors pool, which
+    * leaves the fitted function unchanged), so the block set equals
+    * the level sets of the minimax closed form
+    * ŷ_i = max_{j≤i} min_{k≥i} pos(j..k)/n(j..k) — which is exactly
+    * how the q212 oracle replays the fit in SQL over the bounded cell
+    * histogram (the r12 verdict's "no SQL rendering" caveat closed:
+    * the SEQUENCE has no window form, but the unique fixed point has a
+    * closed form, quadratic only in CELLS, never rows). Monotone by
+    * construction; Σn over blocks = corpus rows.
     */
   def isotonicFit(df: DataFrame, scoreMicro: Column, positive: Column,
                   maxCells: Long = 1000000L): DataFrame = {
@@ -578,8 +584,10 @@ object Calibrate {
       stack += b
       while (stack.length >= 2 && {
         val a = stack(stack.length - 2); val c = stack.last
-        // BigInt: pooled pos·n products outgrow 64 bits near 3e9 rows
-        BigInt(a.pos) * c.n > BigInt(c.pos) * a.n
+        // BigInt: pooled pos·n products outgrow 64 bits near 3e9 rows.
+        // >= (not >): equal-rate neighbors pool too — the canonical
+        // strictly-increasing block form the minimax oracle reproduces
+        BigInt(a.pos) * c.n >= BigInt(c.pos) * a.n
       }) {
         val c = stack.remove(stack.length - 1)
         val a = stack.last

@@ -110,5 +110,16 @@ class TrendSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Calibrate.isotonicFit(rnd, col("s"), col("y"), maxCells = 3L)
     }
+    // canonical form (r13): adjacent blocks with EQUAL rates pool — the
+    // fitted function is unchanged but the block set now equals the
+    // minimax level sets the q212 oracle replays. 0.5, 0.5 → one block.
+    val eq = (Seq.fill(1)((1L, true)) ++ Seq.fill(1)((1L, false)) ++
+      Seq.fill(2)((2L, true)) ++ Seq.fill(2)((2L, false))).toDF("s", "y")
+    val canon = Calibrate.isotonicFit(eq, col("s"), col("y")).collect()
+    assert(canon.length == 1 && canon.head.getAs[Long]("n") == 6L &&
+      canon.head.getAs[Long]("rate_micro") == 500000L)
+    // and block rates are STRICTLY increasing on the mixed fixture
+    assert(rates == rates.distinct.sorted,
+      s"canonical block rates must strictly increase: $rates")
   }
 }
