@@ -218,6 +218,39 @@ object TextSim extends QueryPack {
     * Ends in `sse (vec_id, subspace, code, sse_micro)` with `e` and
     * `cc` also available. Parameters mirror pqAudit(dims=64, m=4,
     * ksub=8) — dsub = 16. */
+  /** The q207 IVFADC code/table chain (dims=64, m=4, ksub=8, dsub=16,
+    * query set vec_id%25=0), factored so the serving query (q207) and
+    * the recall-curve sweep (q213) replay ONE codebook + code-assignment
+    * formula and cannot drift. Expects `e`/`assigned`/`scored_cells`
+    * (ivfAssignCtes) in scope; ends with `cwc (vec_id, subspace, code,
+    * cell)` and `tbl (query_id, subspace, code, t_micro)`. */
+  private val ivfPqAdcCtes: String = """
+        asubs AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sub
+                  FROM e, unnest(range(0, 4)) AS u(s)),
+        pcc AS (SELECT s, c,
+                       [((('0x' || substr(md5('pq' || s || '_' || c || '_' || i), 1, 8))::BIGINT
+                          / 2147483648.0) - 1.0) for i in range(0, 16)] AS cv
+                FROM (SELECT unnest(range(0, 4)) AS s),
+                     (SELECT unnest(range(0, 8)) AS c)),
+        psse AS (
+          SELECT vec_id, asubs.s AS subspace, pcc.c AS code,
+                 floor(((list_dot_product(sub, sub) - 2 * list_dot_product(sub, pcc.cv))
+                        + list_dot_product(pcc.cv, pcc.cv)) * 1e6 + 0.5)::BIGINT AS sse_micro
+          FROM asubs JOIN pcc ON pcc.s = asubs.s),
+        codes AS (SELECT vec_id, subspace, code FROM psse
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+                                             ORDER BY sse_micro, code) = 1),
+        cwc AS (SELECT codes.vec_id, codes.subspace, codes.code, a.cell
+                FROM codes JOIN assigned a USING (vec_id)),
+        qsubs AS (SELECT vec_id AS query_id, s, sub FROM asubs
+                  WHERE vec_id % 25 = 0),
+        tbl AS (SELECT query_id, qsubs.s AS subspace, pcc.c AS code,
+                       floor(((list_dot_product(sub, sub)
+                               - 2 * list_dot_product(sub, pcc.cv))
+                              + list_dot_product(pcc.cv, pcc.cv))
+                             * 1e6 + 0.5)::BIGINT AS t_micro
+                FROM qsubs JOIN pcc ON pcc.s = qsubs.s)"""
+
   /** The q183 textured-fixture dHash closed form as a CTE chain ending
     * in `ipairs (id_a, id_b, hamming)` at ham ≤ 2 — one generator for
     * the image-pair oracle (q183) and the multimodal dedup closure
@@ -3973,35 +4006,11 @@ object TextSim extends QueryPack {
         k = 10, queryPred = col("vec_id") % 25 === 0),
       Some(s"""
         WITH ${ivfAssignCtes(16, 64)},
-        asubs AS (SELECT vec_id, s, v[s*16+1 : s*16+16] AS sub
-                  FROM e, unnest(range(0, 4)) AS u(s)),
-        pcc AS (SELECT s, c,
-                       [((('0x' || substr(md5('pq' || s || '_' || c || '_' || i), 1, 8))::BIGINT
-                          / 2147483648.0) - 1.0) for i in range(0, 16)] AS cv
-                FROM (SELECT unnest(range(0, 4)) AS s),
-                     (SELECT unnest(range(0, 8)) AS c)),
-        psse AS (
-          SELECT vec_id, asubs.s AS subspace, pcc.c AS code,
-                 floor(((list_dot_product(sub, sub) - 2 * list_dot_product(sub, pcc.cv))
-                        + list_dot_product(pcc.cv, pcc.cv)) * 1e6 + 0.5)::BIGINT AS sse_micro
-          FROM asubs JOIN pcc ON pcc.s = asubs.s),
-        codes AS (SELECT vec_id, subspace, code FROM psse
-                  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
-                                             ORDER BY sse_micro, code) = 1),
-        cwc AS (SELECT codes.vec_id, codes.subspace, codes.code, a.cell
-                FROM codes JOIN assigned a USING (vec_id)),
+        $ivfPqAdcCtes,
         probes AS (SELECT vec_id AS query_id, c AS cell
                    FROM scored_cells WHERE vec_id % 25 = 0
                    QUALIFY row_number() OVER (PARTITION BY vec_id
                                               ORDER BY ccos DESC, c) <= 2),
-        qsubs AS (SELECT vec_id AS query_id, s, sub FROM asubs
-                  WHERE vec_id % 25 = 0),
-        tbl AS (SELECT query_id, qsubs.s AS subspace, pcc.c AS code,
-                       floor(((list_dot_product(sub, sub)
-                               - 2 * list_dot_product(sub, pcc.cv))
-                              + list_dot_product(pcc.cv, pcc.cv))
-                             * 1e6 + 0.5)::BIGINT AS t_micro
-                FROM qsubs JOIN pcc ON pcc.s = qsubs.s),
         adc AS (SELECT p.query_id, cwc.vec_id,
                        sum(t_micro)::BIGINT AS adc_micro
                 FROM cwc JOIN probes p ON cwc.cell = p.cell
@@ -4015,6 +4024,64 @@ object TextSim extends QueryPack {
                         ORDER BY adc_micro, vec_id) AS rank
               FROM adc)
         WHERE rank <= 10""")),
+
+    // IVF-PQ RECALL-vs-NPROBE CURVE (VERDICT r12 #5): q185's tuning
+    // sweep over the q207 IVFADC composition — recall@10 of the
+    // cell-pruned ADC path at nprobe ∈ {1, 2, 4} against the EXACT
+    // brute-force cosine truth, the end-to-end loss table (coarse
+    // pruning + PQ compression together) a deployment reads before
+    // picking its probe budget. The oracle replays the sweep from the
+    // SAME ivfAssignCtes + ivfPqAdcCtes generators as q43/q207, so
+    // neither codebook nor the probe order can drift. The sf0.01 curve
+    // (85/80/75% at np=1/2/4) shows the real IVFADC trade the sweep
+    // exists to surface: with a 3-bit/subspace codebook the ADC ranker
+    // is lossy, so WIDENING the probe set can let misranked candidates
+    // crowd truth out of top-k — the fix is more codebook bits (ksub),
+    // not more probes, and only this table tells you which.
+    "q213_ivfpq_recall_curve" -> Q(
+      (s, d) => Similarity.ivfPqRecallCurve(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, m = 4, ksub = 8, centroids = 16,
+        nprobes = Seq(1, 2, 4), k = 10, queryPred = col("vec_id") % 25 === 0),
+      Some(s"""
+        WITH ${ivfAssignCtes(16, 64)},
+        $ivfPqAdcCtes,
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM en
+              WHERE vec_id % 25 = 0),
+        truth AS (SELECT query_id, en.vec_id
+                  FROM q, en WHERE en.vec_id <> q.query_id
+                  QUALIFY row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(list_dot_product(qv, v)
+                                         / (qn * vn), 6) DESC,
+                                   en.vec_id) <= 10),
+        probes AS (SELECT np, query_id, cell
+                   FROM (SELECT vec_id AS query_id, c AS cell,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY ccos DESC, c) AS rn
+                         FROM scored_cells WHERE vec_id % 25 = 0),
+                        unnest([1, 2, 4]) un(np)
+                   WHERE rn <= np),
+        adc AS (SELECT p.np, p.query_id, cwc.vec_id,
+                       sum(t_micro)::BIGINT AS adc_micro
+                FROM cwc JOIN probes p ON cwc.cell = p.cell
+                JOIN tbl ON tbl.query_id = p.query_id
+                        AND tbl.subspace = cwc.subspace
+                        AND tbl.code = cwc.code
+                WHERE cwc.vec_id <> p.query_id
+                GROUP BY 1, 2, 3),
+        ranked AS (SELECT np, query_id, vec_id FROM adc
+                   QUALIFY row_number() OVER (PARTITION BY np, query_id
+                           ORDER BY adc_micro, vec_id) <= 10),
+        hits AS (SELECT np, count(*)::BIGINT AS hit
+                 FROM ranked JOIN truth USING (query_id, vec_id)
+                 GROUP BY 1),
+        nq AS (SELECT count(*)::BIGINT AS n FROM q)
+        SELECT un.np AS nprobe, nq.n AS n_queries,
+               coalesce(hits.hit, 0)::BIGINT AS hits,
+               (nq.n * 10)::BIGINT AS possible,
+               floor(coalesce(hits.hit, 0)::DOUBLE * 1e6
+                     / (nq.n * 10)::DOUBLE + 0.5)::BIGINT AS recall_micro
+        FROM unnest([1, 2, 4]) un(np)
+        LEFT JOIN hits ON hits.np = un.np CROSS JOIN nq""")),
 
     // Per-source GINI of the term-frequency vector — token-mass
     // concentration from the count-of-counts histogram (rank blocks in

@@ -1287,6 +1287,50 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
   }
 
+  /** IVF-PQ RECALL-vs-NPROBE CURVE (VERDICT r12 #5 — the tuning-
+    * evidence row q207's composition was missing, the [[ivfRecallCurve]]
+    * sibling): for each nprobe, recall@k of the IVFADC path (coarse
+    * cell pruning + ADC distances) against the EXACT brute-force cosine
+    * truth on the same query set — i.e. what the compressed, pruned
+    * serving path loses end to end, the number a deployment reads
+    * before choosing its probe budget.
+    *
+    * Cost shape: ONE brute-force truth pass + ONE [[ivfPqIndex]] build
+    * (both checkpointed — they are the expensive terms and every sweep
+    * point reads them), then one [[ivfPqProbe]] per sweep point over
+    * the SHARED index (the q207 serve plan: codes join a BROADCAST
+    * probe list and BROADCAST per-query distance tables — nprobe·N/K
+    * codes scored per query, never N·N_q; probe-vs-one-shot parity is
+    * spec-pinned, so the shared build changes nothing but wall time).
+    * Per-point results are |queries|×k-bounded, the driver collects
+    * |nprobes| summary rows. ADC ties break by vec_id and the truth
+    * set is engine-exact (rounded cosine + id tie-break), so recall is
+    * an integer ratio.
+    */
+  def ivfPqRecallCurve(vectors: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, m: Int, ksub: Int, centroids: Int,
+                       nprobes: Seq[Int], k: Int,
+                       queryPred: Column): DataFrame = {
+    require(nprobes.nonEmpty, "ivfPqRecallCurve needs at least one sweep point")
+    val queries = vectors.filter(queryPred)
+    val truth = bruteForceTopK(vectors, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val idx = ivfPqIndex(vectors, idCol, vecCol, dims, m, ksub, centroids)
+      .localCheckpoint(true)
+    val nq = queries.count()
+    val rows = nprobes.map { np =>
+      val got = ivfPqProbe(idx, queries, idCol, vecCol, dims, m, ksub,
+          centroids, np, k)
+        .select(col("query_id"), col("vec_id"))
+      val hits = got.join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+      (np, nq, hits, nq * k,
+        math.floor(hits.toDouble * 1e6 / (nq * k).toDouble + 0.5).toLong)
+    }
+    import vectors.sparkSession.implicits._
+    rows.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+  }
+
   /** Sub-centroid c of subspace s over `dsub` dimensions: component
     * i = md5("pq{s}_{c}_{i}") — a distinct seed family from the IVF
     * centroids and LSH planes. */
