@@ -723,6 +723,81 @@ object Similarity {
         col("bd.bucket").as("bucket"))
   }
 
+  /** Read a persisted band-index meta row: (bands, rows_per_band,
+    * built_n). None when the artifact predates the meta contract. */
+  def readBandIndexMeta(spark: SparkSession,
+                        metaDir: String): Option[(Int, Int, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(metaDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val rows = spark.read.parquet(metaDir)
+        .select("bands", "rows_per_band", "built_n").collect()
+      require(rows.length == 1, s"band-index meta at $metaDir has " +
+        s"${rows.length} rows, expected exactly 1")
+      Some((rows(0).getInt(0), rows(0).getInt(1), rows(0).getLong(2)))
+    }
+  }
+
+  /** Persist the band-index meta row (overwrite — the meta IS the
+    * current-width record, history lives in the tick logs). */
+  def writeBandIndexMeta(spark: SparkSession, metaDir: String, bands: Int,
+                         rowsPerBand: Int, builtN: Long): Unit = {
+    import spark.implicits._
+    Seq((bands, rowsPerBand, builtN))
+      .toDF("bands", "rows_per_band", "built_n")
+      .coalesce(1).write.mode("overwrite").parquet(metaDir)
+  }
+
+  /** BAND-INDEX STALENESS GUARD (VERDICT r12 #3): a persisted `_bands`
+    * index freezes its width at build time, but [[adaptiveRowsPerBand]]
+    * is a function of the CORPUS SIZE — once the corpus outgrows the
+    * next occupancy threshold, a tick serving through the frozen index
+    * silently runs at saturating occupancy (candidates ∝ n²/2^w, the
+    * exact quadratic the adaptive width exists to kill). This guard
+    * makes the check explicit at every tick: compare the width the
+    * CURRENT corpus needs against the width the index was BUILT at
+    * (recorded in the meta row), and rebuild the index — one corpus
+    * scan, the honest price of a width change — when it falls behind.
+    * Returns the effective width every consumer of the index must use.
+    *
+    * An index without a meta row (pre-r13 artifact) is adopted as
+    * built at `floorRowsPerBand` — the old contract's only possible
+    * width — so the staleness arithmetic applies to it uniformly
+    * (an oversized legacy corpus rebuilds immediately, which is the
+    * correct outcome: its index WAS saturating).
+    */
+  def ensureBandIndexFresh(corpus: DataFrame, idCol: String, vecCol: String,
+                           dims: Int, bandsDir: String, metaDir: String,
+                           bands: Int, floorRowsPerBand: Int,
+                           targetOccupancy: Long = 128L): Int = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val needed = adaptiveRowsPerBand(n, floorRowsPerBand, targetOccupancy)
+    val meta = readBandIndexMeta(spark, metaDir)
+    meta.foreach { case (b, _, _) =>
+      require(b == bands, s"band-index meta at $metaDir was built with " +
+        s"$b bands, caller expects $bands — refusing to serve a " +
+        "mismatched banding")
+    }
+    val builtWidth = meta.map(_._2).getOrElse(floorRowsPerBand)
+    if (needed > builtWidth) {
+      System.err.println(s"[bands] index at $bandsDir is STALE: built " +
+        s"width $builtWidth" +
+        meta.map { case (_, _, bn) => s" (corpus was $bn)" }.getOrElse("") +
+        s", corpus now $n needs width $needed — rebuilding")
+      lshBandRows(corpus, idCol, vecCol, dims, bands, needed)
+        .write.mode("overwrite").parquet(bandsDir)
+      writeBandIndexMeta(spark, metaDir, bands, needed, n)
+      needed
+    } else {
+      // adopt-and-record for legacy artifacts so the NEXT check can
+      // compare against a written width instead of re-assuming
+      if (meta.isEmpty) writeBandIndexMeta(spark, metaDir, bands, builtWidth, n)
+      builtWidth
+    }
+  }
+
   def lshNeighborPairs(vectors: DataFrame, idCol: String, vecCol: String,
                        dims: Int, bands: Int, rowsPerBand: Int,
                        minCosine: Double,

@@ -147,8 +147,16 @@ object StreamingIngest {
     * the batch pair join, so index and query banding cannot drift.
     *
     * Layout under `corpusDir`: vector parquet at the root, the band
-    * index at `_bands` (underscore-hidden from corpus scans, the
-    * `_manifest` trick). Idempotence: the file source's checkpoint
+    * index at `_bands`, its width/count meta at `_bands_meta`
+    * (underscore-hidden from corpus scans, the `_manifest` trick).
+    * WIDTH STALENESS (VERDICT r12 #3): every tick starts with
+    * `Similarity.ensureBandIndexFresh` — the persisted index froze its
+    * width at build time, and once the corpus outgrows the next
+    * occupancy threshold the tick would silently serve at saturating
+    * occupancy; the guard rebuilds the index (one corpus scan, loudly
+    * logged) and the tick serves and appends at the rebuilt width.
+    * `rowsPerBand` is therefore the FLOOR width, not a fixed one.
+    * Idempotence: the file source's checkpoint
     * prevents re-draining; within a tick, in-batch keepers are chosen
     * before the corpus check so two near-dup arrivals in one tick
     * cannot both enter (order-independence, the corpusIngestTick
@@ -164,7 +172,8 @@ object StreamingIngest {
                           corpusDir: String, checkpointDir: String,
                           dims: Int = 64, bands: Int = 4,
                           rowsPerBand: Int = 5,
-                          minCosine: Double = 0.9): Unit = {
+                          minCosine: Double = 0.9,
+                          targetOccupancy: Long = 128L): Unit = {
     import graft.sim.Similarity
     val vecs = spark.readStream
       .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
@@ -188,10 +197,18 @@ object StreamingIngest {
           val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
           if (fs.exists(path)) {
             val corpus = sp.read.parquet(corpusDir)
+            // STALENESS GUARD (VERDICT r12 #3): the persisted index
+            // froze its width at build time; if the corpus has grown
+            // past the next occupancy threshold, rebuild it (and use
+            // the rebuilt width below for flags AND the band append —
+            // an appended row at the old width would poison the index)
+            val rEff = Similarity.ensureBandIndexFresh(corpus, "vec_id",
+              "embedding", dims, s"$corpusDir/_bands",
+              s"$corpusDir/_bands_meta", bands, rowsPerBand, targetOccupancy)
             val flags = Similarity.embeddingCorpusFlags(
               corpus,
               sp.read.parquet(s"$corpusDir/_bands"),
-              uniq, "vec_id", "embedding", dims, bands, rowsPerBand)
+              uniq, "vec_id", "embedding", dims, bands, rEff)
             // multiple consumers below (vector append + band append)
             val keep = uniq.join(flags.filter(col("best_cosine") >= minCosine)
                 .select("vec_id"),
@@ -219,7 +236,7 @@ object StreamingIngest {
             keep.join(broadcast(inCorpus), Seq("vec_id"), "left_anti")
               .write.mode("append").parquet(corpusDir)
             Similarity.lshBandRows(keep, "vec_id", "embedding",
-                dims, bands, rowsPerBand)
+                dims, bands, rEff)
               .write.mode("append").parquet(s"$corpusDir/_bands")
           } else {
             // two writes read the survivors (vectors + band rows)
@@ -228,6 +245,8 @@ object StreamingIngest {
             Similarity.lshBandRows(fresh, "vec_id", "embedding",
                 dims, bands, rowsPerBand)
               .write.mode("append").parquet(s"$corpusDir/_bands")
+            Similarity.writeBandIndexMeta(sp, s"$corpusDir/_bands_meta",
+              bands, rowsPerBand, fresh.count())
           }
         } finally b.unpersist()
       }

@@ -13,10 +13,18 @@ import org.apache.spark.sql.functions._
   * correctness check at scale, not just a stopwatch.
   *
   * Usage: runMain graft.tools.TickSpot <sfDir> <workDir> [batchN=1000]
-  *        [bands=4] [rowsPerBand=11] [minCosine=0.9]
+  *        [bands=4] [rowsPerBand=11] [minCosine=0.9] [staleDemo=0]
   * (rowsPerBand defaults to the occupancy-adaptive value the ×100
   * corpus gets from adaptiveRowsPerBand — the width a deployed index
   * at this scale would persist.)
+  *
+  * staleDemo=1 (VERDICT r12 #2/#3 evidence): after the normal build,
+  * DOWNGRADE the index to a deliberately narrow width-5 build (the
+  * registered small-scale width — what a deployment that never
+  * re-checked would still be running), then time
+  * `Similarity.ensureBandIndexFresh` detecting the stale width and
+  * rebuilding at the corpus's adaptive width — the rebuild cost a
+  * tick pays ONCE per width step, vs saturating occupancy forever.
   */
 object TickSpot {
   def main(args: Array[String]): Unit = {
@@ -35,11 +43,42 @@ object TickSpot {
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
     val n = emb.count()
 
+    val staleDemo = args.length > 6 && args(6).toInt == 1
+
     val t0 = System.nanoTime()
     Similarity.lshBandRows(emb, "vec_id", "embedding", dims, bands, rpb)
       .write.mode("overwrite").parquet(s"$work/_bands")
+    Similarity.writeBandIndexMeta(spark, s"$work/_bands_meta", bands, rpb, n)
     emb.write.mode("overwrite").parquet(s"$work/corpus")
     val tBuild = (System.nanoTime() - t0) / 1e9
+
+    if (staleDemo) {
+      // downgrade to the registered small-scale width, then time the
+      // guard detecting staleness and rebuilding at the adaptive width
+      val narrow = 5
+      Similarity.lshBandRows(emb, "vec_id", "embedding", dims, bands, narrow)
+        .write.mode("overwrite").parquet(s"$work/_bands")
+      Similarity.writeBandIndexMeta(spark, s"$work/_bands_meta", bands, narrow, n)
+      val corpus = spark.read.parquet(s"$work/corpus")
+      val t2 = System.nanoTime()
+      val rEff = Similarity.ensureBandIndexFresh(corpus, "vec_id", "embedding",
+        dims, s"$work/_bands", s"$work/_bands_meta", bands,
+        floorRowsPerBand = narrow)
+      val tRebuild = (System.nanoTime() - t2) / 1e9
+      val meta = Similarity.readBandIndexMeta(spark, s"$work/_bands_meta")
+      println(f"[tickspot] staleDemo: width-$narrow index over corpus=$n " +
+        f"detected stale, rebuilt at width $rEff in $tRebuild%.1f s " +
+        s"(meta now $meta)")
+      require(rEff == Similarity.adaptiveRowsPerBand(n, narrow),
+        s"rebuild width $rEff != adaptive width")
+      // a second check must be a cheap no-op (fresh index)
+      val t3 = System.nanoTime()
+      val again = Similarity.ensureBandIndexFresh(corpus, "vec_id", "embedding",
+        dims, s"$work/_bands", s"$work/_bands_meta", bands,
+        floorRowsPerBand = narrow)
+      println(f"[tickspot] staleDemo: fresh re-check ${(System.nanoTime() - t3) / 1e9}%.1f s (width $again)")
+      require(again == rEff, "fresh re-check must keep the rebuilt width")
+    }
 
     // batch: half near-copies of corpus vectors (shifted ids), half fresh
     val dup = emb.orderBy(col("vec_id")).limit(batchN / 2)

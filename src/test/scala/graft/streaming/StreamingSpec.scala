@@ -193,6 +193,64 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$corpus/_bands").count() === 16L)
   }
 
+  test("embedding tick staleness guard: outgrown corpus rebuilds the band index " +
+      "at the adaptive width (VERDICT r12 #3)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("embstale").toString
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    val corpus = s"$base/corpus"
+    def unit(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def near(v: Array[Double], seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      val w = v.map(_ + r.nextGaussian() * 0.001)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    // tick 1: 40 distinct vectors enter at the floor width 2 — the
+    // index freezes that width and records it in the meta row
+    (1 to 40).map(i => (i.toLong, unit(i).toSeq))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.embeddingIngestTick(spark, staging, corpus, s"$base/ckpt",
+      rowsPerBand = 2, targetOccupancy = 1L)
+    assert(graft.sim.Similarity.readBandIndexMeta(spark, s"$corpus/_bands_meta")
+      === Some((4, 2, 40L)))
+    assert(spark.read.parquet(s"$corpus/_bands").count() === 40L * 4L)
+    // tick 2: at targetOccupancy 1 the 40-vector corpus needs width 5
+    // (adaptiveRowsPerBand(40, 2, 1)) — the guard must rebuild BEFORE
+    // serving, then flag the planted dup through the rebuilt index and
+    // append the two new vectors' band rows at the NEW width
+    Seq((100L, unit(100).toSeq), (101L, unit(101).toSeq),
+        (102L, near(unit(7), 200).toSeq))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.embeddingIngestTick(spark, staging, corpus, s"$base/ckpt",
+      rowsPerBand = 2, targetOccupancy = 1L)
+    val ids = spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSet
+    assert(ids === ((1L to 40L).toSet ++ Set(100L, 101L)),
+      s"dup of vec 7 must be flagged through the REBUILT index; got $ids")
+    val meta = graft.sim.Similarity.readBandIndexMeta(spark, s"$corpus/_bands_meta")
+    assert(meta.map(_._1) === Some(4) && meta.map(_._2) === Some(5),
+      s"meta must record the rebuilt width 5: $meta")
+    assert(spark.read.parquet(s"$corpus/_bands").count() === 42L * 4L,
+      "rebuilt index (40 vectors) + the two fresh appends, all at one width")
+    // a third tick over the SAME corpus must not rebuild again: the
+    // meta width now satisfies the occupancy rule (42 >> 5 = 1 <= 1)
+    Seq((103L, unit(103).toSeq)).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.embeddingIngestTick(spark, staging, corpus, s"$base/ckpt",
+      rowsPerBand = 2, targetOccupancy = 1L)
+    assert(graft.sim.Similarity.readBandIndexMeta(spark, s"$corpus/_bands_meta")
+      .map(_._2) === Some(5))
+    assert(spark.read.parquet(s"$corpus/_bands").count() === 43L * 4L)
+  }
+
   test("drift ticks: maintained grid + PSI equal the batch computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
