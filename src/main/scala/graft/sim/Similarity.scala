@@ -1297,7 +1297,20 @@ object Similarity {
     val table = q.select(col("query_id"), explode(array(entries: _*)).as("e"))
       .select(col("query_id"), col("e.subspace").as("subspace"),
         col("e.code").as("code"), col("e.t_micro").as("t_micro"))
-    val adc = index.join(broadcast(probes), Seq("cell"))
+    // PROBE-CELL PUSHDOWN (r13): the union of probed cells is bounded
+    // by min(nprobe·N_q, centroids) ≤ the 4096 centroid cap — collect
+    // it and filter the index SCAN before the join, so the `cell IN`
+    // predicate reaches the parquet reader as row-group min/max
+    // skipping (the code table is sortBy(cell)) and, on a bucketed
+    // open, bucket pruning. The join alone can never prune the scan:
+    // probes are data, and a data-dependent join reads everything.
+    // Results are unchanged (the filter keeps a superset of what the
+    // join keeps); the serve-path win is reading nprobe·N/K codes
+    // instead of all N·m — which is the entire point of IVF.
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0))
+    val pruned = index.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val adc = pruned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(table), Seq("query_id", "subspace", "code"))
       .groupBy(col("query_id"), col("vec_id"))

@@ -34,6 +34,7 @@ import graft.sim.Similarity
   * Usage:
   *   runMain graft.tools.IvfPqBuild build <sfDir> <outDir> [m=8] [ksub=16] [C=16] [buckets=8]
   *   runMain graft.tools.IvfPqBuild probe <sfDir> <outDir> [nprobe=2] [k=3] [reps=1]
+  *   runMain graft.tools.IvfPqBuild serve <reqDir> <outDir> [nprobe=2] [k=3]
   *
   * Measured at ×100 (200k vectors, C=512, m=8 — SCALE.md §10): build
   * 27.8 s one-off; fresh-session first serve 10.3 s (SparkSession +
@@ -129,8 +130,68 @@ object IvfPqBuild {
       pqCodebook = Some((s, c) => pqCb((s, c))))
   }
 
+  /** WARM PROBE SERVER (VERDICT r12 #4 — §10's own lesson applied: the
+    * cold/steady split showed a probe server must be a warm process,
+    * so here is the warm process). Opens the artifact ONCE — bucketed
+    * DDL, both codebooks, params — then answers query batches in a
+    * loop: a request is a parquet directory of (idCol, vecCol) rows
+    * dropped under `reqDir/in/<name>`, its answer lands at
+    * `reqDir/out/<name>` (top-k rows, the [[probe]] schema). A request
+    * is only picked up once its `_SUCCESS` marker exists (writers drop
+    * atomically-finished parquet dirs, the file-source staging rule),
+    * and is considered answered when the output's `_SUCCESS` exists —
+    * so a killed server resumes by re-answering only the unanswered.
+    * The loop exits once `reqDir/stop` exists AND nothing is pending.
+    * Returns the number of batches served.
+    *
+    * Per batch the work is query-side only (cell ranking + m·ksub
+    * distance tables) plus the bucket-pruned ADC join — the artifact
+    * is NOT re-opened per batch, which is exactly the §10 delta: the
+    * 2.1–3.0 s steady-state there included a full re-open each rep.
+    */
+  def serve(spark: SparkSession, outDir: String, reqDir: String,
+            idCol: String, vecCol: String, nprobe: Int, k: Int,
+            pollMs: Long = 200L): Int = {
+    val p = loadParams(spark, outDir)
+    val index = openIndex(spark, outDir)
+    val cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
+    val pqCb = loadPqCodebook(spark, outDir)
+    val fs = new org.apache.hadoop.fs.Path(reqDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val inDir = new org.apache.hadoop.fs.Path(s"$reqDir/in")
+    def done(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$reqDir/out/$name/_SUCCESS"))
+    def ready(d: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+    var served = 0
+    var stop = false
+    while (!stop) {
+      val pending =
+        if (!fs.exists(inDir)) Array.empty[org.apache.hadoop.fs.Path]
+        else fs.listStatus(inDir).filter(_.isDirectory).map(_.getPath)
+          .filter(d => ready(d) && !done(d.getName)).sortBy(_.getName)
+      pending.foreach { d =>
+        val t0 = System.nanoTime()
+        val queries = spark.read.parquet(d.toString)
+        Similarity.ivfPqProbe(index, queries, idCol, vecCol,
+            p.dims, p.m, p.ksub, p.centroids, nprobe, k,
+            coarseCodebook = Some(cents),
+            pqCodebook = Some((s, c) => pqCb((s, c))))
+          .write.mode("overwrite").parquet(s"$reqDir/out/${d.getName}")
+        served += 1
+        println(f"[ivfpq] served batch '${d.getName}' in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (warm, no re-open)")
+      }
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$reqDir/stop"))
+          && pending.isEmpty) stop = true
+      else if (pending.isEmpty) Thread.sleep(pollMs)
+    }
+    served
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: IvfPqBuild build|probe <sfDir> <outDir> ...")
+    require(args.length >= 3,
+      "usage: IvfPqBuild build|probe <sfDir> <outDir> ... | serve <reqDir> <outDir> [nprobe] [k]")
     val (mode, sfDir, outDir) = (args(0), args(1), args(2))
     def arg(i: Int, dflt: Int) = if (args.length > i) args(i).toInt else dflt
     val spark = ToolSession.local()
@@ -159,7 +220,37 @@ object IvfPqBuild {
             f"index in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
             "(zero assignment/encode work)")
         }
-      case other => sys.error(s"unknown mode $other (build|probe)")
+      case "serve" =>
+        // args: serve <reqDir> <outDir> [nprobe=2] [k=3] — sfDir slot
+        // carries the request dir (the artifact is self-describing, no
+        // source table is read)
+        val n = serve(spark, outDir, reqDir = sfDir, idCol = "vec_id",
+          vecCol = "embedding", nprobe = arg(3, 2), k = arg(4, 3))
+        println(s"[ivfpq] serve loop drained: $n batches answered")
+      case "servespot" =>
+        // measurement harness for the warm loop (SCALE.md §10): carve
+        // [batches] disjoint 80-query request batches out of sfDir's
+        // ORIGINAL vectors (the probe-mode query rule per remainder),
+        // drop them with a stop marker, and run ONE warm serve loop —
+        // per-batch wall prints from serve(); the first batch carries
+        // the one-off codegen, the rest are the steady-state number
+        val reqDir = s"$outDir/servespot_req"
+        val nb = arg(3, 6)
+        val queries = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") < graft.tools.ScaleGen.IdStride)
+        val fs = new org.apache.hadoop.fs.Path(reqDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(reqDir), true)
+        for (i <- 0 until nb)
+          queries.filter(col("vec_id") % 25 === i)
+            .write.mode("overwrite").parquet(s"$reqDir/in/b$i")
+        fs.create(new org.apache.hadoop.fs.Path(s"$reqDir/stop")).close()
+        val t0 = System.nanoTime()
+        val n = serve(spark, outDir, reqDir, "vec_id", "embedding",
+          nprobe = arg(4, 2), k = arg(5, 3))
+        println(f"[ivfpq] servespot: $n batches, total wall " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (first batch carries codegen)")
+      case other => sys.error(s"unknown mode $other (build|probe|serve|servespot)")
     }
     spark.stop()
   }

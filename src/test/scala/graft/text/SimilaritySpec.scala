@@ -282,6 +282,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ warm serve loop: batches answered from one artifact open equal " +
+      "the direct probe; killed-server resume skips answered batches") {
+    import graft.tools.IvfPqBuild
+    val emb = Tables.embeddings(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-srv").toString
+    val req = java.nio.file.Files.createTempDirectory("graft-ivfpq-req").toString
+    val pred = col("vec_id") % 25 === 0
+    try {
+      IvfPqBuild.build(spark, dir, out, m = 8, ksub = 16,
+        centroids = 16, buckets = 8)
+      // two request batches dropped as finished parquet dirs
+      val q1 = emb.filter(pred && col("vec_id") % 2 === 0)
+      val q2 = emb.filter(pred && col("vec_id") % 2 === 1)
+      q1.write.parquet(s"$req/in/b1")
+      q2.write.parquet(s"$req/in/b2")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$req/stop"))
+      val served = IvfPqBuild.serve(spark, out, req, "vec_id", "embedding",
+        nprobe = 2, k = 3)
+      assert(served === 2, s"expected 2 batches served, got $served")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "vec_id", "adc_micro", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).toSet
+      val loop = key(spark.read.parquet(s"$req/out/b1"))
+        .union(key(spark.read.parquet(s"$req/out/b2")))
+      val direct = key(IvfPqBuild.probe(spark, out, emb.filter(pred),
+        "vec_id", "embedding", nprobe = 2, k = 3))
+      assert(loop === direct && loop.nonEmpty,
+        s"warm-loop results diverged from the direct probe: " +
+          s"${(loop diff direct) ++ (direct diff loop)}")
+      // resume semantics: a restarted server re-answers ONLY unanswered
+      // requests — b1/b2 already carry _SUCCESS outputs, b3 is new
+      emb.filter(pred && col("vec_id") % 3 === 0).write.parquet(s"$req/in/b3")
+      val resumed = IvfPqBuild.serve(spark, out, req, "vec_id", "embedding",
+        nprobe = 2, k = 3)
+      assert(resumed === 1, s"resume must serve only the new batch: $resumed")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${IvfPqBuild.tableName(out)}")
+    }
+  }
+
   test("exact Lloyd step: complete per-cell dims, conserved mass, partitioning-invariant") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
