@@ -251,11 +251,11 @@ object TextSim extends QueryPack {
                              * 1e6 + 0.5)::BIGINT AS t_micro
                 FROM qsubs JOIN pcc ON pcc.s = qsubs.s)"""
 
-  /** The q183 textured-fixture dHash closed form as a CTE chain ending
-    * in `ipairs (id_a, id_b, hamming)` at ham ≤ 2 — one generator for
-    * the image-pair oracle (q183) and the multimodal dedup closure
-    * (q205) so the hash formula cannot drift between them. */
-  private def dhashPairCtes: String = """
+  /** The q183 textured-fixture dHash FINGERPRINT chain, ending in
+    * `hsimg (doc_id, dhash)` — the shared front half of the pair oracle
+    * (q183/q205 via [[dhashPairCtes]]) and the corpus-flags oracle
+    * (q214), so the hash formula is ONE generator everywhere. */
+  private def dhashCtes: String = """
         img AS (SELECT doc_id, text, length(text)::BIGINT AS L
                      FROM documents),
         pix AS (SELECT doc_id, y, x,
@@ -276,7 +276,13 @@ object TextSim extends QueryPack {
                                THEN b * (-9223372036854775807 - 1)
                                ELSE b * (1::BIGINT << (8 * y + bx))
                           END)::BIGINT AS dhash
-               FROM bits GROUP BY doc_id),
+               FROM bits GROUP BY doc_id)"""
+
+  /** The q183 textured-fixture dHash closed form as a CTE chain ending
+    * in `ipairs (id_a, id_b, hamming)` at ham ≤ 2 — one generator for
+    * the image-pair oracle (q183) and the multimodal dedup closure
+    * (q205) so the hash formula cannot drift between them. */
+  private def dhashPairCtes: String = s"""$dhashCtes,
         ipairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
@@ -4738,6 +4744,42 @@ object TextSim extends QueryPack {
       Some(s"""
         WITH $dhashPairCtes
         SELECT id_a, id_b, hamming FROM ipairs""")),
+
+    // BATCH-vs-CORPUS HAMMING FLAGS (VERDICT r12 #6): the fingerprint
+    // tick's serving kernel as a registered query — q209's hamming
+    // sibling. New image dHashes (doc_id%17=0) are flagged against the
+    // disjoint rest through the persisted-index shape
+    // (NearDup.hammingBandRows → hammingCorpusFlags): the index
+    // streams map-side against the broadcast batch, the hash RIDES the
+    // band rows (no payload join-back at all — one long per row), and
+    // the only shuffle is the per-new-id min-hamming fold. Candidates
+    // are pigeonhole-complete within bands−1 flips; band formula and
+    // dHash formula are each ONE generator (hammingBandRows /
+    // dhashCtes) shared with q183/q205.
+    "q214_hamming_corpus_flags" -> Q(
+      (s, d) => {
+        val fps = Multimodal.imageDHashes(s,
+          Multimodal.texturedImageFixtures(s, Tables.documents(s, d)).toDF())
+        NearDup.hammingCorpusFlags(
+          NearDup.hammingBandRows(fps.filter(col("doc_id") % 11 =!= 0),
+            "doc_id", "dhash", bits = 64, bands = 8),
+          fps.filter(col("doc_id") % 11 === 0),
+          "doc_id", "dhash", bits = 64, bands = 8)
+      },
+      Some(s"""
+        WITH $dhashCtes,
+        cb AS (SELECT doc_id, dhash, b AS band_idx,
+                      (dhash >> (b * 8)) & 255 AS band_val
+               FROM hsimg, unnest(range(0, 8)) ub(b)
+               WHERE doc_id % 11 <> 0),
+        bb AS (SELECT doc_id AS new_id, dhash AS nh, b AS band_idx,
+                      (dhash >> (b * 8)) & 255 AS band_val
+               FROM hsimg, unnest(range(0, 8)) ub(b)
+               WHERE doc_id % 11 = 0)
+        SELECT new_id AS doc_id,
+               min(bit_count(xor(dhash, nh)))::BIGINT AS best_hamming
+        FROM cb JOIN bb USING (band_idx, band_val)
+        GROUP BY 1""")),
 
     // MULTIMODAL DEDUP CLOSURE: ONE cluster family over the UNION of
     // text near-dup pairs (q35's banded MinHash candidates) and image

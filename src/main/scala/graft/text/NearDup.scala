@@ -933,18 +933,9 @@ object NearDup {
     */
   def hammingPairs(fp: DataFrame, idCol: String, hashCol: String,
                    bits: Int, bands: Int, maxHamming: Int): DataFrame = {
-    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
     require(maxHamming < bands,
       s"completeness needs maxHamming < bands (pigeonhole); got $maxHamming/$bands")
-    val w = bits / bands
-    val mask = if (w == 64) -1L else (1L << w) - 1
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        shiftright(col(hashCol), b * w).bitwiseAND(mask).as("band_val"))
-    }
-    val bandRows = fp.select(col(idCol).as("id"), col(hashCol).as("hash"),
-        explode(array(bandCols: _*)).as("bd"))
-      .select(col("id"), col("hash"), col("bd.band_idx"), col("bd.band_val"))
+    val bandRows = hammingBandRows(fp, idCol, hashCol, bits, bands)
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
@@ -958,6 +949,62 @@ object NearDup {
       // 12-bit band agreement among non-dups)
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The HAMMING BAND-ROW view of a fingerprint table: (id, hash,
+    * band_idx, band_val), one row per (fingerprint, band) — the
+    * joinable form of the hash, factored out of [[hammingPairs]] so a
+    * persisted fingerprint index (the streaming tick's `_fpbands`) and
+    * the batch pair join share ONE band-split formula and cannot drift
+    * (the `lshBandRows` doctrine applied to the hamming modalities).
+    * The hash itself RIDES the band rows — one long, unlike the
+    * embedding family's dims-wide vectors — so index consumers never
+    * need a payload join-back.
+    */
+  def hammingBandRows(fp: DataFrame, idCol: String, hashCol: String,
+                      bits: Int, bands: Int): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+    val w = bits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftright(col(hashCol), b * w).bitwiseAND(mask).as("band_val"))
+    }
+    fp.select(col(idCol).as("id"), col(hashCol).as("hash"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col("id"), col("hash"), col("bd.band_idx"), col("bd.band_val"))
+  }
+
+  /** BATCH-vs-CORPUS HAMMING FLAGS (VERDICT r12 #6 — the hamming
+    * modalities' `embeddingCorpusFlags`): for each NEW fingerprint, the
+    * minimum hamming distance to any band-matched corpus fingerprint —
+    * the serving kernel of the streaming fingerprint-dedup tick. The
+    * batch side broadcasts (it is tick-sized) and the PERSISTED corpus
+    * band index streams map-side through one BroadcastHashJoin; the
+    * only shuffle is the partial-aggregated per-new-id min fold — no
+    * corpus×corpus term, no corpus repartition. Candidates are
+    * pigeonhole-COMPLETE for pairs within `bands − 1` bit flips, so a
+    * `best_hamming ≤ maxHamming < bands` dup test through this is
+    * exact; ids with no band match emit no row (nothing near them).
+    * No distinct on candidates: a pair colliding in several bands
+    * scores duplicate rows the min() absorbs (the
+    * embeddingCorpusFlags no-repartition trade).
+    */
+  def hammingCorpusFlags(corpusBands: DataFrame, batch: DataFrame,
+                         idCol: String, hashCol: String,
+                         bits: Int, bands: Int): DataFrame = {
+    val bBands = hammingBandRows(batch, idCol, hashCol, bits, bands)
+      .select(col("id").as("new_id"), col("hash").as("nh"),
+        col("band_idx"), col("band_val"))
+    // NO self-exclusion: an id already IN the corpus matches itself at
+    // hamming 0 and flags as a dup — exactly what makes a fully-replayed
+    // tick batch a no-op (the embeddingCorpusFlags replay property); a
+    // batch genuinely disjoint from the corpus (q214's %11 split) never
+    // hits the case
+    corpusBands.join(broadcast(bBands), Seq("band_idx", "band_val"))
+      .groupBy(col("new_id").as(idCol))
+      .agg(min(bit_count(col("hash").bitwiseXOR(col("nh"))).cast("long"))
+        .as("best_hamming"))
   }
 
   /** Blocked n-gram Jaccard near-dup pairs: quadratic only within a block.
