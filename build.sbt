@@ -39,4 +39,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1 GCLocker starvation fix (r13, VERDICT r12 #3): the ×1000 graph
+  // spot OOM'd at default heap with "Retried waiting for GCLocker too
+  // often allocating 5 words" — 32 executor threads in JNI-critical
+  // LZ4 shuffle compression hold the GCLocker almost continuously, so
+  // under heap pressure ordinary allocations exhaust the DEFAULT 2
+  // retries before a GC can run and throw a spurious heap-space OOM
+  // (JDK-8192647 class). Raising the retry budget lets the allocation
+  // wait for the locker instead of dying; real exhaustion still OOMs.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

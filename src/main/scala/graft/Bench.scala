@@ -96,6 +96,29 @@ object Bench {
     */
   val TripwireFactor = 2.5
 
+  /** BOX-SPEED CALIBRATION (VERDICT r12 #8): a constant-work CPU spin —
+    * 4e9 xxhash64+sum rows across the session's parallelism — measured
+    * best-of-2 after warm-up and before the suite. The work is FIXED
+    * (no data, no IO, no SF dependence), so round-over-round drift in
+    * this number IS box-speed drift, measured directly instead of
+    * inferred from suite-total movement: the r12 close spent a
+    * paragraph arguing 1.12× was the documented ±30–40% box drift —
+    * the next anchor note divides by the cal ratio instead. Rides the
+    * stdout summary as one short `"cal":N` field and the full record.
+    */
+  val CalRows = 4000000000L
+
+  def calibration(spark: SparkSession): Double = {
+    // bit_xor fold, not sum: summing 4e9 hashes overflows a long, and
+    // Spark 4's ANSI default turns that into a throw; xor is closed
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, CalRows, 1L, spark.sparkContext.defaultParallelism)
+        .selectExpr("bit_xor(xxhash64(id))").head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   // ---- pure helpers (spec'd in BenchFormatSpec without a session) ----
 
   /** Parse per-query baseline seconds out of BASELINE.md's markdown
@@ -234,7 +257,7 @@ object Bench {
     */
   def composeStdout(out: Seq[QResult], total: Double, errors: Seq[String],
                     flags: Seq[Flag], sfDir: String,
-                    budget: Int = StdoutBudget): String = {
+                    budget: Int = StdoutBudget, cal: Double = -1.0): String = {
     def qsJson(prec: Int): String =
       out.map(r => "\"" + r.short + "\":" + num(prec, r.best))
         .mkString("{", ",", "}")
@@ -247,7 +270,8 @@ object Bench {
       errors.size.toString)
     def summary(qs: String, qt: Option[String], errs: String): String = {
       val qtField = qt.map("," + _).getOrElse("")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$qtField,"errors":$errs,"sf":"$sfDir"}"""
+      val calField = if (cal >= 0) s""","cal":${num(2, cal)}""" else ""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec"$calField,"queries":$qs$qtField,"errors":$errs,"sf":"$sfDir"}"""
     }
     // (summary, use-trimmed-flag-reps) in strict fidelity order: full
     // flag reps survive down to the 1-decimal object; the positional qt
@@ -294,6 +318,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // SPILL-SAFE LARGE SHUFFLES (VERDICT r12 #3): start every shuffle
+      // at 512 partitions and let AQE COALESCE small stages back to the
+      // 64 MB advisory target — at sf0.1 plans land where they always
+      // did, while a ×1000 wedge join's per-task sort shrinks 16×, so
+      // 32 concurrent tasks stop holding multi-GB page sets that OOM'd
+      // the default 8 GiB single-box heap (the r12 ×1000 spot needed a
+      // 48g dial; this makes the dial automatic and data-proportional —
+      // exactly what a 1000-executor cluster does by having 1000×32
+      // shuffle slots)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -304,6 +338,11 @@ object Bench {
     // warm-up: JIT, codegen cache, parquet footer reads
     try materialize(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
     catch { case _: Throwable => () }
+
+    // box-speed calibration AFTER warm-up, BEFORE the suite (scaladoc
+    // on `calibration`): drift in this constant-work number is box
+    // drift, read directly at anchor time
+    val cal = try calibration(spark) catch { case _: Throwable => -1.0 }
 
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // a repeat that THROWS must not contribute its (fast-fail) wall time
@@ -379,7 +418,7 @@ object Bench {
     val errsFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flagsFull = flags.map(_.fullJson).mkString("[", ",", "]")
     val record =
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","repeats_per_query":$Repeats,"queries":$qs,"repeats":$reps,"errors":$errsFull,"flags":$flagsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","cal":${num(2, cal)},"repeats_per_query":$Repeats,"queries":$qs,"repeats":$reps,"errors":$errsFull,"flags":$flagsFull,"sf":"$sfDir"}"""
     System.err.println(record)
     try {
       val p = java.nio.file.Paths.get("target", "bench.json")
@@ -397,7 +436,8 @@ object Bench {
     val adjudicatedOut = foldAdjudicated(out, flags)
     val adjudicatedTotal = adjudicatedOut.map(_.best).filter(_ >= 0).sum
     val payload =
-      composeStdout(adjudicatedOut, adjudicatedTotal, failed.toSeq, flags, sfDir)
+      composeStdout(adjudicatedOut, adjudicatedTotal, failed.toSeq, flags,
+        sfDir, cal = cal)
     // payload LAST, alone on stdout: spark.stop() can emit shutdown noise,
     // so even that runs before the lines the driver must see — but a
     // throwing stop() must not take the summary down with it (finally)

@@ -14,6 +14,10 @@ object ToolSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // spill-safe large shuffles: AQE starts at 512 partitions and
+      // coalesces small stages to the advisory size (the Bench session's
+      // r13 setting — see the scaladoc there for the ×1000 OOM it fixes)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,19 @@ class BenchFormatSpec extends AnyFunSuite {
         t, Seq(Some(t + 0.4), Some(t + 0.1), Some(t)))
     }
 
+  test("calibration field rides the summary when measured, is absent when not (VERDICT r12 #8)") {
+    val out = mkResults(5, _ => 0.3)
+    val withCal = composeOf(out, cal = 1.23)
+    assert(withCal.contains("\"cal\":1.23"), withCal)
+    assert(parses(lastLine(withCal)))
+    val without = composeOf(out, cal = -1.0)
+    assert(!without.contains("\"cal\""), without)
+    assert(parses(lastLine(without)))
+  }
+
+  private def composeOf(out: Seq[Bench.QResult], cal: Double): String =
+    Bench.composeStdout(out, out.map(_.best).sum, Nil, Nil, "/sf", cal = cal)
+
   test("parseBaseline picks the rightmost numeric column and skips dashes/notes") {
     val md =
       """|# BASELINE
