@@ -1561,6 +1561,55 @@ object TextSim extends QueryPack {
         SELECT c::BIGINT AS cell, i::BIGINT AS i, n_members, x AS m
         FROM cr3""")),
 
+    // TRAINED-QUANTIZER IVF SEARCH (r13, closes the training loop end
+    // to end): q43's ANN serving shape with the quantizer REPLACED by
+    // the q211-trained matrix (2 snapped Lloyd rounds) — the search a
+    // deployment actually runs after an index build, and the reason
+    // q43 had to keep the seeded quantizer is exactly what the snapped
+    // trainer removed: fp-ordered training made trained assignments
+    // engine-varying; snapped training makes the WHOLE path — train,
+    // assign, probe, rank — oracle-checkable. The oracle replays 2
+    // training rounds from the shared kmeansTrainCtes, then the q43
+    // probe discipline against the trained centroid arrays.
+    "q215_ivf_trained_ann" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKWith(emb, "vec_id", "embedding",
+          Similarity.trainCentroidsExactMatrix(emb, "vec_id", "embedding",
+            dims = 64, centroids = 16, iterations = 2),
+          nprobe = 2, k = 3, queryPred = col("vec_id") % 25 === 0)
+      },
+      Some(s"""
+        WITH ${kmeansTrainCtes(16, 64, 2)},
+        cm2 AS (SELECT c, list(x ORDER BY i) AS cv FROM cr2 GROUP BY c),
+        ccn2 AS (SELECT c, cv, sqrt(list_dot_product(cv, cv)) AS cn
+                 FROM cm2),
+        sc AS (SELECT en.vec_id, en.v, en.vn, q.c,
+                      round(list_dot_product(en.v, q.cv) / (q.cn * en.vn),
+                            6) AS ccos
+               FROM en CROSS JOIN ccn2 q),
+        asg AS (SELECT vec_id, v, vn, c AS cell FROM sc
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, c) = 1),
+        probes AS (SELECT vec_id AS query_id, c AS cell FROM sc
+                   WHERE vec_id % 25 = 0
+                   QUALIFY row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY ccos DESC, c) <= 2),
+        qv AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM en
+               WHERE vec_id % 25 = 0)
+        SELECT query_id, vec_id, cosine, rank
+        FROM (SELECT p.query_id, a.vec_id,
+                     round(list_dot_product(qv.qv, a.v)
+                           / (qv.qn * a.vn), 6) AS cosine,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY round(list_dot_product(qv.qv, a.v)
+                                      / (qv.qn * a.vn), 6) DESC,
+                                a.vec_id) AS rank
+              FROM probes p
+              JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+              JOIN qv ON qv.query_id = p.query_id)
+        WHERE rank <= 3""")),
+
     // SemDeDup: drop any vector with a lower-id cell-mate within cosine
     // 0.2 — the clustering-bounded semantic dedup (quadratic term runs
     // per cell, pairs split across cells missed by the paper's design).
