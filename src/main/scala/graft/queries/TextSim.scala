@@ -208,6 +208,27 @@ object TextSim extends QueryPack {
     base + "," + steps
   }
 
+  /** TRAINED-quantizer assignment chain (q215/q216): 2 snapped Lloyd
+    * training rounds via [[kmeansTrainCtes]], then the q43 assignment
+    * discipline against the TRAINED centroid arrays — ends in
+    * `sc (vec_id, v, vn, c, ccos)` and `asg (vec_id, v, vn, cell)`.
+    * ONE generator so the trained search (q215) and the trained
+    * SemDeDup (q216) replay identical training + assignment and
+    * cannot drift.
+    */
+  private def trainedAssignCtes(centroids: Int, dims: Int, iters: Int): String =
+    s"""${kmeansTrainCtes(centroids, dims, iters)},
+        cmF AS (SELECT c, list(x ORDER BY i) AS cv FROM cr$iters GROUP BY c),
+        ccnF AS (SELECT c, cv, sqrt(list_dot_product(cv, cv)) AS cn
+                 FROM cmF),
+        sc AS (SELECT en.vec_id, en.v, en.vn, q.c,
+                      round(list_dot_product(en.v, q.cv) / (q.cn * en.vn),
+                            6) AS ccos
+               FROM en CROSS JOIN ccnF q),
+        asg AS (SELECT vec_id, v, vn, c AS cell FROM sc
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccos DESC, c) = 1)"""
+
   /** The q135 hybrid-retrieval ranker CTEs, ending in `dense` and
     * `sparse` (query_id, doc_id, rank ≤ 20) — ONE generator for the RRF
     * fusion oracle (q135) and the RBO agreement oracle (q146) so the two
@@ -1580,17 +1601,7 @@ object TextSim extends QueryPack {
           nprobe = 2, k = 3, queryPred = col("vec_id") % 25 === 0)
       },
       Some(s"""
-        WITH ${kmeansTrainCtes(16, 64, 2)},
-        cm2 AS (SELECT c, list(x ORDER BY i) AS cv FROM cr2 GROUP BY c),
-        ccn2 AS (SELECT c, cv, sqrt(list_dot_product(cv, cv)) AS cn
-                 FROM cm2),
-        sc AS (SELECT en.vec_id, en.v, en.vn, q.c,
-                      round(list_dot_product(en.v, q.cv) / (q.cn * en.vn),
-                            6) AS ccos
-               FROM en CROSS JOIN ccn2 q),
-        asg AS (SELECT vec_id, v, vn, c AS cell FROM sc
-                QUALIFY row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY ccos DESC, c) = 1),
+        WITH ${trainedAssignCtes(16, 64, 2)},
         probes AS (SELECT vec_id AS query_id, c AS cell FROM sc
                    WHERE vec_id % 25 = 0
                    QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -1609,6 +1620,32 @@ object TextSim extends QueryPack {
               JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
               JOIN qv ON qv.query_id = p.query_id)
         WHERE rank <= 3""")),
+
+    // TRAINED-QUANTIZER SemDeDup (r13): q74 against the q211-trained
+    // cell structure — the form Abbas et al. actually specify (SemDeDup
+    // clusters with TRAINED k-means; the seeded q74 was the honest
+    // approximation while training was fp-ordered). Better-fitting
+    // cells concentrate near-duplicates, which is the paper's whole
+    // premise; the per-cell quadratic bound is unchanged. Shares
+    // trainedAssignCtes with q215 — training, assignment, and the
+    // survivor logic each have exactly one generator.
+    "q216_semantic_dedup_trained" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticDedupWith(emb, "vec_id", "embedding",
+          Similarity.trainCentroidsExactMatrix(emb, "vec_id", "embedding",
+            dims = 64, centroids = 16, iterations = 2),
+          minCosine = 0.2)
+      },
+      Some(s"""
+        WITH ${trainedAssignCtes(16, 64, 2)},
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM asg a JOIN asg b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / (a.vn * b.vn), 6) >= 0.2)
+        SELECT vec_id, cell::BIGINT AS cell FROM asg
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""")),
 
     // SemDeDup: drop any vector with a lower-id cell-mate within cosine
     // 0.2 — the clustering-bounded semantic dedup (quadratic term runs

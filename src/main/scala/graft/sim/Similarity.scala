@@ -516,9 +516,19 @@ object Similarity {
     * drop set is engine-exact.
     */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
-                    dims: Int, centroids: Int, minCosine: Double): DataFrame = {
+                    dims: Int, centroids: Int, minCosine: Double): DataFrame =
+    semanticDedupWith(vectors, idCol, vecCol,
+      (0 until centroids).map(c => centroidVec(c, dims)).toArray, minCosine)
+
+  /** [[semanticDedup]] against an ARBITRARY quantizer matrix — the form
+    * the PUBLISHED algorithm actually specifies (SemDeDup clusters with
+    * TRAINED k-means, not random directions); registered over the
+    * q211-trained matrix as q216 now that snapped training makes the
+    * trained cell structure engine-exact. Same per-cell cost bound. */
+  def semanticDedupWith(vectors: DataFrame, idCol: String, vecCol: String,
+                        cents: Array[Array[Double]],
+                        minCosine: Double): DataFrame = {
     val sp = vectors.sparkSession
-    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
     val cells = assignCells(vectors, idCol, vecCol, cents)
       .select(col("vec_id"), col("v"), col("vn"), col("cell"))
     val a = cells.select(col("cell"), col("vec_id").as("id_a"),
