@@ -199,12 +199,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(parses(payload))
   }
 
-  test("BASELINE.md gate is anchored on the r10 column, shared-46 carve-out retired") {
+  test("BASELINE.md gate is anchored on the newest closing column, shared-46 carve-out retired") {
     // VERDICT r10 #7: the 2x gate must track the full most-recent
     // best-of-3 column, not the round-1 single-run 46-query carve-out.
     val md = scala.io.Source.fromFile("BASELINE.md", "UTF-8")
     val text = try md.mkString finally md.close()
-    assert(text.contains("Gate anchor (r12+)"))
+    assert(text.contains("Gate anchor (r13+)"))
     assert(!text.contains("compares like-for-like totals on the shared 46"))
     assert(!text.contains("kept as the\ndriver's 2× gate anchor"))
   }
