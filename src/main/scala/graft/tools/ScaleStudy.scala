@@ -81,7 +81,24 @@ object ScaleStudy {
         queryPred = fixedPred)),
       "lshtopk_fixedq" -> (() => Similarity.lshTopKAuto(emb, "vec_id",
         "embedding", dims = 64, bands = 4, floorRowsPerBand = 5, k = 3,
-        queryPred = fixedPred)))
+        queryPred = fixedPred)),
+      // r13 trained-quantizer family at the √N deployment sizing: the
+      // registered q211/q215/q216 shapes hold C=16 (their oracle
+      // scale), but trainCentroidsExactMatrix/semanticDedupWith take
+      // any C — at C≈√N the trainer stays linear-scan-bounded (C·d
+      // driver rows per round) and SemDeDup's per-cell quadratic drops
+      // from (N/16)² to (N/√N)² = N per cell — the paper's own knob
+      "kmeans_train_sqrtn" -> (() => {
+        val m = Similarity.trainCentroidsExactMatrix(emb, "vec_id",
+          "embedding", dims = 64, centroids = kAuto, iterations = 2)
+        import spark.implicits._
+        Seq(m.length.toLong).toDF("c") // matrix is driver-side; row = C
+      }),
+      "semdedup_sqrtn" -> (() => Similarity.semanticDedupWith(emb,
+        "vec_id", "embedding",
+        Similarity.trainCentroidsExactMatrix(emb, "vec_id", "embedding",
+          dims = 64, centroids = kAuto, iterations = 2),
+        minCosine = 0.2)))
     val results = fams.map { case (name, mk) =>
       val (sec, rows) = bestOf(2)(mk().count())
       System.err.println(f"[scalestudy] $name n=$n best_s=$sec%.2f rows=$rows")
