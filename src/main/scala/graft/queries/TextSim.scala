@@ -1593,13 +1593,14 @@ object TextSim extends QueryPack {
     // training rounds from the shared kmeansTrainCtes, then the q43
     // probe discipline against the trained centroid arrays.
     "q215_ivf_trained_ann" -> Q(
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopKWith(emb, "vec_id", "embedding",
-          Similarity.trainCentroidsExactMatrix(emb, "vec_id", "embedding",
-            dims = 64, centroids = 16, iterations = 2),
-          nprobe = 2, k = 3, queryPred = col("vec_id") % 25 === 0)
-      },
+      // r13 F11 discipline applied at registration: the Auto wrapper
+      // holds C = 16 through 4096 vectors (bit-identical to this fixed
+      // oracle at every testdata scale) and trains a sqrt-N quantizer
+      // above — the x100 study measured the fixed shape at 21x
+      (s, d) => Similarity.trainedIvfTopKAuto(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, floorCentroids = 16,
+        iterations = 2, nprobe = 2, k = 3,
+        queryPred = col("vec_id") % 25 === 0),
       Some(s"""
         WITH ${trainedAssignCtes(16, 64, 2)},
         probes AS (SELECT vec_id AS query_id, c AS cell FROM sc
@@ -1630,13 +1631,12 @@ object TextSim extends QueryPack {
     // trainedAssignCtes with q215 — training, assignment, and the
     // survivor logic each have exactly one generator.
     "q216_semantic_dedup_trained" -> Q(
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        Similarity.semanticDedupWith(emb, "vec_id", "embedding",
-          Similarity.trainCentroidsExactMatrix(emb, "vec_id", "embedding",
-            dims = 64, centroids = 16, iterations = 2),
-          minCosine = 0.2)
-      },
+      // the same Auto treatment: floor-held C=16 at oracle scales,
+      // sqrt-N trained cells above (17.5x measured for 100x data vs the
+      // fixed-16 quadratic's ~2500 s arithmetic)
+      (s, d) => Similarity.trainedSemanticDedupAuto(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, floorCentroids = 16,
+        iterations = 2, minCosine = 0.2),
       Some(s"""
         WITH ${trainedAssignCtes(16, 64, 2)},
         dropped AS (

@@ -520,6 +520,49 @@ object Similarity {
     semanticDedupWith(vectors, idCol, vecCol,
       (0 until centroids).map(c => centroidVec(c, dims)).toArray, minCosine)
 
+  /** TRAINED-quantizer search behind the measured-size centroid rule
+    * (the F11/F3 discipline applied to the r13 trained family): one
+    * count() picks C = [[adaptiveCentroids]](n, floor), the snapped
+    * trainer refines that many seeded directions, and the search runs
+    * against the trained matrix. At or under the 4096-row hold C is
+    * the floor, so results are bit-identical to the fixed registration
+    * (every oracle scale); above it the quantizer is √N-sized — the
+    * sizing the ×100 study measured at 21× for the FIXED shape
+    * (workload ∝ N over ∝N-sized probes, SCALE.md §8 addendum 7).
+    */
+  def trainedIvfTopKAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                         dims: Int, floorCentroids: Int, iterations: Int,
+                         nprobe: Int, k: Int, queryPred: Column): DataFrame = {
+    val n = vectors.count()
+    val c = adaptiveCentroids(n, floorCentroids)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] trainedIvfTopKAuto n=$n centroids=$c")
+    ivfTopKWith(vectors, idCol, vecCol,
+      trainCentroidsExactMatrix(vectors, idCol, vecCol, dims, c, iterations),
+      nprobe, k, queryPred)
+  }
+
+  /** TRAINED SemDeDup behind the same measured-size rule: C ≈ √N holds
+    * the per-cell quadratic at (N/√N)² = N per cell — the PAPER's own
+    * scaling knob (cluster first precisely so dedup runs per cell),
+    * measured 17.5× wall for 100× data vs the ~2,500 s the fixed-16
+    * arithmetic implies at ×100 (SCALE.md §8 addendum 7). Floor-held
+    * ≤4096 rows so the registered shape stays bit-identical to its
+    * fixed oracle.
+    */
+  def trainedSemanticDedupAuto(vectors: DataFrame, idCol: String,
+                               vecCol: String, dims: Int,
+                               floorCentroids: Int, iterations: Int,
+                               minCosine: Double): DataFrame = {
+    val n = vectors.count()
+    val c = adaptiveCentroids(n, floorCentroids)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] trainedSemanticDedupAuto n=$n centroids=$c")
+    semanticDedupWith(vectors, idCol, vecCol,
+      trainCentroidsExactMatrix(vectors, idCol, vecCol, dims, c, iterations),
+      minCosine)
+  }
+
   /** [[semanticDedup]] against an ARBITRARY quantizer matrix — the form
     * the PUBLISHED algorithm actually specifies (SemDeDup clusters with
     * TRAINED k-means, not random directions); registered over the

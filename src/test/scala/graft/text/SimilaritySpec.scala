@@ -323,6 +323,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained Auto dispatches: bit-identical to the fixed C=16 forms under the hold") {
+    // the F11 discipline on the r13 trained family: under the 4096-row
+    // hold the Auto wrappers must return EXACTLY the fixed registration
+    // (the oracle shape) — the sizing engages only above it
+    val emb = Tables.embeddings(spark, dir)
+    val trained = Similarity.trainCentroidsExactMatrix(emb, "vec_id",
+      "embedding", dims = 64, centroids = 16, iterations = 2)
+    val fixedSearch = Similarity.ivfTopKWith(emb, "vec_id", "embedding",
+      trained, nprobe = 2, k = 3, queryPred = pred)
+    val autoSearch = Similarity.trainedIvfTopKAuto(emb, "vec_id", "embedding",
+      dims = 64, floorCentroids = 16, iterations = 2, nprobe = 2, k = 3,
+      queryPred = pred)
+    assert(autoSearch.exceptAll(fixedSearch).isEmpty &&
+      fixedSearch.exceptAll(autoSearch).isEmpty)
+    val fixedDedup = Similarity.semanticDedupWith(emb, "vec_id", "embedding",
+      trained, minCosine = 0.2)
+    val autoDedup = Similarity.trainedSemanticDedupAuto(emb, "vec_id",
+      "embedding", dims = 64, floorCentroids = 16, iterations = 2,
+      minCosine = 0.2)
+    assert(autoDedup.exceptAll(fixedDedup).isEmpty &&
+      fixedDedup.exceptAll(autoDedup).isEmpty)
+  }
+
   test("exact Lloyd step: complete per-cell dims, conserved mass, partitioning-invariant") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
