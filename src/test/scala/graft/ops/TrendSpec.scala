@@ -122,4 +122,55 @@ class TrendSpec extends SparkSpec {
     assert(rates == rates.distinct.sorted,
       s"canonical block rates must strictly increase: $rates")
   }
+
+  test("isotonicFit equals the minimax closed form on random histograms (q212 oracle contract)") {
+    import graft.text.Calibrate
+    // the q212 oracle replays PAVA as ŷ_i = max_{j≤i} min_{k≥i}
+    // rate(j..k); this property pin is the engine-side proof that the
+    // sequential pooling and the closed form agree on ARBITRARY cell
+    // histograms (exact BigInt rational comparisons on the reference
+    // side — no fixed-point key needed at spec scale), so the oracle
+    // equivalence can never hinge on the three committed fixtures
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val cells = (0 until (2 + rnd.nextInt(9))).map { s =>
+        val n = 1 + rnd.nextInt(9)
+        (s.toLong, n, rnd.nextInt(n + 1))
+      }
+      val rows = cells.flatMap { case (s, n, pos) =>
+        Seq.fill(pos)((s, true)) ++ Seq.fill(n - pos)((s, false))
+      }
+      val fit = Calibrate.isotonicFit(rows.toDF("s", "y"), col("s"), col("y"))
+        .orderBy("score_lo")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      // reference: per-cell minimax fitted value as an exact rational,
+      // then blocks = maximal runs of equal fitted value
+      val cn = cells.map(c => BigInt(c._2))
+      val cp = cells.map(c => BigInt(c._3))
+      def rate(j: Int, k: Int): (BigInt, BigInt) =
+        ((j to k).map(cp).sum, (j to k).map(cn).sum)
+      def lt(a: (BigInt, BigInt), b: (BigInt, BigInt)) = a._1 * b._2 < b._1 * a._2
+      val fitted = cells.indices.map { i =>
+        cells.indices.filter(_ <= i).map { j =>
+          cells.indices.filter(_ >= i).map(k => rate(j, k))
+            .reduce((a, b) => if (lt(a, b)) a else b)
+        }.reduce((a, b) => if (lt(a, b)) b else a)
+      }
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var i = 0
+      while (i < cells.length) {
+        var k = i
+        while (k + 1 < cells.length &&
+          fitted(k + 1)._1 * fitted(i)._2 == fitted(i)._1 * fitted(k + 1)._2) k += 1
+        val n = (i to k).map(cells(_)._2.toLong).sum
+        val pos = (i to k).map(cells(_)._3.toLong).sum
+        blocks += ((cells(i)._1, cells(k)._1, n, pos))
+        i = k + 1
+      }
+      assert(fit === blocks.toSeq,
+        s"PAVA vs minimax diverged on cells $cells:\n  pava:    $fit\n  minimax: ${blocks.toSeq}")
+    }
+  }
 }
