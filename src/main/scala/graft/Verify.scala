@@ -36,7 +36,10 @@ object Verify {
     // Deleting up front means a failed (or skipped) write leaves nothing.
     if (selected.contains("q192_compression_signal")) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        // listFiles() returns NULL (not empty) on an I/O or permission
+        // failure — guard so the cleanup can't NPE the whole verify run
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
         f.delete(); ()
       }
       val extras = new java.io.File(s"$outDir.extras")

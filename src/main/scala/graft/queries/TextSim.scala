@@ -4638,9 +4638,13 @@ object TextSim extends QueryPack {
     // fixed point has the minimax closed form
     // ŷ_i = max_{j≤i} min_{k≥i} rate(j..k) — quadratic in CELLS only,
     // rendered over interval prefix sums with an 18-digit fixed-point
-    // HUGEINT rate key (exact ordering while pairwise n_a·n_b < 1e18 —
-    // astronomically above any histogram the maxCells guard admits);
-    // blocks = level sets of the fitted value.
+    // HUGEINT rate key. That key is exact only while pairwise interval
+    // ROW masses n_a·n_b < 1e18 — a bound on row COUNTS (holds for any
+    // corpus under ~1e9 rows, since n_a·n_b ≤ N²), NOT something the
+    // maxCells guard (which bounds the CELL count) enforces; a corpus
+    // past ~1e9 rows needs cross-multiplied exact rationals here
+    // instead of the floored key. Blocks = level sets of the fitted
+    // value.
     "q212_isotonic_calibration" -> Q(
       (s, d) => Calibrate.isotonicFit(Tables.documents(s, d),
         scoreMicro = expr("n_chars div 100"),
@@ -4833,7 +4837,7 @@ object TextSim extends QueryPack {
 
     // BATCH-vs-CORPUS HAMMING FLAGS (VERDICT r12 #6): the fingerprint
     // tick's serving kernel as a registered query — q209's hamming
-    // sibling. New image dHashes (doc_id%17=0) are flagged against the
+    // sibling. New image dHashes (doc_id%11=0) are flagged against the
     // disjoint rest through the persisted-index shape
     // (NearDup.hammingBandRows → hammingCorpusFlags): the index
     // streams map-side against the broadcast batch, the hash RIDES the
@@ -4841,16 +4845,23 @@ object TextSim extends QueryPack {
     // the only shuffle is the per-new-id min-hamming fold. Candidates
     // are pigeonhole-complete within bands−1 flips; band formula and
     // dHash formula are each ONE generator (hammingBandRows /
-    // dhashCtes) shared with q183/q205.
+    // dhashCtes) shared with q183/q205. Registered through the
+    // measured-size band dispatch (VERDICT r13 #1,
+    // NearDup.hammingCorpusFlagsAuto): one corpus count() holds the
+    // floor bands=8 at every oracle scale (occupancy n/256 ≪ 128), so
+    // the static bands=8 oracle stays bit-identical, while a 20 M-hash
+    // corpus steps to the measured-2.8×-cheaper bands=4 dial. The
+    // dHash frame is checkpointed once — the Auto's count and the
+    // flags pass must not each pay the BMP decode.
     "q214_hamming_corpus_flags" -> Q(
       (s, d) => {
         val fps = Multimodal.imageDHashes(s,
           Multimodal.texturedImageFixtures(s, Tables.documents(s, d)).toDF())
-        NearDup.hammingCorpusFlags(
-          NearDup.hammingBandRows(fps.filter(col("doc_id") % 11 =!= 0),
-            "doc_id", "dhash", bits = 64, bands = 8),
+          .localCheckpoint(true)
+        NearDup.hammingCorpusFlagsAuto(
+          fps.filter(col("doc_id") % 11 =!= 0),
           fps.filter(col("doc_id") % 11 === 0),
-          "doc_id", "dhash", bits = 64, bands = 8)
+          "doc_id", "dhash", bits = 64, floorBands = 8, maxHamming = 2)
       },
       Some(s"""
         WITH $dhashCtes,

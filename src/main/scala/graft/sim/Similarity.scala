@@ -777,30 +777,21 @@ object Similarity {
   }
 
   /** Read a persisted band-index meta row: (bands, rows_per_band,
-    * built_n). None when the artifact predates the meta contract. */
+    * built_n). None when the artifact predates the meta contract.
+    * Thin wrapper over the shared [[IndexMeta]] contract (VERDICT r13
+    * #4) — the on-disk columns read through a long cast, so pre-module
+    * INT-column artifacts keep reading. */
   def readBandIndexMeta(spark: SparkSession,
-                        metaDir: String): Option[(Int, Int, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(metaDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val rows = spark.read.parquet(metaDir)
-        .select("bands", "rows_per_band", "built_n").collect()
-      require(rows.length == 1, s"band-index meta at $metaDir has " +
-        s"${rows.length} rows, expected exactly 1")
-      Some((rows(0).getInt(0), rows(0).getInt(1), rows(0).getLong(2)))
-    }
-  }
+                        metaDir: String): Option[(Int, Int, Long)] =
+    IndexMeta.read(spark, metaDir, Seq("bands", "rows_per_band", "built_n"))
+      .map(m => (m("bands").toInt, m("rows_per_band").toInt, m("built_n")))
 
   /** Persist the band-index meta row (overwrite — the meta IS the
     * current-width record, history lives in the tick logs). */
   def writeBandIndexMeta(spark: SparkSession, metaDir: String, bands: Int,
-                         rowsPerBand: Int, builtN: Long): Unit = {
-    import spark.implicits._
-    Seq((bands, rowsPerBand, builtN))
-      .toDF("bands", "rows_per_band", "built_n")
-      .coalesce(1).write.mode("overwrite").parquet(metaDir)
-  }
+                         rowsPerBand: Int, builtN: Long): Unit =
+    IndexMeta.write(spark, metaDir, Seq("bands" -> bands.toLong,
+      "rows_per_band" -> rowsPerBand.toLong, "built_n" -> builtN))
 
   /** BAND-INDEX STALENESS GUARD (VERDICT r12 #3): a persisted `_bands`
     * index freezes its width at build time, but [[adaptiveRowsPerBand]]
@@ -827,28 +818,19 @@ object Similarity {
     val spark = corpus.sparkSession
     val n = corpus.count()
     val needed = adaptiveRowsPerBand(n, floorRowsPerBand, targetOccupancy)
-    val meta = readBandIndexMeta(spark, metaDir)
-    meta.foreach { case (b, _, _) =>
-      require(b == bands, s"band-index meta at $metaDir was built with " +
-        s"$b bands, caller expects $bands — refusing to serve a " +
-        "mismatched banding")
-    }
-    val builtWidth = meta.map(_._2).getOrElse(floorRowsPerBand)
-    if (needed > builtWidth) {
-      System.err.println(s"[bands] index at $bandsDir is STALE: built " +
-        s"width $builtWidth" +
-        meta.map { case (_, _, bn) => s" (corpus was $bn)" }.getOrElse("") +
-        s", corpus now $n needs width $needed — rebuilding")
-      lshBandRows(corpus, idCol, vecCol, dims, bands, needed)
+    // shared read/verify/rebuild skeleton (VERDICT r13 #4): width only
+    // ever WIDENS (adaptiveRowsPerBand is monotone in n), so staleness
+    // is `needed > built`; the band count is the invariant the read
+    // side is wired for
+    IndexMeta.ensureFresh(spark, metaDir,
+      invariants = Seq("bands" -> bands.toLong),
+      dialName = "rows_per_band", neededDial = needed.toLong,
+      legacyDial = floorRowsPerBand.toLong, corpusN = n,
+      staleWhen = (built, need) => need > built,
+      what = s"embedding LSH band index at $bandsDir") { w =>
+      lshBandRows(corpus, idCol, vecCol, dims, bands, w.toInt)
         .write.mode("overwrite").parquet(bandsDir)
-      writeBandIndexMeta(spark, metaDir, bands, needed, n)
-      needed
-    } else {
-      // adopt-and-record for legacy artifacts so the NEXT check can
-      // compare against a written width instead of re-assuming
-      if (meta.isEmpty) writeBandIndexMeta(spark, metaDir, bands, builtWidth, n)
-      builtWidth
-    }
+    }.toInt
   }
 
   def lshNeighborPairs(vectors: DataFrame, idCol: String, vecCol: String,
@@ -1360,10 +1342,16 @@ object Similarity {
     // Results are unchanged (the filter keeps a superset of what the
     // join keeps); the serve-path win is reading nprobe·N/K codes
     // instead of all N·m — which is the entire point of IVF.
-    val probeCells = probes.select(col("cell")).distinct()
+    // `probes` is eagerly materialized (ADVICE r13) so the collected
+    // cell list and the joined probe frame are PROVABLY two reads of
+    // one evaluation — were the upstream ever nondeterministic, two
+    // independent evaluations could diverge and the scan filter would
+    // silently drop cells the join expects.
+    val probesM = probes.localCheckpoint(true)
+    val probeCells = probesM.select(col("cell")).distinct()
       .collect().map(_.get(0))
     val pruned = index.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
-    val adc = pruned.join(broadcast(probes), Seq("cell"))
+    val adc = pruned.join(broadcast(probesM), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(table), Seq("query_id", "subspace", "code"))
       .groupBy(col("query_id"), col("vec_id"))

@@ -267,19 +267,30 @@ object StreamingIngest {
     * embedding tick there is no corpus-payload join-back at all), and
     * appends only genuinely new fingerprints plus their band rows.
     *
-    * No width meta / staleness guard here, deliberately: hamming
-    * banding splits a FIXED-width hash, and the band count is pinned
-    * by the completeness contract `maxHamming < bands` — widening
-    * bands to chase occupancy would change the dup SEMANTICS (the
-    * pigeonhole radius), not just the plan, so occupancy growth is
-    * answered by sharding the equi-join key, never by re-banding.
+    * BAND-COUNT STALENESS (VERDICT r13 #1): r12 shipped this tick with
+    * "no width meta by design" on the argument that `maxHamming <
+    * bands` pins the band count — but SCALE.md §8 addendum 6 MEASURED
+    * the consequence: at 20 M hashes the bands=8 shape runs ~2.8× the
+    * bands=4 pass, a constant the corpus pays every tick (band-
+    * collision candidates ∝ bands·N/2^(bits/bands)). The band count is
+    * a genuine cost dial inside the pigeonhole-valid range — any
+    * `bands > maxHamming` preserves the dup verdict; only above-radius
+    * best_hamming values (which no dup consumer reads) change — so
+    * every tick now starts with `NearDup.ensureFpBandIndexFresh`: the
+    * `_fpbands_meta` row (hash bits + maxHamming contract as
+    * invariants, band count as the dial, corpus size) is compared
+    * against what `hammingAutoBands` says the CURRENT corpus needs,
+    * and the index re-bands (one corpus scan, loudly logged) when the
+    * corpus crosses a band-count step. `bands` is therefore the FLOOR
+    * (registered) count, held at every oracle scale.
     * Crash-replay safety mirrors the embedding tick: corpus membership
     * probed directly by doc_id, band rows healed for the crash window.
     */
   def fingerprintIngestTick(spark: SparkSession, stagingDir: String,
                             corpusDir: String, checkpointDir: String,
                             bits: Int = 64, bands: Int = 8,
-                            maxHamming: Int = 2): Unit = {
+                            maxHamming: Int = 2,
+                            targetOccupancy: Long = 128L): Unit = {
     import graft.text.NearDup
     val fps = spark.readStream
       .schema("doc_id LONG, fp LONG")
@@ -300,9 +311,18 @@ object StreamingIngest {
           val path = new org.apache.hadoop.fs.Path(corpusDir)
           val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
           if (fs.exists(path)) {
+            val corpus = sp.read.parquet(corpusDir)
+            // STALENESS GUARD (VERDICT r13 #1): re-band the persisted
+            // index when the corpus has crossed a band-count step —
+            // serve AND append below at the rebuilt count (an appended
+            // row at the old count would poison the index)
+            val bEff = NearDup.ensureFpBandIndexFresh(corpus, "doc_id",
+              "fp", bits, s"$corpusDir/_fpbands",
+              s"$corpusDir/_fpbands_meta", bands, maxHamming,
+              targetOccupancy)
             val flags = NearDup.hammingCorpusFlags(
               sp.read.parquet(s"$corpusDir/_fpbands"),
-              uniq, "doc_id", "fp", bits, bands)
+              uniq, "doc_id", "fp", bits, bEff)
             val keep = uniq.join(
                 flags.filter(col("best_hamming") <= maxHamming)
                   .select("doc_id"),
@@ -311,20 +331,26 @@ object StreamingIngest {
             // crash-replay guard (the embedding tick's): never re-append
             // a doc_id already in the corpus; still append its missing
             // band rows so a crash between the two appends self-heals
-            val inCorpus = sp.read.parquet(corpusDir).select(col("doc_id"))
+            val inCorpus = corpus.select(col("doc_id"))
               .join(broadcast(keep.select(col("doc_id").as("bid"))),
                 col("doc_id") === col("bid"))
               .select("doc_id").distinct()
               .localCheckpoint(true)
             keep.join(broadcast(inCorpus), Seq("doc_id"), "left_anti")
               .write.mode("append").parquet(corpusDir)
-            NearDup.hammingBandRows(keep, "doc_id", "fp", bits, bands)
+            NearDup.hammingBandRows(keep, "doc_id", "fp", bits, bEff)
               .write.mode("append").parquet(s"$corpusDir/_fpbands")
           } else {
             val fresh = uniq.localCheckpoint(true)
+            val n0 = fresh.count()
+            val b0 = NearDup.hammingAutoBands(n0, bits, bands, maxHamming,
+              targetOccupancy)
             fresh.write.mode("append").parquet(corpusDir)
-            NearDup.hammingBandRows(fresh, "doc_id", "fp", bits, bands)
+            NearDup.hammingBandRows(fresh, "doc_id", "fp", bits, b0)
               .write.mode("append").parquet(s"$corpusDir/_fpbands")
+            graft.sim.IndexMeta.write(sp, s"$corpusDir/_fpbands_meta",
+              Seq("bits" -> bits.toLong, "max_hamming" -> maxHamming.toLong,
+                "bands" -> b0.toLong, "built_n" -> n0))
           }
         } finally b.unpersist()
       }

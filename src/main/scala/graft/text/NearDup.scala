@@ -1007,6 +1007,110 @@ object NearDup {
         .as("best_hamming"))
   }
 
+  /** MEASURED-SIZE BAND-COUNT DISPATCH for the hamming family (VERDICT
+    * r13 #1 — the discipline every other ANN family already has,
+    * applied to the one that was missing it). Hamming banding splits a
+    * FIXED-width hash, so occupancy cannot be chased by widening a band
+    * the way LSH widths widen — but the BAND COUNT is a real cost dial
+    * inside the pigeonhole-valid range: any `bands > maxHamming`
+    * preserves the dup contract (`best_hamming ≤ maxHamming` is
+    * pigeonhole-complete), while fewer/wider bands cut random band
+    * collisions exponentially — candidates ∝ bands·N/2^(bits/bands),
+    * the measured ~2.8× at 20 M hashes between bands=8 and bands=4
+    * (SCALE.md §8 addendum 6). What narrows as bands drop is only the
+    * EXACTNESS RADIUS of best_hamming values ABOVE maxHamming
+    * (complete to bands−1 flips), which no dup consumer reads.
+    *
+    * Policy: hold the registered `floorBands` while its per-band-value
+    * occupancy `n / 2^(bits/floorBands)` stays at or under
+    * `targetOccupancy` (every oracle scale — results bit-identical to
+    * the fixed call), then step DOWN through the valid band counts
+    * (divisors of `bits`, each > `maxHamming`) until occupancy clears
+    * or no smaller valid count exists. At 64 bits / maxHamming 2 the
+    * ladder is 8 → 4: the 20 M-hash shape lands on 4.
+    */
+  def hammingAutoBands(n: Long, bits: Int, floorBands: Int, maxHamming: Int,
+                       targetOccupancy: Long = 128L): Int = {
+    require(bits % floorBands == 0,
+      s"bits ($bits) must divide into floorBands ($floorBands)")
+    require(maxHamming < floorBands,
+      s"completeness needs maxHamming < floorBands; got $maxHamming/$floorBands")
+    require(targetOccupancy >= 1, s"bad targetOccupancy $targetOccupancy")
+    // valid smaller counts, widest (fewest bands) last
+    val smaller = ((maxHamming + 1) until floorBands)
+      .filter(b => bits % b == 0).sorted.reverse
+    def over(b: Int): Boolean = {
+      val w = bits / b
+      w < 63 && (n >> w) > targetOccupancy
+    }
+    var bands = floorBands
+    var rest = smaller
+    while (over(bands) && rest.nonEmpty) { bands = rest.head; rest = rest.tail }
+    bands
+  }
+
+  /** [[hammingCorpusFlags]] behind the measured-size band dispatch: one
+    * corpus count() picks the band count via [[hammingAutoBands]] —
+    * bit-identical to the fixed-`floorBands` call while occupancy holds
+    * (every oracle scale), wider bands above. The corpus band rows are
+    * derived here at the chosen count; a PERSISTED index should instead
+    * go through [[ensureFpBandIndexFresh]] + [[hammingCorpusFlags]] so
+    * the rebuild is paid once per step, not per batch.
+    */
+  def hammingCorpusFlagsAuto(corpus: DataFrame, batch: DataFrame,
+                             idCol: String, hashCol: String, bits: Int,
+                             floorBands: Int, maxHamming: Int,
+                             targetOccupancy: Long = 128L): DataFrame = {
+    val n = corpus.count()
+    val bands = hammingAutoBands(n, bits, floorBands, maxHamming,
+      targetOccupancy)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] hammingCorpusFlagsAuto n=$n -> " +
+        s"bands=$bands (floor $floorBands, maxHamming $maxHamming)")
+    hammingCorpusFlags(hammingBandRows(corpus, idCol, hashCol, bits, bands),
+      batch, idCol, hashCol, bits, bands)
+  }
+
+  /** FINGERPRINT-INDEX STALENESS GUARD (VERDICT r13 #1 — the
+    * [[graft.sim.Similarity.ensureBandIndexFresh]] analog for the
+    * hamming modalities, on the shared [[graft.sim.IndexMeta]]
+    * contract): a persisted `_fpbands` index froze its band count at
+    * build time, but [[hammingAutoBands]] is a function of CORPUS SIZE
+    * — once the corpus crosses a band-count step, a tick serving
+    * through the frozen index pays the measured ~2.8× candidate
+    * constant every pass. Compare the count the CURRENT corpus needs
+    * against the count the index was BUILT at (the meta row's dial),
+    * rebuild on mismatch (one corpus scan), and return the effective
+    * band count every consumer must use. Invariants: the hash width
+    * and the `maxHamming` contract — both are SEMANTICS, not dials,
+    * so a mismatch refuses loudly. Re-banding preserves the dup
+    * verdict (both counts exceed maxHamming ⇒ pigeonhole-complete at
+    * the contract radius); only above-radius best_hamming values can
+    * differ, which no dup consumer reads.
+    */
+  def ensureFpBandIndexFresh(corpus: DataFrame, idCol: String,
+                             hashCol: String, bits: Int, bandsDir: String,
+                             metaDir: String, floorBands: Int,
+                             maxHamming: Int,
+                             targetOccupancy: Long = 128L): Int = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val needed = hammingAutoBands(n, bits, floorBands, maxHamming,
+      targetOccupancy)
+    graft.sim.IndexMeta.ensureFresh(spark, metaDir,
+      invariants = Seq("bits" -> bits.toLong,
+        "max_hamming" -> maxHamming.toLong),
+      dialName = "bands", neededDial = needed.toLong,
+      legacyDial = floorBands.toLong, corpusN = n,
+      // the dial steps DOWN as the corpus grows (fewer, wider bands) —
+      // staleness is any mismatch, not a one-directional outgrowth
+      staleWhen = (built, need) => need != built,
+      what = s"hamming fingerprint band index at $bandsDir") { b =>
+      hammingBandRows(corpus, idCol, hashCol, bits, b.toInt)
+        .write.mode("overwrite").parquet(bandsDir)
+    }.toInt
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: quadratic only within a block.
     *
     * Shingles are pre-hashed to 60-bit ints (md5 prefix) so the per-pair

@@ -1431,6 +1431,68 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hammingAutoBands: floor held through the occupancy hold, steps to the " +
+      "widest valid count at scale, never below the pigeonhole bound (VERDICT r13 #1)") {
+    import graft.text.NearDup.hammingAutoBands
+    // floor held at every oracle scale: occupancy n>>8 <= 128 ⇔ n <= 33023
+    for (n <- Seq(0L, 500L, 5500L, 33023L))
+      assert(hammingAutoBands(n, 64, 8, 2) === 8, s"n=$n must hold the floor")
+    // past the hold: step to bands=4 (the only smaller 64-divisor > maxHamming)
+    for (n <- Seq(33024L, 1000000L, 20000000L))
+      assert(hammingAutoBands(n, 64, 8, 2) === 4, s"n=$n must step to 4")
+    // maxHamming=3 still admits bands=4 (complete to 3 flips = the contract)
+    assert(hammingAutoBands(20000000L, 64, 8, 3) === 4)
+    // maxHamming=4 pins the ladder at 8 — no valid smaller count exists
+    // (bands 5..7 don't divide 64; pigeonhole needs bands > 4)
+    assert(hammingAutoBands(20000000L, 64, 8, 4) === 8)
+    // a 16-band floor has the full 8 → 4 ladder below it
+    assert(hammingAutoBands(20000000L, 64, 16, 2) === 4)
+    assert(hammingAutoBands(100L, 64, 16, 2) === 16)
+    // contract violations refuse loudly
+    intercept[IllegalArgumentException](hammingAutoBands(10L, 64, 8, 8))
+    intercept[IllegalArgumentException](hammingAutoBands(10L, 64, 7, 2))
+  }
+
+  test("hammingCorpusFlagsAuto: bit-identical to the fixed call under the hold; " +
+      "the stepped dial preserves the dup verdict (VERDICT r13 #1)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    // 600 corpus hashes: small enough for the default hold (600>>8=2
+    // <= 128 -> bands 8), large enough that targetOccupancy=1 forces
+    // the 8 -> 4 step below
+    val corpus = (0 until 600).map(i => (i.toLong, rnd.nextLong()))
+    // batch: near-dups of corpus hashes (<= 2 flips) + fresh randoms
+    val dups = (1000 until 1020).map { i =>
+      val h = corpus(rnd.nextInt(600))._2
+      val h2 = h ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64))
+      (i.toLong, h2)
+    }
+    val fresh = (2000 until 2020).map(i => (i.toLong, rnd.nextLong()))
+    val cdf = corpus.toDF("doc_id", "fp")
+    val bdf = (dups ++ fresh).toDF("doc_id", "fp")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // under the hold (n=600): the Auto IS the fixed bands=8 call
+    val fixed = graft.text.NearDup.hammingCorpusFlags(
+      graft.text.NearDup.hammingBandRows(cdf, "doc_id", "fp", 64, 8),
+      bdf, "doc_id", "fp", 64, 8)
+    val auto = graft.text.NearDup.hammingCorpusFlagsAuto(
+      cdf, bdf, "doc_id", "fp", bits = 64, floorBands = 8, maxHamming = 2)
+    assert(rows(auto) === rows(fixed), "Auto must be bit-identical under the hold")
+    // force the step (targetOccupancy=1 makes n=600 'large'): the DUP
+    // VERDICT at the maxHamming contract is unchanged — pigeonhole is
+    // complete at radius 2 under BOTH counts; only above-radius
+    // best_hamming values may differ
+    val stepped = graft.text.NearDup.hammingCorpusFlagsAuto(
+      cdf, bdf, "doc_id", "fp", bits = 64, floorBands = 8, maxHamming = 2,
+      targetOccupancy = 1L)
+    def verdicts(s: Set[(Long, Long)]) =
+      s.filter(_._2 <= 2L).map(_._1)
+    assert(verdicts(rows(stepped)) === verdicts(rows(fixed)),
+      "re-banding must preserve the <= maxHamming dup verdict")
+    assert(verdicts(rows(fixed)).nonEmpty, "fixture must flag planted dups")
+  }
+
   test("q206 Rayleigh: a fixed-hour ritual maxes R; a uniform clock stays null") {
     import spark.implicits._
     def ts(day: Long, sec: Long) = new java.sql.Timestamp((day * 86400 + sec) * 1000)

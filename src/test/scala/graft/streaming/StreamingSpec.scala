@@ -252,6 +252,78 @@ class StreamingSpec extends SparkSpec {
       s"corpus index must stream through a broadcast join:\n$plan")
   }
 
+  test("fingerprint tick staleness guard: corpus crossing a band-count step " +
+      "re-bands the index before serving (VERDICT r13 #1)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("fpstale").toString
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    val corpus = s"$base/corpus"
+    // deterministic well-spread hashes (splitmix64 finalizer): among
+    // 600 random 64-bit points the chance of an accidental <=2-flip
+    // pair is ~(600^2/2)·2081/2^64 ≈ 0 — every doc enters the corpus
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def meta() = graft.sim.IndexMeta.read(spark, s"$corpus/_fpbands_meta",
+      Seq("bits", "max_hamming", "bands", "built_n")).get
+    // tick 1: 3 fps — first build lands at the floor (3>>8=0 <= 1)
+    Seq((1L, mix(1)), (2L, mix(2)), (3L, mix(3))).toDF("doc_id", "fp")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.fingerprintIngestTick(spark, staging, corpus,
+      s"$base/ckpt", targetOccupancy = 1L)
+    assert(meta() === Map("bits" -> 64L, "max_hamming" -> 2L,
+      "bands" -> 8L, "built_n" -> 3L))
+    // tick 2: 600 fresh fps — guard runs at corpus=3 (not stale), so
+    // the tick serves AND appends at 8 bands
+    (10L until 610L).map(i => (i, mix(i))).toDF("doc_id", "fp")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.fingerprintIngestTick(spark, staging, corpus,
+      s"$base/ckpt", targetOccupancy = 1L)
+    assert(spark.read.parquet(corpus).count() === 603L)
+    assert(spark.read.parquet(s"$corpus/_fpbands").count() === 603L * 8L)
+    assert(meta()("bands") === 8L)
+    // tick 3: the corpus (603 >> 8 = 2 > 1) has crossed the band-count
+    // step — the guard must re-band the WHOLE index to 4 BEFORE
+    // serving, flag the planted near-dup of a tick-2 fp through the
+    // rebuilt index, and append the fresh fp's band rows at the NEW
+    // count
+    Seq((9000L, mix(42L) ^ (1L << 7) ^ (1L << 55)), (9001L, mix(9001L)))
+      .toDF("doc_id", "fp")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.fingerprintIngestTick(spark, staging, corpus,
+      s"$base/ckpt", targetOccupancy = 1L)
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet
+    assert(ids.contains(9001L) && !ids.contains(9000L),
+      s"near-dup must flag through the REBUILT index; fresh must enter: $ids")
+    assert(meta() === Map("bits" -> 64L, "max_hamming" -> 2L,
+      "bands" -> 4L, "built_n" -> 603L))
+    assert(spark.read.parquet(s"$corpus/_fpbands").count() === 604L * 4L,
+      "rebuilt index (603 fps) + the fresh append, all at 4 bands")
+    // a fourth tick over the same corpus must NOT rebuild again (the
+    // dial already matches), and a mismatched semantics contract must
+    // refuse loudly
+    Seq((9002L, mix(9002L))).toDF("doc_id", "fp")
+      .coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.fingerprintIngestTick(spark, staging, corpus,
+      s"$base/ckpt", targetOccupancy = 1L)
+    assert(meta()("built_n") === 603L,
+      "an un-stale tick must not rewrite the meta row")
+    assert(spark.read.parquet(s"$corpus/_fpbands").count() === 605L * 4L)
+    val boom = intercept[Exception] {
+      graft.text.NearDup.ensureFpBandIndexFresh(
+        spark.read.parquet(corpus), "doc_id", "fp", bits = 64,
+        s"$corpus/_fpbands", s"$corpus/_fpbands_meta",
+        floorBands = 8, maxHamming = 1, targetOccupancy = 1L)
+    }
+    assert(boom.getMessage.contains("max_hamming"),
+      s"contract mismatch must name the invariant: ${boom.getMessage}")
+  }
+
   test("embedding tick staleness guard: outgrown corpus rebuilds the band index " +
       "at the adaptive width (VERDICT r12 #3)") {
     import spark.implicits._
