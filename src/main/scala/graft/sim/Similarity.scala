@@ -1294,7 +1294,8 @@ object Similarity {
                  vecCol: String, dims: Int, m: Int, ksub: Int,
                  centroids: Int, nprobe: Int, k: Int,
                  coarseCodebook: Option[Array[Array[Double]]] = None,
-                 pqCodebook: Option[(Int, Int) => Array[Double]] = None): DataFrame = {
+                 pqCodebook: Option[(Int, Int) => Array[Double]] = None,
+                 literalDistanceTable: Boolean = false): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sp = index.sparkSession
     val dsub = dims / m
@@ -1305,33 +1306,106 @@ object Similarity {
       (0 until centroids).map(c => centroidVec(c, dims)).toArray)
     require(cents.length == centroids,
       s"coarse codebook carries ${cents.length} centroids, expected $centroids")
-    // query-side cell ranking: the same assignment kernel, queries only
+    // QUERY-SIDE WORK IS DRIVER-BOUNDED (r13 #2): ONE job collects the
+    // kernel-assigned query rows — N_q × (dims + C) doubles, and query
+    // batches are serve-sized by contract (the bruteForceTopK broadcast
+    // rule) — then the probe ranking is a driver sort and the probe
+    // list and query vectors re-enter the plan as LocalRelations.
+    // Three consequences: (a) the scan filter, the probe join and the
+    // distance tables all derive from ONE evaluation of the upstream
+    // (ADVICE r13 — independent evaluations of a nondeterministic
+    // frame could diverge and silently drop cells the join expects);
+    // (b) a warm serve batch runs exactly TWO jobs — this collect and
+    // the answer — with no checkpoint or broadcast-from-exchange jobs
+    // between; (c) with the broadcast-table ADC below, the compiled
+    // answer plan is batch-invariant. The ranking mirrors the old
+    // window's (pcos DESC, pcell ASC) exactly: java.lang.Double.compare
+    // IS Spark's physical double ordering (NaN greatest, -0.0 < 0.0).
     val q = assignCells(queries, idCol, vecCol, cents)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("ccos"))
-      .localCheckpoint(true)
-    val probes = q
-      .select(col("query_id"), posexplode(col("ccos")).as(Seq("pcell", "pcos")))
-      .withColumn("prank", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("pcos").desc, col("pcell"))))
-      .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("pcell").as("cell"))
-    val entries = (0 until m).flatMap { s =>
-      val sub = slice(col("qv"), s * dsub + 1, dsub)
-      val aa = dot(sp, sub, sub)
-      (0 until ksub).map { c =>
-        val cv = pqCodebook.map(f => f(s, c))
-          .getOrElse(pqCentroidVec(s, c, dsub))
-        require(cv.length == dsub,
-          s"PQ codebook entry ($s,$c) carries ${cv.length} dims, expected $dsub")
-        val t = (aa - lit(2.0) * dot(sp, sub, typedLit(cv.toSeq))) +
-          lit(seqSelfDot(cv))
-        struct(lit(s).as("subspace"), lit(c).as("code"),
-          floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"))
+    val tq0 = System.nanoTime()
+    val qData = q.collect()
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(f"[scale] ivfPqProbe query collect: " +
+        f"${(System.nanoTime() - tq0) / 1e9}%.2f s (${qData.length} queries)")
+    val probePairs: Seq[(Any, Int)] = qData.toSeq.flatMap { r =>
+      if (r.isNullAt(2)) Seq.empty[(Any, Int)]
+      else {
+        val ccos = r.getSeq[Double](2)
+        ccos.indices.map(i => (i, ccos(i)))
+          .sortWith { case ((ia, xa), (ib, xb)) =>
+            val c = java.lang.Double.compare(xb, xa)
+            if (c != 0) c < 0 else ia < ib
+          }
+          .take(nprobe)
+          .map { case (i, _) => (r.get(0), i) }
       }
     }
-    val table = q.select(col("query_id"), explode(array(entries: _*)).as("e"))
-      .select(col("query_id"), col("e.subspace").as("subspace"),
-        col("e.code").as("code"), col("e.t_micro").as("t_micro"))
+    val qidField = q.schema.head
+    val probesL = sp.createDataFrame(
+      java.util.Arrays.asList(probePairs.map { case (qid, c) =>
+        org.apache.spark.sql.Row(qid, c) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          qidField.dataType, qidField.nullable),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val qL = sp.createDataFrame(
+      java.util.Arrays.asList(qData.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+      org.apache.spark.sql.types.StructType(q.schema.take(2)))
+    // BATCH-INVARIANT DISTANCE TABLES (VERDICT r13 #2, default): the
+    // per-(query, subspace, code) ADC table used to be built as an
+    // m·ksub-literal expression tree — every codebook vector a typedLit
+    // — which made the warm serve loop PLANNING-bound: ~2.4 s of each
+    // batch was Catalyst re-analyzing a fresh ~m·ksub-struct plan
+    // (SCALE.md §10, r13). Carrying the codebook as a small broadcast
+    // DataFrame (subspace, code, cv, cdot — m·ksub rows, driver-built
+    // once) and CROSS-JOINING the queries to it makes the compiled plan
+    // a fixed shape independent of batch content: the same sliced-dot
+    // kernel runs per joined row, so the arithmetic — slice, index-
+    // order dot folds, (aa − 2·q·c) + |c|², micro snap — is the SAME
+    // double sequence as the literal tree and the results are
+    // bit-identical (SimilaritySpec pins literal ≡ broadcast-table ≡
+    // exhaustive ADC). The literal path stays available
+    // (`literalDistanceTable = true`) as the parity witness.
+    val table =
+      if (literalDistanceTable) {
+        val entries = (0 until m).flatMap { s =>
+          val sub = slice(col("qv"), s * dsub + 1, dsub)
+          val aa = dot(sp, sub, sub)
+          (0 until ksub).map { c =>
+            val cv = pqCodebook.map(f => f(s, c))
+              .getOrElse(pqCentroidVec(s, c, dsub))
+            require(cv.length == dsub,
+              s"PQ codebook entry ($s,$c) carries ${cv.length} dims, expected $dsub")
+            val t = (aa - lit(2.0) * dot(sp, sub, typedLit(cv.toSeq))) +
+              lit(seqSelfDot(cv))
+            struct(lit(s).as("subspace"), lit(c).as("code"),
+              floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"))
+          }
+        }
+        qL.select(col("query_id"), explode(array(entries: _*)).as("e"))
+          .select(col("query_id"), col("e.subspace").as("subspace"),
+            col("e.code").as("code"), col("e.t_micro").as("t_micro"))
+      } else {
+        import sp.implicits._
+        val cbRows = for (s <- 0 until m; c <- 0 until ksub) yield {
+          val cv = pqCodebook.map(f => f(s, c))
+            .getOrElse(pqCentroidVec(s, c, dsub))
+          require(cv.length == dsub,
+            s"PQ codebook entry ($s,$c) carries ${cv.length} dims, expected $dsub")
+          (s, c, cv.toSeq, seqSelfDot(cv))
+        }
+        val cb = cbRows.toDF("subspace", "code", "cv", "cdot")
+        val sub = slice(col("qv"), col("subspace") * lit(dsub) + lit(1),
+          lit(dsub))
+        val t = (dot(sp, sub, sub) - lit(2.0) * dot(sp, sub, col("cv"))) +
+          col("cdot")
+        qL.crossJoin(broadcast(cb))
+          .select(col("query_id"), col("subspace"), col("code"),
+            floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"))
+      }
     // PROBE-CELL PUSHDOWN (r13): the union of probed cells is bounded
     // by min(nprobe·N_q, centroids) ≤ the 4096 centroid cap — collect
     // it and filter the index SCAN before the join, so the `cell IN`
@@ -1341,19 +1415,25 @@ object Similarity {
     // probes are data, and a data-dependent join reads everything.
     // Results are unchanged (the filter keeps a superset of what the
     // join keeps); the serve-path win is reading nprobe·N/K codes
-    // instead of all N·m — which is the entire point of IVF.
-    // `probes` is eagerly materialized (ADVICE r13) so the collected
-    // cell list and the joined probe frame are PROVABLY two reads of
-    // one evaluation — were the upstream ever nondeterministic, two
-    // independent evaluations could diverge and the scan filter would
-    // silently drop cells the join expects.
-    val probesM = probes.localCheckpoint(true)
-    val probeCells = probesM.select(col("cell")).distinct()
-      .collect().map(_.get(0))
+    // instead of all N·m — which is the entire point of IVF. Both the
+    // cell list and the joined probe frame come from the ONE driver
+    // ranking above.
+    val probeCells: Seq[Any] =
+      probePairs.map(p => Int.box(p._2)).distinct
     val pruned = index.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
-    val adc = pruned.join(broadcast(probesM), Seq("cell"))
+    // ONE exchange for agg + window: hash-distributing the candidate
+    // rows by query_id alone satisfies BOTH the (query_id, vec_id)
+    // aggregation (a partitioning on a subset of the grouping keys
+    // colocates every group) and the top-k window's query_id
+    // requirement — the default plan paid two exchanges (agg on the
+    // pair key, then window re-shuffling on query_id) plus an AQE
+    // stage boundary between them. Serving batches bound the shuffle
+    // either way (≤ N_q·nprobe·(N/K)·m candidate rows).
+    val adc = pruned.join(broadcast(probesL), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(table), Seq("query_id", "subspace", "code"))
+      .select(col("query_id"), col("vec_id"), col("t_micro"))
+      .repartition(col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("t_micro")).as("adc_micro"))
     val w = Window.partitionBy(col("query_id"))

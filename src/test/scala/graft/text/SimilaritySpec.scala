@@ -442,6 +442,17 @@ class SimilaritySpec extends SparkSpec {
       "embedding", dims = 64, m = 4, ksub = 8, centroids = 16, nprobe = 2,
       k = 10)
     assert(served.exceptAll(pruned).isEmpty && pruned.exceptAll(served).isEmpty)
+    // VERDICT r13 #2: the batch-invariant broadcast-table distance path
+    // (the default `served` above) and the literal expression-tree path
+    // are bit-identical — same slice, same index-order dot folds, same
+    // (aa − 2·q·c) + |c|² association, same micro snap; only the PLAN
+    // changes (a fixed-shape cross join vs an m·ksub-literal tree)
+    val servedLit = Similarity.ivfPqProbe(idx, emb.filter(qp), "vec_id",
+      "embedding", dims = 64, m = 4, ksub = 8, centroids = 16, nprobe = 2,
+      k = 10, literalDistanceTable = true)
+    assert(servedLit.exceptAll(served).isEmpty &&
+      served.exceptAll(servedLit).isEmpty,
+      "broadcast-table ADC must equal the literal distance-table ADC")
   }
 
   test("adaptive band width: floor below target occupancy, widens ~log2(n) above, capped") {
