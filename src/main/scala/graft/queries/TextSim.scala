@@ -397,6 +397,107 @@ object TextSim extends QueryPack {
                  sc.ll_micro + p.prior_micro AS total
           FROM sc JOIN priors p USING (label))"""
 
+  /** The q193 leave-one-source-out valuation chain, parameterized on
+    * the EVAL-SLICE membership condition so the exact face (q193,
+    * `doc_id % 5 = 0`) and the sampled face (q217, the q71 per-label
+    * md5-rank subsample via `extraCtes`) render through ONE generator
+    * — the LOO algebra cannot drift between them. `evalCond` must be a
+    * row predicate over (doc_id); `extraCtes` (with trailing comma)
+    * may define CTEs it references. */
+  private def looValuationSql(extraCtes: String, evalCond: String): String = s"""
+        WITH $nbCtes,
+        $extraCtes
+        xtoks AS (SELECT doc_id, lang AS label_true, source AS src,
+                         unnest($DUCK_TOKENS) AS term
+                  FROM documents),
+        xctls AS (SELECT src, label_true AS label, term,
+                         count(*)::BIGINT AS c
+                  FROM xtoks GROUP BY 1, 2, 3),
+        xsrcs AS (SELECT DISTINCT src FROM xctls),
+        xctl AS (SELECT label, term, sum(c)::BIGINT AS c_all
+                 FROM xctls GROUP BY 1, 2),
+        xlab AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,
+                        sum(len($DUCK_TOKENS))::BIGINT AS t_l
+                 FROM documents GROUP BY 1),
+        xlabs AS (SELECT source AS src, lang AS label,
+                         count(*)::BIGINT AS n_ls,
+                         sum(len($DUCK_TOKENS))::BIGINT AS t_ls
+                  FROM documents GROUP BY 1, 2),
+        xnall AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+        xns AS (SELECT source AS src, count(*)::BIGINT AS n_s
+                FROM documents GROUP BY 1),
+        xtermtot AS (SELECT term, sum(c_all)::BIGINT AS ct
+                     FROM xctl GROUP BY 1),
+        xtermsrc AS (SELECT src, term, sum(c)::BIGINT AS cs
+                     FROM xctls GROUP BY 1, 2),
+        xv AS (SELECT count(*)::BIGINT AS v FROM xtermtot),
+        xvs AS (SELECT src, count(*)::BIGINT AS excl
+                FROM xtermsrc JOIN xtermtot USING (term)
+                WHERE ct = cs GROUP BY 1),
+        xgrid AS (
+          SELECT s.src, t.term, l.label,
+                 floor((ln((coalesce(c.c_all, 0) - coalesce(cs.c, 0))::DOUBLE
+                           + 1.0)
+                        - ln((l.t_l - coalesce(ls.t_ls, 0)
+                              + xv.v - coalesce(xvs.excl, 0))::DOUBLE))
+                       * 1e6 + 0.5)::BIGINT AS s_micro
+          FROM (SELECT DISTINCT term FROM xctl) t
+          CROSS JOIN xlab l CROSS JOIN xsrcs s
+          LEFT JOIN xctl c ON c.term = t.term AND c.label = l.label
+          LEFT JOIN xctls cs ON cs.src = s.src AND cs.label = l.label
+                            AND cs.term = t.term
+          LEFT JOIN xlabs ls ON ls.src = s.src AND ls.label = l.label
+          CROSS JOIN xv LEFT JOIN xvs ON xvs.src = s.src
+          JOIN xtermtot tt ON tt.term = t.term
+          LEFT JOIN xtermsrc ts2 ON ts2.src = s.src AND ts2.term = t.term
+          WHERE coalesce(ts2.cs, 0) < tt.ct
+            AND l.n_docs - coalesce(ls.n_ls, 0) > 0),
+        xpriors AS (
+          SELECT s.src, l.label,
+                 floor((ln((l.n_docs - coalesce(ls.n_ls, 0))::DOUBLE)
+                        - ln((xnall.n_all - xns.n_s)::DOUBLE))
+                       * 1e6 + 0.5)::BIGINT AS prior_micro
+          FROM xlab l CROSS JOIN xsrcs s
+          LEFT JOIN xlabs ls ON ls.src = s.src AND ls.label = l.label
+          CROSS JOIN xnall JOIN xns ON xns.src = s.src
+          WHERE l.n_docs - coalesce(ls.n_ls, 0) > 0),
+        xetoks AS (SELECT doc_id, label_true, term FROM xtoks
+                   WHERE $evalCond),
+        xsc AS (SELECT g.src, e.doc_id, e.label_true, g.label,
+                       sum(g.s_micro)::BIGINT AS ll
+                FROM xetoks e JOIN xgrid g USING (term)
+                GROUP BY 1, 2, 3, 4),
+        xtot AS (SELECT xsc.src, xsc.doc_id, xsc.label_true, xsc.label,
+                        xsc.ll + p.prior_micro AS total
+                 FROM xsc JOIN xpriors p
+                   ON p.src = xsc.src AND p.label = xsc.label),
+        xloo AS (
+          SELECT src, count(*)::BIGINT AS n_scored,
+                 sum((cand = label_true)::INT)::BIGINT AS n_ok
+          FROM (SELECT src, doc_id, label_true, label AS cand, total,
+                       row_number() OVER (PARTITION BY src, doc_id
+                                          ORDER BY total DESC, label DESC)
+                         AS rn
+                FROM xtot) WHERE rn = 1 GROUP BY 1),
+        xfull AS (
+          SELECT count(*)::BIGINT AS n_eval,
+                 sum((cand = label_true)::INT)::BIGINT AS ok
+          FROM (SELECT doc_id, label_true, cand, total,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY total DESC, cand DESC)
+                         AS rn
+                FROM tot)
+          WHERE rn = 1 AND ($evalCond))
+        SELECT src AS source, n_scored, n_eval,
+               floor(ok::DOUBLE * 1e6 / n_eval::DOUBLE + 0.5)::BIGINT
+                 AS acc_full_micro,
+               floor(n_ok::DOUBLE * 1e6 / n_scored::DOUBLE + 0.5)::BIGINT
+                 AS acc_loo_micro,
+               floor(n_ok::DOUBLE * 1e6 / n_scored::DOUBLE + 0.5)::BIGINT
+                 - floor(ok::DOUBLE * 1e6 / n_eval::DOUBLE + 0.5)::BIGINT
+                 AS delta_micro
+        FROM xloo CROSS JOIN xfull"""
+
   private def pqCtes: String = """
         e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                    FROM embeddings),
@@ -5221,98 +5322,31 @@ object TextSim extends QueryPack {
       (s, d) => Classify.looSourceValuation(Tables.documents(s, d),
         "doc_id", "text", "lang", "source",
         evalPred = col("doc_id") % 5 === 0),
-      Some(s"""
-        WITH $nbCtes,
-        xtoks AS (SELECT doc_id, lang AS label_true, source AS src,
-                         unnest($DUCK_TOKENS) AS term
-                  FROM documents),
-        xctls AS (SELECT src, label_true AS label, term,
-                         count(*)::BIGINT AS c
-                  FROM xtoks GROUP BY 1, 2, 3),
-        xsrcs AS (SELECT DISTINCT src FROM xctls),
-        xctl AS (SELECT label, term, sum(c)::BIGINT AS c_all
-                 FROM xctls GROUP BY 1, 2),
-        xlab AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,
-                        sum(len($DUCK_TOKENS))::BIGINT AS t_l
-                 FROM documents GROUP BY 1),
-        xlabs AS (SELECT source AS src, lang AS label,
-                         count(*)::BIGINT AS n_ls,
-                         sum(len($DUCK_TOKENS))::BIGINT AS t_ls
-                  FROM documents GROUP BY 1, 2),
-        xnall AS (SELECT count(*)::BIGINT AS n_all FROM documents),
-        xns AS (SELECT source AS src, count(*)::BIGINT AS n_s
-                FROM documents GROUP BY 1),
-        xtermtot AS (SELECT term, sum(c_all)::BIGINT AS ct
-                     FROM xctl GROUP BY 1),
-        xtermsrc AS (SELECT src, term, sum(c)::BIGINT AS cs
-                     FROM xctls GROUP BY 1, 2),
-        xv AS (SELECT count(*)::BIGINT AS v FROM xtermtot),
-        xvs AS (SELECT src, count(*)::BIGINT AS excl
-                FROM xtermsrc JOIN xtermtot USING (term)
-                WHERE ct = cs GROUP BY 1),
-        xgrid AS (
-          SELECT s.src, t.term, l.label,
-                 floor((ln((coalesce(c.c_all, 0) - coalesce(cs.c, 0))::DOUBLE
-                           + 1.0)
-                        - ln((l.t_l - coalesce(ls.t_ls, 0)
-                              + xv.v - coalesce(xvs.excl, 0))::DOUBLE))
-                       * 1e6 + 0.5)::BIGINT AS s_micro
-          FROM (SELECT DISTINCT term FROM xctl) t
-          CROSS JOIN xlab l CROSS JOIN xsrcs s
-          LEFT JOIN xctl c ON c.term = t.term AND c.label = l.label
-          LEFT JOIN xctls cs ON cs.src = s.src AND cs.label = l.label
-                            AND cs.term = t.term
-          LEFT JOIN xlabs ls ON ls.src = s.src AND ls.label = l.label
-          CROSS JOIN xv LEFT JOIN xvs ON xvs.src = s.src
-          JOIN xtermtot tt ON tt.term = t.term
-          LEFT JOIN xtermsrc ts2 ON ts2.src = s.src AND ts2.term = t.term
-          WHERE coalesce(ts2.cs, 0) < tt.ct
-            AND l.n_docs - coalesce(ls.n_ls, 0) > 0),
-        xpriors AS (
-          SELECT s.src, l.label,
-                 floor((ln((l.n_docs - coalesce(ls.n_ls, 0))::DOUBLE)
-                        - ln((xnall.n_all - xns.n_s)::DOUBLE))
-                       * 1e6 + 0.5)::BIGINT AS prior_micro
-          FROM xlab l CROSS JOIN xsrcs s
-          LEFT JOIN xlabs ls ON ls.src = s.src AND ls.label = l.label
-          CROSS JOIN xnall JOIN xns ON xns.src = s.src
-          WHERE l.n_docs - coalesce(ls.n_ls, 0) > 0),
-        xetoks AS (SELECT doc_id, label_true, term FROM xtoks
-                   WHERE doc_id % 5 = 0),
-        xsc AS (SELECT g.src, e.doc_id, e.label_true, g.label,
-                       sum(g.s_micro)::BIGINT AS ll
-                FROM xetoks e JOIN xgrid g USING (term)
-                GROUP BY 1, 2, 3, 4),
-        xtot AS (SELECT xsc.src, xsc.doc_id, xsc.label_true, xsc.label,
-                        xsc.ll + p.prior_micro AS total
-                 FROM xsc JOIN xpriors p
-                   ON p.src = xsc.src AND p.label = xsc.label),
-        xloo AS (
-          SELECT src, count(*)::BIGINT AS n_scored,
-                 sum((cand = label_true)::INT)::BIGINT AS n_ok
-          FROM (SELECT src, doc_id, label_true, label AS cand, total,
-                       row_number() OVER (PARTITION BY src, doc_id
-                                          ORDER BY total DESC, label DESC)
-                         AS rn
-                FROM xtot) WHERE rn = 1 GROUP BY 1),
-        xfull AS (
-          SELECT count(*)::BIGINT AS n_eval,
-                 sum((cand = label_true)::INT)::BIGINT AS ok
-          FROM (SELECT doc_id, label_true, cand, total,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY total DESC, cand DESC)
-                         AS rn
-                FROM tot)
-          WHERE rn = 1 AND doc_id % 5 = 0)
-        SELECT src AS source, n_scored, n_eval,
-               floor(ok::DOUBLE * 1e6 / n_eval::DOUBLE + 0.5)::BIGINT
-                 AS acc_full_micro,
-               floor(n_ok::DOUBLE * 1e6 / n_scored::DOUBLE + 0.5)::BIGINT
-                 AS acc_loo_micro,
-               floor(n_ok::DOUBLE * 1e6 / n_scored::DOUBLE + 0.5)::BIGINT
-                 - floor(ok::DOUBLE * 1e6 / n_eval::DOUBLE + 0.5)::BIGINT
-                 AS delta_micro
-        FROM xloo CROSS JOIN xfull""")),
+      Some(looValuationSql("", "doc_id % 5 = 0"))),
+
+    // SAMPLED LOO VALUATION (VERDICT r13 #3): q193's documented scale
+    // knob — "keep the eval slice a sample" — registered instead of
+    // prose. The eval slice is the q71 deterministic per-label
+    // subsample (seeded md5 rank, k=5 per label) of the %5 candidates,
+    // so the inference replication and the eval-vocab×L×S grid are
+    // BOUNDED at L·k docs regardless of corpus size, while training
+    // counts and smoothing corrections still come from the FULL
+    // corpus. One SQL generator with q193 (looValuationSql — the LOO
+    // algebra cannot drift) + the q71 rank formula for the sample, so
+    // the oracle replays the seeded sample exactly.
+    "q217_loo_valuation_sampled" -> Q(
+      (s, d) => Classify.looSourceValuationSampled(Tables.documents(s, d),
+        "doc_id", "text", "lang", "source",
+        evalPred = col("doc_id") % 5 === 0, perLabelK = 5),
+      Some(looValuationSql(
+        """xeval AS (SELECT doc_id FROM (
+             SELECT doc_id,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY ('0x' || substr(md5('sample|' || doc_id), 1, 8))::BIGINT,
+                               doc_id) AS rnk
+             FROM documents WHERE doc_id % 5 = 0)
+           WHERE rnk <= 5),""",
+        "doc_id IN (SELECT doc_id FROM xeval)"))),
 
     // LANGUAGE-ID CONFUSION MATRIX: the q33 heuristic graded against
     // the lang labels — observed (label, prediction) cells with row

@@ -191,7 +191,39 @@ object Classify {
     */
   def looSourceValuation(df: DataFrame, idCol: String, textCol: String,
                          labelCol: String, sourceCol: String,
-                         evalPred: Column): DataFrame = {
+                         evalPred: Column): DataFrame =
+    looValuationWithEval(df, idCol, textCol, labelCol, sourceCol,
+      df.filter(evalPred).select(col(idCol).as("doc_id")))
+
+  /** SAMPLED leave-one-source-out valuation (VERDICT r13 #3): the
+    * scaladoc above names the eval-token ×L×S replication as the scale
+    * knob and says "keep the eval slice a sample" — this is that knob
+    * REGISTERED instead of prose. The eval slice is the q71
+    * deterministic per-label subsample (seeded md5 rank, no RNG) of
+    * the `evalPred` candidates: |eval| ≤ L·k BY CONSTRUCTION, so the
+    * inference replication — and with it the eval-vocab×L×S grid, the
+    * cube term q193 pays — is BOUNDED regardless of corpus size,
+    * while training counts and smoothing corrections still come from
+    * the FULL corpus. Per-label (not global) sampling keeps every
+    * label represented in the eval slice, so a rare label's accuracy
+    * contribution survives the cut. Model scores for the sampled docs
+    * are EXACTLY the full-eval q193 scores (the grid restriction to
+    * eval-slice terms is already proven result-neutral); only the
+    * accuracy denominator changes, which is the documented estimator
+    * trade of any fixed eval subset.
+    */
+  def looSourceValuationSampled(df: DataFrame, idCol: String,
+                                textCol: String, labelCol: String,
+                                sourceCol: String, evalPred: Column,
+                                perLabelK: Int): DataFrame =
+    looValuationWithEval(df, idCol, textCol, labelCol, sourceCol,
+      Terms.perGroupSample(df.filter(evalPred), idCol, labelCol, perLabelK)
+        .select(col("doc_id")))
+
+  private def looValuationWithEval(df: DataFrame, idCol: String,
+                                   textCol: String, labelCol: String,
+                                   sourceCol: String,
+                                   evalDocs: DataFrame): DataFrame = {
     val spark = df.sparkSession
     // the token stream feeds the count model AND the eval slice — one
     // materialization (the q172/q124 multi-consumer rule)
@@ -223,8 +255,7 @@ object Classify {
       .filter(col("ct") === col("cs"))
       .groupBy(col("src")).agg(count(lit(1)).as("excl"))
     // eval slice tokens, needed below to bound the grid
-    val evalToks = toks.join(
-      df.filter(evalPred).select(col(idCol).as("doc_id")), Seq("doc_id"))
+    val evalToks = toks.join(evalDocs, Seq("doc_id"))
       .drop("src")
     // per-source LOO model grid: labels × sources over EVAL-SLICE terms
     // only (r11 — the scale knob the scaladoc names): the grid's sole
@@ -288,7 +319,7 @@ object Classify {
           / col("n_scored").cast("double") + lit(0.5)).cast("long"))
     // full-model accuracy on the same slice, once
     val full = naiveBayesSelfTest(df, idCol, textCol, labelCol)
-      .join(df.filter(evalPred).select(col(idCol).as("doc_id")), Seq("doc_id"))
+      .join(evalDocs, Seq("doc_id"))
       .agg(count(lit(1)).as("n_eval"), sum(col("correct").cast("long")).as("ok"))
       .select(col("n_eval"),
         floor(col("ok").cast("double") * lit(1e6)

@@ -1059,6 +1059,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("good")._1 === 7L, "other models score every trusted doc")
   }
 
+  test("q217 sampled LOO: k covering the slice equals the exact face; " +
+      "a small k bounds n_eval at the per-label sample (VERDICT r13 #3)") {
+    import spark.implicits._
+    val clean = Seq(
+      (1L, "cat cat cat", "A", "good"), (2L, "cat cat", "A", "good"),
+      (3L, "dog dog dog", "B", "good"), (4L, "dog dog", "B", "good"),
+      (5L, "cat cat cat cat", "A", "good2"), (6L, "dog dog dog dog", "B", "good2"))
+    val noisy = (7L to 9L).map(i => (i, ("cat " * 10).trim, "B", "noisy"))
+    val df = (clean ++ noisy).toDF("doc_id", "text", "lang", "source")
+    val evalPred = col("doc_id") <= 6
+    val exact = graft.text.Classify.looSourceValuation(df, "doc_id", "text",
+      "lang", "source", evalPred)
+    // k >= per-label candidate count → the sample IS the slice: the
+    // sampled face must be row-identical to the exact face
+    val full = graft.text.Classify.looSourceValuationSampled(df, "doc_id",
+      "text", "lang", "source", evalPred, perLabelK = 10)
+    assert(full.exceptAll(exact).isEmpty && exact.exceptAll(full).isEmpty,
+      "a sample covering the slice must reproduce the exact valuation")
+    // k=1 → one eval doc per label (2 labels): n_eval = 2, and every
+    // non-exclusive model scores exactly those docs; model scores for
+    // sampled docs are the exact face's (only the denominator changes)
+    val s1 = graft.text.Classify.looSourceValuationSampled(df, "doc_id",
+      "text", "lang", "source", evalPred, perLabelK = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(s1.values.forall(_._2 === 2L), s"n_eval must be L*k = 2: $s1")
+    assert(s1("good")._1 === 2L, s"each model scores the sampled docs: $s1")
+  }
+
   test("q194 confusion: hand cells with exact row/column shares") {
     val dir = corpusDir(Seq(
       (1L, "the and of it", "en", "w"),   // correctly-labeled English
