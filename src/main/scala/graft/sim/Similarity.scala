@@ -1271,15 +1271,10 @@ object Similarity {
     * the map-only PQ encode; [[ivfPqProbe]] is the read side.
     */
   def ivfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
-                 dims: Int, m: Int, ksub: Int, centroids: Int): DataFrame = {
-    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
-    val cells = assignCells(vectors, idCol, vecCol, cents)
-      .select(col("vec_id"), col("v"), col("cell"))
-      .localCheckpoint(true)
-    pqAudit(cells, "vec_id", "v", dims, m, ksub)
-      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), col("subspace"), col("code"))
-  }
+                 dims: Int, m: Int, ksub: Int, centroids: Int): DataFrame =
+    ivfPqEncode(vectors, idCol, vecCol, dims, m, ksub,
+      (0 until centroids).map(c => centroidVec(c, dims)).toArray,
+      (s, c) => pqCentroidVec(s, c, dims / m))
 
   /** Probe an ALREADY-BUILT IVF-PQ index with EXTERNAL raw-vector
     * queries — the serve half of the build-once/probe-many lifecycle
@@ -1584,7 +1579,19 @@ object Similarity {
     * PQ index payload, ready to write partitioned alongside the ids.
     */
   def pqAudit(vectors: DataFrame, idCol: String, vecCol: String,
-              dims: Int, m: Int, ksub: Int): DataFrame = {
+              dims: Int, m: Int, ksub: Int): DataFrame =
+    pqAuditWith(vectors, idCol, vecCol, dims, m, ksub,
+      (s, c) => pqCentroidVec(s, c, dims / m))
+
+  /** [[pqAudit]] generalized over the sub-codebook source — the shared
+    * encode kernel of the one-shot index build (formula codebooks) and
+    * the streaming index-maintenance tick (codebooks LOADED from the
+    * persisted artifact, so the tick encodes through exactly what was
+    * written to disk). */
+  private[graft] def pqAuditWith(vectors: DataFrame, idCol: String,
+                                 vecCol: String, dims: Int, m: Int,
+                                 ksub: Int,
+                                 cb: (Int, Int) => Array[Double]): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(ksub >= 1, "ksub must be >= 1")
     val sp = vectors.sparkSession
@@ -1595,7 +1602,9 @@ object Similarity {
       val sub = slice(col("v"), s * dsub + 1, dsub)
       val aa = dot(sp, sub, sub)
       val cands = (0 until ksub).map { c =>
-        val cv = pqCentroidVec(s, c, dsub)
+        val cv = cb(s, c)
+        require(cv.length == dsub,
+          s"PQ codebook entry ($s,$c) carries ${cv.length} dims, expected $dsub")
         val ccSq = seqSelfDot(cv)
         val sse = (aa - lit(2.0) * dot(sp, sub, typedLit(cv.toSeq))) + lit(ccSq)
         struct(floor(sse * lit(1e6) + lit(0.5)).cast("long").as("sse_micro"),
@@ -1606,6 +1615,25 @@ object Similarity {
     v.select(col("vec_id"), explode(array(perSub: _*)).as("p"))
       .select(col("vec_id"), col("p.subspace").as("subspace"),
         col("p.best.code").as("code"), col("p.best.sse_micro").as("sse_micro"))
+  }
+
+  /** Encode vectors into IVF-PQ code rows (vec_id, cell, subspace,
+    * code) through EXPLICIT codebooks — the serve-side quantizers
+    * applied to corpus rows, the append kernel of the streaming
+    * index-maintenance tick ([[graft.tools.IvfPqBuild]] `ingesttick`).
+    * With the formula codebooks this is exactly [[ivfPqIndex]], so a
+    * tick-grown index is bit-identical to a one-shot build over the
+    * union (StreamingSpec pins it). */
+  def ivfPqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+                  dims: Int, m: Int, ksub: Int,
+                  cents: Array[Array[Double]],
+                  pqCodebook: (Int, Int) => Array[Double]): DataFrame = {
+    val cells = assignCells(vectors, idCol, vecCol, cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .localCheckpoint(true)
+    pqAuditWith(cells, "vec_id", "v", dims, m, ksub, pqCodebook)
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("subspace"), col("code"))
   }
 
   /** JL plane p over `dims` dimensions: component i = md5("jl{p}_{i}")

@@ -73,18 +73,31 @@ object IvfPqBuild {
   }
 
   /** Encode + persist: bucketed code table, coarse centroids, PQ
-    * codebooks, params. Returns the row count written.
+    * codebooks, params — plus (VERDICT r13 #6) a FROZEN held-out eval
+    * set: a deterministic query sample (`vec_id % heldoutMod`) with its
+    * exact build-corpus top-10 truth, so every later [[ingestTick]] can
+    * measure what the grown index still retrieves of it (the standard
+    * frozen-eval-set recall practice; a codes-only artifact cannot
+    * recompute exact truth later — the raw corpus isn't carried).
+    * Returns the row count written.
     */
   def build(spark: SparkSession, sfDir: String, outDir: String,
             m: Int = 8, ksub: Int = 16, centroids: Int = 16,
-            buckets: Int = 8): Long = {
+            buckets: Int = 8, heldoutMod: Int = 97): Long = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val table = tableName(outDir)
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // pre-partition on the BUCKET spec's own hash (repartition and
+    // bucketBy share Murmur3 HashPartitioning) so each task owns whole
+    // buckets and the table lands as ~one file per bucket — without
+    // this, every upstream task writes a sliver of every bucket and a
+    // 512-partition encode shuffle fans out to task×bucket ≈ 11k tiny
+    // files, taxing every later listing, scan, and append commit
     Similarity.ivfPqIndex(emb, "vec_id", "embedding", dims, m, ksub, centroids)
+      .repartition(buckets, col("cell"))
       .write.bucketBy(buckets, "cell").sortBy("cell")
       .option("path", s"$outDir/index")
       .format("parquet").mode("overwrite").saveAsTable(table)
@@ -96,7 +109,166 @@ object IvfPqBuild {
     Seq((dims, m, ksub, centroids, buckets))
       .toDF("dims", "m", "ksub", "centroids", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/params.parquet")
+    if (heldoutMod > 0) {
+      // the eval set is BOUNDED (64 queries) regardless of corpus size:
+      // the truth pass is |heldout|·N exact dots — a fixed-size sample
+      // keeps the build's eval surcharge a constant fraction, and 64
+      // queries × k=10 truth rows is plenty of recall resolution
+      val hq = emb.filter(col("vec_id") % heldoutMod === 0)
+        .orderBy(col("vec_id")).limit(64)
+        .localCheckpoint(true)
+      hq.write.mode("overwrite").parquet(s"$outDir/heldout/queries")
+      Similarity.bruteForceTopK(emb, hq, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+        .write.mode("overwrite").parquet(s"$outDir/heldout/truth")
+      // BUILD-TIME recall at the default serving knobs: the tick's
+      // relative staleness floor calibrates against THIS number — the
+      // untrained formula quantizer legitimately serves low frozen-set
+      // recall at tight nprobe/K, so an absolute floor would read
+      // "stale" at zero drift; what staleness means is recall FALLING
+      // from where this build started
+      val r0 = heldoutRecall(spark, outDir, spark.table(table),
+        cents, (s, c) => Similarity.pqCentroidVec(s, c, dims / m),
+        nprobe = 2, k = 3)
+      Seq((2, 3, r0)).toDF("nprobe", "k", "recall_micro")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/heldout/recall0")
+    }
     spark.table(table).count()
+  }
+
+  /** Recall@k of the frozen held-out truth through the probe path on
+    * `index` — the one measurement both `build` (baseline) and
+    * [[ingestTick]] (drift check) share. */
+  private def heldoutRecall(spark: SparkSession, outDir: String,
+                            index: DataFrame,
+                            cents: Array[Array[Double]],
+                            pqCb: (Int, Int) => Array[Double],
+                            nprobe: Int, k: Int): Long = {
+    val queries = spark.read.parquet(s"$outDir/heldout/queries")
+    val truth = spark.read.parquet(s"$outDir/heldout/truth")
+      .filter(col("rank") <= k)
+    val p = loadParams(spark, outDir)
+    val got = Similarity.ivfPqProbe(index, queries, "vec_id", "embedding",
+      p.dims, p.m, p.ksub, p.centroids, nprobe, k,
+      coarseCodebook = Some(cents), pqCodebook = Some(pqCb))
+    val nq = queries.count()
+    val hits = got.select(col("query_id"), col("vec_id"))
+      .join(truth.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi").count()
+    math.floor(hits.toDouble * 1e6 / (nq * k).toDouble + 0.5).toLong
+  }
+
+  /** STREAMING INDEX-MAINTENANCE TICK (VERDICT r13 #6 — the q209/q214
+    * tick pattern applied to the serving index): one
+    * `Trigger.AvailableNow` tick drains newly staged (vec_id,
+    * embedding) rows, encodes them through the artifact's LOADED
+    * codebooks ([[Similarity.ivfPqEncode]] — the serve-side quantizers
+    * applied to corpus rows; with the formula codebooks a tick-grown
+    * index is bit-identical to a one-shot build over the union,
+    * StreamingSpec pins it), and APPENDS the code rows into the
+    * bucketed table (same bucket spec — Spark refuses a mismatch, so
+    * the bucketed-scan contract survives growth). Crash-replay safe:
+    * membership is probed against the subspace-0 code rows (the
+    * one-row-per-vector face, an m×-cheaper scan; batch broadcasts),
+    * so a replayed batch never duplicates code rows.
+    *
+    * CODEBOOK STALENESS — two measured signals per tick, because a
+    * codes-only artifact can flag but not self-retrain (re-deriving
+    * centroids needs the raw corpus, which the artifact deliberately
+    * does not carry — `build` is the retrain path):
+    *  1. the √N dial: `adaptiveCentroids(n_after)` vs the built C —
+    *     outgrowing it means per-cell population is drifting back to
+    *     N/C (the F3 quadratic the sizing rule exists to kill);
+    *  2. the HELD-OUT RECALL FLOOR: probe the grown index with the
+    *     frozen build-time eval set and measure recall of the frozen
+    *     truth at (nprobe, k); legitimate new neighbors displace a few
+    *     truth rows, stale codebooks displace MANY — below
+    *     `recallFloorMicro` the tick flags loudly.
+    * Both land in `outDir/_heldout_recall` (n_vectors, recall_micro,
+    * floor_micro, stale, needed_centroids) — the tick's measured meta
+    * row, the [[graft.sim.IndexMeta]] discipline for a dial the tick
+    * cannot itself turn.
+    */
+  def ingestTick(spark: SparkSession, outDir: String, stagingDir: String,
+                 checkpointDir: String, nprobe: Int = 2, k: Int = 3,
+                 recallFloorMicro: Long = 0L,
+                 recallDropFactorMicro: Long = 800000L): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val p = loadParams(spark, outDir)
+    val cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
+    val pqCb = loadPqCodebook(spark, outDir)
+    val table = tableName(outDir)
+    openIndex(spark, outDir)
+    val vecs = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+      .parquet(stagingDir)
+    val q = vecs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import spark.implicits._
+        val sp = batch.sparkSession
+        val b = batch.dropDuplicates("vec_id").persist()
+        try {
+          val indexed = sp.table(table).filter(col("subspace") === 0)
+            .select(col("vec_id"))
+            .join(broadcast(b.select(col("vec_id").as("bid"))),
+              col("vec_id") === col("bid"))
+            .select("vec_id").distinct().localCheckpoint(true)
+          val fresh = b.join(broadcast(indexed), Seq("vec_id"), "left_anti")
+          Similarity.ivfPqEncode(fresh, "vec_id", "embedding",
+              p.dims, p.m, p.ksub, cents, (s, c) => pqCb((s, c)))
+            .repartition(p.buckets, col("cell"))
+            .write.format("parquet").mode("append")
+            .bucketBy(p.buckets, "cell").sortBy("cell")
+            .option("path", s"$outDir/index").saveAsTable(table)
+          // staleness signal 1: the √N dial
+          val nAfter = sp.table(table).filter(col("subspace") === 0)
+            .select(col("vec_id")).distinct().count()
+          val neededC = Similarity.adaptiveCentroids(nAfter, p.centroids)
+          if (neededC > p.centroids)
+            System.err.println(s"[ivfpq] STALE coarse quantizer: corpus " +
+              s"$nAfter vectors needs C=$neededC, artifact built at " +
+              s"C=${p.centroids} — retrain via 'build' (a codes-only " +
+              "artifact cannot re-derive centroids)")
+          // staleness signal 2: held-out recall against the CALIBRATED
+          // floor — the untrained/formula quantizer legitimately serves
+          // low frozen-set recall at tight nprobe/K, so "stale" is
+          // recall FALLING from the build-time baseline
+          // (recall0 × dropFactor), not an absolute bar; the absolute
+          // `recallFloorMicro` stays available for callers with an SLO
+          val hqDir = s"$outDir/heldout/queries"
+          val fs = new org.apache.hadoop.fs.Path(hqDir)
+            .getFileSystem(sp.sessionState.newHadoopConf())
+          if (fs.exists(new org.apache.hadoop.fs.Path(hqDir))) {
+            val recall = heldoutRecall(sp, outDir, sp.table(table),
+              cents, (s, c) => pqCb((s, c)), nprobe, k)
+            val r0Dir = s"$outDir/heldout/recall0"
+            val relFloor =
+              if (fs.exists(new org.apache.hadoop.fs.Path(r0Dir))) {
+                val r0 = sp.read.parquet(r0Dir)
+                  .filter(col("nprobe") === nprobe && col("k") === k)
+                  .select(col("recall_micro")).collect()
+                r0.headOption.map(r =>
+                  r.getLong(0) * recallDropFactorMicro / 1000000L)
+                  .getOrElse(0L)
+              } else 0L
+            val floor = math.max(recallFloorMicro, relFloor)
+            val stale = recall < floor
+            if (stale)
+              System.err.println(s"[ivfpq] STALE codebooks: held-out " +
+                s"recall $recall µ < floor $floor µ at " +
+                s"nprobe=$nprobe k=$k on $nAfter vectors — retrain via 'build'")
+            Seq((nAfter, recall, floor, stale, neededC))
+              .toDF("n_vectors", "recall_micro", "floor_micro", "stale",
+                "needed_centroids")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/_heldout_recall")
+          }
+        } finally b.unpersist()
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** Re-register the persisted code files as an external bucketed table
@@ -257,7 +429,51 @@ object IvfPqBuild {
           nprobe = arg(4, 2), k = arg(5, 3))
         println(f"[ivfpq] servespot: $n batches, total wall " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s (first batch carries codegen)")
-      case other => sys.error(s"unknown mode $other (build|probe|serve|servespot)")
+      case "ingesttick" =>
+        // args: ingesttick <stagingDir> <outDir> [nprobe=2] [k=3] —
+        // sfDir slot carries the staging dir (the serve convention)
+        val t0 = System.nanoTime()
+        ingestTick(spark, outDir, stagingDir = sfDir,
+          checkpointDir = s"$outDir/tick_ckpt",
+          nprobe = arg(3, 2), k = arg(4, 3))
+        println(f"[ivfpq] ingest tick drained in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "tickspot" =>
+        // measurement harness (SCALE.md §10): stage [batches] disjoint
+        // ~N/50-vector waves of NEW ids (offset stride, same embedding
+        // distribution), run one ingest tick per wave against the
+        // prebuilt artifact, print per-tick wall + the measured
+        // staleness row
+        val nb = arg(3, 2)
+        val staging = s"$outDir/tickspot_staging"
+        val fs = new org.apache.hadoop.fs.Path(staging)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/tickspot_ckpt"), true)
+        val emb = Tables.embeddings(spark, sfDir)
+        for (i <- 0 until nb) {
+          // FLAT staging append — the file stream source does not
+          // recurse into subdirectories (the staging-layout rule every
+          // ingest tick shares)
+          emb.filter(col("vec_id") % 50 === i)
+            .select((col("vec_id") + lit(1000000000L) * (i + 1)).as("vec_id"),
+              col("embedding"))
+            .coalesce(1).write.mode("append").parquet(staging)
+          val t0 = System.nanoTime()
+          ingestTick(spark, outDir, stagingDir = staging,
+            checkpointDir = s"$outDir/tickspot_ckpt",
+            nprobe = arg(4, 2), k = arg(5, 3))
+          val row = spark.read.parquet(s"$outDir/_heldout_recall").head()
+          println(f"[ivfpq] tickspot wave $i: tick wall " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s, corpus " +
+            f"${row.getAs[Long]("n_vectors")} vectors, held-out recall " +
+            f"${row.getAs[Long]("recall_micro")} µ (floor " +
+            f"${row.getAs[Long]("floor_micro")} µ, stale " +
+            f"${row.getAs[Boolean]("stale")}, needed C " +
+            f"${row.getAs[Int]("needed_centroids")})")
+        }
+      case other => sys.error(
+        s"unknown mode $other (build|probe|serve|servespot|ingesttick|tickspot)")
     }
     spark.stop()
   }

@@ -382,6 +382,76 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$corpus/_bands").count() === 43L * 4L)
   }
 
+  test("IVF-PQ ingest ticks: tick-grown index equals the one-shot build over " +
+      "the union, replay a no-op, held-out recall row measured (VERDICT r13 #6)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("ivfpqtick").toString
+    val sfDir = s"$base/sf"
+    val out = s"$base/art"
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    def unit(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    (0L until 40L).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    graft.tools.IvfPqBuild.build(spark, sfDir, out,
+      m = 4, ksub = 8, centroids = 16, buckets = 4, heldoutMod = 10)
+    // the frozen eval set rode the build
+    assert(spark.read.parquet(s"$out/heldout/queries").count() === 4L)
+    assert(spark.read.parquet(s"$out/heldout/truth")
+      .groupBy("query_id").count().collect().forall(_.getLong(1) === 10L))
+    // the build-time recall baseline rode the artifact (the tick's
+    // calibrated staleness floor reads it)
+    val r0 = spark.read.parquet(s"$out/heldout/recall0").head()
+    assert(r0.getAs[Int]("nprobe") === 2 && r0.getAs[Int]("k") === 3)
+    assert(r0.getAs[Long]("recall_micro") >= 0L)
+    // tick 1: ten new vectors; tick 2: ten more plus a re-delivery of
+    // an ALREADY-INDEXED id (the crash-replay guard must drop it)
+    (100L until 110L).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    graft.tools.IvfPqBuild.ingestTick(spark, out, staging, s"$base/ckpt",
+      recallFloorMicro = 1L, recallDropFactorMicro = 0L)
+    ((110L until 120L).map(i => (i, unit(i.toInt))) :+ ((105L, unit(105))))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    graft.tools.IvfPqBuild.ingestTick(spark, out, staging, s"$base/ckpt",
+      recallFloorMicro = 1L, recallDropFactorMicro = 0L)
+    // two-tick parity: the grown table IS the one-shot encode of the
+    // union (formula codebooks round-trip bit-exactly)
+    val grown = graft.tools.IvfPqBuild.openIndex(spark, out)
+    val union = (0L until 40L) ++ (100L until 120L)
+    val oneShot = graft.sim.Similarity.ivfPqIndex(
+      union.map(i => (i, unit(i.toInt))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dims = 64, m = 4, ksub = 8, centroids = 16)
+    assert(grown.exceptAll(oneShot).isEmpty && oneShot.exceptAll(grown).isEmpty,
+      "tick-grown index must equal the one-shot build over the union")
+    // the staleness meta row was measured on the grown corpus
+    val row = spark.read.parquet(s"$out/_heldout_recall").head()
+    assert(row.getAs[Long]("n_vectors") === 60L)
+    assert(row.getAs[Long]("recall_micro") > 0L)
+    assert(!row.getAs[Boolean]("stale"))
+    // full replay (fresh checkpoint, same staged files): the membership
+    // guard self-flags every vector — zero appended code rows
+    graft.tools.IvfPqBuild.ingestTick(spark, out, staging, s"$base/ckpt2",
+      recallFloorMicro = 1L, recallDropFactorMicro = 0L)
+    assert(graft.tools.IvfPqBuild.openIndex(spark, out).count() === 60L * 4L,
+      "a replayed tick must not duplicate code rows")
+    // the recall floor BINDS: an impossible floor marks the row stale
+    ((200L, unit(200)) :: Nil).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    graft.tools.IvfPqBuild.ingestTick(spark, out, staging, s"$base/ckpt2",
+      recallFloorMicro = 1000001L, recallDropFactorMicro = 0L)
+    val row2 = spark.read.parquet(s"$out/_heldout_recall").head()
+    assert(row2.getAs[Boolean]("stale"), "floor above 1.0 must flag stale")
+    assert(row2.getAs[Long]("n_vectors") === 61L)
+  }
+
   test("drift ticks: maintained grid + PSI equal the batch computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
