@@ -199,6 +199,19 @@ object Bench {
     out.filter(r => r.best > 0 &&
       baseline.get(r.name).exists(b => b > 0 && r.best > TripwireFactor * b))
 
+  /** Quiet-tail re-measure count for a flagged query (VERDICT r13 #7):
+    * rows whose recorded baseline sits under the ±0.3 s box-noise
+    * floor re-measure ×3 (one tail sample of a 0.2 s query is itself
+    * noise — r13 adjudicated q176/q180 exactly this way by hand);
+    * everything else keeps the single tail sample. The threshold is
+    * the documented sub-second noise band, applied to the BASELINE
+    * column (the flag exists because `best` is inflated — the
+    * baseline is the row's honest magnitude).
+    */
+  val QuietTailNoiseFloor = 0.5
+  def quietTailReps(base: Double): Int =
+    if (base < QuietTailNoiseFloor) 3 else 1
+
   /** Self-adjudication (VERDICT r10 #2): re-measure each flagged query
     * once on the quiet tail and split reproduced-vs-contended right
     * here, instead of leaving that call to a human round-trip. A flag
@@ -401,10 +414,17 @@ object Bench {
       Flag(r, baseline(r.name), plan)
     }
     val flags = adjudicate(rawFlags, name => {
-      val t0 = System.nanoTime()
-      try { materialize(SparkEntry.queries(name)(spark, sfDir))
-            Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
+      // sub-noise-floor rows re-measure ×3 in the quiet tail and keep
+      // the min — one tail sample of a 0.2 s query is itself noise
+      // (VERDICT r13 #7; the r13 q176/q180 adjudication made standard)
+      val reps = quietTailReps(baseline.getOrElse(name, Double.MaxValue))
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { materialize(SparkEntry.queries(name)(spark, sfDir))
+              Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (times.nonEmpty) Some(times.min) else None
     })
     flags.foreach(f => System.err.println("[bench] TRIPWIRE " + f.fullJson))
 

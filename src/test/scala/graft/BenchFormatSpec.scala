@@ -114,6 +114,20 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(byName("q20_slowed").fullJson.contains("\"contended\":false"))
   }
 
+  test("sub-noise-floor flags re-measure x3 in the quiet tail (VERDICT r13 #7)") {
+    // the r13 close self-adjudicated q176/q180 (sub-second rows) via an
+    // ad-hoc manual re-measure; the rule is now standard: a flagged row
+    // whose BASELINE column sits under the 0.5 s noise floor gets 3
+    // tail samples (min taken), everything else keeps 1
+    assert(Bench.quietTailReps(0.14) === 3) // the q176/q180 class
+    assert(Bench.quietTailReps(0.49) === 3)
+    assert(Bench.quietTailReps(0.5) === 1)
+    assert(Bench.quietTailReps(5.38) === 1)
+    // a flagged query MISSING from the baseline cannot be sub-second by
+    // evidence — the caller passes MaxValue, landing on 1
+    assert(Bench.quietTailReps(Double.MaxValue) === 1)
+  }
+
   test("a contended query's qt/queries entry carries the quiet-tail value") {
     // VERDICT r11 #4 done-criterion: BENCH_rN's compact artifact must
     // not show a phantom 17× regression the tripwire itself adjudicated
