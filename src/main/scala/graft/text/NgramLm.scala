@@ -158,10 +158,46 @@ object NgramLm {
       .select(explode(concat(zips: _*)).as("p"))
       .select(least(col("p.a"), col("p.b")).as("w1"),
               greatest(col("p.a"), col("p.b")).as("w2"))
-    val c12 = pairRows.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val cw = c12.select(col("w1").as("w"), col("c12"))
+    // c12 has FOUR consumers (the minCount face, both branches of the
+    // cw union, and the n_pairs total), each pruning different columns
+    // — canonical-plan exchange reuse never fires across them (the
+    // q132 c_gt lesson), so an unmaterialized frame re-runs the
+    // ×window corpus explode per consumer; cw is itself triple-read
+    // (both PMI joins + the total). The r14 ×100 skew audit measured
+    // exactly that: four ~12 s explode stages for one query. The
+    // barrier is SIZED (one metadata-cheap count, the
+    // lshNeighborPairsAuto doctrine) with the hold at 2^17 docs: the
+    // barrier's serialize+read-back beats the recompute only once the
+    // pair table is large — measured crossover sits between the ×10
+    // corpus (50k docs: 14.7 s plain vs 17.2 s barriered) and ×100
+    // (500k: 80.5 s vs 36.2 s), and at oracle scales the barrier would
+    // only add jobs (0.53 → 1.01 s measured at sf0.1 with an eager
+    // checkpoint). A LAZY persist is NOT the answer either: its
+    // consumers race the cache build inside the one action (measured
+    // worse at BOTH scales: 1.77 s sf0.1 / 49.8 s ×100).
+    val big = df.count() > 131072L
+    // eager MEMORY_AND_DISK_SER persist, not localCheckpoint: the two
+    // barriered frames total ~corpus-pair-scale on the ×100 corpus,
+    // and in-memory CHECKPOINT blocks (non-evictable — they are the
+    // lineage) starved execution memory into UNABLE_TO_ACQUIRE task
+    // failures at the default heap; evictable serialized persist
+    // blocks keep memory speed while they fit and degrade to disk
+    // when they don't (DISK_ONLY measured 1.4× worse at ×10, where
+    // everything fits)
+    def barrier(x: DataFrame): DataFrame =
+      if (big) {
+        val p = x.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        p.count()
+        p
+      } else x
+    val c12 = barrier(
+      pairRows.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    // cw is itself triple-consumed (the c_a join, the c_b join); same
+    // sized barrier
+    val cw = barrier(c12.select(col("w1").as("w"), col("c12"))
       .unionAll(c12.select(col("w2").as("w"), col("c12")))
-      .groupBy("w").agg(sum(col("c12")).as("cw"))
+      .groupBy("w").agg(sum(col("c12")).as("cw")))
     val total = c12.agg(sum(col("c12")).as("n_pairs"))
     // double-first multiplies, same overflow doctrine as [[pmi]]; the
     // oracle mirrors this exact op order (4·c12·N left-assoc / ca·cb)

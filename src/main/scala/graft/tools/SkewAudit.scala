@@ -50,8 +50,12 @@ object SkewAudit {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      val df = fn(spark, dir)
+      // query CONSTRUCTION runs inside the timer: sized dispatches and
+      // eager barriers (count()/localCheckpoint at build time) are part
+      // of the query's cost — the Bench harness times them, so this
+      // tool must too
       val t0 = System.nanoTime()
+      val df = fn(spark, dir)
       // the action must bind to THIS QueryExecution — a DataFrameWriter
       // builds its own QE (and Dataset.rdd/foreach a deserializing one),
       // leaving df.queryExecution's adaptive plan un-finalized and the
