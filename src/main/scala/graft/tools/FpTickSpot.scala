@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.FpTickSpot <workDir> [n=200000]
   *        [batchN=1000] [bands=8] [maxHamming=2]
+  * bands=0 (r14, VERDICT r13 #1) = the ADAPTIVE dial: the corpus index
+  * is built at `hammingAutoBands(n)` — exactly what
+  * `ensureFpBandIndexFresh` serves a tick at that corpus size — so the
+  * measured row shows the tick cost at the count the guard would pick.
   */
 object FpTickSpot {
   def main(args: Array[String]): Unit = {
@@ -33,8 +37,14 @@ object FpTickSpot {
     def arg(i: Int, d: Long) = if (args.length > i) args(i).toLong else d
     val n = arg(1, 200000L)
     val batchN = arg(2, 1000L)
-    val bands = arg(3, 8L).toInt
     val maxHam = arg(4, 2L).toInt
+    val bandsArg = arg(3, 8L).toInt
+    val bands =
+      if (bandsArg == 0)
+        graft.text.NearDup.hammingAutoBands(n, 64, 8, maxHam)
+      else bandsArg
+    if (bandsArg == 0)
+      println(s"[fptickspot] adaptive dial: n=$n -> bands=$bands")
     val spark = ToolSession.local()
     import graft.text.NearDup
 
