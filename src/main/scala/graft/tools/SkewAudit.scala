@@ -3,7 +3,7 @@ package graft.tools
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 /** AQE SKEW AUDIT (VERDICT r13 #5): run a registered query and measure
   * whether its shuffles actually skew at scale — per-stage task-time
@@ -37,6 +37,7 @@ object SkewAudit {
         .getOrElse(sys.error(s"no registered query matches '$p'"))
       // (stageId -> (runtimeMs, shuffleReadBytes) per task)
       val byStage = TrieMap.empty[Int, ArrayBuffer[(Long, Long)]]
+      val stageName = TrieMap.empty[Int, String]
       val listener = new SparkListener {
         override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
@@ -48,6 +49,12 @@ object SkewAudit {
             }
           }
         }
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          // the name's callsite half identifies RE-RUN lineages: the
+          // same operator line showing up under several stage ids is
+          // the multi-consumer recompute smell (the q97 find)
+          stageName.put(s.stageInfo.stageId,
+            s.stageInfo.name.takeWhile(_ != '\n').take(60))
       }
       spark.sparkContext.addSparkListener(listener)
       // query CONSTRUCTION runs inside the timer: sized dispatches and
@@ -88,7 +95,7 @@ object SkewAudit {
           val skew = if (medT > 0) f"${maxT.toDouble / medT}%.1f" else "inf"
           println(f"[skew]   stage $sid%4d: $n%4d tasks, task ms med=$medT%6d " +
             f"max=$maxT%6d (×$skew), shuffle-read med=${medR / 1024}%8d KiB " +
-            f"max=${maxR / 1024}%8d KiB")
+            f"max=${maxR / 1024}%8d KiB  ${stageName.getOrElse(sid, "")}")
         }
     }
     spark.stop()
