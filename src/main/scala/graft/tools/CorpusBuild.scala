@@ -43,7 +43,11 @@ object CorpusBuild {
     * bands than the build is not an error Spark can see — the band hashes
     * simply never collide, the candidate join comes back empty, and every
     * near-dup is silently reported 'new'. The params are part of the
-    * artifact, exactly like IvfBuild's persisted quantizer.
+    * artifact, exactly like IvfBuild's persisted quantizer. Storage rides
+    * the shared [[graft.sim.IndexMeta]] contract (VERDICT r13 #4); this
+    * index is the INVARIANTS-ONLY case — MinHash banding has no
+    * corpus-sized dial (band count is pinned by the signature length),
+    * so there is no ensureFresh arm, just the one meta row.
     */
   final case class IndexMeta(k: Int, bands: Int, buckets: Int)
 
@@ -68,15 +72,15 @@ object CorpusBuild {
     write(idx.bands, "bands", "band_hash")
     write(idx.sets, "sets", "id")
     write(idx.hashes, "hashes", "ch")
-    import spark.implicits._
-    spark.createDataset(Seq((k, bands, buckets))).toDF("k", "bands", "buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+    graft.sim.IndexMeta.write(spark, s"$outDir/meta",
+      Seq("k" -> k.toLong, "bands" -> bands.toLong, "buckets" -> buckets.toLong))
   }
 
   private def readMeta(spark: SparkSession, outDir: String): IndexMeta = {
-    val r = spark.read.parquet(s"$outDir/meta")
-      .select("k", "bands", "buckets").head()
-    IndexMeta(r.getInt(0), r.getInt(1), r.getInt(2))
+    val m = graft.sim.IndexMeta.read(spark, s"$outDir/meta",
+        Seq("k", "bands", "buckets"))
+      .getOrElse(sys.error(s"no corpus-index meta at $outDir/meta"))
+    IndexMeta(m("k").toInt, m("bands").toInt, m("buckets").toInt)
   }
 
   /** Re-register the persisted files as external bucketed tables (the
