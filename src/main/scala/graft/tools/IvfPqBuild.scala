@@ -133,7 +133,14 @@ object IvfPqBuild {
       Seq((2, 3, r0)).toDF("nprobe", "k", "recall_micro")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/heldout/recall0")
     }
-    spark.table(table).count()
+    val rows = spark.table(table).count()
+    // vector census for the maintenance tick's √N dial: maintained
+    // incrementally from here (the shared IndexMeta contract) so a
+    // tick never pays a corpus-sized distinct just to re-learn a
+    // number the artifact already knows
+    graft.sim.IndexMeta.write(spark, s"$outDir/_meta",
+      Seq("n_vectors" -> rows / m))
+    rows
   }
 
   /** Recall@k of the frozen held-out truth through the probe path on
@@ -216,15 +223,32 @@ object IvfPqBuild {
               col("vec_id") === col("bid"))
             .select("vec_id").distinct().localCheckpoint(true)
           val fresh = b.join(broadcast(indexed), Seq("vec_id"), "left_anti")
+            .localCheckpoint(true)
+          val appended = fresh.count()
           Similarity.ivfPqEncode(fresh, "vec_id", "embedding",
               p.dims, p.m, p.ksub, cents, (s, c) => pqCb((s, c)))
             .repartition(p.buckets, col("cell"))
             .write.format("parquet").mode("append")
             .bucketBy(p.buckets, "cell").sortBy("cell")
             .option("path", s"$outDir/index").saveAsTable(table)
-          // staleness signal 1: the √N dial
-          val nAfter = sp.table(table).filter(col("subspace") === 0)
-            .select(col("vec_id")).distinct().count()
+          // staleness signal 1: the √N dial, against a MAINTAINED
+          // vector census (`_meta`, the shared IndexMeta contract) —
+          // never a per-tick corpus-sized distinct to re-learn a number
+          // the artifact already knows. A legacy artifact (no `_meta`)
+          // pays the exact count ONCE and records it. A crash between
+          // the code append and the meta write undercounts by at most
+          // one batch until that batch replays (and the replay appends
+          // zero, so the drift never compounds) — immaterial against a
+          // power-of-2-stepped dial, and the honest alternative is the
+          // full scan every tick.
+          val metaDir = s"$outDir/_meta"
+          val nBefore = graft.sim.IndexMeta
+            .read(sp, metaDir, Seq("n_vectors"))
+            .map(_("n_vectors"))
+            .getOrElse(sp.table(table).filter(col("subspace") === 0)
+              .select(col("vec_id")).distinct().count() - appended)
+          val nAfter = nBefore + appended
+          graft.sim.IndexMeta.write(sp, metaDir, Seq("n_vectors" -> nAfter))
           val neededC = Similarity.adaptiveCentroids(nAfter, p.centroids)
           if (neededC > p.centroids)
             System.err.println(s"[ivfpq] STALE coarse quantizer: corpus " +

@@ -431,7 +431,11 @@ class StreamingSpec extends SparkSpec {
       "vec_id", "embedding", dims = 64, m = 4, ksub = 8, centroids = 16)
     assert(grown.exceptAll(oneShot).isEmpty && oneShot.exceptAll(grown).isEmpty,
       "tick-grown index must equal the one-shot build over the union")
-    // the staleness meta row was measured on the grown corpus
+    // the staleness meta row was measured on the grown corpus, and the
+    // vector census was MAINTAINED (build wrote 40, ticks added 10+10
+    // — never a per-tick corpus distinct)
+    assert(graft.sim.IndexMeta.read(spark, s"$out/_meta", Seq("n_vectors"))
+      === Some(Map("n_vectors" -> 60L)))
     val row = spark.read.parquet(s"$out/_heldout_recall").head()
     assert(row.getAs[Long]("n_vectors") === 60L)
     assert(row.getAs[Long]("recall_micro") > 0L)
