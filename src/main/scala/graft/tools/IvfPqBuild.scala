@@ -347,16 +347,30 @@ object IvfPqBuild {
     */
   def serve(spark: SparkSession, outDir: String, reqDir: String,
             idCol: String, vecCol: String, nprobe: Int, k: Int,
-            pollMs: Long = 200L): Int = {
+            pollMs: Long = 200L, pinBytes: Long = 2L << 30): Int = {
     val p = loadParams(spark, outDir)
     // the warm server PINS the code table in executor memory (m·log2
     // (ksub) bits + a cell id per vector — ~30 MB at ×100; a cluster
     // serving tier holds it partitioned the same way) and materializes
     // it BEFORE the loop, so steady batches scan memory, not parquet.
     // The cache preserves the sortBy(cell) clustering, so the probed-
-    // cell filter still prunes at cached-batch granularity.
-    val index = openIndex(spark, outDir).persist()
-    index.count()
+    // cell filter still prunes at cached-batch granularity. The pin is
+    // SIZED (the measured-size-dispatch discipline): past `pinBytes`
+    // of on-disk index the server serves from the bucketed files —
+    // pinning an index larger than the memory budget would evict-thrash
+    // against the ADC working set instead of helping it.
+    val idxPath = new org.apache.hadoop.fs.Path(s"$outDir/index")
+    val idxFs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val idxBytes = idxFs.getContentSummary(idxPath).getLength
+    val opened = openIndex(spark, outDir)
+    val index =
+      if (idxBytes <= pinBytes) { val c = opened.persist(); c.count(); c }
+      else {
+        System.err.println(f"[ivfpq] index is ${idxBytes / 1048576}%d MiB " +
+          f"(> pin budget ${pinBytes / 1048576}%d MiB) — serving from the " +
+          "bucketed files")
+        opened
+      }
     val cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
     val pqCb = loadPqCodebook(spark, outDir)
     val fs = new org.apache.hadoop.fs.Path(reqDir)
