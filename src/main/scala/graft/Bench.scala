@@ -340,7 +340,10 @@ object Bench {
       // 48g dial; this makes the dial automatic and data-proportional —
       // exactly what a 1000-executor cluster does by having 1000×32
       // shuffle slots)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // env-tunable for A/B drills (SPARK_GRAFT_INITIAL_PARTITIONS);
+      // driver runs leave it unset → 512
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,6 +34,28 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("q54pairs")) {
+      // r14 drift adjudication: q54 at ×100 re-measured 41 s vs the
+      // recorded 19 s while q35/q42 reproduce exactly — split the body
+      // into its two phases and count the pair volume against the
+      // recorded 12.09M, on whatever dir args(1) names.
+      val dir = args(1)
+      val emb = Tables.embeddings(spark, dir)
+      val t0 = System.nanoTime()
+      val pairs = graft.sim.Similarity.lshNeighborPairsAuto(emb,
+        "vec_id", "embedding", dims = 64, bands = 4, floorRowsPerBand = 5,
+        minCosine = 0.2).localCheckpoint(true)
+      val nPairs = pairs.count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nClusters = graft.text.NearDup.dedupClusters(pairs, "id_a", "id_b")
+        .count()
+      val tClust = (System.nanoTime() - t1) / 1e9
+      println(f"[probe] q54pairs on $dir: $nPairs pairs in $tPairs%.1f s; " +
+        f"clustering ($nClusters rows) in $tClust%.1f s")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("hybrid")) {
       // r10 fourth batch: where do q135/q136 spend their ~2.2 s? Time
       // each composite's stages in isolation (twice each — the second
