@@ -52,7 +52,7 @@ object TickSpot {
     emb.write.mode("overwrite").parquet(s"$work/corpus")
     val tBuild = (System.nanoTime() - t0) / 1e9
 
-    if (staleDemo) {
+    val rpbEff = if (staleDemo) {
       // downgrade to the registered small-scale width, then time the
       // guard detecting staleness and rebuilding at the adaptive width
       val narrow = 5
@@ -78,7 +78,12 @@ object TickSpot {
         floorRowsPerBand = narrow)
       println(f"[tickspot] staleDemo: fresh re-check ${(System.nanoTime() - t3) / 1e9}%.1f s (width $again)")
       require(again == rEff, "fresh re-check must keep the rebuilt width")
-    }
+      // the flags loop below serves at the width the guard landed on —
+      // an index and a batch banded at different widths never collide
+      // (the FpTickSpot lesson; at ×100 rpb happened to equal the
+      // adaptive width and hid this)
+      rEff
+    } else rpb
 
     // batch: half near-copies of corpus vectors (shifted ids), half fresh
     val dup = emb.orderBy(col("vec_id")).limit(batchN / 2)
@@ -98,7 +103,7 @@ object TickSpot {
     for (r <- 1 to 3) {
       val t1 = System.nanoTime()
       val flags = Similarity.embeddingCorpusFlags(corpusVecs, corpusBands,
-        batch, "vec_id", "embedding", dims, bands, rpb)
+        batch, "vec_id", "embedding", dims, bands, rpbEff)
       val dupFlagged = flags.filter(col("best_cosine") >= minCos).count()
       val tTick = (System.nanoTime() - t1) / 1e9
       println(f"[tickspot] corpus=$n batch=$batchN rep=$r: index build " +
