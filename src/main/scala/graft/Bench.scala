@@ -200,13 +200,16 @@ object Bench {
       baseline.get(r.name).exists(b => b > 0 && r.best > TripwireFactor * b))
 
   /** Quiet-tail re-measure count for a flagged query (VERDICT r13 #7):
-    * rows whose recorded baseline sits under the ±0.3 s box-noise
-    * floor re-measure ×3 (one tail sample of a 0.2 s query is itself
-    * noise — r13 adjudicated q176/q180 exactly this way by hand);
-    * everything else keeps the single tail sample. The threshold is
-    * the documented sub-second noise band, applied to the BASELINE
-    * column (the flag exists because `best` is inflated — the
-    * baseline is the row's honest magnitude).
+    * rows whose recorded baseline sits under 0.5 s re-measure ×3 (one
+    * tail sample of a 0.2 s query is itself noise — r13 adjudicated
+    * q176/q180 exactly this way by hand); everything else keeps the
+    * single tail sample. THE 0.5 IS THE LOAD-BEARING NUMBER (ADVICE
+    * r14): it is the documented ±0.3 s box-noise band (BASELINE.md)
+    * plus headroom — a baseline under it means the row's magnitude is
+    * itself inside one noise excursion, so a single sample cannot
+    * adjudicate. Applied to the BASELINE column (the flag exists
+    * because `best` is inflated — the baseline is the row's honest
+    * magnitude).
     */
   val QuietTailNoiseFloor = 0.5
   def quietTailReps(base: Double): Int =

@@ -85,6 +85,21 @@ object Similarity {
     math.sqrt(acc)
   }
 
+  /** Driver-memory budget for [[ivfPqProbe]]'s query-side collect —
+    * the quantified form of the bruteForceTopK "queries must be small"
+    * broadcast rule (VERDICT r14 #4 made it an enforced contract). */
+  val ProbeCollectBudgetBytes: Long = 256L << 20
+
+  /** Row cap the budget buys: each collected query row is
+    * (dims + centroids) doubles (vector + cell-cosine array), so the
+    * cap SHRINKS as the centroid count grows — a √N-sized quantizer at
+    * a 2M-vector corpus widens the row ~20× vs the floor-held shape,
+    * and a fixed row cap would silently blow the budget there. */
+  private[graft] def probeQueryCap(dims: Int, centroids: Int,
+                                   budgetBytes: Long): Int =
+    math.max(1024L, budgetBytes / ((dims + centroids).toLong * 8L))
+      .min(Int.MaxValue.toLong).toInt
+
   /** Brute-force top-k: for each query vector, the k nearest non-self
     * vectors by cosine. `queries` must be small (it is broadcast). Norms
     * are precomputed per VECTOR (once), not per pair.
@@ -1290,7 +1305,8 @@ object Similarity {
                  centroids: Int, nprobe: Int, k: Int,
                  coarseCodebook: Option[Array[Array[Double]]] = None,
                  pqCodebook: Option[(Int, Int) => Array[Double]] = None,
-                 literalDistanceTable: Boolean = false): DataFrame = {
+                 literalDistanceTable: Boolean = false,
+                 collectBudgetBytes: Long = ProbeCollectBudgetBytes): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sp = index.sparkSession
     val dsub = dims / m
@@ -1302,10 +1318,17 @@ object Similarity {
     require(cents.length == centroids,
       s"coarse codebook carries ${cents.length} centroids, expected $centroids")
     // QUERY-SIDE WORK IS DRIVER-BOUNDED (r13 #2): ONE job collects the
-    // kernel-assigned query rows — N_q × (dims + C) doubles, and query
-    // batches are serve-sized by contract (the bruteForceTopK broadcast
-    // rule) — then the probe ranking is a driver sort and the probe
-    // list and query vectors re-enter the plan as LocalRelations.
+    // kernel-assigned query rows — N_q × (dims + C) doubles — then the
+    // probe ranking is a driver sort and the probe list and query
+    // vectors re-enter the plan as LocalRelations. The serve-sized
+    // contract is ENFORCED, not assumed (VERDICT r14 #4): the collect
+    // runs under a row cap derived from `collectBudgetBytes` / the
+    // per-row width, and a batch past the cap fails with a named error
+    // instead of a silent driver OOM — the same refuse-loudly rule as
+    // the bounded histogram collect in Calibrate and the automaton
+    // guard in TextOps. limit(cap+1) bounds driver memory DURING the
+    // collect (results below the cap are identical to an unlimited
+    // collect, so the guard costs nothing on the happy path).
     // Three consequences: (a) the scan filter, the probe join and the
     // distance tables all derive from ONE evaluation of the upstream
     // (ADVICE r13 — independent evaluations of a nondeterministic
@@ -1318,8 +1341,14 @@ object Similarity {
     // IS Spark's physical double ordering (NaN greatest, -0.0 < 0.0).
     val q = assignCells(queries, idCol, vecCol, cents)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("ccos"))
+    val qCap = probeQueryCap(dims, centroids, collectBudgetBytes)
     val tq0 = System.nanoTime()
-    val qData = q.collect()
+    val qData = q.limit(qCap + 1).collect()
+    require(qData.length <= qCap,
+      s"ivfPqProbe: query batch exceeds the serve-sized cap of $qCap rows " +
+        s"(${collectBudgetBytes >> 20} MiB driver budget at dims=$dims, " +
+        s"C=$centroids) — split the batch (the serve loop's request " +
+        "granularity) or use ivfPqTopK, whose query side stays distributed")
     if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
       System.err.println(f"[scale] ivfPqProbe query collect: " +
         f"${(System.nanoTime() - tq0) / 1e9}%.2f s (${qData.length} queries)")

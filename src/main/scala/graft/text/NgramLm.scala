@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
+  /** The previous [[skipgramPmi]] big-path call's persisted barrier
+    * blocks, unpersisted on the next big-path entry (ADVICE r14 — a
+    * repeat loop must not stack pair-table-scale persists waiting for
+    * ContextCleaner GC). Guarded by `NgramLm.synchronized`. */
+  @volatile private var pmiBarriers: Seq[DataFrame] = Nil
+
   val Discount = 0.75
 
   /** Bigram occurrences (w1, w2) — codegen zip of each token array with
@@ -165,7 +171,8 @@ object NgramLm {
     // ×window corpus explode per consumer; cw is itself triple-read
     // (both PMI joins + the total). The r14 ×100 skew audit measured
     // exactly that: four ~12 s explode stages for one query. The
-    // barrier is SIZED (one metadata-cheap count, the
+    // barrier is SIZED (one count over the INPUT frame — cheap when
+    // df is a direct parquet scan, a real job otherwise; the
     // lshNeighborPairsAuto doctrine) with the hold at 2^17 docs: the
     // barrier's serialize+read-back beats the recompute only once the
     // pair table is large — measured crossover sits between the ×10
@@ -184,13 +191,26 @@ object NgramLm {
     // blocks keep memory speed while they fit and degrade to disk
     // when they don't (DISK_ONLY measured 1.4× worse at ×10, where
     // everything fits)
+    //
+    // RE-ENTRY HYGIENE (ADVICE r14): the barriered blocks outlive this
+    // call (the returned frame reads them lazily), so they cannot be
+    // unpersisted here — instead each NEW big-path call unpersists the
+    // PREVIOUS call's blocks (a bench loop's repeats would otherwise
+    // stack pair-table-scale persists until ContextCleaner GC catches
+    // up). Non-blocking: in-flight readers of the old frame finish
+    // from the recomputed lineage.
     def barrier(x: DataFrame): DataFrame =
       if (big) {
         val p = x.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         p.count()
+        NgramLm.synchronized { pmiBarriers = pmiBarriers :+ p }
         p
       } else x
+    if (big) NgramLm.synchronized {
+      val prev = pmiBarriers; pmiBarriers = Nil
+      prev.foreach(_.unpersist(blocking = false))
+    }
     val c12 = barrier(
       pairRows.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     // cw is itself triple-consumed (the c_a join, the c_b join); same

@@ -199,7 +199,8 @@ object IvfPqBuild {
   def ingestTick(spark: SparkSession, outDir: String, stagingDir: String,
                  checkpointDir: String, nprobe: Int = 2, k: Int = 3,
                  recallFloorMicro: Long = 0L,
-                 recallDropFactorMicro: Long = 800000L): Unit = {
+                 recallDropFactorMicro: Long = 800000L,
+                 reconcileEvery: Int = 16): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val p = loadParams(spark, outDir)
     val cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
@@ -236,19 +237,44 @@ object IvfPqBuild {
           // never a per-tick corpus-sized distinct to re-learn a number
           // the artifact already knows. A legacy artifact (no `_meta`)
           // pays the exact count ONCE and records it. A crash between
-          // the code append and the meta write undercounts by at most
-          // one batch until that batch replays (and the replay appends
-          // zero, so the drift never compounds) — immaterial against a
-          // power-of-2-stepped dial, and the honest alternative is the
-          // full scan every tick.
+          // the code append and the meta write loses that batch from
+          // the census FOR GOOD (ADVICE r14 — the replayed batch
+          // appends zero rows, so the maintained count never recovers
+          // it, and repeated crash windows ACCUMULATE undercount, which
+          // under-fires the √N dial). The periodic reconcile bounds
+          // that drift: every `reconcileEvery` ticks the census
+          // re-anchors to the exact subspace-0 distinct count (one
+          // index scan, amortized to 1/reconcileEvery of tick cost), so
+          // drift survives at most a window — immaterial against the
+          // power-of-2-stepped dial.
           val metaDir = s"$outDir/_meta"
-          val nBefore = graft.sim.IndexMeta
-            .read(sp, metaDir, Seq("n_vectors"))
-            .map(_("n_vectors"))
-            .getOrElse(sp.table(table).filter(col("subspace") === 0)
-              .select(col("vec_id")).distinct().count() - appended)
-          val nAfter = nBefore + appended
-          graft.sim.IndexMeta.write(sp, metaDir, Seq("n_vectors" -> nAfter))
+          val meta = graft.sim.IndexMeta.read(sp, metaDir, Seq("n_vectors"))
+          // n_ticks reads tolerantly: artifacts from before the
+          // reconcile counter carry only n_vectors
+          val nTicks = (if (meta.isEmpty) 0L else {
+            val df = sp.read.parquet(metaDir)
+            if (df.columns.contains("n_ticks"))
+              df.select(col("n_ticks").cast("long")).head().getLong(0)
+            else 0L
+          }) + 1L
+          def exactCount(): Long = sp.table(table)
+            .filter(col("subspace") === 0)
+            .select(col("vec_id")).distinct().count()
+          val nAfter = meta match {
+            case None => exactCount()
+            case Some(m)
+                if reconcileEvery > 0 && nTicks % reconcileEvery == 0 =>
+              val maintained = m("n_vectors") + appended
+              val exact = exactCount()
+              if (exact != maintained)
+                System.err.println(s"[ivfpq] census reconcile: maintained " +
+                  s"$maintained vs exact $exact vectors (drift " +
+                  s"${maintained - exact} — crash-window loss healed)")
+              exact
+            case Some(m) => m("n_vectors") + appended
+          }
+          graft.sim.IndexMeta.write(sp, metaDir,
+            Seq("n_vectors" -> nAfter, "n_ticks" -> nTicks))
           val neededC = Similarity.adaptiveCentroids(nAfter, p.centroids)
           if (neededC > p.centroids)
             System.err.println(s"[ivfpq] STALE coarse quantizer: corpus " +
@@ -275,7 +301,27 @@ object IvfPqBuild {
                   .select(col("recall_micro")).collect()
                 r0.headOption.map(r =>
                   r.getLong(0) * recallDropFactorMicro / 1000000L)
-                  .getOrElse(0L)
+                  .getOrElse {
+                    // ADVICE r14: the build froze recall0 only at its
+                    // own knobs — a tick at OTHER (nprobe, k) used to
+                    // silently disarm the calibrated check. Warn
+                    // loudly, and freeze the CURRENT recall as the
+                    // first-use baseline at these knobs so every LATER
+                    // tick has a calibrated floor (this tick itself
+                    // stays on the absolute `recallFloorMicro` only).
+                    System.err.println(s"[ivfpq] no recall0 baseline at " +
+                      s"nprobe=$nprobe k=$k — calibrated drift check " +
+                      s"disarmed THIS tick; freezing current recall " +
+                      s"$recall µ as the first-use baseline")
+                    val existing = sp.read.parquet(r0Dir)
+                      .select(col("nprobe").cast("int"), col("k").cast("int"),
+                        col("recall_micro").cast("long")).collect()
+                      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+                    (existing :+ ((nprobe, k, recall)))
+                      .toDF("nprobe", "k", "recall_micro")
+                      .coalesce(1).write.mode("overwrite").parquet(r0Dir)
+                    0L
+                  }
               } else 0L
             val floor = math.max(recallFloorMicro, relFloor)
             val stale = recall < floor

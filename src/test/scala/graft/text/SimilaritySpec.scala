@@ -455,6 +455,32 @@ class SimilaritySpec extends SparkSpec {
       "broadcast-table ADC must equal the literal distance-table ADC")
   }
 
+  test("ivfPqProbe: a past-cap query batch fails with the named error, never a driver OOM (VERDICT r14 #4)") {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      dims = 64, m = 4, ksub = 8, centroids = 16)
+    // 2000 synthetic queries against a 1-byte budget: the cap floors at
+    // 1024 rows, so the batch is past-cap — the guard must refuse with
+    // the named message, and limit(cap+1) means the driver never held
+    // more than cap+1 rows while deciding
+    val big = spark.range(2000).select(col("id").as("vec_id"),
+      array((0 until 64).map(i =>
+        ((col("id") % 7) + lit(i)).cast("double")): _*).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqProbe(idx, big, "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 8, centroids = 16, nprobe = 2, k = 3,
+        collectBudgetBytes = 1L).count()
+    }
+    assert(e.getMessage.contains("serve-sized cap"),
+      s"expected the named serve-sized-cap error, got: ${e.getMessage}")
+    // the cap scales with the collected ROW WIDTH (dims + centroids
+    // doubles): a √N-sized quantizer at a 2M corpus shrinks it ~18×
+    // vs the floor-held shape — a fixed row cap would blow the budget
+    assert(Similarity.probeQueryCap(64, 16, 256L << 20) >
+      Similarity.probeQueryCap(64, 1414, 256L << 20))
+    assert(Similarity.probeQueryCap(64, 16, 1L) == 1024) // row floor
+  }
+
   test("adaptive band width: floor below target occupancy, widens ~log2(n) above, capped") {
     // registered small-scale shapes stay put: sf0.1's 2k vectors at
     // floor 5 are already under 128/bucket
