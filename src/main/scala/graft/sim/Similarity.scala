@@ -1905,6 +1905,112 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
   }
 
+  /** Probe an ALREADY-BUILT residual IVF-PQ index with external
+    * raw-vector queries — the serve half for a RETRAINED artifact
+    * ([[graft.tools.IvfPqBuild]] `retrain` writes encoding=residual;
+    * its probe/serve/tick paths dispatch here). Same driver-bounded
+    * design as [[ivfPqProbe]]: ONE guarded collect (the serve-sized
+    * cap), driver probe ranking (java.lang.Double.compare — Spark's
+    * physical double order), LocalRelation re-entry, probe-cell scan
+    * pushdown, ONE exchange for agg + rank. The residual difference is
+    * the distance table: per (query, PROBED CELL), t(s,c) =
+    * ‖(q − c_cell)_s − cv_sc‖², computed DRIVER-side
+    * (N_q·nprobe·m·ksub values — trivially bounded by the same cap)
+    * with the exact kernel arithmetic (sequential index-order dot
+    * folds, the (aa − 2ab) + cc association, micro snap), so results
+    * are bit-identical to the distributed [[ivfPqResidualTopK]] when
+    * the queries are corpus rows (spec pins it), and the compiled
+    * answer plan is batch-invariant (table rows are DATA, not plan).
+    */
+  def ivfPqResidualProbe(index: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, dims: Int, m: Int, ksub: Int,
+                         centroids: Int, nprobe: Int, k: Int,
+                         coarseCodebook: Array[Array[Double]],
+                         pqCodebook: (Int, Int) => Array[Double],
+                         collectBudgetBytes: Long = ProbeCollectBudgetBytes): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sp = index.sparkSession
+    val dsub = dims / m
+    val cents = coarseCodebook
+    require(cents.length == centroids,
+      s"coarse codebook carries ${cents.length} centroids, expected $centroids")
+    val q = assignCells(queries, idCol, vecCol, cents)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("ccos"))
+    val qCap = probeQueryCap(dims, centroids, collectBudgetBytes)
+    val qData = q.limit(qCap + 1).collect()
+    require(qData.length <= qCap,
+      s"ivfPqResidualProbe: query batch exceeds the serve-sized cap of " +
+        s"$qCap rows (${collectBudgetBytes >> 20} MiB driver budget at " +
+        s"dims=$dims, C=$centroids) — split the batch or use " +
+        "ivfPqResidualTopK, whose query side stays distributed")
+    // ONE pass over the collected rows yields probe list AND residual
+    // distance tables (both re-enter as LocalRelations)
+    val probePairs = scala.collection.mutable.ArrayBuffer.empty[(Any, Int)]
+    val tableRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    qData.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val qid = r.get(0)
+        val qv = r.getSeq[Double](1).toArray
+        val ccos = r.getSeq[Double](2)
+        val ranked = ccos.indices.map(i => (i, ccos(i)))
+          .sortWith { case ((ia, xa), (ib, xb)) =>
+            val c = java.lang.Double.compare(xb, xa)
+            if (c != 0) c < 0 else ia < ib
+          }
+          .take(nprobe).map(_._1)
+        ranked.foreach { cell =>
+          probePairs += ((qid, cell))
+          val cv = cents(cell)
+          var s = 0
+          while (s < m) {
+            val rq = Array.tabulate(dsub)(i => qv(s * dsub + i) - cv(s * dsub + i))
+            val aa = seqSelfDot(rq)
+            var c = 0
+            while (c < ksub) {
+              val e = pqCodebook(s, c)
+              require(e.length == dsub,
+                s"PQ codebook entry ($s,$c) carries ${e.length} dims, expected $dsub")
+              val t = (aa - 2.0 * seqDot(rq, e)) + seqSelfDot(e)
+              tableRows += org.apache.spark.sql.Row(qid, cell, s, c,
+                math.floor(t * 1e6 + 0.5).toLong)
+              c += 1
+            }
+            s += 1
+          }
+        }
+      }
+    }
+    val qidField = q.schema.head
+    import org.apache.spark.sql.types._
+    val tableL = sp.createDataFrame(
+      java.util.Arrays.asList(tableRows.toSeq: _*),
+      StructType(Seq(
+        StructField("query_id", qidField.dataType, qidField.nullable),
+        StructField("cell", IntegerType, nullable = false),
+        StructField("subspace", IntegerType, nullable = false),
+        StructField("code", IntegerType, nullable = false),
+        StructField("t_micro", LongType, nullable = false))))
+    // probe-cell pushdown (the ivfPqProbe doctrine): filter the scan so
+    // `cell IN (...)` reaches the parquet reader / bucket pruning
+    val probeCells: Seq[Any] = probePairs.map(p => Int.box(p._2)).distinct.toSeq
+    val pruned = index.filter(col("cell").isin(probeCells.toIndexedSeq: _*))
+    // the broadcast table join prunes to probed cells AND looks up the
+    // per-(query, cell) entries in one equi-join; one exchange serves
+    // both the pair agg and the top-k window
+    val adc = pruned.join(broadcast(tableL), Seq("cell", "subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("t_micro"))
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("t_micro")).as("adc_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
+  }
+
   /** The registered TRAINED-RESIDUAL IVFADC face: coarse quantizer =
     * `coarseIters` snapped Lloyd rounds (the q215 trained matrix), PQ
     * codebooks = `pqIters` snapped residual-Lloyd rounds against it,

@@ -33,6 +33,7 @@ import graft.sim.Similarity
   *
   * Usage:
   *   runMain graft.tools.IvfPqBuild build <sfDir> <outDir> [m=8] [ksub=16] [C=16] [buckets=8]
+  *   runMain graft.tools.IvfPqBuild retrain <rawsDir> <outDir> [iters=2]
   *   runMain graft.tools.IvfPqBuild probe <sfDir> <outDir> [nprobe=2] [k=3] [reps=1]
   *   runMain graft.tools.IvfPqBuild serve <reqDir> <outDir> [nprobe=2] [k=3]
   *
@@ -49,14 +50,6 @@ object IvfPqBuild {
   def tableName(outDir: String): String =
     Catalog.pathTable("graft_ivfpq", outDir)
 
-  /** PQ sub-codebook rows (subspace, code, vector) from the shared
-    * formula quantizer — persisted so the artifact carries its own
-    * codebooks; [[loadPqCodebook]] is the read side.
-    */
-  private def pqCodebookRows(m: Int, ksub: Int, dsub: Int): Seq[(Int, Int, Seq[Double])] =
-    for (s <- 0 until m; c <- 0 until ksub)
-      yield (s, c, Similarity.pqCentroidVec(s, c, dsub).toSeq)
-
   def loadPqCodebook(spark: SparkSession, outDir: String): Map[(Int, Int), Array[Double]] =
     spark.read.parquet(s"$outDir/pq_codebook.parquet")
       .select(col("subspace"), col("code"), col("cv"))
@@ -64,13 +57,57 @@ object IvfPqBuild {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
       .toMap
 
-  case class Params(dims: Int, m: Int, ksub: Int, centroids: Int, buckets: Int)
+  /** `encoding` is the quantization family the codes were written
+    * under: "raw" (formula codebooks over raw subvectors — `build`) or
+    * "residual" (trained codebooks over x − q1(x) — `retrain`, the
+    * published IVFADC). Every read path dispatches on it; artifacts
+    * from before the column read as "raw". */
+  case class Params(dims: Int, m: Int, ksub: Int, centroids: Int,
+                    buckets: Int, encoding: String)
 
   def loadParams(spark: SparkSession, outDir: String): Params = {
-    val r = spark.read.parquet(s"$outDir/params.parquet").head()
+    val df = spark.read.parquet(s"$outDir/params.parquet")
+    val r = df.head()
+    val enc = if (df.columns.contains("encoding"))
+      r.getAs[String]("encoding") else "raw"
     Params(r.getAs[Int]("dims"), r.getAs[Int]("m"), r.getAs[Int]("ksub"),
-      r.getAs[Int]("centroids"), r.getAs[Int]("buckets"))
+      r.getAs[Int]("centroids"), r.getAs[Int]("buckets"), enc)
   }
+
+  /** Encode through the artifact's quantization family — the ONE
+    * dispatch `build`/`retrain`/`ingestTick` share, so a tick can never
+    * append raw-encoded codes into a residual-encoded table. */
+  private def encodeFor(encoding: String, vecs: DataFrame, dims: Int,
+                        m: Int, ksub: Int, cents: Array[Array[Double]],
+                        pqCb: (Int, Int) => Array[Double]): DataFrame =
+    encoding match {
+      case "raw" =>
+        Similarity.ivfPqEncode(vecs, "vec_id", "embedding", dims, m, ksub,
+          cents, pqCb)
+      case "residual" =>
+        Similarity.ivfPqEncodeResidual(vecs, "vec_id", "embedding", dims, m,
+          ksub, cents, pqCb)
+      case other => sys.error(s"unknown index encoding '$other'")
+    }
+
+  /** Probe through the artifact's quantization family (the serve-side
+    * twin of [[encodeFor]]). */
+  private def probeFor(encoding: String, index: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       p: Params, nprobe: Int, k: Int,
+                       cents: Array[Array[Double]],
+                       pqCb: (Int, Int) => Array[Double]): DataFrame =
+    encoding match {
+      case "raw" =>
+        Similarity.ivfPqProbe(index, queries, idCol, vecCol,
+          p.dims, p.m, p.ksub, p.centroids, nprobe, k,
+          coarseCodebook = Some(cents), pqCodebook = Some(pqCb))
+      case "residual" =>
+        Similarity.ivfPqResidualProbe(index, queries, idCol, vecCol,
+          p.dims, p.m, p.ksub, p.centroids, nprobe, k,
+          coarseCodebook = cents, pqCodebook = pqCb)
+      case other => sys.error(s"unknown index encoding '$other'")
+    }
 
   /** Encode + persist: bucketed code table, coarse centroids, PQ
     * codebooks, params — plus (VERDICT r13 #6) a FROZEN held-out eval
@@ -84,10 +121,93 @@ object IvfPqBuild {
   def build(spark: SparkSession, sfDir: String, outDir: String,
             m: Int = 8, ksub: Int = 16, centroids: Int = 16,
             buckets: Int = 8, heldoutMod: Int = 97): Long = {
-    import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val cents = (0 until centroids)
+      .map(c => Similarity.centroidVec(c, dims)).toArray
+    persistArtifact(spark, emb, outDir, cents,
+      (s, c) => Similarity.pqCentroidVec(s, c, dims / m),
+      dims, m, ksub, buckets, encoding = "raw", heldoutMod = heldoutMod)
+  }
+
+  /** EXECUTABLE RETRAIN for a stale artifact (VERDICT r14 #2 — the
+    * ingestTick staleness signals used to end in a dead-end "retrain
+    * via 'build'" message). When the √N dial or the held-out recall
+    * floor fires, run `retrain <rawsDir> <outDir>`:
+    *
+    *  - `rawsDir` is the CURRENT raw corpus — the deployment's
+    *    source-of-truth (vec_id, embedding) table (original corpus +
+    *    everything the ticks staged). Re-encoding N codes requires N
+    *    raw vectors no matter how codebooks are derived; the index was
+    *    never the only copy of the raws (the staged-raws contract,
+    *    stated instead of assumed).
+    *  - what the ARTIFACT contributes is the bounded deterministic
+    *    TRAINING SAMPLE persisted at build time (`train_sample`, the
+    *    q71 md5-rank idiom) — unioned with an equally-bounded fresh
+    *    sample of the raws, the trainers see the built-time AND the
+    *    drifted distribution without a corpus-sized training input.
+    *
+    * Steps: C = adaptiveCentroids(N, built C) — the dial the √N signal
+    * asked for; coarse codebook = `iters` snapped Lloyd rounds on the
+    * sample; PQ codebooks = `iters` snapped residual-Lloyd rounds on
+    * the sample (the published IVFADC — trained codebooks over
+    * x − q1(x), the q218 configuration); ONE corpus pass re-encodes
+    * all raws residually into a fresh bucketed table; both codebooks,
+    * params (encoding=residual), a NEW training sample, the re-frozen
+    * held-out eval set + truth + recall0 baseline, and a reset census
+    * all persist — after which ticks and probes dispatch on the
+    * residual encoding and the staleness guards measure against the
+    * retrained baseline. Returns code rows written.
+    */
+  def retrain(spark: SparkSession, rawsDir: String, outDir: String,
+              iters: Int = 2, sampleCap: Int = 4096,
+              heldoutMod: Int = 97): Long = {
+    val p = loadParams(spark, outDir)
+    val raws = spark.read.parquet(rawsDir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .dropDuplicates("vec_id")
+    val n = raws.count()
+    val c = Similarity.adaptiveCentroids(n, p.centroids)
+    System.err.println(s"[ivfpq] retrain: $n raw vectors -> C=$c " +
+      s"(built ${p.centroids}), encoding residual")
+    // training input: build-time sample ∪ fresh md5-rank sample (both
+    // bounded; dedup by id so overlap is harmless)
+    val fs = new org.apache.hadoop.fs.Path(s"$outDir/train_sample")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val builtSample =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/train_sample")))
+        spark.read.parquet(s"$outDir/train_sample")
+      else raws.limit(0)
+    val freshSample = raws
+      .orderBy(graft.text.TextOps.hashPrefix("ivfpqsample|", col("vec_id")),
+        col("vec_id"))
+      .limit(sampleCap)
+    val sample = builtSample.unionByName(freshSample)
+      .dropDuplicates("vec_id").localCheckpoint(true)
+    val cents = Similarity.trainCentroidsExactMatrix(sample, "vec_id",
+      "embedding", p.dims, c, iters)
+    val pq = Similarity.trainPqResidualMatrix(sample, "vec_id", "embedding",
+      p.dims, p.m, p.ksub, cents, iters)
+    persistArtifact(spark, raws, outDir, cents, (s, cc) => pq(s)(cc),
+      p.dims, p.m, p.ksub, p.buckets, encoding = "residual",
+      heldoutMod = heldoutMod, sampleCap = sampleCap)
+  }
+
+  /** The shared persist tail of `build` and `retrain`: bucketed code
+    * table (encoded through [[encodeFor]]), both codebooks, params
+    * (with the encoding), the bounded md5-rank training sample, the
+    * frozen held-out eval set + truth + recall0 baseline, and the
+    * census. */
+  private def persistArtifact(spark: SparkSession, emb: DataFrame,
+                              outDir: String, cents: Array[Array[Double]],
+                              pqCb: (Int, Int) => Array[Double],
+                              dims: Int, m: Int, ksub: Int, buckets: Int,
+                              encoding: String, heldoutMod: Int,
+                              sampleCap: Int = 4096): Long = {
+    import spark.implicits._
     require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val centroids = cents.length
     val table = tableName(outDir)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // pre-partition on the BUCKET spec's own hash (repartition and
@@ -96,19 +216,25 @@ object IvfPqBuild {
     // this, every upstream task writes a sliver of every bucket and a
     // 512-partition encode shuffle fans out to task×bucket ≈ 11k tiny
     // files, taxing every later listing, scan, and append commit
-    Similarity.ivfPqIndex(emb, "vec_id", "embedding", dims, m, ksub, centroids)
+    encodeFor(encoding, emb, dims, m, ksub, cents, pqCb)
       .repartition(buckets, col("cell"))
       .write.bucketBy(buckets, "cell").sortBy("cell")
       .option("path", s"$outDir/index")
       .format("parquet").mode("overwrite").saveAsTable(table)
-    val cents = (0 until centroids)
-      .map(c => Similarity.centroidVec(c, dims)).toArray
     Similarity.saveCentroids(spark, cents, s"$outDir/centroids.parquet")
-    pqCodebookRows(m, ksub, dims / m).toDF("subspace", "code", "cv")
+    (for (s <- 0 until m; cc <- 0 until ksub)
+      yield (s, cc, pqCb(s, cc).toSeq)).toDF("subspace", "code", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/pq_codebook.parquet")
-    Seq((dims, m, ksub, centroids, buckets))
-      .toDF("dims", "m", "ksub", "centroids", "buckets")
+    Seq((dims, m, ksub, centroids, buckets, encoding))
+      .toDF("dims", "m", "ksub", "centroids", "buckets", "encoding")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/params.parquet")
+    // the bounded deterministic training sample that makes a LATER
+    // retrain executable (VERDICT r14 #2): md5-rank over vec_id — the
+    // q71 idiom, reproducible and distribution-blind
+    emb.orderBy(graft.text.TextOps.hashPrefix("ivfpqsample|", col("vec_id")),
+        col("vec_id"))
+      .limit(sampleCap)
+      .write.mode("overwrite").parquet(s"$outDir/train_sample")
     if (heldoutMod > 0) {
       // the eval set is BOUNDED (64 queries) regardless of corpus size:
       // the truth pass is |heldout|·N exact dots — a fixed-size sample
@@ -128,8 +254,7 @@ object IvfPqBuild {
       // "stale" at zero drift; what staleness means is recall FALLING
       // from where this build started
       val r0 = heldoutRecall(spark, outDir, spark.table(table),
-        cents, (s, c) => Similarity.pqCentroidVec(s, c, dims / m),
-        nprobe = 2, k = 3)
+        cents, pqCb, nprobe = 2, k = 3)
       Seq((2, 3, r0)).toDF("nprobe", "k", "recall_micro")
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/heldout/recall0")
     }
@@ -139,7 +264,7 @@ object IvfPqBuild {
     // tick never pays a corpus-sized distinct just to re-learn a
     // number the artifact already knows
     graft.sim.IndexMeta.write(spark, s"$outDir/_meta",
-      Seq("n_vectors" -> rows / m))
+      Seq("n_vectors" -> rows / m, "n_ticks" -> 0L))
     rows
   }
 
@@ -155,9 +280,8 @@ object IvfPqBuild {
     val truth = spark.read.parquet(s"$outDir/heldout/truth")
       .filter(col("rank") <= k)
     val p = loadParams(spark, outDir)
-    val got = Similarity.ivfPqProbe(index, queries, "vec_id", "embedding",
-      p.dims, p.m, p.ksub, p.centroids, nprobe, k,
-      coarseCodebook = Some(cents), pqCodebook = Some(pqCb))
+    val got = probeFor(p.encoding, index, queries, "vec_id", "embedding",
+      p, nprobe, k, cents, pqCb)
     val nq = queries.count()
     val hits = got.select(col("query_id"), col("vec_id"))
       .join(truth.select(col("query_id"), col("vec_id")),
@@ -226,8 +350,8 @@ object IvfPqBuild {
           val fresh = b.join(broadcast(indexed), Seq("vec_id"), "left_anti")
             .localCheckpoint(true)
           val appended = fresh.count()
-          Similarity.ivfPqEncode(fresh, "vec_id", "embedding",
-              p.dims, p.m, p.ksub, cents, (s, c) => pqCb((s, c)))
+          encodeFor(p.encoding, fresh, p.dims, p.m, p.ksub, cents,
+              (s, c) => pqCb((s, c)))
             .repartition(p.buckets, col("cell"))
             .write.format("parquet").mode("append")
             .bucketBy(p.buckets, "cell").sortBy("cell")
@@ -279,8 +403,9 @@ object IvfPqBuild {
           if (neededC > p.centroids)
             System.err.println(s"[ivfpq] STALE coarse quantizer: corpus " +
               s"$nAfter vectors needs C=$neededC, artifact built at " +
-              s"C=${p.centroids} — retrain via 'build' (a codes-only " +
-              "artifact cannot re-derive centroids)")
+              s"C=${p.centroids} — run 'retrain <rawsDir> <outDir>' " +
+              "(trains both codebooks from the persisted sample + a " +
+              "fresh raws sample, re-encodes, re-freezes the baseline)")
           // staleness signal 2: held-out recall against the CALIBRATED
           // floor — the untrained/formula quantizer legitimately serves
           // low frozen-set recall at tight nprobe/K, so "stale" is
@@ -328,7 +453,8 @@ object IvfPqBuild {
             if (stale)
               System.err.println(s"[ivfpq] STALE codebooks: held-out " +
                 s"recall $recall µ < floor $floor µ at " +
-                s"nprobe=$nprobe k=$k on $nAfter vectors — retrain via 'build'")
+                s"nprobe=$nprobe k=$k on $nAfter vectors — run " +
+                "'retrain <rawsDir> <outDir>'")
             Seq((nAfter, recall, floor, stale, neededC))
               .toDF("n_vectors", "recall_micro", "floor_micro", "stale",
                 "needed_centroids")
@@ -366,10 +492,8 @@ object IvfPqBuild {
     val index = openIndex(spark, outDir)
     val cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
     val pqCb = loadPqCodebook(spark, outDir)
-    Similarity.ivfPqProbe(index, queries, idCol, vecCol,
-      p.dims, p.m, p.ksub, p.centroids, nprobe, k,
-      coarseCodebook = Some(cents),
-      pqCodebook = Some((s, c) => pqCb((s, c))))
+    probeFor(p.encoding, index, queries, idCol, vecCol, p, nprobe, k,
+      cents, (s, c) => pqCb((s, c)))
   }
 
   /** WARM PROBE SERVER (VERDICT r12 #4 — §10's own lesson applied: the
@@ -436,10 +560,8 @@ object IvfPqBuild {
       pending.foreach { d =>
         val t0 = System.nanoTime()
         val queries = spark.read.parquet(d.toString)
-        Similarity.ivfPqProbe(index, queries, idCol, vecCol,
-            p.dims, p.m, p.ksub, p.centroids, nprobe, k,
-            coarseCodebook = Some(cents),
-            pqCodebook = Some((s, c) => pqCb((s, c))))
+        probeFor(p.encoding, index, queries, idCol, vecCol, p, nprobe, k,
+            cents, (s, c) => pqCb((s, c)))
           .write.mode("overwrite").parquet(s"$reqDir/out/${d.getName}")
         served += 1
         println(f"[ivfpq] served batch '${d.getName}' in " +
@@ -465,6 +587,13 @@ object IvfPqBuild {
           centroids = arg(5, 16), buckets = arg(6, 8))
         println(f"[ivfpq] built $n code rows + codebooks at $outDir " +
           f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      case "retrain" =>
+        // args: retrain <rawsDir> <outDir> [iters=2] — sfDir slot
+        // carries the raws dir (the serve convention)
+        val t0 = System.nanoTime()
+        val n = retrain(spark, rawsDir = sfDir, outDir, iters = arg(3, 2))
+        println(f"[ivfpq] retrained (residual encoding): $n code rows at " +
+          f"$outDir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "probe" =>
         // reps > 1 separates the one-off session costs (DDL, codebook
         // load, kernel codegen — the F4 compile term, paid once per
@@ -557,7 +686,8 @@ object IvfPqBuild {
             f"${row.getAs[Int]("needed_centroids")})")
         }
       case other => sys.error(
-        s"unknown mode $other (build|probe|serve|servespot|ingesttick|tickspot)")
+        s"unknown mode $other " +
+          "(build|retrain|probe|serve|servespot|ingesttick|tickspot)")
     }
     spark.stop()
   }

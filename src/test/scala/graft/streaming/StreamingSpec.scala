@@ -456,6 +456,83 @@ class StreamingSpec extends SparkSpec {
     assert(row2.getAs[Long]("n_vectors") === 61L)
   }
 
+  test("IVF-PQ retrain: stale artifact → executable retrain → residual " +
+      "encoding served end to end, staleness re-baselined (VERDICT r14 #2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("ivfpqretrain").toString
+    val sfDir = s"$base/sf"
+    val out = s"$base/art"
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    def unit(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    (0L until 40L).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    graft.tools.IvfPqBuild.build(spark, sfDir, out,
+      m = 4, ksub = 8, centroids = 16, buckets = 4, heldoutMod = 10)
+    // the bounded md5-rank training sample rode the artifact (the piece
+    // that makes retrain executable later; 40 < cap, so all rows)
+    assert(spark.read.parquet(s"$out/train_sample").count() === 40L)
+    assert(graft.tools.IvfPqBuild.loadParams(spark, out).encoding === "raw")
+    // grow the corpus, then force the staleness flag (impossible floor)
+    (100L until 120L).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    graft.tools.IvfPqBuild.ingestTick(spark, out, staging, s"$base/ckpt",
+      recallFloorMicro = 1000001L, recallDropFactorMicro = 0L)
+    assert(spark.read.parquet(s"$out/_heldout_recall").head()
+      .getAs[Boolean]("stale"), "the drill floor must flag stale")
+    // RETRAIN from the current raws (original corpus + staged batches —
+    // the deployment's source-of-truth table; the staged-raws contract)
+    val rawsDir = s"$base/raws"
+    ((0L until 40L) ++ (100L until 120L)).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(rawsDir)
+    val n = graft.tools.IvfPqBuild.retrain(spark, rawsDir, out, iters = 2)
+    assert(n === 60L * 4L, "retrain re-encodes every raw vector")
+    val p = graft.tools.IvfPqBuild.loadParams(spark, out)
+    assert(p.encoding === "residual",
+      "a retrained artifact carries the residual (published-IVFADC) encoding")
+    assert(graft.sim.IndexMeta.read(spark, s"$out/_meta", Seq("n_vectors"))
+      === Some(Map("n_vectors" -> 60L)), "census reset to the retrained corpus")
+    // the retrained artifact SERVES through the residual path, and what
+    // it serves is exactly the one-shot residual composition over the
+    // PERSISTED codebooks — encode + probe pinned end to end through
+    // what was written to disk
+    val raws = spark.read.parquet(rawsDir)
+    val cents = graft.sim.Similarity.loadCentroids(
+      spark, s"$out/centroids.parquet")
+    val pqCb = graft.tools.IvfPqBuild.loadPqCodebook(spark, out)
+    val qp = col("vec_id") % 10 === 0
+    val served = graft.tools.IvfPqBuild.probe(spark, out, raws.filter(qp),
+      "vec_id", "embedding", nprobe = 2, k = 3)
+    val oneShot = graft.sim.Similarity.ivfPqResidualTopK(raws, "vec_id",
+      "embedding", dims = 64, m = 4, ksub = 8, cents,
+      (s, c) => pqCb((s, c)), nprobe = 2, k = 3, queryPred = qp)
+    assert(served.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(served).isEmpty,
+      "retrained-artifact probe must equal the one-shot residual IVFADC")
+    // post-retrain ticks dispatch residually and measure against the
+    // RE-FROZEN baseline: a small growth tick at the calibrated floor
+    // is not stale (recall was re-baselined by the retrain)
+    (200L until 205L).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    graft.tools.IvfPqBuild.ingestTick(spark, out, staging, s"$base/ckpt2",
+      recallFloorMicro = 0L, recallDropFactorMicro = 800000L)
+    val row = spark.read.parquet(s"$out/_heldout_recall").head()
+    assert(row.getAs[Long]("n_vectors") === 65L,
+      "fresh-checkpoint replay drops already-indexed ids, appends the 5 new")
+    assert(!row.getAs[Boolean]("stale"),
+      "a 5-vector growth tick must not trip the re-frozen calibrated floor")
+  }
+
   test("drift ticks: maintained grid + PSI equal the batch computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
