@@ -533,6 +533,82 @@ class StreamingSpec extends SparkSpec {
       "a 5-vector growth tick must not trip the re-frozen calibrated floor")
   }
 
+  test("index compaction: bucketed rewrite is probe-bit-identical and the " +
+      "band-dir arm preserves rows (VERDICT r14 #3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("ivfpqcompact").toString
+    val sfDir = s"$base/sf"
+    val out = s"$base/art"
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    def unit(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    (0L until 40L).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    graft.tools.IvfPqBuild.build(spark, sfDir, out,
+      m = 4, ksub = 8, centroids = 16, buckets = 4, heldoutMod = 0)
+    // three tick appends fragment the table past 1 file/bucket
+    for (w <- 0 until 3) {
+      (100L + 10 * w until 110L + 10 * w).map(i => (i, unit(i.toInt)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(staging)
+      graft.tools.IvfPqBuild.ingestTick(spark, out, staging, s"$base/ckpt",
+        recallFloorMicro = 0L, recallDropFactorMicro = 0L)
+    }
+    val filesBefore = graft.tools.IvfPqBuild.indexDataFiles(spark, out)
+    assert(filesBefore > 4, s"3 appends must fragment past 1 file/bucket: $filesBefore")
+    val raws = ((0L until 40L) ++ (100L until 130L)).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val qp = col("vec_id") % 10 === 0
+    val beforeRows = graft.tools.IvfPqBuild.probe(spark, out,
+        raws.filter(qp), "vec_id", "embedding", nprobe = 2, k = 3)
+      .collect().map(_.toSeq).toSet
+    // a high threshold does NOT bind (no rewrite)
+    val (nb0, na0) = graft.tools.IvfPqBuild.compact(spark, out,
+      maxFilesPerBucket = 64)
+    assert(nb0 === na0 && na0 === filesBefore)
+    // the binding compaction: back to ~1 file/bucket, probe bit-identical
+    val (nb, na) = graft.tools.IvfPqBuild.compact(spark, out,
+      maxFilesPerBucket = 1)
+    assert(nb === filesBefore && na <= 4,
+      s"compaction must land ~one file per bucket: $nb -> $na")
+    val afterRows = graft.tools.IvfPqBuild.probe(spark, out,
+        raws.filter(qp), "vec_id", "embedding", nprobe = 2, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(afterRows === beforeRows,
+      "compaction changed probe results — it must only change file layout")
+    // a post-compaction tick still appends against the re-registered spec
+    (500L until 505L).map(i => (i, unit(i.toInt)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(staging)
+    graft.tools.IvfPqBuild.ingestTick(spark, out, staging, s"$base/ckpt",
+      recallFloorMicro = 0L, recallDropFactorMicro = 0L)
+    assert(graft.tools.IvfPqBuild.openIndex(spark, out).count() === 75L * 4L)
+
+    // the plain-parquet arm (_bands/_fpbands tick appends): rows
+    // identical, layout coalesced, threshold respected
+    val bandsDir = s"$base/bands"
+    for (w <- 0 until 5)
+      Seq((w.toLong, s"h$w")).toDF("id", "band_hash")
+        .coalesce(1).write.mode("append").parquet(bandsDir)
+    assert(graft.storage.ParquetCompact.dataFiles(spark, bandsDir) === 5)
+    val rowsBefore = spark.read.parquet(bandsDir).collect().map(_.toSeq).toSet
+    val (db0, da0) = graft.storage.ParquetCompact.compactDir(spark, bandsDir,
+      maxFiles = 8)
+    assert(db0 === 5 && da0 === 5, "threshold not crossed -> no rewrite")
+    val (db, da) = graft.storage.ParquetCompact.compactDir(spark, bandsDir,
+      maxFiles = 4)
+    assert(db === 5 && da === 1)
+    assert(spark.read.parquet(bandsDir).collect().map(_.toSeq).toSet
+      === rowsBefore, "band-dir compaction must preserve rows exactly")
+  }
+
   test("drift ticks: maintained grid + PSI equal the batch computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
