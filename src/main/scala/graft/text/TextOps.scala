@@ -22,6 +22,25 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Character n-grams of `text` — [substr(text, i, n) for
+    * i = 1..len−n+1], empty under length n. The standard language-ID
+    * feature family (char grams are script-sensitive and robust to
+    * unseen words, which whole-word features are not); one
+    * sequence+transform per row, no shuffle. */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"char n-gram width $n < 1")
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The [[charNgrams]] count in closed form: greatest(len − n + 1, 0)
+    * — used where only the total matters (the NB t_l normalizer), so
+    * the count never pays the gram materialization. */
+  def charNgramCount(text: Column, n: Int): Column =
+    greatest(length(text) - lit(n - 1), lit(0)).cast("long")
+
   /** CORPUS SNAPSHOT DIFF — the data-versioning primitive: classify
     * every doc_id across two corpus versions as added / removed /
     * changed / unchanged by CONTENT HASH (not text equality — the hash

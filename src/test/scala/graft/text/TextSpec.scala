@@ -70,6 +70,28 @@ class TextSpec extends SparkSpec {
     assert(df.filter($"l".isNull || $"q".isNull).count() === 0)
   }
 
+  test("trained char-3gram language-ID beats the marker heuristic (VERDICT r14 #5)") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val n = docs.count().toDouble
+    val heurAcc = TextOps.withLangId(docs, "text", "pred")
+      .filter($"pred" === $"lang").count() / n
+    val conf = Classify.charLangIdConfusion(docs, "doc_id", "text", "lang",
+      n = 3)
+    val trainedAcc = conf.filter($"label" === $"pred_lang")
+      .agg(org.apache.spark.sql.functions.sum($"n")).as[Long].head() / n
+    assert(trainedAcc > heurAcc,
+      f"trained char-gram NB ($trainedAcc%.3f) must beat the marker " +
+        f"heuristic ($heurAcc%.3f) on the synthetic corpus")
+    // the census is well-formed: per-label row shares sum to ~1e6
+    val rowSums = conf.groupBy($"label")
+      .agg(org.apache.spark.sql.functions.sum($"row_share_micro").as("s"))
+      .select($"s").as[Long].collect()
+    assert(rowSums.nonEmpty &&
+      rowSums.forall(s => math.abs(s - 1000000L) <= 10L),
+      s"row shares must sum to ~1e6 per label: ${rowSums.toSeq}")
+  }
+
   test("withLangId survives a pre-existing __lang_s column") {
     import spark.implicits._
     // r04 hardcoded "__lang_s" as the temp name, silently clobbering and
