@@ -28,10 +28,13 @@ import graft.text.NearDup
   * each other — the IvfBuild lesson).
   *
   * Usage:
-  *   runMain graft.tools.CorpusBuild build <sfDir> <outDir> [k=16] [bands=8] [buckets=8]
-  *   runMain graft.tools.CorpusBuild probe <sfDir> <outDir>
+  *   runMain graft.tools.CorpusBuild build <sfDir> <outDir> [k=16] [bands=8] [buckets=8] [batchMod=5]
+  *   runMain graft.tools.CorpusBuild probe <sfDir> <outDir> [reps=1] [batchMod=5]
   *     (probe takes NO signature params — k/bands/buckets are part of the
-  *     persisted artifact; see [[IndexMeta]])
+  *     persisted artifact; see [[IndexMeta]]. `batchMod` sets the demo
+  *     split: corpus = doc_id % mod ≠ 0, tick batch = the rest — mod 5
+  *     is the 20% demo batch, mod 500 a realistic ~0.2% ingest tick;
+  *     build and probe must use the SAME mod.)
   */
 object CorpusBuild {
 
@@ -124,21 +127,28 @@ object CorpusBuild {
     val docs = Tables.documents(spark, sfDir)
     mode match {
       case "build" =>
+        val mod = arg(6, 5)
         val t0 = System.nanoTime()
-        build(spark, docs.filter(col("doc_id") % 5 =!= 0), outDir,
+        build(spark, docs.filter(col("doc_id") % mod =!= 0), outDir,
           k = arg(3, 16), bands = arg(4, 8), buckets = arg(5, 8))
         println(f"[corpus] built bands/sets/hashes bucketed index at $outDir " +
-          f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          f"(batchMod $mod) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       case "probe" =>
-        val t0 = System.nanoTime()
-        val opened = openIndex(spark, outDir)
-        val verdicts = NearDup.incrementalDedupIndexed(opened.index,
-            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
-            k = opened.meta.k, bands = opened.meta.bands)
-          .groupBy("verdict").count().orderBy("verdict").collect()
-        println(f"[corpus] tick verdicts from the reopened index in " +
-          f"${(System.nanoTime() - t0) / 1e9}%.1f s: " +
-          verdicts.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
+        // reps > 1 separates the one-off session costs (DDL, codegen)
+        // from the steady-state tick latency — the IvfPqBuild probe rule
+        val reps = arg(3, 1)
+        val mod = arg(4, 5)
+        for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val opened = openIndex(spark, outDir)
+          val verdicts = NearDup.incrementalDedupIndexed(opened.index,
+              docs.filter(col("doc_id") % mod === 0), "doc_id", "text",
+              k = opened.meta.k, bands = opened.meta.bands)
+            .groupBy("verdict").count().orderBy("verdict").collect()
+          println(f"[corpus] tick $r/$reps verdicts from the reopened index " +
+            f"(batchMod $mod) in ${(System.nanoTime() - t0) / 1e9}%.1f s: " +
+            verdicts.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" "))
+        }
       case other => sys.error(s"unknown mode $other (build|probe)")
     }
     spark.stop()
