@@ -713,6 +713,128 @@ case class DoubleArrayQuantStats(child: Expression, levels: Int)
     copy(child = c)
 }
 
+/** PQ-ENCODE kernel (r15 — the F4 treatment applied to product
+  * quantization): per subspace s of a dims = m·dsub vector, the
+  * argmin-SSE code against an m×ksub×dsub codebook, computed over the
+  * RESIDUAL v − base (pass a zeros base for raw-subvector PQ: IEEE
+  * x − 0.0 is bit-identical to x, including −0.0 and NaN, so the raw
+  * path is exactly the old slice form). Returns
+  * array<struct<subspace, code, sse_micro, rsub>> of length m — code
+  * and snapped SSE for every consumer, plus the residual subvector the
+  * TRAINER's mean update needs (audit/encode consumers drop the field;
+  * computing it is free — the loop materializes the residual anyway).
+  *
+  * Why a kernel: the expression form fans out m·ksub candidate trees
+  * (each a slice + two dot kernels + the snap); at the artifact sizes
+  * (m=8, ksub=16 → 128 candidates) the single generated consume
+  * method crosses janino's 64 KB cap and the WHOLE projection falls
+  * back to interpreted eval — measured on the r15 retrain log (3
+  * fallbacks; SCALE.md §10 "known limit", now closed). One kernel call
+  * per row keeps PQ encode inside whole-stage codegen at ANY m·ksub.
+  *
+  * Numerics are the expression path's exactly (KernelFuzzSpec pins it
+  * against an independent reference; the q134/q158/q207/q218 oracles
+  * pin it against DuckDB): residual = v_i − base_i elementwise;
+  * aa = Σ r_i² and ab = Σ r_i·cv_i as sequential index-order folds;
+  * SSE = (aa − 2.0·ab) + cv·cv with the codebook self-dot precomputed
+  * ONCE on the driver with the same fold (`lit(seqSelfDot(cv))` in the
+  * old form); micro-snap floor(x·1e6 + 0.5) BEFORE the argmin so both
+  * engines compare identical longs; ties keep the LOWEST code (strict
+  * `<` while scanning codes ascending ≡ the old min(struct(sse, code))).
+  * Inputs shorter than m·dsub fail LOUDLY — the old slice form would
+  * silently score truncated subvectors, and every registered input is
+  * fixed-width.
+  */
+case class DoublePqEncode(left: Expression, right: Expression,
+                          m: Int, ksub: Int,
+                          cb: Array[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(cb.length == m && cb.forall(_.length == ksub),
+    s"codebook must be m=$m × ksub=$ksub")
+  private val dsub = cb(0)(0).length
+  require(cb.forall(_.forall(_.length == dsub)),
+    s"every codebook entry must carry dsub=$dsub dims")
+
+  // s-major, then code, then dim — one flat read-only array per task
+  @transient private lazy val flat: Array[Double] =
+    cb.flatten.flatten
+  @transient private lazy val selfDots: Array[Double] =
+    cb.flatten.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      acc
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("subspace",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("sse_micro",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rsub",
+          org.apache.spark.sql.types.ArrayType(DoubleType,
+            containsNull = false), nullable = false))),
+      containsNull = false)
+  override def prettyName: String = "double_pq_encode"
+
+  /** Called from both eval and generated code. */
+  def encode(v: ArrayData, base: ArrayData): ArrayData = {
+    val dims = m * dsub
+    require(v.numElements() >= dims && base.numElements() >= dims,
+      s"pq_encode needs >= $dims dims, got vector ${v.numElements()} / " +
+        s"base ${base.numElements()}")
+    val out = new Array[Any](m)
+    val r = new Array[Double](dsub)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var aa = 0.0
+      var i = 0
+      while (i < dsub) {
+        val x = v.getDouble(off + i) - base.getDouble(off + i)
+        r(i) = x
+        i += 1
+      }
+      i = 0
+      while (i < dsub) { aa += r(i) * r(i); i += 1 }
+      var bestCode = 0
+      var bestSse = Long.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val cOff = (s * ksub + c) * dsub
+        var ab = 0.0
+        i = 0
+        while (i < dsub) { ab += r(i) * flat(cOff + i); i += 1 }
+        val sse = (aa - 2.0 * ab) + selfDots(s * ksub + c)
+        val sseM = math.floor(sse * 1e6 + 0.5).toLong
+        if (sseM < bestSse) { bestSse = sseM; bestCode = c }
+        c += 1
+      }
+      out(s) = org.apache.spark.sql.catalyst.InternalRow(
+        s, bestCode, bestSse,
+        ArrayData.toArrayData(java.util.Arrays.copyOf(r, dsub)))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqencode", this, classOf[DoublePqEncode].getName)
+    nullSafeCodeGen(ctx, ev, (v, b) => s"${ev.value} = $ref.encode($v, $b);")
+  }
+
+  override protected def nullSafeEval(v: Any, b: Any): Any =
+    encode(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayOps {
   private val FnName = "sorted_intersect_count"
   private val DotName = "double_array_dot"
@@ -809,6 +931,18 @@ object ArrayOps {
     val name = s"double_array_quant_stats_$levels"
     ensureRegistered(spark, name, exprs => DoubleArrayQuantStats(exprs(0), levels))
     org.apache.spark.sql.functions.call_function(name, v)
+  }
+
+  /** Column-typed API for the PQ-encode kernel; the caller's content
+    * key (the matVec scheme — an md5 over the codebook doubles) keeps
+    * distinct codebooks from colliding in the session registry. */
+  def pqEncode(spark: SparkSession, v: Column, base: Column, m: Int,
+               ksub: Int, cb: Array[Array[Array[Double]]],
+               key: String): Column = {
+    val name = s"double_pq_encode_$key"
+    ensureRegistered(spark, name,
+      exprs => DoublePqEncode(exprs(0), exprs(1), m, ksub, cb))
+    org.apache.spark.sql.functions.call_function(name, v, base)
   }
 
   /** Column-typed API for the BPE merge kernel; the pair rides in as

@@ -1625,25 +1625,16 @@ object Similarity {
     require(ksub >= 1, "ksub must be >= 1")
     val sp = vectors.sparkSession
     val dsub = dims / m
-    val v = vectors.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val perSub = (0 until m).map { s =>
-      val sub = slice(col("v"), s * dsub + 1, dsub)
-      val aa = dot(sp, sub, sub)
-      val cands = (0 until ksub).map { c =>
-        val cv = cb(s, c)
-        require(cv.length == dsub,
-          s"PQ codebook entry ($s,$c) carries ${cv.length} dims, expected $dsub")
-        val ccSq = seqSelfDot(cv)
-        val sse = (aa - lit(2.0) * dot(sp, sub, typedLit(cv.toSeq))) + lit(ccSq)
-        struct(floor(sse * lit(1e6) + lit(0.5)).cast("long").as("sse_micro"),
-          lit(c).as("code"))
-      }
-      struct(lit(s).as("subspace"), array_min(array(cands: _*)).as("best"))
-    }
-    v.select(col("vec_id"), explode(array(perSub: _*)).as("p"))
+    // raw-subvector PQ = the residual kernel against a ZEROS base
+    // (x − 0.0 is bit-identical to x in IEEE, so the kernel's SSE folds
+    // are exactly the old slice form's — the oracles pin it)
+    val zeros = typedLit(Seq.fill(dims)(0.0))
+    vectors.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        explode(pqEncodeCol(sp, col("v"), zeros, m, ksub, dsub, cb)).as("p"))
       .select(col("vec_id"), col("p.subspace").as("subspace"),
-        col("p.best.code").as("code"), col("p.best.sse_micro").as("sse_micro"))
+        col("p.code").as("code"), col("p.sse_micro").as("sse_micro"))
   }
 
   /** Encode vectors into IVF-PQ code rows (vec_id, cell, subspace,
@@ -1680,52 +1671,55 @@ object Similarity {
   // the exact trainer, so the whole family stays oracle-checkable.
   // ------------------------------------------------------------------
 
-  /** Per-subspace RESIDUAL columns for an assigned frame: from
-    * (vec_id, v, cell) rows, (vec_id, cell, r0..r{m-1}) where
-    * rS = v[S·dsub..) − centroid(cell)[S·dsub..) elementwise (one
-    * zip_with over two slices per subspace — no C-way expression
-    * fan-out, the F4 codegen rule). The centroid side arrives as a
-    * BROADCAST (cell, ccv) table so the plan scales with C without a
+  /** The broadcast (cell, ccv) centroid table the residual paths join
+    * to fetch each row's coarse centroid — scales with C without a
     * C·dims literal tree per expression. */
-  private def residualCols(cellsDf: DataFrame, cents: Array[Array[Double]],
-                           m: Int): DataFrame = {
-    val sp = cellsDf.sparkSession
+  private def centroidDf(sp: SparkSession,
+                         cents: Array[Array[Double]]): DataFrame = {
     import sp.implicits._
-    val dims = cents.head.length
-    val dsub = dims / m
-    val cb = cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
       .toDF("cell", "ccv")
-    cellsDf.join(broadcast(cb), Seq("cell"))
-      .select(Seq(col("vec_id"), col("cell")) ++ (0 until m).map(s =>
-        zip_with(slice(col("v"), s * dsub + 1, dsub),
-          slice(col("ccv"), s * dsub + 1, dsub),
-          (a, b) => a - b).as(s"r$s")): _*)
   }
 
-  /** Per-subspace argmin-code struct over explicit codebooks — the ONE
-    * assignment expression the residual trainer, the residual encoder
-    * and the parity spec share (micro-snapped SSE with the pqAuditWith
-    * composition, ties to the lowest code via min(struct)). */
-  private def residualCodeStructs(sp: SparkSession, m: Int, ksub: Int,
-                                  dsub: Int, cb: (Int, Int) => Array[Double],
-                                  withResidual: Boolean): Seq[Column] =
-    (0 until m).map { s =>
-      val r = col(s"r$s")
-      val aa = dot(sp, r, r)
-      val cands = (0 until ksub).map { c =>
-        val cv = cb(s, c)
-        require(cv.length == dsub,
-          s"PQ codebook entry ($s,$c) carries ${cv.length} dims, expected $dsub")
-        val sse = (aa - lit(2.0) * dot(sp, r, typedLit(cv.toSeq))) +
-          lit(seqSelfDot(cv))
-        struct(floor(sse * lit(1e6) + lit(0.5)).cast("long").as("sse_micro"),
-          lit(c).as("code"))
-      }
-      val best = array_min(array(cands: _*)).getField("code")
-      if (withResidual)
-        struct(lit(s).as("subspace"), best.as("code"), r.as("rsub"))
-      else struct(lit(s).as("subspace"), best.as("code"))
+  /** Materialize an (Int, Int) => Array[Double] codebook view as the
+    * m×ksub×dsub array the encode kernel carries (validating entry
+    * widths once, here, instead of per expression). */
+  private def cbMatrix(m: Int, ksub: Int, dsub: Int,
+                       cb: (Int, Int) => Array[Double]): Array[Array[Array[Double]]] =
+    Array.tabulate(m, ksub) { (s, c) =>
+      val cv = cb(s, c)
+      require(cv.length == dsub,
+        s"PQ codebook entry ($s,$c) carries ${cv.length} dims, expected $dsub")
+      cv
     }
+
+  /** Content key for a PQ codebook (the assignCells registry-name
+    * scheme: md5 over the raw double bits — distinct codebooks must
+    * never collide in the session function registry). */
+  private def cbKey(cb: Array[Array[Array[Double]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    cb.foreach(_.foreach(_.foreach { d =>
+      bb.clear(); bb.putDouble(d); md.update(bb.array()) }))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** The ONE PQ code-assignment column every consumer shares (r15 —
+    * the F4 kernel treatment; see [[graft.plans.ArrayOps.DoublePqEncode]]):
+    * per subspace, argmin-SSE code over the RESIDUAL v − base, with
+    * snapped SSE and the residual subvector in the struct. `base` is
+    * the row's coarse centroid for residual PQ, a zeros literal for
+    * raw-subvector PQ (IEEE x − 0.0 ≡ x bitwise). Replaces the m·ksub
+    * candidate-expression fan-out that crossed janino's 64 KB method
+    * cap at artifact sizes (m=8/ksub=16 → interpreted fallback,
+    * SCALE.md §10). */
+  private def pqEncodeCol(sp: SparkSession, v: Column, base: Column,
+                          m: Int, ksub: Int, dsub: Int,
+                          cb: (Int, Int) => Array[Double]): Column = {
+    val mat = cbMatrix(m, ksub, dsub, cb)
+    ArrayOps.pqEncode(sp, v, base, m, ksub, mat,
+      s"${m}x${ksub}x${dsub}_${cbKey(mat)}")
+  }
 
   /** TRAIN per-subspace PQ codebooks on residuals — snapped Lloyd in
     * subspace form (the [[trainCentroidsExactMatrix]] machinery turned
@@ -1761,15 +1755,21 @@ object Similarity {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sp = vectors.sparkSession
     val dsub = dims / m
-    val rf = residualCols(
-      assignCells(vectors, idCol, vecCol, cents)
-        .select(col("vec_id"), col("v"), col("cell")),
-      cents, m).localCheckpoint(true)
+    // cells are FIXED while PQ trains (the coarse quantizer is frozen
+    // first, per the paper) — one assignment pass, checkpointed with
+    // each row's centroid alongside, reused by every round; the kernel
+    // recomputes the residual per round (dsub subtractions — cheaper
+    // than persisting m materialized residual arrays was)
+    val rf = assignCells(vectors, idCol, vecCol, cents)
+      .select(col("v"), col("cell"))
+      .join(broadcast(centroidDf(sp, cents)), Seq("cell"))
+      .select(col("v"), col("ccv"))
+      .localCheckpoint(true)
     var cb = Array.tabulate(m, ksub)((s, c) => pqCentroidVec(s, c, dsub))
     (1 to iterations).foreach { _ =>
-      val perSub = residualCodeStructs(sp, m, ksub, dsub,
-        (s, c) => cb(s)(c), withResidual = true)
-      val step = rf.select(explode(array(perSub: _*)).as("p"))
+      val enc = pqEncodeCol(sp, col("v"), col("ccv"), m, ksub, dsub,
+        (s, c) => cb(s)(c))
+      val step = rf.select(explode(enc).as("p"))
         .select(col("p.subspace").as("s"), col("p.code").as("code"),
           posexplode(col("p.rsub")).as(Seq("i", "x")))
         .groupBy("s", "code", "i")
@@ -1801,14 +1801,12 @@ object Similarity {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sp = vectors.sparkSession
     val dsub = dims / m
-    val rf = residualCols(
-      assignCells(vectors, idCol, vecCol, cents)
-        .select(col("vec_id"), col("v"), col("cell")),
-      cents, m)
-    val perSub = residualCodeStructs(sp, m, ksub, dsub, pqCb,
-      withResidual = false)
-    rf.select(col("vec_id"), col("cell"),
-        explode(array(perSub: _*)).as("p"))
+    assignCells(vectors, idCol, vecCol, cents)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .join(broadcast(centroidDf(sp, cents)), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        explode(pqEncodeCol(sp, col("v"), col("ccv"), m, ksub, dsub,
+          pqCb)).as("p"))
       .select(col("vec_id"), col("cell"), col("p.subspace").as("subspace"),
         col("p.code").as("code"))
   }

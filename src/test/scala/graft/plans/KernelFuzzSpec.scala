@@ -189,6 +189,64 @@ class KernelFuzzSpec extends SparkSpec {
     assert(nl.head.isNullAt(0))
   }
 
+  test("pq-encode kernel matches an independent reference: codes, snapped SSE, residuals, ties (r15)") {
+    import spark.implicits._
+    (1 to N).foreach { trial =>
+      val m = 1 + trial % 3
+      val ksub = 2 + trial % 4
+      val dsub = 2 + trial % 3
+      val dims = m * dsub
+      val cb0 = Array.tabulate(m, ksub - 1)((s, c) =>
+        sample(Gen.listOfN(dsub, Gen.choose(-2.0, 2.0)),
+          900L + 17L * trial + 31L * s + c).toArray)
+      // force a TIE family: the last code of every subspace duplicates
+      // code 0, so equal snapped SSEs must resolve to the LOWER code
+      val cb = cb0.map(row => row :+ row(0).clone())
+      val base = sample(Gen.listOfN(dims, Gen.choose(-1.0, 1.0)),
+        5500L + trial).toArray
+      val vecs = (1 to 8).map { i =>
+        (i.toLong, sample(Gen.listOfN(dims, Gen.choose(-2.0, 2.0)),
+          7100L + 41L * trial + i).toArray)
+      }
+      val df = vecs.toDF("id", "v")
+      val out = df.select($"id", explode(ArrayOps.pqEncode(spark, $"v",
+          typedLit(base.toSeq), m, ksub, cb, s"pqfuzz$trial")).as("p"))
+        .select($"id", $"p.subspace", $"p.code", $"p.sse_micro", $"p.rsub")
+        .as[(Long, Int, Int, Long, Seq[Double])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      // independent reference: plain-Scala folds in the documented order
+      def seqDot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      vecs.foreach { case (id, v) =>
+        for (s <- 0 until m) {
+          val r = Array.tabulate(dsub)(i => v(s * dsub + i) - base(s * dsub + i))
+          val aa = seqDot(r, r)
+          val scored = (0 until ksub).map { c =>
+            val sse = (aa - 2.0 * seqDot(r, cb(s)(c))) + seqDot(cb(s)(c), cb(s)(c))
+            (math.floor(sse * 1e6 + 0.5).toLong, c)
+          }
+          val (bestSse, bestCode) = scored.min // (sse, code) lexicographic = lowest code on ties
+          val (kc, ks2, kr) = out((id, s))
+          assert(kc === bestCode && ks2 === bestSse,
+            s"trial $trial id $id s $s: kernel ($kc, $ks2) vs ref ($bestCode, $bestSse)")
+          assert(kr === r.toSeq, s"trial $trial id $id s $s residual differs")
+          // the duplicated last code NEVER wins (tie resolves down)
+          assert(kc < ksub - 1 || scored(ksub - 1)._1 != bestSse || bestCode < ksub - 1)
+        }
+      }
+      // short input fails loudly, never silently truncates
+      val e = intercept[Exception] {
+        Seq((1L, Array.fill(dims - 1)(0.5))).toDF("id", "v")
+          .select(explode(ArrayOps.pqEncode(spark, $"v", typedLit(base.toSeq),
+            m, ksub, cb, s"pqfuzzshort$trial"))).count()
+      }
+      assert(e.getMessage != null)
+    }
+  }
+
   test("banded levenshtein kernel: equals full DP below threshold, -1 above") {
     import spark.implicits._
     // independent full-matrix reference DP (no band, no early exit)
