@@ -835,6 +835,154 @@ case class DoublePqEncode(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Shared RLE core of the two term-frequency kernels below: sort the
+  * gram array (binary UTF8 order — grouping only needs equal terms
+  * adjacent; sorted output is also canonical, so recomputed partitions
+  * emit identical arrays) and run-length encode into
+  * array<struct<term, c>>. Null terms fail LOUDLY: the registered
+  * feature families (whitespace tokens, char n-grams) never produce
+  * null elements, and a silent null group would shift the smoothing
+  * V count against the oracle.
+  */
+private[plans] object TermRle {
+  def rle(grams: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
+    var i = 0
+    while (i < grams.length) {
+      require(grams(i) != null, "rle_counts: null term element")
+      i += 1
+    }
+    java.util.Arrays.sort(grams,
+      null.asInstanceOf[java.util.Comparator[org.apache.spark.unsafe.types.UTF8String]])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < grams.length) {
+      var j = i + 1
+      while (j < grams.length && grams(j).equals(grams(i))) j += 1
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        grams(i), (j - i).toLong)
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  val pairType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false)
+}
+
+/** CHAR-N-GRAM TERM-FREQUENCY kernel (r15, the q220 follow-through):
+  * the per-document (term, count) table of character n-grams, computed
+  * in ONE codegen pass per row — array<struct<term, c>> sorted by term.
+  *
+  * Why a kernel: the declarative form is `transform(sequence(1,
+  * len−n+1), i -> substr(text, i, n))` — a higher-order lambda Spark
+  * evaluates INTERPRETED per element (the r03 HOF lesson; ~30M
+  * interpreted substr pipelines at sf0.1) — followed by an explode +
+  * groupBy(doc, term) whose shuffle ships every raw OCCURRENCE. Char
+  * grams are ~10× repeat-heavy, so aggregating inside the row kernel
+  * ships nothing at all: the NB core's biggest exchange disappears and
+  * the gram materialization drops out of interpreted eval.
+  *
+  * Gram extraction matches Spark's `substr` (and DuckDB's) exactly:
+  * grams are CODEPOINT slices. One pass records the byte offset of
+  * every UTF-8 char start (a non-continuation byte); gram i is the
+  * byte range [off(i), off(i+n)) wrapped zero-copy. Strings shorter
+  * than n codepoints yield an empty array (the `when(length >= n)`
+  * branch of the declarative form).
+  */
+case class CharNgramRleCounts(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n >= 1, s"char n-gram width $n < 1")
+
+  override def dataType: DataType = TermRle.pairType
+  override def prettyName: String = "char_ngram_rle_counts"
+
+  /** Called from both eval and generated code. */
+  def counts(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    // char-start byte offsets (UTF-8 continuation bytes are 10xxxxxx)
+    var nc = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) nc += 1
+      bi += 1
+    }
+    if (nc < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val offs = new Array[Int](nc + 1)
+    var ci = 0
+    bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) { offs(ci) = bi; ci += 1 }
+      bi += 1
+    }
+    offs(nc) = bytes.length
+    val m = nc - n + 1
+    val grams = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) {
+      grams(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        bytes, offs(i), offs(i + n) - offs(i))
+      i += 1
+    }
+    TermRle.rle(grams)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cgramrle", this,
+      classOf[CharNgramRleCounts].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.counts($v);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    counts(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** TERM-FREQUENCY RLE over an ALREADY-TOKENIZED array<string> — the
+  * [[CharNgramRleCounts]] contract for feature families whose gram
+  * extraction is itself codegen'd (whitespace tokens via
+  * `array_remove(split(..))`): per-row array<struct<term, c>> sorted
+  * by term, no explode + groupBy exchange. Null elements fail loudly
+  * (see [[TermRle]]).
+  */
+case class StringArrayRleCounts(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = TermRle.pairType
+  override def prettyName: String = "string_rle_counts"
+
+  /** Called from both eval and generated code. */
+  def counts(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val grams = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) { grams(i) = arr.getUTF8String(i); i += 1 }
+    TermRle.rle(grams)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("strrle", this,
+      classOf[StringArrayRleCounts].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.counts($v);")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    counts(input.asInstanceOf[ArrayData])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object ArrayOps {
   private val FnName = "sorted_intersect_count"
   private val DotName = "double_array_dot"
@@ -952,5 +1100,20 @@ object ArrayOps {
     val name = "bpe_merge_pair"
     ensureRegistered(spark, name, exprs => BpeMergePair(exprs(0), exprs(1), exprs(2)))
     org.apache.spark.sql.functions.call_function(name, syms, l, r)
+  }
+
+  /** Column-typed API for the char-n-gram term-frequency kernel; the
+    * width rides in the registry name (distinct n never collide). */
+  def charNgramRleCounts(spark: SparkSession, text: Column, n: Int): Column = {
+    val name = s"char_ngram_rle_counts_$n"
+    ensureRegistered(spark, name, exprs => CharNgramRleCounts(exprs(0), n))
+    org.apache.spark.sql.functions.call_function(name, text)
+  }
+
+  /** Column-typed API for the array<string> term-frequency kernel. */
+  def stringRleCounts(spark: SparkSession, arr: Column): Column = {
+    val name = "string_rle_counts"
+    ensureRegistered(spark, name, exprs => StringArrayRleCounts(exprs(0)))
+    org.apache.spark.sql.functions.call_function(name, arr)
   }
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.ArrayOps
 
 /** Distributed MULTINOMIAL NAIVE BAYES over token counts — train and
   * inference as ONE declarative plan. This is the classical lightweight
@@ -62,19 +63,23 @@ object Classify {
                        labelCol: String): DataFrame = {
     val spark = df.sparkSession
     naiveBayesScoresWith(df, idCol, textCol, labelCol,
-      TextOps.tokens, t => TextOps.tokenCountFast(spark, t).cast("long"))
+      t => ArrayOps.stringRleCounts(spark, TextOps.tokens(t)),
+      t => TextOps.tokenCountFast(spark, t).cast("long"))
   }
 
   /** [[naiveBayesScores]] generalized over the FEATURE FAMILY — the
     * one NB core the word-token model (q133/q177/q187) and the char-
     * n-gram language-ID model (q220) share, so the smoothing grid,
-    * priors and score algebra cannot drift between them. `termsOf`
-    * extracts the per-doc term array; `termCountOf` must equal
-    * size(termsOf) in closed form (it feeds the t_l normalizer without
-    * paying the explode twice). */
+    * priors and score algebra cannot drift between them. `termPairsOf`
+    * extracts the per-doc (term, count) table — array<struct<term, c>>
+    * from the RLE kernels; `termCountOf` must equal Σc in closed form
+    * (it feeds the t_l normalizer without paying the term table twice).
+    * Contract: ONE row per idCol value (the corpus PK) — per-row counts
+    * ARE the per-doc counts only then, and both engines group by doc.
+    */
   def naiveBayesScoresWith(df: DataFrame, idCol: String, textCol: String,
                            labelCol: String,
-                           termsOf: Column => Column,
+                           termPairsOf: Column => Column,
                            termCountOf: Column => Column): DataFrame = {
     // OCCURRENCE COMPRESSION (r15, the q220 lesson): aggregate to
     // per-(doc, term) counts BEFORE anything joins the vocabulary×L
@@ -82,13 +87,18 @@ object Classify {
     // join ships distinct pairs instead of raw occurrences, and the
     // score sum is unchanged as an integer: Σ_occurrences s_micro ≡
     // Σ_pairs c·s_micro (the oracle keeps the occurrence form — same
-    // longs). Measured on q220 at sf0.1: 8.8 → 2.6 s; q133 rides the
-    // same core. Two consumers (ctl + the score join) ⇒ checkpointed.
+    // longs). Since the r15 follow-through the counts come from the
+    // per-row RLE KERNELS (ArrayOps.CharNgramRleCounts /
+    // StringArrayRleCounts): the old explode + groupBy(doc, term)
+    // exchange — the NB core's biggest shuffle, shipping every raw
+    // occurrence — is gone entirely, and the char-gram path also drops
+    // the interpreted transform(sequence, substr) HOF (the r03 lesson).
+    // Two consumers (ctl + the score join) ⇒ checkpointed.
     val dtc = df.select(col(idCol).as("doc_id"),
         col(labelCol).as("label_true"),
-        explode(termsOf(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("label_true"), col("term"))
-      .agg(count(lit(1)).as("c"))
+        explode(termPairsOf(col(textCol))).as("tc"))
+      .select(col("doc_id"), col("label_true"),
+        col("tc.term").as("term"), col("tc.c").as("c"))
       .localCheckpoint(true)
     val ctl = dtc.groupBy(col("label_true").as("label"), col("term"))
       .agg(sum(col("c")).as("c_tl"))
@@ -138,14 +148,15 @@ object Classify {
     * synthetic corpus the trained model's diagonal mass beats the
     * heuristic's (ClassifySpec pins it).
     *
-    * Scale shape: the NB core's — one explode + a (label, term) and a
-    * vocabulary×L grid aggregation; everything after the score frame
-    * is |langs|²-bounded.
+    * Scale shape: the NB core's — per-row RLE kernel (no occurrence
+    * shuffle), a (label, term) and a vocabulary×L grid aggregation;
+    * everything after the score frame is |langs|²-bounded.
     */
   def charLangIdConfusion(df: DataFrame, idCol: String, textCol: String,
                           labelCol: String, n: Int = 3): DataFrame = {
     val scored = naiveBayesScoresWith(df, idCol, textCol, labelCol,
-      TextOps.charNgrams(_, n), TextOps.charNgramCount(_, n))
+      t => ArrayOps.charNgramRleCounts(df.sparkSession, t, n),
+      TextOps.charNgramCount(_, n))
     val pred = scored
       .select(col("doc_id"), col("label_true"),
         struct(col("total_micro").as("s"), col("label").as("l")).as("cand"))

@@ -247,6 +247,60 @@ class KernelFuzzSpec extends SparkSpec {
     }
   }
 
+  test("rle-counts kernels match the explode + groupBy composition (r15)") {
+    import spark.implicits._
+    // alphabet deliberately tiny (repeat-heavy) and multi-byte: 'é' is
+    // 2 UTF-8 bytes, '日' is 3 — the char-gram kernel must slice by
+    // CODEPOINT exactly like Spark's substr, which the composed
+    // reference uses
+    val alpha = Gen.oneOf("a", "b", " ", "é", "日")
+    (1 to N).foreach { trial =>
+      val n = 2 + trial % 3
+      val texts = (1 to 12).map { i =>
+        val len = (trial * 7 + i * 3) % 12 // includes lengths < n
+        (i.toLong,
+          sample(Gen.listOfN(len, alpha), 300L + 13L * trial + i).mkString)
+      }
+      val df = texts.toDF("id", "t")
+      val kernel = df.select($"id",
+          explode(ArrayOps.charNgramRleCounts(spark, $"t", n)).as("tc"))
+        .select($"id", $"tc.term", $"tc.c")
+        .as[(Long, String, Long)].collect().toSet
+      val composed = df.select($"id",
+          explode(graft.text.TextOps.charNgrams($"t", n)).as("term"))
+        .groupBy($"id", $"term").agg(count(lit(1)).as("c"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(kernel === composed, s"trial $trial n=$n char-gram counts differ")
+      // per-row output is SORTED by term (canonical across recomputes)
+      val arrs = df.select(ArrayOps.charNgramRleCounts(spark, $"t", n)
+          .getField("term").as("ts")).as[Seq[String]].collect()
+      arrs.foreach(ts => assert(ts === ts.sorted, s"trial $trial unsorted"))
+
+      // the array<string> twin vs the same composition over tokens
+      val kernelTok = df.select($"id",
+          explode(ArrayOps.stringRleCounts(spark,
+            graft.text.TextOps.tokens($"t"))).as("tc"))
+        .select($"id", $"tc.term", $"tc.c")
+        .as[(Long, String, Long)].collect().toSet
+      val composedTok = df.select($"id",
+          explode(graft.text.TextOps.tokens($"t")).as("term"))
+        .groupBy($"id", $"term").agg(count(lit(1)).as("c"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(kernelTok === composedTok, s"trial $trial token counts differ")
+    }
+    // null ELEMENT fails loudly (a silent null group would shift the NB
+    // smoothing V count); null INPUT is null-safe → explode drops the row
+    val e = intercept[Exception] {
+      Seq(1L).toDF("id")
+        .select(explode(ArrayOps.stringRleCounts(spark,
+          array(lit("a"), lit(null.asInstanceOf[String]))))).count()
+    }
+    assert(e.getMessage != null)
+    assert(Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(explode(ArrayOps.charNgramRleCounts(spark, $"t", 3)))
+      .count() === 0L)
+  }
+
   test("banded levenshtein kernel: equals full DP below threshold, -1 above") {
     import spark.implicits._
     // independent full-matrix reference DP (no band, no early exit)
