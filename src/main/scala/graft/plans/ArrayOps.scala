@@ -835,34 +835,32 @@ case class DoublePqEncode(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
-/** Shared RLE core of the two term-frequency kernels below: sort the
-  * gram array (binary UTF8 order — grouping only needs equal terms
-  * adjacent; sorted output is also canonical, so recomputed partitions
-  * emit identical arrays) and run-length encode into
-  * array<struct<term, c>>. Null terms fail LOUDLY: the registered
-  * feature families (whitespace tokens, char n-grams) never produce
-  * null elements, and a silent null group would shift the smoothing
-  * V count against the oracle.
+/** Shared emit + types of the two term-frequency kernels below. The
+  * accumulation is a per-row open-addressing hash (distinct terms per
+  * document are tiny against occurrences — measured ~42× compression on
+  * the sf0.1 char-3-gram corpus — so hashing occurrences beats sorting
+  * them: the first cut of these kernels TimSorted all ~30M gram objects
+  * and that sort WAS the remaining q220 cost). Only the DISTINCT terms
+  * are sorted at emit (binary UTF8 order — canonical, so recomputed
+  * partitions emit identical arrays). Null terms fail LOUDLY: the
+  * registered feature families (whitespace tokens, char n-grams) never
+  * produce null elements, and a silent null group would shift the
+  * smoothing V count against the oracle.
   */
 private[plans] object TermRle {
-  def rle(grams: Array[org.apache.spark.unsafe.types.UTF8String]): ArrayData = {
-    var i = 0
-    while (i < grams.length) {
-      require(grams(i) != null, "rle_counts: null term element")
-      i += 1
+  private val RowCmp: java.util.Comparator[AnyRef] =
+    new java.util.Comparator[AnyRef] {
+      override def compare(a: AnyRef, b: AnyRef): Int =
+        a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getUTF8String(0)
+          .compareTo(
+            b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getUTF8String(0))
     }
-    java.util.Arrays.sort(grams,
-      null.asInstanceOf[java.util.Comparator[org.apache.spark.unsafe.types.UTF8String]])
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    i = 0
-    while (i < grams.length) {
-      var j = i + 1
-      while (j < grams.length && grams(j).equals(grams(i))) j += 1
-      out += org.apache.spark.sql.catalyst.InternalRow(
-        grams(i), (j - i).toLong)
-      i = j
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+
+  /** Sort the distinct (term, count) rows by term and wrap. */
+  def emit(rows: Array[AnyRef]): ArrayData = {
+    java.util.Arrays.sort(rows, RowCmp)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      rows.asInstanceOf[Array[Any]])
   }
 
   val pairType: DataType =
@@ -903,7 +901,11 @@ case class CharNgramRleCounts(child: Expression, n: Int)
   override def dataType: DataType = TermRle.pairType
   override def prettyName: String = "char_ngram_rle_counts"
 
-  /** Called from both eval and generated code. */
+  /** Called from both eval and generated code. Zero allocation per
+    * OCCURRENCE: grams are hashed and compared as (start, end) byte
+    * slices against the open table; a UTF8String is wrapped only once
+    * per DISTINCT term at emit.
+    */
   def counts(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val bytes = s.getBytes
     // char-start byte offsets (UTF-8 continuation bytes are 10xxxxxx)
@@ -925,14 +927,68 @@ case class CharNgramRleCounts(child: Expression, n: Int)
     }
     offs(nc) = bytes.length
     val m = nc - n + 1
-    val grams = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    // open-addressing table keyed by the gram's char-start index; slot
+    // empty = -1. Grows by rehash at load > 0.6 (distinct terms per doc
+    // are typically far below the occurrence count).
+    var cap = 64
+    var keyAt = new Array[Int](cap); java.util.Arrays.fill(keyAt, -1)
+    var cnt = new Array[Long](cap)
+    var used = 0
+
+    def hashSlice(a: Int, b: Int): Int = {
+      var h = 1; var p = a
+      while (p < b) { h = 31 * h + bytes(p); p += 1 }
+      h & 0x7FFFFFFF
+    }
+    def sliceEq(a1: Int, b1: Int, a2: Int, b2: Int): Boolean = {
+      if (b1 - a1 != b2 - a2) return false
+      var p = a1; var q = a2
+      while (p < b1) { if (bytes(p) != bytes(q)) return false; p += 1; q += 1 }
+      true
+    }
+
     var i = 0
     while (i < m) {
-      grams(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
-        bytes, offs(i), offs(i + n) - offs(i))
+      val a = offs(i); val b = offs(i + n)
+      var idx = hashSlice(a, b) & (cap - 1)
+      while (keyAt(idx) != -1 &&
+        !sliceEq(offs(keyAt(idx)), offs(keyAt(idx) + n), a, b))
+        idx = (idx + 1) & (cap - 1)
+      if (keyAt(idx) == -1) {
+        keyAt(idx) = i; cnt(idx) = 1L; used += 1
+        if (used * 5 > cap * 3) { // load > 0.6 → double + rehash
+          val oldKey = keyAt; val oldCnt = cnt
+          cap <<= 1
+          keyAt = new Array[Int](cap); java.util.Arrays.fill(keyAt, -1)
+          cnt = new Array[Long](cap)
+          var j = 0
+          while (j < oldKey.length) {
+            val k = oldKey(j)
+            if (k != -1) {
+              var nx = hashSlice(offs(k), offs(k + n)) & (cap - 1)
+              while (keyAt(nx) != -1) nx = (nx + 1) & (cap - 1)
+              keyAt(nx) = k; cnt(nx) = oldCnt(j)
+            }
+            j += 1
+          }
+        }
+      } else cnt(idx) += 1L
       i += 1
     }
-    TermRle.rle(grams)
+    val rows = new Array[AnyRef](used)
+    var j = 0; var r = 0
+    while (j < cap) {
+      val k = keyAt(j)
+      if (k != -1) {
+        rows(r) = org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(
+            bytes, offs(k), offs(k + n) - offs(k)),
+          cnt(j))
+        r += 1
+      }
+      j += 1
+    }
+    TermRle.emit(rows)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -961,13 +1017,55 @@ case class StringArrayRleCounts(child: Expression)
   override def dataType: DataType = TermRle.pairType
   override def prettyName: String = "string_rle_counts"
 
-  /** Called from both eval and generated code. */
+  /** Called from both eval and generated code. Open table keyed by the
+    * element objects (UTF8String hashCode/equals — bytes-based). */
   def counts(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
-    val grams = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    var cap = 64
+    var keys = new Array[org.apache.spark.unsafe.types.UTF8String](cap)
+    var cnt = new Array[Long](cap)
+    var used = 0
     var i = 0
-    while (i < m) { grams(i) = arr.getUTF8String(i); i += 1 }
-    TermRle.rle(grams)
+    while (i < m) {
+      val g = arr.getUTF8String(i)
+      require(g != null, "rle_counts: null term element")
+      var idx = (g.hashCode & 0x7FFFFFFF) & (cap - 1)
+      while (keys(idx) != null && !keys(idx).equals(g))
+        idx = (idx + 1) & (cap - 1)
+      if (keys(idx) == null) {
+        keys(idx) = g; cnt(idx) = 1L; used += 1
+        if (used * 5 > cap * 3) { // load > 0.6 → double + rehash
+          val oldKeys = keys; val oldCnt = cnt
+          cap <<= 1
+          keys = new Array[org.apache.spark.unsafe.types.UTF8String](cap)
+          cnt = new Array[Long](cap)
+          var j = 0
+          while (j < oldKeys.length) {
+            val k = oldKeys(j)
+            if (k != null) {
+              var nx = (k.hashCode & 0x7FFFFFFF) & (cap - 1)
+              while (keys(nx) != null) nx = (nx + 1) & (cap - 1)
+              keys(nx) = k; cnt(nx) = oldCnt(j)
+            }
+            j += 1
+          }
+        }
+      } else cnt(idx) += 1L
+      i += 1
+    }
+    val rows = new Array[AnyRef](used)
+    var j = 0; var r = 0
+    while (j < cap) {
+      if (keys(j) != null) {
+        rows(r) = org.apache.spark.sql.catalyst.InternalRow(keys(j), cnt(j))
+        r += 1
+      }
+      j += 1
+    }
+    TermRle.emit(rows)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

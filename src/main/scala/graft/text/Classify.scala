@@ -128,10 +128,42 @@ object Classify {
         floor((log(col("n_docs").cast("double")) -
           log(col("n_all").cast("double"))) * lit(1e6) + lit(0.5))
           .cast("long").as("prior_micro"))
-    dtc
-      .join(grid, Seq("term"))    // vocabulary×L-sized; unhinted by doctrine
-      .groupBy(col("doc_id"), col("label_true"), col("label"))
-      .agg(sum(col("c") * col("s_micro")).as("ll_micro"))
+    // LABEL-VECTOR SCORING (r15 follow-through): the row form
+    // (dtc ⋈ grid, then groupBy(doc, label)) fans every (doc, term)
+    // pair out ×L BEFORE the aggregation — 3.6M agg-input rows on the
+    // sf0.1 char-gram corpus, the core's biggest stage once the RLE
+    // kernels removed the occurrence shuffle (measured 2.5 s of q220's
+    // 3.5). Reshaping the grid to ONE row per term carrying the
+    // L-vector of scores makes the join 1:1 (no fan-out), and the
+    // per-doc aggregation sums L bounded columns (L is the label
+    // count — a small constant by the model's own contract). The
+    // |docs|·L score frame is then re-stacked AFTER the aggregation,
+    // where it is argmax-sized, not corpus-sized. Same integers:
+    // Σ_terms c·s_l per (doc, l) either way. The label list is a
+    // bounded collect off the checkpointed L-row labels frame (the
+    // priors-broadcast class), sorted for a deterministic column
+    // order; the grid join stays unhinted by doctrine (a natural
+    // vocabulary is unbounded — the planner picks broadcast from
+    // measured size).
+    val labelSeq = labels.select(col("label")).collect()
+      .map(_.getString(0)).sorted.toSeq
+    val gridVec = grid.groupBy(col("term"))
+      .agg(map_from_entries(collect_list(
+        struct(col("label"), col("s_micro")))).as("m"))
+      .select(col("term"),
+        array(labelSeq.map(l => col("m")(l)): _*).as("s_arr"))
+    val wide = dtc
+      .join(gridVec, Seq("term"))  // 1:1 on term; unhinted by doctrine
+      .groupBy(col("doc_id"), col("label_true"))
+      .agg(sum(col("c") * element_at(col("s_arr"), 1)).as("ll_0"),
+        labelSeq.indices.drop(1).map(i =>
+          sum(col("c") * element_at(col("s_arr"), i + 1)).as(s"ll_$i")): _*)
+    wide
+      .select(col("doc_id"), col("label_true"),
+        explode(map_from_arrays(
+          array(labelSeq.map(lit(_)): _*),
+          array(labelSeq.indices.map(i => col(s"ll_$i")): _*)))
+          .as(Seq("label", "ll_micro")))
       .join(broadcast(priors), Seq("label"))
       .select(col("doc_id"), col("label_true"), col("label"),
         (col("ll_micro") + col("prior_micro")).as("total_micro"))

@@ -101,6 +101,65 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("nbstages")) {
+      // r15 follow-through: where does q220 spend its post-kernel ~3.5 s?
+      // Replicate the NB core's stages with the checkpoints timed apart
+      // (twice — the second round is the warm number).
+      val docs = Tables.documents(spark, d)
+      val n = 3
+      for (round <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val dtc = docs.select(col("doc_id"), col("lang").as("label_true"),
+            explode(graft.plans.ArrayOps.charNgramRleCounts(spark,
+              col("text"), n)).as("tc"))
+          .select(col("doc_id"), col("label_true"),
+            col("tc.term").as("term"), col("tc.c").as("c"))
+          .localCheckpoint(true)
+        println(f"[probe] dtc build #$round: ${(System.nanoTime() - t0) / 1e9}%.2f s (${dtc.count()} rows)")
+        val t1 = System.nanoTime()
+        val ctl = dtc.groupBy(col("label_true").as("label"), col("term"))
+          .agg(sum(col("c")).as("c_tl")).localCheckpoint(true)
+        println(f"[probe] ctl build #$round: ${(System.nanoTime() - t1) / 1e9}%.2f s (${ctl.count()} rows)")
+        val tl = System.nanoTime()
+        val labels = docs.groupBy(col("lang").as("label"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.charNgramCount(col("text"), n)).as("t_l"))
+          .localCheckpoint(true)
+        println(f"[probe] labels build #$round: ${(System.nanoTime() - tl) / 1e9}%.2f s (${labels.count()} rows)")
+        val tg = System.nanoTime()
+        val vCount = ctl.select(col("term")).distinct().agg(count(lit(1)).as("v"))
+        val grid = ctl.select(col("term")).distinct()
+          .crossJoin(broadcast(labels))
+          .join(ctl, Seq("term", "label"), "left")
+          .na.fill(0L, Seq("c_tl"))
+          .crossJoin(broadcast(vCount))
+          .select(col("term"), col("label"),
+            floor((log(col("c_tl").cast("double") + lit(1.0)) -
+              log((col("t_l") + col("v")).cast("double"))) * lit(1e6) + lit(0.5))
+              .cast("long").as("s_micro"))
+        grid.write.format("noop").mode("overwrite").save()
+        println(f"[probe] grid build #$round: ${(System.nanoTime() - tg) / 1e9}%.2f s")
+        val tj = System.nanoTime()
+        dtc.join(grid, Seq("term"))
+          .groupBy(col("doc_id"), col("label_true"), col("label"))
+          .agg(sum(col("c") * col("s_micro")).as("ll_micro"))
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] score join+agg #$round: ${(System.nanoTime() - tj) / 1e9}%.2f s")
+        val t2 = System.nanoTime()
+        val scored = graft.text.Classify.naiveBayesScoresWith(docs,
+          "doc_id", "text", "lang",
+          t => graft.plans.ArrayOps.charNgramRleCounts(spark, t, n),
+          t => TextOps.charNgramCount(t, n))
+        scored.write.format("noop").mode("overwrite").save()
+        println(f"[probe] full score frame #$round: ${(System.nanoTime() - t2) / 1e9}%.2f s (incl. its own dtc/ctl)")
+        val t3 = System.nanoTime()
+        graft.SparkEntry.queries("q220_langid_trained")(spark, d)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] q220 full #$round: ${(System.nanoTime() - t3) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("q33")) {
       // q33 decomposition: which term dominates langId?
       val docs = Tables.documents(spark, d)
