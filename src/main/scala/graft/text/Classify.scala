@@ -334,14 +334,23 @@ object Classify {
                                    evalDocs: DataFrame): DataFrame = {
     val spark = df.sparkSession
     // the token stream feeds the count model AND the eval slice — one
-    // materialization (the q172/q124 multi-consumer rule)
+    // materialization (the q172/q124 multi-consumer rule). Occurrence-
+    // compressed per row by the RLE kernel (r15): every downstream
+    // consumer is either an additive count rollup or the ×L×S inference
+    // join, so shipping (doc, term, c) instead of raw occurrences
+    // shrinks both the checkpoint and the grid replication by the
+    // corpus' per-doc repeat factor, with identical integer sums
+    // (Σ_occurrences x ≡ Σ_pairs c·x).
     val toks = df.select(col(idCol).as("doc_id"),
       col(labelCol).as("label_true"), col(sourceCol).as("src"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
+      explode(ArrayOps.stringRleCounts(spark,
+        TextOps.tokens(col(textCol)))).as("tc"))
+      .select(col("doc_id"), col("label_true"), col("src"),
+        col("tc.term").as("term"), col("tc.c").as("c"))
       .localCheckpoint(true)
     val ctls = toks.groupBy(col("src"), col("label_true").as("label"),
         col("term"))
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      .agg(sum(col("c")).as("c")).localCheckpoint(true)
     val sources = ctls.select(col("src")).distinct().localCheckpoint(true)
     val ctl = ctls.groupBy(col("label"), col("term"))
       .agg(sum(col("c")).as("c_all")).localCheckpoint(true)
@@ -412,7 +421,7 @@ object Classify {
     val scored = evalToks
       .join(grid, Seq("term")) // ×L×S replication — the documented knob
       .groupBy(col("src"), col("doc_id"), col("label_true"), col("label"))
-      .agg(sum(col("s_micro")).as("ll_micro"))
+      .agg(sum(col("c") * col("s_micro")).as("ll_micro"))
       .join(broadcast(priors), Seq("src", "label"))
       .select(col("src"), col("doc_id"), col("label_true"),
         struct((col("ll_micro") + col("prior_micro")).as("s"),
