@@ -4474,7 +4474,7 @@ object TextSim extends QueryPack {
     // q194 confusion census so the trained model and the q33 marker-
     // word heuristic are comparable table for table. Char grams carry
     // script/orthography signal the marker CASE misses: at sf0.01 the
-    // trained diagonal beats the heuristic's (ClassifySpec pins the
+    // trained diagonal beats the heuristic's (TextSpec pins the
     // accuracy comparison; q194 stays registered as the heuristic's
     // census). Argmax ties to the greater label (the q133 convention).
     "q220_langid_trained" -> Q(

@@ -178,7 +178,7 @@ object Classify {
     * heuristic are comparable table for table. Char grams carry the
     * script/orthography signal the marker CASE misses; on the
     * synthetic corpus the trained model's diagonal mass beats the
-    * heuristic's (ClassifySpec pins it).
+    * heuristic's (TextSpec pins it).
     *
     * Scale shape: the NB core's — per-row RLE kernel (no occurrence
     * shuffle), a (label, term) and a vocabulary×L grid aggregation;
