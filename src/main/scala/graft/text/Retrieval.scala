@@ -62,17 +62,20 @@ object Retrieval {
     */
   def qlDirichletTopK(docs: DataFrame, idCol: String, textCol: String,
                       queryPred: Column, mu: Double, k: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(col(textCol))).as("term"))
     // (doc, term) postings are consumed by FOUR frames (collection
     // stats, dl, query side, candidate side) whose different pruned
     // schemas defeat canonical exchange reuse (the q124 lesson) — an
-    // uncheckpointed tf re-runs the corpus explode per consumer. The
+    // uncheckpointed tf re-runs the corpus pass per consumer. The
     // frame is vocabulary×docs-bounded (distinct terms per doc), the
     // genuinely-multi-consumed case the checkpoint doctrine reserves
-    // this for; dl derives from it instead of a second explode.
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("c"))
+    // this for; dl derives from it instead of a second pass. Since r15
+    // the counts come from the per-row RLE kernel (doc_id is the
+    // corpus PK — one row per doc), so building tf ships NO shuffle at
+    // all where the explode + groupBy form shipped every occurrence.
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(graft.plans.ArrayOps.stringRleCounts(docs.sparkSession,
+          TextOps.tokens(col(textCol)))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.c").as("c"))
       .localCheckpoint(true)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
     val coll = tf.groupBy(col("term")).agg(sum(col("c")).as("ctf"))
