@@ -22,19 +22,19 @@ import graft.plans.ArrayOps
   * (the q66 doctrine), so the argmax is engine-exact. Ties break to the
   * lexicographically LARGER label via max(struct) on both engines.
   *
-  * Scale shape: one (label, term) shuffle with map-side combine builds
-  * the count model; the model frame is eagerly checkpointed because its
-  * consumers (vocabulary distinct, V count, the smoothing grid's left
-  * join) prune different columns — canonical-plan exchange reuse never
-  * fires and an uncheckpointed frame would re-run the corpus explode per
-  * consumer (the q124 lesson). The smoothing grid is vocabulary × labels
-  * (Heaps-bounded × label-bounded) and joins the token stream UNHINTED
-  * (a natural vocabulary is unbounded — the planner must pick broadcast
-  * from measured size, not a forced hint); label-bounded frames (priors,
-  * totals) broadcast explicitly. Inference replicates each token
-  * occurrence × L — L is the label count, a small constant; everything
-  * downstream is per-doc partial aggregation. Token-less documents carry
-  * no evidence and are dropped by both engines (the explode semantics).
+  * Scale shape (r15 form): per-doc (term, count) tables come from the
+  * row-local RLE kernels (no occurrence shuffle, no interpreted gram
+  * HOF); the model is ONE term-keyed fixed-width aggregation of L
+  * conditional count sums (the per-term L-vector — zero cells are the
+  * zero columns, exactly where smoothing acts); scoring joins that
+  * vector 1:1 on term (UNHINTED — a natural vocabulary is unbounded,
+  * the planner picks broadcast from measured size) and sums L bounded
+  * columns per doc. Train + score = two corpus-scale exchanges, both
+  * fixed-width hash aggregates. Label-bounded frames (priors, t_l
+  * stats) broadcast or collect explicitly. The per-(doc, label) score
+  * frame re-stacks only AFTER the per-doc aggregation, where it is
+  * argmax-sized. Token-less documents carry no evidence and are
+  * dropped by both engines (the explode semantics).
   */
 object Classify {
 
@@ -93,65 +93,76 @@ object Classify {
     // exchange — the NB core's biggest shuffle, shipping every raw
     // occurrence — is gone entirely, and the char-gram path also drops
     // the interpreted transform(sequence, substr) HOF (the r03 lesson).
-    // Two consumers (ctl + the score join) ⇒ checkpointed.
+    // NOT checkpointed (the ×1000 lesson, r15): dtc is now a pure MAP
+    // of the parquet scan (kernel + explode — no exchange, no HOF), so
+    // its two consumers re-running that scan stage costs two cheap
+    // codegen passes over the source; an eager checkpoint of the
+    // corpus-scale pair stream costs tens of GB of block traffic at
+    // the ×1000 decade and DIED there — scan-partition-grained blocks
+    // (~1 GB serialized each) OOM an 8 GiB box when the consumer's
+    // BlockManager re-buffers whole blocks off disk
+    // (maybeCacheDiskBytesInMemory allocates per-block ByteBuffers).
+    // The multi-consumer checkpoint doctrine (q124/q97) applies to
+    // frames that are EXPENSIVE to recompute; post-kernel, this one is
+    // not.
     val dtc = df.select(col(idCol).as("doc_id"),
         col(labelCol).as("label_true"),
         explode(termPairsOf(col(textCol))).as("tc"))
       .select(col("doc_id"), col("label_true"),
         col("tc.term").as("term"), col("tc.c").as("c"))
-      .localCheckpoint(true)
-    val ctl = dtc.groupBy(col("label_true").as("label"), col("term"))
-      .agg(sum(col("c")).as("c_tl"))
-      .localCheckpoint(true)
-    // label-bounded; checkpointed so its three consumers (the smoothing
-    // grid, the priors, and the N = Σ n_docs rollup — never another
-    // corpus scan) read one materialization
+    // label-bounded; checkpointed so its consumers (the priors, the
+    // N = Σ n_docs rollup, and the driver-side label-stats collect —
+    // never another corpus scan) read one materialization
     val labels = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"),
         sum(termCountOf(col(textCol))).as("t_l"))
       .localCheckpoint(true)
     val nAll = labels.agg(sum(col("n_docs")).as("n_all"))
-    val vCount = ctl.select(col("term")).distinct().agg(count(lit(1)).as("v"))
-    // smoothing grid: every (term, label) cell, zero counts included —
-    // absent (t, l) pairs are exactly where smoothing acts
-    val grid = ctl.select(col("term")).distinct()
-      .crossJoin(broadcast(labels))
-      .join(ctl, Seq("term", "label"), "left")
-      .na.fill(0L, Seq("c_tl"))
-      .crossJoin(broadcast(vCount))
-      .select(col("term"), col("label"),
-        floor((log(col("c_tl").cast("double") + lit(1.0)) -
-          log((col("t_l") + col("v")).cast("double"))) * lit(1e6) + lit(0.5))
-          .cast("long").as("s_micro"))
     val priors = labels.crossJoin(broadcast(nAll))
       .select(col("label"),
         floor((log(col("n_docs").cast("double")) -
           log(col("n_all").cast("double"))) * lit(1e6) + lit(0.5))
           .cast("long").as("prior_micro"))
-    // LABEL-VECTOR SCORING (r15 follow-through): the row form
-    // (dtc ⋈ grid, then groupBy(doc, label)) fans every (doc, term)
-    // pair out ×L BEFORE the aggregation — 3.6M agg-input rows on the
-    // sf0.1 char-gram corpus, the core's biggest stage once the RLE
-    // kernels removed the occurrence shuffle (measured 2.5 s of q220's
-    // 3.5). Reshaping the grid to ONE row per term carrying the
-    // L-vector of scores makes the join 1:1 (no fan-out), and the
-    // per-doc aggregation sums L bounded columns (L is the label
-    // count — a small constant by the model's own contract). The
-    // |docs|·L score frame is then re-stacked AFTER the aggregation,
-    // where it is argmax-sized, not corpus-sized. Same integers:
-    // Σ_terms c·s_l per (doc, l) either way. The label list is a
-    // bounded collect off the checkpointed L-row labels frame (the
-    // priors-broadcast class), sorted for a deterministic column
-    // order; the grid join stays unhinted by doctrine (a natural
-    // vocabulary is unbounded — the planner picks broadcast from
-    // measured size).
-    val labelSeq = labels.select(col("label")).collect()
-      .map(_.getString(0)).sorted.toSeq
-    val gridVec = grid.groupBy(col("term"))
-      .agg(map_from_entries(collect_list(
-        struct(col("label"), col("s_micro")))).as("m"))
+    // LABEL-VECTOR MODEL + SCORING (r15 follow-through, hardened at the
+    // ×1000 decade): the dense (term, label) smoothing grid — a
+    // vocabulary×L frame built from a (label, term) exchange, a cross
+    // join and a left join, then re-pivoted per term — is replaced by
+    // ONE term-keyed aggregation of L conditional sums:
+    // c_l(term) = Σ c over label-l rows, a FIXED-WIDTH hash aggregate
+    // (codegen'd, spillable) keyed by term alone. Zero cells are
+    // exactly the c_l = 0 columns, so smoothing acts in the same
+    // places; V = the frame's row count; t_l rides in as a literal
+    // per label (the labels frame is L-bounded and already collected
+    // for the column order). This removes BOTH the (label, term)
+    // exchange and the vocabulary-keyed OBJECT aggregation the
+    // map-pivot form paid (ArrayBuffer state per key — the ∝N-vocab
+    // worst case measured it superlinear at ×1000). The score join is
+    // 1:1 on term (unhinted by doctrine — a natural vocabulary is
+    // unbounded; the planner picks broadcast from measured size), the
+    // per-doc agg sums L bounded columns, and the |docs|·L frame
+    // re-stacks AFTER aggregation, where it is argmax-sized. Same
+    // integers throughout: Σ_terms c·s_l per (doc, l), with s_micro
+    // computed from the same double operands (log(c+1) − log(t_l+V)).
+    // Train + score = TWO corpus-scale exchanges total (term-keyed
+    // model agg, doc-keyed score agg).
+    val labelStats = labels.select(col("label"), col("t_l")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val labelSeq = labelStats.map(_._1)
+    val termVec = dtc.groupBy(col("term"))
+      .agg(sum(when(col("label_true") === labelSeq.head, col("c"))
+          .otherwise(lit(0L))).as("c_0"),
+        labelSeq.indices.drop(1).map(i =>
+          sum(when(col("label_true") === labelSeq(i), col("c"))
+            .otherwise(lit(0L))).as(s"c_$i")): _*)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val vCount = termVec.agg(count(lit(1)).as("v"))
+    val gridVec = termVec.crossJoin(broadcast(vCount))
       .select(col("term"),
-        array(labelSeq.map(l => col("m")(l)): _*).as("s_arr"))
+        array(labelSeq.indices.map(i =>
+          floor((log(col(s"c_$i").cast("double") + lit(1.0)) -
+            log((lit(labelStats(i)._2) + col("v")).cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long")): _*).as("s_arr"))
     val wide = dtc
       .join(gridVec, Seq("term"))  // 1:1 on term; unhinted by doctrine
       .groupBy(col("doc_id"), col("label_true"))
@@ -333,21 +344,27 @@ object Classify {
                                    sourceCol: String,
                                    evalDocs: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    // the token stream feeds the count model AND the eval slice — one
-    // materialization (the q172/q124 multi-consumer rule). Occurrence-
-    // compressed per row by the RLE kernel (r15): every downstream
-    // consumer is either an additive count rollup or the ×L×S inference
-    // join, so shipping (doc, term, c) instead of raw occurrences
-    // shrinks both the checkpoint and the grid replication by the
-    // corpus' per-doc repeat factor, with identical integer sums
-    // (Σ_occurrences x ≡ Σ_pairs c·x).
+    // the token stream feeds the count model AND the eval slice.
+    // Occurrence-compressed per row by the RLE kernel (r15): every
+    // downstream consumer is either an additive count rollup or the
+    // ×L×S inference join, so shipping (doc, term, c) instead of raw
+    // occurrences shrinks the grid replication by the corpus' per-doc
+    // repeat factor, with identical integer sums (Σ_occurrences x ≡
+    // Σ_pairs c·x). Checkpointed SERIALIZED: unlike the NB core's dtc
+    // (two consumers, dropped checkpoint — the ×1000 lesson), this
+    // stream has THREE consumers (the cube agg, the grid's eval-term
+    // distinct, the inference join) and an uncheckpointed form
+    // measured 1.2–1.4× slower at ×100; MEMORY_AND_DISK_SER keeps the
+    // blocks ~3× smaller than the old deserialized default against
+    // the block-rebuffer hazard the NB core hit at ×1000.
     val toks = df.select(col(idCol).as("doc_id"),
       col(labelCol).as("label_true"), col(sourceCol).as("src"),
       explode(ArrayOps.stringRleCounts(spark,
         TextOps.tokens(col(textCol)))).as("tc"))
       .select(col("doc_id"), col("label_true"), col("src"),
         col("tc.term").as("term"), col("tc.c").as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val ctls = toks.groupBy(col("src"), col("label_true").as("label"),
         col("term"))
       .agg(sum(col("c")).as("c")).localCheckpoint(true)
