@@ -71,12 +71,16 @@ object Retrieval {
     // this for; dl derives from it instead of a second pass. Since r15
     // the counts come from the per-row RLE kernel (doc_id is the
     // corpus PK — one row per doc), so building tf ships NO shuffle at
-    // all where the explode + groupBy form shipped every occurrence.
+    // all where the explode + groupBy form shipped every occurrence;
+    // the checkpoint is SERIALIZED (the SCALE.md §12 block-rebuffer
+    // hazard — corpus-scale map-of-scan frames keep a checkpoint only
+    // at 3+ consumers, and then with ~3×-smaller SER blocks).
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(graft.plans.ArrayOps.stringRleCounts(docs.sparkSession,
           TextOps.tokens(col(textCol)))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.c").as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
     val coll = tf.groupBy(col("term")).agg(sum(col("c")).as("ctf"))
     val tTotal = dl.agg(sum(col("dl")).as("t_total"))
