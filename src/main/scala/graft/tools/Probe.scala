@@ -102,9 +102,11 @@ object Probe {
     }
 
     if (args.headOption.contains("nbstages")) {
-      // r15 follow-through: where does q220 spend its post-kernel ~3.5 s?
-      // Replicate the NB core's stages with the checkpoints timed apart
-      // (twice — the second round is the warm number).
+      // r15 follow-through probe, kept in sync with the FINAL
+      // two-exchange NB core (SCALE.md §12): per-row RLE dtc (a pure
+      // map — deliberately NOT checkpointed in the core), the
+      // term-keyed fixed-width model agg, and the registered q220.
+      // Twice — the second round is the warm number.
       val docs = Tables.documents(spark, d)
       val n = 3
       for (round <- 1 to 2) {
@@ -114,44 +116,26 @@ object Probe {
               col("text"), n)).as("tc"))
           .select(col("doc_id"), col("label_true"),
             col("tc.term").as("term"), col("tc.c").as("c"))
-          .localCheckpoint(true)
-        println(f"[probe] dtc build #$round: ${(System.nanoTime() - t0) / 1e9}%.2f s (${dtc.count()} rows)")
+        dtc.write.format("noop").mode("overwrite").save()
+        println(f"[probe] dtc scan+kernel #$round: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         val t1 = System.nanoTime()
-        val ctl = dtc.groupBy(col("label_true").as("label"), col("term"))
-          .agg(sum(col("c")).as("c_tl")).localCheckpoint(true)
-        println(f"[probe] ctl build #$round: ${(System.nanoTime() - t1) / 1e9}%.2f s (${ctl.count()} rows)")
-        val tl = System.nanoTime()
-        val labels = docs.groupBy(col("lang").as("label"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(TextOps.charNgramCount(col("text"), n)).as("t_l"))
-          .localCheckpoint(true)
-        println(f"[probe] labels build #$round: ${(System.nanoTime() - tl) / 1e9}%.2f s (${labels.count()} rows)")
-        val tg = System.nanoTime()
-        val vCount = ctl.select(col("term")).distinct().agg(count(lit(1)).as("v"))
-        val grid = ctl.select(col("term")).distinct()
-          .crossJoin(broadcast(labels))
-          .join(ctl, Seq("term", "label"), "left")
-          .na.fill(0L, Seq("c_tl"))
-          .crossJoin(broadcast(vCount))
-          .select(col("term"), col("label"),
-            floor((log(col("c_tl").cast("double") + lit(1.0)) -
-              log((col("t_l") + col("v")).cast("double"))) * lit(1e6) + lit(0.5))
-              .cast("long").as("s_micro"))
-        grid.write.format("noop").mode("overwrite").save()
-        println(f"[probe] grid build #$round: ${(System.nanoTime() - tg) / 1e9}%.2f s")
-        val tj = System.nanoTime()
-        dtc.join(grid, Seq("term"))
-          .groupBy(col("doc_id"), col("label_true"), col("label"))
-          .agg(sum(col("c") * col("s_micro")).as("ll_micro"))
-          .write.format("noop").mode("overwrite").save()
-        println(f"[probe] score join+agg #$round: ${(System.nanoTime() - tj) / 1e9}%.2f s")
+        val labelSeq = docs.select(col("lang")).distinct().collect()
+          .map(_.getString(0)).sorted.toSeq
+        val termVec = dtc.groupBy(col("term"))
+          .agg(sum(when(col("label_true") === labelSeq.head, col("c"))
+              .otherwise(lit(0L))).as("c_0"),
+            labelSeq.indices.drop(1).map(i =>
+              sum(when(col("label_true") === labelSeq(i), col("c"))
+                .otherwise(lit(0L))).as(s"c_$i")): _*)
+        termVec.write.format("noop").mode("overwrite").save()
+        println(f"[probe] term-vector model agg #$round: ${(System.nanoTime() - t1) / 1e9}%.2f s")
         val t2 = System.nanoTime()
         val scored = graft.text.Classify.naiveBayesScoresWith(docs,
           "doc_id", "text", "lang",
           t => graft.plans.ArrayOps.charNgramRleCounts(spark, t, n),
           t => TextOps.charNgramCount(t, n))
         scored.write.format("noop").mode("overwrite").save()
-        println(f"[probe] full score frame #$round: ${(System.nanoTime() - t2) / 1e9}%.2f s (incl. its own dtc/ctl)")
+        println(f"[probe] full score frame #$round: ${(System.nanoTime() - t2) / 1e9}%.2f s")
         val t3 = System.nanoTime()
         graft.SparkEntry.queries("q220_langid_trained")(spark, d)
           .write.format("noop").mode("overwrite").save()
