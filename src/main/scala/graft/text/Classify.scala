@@ -76,6 +76,22 @@ object Classify {
     * (it feeds the t_l normalizer without paying the term table twice).
     * Contract: ONE row per idCol value (the corpus PK) — per-row counts
     * ARE the per-doc counts only then, and both engines group by doc.
+    *
+    * Further contract terms (ADVICE r15, stated instead of assumed):
+    *  - `df` must be DETERMINISTIC: the token stream `dtc` is a pure
+    *    map of the input and is evaluated twice (once into the
+    *    checkpointed model aggregation, once on the score side) — a
+    *    non-deterministic input could present score-side terms the
+    *    model vocabulary never saw, which the inner score join would
+    *    silently drop. Registered callers all read parquet.
+    *  - `labelCol` must be NON-NULL and LOW-CARDINALITY: the model is
+    *    L aggregate columns each holding an L-branch when-chain, so
+    *    plan size and codegen compile cost grow with L — weak-label
+    *    families (languages, sources, quality buckets) are tens of
+    *    labels; past a few hundred, janino falls back or fails, which
+    *    is why L > 512 and null labels are rejected loudly below.
+    * An empty input (no labels observed) returns an EMPTY score frame
+    * of the correct schema rather than throwing.
     */
   def naiveBayesScoresWith(df: DataFrame, idCol: String, textCol: String,
                            labelCol: String,
@@ -145,7 +161,24 @@ object Classify {
     // computed from the same double operands (log(c+1) − log(t_l+V)).
     // Train + score = TWO corpus-scale exchanges total (term-keyed
     // model agg, doc-keyed score agg).
-    val labelStats = labels.select(col("label"), col("t_l")).collect()
+    val labelRows = labels.select(col("label"), col("t_l")).collect()
+    // degenerate-case guards (ADVICE r15): an empty input used to throw
+    // NoSuchElementException at labelSeq.head and a null label NPE'd in
+    // the sort — return the empty score frame / fail with the actual
+    // contract violation instead
+    if (labelRows.isEmpty)
+      return df.select(col(idCol).as("doc_id"),
+        col(labelCol).as("label_true"), col(labelCol).as("label"),
+        lit(0L).as("total_micro")).limit(0)
+    require(labelRows.forall(!_.isNullAt(0)),
+      "naiveBayesScoresWith: null label value — labels are model keys " +
+        "and must be non-null (filter or impute upstream)")
+    require(labelRows.length <= 512,
+      s"naiveBayesScoresWith: ${labelRows.length} distinct labels — the " +
+        "fixed-width model builds one aggregate column (an L-branch " +
+        "when-chain) per label, so very large L blows plan/codegen size; " +
+        "bucket or hash the label upstream (contract cap: 512)")
+    val labelStats = labelRows
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
     val labelSeq = labelStats.map(_._1)
     val termVec = dtc.groupBy(col("term"))

@@ -59,6 +59,14 @@ object Retrieval {
     * overlap candidates plus a dl-extreme fringe, or composes the
     * score into an impact-ordered index; the grid keeps the oracle
     * exactly mirrorable.
+    *
+    * Contract (ADVICE r15, surfaced like [[graft.text.Classify]]'s):
+    * `idCol` must be UNIQUE — ONE row per document, the corpus PK. The
+    * per-row RLE kernel makes each row's (term, c) table the per-DOC
+    * table only under that key; duplicate id rows would emit duplicate
+    * (query_id, term) postings that inflate the query constant and the
+    * present-term bonus (dl/coll re-sum and stay safe). Registered
+    * callers read the parquet corpus, whose doc_id is the table PK.
     */
   def qlDirichletTopK(docs: DataFrame, idCol: String, textCol: String,
                       queryPred: Column, mu: Double, k: Int): DataFrame = {

@@ -295,7 +295,15 @@ class KernelFuzzSpec extends SparkSpec {
         .select(explode(ArrayOps.stringRleCounts(spark,
           array(lit("a"), lit(null.asInstanceOf[String]))))).count()
     }
-    assert(e.getMessage != null)
+    // pin the ACTUAL loud-failure path (ADVICE r15): the kernel's
+    // "null term element" require must be the failure, not some
+    // analysis/codegen error that would also satisfy a bare intercept;
+    // Spark wraps task failures, so walk the cause chain
+    val chainMsgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chainMsgs.contains("rle_counts: null term element"),
+      s"expected the kernel's null-term require, got: $chainMsgs")
     assert(Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
       .select(explode(ArrayOps.charNgramRleCounts(spark, $"t", 3)))
       .count() === 0L)

@@ -92,6 +92,26 @@ class TextSpec extends SparkSpec {
       s"row shares must sum to ~1e6 per label: ${rowSums.toSeq}")
   }
 
+  test("naiveBayesScoresWith degenerate inputs: empty frame, null label (ADVICE r15)") {
+    import spark.implicits._
+    // empty input: an empty score frame of the right schema, not a
+    // NoSuchElementException at labelSeq.head
+    val empty = Classify.naiveBayesScores(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang")
+    assert(empty.columns.toSeq ===
+      Seq("doc_id", "label_true", "label", "total_micro"))
+    assert(empty.count() === 0L)
+    // null label: a loud contract error naming the violation, not an NPE
+    val e = intercept[IllegalArgumentException] {
+      Classify.naiveBayesScores(
+        Seq((1L, "a b", "en"), (2L, "c d", null.asInstanceOf[String]))
+          .toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang")
+    }
+    assert(e.getMessage.contains("null label"))
+  }
+
   test("withLangId survives a pre-existing __lang_s column") {
     import spark.implicits._
     // r04 hardcoded "__lang_s" as the temp name, silently clobbering and
