@@ -402,6 +402,97 @@ object TextSim extends QueryPack {
           FROM hsimg a JOIN hsimg b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.dhash, b.dhash)) <= 2)"""
 
+  /** UNROLLED BPE TRAINING + SEGMENTATION oracle (q221 — VERDICT r15
+    * #1): replays [[graft.text.Bpe.tokenizePack]] round for round in
+    * DuckDB. Each word's symbol state is encoded as the string
+    * "(s1)(s2)…(sk)" — under that encoding, applying merge (l, r) is
+    * EXACTLY `replace(st, '(l)(r)', '(lr)')`, because SQL replace is
+    * left-to-right non-overlapping — the greedy BPE application
+    * BpeSpec pins on the engine kernel, including the l==r overlap
+    * case ("(a)(a)(a)" → "(aa)(a)"). Symbol-boundary false matches are
+    * impossible while the corpus alphabet contains no parens (the
+    * synthetic corpus is lowercase+space; an oracle-encoding
+    * assumption only — the ENGINE side works on symbol arrays and
+    * never needs it). Round k: adjacent-pair counts over the current
+    * states (the q91 statistic), argmax by (count desc, pair asc) —
+    * the shared training order — then one replace. Training rounds are
+    * unrolled textually, so the oracle runs EXACTLY `rounds` merges
+    * (tokenizePack requires the engine trained the same number).
+    * Multiply-referenced round CTEs are MATERIALIZED: DuckDB inlines
+    * CTEs by default, and bpw/bpm each feed two consumers per round,
+    * so the un-hinted plan tree doubles per round (2^rounds copies of
+    * the corpus scan — measured minutes at 12 rounds vs 0.05 s hinted).
+    */
+  private def bpeTokenizePackCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+        bpw0 AS MATERIALIZED (
+          SELECT word, count(*)::BIGINT AS wc,
+                 '(' || array_to_string(str_split(word, ''), ')(') || ')'
+                   AS st
+          FROM (SELECT unnest($DUCK_TOKENS) AS word FROM documents)
+          GROUP BY 1)""")
+    for (k <- 1 to rounds) sb.append(s""",
+        bpp$k AS (
+          SELECT cs[i] AS sym_l, cs[i + 1] AS sym_r, sum(wc)::BIGINT AS c
+          FROM (SELECT wc,
+                       str_split(substr(st, 2, length(st) - 2), ')(') AS cs
+                FROM bpw${k - 1}),
+               unnest(range(1, len(cs))) AS u(i)
+          GROUP BY 1, 2),
+        bpm$k AS MATERIALIZED (SELECT sym_l, sym_r FROM bpp$k
+                  ORDER BY c DESC, sym_l, sym_r LIMIT 1),
+        bpw$k AS MATERIALIZED (
+          SELECT word, wc,
+                 replace(st, '(' || m.sym_l || ')(' || m.sym_r || ')',
+                         '(' || m.sym_l || m.sym_r || ')') AS st
+          FROM bpw${k - 1}, bpm$k m)""")
+    // document-side segmentation: the SAME merge list applied in rank
+    // order to every word occurrence (word_pos from the q72 parallel
+    // unnest), then subword positions, trained-vocab ids, q59 packing
+    sb.append(s""",
+        bpd0 AS MATERIALIZED (
+          SELECT doc_id, word_pos,
+                 '(' || array_to_string(str_split(word, ''), ')(') || ')'
+                   AS st
+          FROM (SELECT doc_id, unnest(range(0, len(t))) AS word_pos,
+                       unnest(t) AS word
+                FROM (SELECT doc_id, $DUCK_TOKENS AS t FROM documents)))""")
+    for (k <- 1 to rounds) sb.append(s""",
+        bpd$k AS MATERIALIZED (
+          SELECT doc_id, word_pos,
+                 replace(st, '(' || m.sym_l || ')(' || m.sym_r || ')',
+                         '(' || m.sym_l || m.sym_r || ')') AS st
+          FROM bpd${k - 1}, bpm$k m)""")
+    sb.append(s""",
+        bpsub AS MATERIALIZED (
+          SELECT doc_id, word_pos,
+                 unnest(range(0, len(cs))) AS sym_pos, unnest(cs) AS subword
+          FROM (SELECT doc_id, word_pos,
+                       str_split(substr(st, 2, length(st) - 2), ')(') AS cs
+                FROM bpd$rounds)),
+        bpvocab AS (
+          SELECT subword,
+                 (row_number() OVER (ORDER BY count(*) DESC, subword) - 1)
+                   ::BIGINT AS token_id
+          FROM bpsub GROUP BY subword),
+        bptok AS (
+          SELECT doc_id,
+                 (row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY word_pos, sym_pos) - 1)
+                   ::BIGINT AS pos,
+                 subword
+          FROM bpsub),
+        bpcnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM bptok GROUP BY 1),
+        bpoff AS (
+          SELECT c.doc_id, d.lang AS shard,
+                 (sum(c.n) OVER (PARTITION BY d.lang ORDER BY c.doc_id
+                                 ROWS UNBOUNDED PRECEDING) - c.n)::BIGINT
+                   AS start_tok
+          FROM bpcnt c JOIN documents d USING (doc_id))""")
+    sb.toString
+  }
+
   /** The q184 textured-fixture audio-fingerprint closed form as a CTE
     * chain ending in `apairs (id_a, id_b, hamming)` at ham ≤ 2 — one
     * generator for the audio-pair oracle (q184) and the trimodal dedup
@@ -4526,6 +4617,81 @@ object TextSim extends QueryPack {
                floor(n::DOUBLE * 1e6 / ct::DOUBLE + 0.5)::BIGINT
                  AS col_share_micro
         FROM cgcells JOIN cgrt USING (label) JOIN cgct USING (pred)""")),
+
+    // TRAINED-BPE TOKENIZATION END TO END (VERDICT r15 #1): train 12
+    // merges on the corpus (q91's machinery), segment every document
+    // with the trained merge list (the BpeSpec-pinned kernel chain),
+    // assign trained-vocabulary subword ids (count desc, subword asc —
+    // q72's determinism), and pack the subword stream per language
+    // shard (q59's window) — the full tokenize half of a pretraining
+    // pipeline as ONE oracle row per subword occurrence. The oracle
+    // unrolls the 12 training rounds + 12 segmentation applications
+    // textually (bpeTokenizePackCtes — the paren-encoded replace gives
+    // exactly the kernel's greedy non-overlapping semantics).
+    "q221_bpe_tokenize_pack" -> Q(
+      (s, d) => graft.text.Bpe.tokenizePack(Tables.documents(s, d),
+        "doc_id", "text", "lang", numMerges = 12, blockTokens = 256),
+      Some(s"""
+        WITH ${bpeTokenizePackCtes(12)}
+        SELECT t.doc_id, o.shard, t.pos, t.subword, v.token_id,
+               (o.start_tok + t.pos)::BIGINT AS global_tok,
+               ((o.start_tok + t.pos) // 256)::BIGINT AS chunk
+        FROM bptok t JOIN bpoff o USING (doc_id)
+        JOIN bpvocab v USING (subword)""")),
+
+    // HTML MAIN-CONTENT EXTRACTION (VERDICT r15 #3): the first stage
+    // of a web-crawl pipeline — wrap each document in the deterministic
+    // boilerplate fixture (Html.fixtureSql, ONE fragment valid in both
+    // engines: head with style + a script whose body embeds a fake <p>
+    // trap, link-dense nav, h1, the text as two paragraphs with an
+    // inline anchor, an "ads" stub, a link-heavy footer), then extract:
+    // tag-strip, block-segment, jusText-style classify (≥20 chars AND
+    // link density ≤ 1/3). Engine side is a single-pass typed map (the
+    // multimodal-codec precedent — per-row, no shuffle); the oracle
+    // replays the same pipeline with regexes. Output per doc: block
+    // census, main-content ratio, and the extracted main text itself.
+    "q222_html_extract" -> Q(
+      (s, d) => graft.text.Html.mainContent(
+        Tables.documents(s, d).withColumn("html",
+          expr(graft.text.Html.fixtureSql)),
+        "doc_id", "html"),
+      Some(s"""
+        WITH hfix AS (
+          SELECT doc_id, ${graft.text.Html.fixtureSql} AS html
+          FROM documents),
+        hnos AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(html,
+                   '<script[^>]*>.*?</script>', '', 'g'),
+                   '<style[^>]*>.*?</style>', '', 'g') AS h
+          FROM hfix),
+        hblk AS (
+          SELECT doc_id, unnest(range(1, len(bs) + 1)) AS bi, unnest(bs) AS b
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(h,
+                         '</?(?:p|div|h1|head|title|body|html)[^>]*>') AS bs
+                FROM hnos)),
+        hb AS (
+          SELECT doc_id, bi, t, length(t)::BIGINT AS n, lc,
+                 (length(t) >= 20 AND lc * 3 <= length(t)) AS is_content
+          FROM (SELECT doc_id, bi,
+                       trim(regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'),
+                            ' +', ' ', 'g')) AS t,
+                       coalesce(list_sum(list_transform(
+                         regexp_extract_all(b, '<a[^>]*>(.*?)</a>', 1),
+                         x -> length(x))), 0)::BIGINT AS lc
+                FROM hblk)
+          WHERE length(t) > 0)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_blocks,
+               count(*) FILTER (is_content)::BIGINT AS n_content,
+               coalesce(sum(n) FILTER (is_content), 0)::BIGINT AS content_chars,
+               sum(n)::BIGINT AS total_chars,
+               floor(coalesce(sum(n) FILTER (is_content), 0)::DOUBLE * 1e6
+                     / sum(n)::DOUBLE + 0.5)::BIGINT AS ratio_micro,
+               coalesce(string_agg(t, chr(10) ORDER BY bi)
+                        FILTER (is_content), '') AS main_text
+        FROM hb GROUP BY doc_id""")),
 
     // Per-source GINI of the term-frequency vector — token-mass
     // concentration from the count-of-counts histogram (rank blocks in

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Html]]'s single-pass extractor against an INDEPENDENT
+  * regex-pipeline reference (the q222 oracle's shape: strip script/
+  * style non-greedily, split on block tags, strip inline tags, collapse
+  * whitespace, classify by length + link density) — two implementations
+  * that share no code, fuzzed over randomized markup assembled from the
+  * fixture's tag families (VERDICT r15 #3 "KernelFuzzSpec vs an
+  * independent reference extractor").
+  */
+class HtmlSpec extends AnyFunSuite {
+
+  /** Independent reference: java.util.regex mirror of the DuckDB oracle
+    * pipeline. Block tags limited to the generator's families. */
+  private def refExtract(html: String, minChars: Int): Option[(Long, Long, Long, Long, Long, String)] = {
+    val noScript = html
+      .replaceAll("(?s)<script[^>]*>.*?</script>", "")
+      .replaceAll("(?s)<style[^>]*>.*?</style>", "")
+    val blocks = noScript
+      .split("</?(?:p|div|h1|h2|ul|li|br|nav|footer|head|title|body|html)(?:[^>]*)>")
+      .toSeq
+    val rows = blocks.flatMap { b =>
+      val link = {
+        val m = java.util.regex.Pattern.compile("(?s)<a[^>]*>(.*?)</a>").matcher(b)
+        var s = 0L
+        while (m.find()) s += m.group(1).codePointCount(0, m.group(1).length)
+        s
+      }
+      val t = b.replaceAll("<[^>]*>", "").replaceAll("[ \\t\\n\\r]+", " ").trim
+      if (t.isEmpty) None
+      else {
+        val n = t.codePointCount(0, t.length).toLong
+        Some((t, n, link, n >= minChars && link * 3 <= n))
+      }
+    }
+    if (rows.isEmpty) None
+    else {
+      val content = rows.filter(_._4)
+      val c = content.map(_._2).sum
+      val tot = rows.map(_._2).sum
+      Some((rows.size.toLong, content.size.toLong, c, tot,
+        math.floor(c.toDouble * 1e6 / tot.toDouble + 0.5).toLong,
+        content.map(_._1).mkString("\n")))
+    }
+  }
+
+  private def asTuple(e: Html.Extracted) =
+    (e.nBlocks, e.nContent, e.contentChars, e.totalChars, e.ratioMicro,
+      e.mainText)
+
+  test("hand cases: script leak, link-dense nav, short stub, inline anchor") {
+    val html = "<html><head><title>doc 7</title><style>p{x}</style>" +
+      "<script>var t=\"<p>phantom block</p>\";</script></head><body>" +
+      "<div><a href=\"/\">home</a> <a href=\"/b\">about</a></div>" +
+      "<h1>twenty-four chars headline</h1>" +
+      "<p>a long enough paragraph of honest body text</p>" +
+      "<p>tail half of the longer text keeps going on " +
+      "<a href=\"/more\">read more</a></p>" +
+      "<p>ads</p>" +
+      "<div>copyright <a href=\"/p\">privacy policy</a> " +
+      "<a href=\"/t\">terms of use</a> <a href=\"/c\">contact</a></div>" +
+      "</body></html>"
+    val e = Html.extract(html, minChars = 20).get
+    // blocks: title(5), nav(10), h1(28), p1(44), p2(36), ads(3), footer(46)
+    assert(e.nBlocks === 7L)
+    // content: h1, p1, p2 (footer: 33 link chars * 3 > 46; nav/title/ads short)
+    assert(e.nContent === 3L)
+    assert(e.mainText.startsWith("twenty-four chars headline\n"))
+    assert(!e.mainText.contains("phantom"))
+    assert(!e.mainText.contains("privacy"))
+    assert(asTuple(e) === refExtract(html, 20).get)
+  }
+
+  test("no-block / empty documents mirror the oracle's group-by drop") {
+    assert(Html.extract("", 20).isEmpty)
+    assert(Html.extract("<p></p><div>  </div>", 20).isEmpty)
+    assert(Html.extract("<script>x</script>", 20).isEmpty)
+  }
+
+  test("fuzz: single-pass extractor equals the independent regex reference") {
+    val rnd = new scala.util.Random(20260816L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "lorem", "ipsum",
+      "content", "of", "the", "page", "and", "more")
+    def phrase(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    def anchor() = s"""<a href="/${phrase(1)}">${phrase(1 + rnd.nextInt(3))}</a>"""
+    def piece(): String = rnd.nextInt(8) match {
+      case 0 => s"<p>${phrase(1 + rnd.nextInt(9))}</p>"
+      case 1 => s"<div>${phrase(rnd.nextInt(4))} ${anchor()} ${anchor()}</div>"
+      case 2 => s"<h1>${phrase(1 + rnd.nextInt(5))}</h1>"
+      case 3 => s"<p>${phrase(rnd.nextInt(7))} ${anchor()}</p>"
+      case 4 => s"""<script>var x="<p>${phrase(2)}</p>";</script>"""
+      case 5 => s"<ul><li>${phrase(1 + rnd.nextInt(3))}</li><li>${anchor()}</li></ul>"
+      case 6 => s"<span>${phrase(1 + rnd.nextInt(3))}</span>"
+      case 7 => phrase(rnd.nextInt(5))
+    }
+    for (trial <- 1 to 300) {
+      val html = "<html><head><title>t " + trial + "</title></head><body>" +
+        Seq.fill(1 + rnd.nextInt(10))(piece()).mkString + "</body></html>"
+      val got = Html.extract(html, 20).map(asTuple)
+      val want = refExtract(html, 20)
+      assert(got === want, s"trial $trial diverged on: $html")
+    }
+  }
+
+  test("fixture SQL is one shared fragment containing the adversarial script body") {
+    // the fixture's script body embeds a fake <p> tag — extraction that
+    // splits before stripping scripts would leak a phantom block; pin
+    // that the generator keeps the trap
+    assert(Html.fixtureSql.contains("<p>not content</p>"))
+    assert(Html.fixtureSql.contains("substr(text, 1, 24)"))
+  }
+}
