@@ -893,13 +893,20 @@ private[plans] object TermRle {
   * than n codepoints yield an empty array (the `when(length >= n)`
   * branch of the declarative form).
   */
-case class CharNgramRleCounts(child: Expression, n: Int)
+case class CharNgramRleCounts(child: Expression, n: Int,
+                              prefix: String = "")
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(n >= 1, s"char n-gram width $n < 1")
 
   override def dataType: DataType = TermRle.pairType
   override def prettyName: String = "char_ngram_rle_counts"
+
+  // the constant term prefix as UTF8 bytes, built once per JVM
+  // (transient — the expression ships to executors inside codegen
+  // references); empty prefix keeps the zero-copy emit path
+  @transient private lazy val prefixU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(prefix)
 
   /** Called from both eval and generated code. Zero allocation per
     * OCCURRENCE: grams are hashed and compared as (start, end) byte
@@ -976,13 +983,17 @@ case class CharNgramRleCounts(child: Expression, n: Int)
       i += 1
     }
     val rows = new Array[AnyRef](used)
+    val withPrefix = prefix.nonEmpty
     var j = 0; var r = 0
     while (j < cap) {
       val k = keyAt(j)
       if (k != -1) {
+        val g = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          bytes, offs(k), offs(k + n) - offs(k))
         rows(r) = org.apache.spark.sql.catalyst.InternalRow(
-          org.apache.spark.unsafe.types.UTF8String.fromBytes(
-            bytes, offs(k), offs(k + n) - offs(k)),
+          if (withPrefix)
+            org.apache.spark.unsafe.types.UTF8String.concat(prefixU8, g)
+          else g,
           cnt(j))
         r += 1
       }
@@ -1201,10 +1212,20 @@ object ArrayOps {
   }
 
   /** Column-typed API for the char-n-gram term-frequency kernel; the
-    * width rides in the registry name (distinct n never collide). */
-  def charNgramRleCounts(spark: SparkSession, text: Column, n: Int): Column = {
-    val name = s"char_ngram_rle_counts_$n"
-    ensureRegistered(spark, name, exprs => CharNgramRleCounts(exprs(0), n))
+    * width (and the width-prefix flag) ride in the registry name
+    * (distinct configurations never collide). `widthPrefixed` emits
+    * terms as "n|gram" — the collision-free term namespace a
+    * MIXED-WIDTH feature union needs (VERDICT r15 #5): concat several
+    * prefixed kernels and the (term, c) pairs from different widths
+    * can never alias ("ab" as a 2-gram vs "ab" inside a 3-gram table).
+    */
+  def charNgramRleCounts(spark: SparkSession, text: Column, n: Int,
+                         widthPrefixed: Boolean = false): Column = {
+    val name =
+      if (widthPrefixed) s"char_ngram_rle_counts_${n}_wp"
+      else s"char_ngram_rle_counts_$n"
+    ensureRegistered(spark, name, exprs =>
+      CharNgramRleCounts(exprs(0), n, if (widthPrefixed) s"$n|" else ""))
     org.apache.spark.sql.functions.call_function(name, text)
   }
 

