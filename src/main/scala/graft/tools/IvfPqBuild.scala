@@ -488,13 +488,19 @@ object IvfPqBuild {
     * preserved so pruning and the no-exchange cell distribution
     * survive).
     *
-    * Swap discipline: the rewrite lands at `index__compact` while the
-    * original table keeps serving; the swap is delete + rename (the
-    * single-writer contract every tick already assumes). A crash
-    * before the swap leaves the original untouched; between delete and
-    * rename, the __compact copy is the recovery. Returns
-    * (filesBefore, filesAfter) — equal when the threshold did not
-    * bind.
+    * Swap discipline (r16, VERDICT r15 #4 — CRASH-ATOMIC): the rewrite
+    * lands fully at `index__compact` while the original keeps serving;
+    * the swap is then rename-ASIDE — original → `index__old`, rewrite →
+    * canonical, aside deleted last — so EVERY crash window leaves a
+    * complete copy on disk: before the first rename the original is
+    * canonical (a stray __compact is deleted on next open); between
+    * the renames the completed rewrite is promoted by [[recoverSwap]];
+    * after the second rename only the stray __old remains to sweep.
+    * The old delete→rename swap had a window where NEITHER copy was at
+    * the canonical path ("original deleted" was its own error text).
+    * Every open path runs [[recoverSwap]] first, and the swap bumps
+    * `_meta` so a warm [[serve]] loop re-opens. Returns (filesBefore,
+    * filesAfter) — equal when the threshold did not bind.
     */
   def compact(spark: SparkSession, outDir: String,
               maxFilesPerBucket: Int = 4): (Int, Int) = {
@@ -518,26 +524,95 @@ object IvfPqBuild {
         .option("path", s"$outDir/index__compact")
         .format("parquet").mode("overwrite").saveAsTable(tmpTable)
       // both tables are EXTERNAL (explicit path): dropping the catalog
-      // entries leaves the files; the swap below moves the compacted
-      // files into the canonical location and openIndex re-registers
+      // entries leaves the files; the rename-aside swap below moves the
+      // compacted files into the canonical location and openIndex
+      // re-registers
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
       spark.sql(s"DROP TABLE IF EXISTS $table")
       val idx = new org.apache.hadoop.fs.Path(s"$outDir/index")
       val tmp = new org.apache.hadoop.fs.Path(s"$outDir/index__compact")
+      val old = new org.apache.hadoop.fs.Path(s"$outDir/index__old")
       val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(idx, true)
+      fs.delete(old, true) // stray from a crash after a completed swap
+      require(fs.rename(idx, old),
+        s"compaction swap failed: $idx -> $old (nothing moved; the " +
+          "original is still canonical)")
       require(fs.rename(tmp, idx),
-        s"compaction swap failed: $tmp -> $idx (original deleted; " +
-          "recover by renaming index__compact by hand)")
+        s"compaction swap failed: $tmp -> $idx (original preserved at " +
+          "index__old; openIndex recovers automatically)")
+      fs.delete(old, true)
+      // bump _meta so a warm serve loop's staleness check sees the new
+      // layout (same census values — only the mtime signal changes)
+      touchMeta(spark, outDir)
       openIndex(spark, outDir)
       (before, indexDataFiles(spark, outDir))
     }
   }
 
+  /** Crash recovery for [[compact]]'s rename-aside swap, run by every
+    * [[openIndex]]: if the canonical `index` directory is missing, a
+    * crash hit one of the swap windows — promote the COMPLETED rewrite
+    * (`index__compact`; it is fully written before any rename starts)
+    * or, lacking one, roll the renamed-aside original (`index__old`)
+    * back. With the canonical directory present, any leftover aside or
+    * rewrite copy is a stray from an interrupted run and is swept (the
+    * canonical copy is always the serving truth). Idempotent; no-op on
+    * a healthy artifact.
+    */
+  private def recoverSwap(spark: SparkSession, outDir: String): Unit = {
+    val idx = new org.apache.hadoop.fs.Path(s"$outDir/index")
+    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/index__compact")
+    val old = new org.apache.hadoop.fs.Path(s"$outDir/index__old")
+    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(idx)) {
+      if (fs.exists(tmp)) {
+        require(fs.rename(tmp, idx),
+          s"swap recovery failed: $tmp -> $idx")
+        System.err.println("[ivfpq] compaction crash window recovered: " +
+          "promoted the completed index__compact rewrite")
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, idx),
+          s"swap recovery failed: $old -> $idx")
+        System.err.println("[ivfpq] compaction crash window recovered: " +
+          "rolled the index__old original back")
+      }
+    }
+    if (fs.exists(idx)) {
+      if (fs.exists(old)) {
+        fs.delete(old, true)
+        System.err.println("[ivfpq] swept stray index__old (swap had completed)")
+      }
+      if (fs.exists(tmp)) {
+        fs.delete(tmp, true)
+        System.err.println("[ivfpq] swept stray index__compact " +
+          "(rewrite never swapped in; the original is canonical)")
+      }
+    }
+  }
+
+  /** Rewrite `_meta` with its current values — the mtime bump is the
+    * change signal a warm [[serve]] loop polls; ticks and retrains
+    * rewrite `_meta` anyway, compaction calls this explicitly. */
+  private def touchMeta(spark: SparkSession, outDir: String): Unit = {
+    val metaDir = s"$outDir/_meta"
+    val p = new org.apache.hadoop.fs.Path(metaDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val df = spark.read.parquet(metaDir)
+      val fields = df.columns.toSeq.map { c =>
+        c -> df.select(col(c).cast("long")).head().getLong(0)
+      }
+      graft.sim.IndexMeta.write(spark, metaDir, fields)
+    }
+  }
+
   /** Re-register the persisted code files as an external bucketed table
-    * (fresh-session safe; DDL carries the bucket spec).
+    * (fresh-session safe; DDL carries the bucket spec). Runs
+    * [[recoverSwap]] first, so a crashed compaction heals on the next
+    * open — probe, serve, tick, and compact all pass through here.
     */
   def openIndex(spark: SparkSession, outDir: String): DataFrame = {
+    recoverSwap(spark, outDir)
     val p = loadParams(spark, outDir)
     val table = tableName(outDir)
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -581,11 +656,35 @@ object IvfPqBuild {
     * distance tables) plus the bucket-pruned ADC join — the artifact
     * is NOT re-opened per batch, which is exactly the §10 delta: the
     * 2.1–3.0 s steady-state there included a full re-open each rep.
+    *
+    * STALENESS (r16, VERDICT r15 #4): the loop polls the `_meta`
+    * fingerprint (file names + mtimes + lengths) once per iteration —
+    * every writer that changes the artifact rewrites `_meta` (ticks
+    * per batch, retrain via persistArtifact, compaction via touchMeta)
+    * — and RE-OPENS on change: params, DDL, codebooks, and the sized
+    * pin all reload, so a server that outlives ticks/compactions/
+    * retrains serves the current index instead of a stale or dangling
+    * file listing. The check is one directory listing per loop, paid
+    * only at poll cadence.
     */
   def serve(spark: SparkSession, outDir: String, reqDir: String,
             idCol: String, vecCol: String, nprobe: Int, k: Int,
             pollMs: Long = 200L, pinBytes: Long = 2L << 30): Int = {
-    val p = loadParams(spark, outDir)
+    val idxFs = new org.apache.hadoop.fs.Path(s"$outDir/index")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def metaFingerprint(): String = {
+      val metaPath = new org.apache.hadoop.fs.Path(s"$outDir/_meta")
+      if (!idxFs.exists(metaPath)) ""
+      else idxFs.listStatus(metaPath).filter(_.isFile)
+        .map(f => s"${f.getPath.getName}:${f.getModificationTime}:${f.getLen}")
+        .sorted.mkString("|")
+    }
+    var p: Params = null
+    var index: DataFrame = null
+    var pinned = false
+    var cents: Array[Array[Double]] = null
+    var pqCb: Map[(Int, Int), Array[Double]] = null
+    var metaFp = ""
     // the warm server PINS the code table in executor memory (m·log2
     // (ksub) bits + a cell id per vector — ~30 MB at ×100; a cluster
     // serving tier holds it partitioned the same way) and materializes
@@ -596,20 +695,25 @@ object IvfPqBuild {
     // of on-disk index the server serves from the bucketed files —
     // pinning an index larger than the memory budget would evict-thrash
     // against the ADC working set instead of helping it.
-    val idxPath = new org.apache.hadoop.fs.Path(s"$outDir/index")
-    val idxFs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val idxBytes = idxFs.getContentSummary(idxPath).getLength
-    val opened = openIndex(spark, outDir)
-    val index =
-      if (idxBytes <= pinBytes) { val c = opened.persist(); c.count(); c }
-      else {
+    def reopen(): Unit = {
+      if (pinned && index != null) index.unpersist()
+      p = loadParams(spark, outDir)
+      val opened = openIndex(spark, outDir)
+      val idxPath = new org.apache.hadoop.fs.Path(s"$outDir/index")
+      val idxBytes = idxFs.getContentSummary(idxPath).getLength
+      if (idxBytes <= pinBytes) {
+        index = opened.persist(); index.count(); pinned = true
+      } else {
         System.err.println(f"[ivfpq] index is ${idxBytes / 1048576}%d MiB " +
           f"(> pin budget ${pinBytes / 1048576}%d MiB) — serving from the " +
           "bucketed files")
-        opened
+        index = opened; pinned = false
       }
-    val cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
-    val pqCb = loadPqCodebook(spark, outDir)
+      cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
+      pqCb = loadPqCodebook(spark, outDir)
+      metaFp = metaFingerprint()
+    }
+    reopen()
     val fs = new org.apache.hadoop.fs.Path(reqDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val inDir = new org.apache.hadoop.fs.Path(s"$reqDir/in")
@@ -620,6 +724,12 @@ object IvfPqBuild {
     var served = 0
     var stop = false
     while (!stop) {
+      val fp = metaFingerprint()
+      if (fp != metaFp) {
+        System.err.println("[ivfpq] artifact changed underneath the " +
+          "warm server (_meta fingerprint moved) — re-opening")
+        reopen()
+      }
       val pending =
         if (!fs.exists(inDir)) Array.empty[org.apache.hadoop.fs.Path]
         else fs.listStatus(inDir).filter(_.isDirectory).map(_.getPath)
