@@ -177,7 +177,11 @@ object IvfPqBuild {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val builtSample =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/train_sample")))
+        // normalize on read too: samples persisted before the r16
+        // projection fix carry the source table's full column set
         spark.read.parquet(s"$outDir/train_sample")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
       else raws.limit(0)
     val freshSample = raws
       .orderBy(graft.text.TextOps.hashPrefix("ivfpqsample|", col("vec_id")),
@@ -230,8 +234,17 @@ object IvfPqBuild {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/params.parquet")
     // the bounded deterministic training sample that makes a LATER
     // retrain executable (VERDICT r14 #2): md5-rank over vec_id — the
-    // q71 idiom, reproducible and distribution-blind
-    emb.orderBy(graft.text.TextOps.hashPrefix("ivfpqsample|", col("vec_id")),
+    // q71 idiom, reproducible and distribution-blind. Projected to the
+    // retrain CONTRACT (vec_id long, embedding array<double>) before
+    // persisting (r16, found by the codebook sweep): the source table
+    // carries extra columns and a float embedding, and an unprojected
+    // sample made retrain's unionByName with the fresh raws sample fail
+    // — invisible until an artifact built WITH a train_sample was
+    // actually retrained (the r15 measurement retrained a pre-sample
+    // artifact through the empty-sample fallback).
+    emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .orderBy(graft.text.TextOps.hashPrefix("ivfpqsample|", col("vec_id")),
         col("vec_id"))
       .limit(sampleCap)
       .write.mode("overwrite").parquet(s"$outDir/train_sample")
@@ -824,6 +837,34 @@ object IvfPqBuild {
         println(f"[ivfpq] compactspot compact: $b -> $a files in " +
           f"${(System.nanoTime() - tc) / 1e9}%.1f s")
         timeProbe("compacted")
+      case "recallspot" =>
+        // measurement harness (VERDICT r15 #2, the codebook-bits
+        // sweep): recall of the artifact's own FROZEN held-out truth
+        // (exact top-10, persisted at build/retrain) through the probe
+        // path at (nprobe, k), plus per-rep serve wall — one line per
+        // rep, comparable across (m, ksub) builds because the eval set
+        // derivation is deterministic in vec_id. args: recallspot -
+        // <outDir> [nprobe=2] [k=3] [reps=3]
+        val reps = arg(5, 3)
+        val queries = spark.read.parquet(s"$outDir/heldout/queries")
+        val truth = spark.read.parquet(s"$outDir/heldout/truth")
+          .filter(col("rank") <= arg(4, 3))
+        val p = loadParams(spark, outDir)
+        val nq = queries.count()
+        for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val got = probe(spark, outDir, queries, "vec_id", "embedding",
+            nprobe = arg(3, 2), k = arg(4, 3))
+          val hits = got.select(col("query_id"), col("vec_id"))
+            .join(truth.select(col("query_id"), col("vec_id")),
+              Seq("query_id", "vec_id"), "left_semi").count()
+          val recall = math.floor(
+            hits.toDouble * 1e6 / (nq * arg(4, 3)).toDouble + 0.5).toLong / 1e4
+          println(f"[ivfpq] recallspot $r/$reps: m=${p.m} ksub=${p.ksub} " +
+            f"enc=${p.encoding} nprobe=${arg(3, 2)} k=${arg(4, 3)}: " +
+            f"recall $recall%.2f%% ($hits/${nq * arg(4, 3)}) in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
       case "probe" =>
         // reps > 1 separates the one-off session costs (DDL, codebook
         // load, kernel codegen — the F4 compile term, paid once per

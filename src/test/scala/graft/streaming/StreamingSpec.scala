@@ -471,14 +471,23 @@ class StreamingSpec extends SparkSpec {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n).toSeq
     }
-    (0L until 40L).map(i => (i, unit(i.toInt)))
-      .toDF("vec_id", "embedding")
+    // the fixture carries the REAL table's shape — a float embedding
+    // plus an extra column (r16, found by the ×100 codebook sweep): an
+    // unprojected train_sample persisted these verbatim and retrain's
+    // unionByName with the 2-col double fresh sample failed; the
+    // projection fix is pinned by this build → retrain round-trip
+    (0L until 40L).map(i => (i, unit(i.toInt).map(_.toFloat), i % 3))
+      .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
     graft.tools.IvfPqBuild.build(spark, sfDir, out,
       m = 4, ksub = 8, centroids = 16, buckets = 4, heldoutMod = 10)
     // the bounded md5-rank training sample rode the artifact (the piece
-    // that makes retrain executable later; 40 < cap, so all rows)
+    // that makes retrain executable later; 40 < cap, so all rows),
+    // projected to the retrain contract
     assert(spark.read.parquet(s"$out/train_sample").count() === 40L)
+    assert(spark.read.parquet(s"$out/train_sample").columns.toSeq
+      === Seq("vec_id", "embedding"),
+      "train_sample must persist the retrain contract, not the source schema")
     assert(graft.tools.IvfPqBuild.loadParams(spark, out).encoding === "raw")
     // grow the corpus, then force the staleness flag (impossible floor)
     (100L until 120L).map(i => (i, unit(i.toInt)))
