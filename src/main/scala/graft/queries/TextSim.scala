@@ -4643,6 +4643,30 @@ object TextSim extends QueryPack {
         FROM bptok t JOIN bpoff o USING (doc_id)
         JOIN bpvocab v USING (subword)""")),
 
+    // TOKENIZER FERTILITY + COMPRESSION (r16, the q221 chain's eval
+    // face): per language shard, subwords-per-word and chars-per-
+    // subword of the SAME 12-merge trained tokenizer — the standard
+    // cross-lingual tokenizer-quality census (a tokenizer trained on a
+    // skewed mix over-segments under-represented shards; fertility is
+    // the number that shows it). Oracle reuses bpeTokenizePackCtes —
+    // one generator for the trained chain, zero drift.
+    "q223_bpe_fertility" -> Q(
+      (s, d) => graft.text.Bpe.fertility(Tables.documents(s, d),
+        "doc_id", "text", "lang", numMerges = 12),
+      Some(s"""
+        WITH ${bpeTokenizePackCtes(12)},
+        fw AS (SELECT d.lang AS shard, count(*)::BIGINT AS n_words
+               FROM bpd12 b JOIN documents d USING (doc_id) GROUP BY 1),
+        fsub AS (SELECT d.lang AS shard, count(*)::BIGINT AS n_subwords,
+                        sum(length(s.subword))::BIGINT AS n_chars
+                 FROM bpsub s JOIN documents d USING (doc_id) GROUP BY 1)
+        SELECT shard, n_words, n_subwords, n_chars,
+               floor(n_subwords::DOUBLE * 1e6 / n_words::DOUBLE + 0.5)::BIGINT
+                 AS fertility_micro,
+               floor(n_chars::DOUBLE * 1e6 / n_subwords::DOUBLE + 0.5)::BIGINT
+                 AS chars_per_subword_micro
+        FROM fw JOIN fsub USING (shard)""")),
+
     // HTML MAIN-CONTENT EXTRACTION (VERDICT r15 #3): the first stage
     // of a web-crawl pipeline — wrap each document in the deterministic
     // boilerplate fixture (Html.fixtureSql, ONE fragment valid in both

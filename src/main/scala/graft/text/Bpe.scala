@@ -155,14 +155,25 @@ object Bpe {
         "merges reached minCount) — the oracle unrolls exactly numMerges " +
         "rounds; lower numMerges for this corpus")
     val seg = segment(df, idCol, textCol, merges, batchMerges)
-    val toks = seg.select(col("doc_id"), col("word_pos"),
-      posexplode(col("syms")).as(Seq("sym_pos", "subword")))
-    val pos = toks.withColumn("pos",
-      (row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("word_pos"), col("sym_pos"))) - 1).cast("long"))
+    // subword positions WITHOUT a token-grain window (r16 follow-up —
+    // the ×100 run showed the per-doc row_number over every subword
+    // occurrence was the chain's dominant sort): the running offset is
+    // computed at WORD grain (one row per word — 5–10× fewer rows in
+    // the window sort than subword grain), and each subword's position
+    // is word_start + sym_pos after the explode, an identical value by
+    // construction (word order, then symbol order).
+    val pos = seg.withColumn("nsyms", size(col("syms")).cast("long"))
+      .withColumn("word_start",
+        sum(col("nsyms")).over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("word_pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("nsyms"))
+      .select(col("doc_id"), col("word_start"),
+        posexplode(col("syms")).as(Seq("sym_pos", "subword")))
+      .withColumn("pos", col("word_start") + col("sym_pos"))
     // trained vocabulary: ≤ alphabet + numMerges distinct subwords by
     // construction — the rank window is a bounded single task
-    val vocab = toks.groupBy(col("subword"))
+    val vocab = pos.groupBy(col("subword"))
       .agg(count(lit(1)).as("vc"))
       .select(col("subword"),
         (row_number().over(Window.orderBy(col("vc").desc,
@@ -179,6 +190,43 @@ object Bpe {
         col("token_id"),
         (col("start_tok") + col("pos")).as("global_tok"),
         expr(s"(start_tok + pos) div $blockTokens").as("chunk"))
+  }
+
+  /** TOKENIZER-EVALUATION metrics of the trained BPE (r16): per shard,
+    * FERTILITY (subwords emitted per word — the standard cross-lingual
+    * tokenizer-quality statistic: a tokenizer trained on a skewed
+    * language mix over-segments the under-represented shards) and
+    * COMPRESSION (chars per subword), plus the exact integer counts
+    * they derive from. Same training + segmentation chain as
+    * [[tokenizePack]]; the rollup is shard-bounded after one word-grain
+    * aggregation (no token-grain window at all — fertility needs
+    * counts, not positions).
+    */
+  def fertility(df: DataFrame, idCol: String, textCol: String,
+                shardCol: String, numMerges: Int,
+                batchMerges: Int = 32): DataFrame = {
+    val (merges, _) = trainBpe(df, textCol, numMerges)
+    val nTrained = merges.count()
+    require(nTrained == numMerges,
+      s"fertility: training stopped early ($nTrained of $numMerges " +
+        "merges reached minCount) — the oracle unrolls exactly numMerges " +
+        "rounds; lower numMerges for this corpus")
+    val seg = segment(df, idCol, textCol, merges, batchMerges)
+      .withColumn("nsyms", size(col("syms")).cast("long"))
+      .withColumn("wchars", length(concat_ws("", col("syms"))).cast("long"))
+      .join(df.select(col(idCol).as("doc_id"),
+        col(shardCol).as("shard")), Seq("doc_id"))
+    seg.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nsyms")).as("n_subwords"),
+        sum(col("wchars")).as("n_chars"))
+      .select(col("shard"), col("n_words"), col("n_subwords"), col("n_chars"),
+        floor(col("n_subwords").cast("double") * lit(1e6)
+          / col("n_words").cast("double") + lit(0.5)).cast("long")
+          .as("fertility_micro"),
+        floor(col("n_chars").cast("double") * lit(1e6)
+          / col("n_subwords").cast("double") + lit(0.5)).cast("long")
+          .as("chars_per_subword_micro"))
   }
 
   /** Learned merge table + final vocabulary segmentation after
