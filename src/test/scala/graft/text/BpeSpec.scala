@@ -99,6 +99,45 @@ class BpeSpec extends SparkSpec {
       2 -> refApply("xyz")))
   }
 
+  test("tokenizePack: hand-checked positions, ids, packing; fertility rollup (r16)") {
+    import spark.implicits._
+    // two shards, two docs each; 1 merge so the trained tokenizer is
+    // hand-derivable: corpus pairs -> (a,b) wins (count 6: "ab" x4 +
+    // "abc" x2... one per occurrence in the word table weighted by wc)
+    val docs = Seq(
+      (0L, "ab ab", "x"), (1L, "abc", "x"),
+      (2L, "ab c", "y"), (3L, "cc ab", "y")).toDF("doc_id", "text", "lang")
+    val out = Bpe.tokenizePack(docs, "doc_id", "text", "lang",
+        numMerges = 1, blockTokens = 2)
+      .orderBy("shard", "doc_id", "pos")
+      .select("doc_id", "shard", "pos", "subword", "token_id",
+        "global_tok", "chunk")
+      .as[(Long, String, Long, String, Long, Long, Long)].collect().toList
+    // merge 1 = (a,b): words segment as ab->[ab], abc->[ab,c], c->[c],
+    // cc->[c,c]. Vocab by (count desc, subword asc): ab=5, c=4 ->
+    // ab->0, c->1. Packing per shard in doc_id order, blockTokens=2.
+    assert(out === List(
+      (0L, "x", 0L, "ab", 0L, 0L, 0L),   // doc0: "ab ab" -> [ab, ab]
+      (0L, "x", 1L, "ab", 0L, 1L, 0L),
+      (1L, "x", 0L, "ab", 0L, 2L, 1L),   // doc1: "abc" -> [ab, c]
+      (1L, "x", 1L, "c", 1L, 3L, 1L),
+      (2L, "y", 0L, "ab", 0L, 0L, 0L),   // doc2: "ab c" -> [ab, c]
+      (2L, "y", 1L, "c", 1L, 1L, 0L),
+      (3L, "y", 0L, "c", 1L, 2L, 1L),    // doc3: "cc ab" -> [c, c, ab]
+      (3L, "y", 1L, "c", 1L, 3L, 1L),
+      (3L, "y", 2L, "ab", 0L, 4L, 2L)))
+    // fertility over the same corpus: shard x -> 3 words, 4 subwords
+    // (fertility 4/3), 7 chars; shard y -> 4 words, 5 subwords, 7 chars
+    val fert = Bpe.fertility(docs, "doc_id", "text", "lang", numMerges = 1)
+      .orderBy("shard")
+      .select("shard", "n_words", "n_subwords", "n_chars",
+        "fertility_micro", "chars_per_subword_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(fert === List(
+      ("x", 3L, 4L, 7L, 1333333L, 1750000L),
+      ("y", 4L, 5L, 7L, 1250000L, 1400000L)))
+  }
+
   test("fuzz: random corpora match the reference through full training") {
     def sample[A](g: Gen[A], seed: Long): A =
       g.pureApply(Gen.Parameters.default.withSize(8), Seed(seed))
