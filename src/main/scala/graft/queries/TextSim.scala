@@ -493,6 +493,39 @@ object TextSim extends QueryPack {
     sb.toString
   }
 
+  /** The q222 fixture-wrap + extraction pipeline as a CTE chain ending
+    * in `hb (doc_id, bi, t, n, lc, is_content)` — ONE generator for the
+    * extraction rollup (q222) and the cross-document line-frequency
+    * stage it feeds (q224), so the fixture and the block classifier
+    * cannot drift between them. */
+  private def htmlExtractCtes: String = s"""
+        hfix AS (
+          SELECT doc_id, ${graft.text.Html.fixtureSql} AS html
+          FROM documents),
+        hnos AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(html,
+                   '<script[^>]*>.*?</script>', '', 'g'),
+                   '<style[^>]*>.*?</style>', '', 'g') AS h
+          FROM hfix),
+        hblk AS (
+          SELECT doc_id, unnest(range(1, len(bs) + 1)) AS bi, unnest(bs) AS b
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(h,
+                         '</?(?:p|div|h1|head|title|body|html)[^>]*>') AS bs
+                FROM hnos)),
+        hb AS (
+          SELECT doc_id, bi, t, length(t)::BIGINT AS n, lc,
+                 (length(t) >= 20 AND lc * 3 <= length(t)) AS is_content
+          FROM (SELECT doc_id, bi,
+                       trim(regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'),
+                            ' +', ' ', 'g')) AS t,
+                       coalesce(list_sum(list_transform(
+                         regexp_extract_all(b, '<a[^>]*>(.*?)</a>', 1),
+                         x -> length(x))), 0)::BIGINT AS lc
+                FROM hblk)
+          WHERE length(t) > 0)"""
+
   /** The q184 textured-fixture audio-fingerprint closed form as a CTE
     * chain ending in `apairs (id_a, id_b, hamming)` at ham ≤ 2 — one
     * generator for the audio-pair oracle (q184) and the trimodal dedup
@@ -4684,32 +4717,7 @@ object TextSim extends QueryPack {
           expr(graft.text.Html.fixtureSql)),
         "doc_id", "html"),
       Some(s"""
-        WITH hfix AS (
-          SELECT doc_id, ${graft.text.Html.fixtureSql} AS html
-          FROM documents),
-        hnos AS (
-          SELECT doc_id,
-                 regexp_replace(regexp_replace(html,
-                   '<script[^>]*>.*?</script>', '', 'g'),
-                   '<style[^>]*>.*?</style>', '', 'g') AS h
-          FROM hfix),
-        hblk AS (
-          SELECT doc_id, unnest(range(1, len(bs) + 1)) AS bi, unnest(bs) AS b
-          FROM (SELECT doc_id,
-                       regexp_split_to_array(h,
-                         '</?(?:p|div|h1|head|title|body|html)[^>]*>') AS bs
-                FROM hnos)),
-        hb AS (
-          SELECT doc_id, bi, t, length(t)::BIGINT AS n, lc,
-                 (length(t) >= 20 AND lc * 3 <= length(t)) AS is_content
-          FROM (SELECT doc_id, bi,
-                       trim(regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'),
-                            ' +', ' ', 'g')) AS t,
-                       coalesce(list_sum(list_transform(
-                         regexp_extract_all(b, '<a[^>]*>(.*?)</a>', 1),
-                         x -> length(x))), 0)::BIGINT AS lc
-                FROM hblk)
-          WHERE length(t) > 0)
+        WITH $htmlExtractCtes
         SELECT doc_id,
                count(*)::BIGINT AS n_blocks,
                count(*) FILTER (is_content)::BIGINT AS n_content,
@@ -4720,6 +4728,36 @@ object TextSim extends QueryPack {
                coalesce(string_agg(t, chr(10) ORDER BY bi)
                         FILTER (is_content), '') AS main_text
         FROM hb GROUP BY doc_id""")),
+
+    // CROSS-DOCUMENT LINE-FREQUENCY boilerplate removal (r16 — the
+    // CCNet/RefinedWeb stage composed onto q222): the fixture plants a
+    // content-LOOKING boilerplate line ("subscribe to our newsletter…")
+    // that passes the length/link-density classifier in EVERY document;
+    // this stage drops it by document frequency (line in > 9 docs) and
+    // keeps the genuinely per-document lines, re-joined in order. Two
+    // exchanges: a line-hash-keyed document-frequency aggregate and the
+    // doc-keyed re-aggregation (order restored by an in-aggregate
+    // array_sort, no window).
+    "q224_line_boilerplate" -> Q(
+      (s, d) => graft.text.TextOps.lineFrequencyFilter(
+        graft.text.Html.mainContent(
+          Tables.documents(s, d).withColumn("html",
+            expr(graft.text.Html.fixtureSql)),
+          "doc_id", "html")
+          .select(col("doc_id"), col("main_text")),
+        "doc_id", "main_text", maxDocFreq = 9L),
+      Some(s"""
+        WITH $htmlExtractCtes,
+        lfd AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS line_df
+                FROM hb WHERE is_content GROUP BY t)
+        SELECT h.doc_id,
+               count(*)::BIGINT AS n_lines,
+               count(*) FILTER (d.line_df <= 9)::BIGINT AS n_kept,
+               coalesce(string_agg(h.t, chr(10) ORDER BY h.bi)
+                        FILTER (d.line_df <= 9), '') AS kept_text
+        FROM hb h JOIN lfd d USING (t)
+        WHERE h.is_content
+        GROUP BY h.doc_id""")),
 
     // Per-source GINI of the term-frequency vector — token-mass
     // concentration from the count-of-counts histogram (rank blocks in

@@ -200,6 +200,12 @@ object Html {
       s"'<p>' || substr(text, $half + 1) || " +
       "' <a href=\"/more\">read more in ' || lang || '</a></p>' || " +
       "'<p>ads</p>' || " +
+      // content-LOOKING boilerplate: long enough, link-free — it passes
+      // the q222 length/link-density classifier on purpose, because
+      // cross-document LINE FREQUENCY (q224) is the stage that catches
+      // it, exactly the jusText-misses-it case CCNet-style line
+      // filtering exists for
+      "'<p>subscribe to our newsletter for weekly updates</p>' || " +
       "'<div>copyright <a href=\"/privacy\">privacy policy</a> " +
       "<a href=\"/terms\">terms of use</a> " +
       "<a href=\"/contact\">contact</a></div>' || " +

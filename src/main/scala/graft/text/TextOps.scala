@@ -48,6 +48,48 @@ object TextOps {
     * documents). One full-outer hash join on the id, sort-merge at
     * scale, skew-free by id construction; emits (doc_id, status).
     */
+  /** CROSS-DOCUMENT LINE-FREQUENCY boilerplate removal (r16) — the
+    * CCNet/RefinedWeb curation stage that catches what per-block
+    * length/link-density classifiers miss: a content-LOOKING line
+    * ("subscribe to our newsletter…") repeated across many documents
+    * is boilerplate by frequency, not by shape. Split each document's
+    * `textCol` on newlines, drop empty lines, count each distinct
+    * line's DOCUMENT frequency, and keep lines appearing in ≤
+    * `maxDocFreq` documents; emits one row per surviving document:
+    * (doc_id, n_lines, n_kept, kept_text) with kept lines re-joined in
+    * original order. Documents with zero nonempty lines emit no row
+    * (the group-by semantics both engines share).
+    *
+    * Scale shape: TWO exchanges — a line-keyed aggregate for the
+    * document frequencies (shipped and joined as md5 HASHES, 16 bytes
+    * per line instead of line text; the freq table is
+    * distinct-line-bounded) and the doc-keyed re-aggregation. The
+    * order-restoring sort is per-doc inside the final aggregate
+    * (array_sort over (line_no, line) structs — no window). The
+    * re-join transform is a lambda HOF on the FINAL projection — a
+    * single consumer, so the canonicalization caveat on [[tokens]]
+    * does not bite.
+    */
+  def lineFrequencyFilter(df: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String,
+                          maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .filter(length(col("line")) > 0)
+      .withColumn("lh", md5(col("line")))
+    val freq = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lines.join(freq, Seq("lh"))
+      .withColumn("keep", col("line_df") <= maxDocFreq)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        concat_ws("\n", transform(array_sort(collect_list(
+          when(col("keep"),
+            struct(col("line_no").as("n"), col("line").as("l"))))),
+          x => x.getField("l"))).as("kept_text"))
+  }
+
   def corpusDiff(oldDf: org.apache.spark.sql.DataFrame,
                  newDf: org.apache.spark.sql.DataFrame,
                  idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {

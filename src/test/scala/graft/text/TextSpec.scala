@@ -106,6 +106,26 @@ class TextSpec extends SparkSpec {
       s"row shares must sum to ~1e6 per label: ${rowSums.toSeq}")
   }
 
+  test("lineFrequencyFilter: df-bound drop, order restored, empty lines ignored (r16)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\n\nshared boilerplate\nomega"), // empty line ignored
+      (2L, "beta\nshared boilerplate"),
+      (3L, "shared boilerplate"))                 // nothing survives
+      .toDF("doc_id", "text")
+    val out = TextOps.lineFrequencyFilter(docs, "doc_id", "text", maxDocFreq = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(out === List(
+      (1L, 3L, 2L, "alpha\nomega"),   // order restored across the drop
+      (2L, 2L, 1L, "beta"),
+      (3L, 1L, 0L, "")))
+    // a doc with ONLY empty lines emits no row (group-by semantics)
+    assert(TextOps.lineFrequencyFilter(
+      Seq((9L, "\n\n")).toDF("doc_id", "text"), "doc_id", "text", 2L)
+      .count() === 0L)
+  }
+
   test("naiveBayesScoresWith degenerate inputs: empty frame, null label (ADVICE r15)") {
     import spark.implicits._
     // empty input: an empty score frame of the right schema, not a
