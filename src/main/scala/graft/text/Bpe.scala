@@ -129,13 +129,15 @@ object Bpe {
     *
     * Scale shape: training is vocabulary-bounded per round (the
     * [[trainBpe]] contract); segmentation is the per-word kernel chain
-    * (checkpoint-batched every `batchMerges` projections); the per-doc
-    * position window partitions by doc (massively parallel, no global
-    * barrier); the VOCABULARY window is bounded by alphabet+numMerges
-    * rows by construction (a single tiny task); the packing window is
+    * (checkpoint-batched every `batchMerges` projections); subword
+    * positions come from a WORD-grain per-doc prefix sum plus
+    * post-explode arithmetic (no token-grain window — 5–10× fewer rows
+    * through the sort, identical values by construction); the
+    * VOCABULARY window is bounded by alphabet+numMerges rows by
+    * construction (a single tiny task); the packing window is
     * [[Terms.packPrepared]] — per-shard independence. The only
-    * corpus-sized exchanges are the doc-keyed position window and the
-    * doc-grain offsets join, both keyed on doc_id.
+    * corpus-sized exchanges are the doc-keyed word-grain window and
+    * the doc-grain offsets join, both keyed on doc_id.
     *
     * Contract: `numMerges` must be well under the corpus' merge
     * capacity (every merge round must clear [[trainBpe]]'s minCount) —
