@@ -132,7 +132,11 @@ object Bpe {
     * (checkpoint-batched every `batchMerges` projections); subword
     * positions come from a WORD-grain per-doc prefix sum plus
     * post-explode arithmetic (no token-grain window — 5–10× fewer rows
-    * through the sort, identical values by construction); the
+    * through the sort, identical values by construction), and that
+    * word-grain frame is eagerly checkpointed before fanning out to
+    * its three consumers (vocab, offsets, final join — ADVICE r16:
+    * un-checkpointed, the kernel tail + window recomputed up to 3×);
+    * the
     * VOCABULARY window is bounded by alphabet+numMerges rows by
     * construction (a single tiny task); the packing window is
     * [[Terms.packPrepared]] — per-shard independence. The only
@@ -164,12 +168,22 @@ object Bpe {
     // the window sort than subword grain), and each subword's position
     // is word_start + sym_pos after the explode, an identical value by
     // construction (word order, then symbol order).
-    val pos = seg.withColumn("nsyms", size(col("syms")).cast("long"))
+    // the frame below fans out to THREE consumers (vocab agg, offsets
+    // agg, final join) — checkpoint it eagerly so the segment kernel
+    // tail + the corpus-scale doc-keyed window run ONCE, not once per
+    // consumer (ADVICE r16; the repo's multi-consumer checkpoint
+    // doctrine). Checkpointing at WORD grain — before the posexplode —
+    // stores 5–10× fewer rows than the subword frame while cutting the
+    // same expensive subtree; the explode each consumer replays is a
+    // pure codegen projection.
+    val wordPos = seg.withColumn("nsyms", size(col("syms")).cast("long"))
       .withColumn("word_start",
         sum(col("nsyms")).over(Window.partitionBy(col("doc_id"))
           .orderBy(col("word_pos"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           - col("nsyms"))
+      .localCheckpoint(true)
+    val pos = wordPos
       .select(col("doc_id"), col("word_start"),
         posexplode(col("syms")).as(Seq("sym_pos", "subword")))
       .withColumn("pos", col("word_start") + col("sym_pos"))
@@ -180,8 +194,10 @@ object Bpe {
       .select(col("subword"),
         (row_number().over(Window.orderBy(col("vc").desc,
           col("subword").asc)) - 1).cast("long").as("token_id"))
+    // per-doc token counts at WORD grain (sum of per-word symbol counts
+    // ≡ count of exploded subword rows — fewer rows into the agg)
     val offsets = Terms.packPrepared(
-      pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      wordPos.groupBy(col("doc_id")).agg(sum(col("nsyms")).as("n_tokens"))
         .join(df.select(col(idCol).as("doc_id"),
           col(shardCol).as("shard")), Seq("doc_id")),
       blockTokens, orderCols = Seq("doc_id"))

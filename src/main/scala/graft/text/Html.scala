@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *    th, blockquote, pre) split blocks; all other tags (a, b, i,
   *    span, …) are inline and only stripped;
   *  - anchor text (chars inside <a>..</a>) counts toward the block's
-  *    link chars at RAW (pre-normalization) length;
+  *    link chars at RAW (pre-normalization) length — only for anchors
+  *    that COMPLETE within the block (the regex needs the full pair in
+  *    one fragment; an anchor spanning a block tag counts on neither
+  *    side — ADVICE r16, fuzz-pinned);
   *  - block text is whitespace-normalized (runs → one space, trimmed);
   *    empty blocks don't exist (they're split artifacts, not blocks).
   *
@@ -76,11 +79,24 @@ object Html {
   private def codepoints(s: String): Long =
     s.codePointCount(0, s.length).toLong
 
-  /** Single-pass block extraction + jusText-style classification. */
+  /** Single-pass block extraction + jusText-style classification.
+    *
+    * Anchor accounting matches the oracle/reference regex exactly
+    * (ADVICE r16): `<a[^>]*>(.*?)</a>` only matches a COMPLETE pair
+    * within one block fragment, so an anchor left open at a block-tag
+    * boundary contributes link chars to NEITHER side — chars under a
+    * still-open anchor accumulate in `openLink` and fold into the
+    * block's `curLink` only when the anchor CLOSES; a flush discards
+    * them (and the close-side half never counts because `linkDepth`
+    * resets). Nested anchors remain out of contract (the reference
+    * counts the inner markup raw; neither the fixture nor the fuzzer
+    * generates them).
+    */
   def extractBlocks(html: String, minChars: Int): Seq[Block] = {
     val blocks = Seq.newBuilder[Block]
     val cur = new StringBuilder
-    var curLink = 0L
+    var curLink = 0L  // completed-anchor chars in this block
+    var openLink = 0L // chars under a still-open anchor (discarded at flush)
     var linkDepth = 0
     var skipUntil: String = null // inside <script>/<style>
     def flush(): Unit = {
@@ -90,7 +106,7 @@ object Html {
         blocks += Block(t, n, curLink,
           n >= minChars && curLink * 3 <= n)
       }
-      cur.setLength(0); curLink = 0L; linkDepth = 0
+      cur.setLength(0); curLink = 0L; openLink = 0L; linkDepth = 0
     }
     var i = 0
     val len = html.length
@@ -100,10 +116,12 @@ object Html {
         val close = html.indexOf('>', i + 1)
         if (close < 0) {
           // unterminated tag: treat the rest as text (the oracle's
-          // regex likewise never matches it)
+          // regex likewise never matches it — and an anchor still open
+          // here never completes, so its chars land in openLink and
+          // the final flush drops them, like the reference)
           if (skipUntil == null) {
             cur.append(html, i, len)
-            if (linkDepth > 0) curLink += codepoints(html.substring(i, len))
+            if (linkDepth > 0) openLink += codepoints(html.substring(i, len))
           }
           i = len
         } else {
@@ -120,8 +138,10 @@ object Html {
           } else if (BlockTags.contains(name)) {
             flush()
           } else if (name == "a") {
-            if (isClosing) linkDepth = math.max(0, linkDepth - 1)
-            else linkDepth += 1
+            if (isClosing) {
+              if (linkDepth == 1) { curLink += openLink; openLink = 0L }
+              linkDepth = math.max(0, linkDepth - 1)
+            } else linkDepth += 1
           } // other inline tags: stripped
           i = close + 1
         }
@@ -130,7 +150,7 @@ object Html {
           cur.append(c)
           // count link chars at codepoint granularity: low surrogates
           // are continuation units, don't double-count
-          if (linkDepth > 0 && !Character.isLowSurrogate(c)) curLink += 1
+          if (linkDepth > 0 && !Character.isLowSurrogate(c)) openLink += 1
         }
         i += 1
       }

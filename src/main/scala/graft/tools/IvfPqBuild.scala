@@ -522,6 +522,11 @@ object IvfPqBuild {
     val before = indexDataFiles(spark, outDir)
     if (before <= p.buckets * maxFilesPerBucket) (before, before)
     else {
+      // writer-only stray hygiene (ADVICE r16): clear any aside/rewrite
+      // leftovers from an interrupted earlier compaction BEFORE starting
+      // this one — reader opens no longer sweep, so this is the one
+      // place strays are cleaned
+      sweepStrays(spark, outDir)
       val table = tableName(outDir)
       val tmpTable = tableName(s"$outDir/index__compact")
       spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
@@ -567,10 +572,16 @@ object IvfPqBuild {
     * crash hit one of the swap windows — promote the COMPLETED rewrite
     * (`index__compact`; it is fully written before any rename starts)
     * or, lacking one, roll the renamed-aside original (`index__old`)
-    * back. With the canonical directory present, any leftover aside or
-    * rewrite copy is a stray from an interrupted run and is swept (the
-    * canonical copy is always the serving truth). Idempotent; no-op on
-    * a healthy artifact.
+    * back. READERS AT MOST PROMOTE, NEVER DELETE (ADVICE r16): this
+    * used to also sweep stray aside/rewrite copies, but a reader
+    * reopening (probe, or serve's _meta-triggered reopen) while a
+    * compaction is MID-RUN in another process would sweep the writer's
+    * in-progress `index__compact` and spuriously abort it — worse,
+    * after the writer's first rename, with no canonical copy left
+    * until the next open healed it. Stray sweeping is now writer-only
+    * ([[sweepStrays]], called from [[compact]] before it starts its
+    * own rewrite — the only actor that knows no rewrite is in flight).
+    * Idempotent; no-op on a healthy artifact.
     */
   private def recoverSwap(spark: SparkSession, outDir: String): Unit = {
     val idx = new org.apache.hadoop.fs.Path(s"$outDir/index")
@@ -590,6 +601,23 @@ object IvfPqBuild {
           "rolled the index__old original back")
       }
     }
+  }
+
+  /** WRITER-ONLY stray sweep (ADVICE r16 — split out of [[recoverSwap]]
+    * so reader opens can never delete a concurrent compaction's
+    * in-progress rewrite): with the canonical directory present, a
+    * leftover `index__old` (swap completed; crash before its delete)
+    * or `index__compact` (rewrite finished but never swapped in) is
+    * dead weight from an interrupted run — safe to clear HERE because
+    * the caller IS the compaction writer about to start a fresh
+    * rewrite, so no other rewrite of this artifact can be in flight
+    * (single-writer deployment contract, same as the append ticks).
+    */
+  private def sweepStrays(spark: SparkSession, outDir: String): Unit = {
+    val idx = new org.apache.hadoop.fs.Path(s"$outDir/index")
+    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/index__compact")
+    val old = new org.apache.hadoop.fs.Path(s"$outDir/index__old")
+    val fs = idx.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(idx)) {
       if (fs.exists(old)) {
         fs.delete(old, true)
@@ -846,23 +874,33 @@ object IvfPqBuild {
         // derivation is deterministic in vec_id. args: recallspot -
         // <outDir> [nprobe=2] [k=3] [reps=3]
         val reps = arg(5, 3)
+        val kk = arg(4, 3)
         val queries = spark.read.parquet(s"$outDir/heldout/queries")
-        val truth = spark.read.parquet(s"$outDir/heldout/truth")
-          .filter(col("rank") <= arg(4, 3))
+        val truthAll = spark.read.parquet(s"$outDir/heldout/truth")
+        // denominator = ACTUAL truth rows at this k, not nq·k (ADVICE
+        // r16): the persisted truth is exact top-10, so k > 10 (or a
+        // query with fewer true neighbors) would silently deflate the
+        // reported recall and skew cross-build (m, ksub) comparisons —
+        // refuse loudly past the persisted depth, count what's there
+        val depth = truthAll.agg(max(col("rank"))).head().getInt(0)
+        require(kk <= depth, s"recallspot k=$kk exceeds the persisted " +
+          s"held-out truth depth $depth — lower k or re-freeze the truth " +
+          "deeper (build/retrain writes exact top-10)")
+        val truth = truthAll.filter(col("rank") <= kk)
+          .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+        val possible = truth.count()
         val p = loadParams(spark, outDir)
-        val nq = queries.count()
         for (r <- 1 to reps) {
           val t0 = System.nanoTime()
           val got = probe(spark, outDir, queries, "vec_id", "embedding",
-            nprobe = arg(3, 2), k = arg(4, 3))
+            nprobe = arg(3, 2), k = kk)
           val hits = got.select(col("query_id"), col("vec_id"))
-            .join(truth.select(col("query_id"), col("vec_id")),
-              Seq("query_id", "vec_id"), "left_semi").count()
+            .join(truth, Seq("query_id", "vec_id"), "left_semi").count()
           val recall = math.floor(
-            hits.toDouble * 1e6 / (nq * arg(4, 3)).toDouble + 0.5).toLong / 1e4
+            hits.toDouble * 1e6 / possible.toDouble + 0.5).toLong / 1e4
           println(f"[ivfpq] recallspot $r/$reps: m=${p.m} ksub=${p.ksub} " +
-            f"enc=${p.encoding} nprobe=${arg(3, 2)} k=${arg(4, 3)}: " +
-            f"recall $recall%.2f%% ($hits/${nq * arg(4, 3)}) in " +
+            f"enc=${p.encoding} nprobe=${arg(3, 2)} k=$kk: " +
+            f"recall $recall%.2f%% ($hits/$possible) in " +
             f"${(System.nanoTime() - t0) / 1e9}%.1f s")
         }
       case "probe" =>

@@ -658,23 +658,31 @@ class StreamingSpec extends SparkSpec {
     // WINDOW 1 — crash between the two swap renames: a COMPLETED
     // rewrite sits at index__compact, the original was renamed aside,
     // nothing is at the canonical path. The next open must promote the
-    // rewrite and sweep the aside, with probe parity.
+    // rewrite, with probe parity. READERS AT MOST PROMOTE, NEVER
+    // DELETE (ADVICE r16): the aside survives a reader open — a
+    // concurrent writer's artifacts are not a reader's to sweep — and
+    // is cleared by the next WRITER (compact's sweepStrays).
     assert(org.apache.hadoop.fs.FileUtil.copy(fs, idx, fs, tmp, false, conf))
     assert(fs.rename(idx, old))
     assert(!fs.exists(idx))
     assert(probeSet() === healthy, "window-1 recovery must be probe-exact")
-    assert(fs.exists(idx) && !fs.exists(tmp) && !fs.exists(old),
-      "recovery must leave only the canonical index directory")
+    assert(fs.exists(idx) && !fs.exists(tmp),
+      "recovery must promote the rewrite to the canonical path")
+    assert(fs.exists(old), "a reader open must not sweep the aside")
+    fs.delete(old, true) // stage the next window (writer-role cleanup)
     // WINDOW 2 — crash mid/just-after the FIRST rename (no rewrite on
     // disk): the aside original must roll back.
     assert(fs.rename(idx, old))
     assert(probeSet() === healthy, "window-2 rollback must be probe-exact")
     assert(fs.exists(idx) && !fs.exists(old))
-    // WINDOW 3 — crash BEFORE any rename (stray rewrite, canonical
-    // intact): the stray is swept, the original stays the truth.
+    // WINDOW 3 — stray rewrite, canonical intact: a READER leaves it
+    // alone (for all it knows it is another process's in-progress
+    // compaction — the ADVICE r16 race); the original stays the truth
+    // and the stray is swept by the next writer below.
     assert(org.apache.hadoop.fs.FileUtil.copy(fs, idx, fs, tmp, false, conf))
     assert(probeSet() === healthy)
-    assert(!fs.exists(tmp), "a stray index__compact must be swept")
+    assert(fs.exists(tmp),
+      "a reader open must not sweep a stray index__compact")
     // and a REAL compaction over the tick-fragmented table still works
     // end to end through the rename-aside path, bit-identically
     val (nb, na) = graft.tools.IvfPqBuild.compact(spark, out,

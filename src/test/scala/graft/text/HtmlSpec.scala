@@ -73,6 +73,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(asTuple(e) === refExtract(html, 20).get)
   }
 
+  test("cross-block anchors count as link chars on NEITHER side (ADVICE r16)") {
+    val html = "<p>twenty characters of honest body text " +
+      "<a href=\"/x\">teaser</p><p>landing text continues</a> " +
+      "and more honest body text here</p>"
+    val bs = Html.extractBlocks(html, 20)
+    assert(bs.map(_.linkChars) === Seq(0L, 0L),
+      "an anchor spanning a block tag never completes in one fragment")
+    assert(bs.forall(_.isContent))
+    assert(Html.extract(html, 20).map(asTuple) === refExtract(html, 20))
+  }
+
   test("no-block / empty documents mirror the oracle's group-by drop") {
     assert(Html.extract("", 20).isEmpty)
     assert(Html.extract("<p></p><div>  </div>", 20).isEmpty)
@@ -85,7 +96,7 @@ class HtmlSpec extends AnyFunSuite {
       "content", "of", "the", "page", "and", "more")
     def phrase(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
     def anchor() = s"""<a href="/${phrase(1)}">${phrase(1 + rnd.nextInt(3))}</a>"""
-    def piece(): String = rnd.nextInt(8) match {
+    def piece(): String = rnd.nextInt(9) match {
       case 0 => s"<p>${phrase(1 + rnd.nextInt(9))}</p>"
       case 1 => s"<div>${phrase(rnd.nextInt(4))} ${anchor()} ${anchor()}</div>"
       case 2 => s"<h1>${phrase(1 + rnd.nextInt(5))}</h1>"
@@ -94,6 +105,12 @@ class HtmlSpec extends AnyFunSuite {
       case 5 => s"<ul><li>${phrase(1 + rnd.nextInt(3))}</li><li>${anchor()}</li></ul>"
       case 6 => s"<span>${phrase(1 + rnd.nextInt(3))}</span>"
       case 7 => phrase(rnd.nextInt(5))
+      // anchor SPANNING a block-tag boundary (ADVICE r16): the regex
+      // reference needs the complete <a>…</a> inside one fragment, so
+      // this anchor's text must count as link chars on NEITHER side
+      case 8 => s"""<p>${phrase(1 + rnd.nextInt(4))} <a href="/${phrase(1)}">""" +
+        s"${phrase(1 + rnd.nextInt(3))}</p><p>${phrase(1 + rnd.nextInt(3))}</a> " +
+        s"${phrase(1 + rnd.nextInt(5))}</p>"
     }
     for (trial <- 1 to 300) {
       val html = "<html><head><title>t " + trial + "</title></head><body>" +
