@@ -69,6 +69,65 @@ object Trend {
         sum(col("term")).as("ewma_micro"))
   }
 
+  /** THEIL-SEN robust slope per entity (Theil 1950 / Sen 1968): the
+    * median of pairwise slopes over (x = hours since the entity's first
+    * event, y = centi-snapped value) — 29% breakdown point where least
+    * squares (q116) is yanked by one outlier. Expects the pre-projected
+    * frame (user_id, event_id, tus, yc); slopes micro-snap from exact
+    * integer (Δcenti, Δhour) pairs and the median is the exact ⌈n/2⌉-th
+    * order statistic under the deterministic (slope, e1, e2) order.
+    *
+    * SCALE DISPATCH (VERDICT r16 #5): the pair term is PER-ENTITY
+    * quadratic — calendar-bounded for typical users, but a power user
+    * at 100× is a hub bucket (the q113→q210 occupancy problem in
+    * per-user form). `cap > 0` keeps the md5-rank top-`cap` events per
+    * entity (the q71 deterministic-subsample idiom — seeded, no RNG)
+    * BEFORE pair enumeration, bounding every partition at
+    * cap·(cap−1)/2 pairs; the estimator stays Theil-Sen on a uniform
+    * per-entity subsample (the statistic's standard scale-out, same
+    * breakdown point on the sample). x re-bases on the SAMPLED min
+    * timestamp — the div-hour bucketing is shift-sensitive, so the
+    * re-base is part of the contract both engines replay. cap = 0 is
+    * the exact estimator (q195, oracle unchanged); q227 registers
+    * cap = 30, which BINDS at every gate SF (~64 events/user at
+    * sf0.01), so cap-constant corruption fails the gate.
+    */
+  def theilSen(ev: DataFrame, cap: Int = 0): DataFrame = {
+    val sampled =
+      if (cap <= 0) ev
+      else {
+        val wS = Window.partitionBy(col("user_id"))
+          .orderBy(graft.text.TextOps.hashPrefix("tssample|",
+            col("event_id")).asc, col("event_id").asc)
+        ev.withColumn("srn", row_number().over(wS))
+          .filter(col("srn") <= cap).drop("srn")
+      }
+    val base = sampled.join(
+        sampled.groupBy(col("user_id")).agg(min(col("tus")).as("t0")),
+        Seq("user_id"))
+      .withColumn("x", expr("(tus - t0) div 3600000000"))
+      .select(col("user_id"), col("event_id"), col("x"), col("yc"))
+    val a = base.select(col("user_id"), col("x").as("x1"),
+      col("yc").as("y1"), col("event_id").as("e1"))
+    val b = base.select(col("user_id"), col("x").as("x2"),
+      col("yc").as("y2"), col("event_id").as("e2"))
+    val slopes = a.join(b, Seq("user_id"))
+      .filter(col("x1") < col("x2"))
+      .withColumn("slope_micro",
+        floor((col("y2") - col("y1")).cast("double") * lit(1e6)
+          / (col("x2") - col("x1")).cast("double") + lit(0.5))
+          .cast("long"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("slope_micro"), col("e1"), col("e2"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1))
+        .over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("user_id"), col("np").as("n_pairs"),
+        col("slope_micro").as("ts_slope_micro"))
+  }
+
   /** CUSUM changepoint per entity: the split point k maximizing the
     * scaled mean-shift statistic |n·P_k − k·T| (P_k = prefix sum of the
     * centi-snapped value, T = total) — algebraically n·k·|mean(1..k) −

@@ -887,40 +887,15 @@ object Advanced extends QueryPack {
     // has a 29% breakdown point. Slopes are micro-snapped from exact
     // integer (Δcenti, Δhour) pairs; the median is the exact
     // ⌈n/2⌉-th order statistic under a deterministic total order.
-    // Scale shape: the pair term is PER-USER quadratic only (events
-    // per user is calendar-bounded — the q74 within-cell discipline);
-    // the rank window partitions by user over those bounded pair sets.
+    // Scale shape: the pair term is PER-USER quadratic (events per
+    // user is calendar-bounded for typical users — the q74 within-cell
+    // discipline); the rank window partitions by user over those
+    // bounded pair sets. SCALE PATH (VERDICT r16 #5): a power user at
+    // 100× makes its partition a hub bucket — q227_theilsen_sampled is
+    // the capped dispatch (Trend.theilSen cap = 30, the q71 md5-rank
+    // subsample), bounding every partition at cap·(cap−1)/2 pairs.
     "q195_theilsen_trend" -> Q(
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts")).as("tus"),
-            floor(col("value") * lit(100) + lit(0.5)).cast("long").as("yc"))
-        val base = ev.join(
-            ev.groupBy(col("user_id")).agg(min(col("tus")).as("t0")),
-            Seq("user_id"))
-          .withColumn("x", expr("(tus - t0) div 3600000000"))
-          .select(col("user_id"), col("event_id"), col("x"), col("yc"))
-        val a = base.select(col("user_id"), col("x").as("x1"),
-          col("yc").as("y1"), col("event_id").as("e1"))
-        val b = base.select(col("user_id"), col("x").as("x2"),
-          col("yc").as("y2"), col("event_id").as("e2"))
-        val slopes = a.join(b, Seq("user_id"))
-          .filter(col("x1") < col("x2"))
-          .withColumn("slope_micro",
-            floor((col("y2") - col("y1")).cast("double") * lit(1e6)
-              / (col("x2") - col("x1")).cast("double") + lit(0.5))
-              .cast("long"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("slope_micro"), col("e1"), col("e2"))
-        slopes
-          .withColumn("rn", row_number().over(w))
-          .withColumn("np", count(lit(1))
-            .over(Window.partitionBy(col("user_id"))))
-          .filter(col("rn") === expr("(np + 1) div 2"))
-          .select(col("user_id"), col("np").as("n_pairs"),
-            col("slope_micro").as("ts_slope_micro"))
-      },
+      (s, d) => graft.ops.Trend.theilSen(theilSenEvents(s, d)),
       Some("""
         WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
                            floor(value * 100 + 0.5)::BIGINT AS yc
@@ -929,6 +904,45 @@ object Advanced extends QueryPack {
                         (e.tus - t.t0) // 3600000000 AS x, e.yc
                  FROM ev e JOIN (SELECT user_id, min(tus) AS t0
                                  FROM ev GROUP BY 1) t USING (user_id)),
+        sl AS (SELECT a.user_id,
+                      floor((b.yc - a.yc)::DOUBLE * 1e6
+                            / (b.x - a.x)::DOUBLE + 0.5)::BIGINT
+                        AS slope_micro,
+                      a.event_id AS e1, b.event_id AS e2
+               FROM base a JOIN base b
+                 ON a.user_id = b.user_id AND a.x < b.x),
+        r AS (SELECT user_id, slope_micro,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY slope_micro, e1, e2) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS np
+              FROM sl)
+        SELECT user_id, np::BIGINT AS n_pairs,
+               slope_micro AS ts_slope_micro
+        FROM r WHERE rn = (np + 1) // 2""")),
+
+    // SAMPLED THEIL-SEN (VERDICT r16 #5 — q195's scale dispatch as a
+    // first-class oracle-checked operator, the q113→q210 capped-variant
+    // precedent): deterministic md5-rank top-30 events per user (the
+    // q71 subsample idiom) BEFORE pair enumeration, so a hub user costs
+    // 435 pairs instead of quadratic blowup; x re-bases on the sampled
+    // min (div-hour bucketing is shift-sensitive — contract shared with
+    // the oracle). The cap BINDS at every gate SF (~67 events/user), so
+    // cap-constant corruption fails the 3-SF check.
+    "q227_theilsen_sampled" -> Q(
+      (s, d) => graft.ops.Trend.theilSen(theilSenEvents(s, d), cap = 30),
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                           floor(value * 100 + 0.5)::BIGINT AS yc
+                    FROM events),
+        samp AS (SELECT user_id, event_id, tus, yc FROM (
+                   SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ('0x' || substr(md5('tssample|' || event_id), 1, 8))::BIGINT,
+                              event_id) AS srn
+                   FROM ev) WHERE srn <= 30),
+        base AS (SELECT e.user_id, e.event_id,
+                        (e.tus - t.t0) // 3600000000 AS x, e.yc
+                 FROM samp e JOIN (SELECT user_id, min(tus) AS t0
+                                   FROM samp GROUP BY 1) t USING (user_id)),
         sl AS (SELECT a.user_id,
                       floor((b.yc - a.yc)::DOUBLE * 1e6
                             / (b.x - a.x)::DOUBLE + 0.5)::BIGINT
@@ -1356,6 +1370,16 @@ object Advanced extends QueryPack {
                      * 1e6 + 0.5)::BIGINT AS chi2_contrib_micro
         FROM ben LEFT JOIN obs USING (digit) CROSS JOIN tot"""))
   )
+
+  /** The pre-projected Theil-Sen event frame (user_id, event_id, tus,
+    * yc) shared by q195 (exact) and q227 (sampled) so the snapping and
+    * column contract cannot drift between the two faces. */
+  private def theilSenEvents(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("yc"))
 
   /** Benford first-digit probabilities log₁₀(1+1/d), micro-snapped on
     * the driver ONCE and rendered into both the engine literal frame

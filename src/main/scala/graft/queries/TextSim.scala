@@ -4592,6 +4592,57 @@ object TextSim extends QueryPack {
         FROM unnest([1, 2, 4]) un(np)
         LEFT JOIN hits ON hits.np = un.np CROSS JOIN nq""")),
 
+    // TWO-STAGE RETRIEVAL (VERDICT r16 #1 — ADC shortlist → exact
+    // re-rank, the standard IVFADC serving fix): the q218 trained-
+    // residual path at shortlist R=50, then exact cosine on the RAW
+    // vectors of the shortlist, top-10. The r16 codebook-bits sweep
+    // pinned the honest ceiling of one-stage ADC (12% recall@10 at the
+    // 32-bit knee); re-ranking recovers the ADC-misranking loss INSIDE
+    // the candidate pool at |queries|×R extra exact dots — the
+    // remaining loss is coarse pruning only (nprobe's knob, q219).
+    // Shortlist + ranking replay the q218 oracle CTEs; the re-rank is
+    // q38's exact-cosine convention (round 6, ties to vec_id), so the
+    // two stages cannot drift from their one-stage siblings.
+    "q225_ivfpq_rerank" -> Q(
+      (s, d) => Similarity.ivfPqResidualRerankTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, m = 4, ksub = 8, centroids = 16,
+        coarseIters = 2, pqIters = 2, nprobe = 2, shortlist = 50, k = 10,
+        queryPred = col("vec_id") % 25 === 0),
+      Some(s"""
+        WITH ${trainedAssignCtes(16, 64, 2)},
+        ${pqResidualTrainCtes(4, 8, 16, 2)},
+        pcells AS (SELECT query_id, cell
+                   FROM (SELECT vec_id AS query_id, c AS cell,
+                                row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY ccos DESC, c) AS rn
+                         FROM sc WHERE vec_id % 25 = 0)
+                   WHERE rn <= 2),
+        ${residualTableCtes(4, 16)},
+        radc AS (SELECT t.query_id, rc.vec_id,
+                        sum(t.t_micro)::BIGINT AS adc_micro
+                 FROM rcodes rc
+                 JOIN rtbl t ON t.cell = rc.cell
+                            AND t.subspace = rc.subspace
+                            AND t.code = rc.code
+                 WHERE rc.vec_id <> t.query_id
+                 GROUP BY 1, 2),
+        short AS (SELECT query_id, vec_id FROM radc
+                  QUALIFY row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_micro, vec_id) <= 50),
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM en
+              WHERE vec_id % 25 = 0)
+        SELECT query_id, vec_id, cosine, rank
+        FROM (SELECT s.query_id, s.vec_id,
+                     round(list_dot_product(q.qv, e.v) / (q.qn * e.vn), 6)
+                       AS cosine,
+                     row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY round(list_dot_product(q.qv, e.v)
+                                      / (q.qn * e.vn), 6) DESC,
+                                s.vec_id) AS rank
+              FROM short s JOIN en e ON e.vec_id = s.vec_id
+              JOIN q ON q.query_id = s.query_id)
+        WHERE rank <= 10""")),
+
     // TRAINED LANGUAGE-ID (VERDICT r14 #5; width adjudicated r15 #6 /
     // r16): multinomial NB on CHAR 4-grams, labels from the corpus
     // `lang` column — the q133 model core over the standard langid
@@ -4758,6 +4809,109 @@ object TextSim extends QueryPack {
         FROM hb h JOIN lfd d USING (t)
         WHERE h.is_content
         GROUP BY h.doc_id""")),
+
+    // CRAWL CAPSTONE (VERDICT r16 #3): the end-to-end web-crawl
+    // curation pipeline as ONE oracle-checked dataflow — what q61 is
+    // for labeled text, over the raw-HTML input the r16 stages built:
+    // HTML main-content extraction (q222) → cross-document line-
+    // frequency boilerplate removal (q224) → language-ID over the
+    // CLEANED text (q33 — crawl data has no lang labels; the predicted
+    // lang becomes the shard key) → quality gate (q34) → exact dedup
+    // (q32) → near-dup drop (q35+q42, J ≥ 0.5) → per-shard sequence
+    // packing (q59). Stage ORDER is load-bearing (PLANS.md q226
+    // audit): boilerplate removal runs BEFORE langid/quality (repeated
+    // template lines distort marker counts and stopword density) and
+    // BEFORE near-dup (a boilerplate line shared by every document
+    // inflates shingle Jaccard and would glue unrelated docs into one
+    // cluster — removing it first is what makes J ≥ 0.5 mean content
+    // similarity); packing last (offsets depend on every upstream
+    // drop). Newlines in kept_text are re-joined with spaces so the
+    // downstream token grammar (split on spaces, both engines) sees
+    // clean word boundaries.
+    "q226_crawl_pipeline" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // 1–2. extract + boilerplate-filter; '' rows (all lines
+        // dropped) exit here, mirroring the oracle's IS NOT NULL
+        val clean0 = TextOps.lineFrequencyFilter(
+            graft.text.Html.mainContent(
+              docs.withColumn("html", expr(graft.text.Html.fixtureSql)),
+              "doc_id", "html")
+              .select(col("doc_id"), col("main_text")),
+            "doc_id", "main_text", maxDocFreq = 9L)
+          .select(col("doc_id"),
+            translate(col("kept_text"), "\n", " ").as("text"))
+          .filter(length(col("text")) > 0)
+          // EAGER checkpoint (q61 doctrine): the codec map + two
+          // line-frequency exchanges feed the langid/quality/dedup
+          // chain's multiple executions below
+          .localCheckpoint(true)
+        // 3–4. langid shard key + quality gate on the cleaned text
+        val gated = TextOps.withLangId(clean0, "text", "pred_lang")
+          .filter(TextOps.qualityScore(col("text")) >= 0.55)
+        // 5a. exact dedup: each content-hash group's min-id keeper
+        val keepers = NearDup.exactDedup(gated, "doc_id", "text")
+          .select(col("keeper_id"))
+        val exact = gated.join(keepers, col("doc_id") === col("keeper_id"),
+          "left_semi")
+          .localCheckpoint(true) // consumed by pair materialization + final
+        // 5b. near-dup drop: LSH candidates verified at J >= 0.5
+        val pairs = NearDup.minhashLshPairsFromRows(
+          TextOps.wordShingleRows(exact, "doc_id", "text", 3),
+          k = 16, bands = 8)
+          .filter(col("jaccard") >= 0.5)
+        val dropNear = NearDup.dedupClusters(pairs, "id_a", "id_b")
+          .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+        val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+        // 6. per-(predicted-lang) shard packing
+        Terms.packPrepared(
+          deduped.select(col("doc_id"), col("pred_lang").as("shard"),
+            TextOps.tokenCountFast(s, col("text")).cast("long")
+              .as("n_tokens")),
+          blockTokens = 256, orderCols = Seq("doc_id"))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            col("start_tok"), col("chunk"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        $htmlExtractCtes,
+        lfd AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS line_df
+                FROM hb WHERE is_content GROUP BY t),
+        cw AS (SELECT h.doc_id,
+                      string_agg(h.t, ' ' ORDER BY h.bi)
+                        FILTER (d.line_df <= 9) AS text
+               FROM hb h JOIN lfd d USING (t)
+               WHERE h.is_content
+               GROUP BY h.doc_id),
+        c1 AS (SELECT doc_id, text, $langIdCaseSql AS pred_lang
+               FROM cw WHERE text IS NOT NULL AND length(text) > 0),
+        c2 AS (SELECT * FROM c1 WHERE $qualitySql >= 0.55),
+        c3 AS (SELECT * FROM c2
+               QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) = 1),
+        ${minhashCtes(16, 8, src = "c3")},
+        pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sets sa ON sa.doc_id = c.id_a
+          JOIN sets sb ON sb.doc_id = c.id_b
+          WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                      (len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh))::DOUBLE),
+                      4) >= 0.5),
+        ${closureCtes("pairs")},
+        dropn AS (SELECT node AS doc_id FROM reach GROUP BY node
+                  HAVING min(root) <> node),
+        c4 AS (SELECT doc_id, pred_lang AS shard,
+                      len($DUCK_TOKENS)::BIGINT AS n_tokens
+               FROM c3
+               WHERE doc_id NOT IN (SELECT doc_id FROM dropn))
+        SELECT doc_id, shard, n_tokens,
+               (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_tok,
+               (sum(n_tokens) OVER w - n_tokens)::BIGINT // 256 AS chunk
+        FROM c4
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)""")),
 
     // Per-source GINI of the term-frequency vector — token-mass
     // concentration from the count-of-counts histogram (rank blocks in

@@ -2075,6 +2075,74 @@ object Similarity {
     rows.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
   }
 
+  /** EXACT-COSINE RE-RANK of a bounded (query_id, vec_id) shortlist —
+    * the second stage of two-stage retrieval (VERDICT r16 #1; the
+    * standard IVFADC serving fix: ADC ranks candidates with m·log2
+    * (ksub) bits of signal, so its top-k ordering is lossy even when
+    * the true neighbor IS in the candidate pool — re-scoring the
+    * shortlist against the RAW vectors recovers it at |queries|×R
+    * extra dots). Cosine is [[bruteForceTopK]]'s exact convention
+    * (sequential-fold dot, round 6, ties to vec_id) so a full-corpus
+    * shortlist degenerates to brute-force truth by construction.
+    *
+    * Scale shape: the shortlist is |queries|×R-bounded → BROADCAST it
+    * into the raws join (one map-side pass over the vector store, no
+    * shuffle); the query vectors broadcast like every probe path; the
+    * rank window partitions on query_id over ≤ R rows each.
+    */
+  def rerankExactWith(raws: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, shortlist: DataFrame,
+                      k: Int): DataFrame = {
+    val sp = raws.sparkSession
+    val v = raws.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", norm(sp, col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(sp, col("qv")))
+    val scored = v
+      .join(broadcast(shortlist.select(col("query_id"), col("vec_id"))),
+        Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** TWO-STAGE TRAINED-RESIDUAL IVFADC (VERDICT r16 #1): the q218
+    * serving path with the standard exact re-rank second stage — ADC
+    * top-`shortlist` per query (R ≈ 5–10× k), then exact cosine on the
+    * raw vectors of the shortlist, top-k. Recall is bounded above by
+    * the coarse-pruning ceiling (what nprobe cells contain — widening
+    * nprobe is the other knob, q219's curve), but the ADC-misranking
+    * loss INSIDE the candidate pool — the r16 codebook-bits sweep's
+    * measured gap — is recovered at |queries|×R re-scoring cost that
+    * rides the existing probe plan. q225 registers it; SimilaritySpec
+    * pins the recall lift at matched candidate budget; the shortlist
+    * and ranking replay the q218 oracle CTEs exactly.
+    */
+  def ivfPqResidualRerankTopK(vectors: DataFrame, idCol: String,
+                              vecCol: String, dims: Int, m: Int, ksub: Int,
+                              centroids: Int, coarseIters: Int, pqIters: Int,
+                              nprobe: Int, shortlist: Int, k: Int,
+                              queryPred: Column): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist $shortlist must be >= k=$k (it is the re-rank candidate pool)")
+    val cents = trainCentroidsExactMatrix(vectors, idCol, vecCol, dims,
+      centroids, coarseIters)
+    val pq = trainPqResidualMatrix(vectors, idCol, vecCol, dims, m, ksub,
+      cents, pqIters)
+    val short = ivfPqResidualTopK(vectors, idCol, vecCol, dims, m, ksub,
+        cents, (s, c) => pq(s)(c), nprobe, shortlist, queryPred)
+      .select(col("query_id"), col("vec_id"))
+    rerankExactWith(vectors, vectors.filter(queryPred), idCol, vecCol,
+      short, k)
+  }
+
   /** JL plane p over `dims` dimensions: component i = md5("jl{p}_{i}")
     * — a seed family distinct from the LSH planes and both centroid
     * families. */

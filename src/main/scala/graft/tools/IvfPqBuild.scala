@@ -35,7 +35,8 @@ import graft.sim.Similarity
   *   runMain graft.tools.IvfPqBuild build <sfDir> <outDir> [m=8] [ksub=16] [C=16] [buckets=8]
   *   runMain graft.tools.IvfPqBuild retrain <rawsDir> <outDir> [iters=2]
   *   runMain graft.tools.IvfPqBuild probe <sfDir> <outDir> [nprobe=2] [k=3] [reps=1]
-  *   runMain graft.tools.IvfPqBuild serve <reqDir> <outDir> [nprobe=2] [k=3]
+  *   runMain graft.tools.IvfPqBuild serve <reqDir> <outDir> [nprobe=2] [k=3] [rerank=0] [rawsDir]
+  *   runMain graft.tools.IvfPqBuild rerankspot <rawsDir> <outDir> [nprobe=2] [k=10] [R=100] [reps=3]
   *
   * Measured at ×100 (200k vectors, C=512, m=8 — SCALE.md §10): build
   * 27.8 s one-off; fresh-session first serve 10.3 s (SparkSession +
@@ -668,15 +669,35 @@ object IvfPqBuild {
 
   /** Serve top-k for `queries` from the persisted artifact: reopened
     * bucketed codes + loaded codebooks, through [[Similarity.ivfPqProbe]].
+    *
+    * TWO-STAGE SERVING (VERDICT r16 #1): `rerank > 0` turns on the
+    * standard exact second stage — ADC top-`rerank` shortlist through
+    * the same probe plan, then exact cosine on the RAW vectors of the
+    * shortlist (top-`k`, the q38 convention — output carries `cosine`
+    * instead of `adc_micro`). The artifact carries codes, not raws, so
+    * the re-rank reads the deployment's source-of-truth vector table at
+    * `rawsDir` (the SAME staged-raws contract retrain states: the index
+    * was never the only copy) — a |queries|×R-bounded broadcast join
+    * into one map-side pass over that store, riding the existing plan.
     */
   def probe(spark: SparkSession, outDir: String, queries: DataFrame,
-            idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
+            idCol: String, vecCol: String, nprobe: Int, k: Int,
+            rerank: Int = 0, rawsDir: String = null): DataFrame = {
     val p = loadParams(spark, outDir)
     val index = openIndex(spark, outDir)
     val cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
     val pqCb = loadPqCodebook(spark, outDir)
-    probeFor(p.encoding, index, queries, idCol, vecCol, p, nprobe, k,
-      cents, (s, c) => pqCb((s, c)))
+    val first = probeFor(p.encoding, index, queries, idCol, vecCol, p, nprobe,
+      if (rerank > 0) rerank else k, cents, (s, c) => pqCb((s, c)))
+    if (rerank <= 0) first
+    else {
+      require(rerank >= k, s"rerank shortlist $rerank must be >= k=$k")
+      require(rawsDir != null, "two-stage probe needs the raw vector " +
+        "store (rawsDir) — the artifact carries codes, not raws (the " +
+        "retrain staged-raws contract)")
+      Similarity.rerankExactWith(spark.read.parquet(rawsDir), queries,
+        idCol, vecCol, first.select(col("query_id"), col("vec_id")), k)
+    }
   }
 
   /** WARM PROBE SERVER (VERDICT r12 #4 — §10's own lesson applied: the
@@ -710,7 +731,13 @@ object IvfPqBuild {
     */
   def serve(spark: SparkSession, outDir: String, reqDir: String,
             idCol: String, vecCol: String, nprobe: Int, k: Int,
-            pollMs: Long = 200L, pinBytes: Long = 2L << 30): Int = {
+            pollMs: Long = 200L, pinBytes: Long = 2L << 30,
+            rerank: Int = 0, rawsDir: String = null): Int = {
+    if (rerank > 0) {
+      require(rerank >= k, s"rerank shortlist $rerank must be >= k=$k")
+      require(rawsDir != null, "two-stage serve needs the raw vector " +
+        "store (rawsDir) — the artifact carries codes, not raws")
+    }
     val idxFs = new org.apache.hadoop.fs.Path(s"$outDir/index")
       .getFileSystem(spark.sessionState.newHadoopConf())
     def metaFingerprint(): String = {
@@ -725,6 +752,7 @@ object IvfPqBuild {
     var pinned = false
     var cents: Array[Array[Double]] = null
     var pqCb: Map[(Int, Int), Array[Double]] = null
+    var raws: DataFrame = null
     var metaFp = ""
     // the warm server PINS the code table in executor memory (m·log2
     // (ksub) bits + a cell id per vector — ~30 MB at ×100; a cluster
@@ -752,6 +780,10 @@ object IvfPqBuild {
       }
       cents = Similarity.loadCentroids(spark, s"$outDir/centroids.parquet")
       pqCb = loadPqCodebook(spark, outDir)
+      // two-stage serving re-reads the raws LISTING on every reopen: a
+      // DataFrame pins its file index at creation, and the _meta bump a
+      // tick writes is exactly the signal that the raw store grew
+      if (rerank > 0) raws = spark.read.parquet(rawsDir)
       metaFp = metaFingerprint()
     }
     reopen()
@@ -778,12 +810,17 @@ object IvfPqBuild {
       pending.foreach { d =>
         val t0 = System.nanoTime()
         val queries = spark.read.parquet(d.toString)
-        probeFor(p.encoding, index, queries, idCol, vecCol, p, nprobe, k,
-            cents, (s, c) => pqCb((s, c)))
-          .write.mode("overwrite").parquet(s"$reqDir/out/${d.getName}")
+        val first = probeFor(p.encoding, index, queries, idCol, vecCol, p,
+          nprobe, if (rerank > 0) rerank else k, cents, (s, c) => pqCb((s, c)))
+        val answer =
+          if (rerank <= 0) first
+          else Similarity.rerankExactWith(raws, queries, idCol, vecCol,
+            first.select(col("query_id"), col("vec_id")), k)
+        answer.write.mode("overwrite").parquet(s"$reqDir/out/${d.getName}")
         served += 1
         println(f"[ivfpq] served batch '${d.getName}' in " +
-          f"${(System.nanoTime() - t0) / 1e9}%.1f s (warm, no re-open)")
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (warm, no re-open" +
+          (if (rerank > 0) s", two-stage R=$rerank)" else ")"))
       }
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$reqDir/stop"))
           && pending.isEmpty) stop = true
@@ -922,12 +959,46 @@ object IvfPqBuild {
             "(zero assignment/encode work)")
         }
       case "serve" =>
-        // args: serve <reqDir> <outDir> [nprobe=2] [k=3] — sfDir slot
-        // carries the request dir (the artifact is self-describing, no
-        // source table is read)
+        // args: serve <reqDir> <outDir> [nprobe=2] [k=3] [rerank=0]
+        // [rawsDir] — sfDir slot carries the request dir (the artifact
+        // is self-describing, no source table is read); rerank > 0
+        // turns on the two-stage exact re-rank against rawsDir
         val n = serve(spark, outDir, reqDir = sfDir, idCol = "vec_id",
-          vecCol = "embedding", nprobe = arg(3, 2), k = arg(4, 3))
+          vecCol = "embedding", nprobe = arg(3, 2), k = arg(4, 3),
+          rerank = arg(5, 0),
+          rawsDir = if (args.length > 6) args(6) else null)
         println(s"[ivfpq] serve loop drained: $n batches answered")
+      case "rerankspot" =>
+        // measurement harness (VERDICT r16 #1): recall + wall of
+        // one-stage vs two-stage serving on the frozen held-out truth
+        // at MATCHED nprobe — the evidence row for the ADC-shortlist →
+        // exact-re-rank stage. The honest recallspot denominator
+        // (actual truth rows at k). args: rerankspot <rawsDir> <outDir>
+        // [nprobe=2] [k=10] [R=100] [reps=3] — rawsDir is the raw
+        // (vec_id, embedding) parquet, the retrain staged-raws contract
+        val nprobe = arg(3, 2); val kk = arg(4, 10); val rr = arg(5, 100)
+        val reps = arg(6, 3)
+        val queries = spark.read.parquet(s"$outDir/heldout/queries")
+        val truthAll = spark.read.parquet(s"$outDir/heldout/truth")
+        val depth = truthAll.agg(max(col("rank"))).head().getInt(0)
+        require(kk <= depth, s"rerankspot k=$kk exceeds the persisted " +
+          s"held-out truth depth $depth")
+        val truth = truthAll.filter(col("rank") <= kk)
+          .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+        val possible = truth.count()
+        def run(tag: String, rerankR: Int): Unit = for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val got = probe(spark, outDir, queries, "vec_id", "embedding",
+            nprobe, kk, rerank = rerankR,
+            rawsDir = if (rerankR > 0) sfDir else null)
+          val hits = got.select(col("query_id"), col("vec_id"))
+            .join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+          println(f"[ivfpq] rerankspot $tag $r/$reps: nprobe=$nprobe " +
+            f"k=$kk: recall ${hits * 100.0 / possible}%.2f%% " +
+            f"($hits/$possible) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        run("one-stage", 0)
+        run(s"two-stage(R=$rr)", rr)
       case "servespot" =>
         // measurement harness for the warm loop (SCALE.md §10): carve
         // [batches] disjoint 80-query request batches out of sfDir's
@@ -996,7 +1067,8 @@ object IvfPqBuild {
         }
       case other => sys.error(
         s"unknown mode $other " +
-          "(build|retrain|probe|serve|servespot|ingesttick|tickspot)")
+          "(build|retrain|probe|serve|servespot|ingesttick|tickspot|" +
+          "compact|compactspot|recallspot|rerankspot)")
     }
     spark.stop()
   }

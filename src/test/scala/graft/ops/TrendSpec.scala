@@ -173,4 +173,31 @@ class TrendSpec extends SparkSpec {
         s"PAVA vs minimax diverged on cells $cells:\n  pava:    $fit\n  minimax: ${blocks.toSeq}")
     }
   }
+
+  test("theilSen cap: md5-rank subsample bounds pairs, inert below the cap, deterministic (VERDICT r16 #5)") {
+    // user 1: 10 hourly events (45 exact pairs); user 2: 3 events (under cap)
+    val rows = (0 until 10).map(i => (1L, i * 3600000000L, i.toLong, 10.0 + i)) ++
+      Seq((2L, 0L, 100L, 1.0), (2L, 3600000000L, 101L, 2.0),
+        (2L, 7200000000L, 102L, 3.0))
+    val evp = ev(rows)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("yc"))
+    def byUser(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = byUser(Trend.theilSen(evp))
+    assert(exact(1L)._1 === 45L, "exact face enumerates all pairs")
+    assert(exact(2L)._1 === 3L)
+    val capped = byUser(Trend.theilSen(evp, cap = 4))
+    // cap binds for user 1: exactly 4*3/2 pairs survive; user 2 is
+    // under the cap, so its row is bit-identical to the exact face
+    assert(capped(1L)._1 === 6L, s"cap=4 must bound pairs at 6: $capped")
+    assert(capped(2L) === exact(2L), "sub-cap entities are untouched")
+    // user 1 is exactly linear (100 centi/hour), so EVERY pairwise
+    // slope — hence any sample's median — is 100e6 micro
+    assert(capped(1L)._2 === 100000000L)
+    assert(exact(1L)._2 === 100000000L)
+    // determinism: the md5 rank is seeded, not RNG
+    assert(byUser(Trend.theilSen(evp, cap = 4)) === capped)
+  }
 }

@@ -318,6 +318,25 @@ class SimilaritySpec extends SparkSpec {
       val resumed = IvfPqBuild.serve(spark, out, req, "vec_id", "embedding",
         nprobe = 2, k = 3)
       assert(resumed === 1, s"resume must serve only the new batch: $resumed")
+      // TWO-STAGE LEG (VERDICT r16 #1): a rerank-configured warm server
+      // answers exactly the direct two-stage probe — same shortlist,
+      // same exact-cosine re-rank against the staged raws
+      val rawsPath = s"$dir/embeddings.parquet"
+      val q4 = emb.filter(pred && col("vec_id") % 5 === 0)
+      q4.write.parquet(s"$req/in/b4")
+      val served2 = IvfPqBuild.serve(spark, out, req, "vec_id", "embedding",
+        nprobe = 2, k = 3, rerank = 10, rawsDir = rawsPath)
+      assert(served2 === 1, s"two-stage resume must serve only b4: $served2")
+      def ckey(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "vec_id", "cosine", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3))).toSet
+      val loop2 = ckey(spark.read.parquet(s"$req/out/b4"))
+      val direct2 = ckey(IvfPqBuild.probe(spark, out, q4,
+        "vec_id", "embedding", nprobe = 2, k = 3,
+        rerank = 10, rawsDir = rawsPath))
+      assert(loop2 === direct2 && loop2.nonEmpty,
+        "two-stage warm-loop results diverged from the direct two-stage probe")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${IvfPqBuild.tableName(out)}")
     }
@@ -503,6 +522,39 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter($"f.adc_micro".isNull ||
       $"p.adc_micro" =!= $"f.adc_micro").isEmpty,
       "a residual-IVFADC candidate scored differently under pruning")
+  }
+
+  test("two-stage re-rank: exact second stage lifts recall at matched candidate budget (VERDICT r16 #1)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val qp = col("vec_id") % 25 === 0
+    val truthFull = Similarity.bruteForceTopK(emb, emb.filter(qp),
+      "vec_id", "embedding", k = 10).localCheckpoint(true)
+    val truth = truthFull.select($"query_id", $"vec_id")
+    def recall(got: org.apache.spark.sql.DataFrame): Long =
+      got.select($"query_id", $"vec_id")
+        .join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+    // MATCHED candidate budget: both paths read exactly the nprobe=2
+    // probed cells; the only difference is the ranking signal (32-bit
+    // ADC vs exact cosine on the R=50 shortlist)
+    val plain = Similarity.ivfPqResidualTrainedTopK(emb, "vec_id",
+      "embedding", dims = 64, m = 4, ksub = 8, centroids = 16,
+      coarseIters = 2, pqIters = 2, nprobe = 2, k = 10, queryPred = qp)
+    val rr = Similarity.ivfPqResidualRerankTopK(emb, "vec_id", "embedding",
+      dims = 64, m = 4, ksub = 8, centroids = 16, coarseIters = 2,
+      pqIters = 2, nprobe = 2, shortlist = 50, k = 10, queryPred = qp)
+    val (rp, rre) = (recall(plain), recall(rr))
+    assert(rre > rp,
+      s"exact re-rank must lift recall at the same probe budget: $rre vs $rp of ${truth.count()}")
+    // ceiling pin: every cell probed + a corpus-wide shortlist makes
+    // the two-stage path brute force EXACTLY (same cosine convention,
+    // same tie-breaks — rows identical, not just recall-equal)
+    val full = Similarity.ivfPqResidualRerankTopK(emb, "vec_id", "embedding",
+      dims = 64, m = 4, ksub = 8, centroids = 16, coarseIters = 2,
+      pqIters = 2, nprobe = 16, shortlist = 500, k = 10, queryPred = qp)
+    assert(full.collect().map(_.toSeq).toSet ===
+      truthFull.collect().map(_.toSeq).toSet,
+      "all-cells + full shortlist must degenerate to brute-force truth")
   }
 
   test("ivfPqProbe: a past-cap query batch fails with the named error, never a driver OOM (VERDICT r14 #4)") {
