@@ -396,6 +396,104 @@ object StreamingIngest {
     * checkpointed before the overwrite so the read never races its own
     * replacement (the manifest-tick lesson).
     */
+  /** STREAMING CRAWL-INGEST TICK (VERDICT r16 #6): the HTML →
+    * boilerplate stage as an incremental pipeline. q224's line-
+    * frequency df is a corpus-wide aggregate; recomputing it per run
+    * re-reads (and re-parses) everything. The per-line document-
+    * frequency grid is CELL-WISE MERGEABLE exactly like the q176 PSI
+    * grid — each document lands in exactly one batch, so per-batch
+    * `countDistinct(doc_id)` per line hash SUMS to the global df — so
+    * one tick drains newly staged raw-HTML docs, extracts main content
+    * ONCE ([[graft.text.Html.mainContent]], the typed-map codec pass),
+    * persists the line grain at `outDir/_lines`, and folds the batch's
+    * per-line df into the `outDir/_linedf` index. The filtered corpus
+    * is a READ FACE ([[graft.text.TextOps.lineFilteredCorpus]]): line
+    * store ⋈ df index, re-aggregated — no HTML re-parse ever, and
+    * `maxDocFreq` stays a read-time policy knob (late-discovered
+    * boilerplate retroactively drops from EARLIER documents' kept
+    * text, which is the point of frequency-truth maintenance).
+    *
+    * Crash-replay safety (the embedding-tick discipline): the two
+    * writes (line append, df overwrite) are not atomic. Batch docs are
+    * anti-joined against the line store's doc_ids first, so a replayed
+    * batch never double-appends lines; if the anti-join detects
+    * already-ingested docs (the replay signature), the df grid is
+    * REBUILT from the line store (one store scan, loudly logged — the
+    * `ensureFresh` rebuild price) instead of incrementally folded,
+    * healing the crash window where lines landed but their counts
+    * never folded. Repeated replays converge. `_meta` keeps the
+    * IndexMeta census (n_docs, n_lines, n_ticks) current per batch.
+    */
+  def crawlIngestTick(spark: SparkSession, stagingDir: String,
+                      outDir: String, checkpointDir: String,
+                      minChars: Int = 20): Unit = {
+    val docs = spark.readStream
+      .schema("doc_id LONG, html STRING")
+      .parquet(stagingDir)
+    val q: StreamingQuery = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.text.TextOps
+        val sp = batch.sparkSession
+        val linesDir = s"$outDir/_lines"
+        val dfDir = s"$outDir/_linedf"
+        // extract + line grain, consumed by the replay probe, the line
+        // append, and the df fold — one codec pass, checkpointed
+        val lines = TextOps.lineRows(
+            graft.text.Html.mainContent(batch.dropDuplicates("doc_id"),
+              "doc_id", "html", minChars)
+              .select(col("doc_id"), col("main_text")),
+            "doc_id", "main_text")
+          .localCheckpoint(true)
+        val path = new org.apache.hadoop.fs.Path(linesDir)
+        val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
+        val (fresh, replayDetected) =
+          if (fs.exists(path)) {
+            val batchIds = lines.select(col("doc_id")).distinct()
+            // pruned-column store scan, batch side broadcasts
+            val ingested = sp.read.parquet(linesDir).select(col("doc_id"))
+              .join(broadcast(batchIds.select(col("doc_id").as("bid"))),
+                col("doc_id") === col("bid"))
+              .select("doc_id").distinct().localCheckpoint(true)
+            val f = lines.join(broadcast(ingested), Seq("doc_id"),
+              "left_anti").localCheckpoint(true)
+            (f, ingested.count() > 0)
+          } else (lines, false)
+        fresh.write.mode("append").parquet(linesDir)
+        val merged = (if (replayDetected) {
+          System.err.println("[crawl-tick] replay detected (batch docs " +
+            "already in the line store) — rebuilding the df grid from " +
+            "the store instead of folding, healing any crash window")
+          sp.read.parquet(linesDir)
+            .groupBy(col("lh"))
+            .agg(countDistinct(col("doc_id")).as("line_df"))
+        } else {
+          val freshDf = fresh.groupBy(col("lh"))
+            .agg(countDistinct(col("doc_id")).as("line_df"))
+          val p = new org.apache.hadoop.fs.Path(dfDir)
+          if (fs.exists(p))
+            // standing grid checkpointed before its own overwrite (the
+            // manifest-tick race lesson)
+            sp.read.parquet(dfDir).localCheckpoint(true)
+              .unionByName(freshDf)
+              .groupBy(col("lh")).agg(sum(col("line_df")).as("line_df"))
+          else freshDf
+        }).localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(dfDir)
+        val prev = graft.sim.IndexMeta.read(sp, s"$outDir/_meta",
+          Seq("n_docs", "n_lines", "n_ticks"))
+          .getOrElse(Map("n_docs" -> 0L, "n_lines" -> 0L, "n_ticks" -> 0L))
+        graft.sim.IndexMeta.write(sp, s"$outDir/_meta", Seq(
+          "n_docs" -> (prev("n_docs") +
+            fresh.select(col("doc_id")).distinct().count()),
+          "n_lines" -> (prev("n_lines") + fresh.count()),
+          "n_ticks" -> (prev("n_ticks") + 1L)))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def driftMonitorTick(spark: SparkSession, stagingDir: String,
                        monitorDir: String, checkpointDir: String): Unit = {
     val docs = spark.readStream

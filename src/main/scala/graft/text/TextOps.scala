@@ -73,12 +73,32 @@ object TextOps {
   def lineFrequencyFilter(df: org.apache.spark.sql.DataFrame,
                           idCol: String, textCol: String,
                           maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
-    val lines = df.select(col(idCol).as("doc_id"),
+    val lines = lineRows(df, idCol, textCol)
+    val freq = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lineFilterFromRows(lines, freq, maxDocFreq)
+  }
+
+  /** The line grain [[lineFrequencyFilter]] aggregates over — (doc_id,
+    * line_no, line, lh) with empty lines dropped — factored out so the
+    * streaming crawl tick (r17) can PERSIST this grain once per doc and
+    * keep the df index current without re-extracting HTML. */
+  private[graft] def lineRows(df: org.apache.spark.sql.DataFrame,
+                              idCol: String,
+                              textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .filter(length(col("line")) > 0)
       .withColumn("lh", md5(col("line")))
-    val freq = lines.groupBy(col("lh"))
-      .agg(countDistinct(col("doc_id")).as("line_df"))
+
+  /** The re-aggregation half of [[lineFrequencyFilter]] over prebuilt
+    * line rows and a (lh, line_df) frequency frame — ONE definition for
+    * the batch operator and the [[lineFilteredCorpus]] read face of the
+    * streaming tick's persisted index, so the keep rule and the
+    * order-restoring aggregate cannot drift between them. */
+  private[graft] def lineFilterFromRows(lines: org.apache.spark.sql.DataFrame,
+                                        freq: org.apache.spark.sql.DataFrame,
+                                        maxDocFreq: Long): org.apache.spark.sql.DataFrame =
     lines.join(freq, Seq("lh"))
       .withColumn("keep", col("line_df") <= maxDocFreq)
       .groupBy(col("doc_id"))
@@ -88,7 +108,21 @@ object TextOps {
           when(col("keep"),
             struct(col("line_no").as("n"), col("line").as("l"))))),
           x => x.getField("l"))).as("kept_text"))
-  }
+
+  /** READ FACE of the streaming crawl-ingest artifact
+    * ([[graft.streaming.StreamingIngest.crawlIngestTick]]): the
+    * boilerplate-filtered corpus materialized from the PERSISTED line
+    * grain joined to the tick-maintained df index — no HTML re-parse,
+    * no corpus-wide line re-count; `maxDocFreq` is a read-time knob
+    * (the df index is frequency truth, the threshold is policy).
+    * Bit-identical to [[lineFrequencyFilter]] over everything ingested
+    * so far (StreamingSpec pins two-wave ≡ one-shot).
+    */
+  def lineFilteredCorpus(spark: org.apache.spark.sql.SparkSession,
+                         outDir: String,
+                         maxDocFreq: Long): org.apache.spark.sql.DataFrame =
+    lineFilterFromRows(spark.read.parquet(s"$outDir/_lines"),
+      spark.read.parquet(s"$outDir/_linedf"), maxDocFreq)
 
   def corpusDiff(oldDf: org.apache.spark.sql.DataFrame,
                  newDf: org.apache.spark.sql.DataFrame,

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Spot-measure the streaming crawl-ingest tick (VERDICT r16 #6) at
+  * corpus scale — the per-tick cost of keeping the HTML→boilerplate
+  * stage incremental: each wave stages a disjoint slice of the corpus
+  * as raw HTML (the q222 fixture wrapping), one
+  * [[graft.streaming.StreamingIngest.crawlIngestTick]] drains it
+  * (extract once, append the line grain, fold the df grid), and the
+  * read face ([[graft.text.TextOps.lineFilteredCorpus]]) materializes
+  * the filtered corpus WITHOUT re-parsing any HTML. The final row
+  * times the one-shot q224 recompute over the same corpus — the cost a
+  * per-run pipeline pays every run and the tick architecture pays
+  * never.
+  *
+  * Usage: runMain graft.tools.CrawlTickSpot <sfDir> <workDir>
+  *        [waves=3] [maxDocFreq=9]
+  */
+object CrawlTickSpot {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val work = args(1)
+    def arg(i: Int, d: Int) = if (args.length > i) args(i).toInt else d
+    val waves = arg(2, 3)
+    val maxDf = arg(3, 9)
+    val spark = ToolSession.local()
+    val fsPath = new org.apache.hadoop.fs.Path(work)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .withColumn("html", expr(graft.text.Html.fixtureSql))
+      .select(col("doc_id"), col("html"))
+    val n = docs.count()
+    val staging = s"$work/staging"
+    val out = s"$work/corpus"
+    for (w <- 0 until waves) {
+      docs.filter(pmod(col("doc_id"), lit(waves)) === w)
+        .write.mode("append").parquet(staging)
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingIngest.crawlIngestTick(spark, staging, out,
+        s"$work/ckpt")
+      val meta = graft.sim.IndexMeta.read(spark, s"$out/_meta",
+        Seq("n_docs", "n_lines", "n_ticks")).get
+      println(f"[crawltick] wave $w/$waves (corpus $n docs): tick wall " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s, ingested " +
+        f"${meta("n_docs")} docs / ${meta("n_lines")} lines over " +
+        f"${meta("n_ticks")} ticks")
+    }
+    for (r <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val kept = graft.text.TextOps.lineFilteredCorpus(spark, out, maxDf)
+        .agg(count(lit(1)), sum(col("n_kept"))).head()
+      println(f"[crawltick] read face rep $r/3: " +
+        f"${kept.getLong(0)} docs / ${kept.getLong(1)} kept lines in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s (no HTML re-parse)")
+    }
+    val t0 = System.nanoTime()
+    val oneShot = graft.text.TextOps.lineFrequencyFilter(
+      graft.text.Html.mainContent(docs, "doc_id", "html")
+        .select(col("doc_id"), col("main_text")),
+      "doc_id", "main_text", maxDf)
+      .agg(count(lit(1)), sum(col("n_kept"))).head()
+    println(f"[crawltick] one-shot q224 recompute (the per-run cost the " +
+      f"tick avoids): ${oneShot.getLong(0)} docs / " +
+      f"${oneShot.getLong(1)} kept lines in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

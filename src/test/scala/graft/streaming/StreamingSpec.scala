@@ -793,6 +793,86 @@ class StreamingSpec extends SparkSpec {
     assert(grid.values.sum === 7L, "grid cells count every ingested doc once")
   }
 
+  test("crawl ticks: line store + folded df index equal the one-shot " +
+      "boilerplate filter; late boilerplate drops retroactively; replay " +
+      "converges (VERDICT r16 #6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = Files.createTempDirectory("crawl").toString
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    val out = s"$base/corpus"
+    val words = Vector("alpha", "beta", "gamma", "delta", "lorem", "ipsum",
+      "verba", "scripta", "pagina", "textus", "corpus", "folium")
+    def docs(ids: Seq[Long]) = ids.map(i =>
+        (i, (0 until 12).map(j => words(((i + j) % 12).toInt)).mkString(" "),
+          "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("html", expr(graft.text.Html.fixtureSql))
+      .select(col("doc_id"), col("html"))
+    def filtered() =
+      graft.text.TextOps.lineFilteredCorpus(spark, out, maxDocFreq = 9L)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_lines", "n_kept", "kept_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+
+    docs(1L to 6L).coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.crawlIngestTick(spark, staging, out, s"$base/ckpt")
+    // after wave 1 the fixture's cross-document boilerplate line sits
+    // at df = 6 ≤ 9 — it is KEPT, because nothing yet says it is
+    // corpus-wide; frequency truth only exists after more arrivals
+    assert(filtered().filter(col("kept_text").contains("subscribe"))
+      .count() === 6L, "wave-1-only df must still keep the template line")
+
+    docs(7L to 12L).coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.crawlIngestTick(spark, staging, out, s"$base/ckpt")
+    val oneShot = graft.text.TextOps.lineFrequencyFilter(
+      graft.text.Html.mainContent(docs(1L to 12L), "doc_id", "html")
+        .select(col("doc_id"), col("main_text")),
+      "doc_id", "main_text", maxDocFreq = 9L)
+    assert(key(filtered()) === key(oneShot),
+      "two per-batch folds must equal the one-shot line filter bit-exactly")
+    // late discovery is RETROACTIVE: the wave-2 fold pushed the
+    // template line to df = 12 > 9, so it now drops from the WAVE-1
+    // documents' kept text too — the point of maintaining frequency
+    // truth instead of per-batch verdicts
+    assert(filtered().filter(col("kept_text").contains("subscribe"))
+      .count() === 0L)
+    // the folded df index IS the batch df over everything ingested
+    val batchDf = graft.text.TextOps.lineRows(
+        graft.text.Html.mainContent(docs(1L to 12L), "doc_id", "html")
+          .select(col("doc_id"), col("main_text")),
+        "doc_id", "main_text")
+      .groupBy(col("lh"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("doc_id"))
+        .as("line_df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val foldedDf = spark.read.parquet(s"$out/_linedf")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(foldedDf === batchDf,
+      "cell-wise folds must equal the corpus-wide df aggregate")
+    val meta = graft.sim.IndexMeta.read(spark, s"$out/_meta",
+      Seq("n_docs", "n_lines", "n_ticks")).get
+    assert(meta("n_docs") === 12L && meta("n_ticks") === 2L)
+    val linesBefore = spark.read.parquet(s"$out/_lines").count()
+    assert(meta("n_lines") === linesBefore)
+
+    // FULL REPLAY (crash-recovery shape): wipe the source checkpoint so
+    // both waves re-drain — the tick must not double-append lines, must
+    // rebuild (not re-fold) the df grid, and outputs must be unchanged
+    val ckptPath = new org.apache.hadoop.fs.Path(s"$base/ckpt")
+    ckptPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(ckptPath, true)
+    StreamingIngest.crawlIngestTick(spark, staging, out, s"$base/ckpt")
+    assert(spark.read.parquet(s"$out/_lines").count() === linesBefore,
+      "a replayed batch must never re-append lines")
+    assert(key(filtered()) === key(oneShot), "replay must converge")
+    assert(spark.read.parquet(s"$out/_linedf")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap === batchDf,
+      "the rebuilt df grid must equal the fold it replaced")
+  }
+
   test("two ingest ticks: drain, upsert, no reprocessing, old-wins merge") {
     import spark.implicits._
     val base = Files.createTempDirectory("stream").toString

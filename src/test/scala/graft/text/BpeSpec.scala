@@ -138,6 +138,56 @@ class BpeSpec extends SparkSpec {
       ("y", 4L, 5L, 7L, 1250000L, 1400000L)))
   }
 
+  test("256-merge training parity vs the independent reference (VERDICT r16 #2)") {
+    // the registered oracle face stays at 12 merges (the unrolled-CTE
+    // tractability adjudication, SCALE.md §12 addendum) — so realistic
+    // merge budgets are pinned HERE, engine vs the shared-nothing
+    // reference, through 256 full rounds. Fixture: 100 distinct
+    // 10-char words over {a..f}, each wc ≥ 2, so every pair a word
+    // contains counts ≥ 2 and capacity is ~900 rounds — 256 never
+    // dries up.
+    val rnd = new scala.util.Random(170816L)
+    val words = (0 until 100).map { _ =>
+      (0 until 10).map(_ => "abcdef"(rnd.nextInt(6))).mkString
+    }.distinct.zipWithIndex.map { case (w, i) => w -> (2L + i % 3) }.toMap
+    val (refMerges, refState) = refTrain(words, numMerges = 256, minCount = 2L)
+    assert(refMerges.size === 256,
+      s"fixture must support 256 rounds, got ${refMerges.size}")
+    val (merges, state) = Bpe.trainBpe(corpus(words), "text", numMerges = 256)
+    import spark.implicits._
+    val gotMerges = merges.orderBy("merge_rank")
+      .select("sym_l", "sym_r", "pair_count")
+      .as[(String, String, Long)].collect().toList
+    assert(gotMerges === refMerges)
+    val gotState = state.select("word", "syms")
+      .as[(String, Seq[String])].collect().map(p => p._1 -> p._2.toList).toMap
+    assert(gotState === refState)
+  }
+
+  test("tokenizePackLoose equals the strict face when training completes; " +
+      "packs what trains past capacity") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "ab ab", "x"), (1L, "abc", "x"),
+      (2L, "ab c", "y"), (3L, "cc ab", "y")).toDF("doc_id", "text", "lang")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val strict = key(Bpe.tokenizePack(docs, "doc_id", "text", "lang",
+      numMerges = 1, blockTokens = 2))
+    val loose = key(Bpe.tokenizePackLoose(docs, "doc_id", "text", "lang",
+      numMerges = 1, blockTokens = 2))
+    assert(loose === strict, "the faces must agree when training completes")
+    // past the corpus's merge capacity: the oracle face refuses loudly
+    // (the unroll-desync guard), the loose face packs what trained
+    val e = intercept[IllegalArgumentException] {
+      Bpe.tokenizePack(docs, "doc_id", "text", "lang",
+        numMerges = 50, blockTokens = 2)
+    }
+    assert(e.getMessage.contains("training stopped early"))
+    assert(Bpe.tokenizePackLoose(docs, "doc_id", "text", "lang",
+      numMerges = 50, blockTokens = 2).count() > 0L)
+  }
+
   test("fuzz: random corpora match the reference through full training") {
     def sample[A](g: Gen[A], seed: Long): A =
       g.pureApply(Gen.Parameters.default.withSize(8), Seed(seed))
