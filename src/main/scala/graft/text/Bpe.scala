@@ -31,6 +31,19 @@ import graft.plans.ArrayOps
   */
 object Bpe {
 
+  /** Storage level for every BPE checkpoint (round states, segment
+    * batches, the word-grain position frame): DISK_ONLY, measured at
+    * the ×1000 decade (r17, SCALE.md §12). The word table is
+    * vocabulary-bounded but the salted ∝N-vocab tier makes it 27.5M
+    * rows at 5M docs — the default MEMORY_AND_DISK blocks pinned the
+    * unified manager's protected storage pool and starved the next
+    * round's pair-count hash aggregate into
+    * UNABLE_TO_ACQUIRE_MEMORY at the default 8 GiB heap. Disk blocks
+    * take no storage-pool memory; at gate SF the states are <1 MB and
+    * the round-trip is noise (q221's sf0.1 column held).
+    */
+  private val DiskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
+
   /** THE training order — (count desc, pair asc) — defined once: the
     * tie-break is reproducibility-critical and q91's oracle checks it
     * through [[topPairs]], so [[trainBpe]] must consume the identical
@@ -101,7 +114,7 @@ object Bpe {
       out = out.withColumn("syms",
         ArrayOps.bpeMergePair(spark, col("syms"), lit(l), lit(r)))
       if ((i + 1) % batchMerges == 0) {
-        val ck = out.localCheckpoint(true)
+        val ck = out.localCheckpoint(true, DiskOnly)
         if (prev != null) Checkpoints.release(prev)
         prev = ck
         out = ck
@@ -132,11 +145,12 @@ object Bpe {
     * (checkpoint-batched every `batchMerges` projections); subword
     * positions come from a WORD-grain per-doc prefix sum plus
     * post-explode arithmetic (no token-grain window — 5–10× fewer rows
-    * through the sort, identical values by construction), and that
-    * word-grain frame is eagerly checkpointed before fanning out to
-    * its three consumers (vocab, offsets, final join — ADVICE r16:
-    * un-checkpointed, the kernel tail + window recomputed up to 3×);
-    * the
+    * through the sort, identical values by construction), and the
+    * window runs EXACTLY ONCE: the vocab and offsets consumers read
+    * the pre-window word grain (counts need no positions), so only the
+    * final branch sorts (ADVICE r16 closed structurally — r17; the
+    * frame is deliberately NOT checkpointed, see packTrained's
+    * disk-budget note from the ×1000 measurement); the
     * VOCABULARY window is bounded by alphabet+numMerges rows by
     * construction (a single tiny task); the packing window is
     * [[Terms.packPrepared]] — per-shard independence. The only
@@ -190,43 +204,47 @@ object Bpe {
                           blockTokens: Int, batchMerges: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seg = segment(df, idCol, textCol, merges, batchMerges)
-    // subword positions WITHOUT a token-grain window (r16 follow-up —
-    // the ×100 run showed the per-doc row_number over every subword
-    // occurrence was the chain's dominant sort): the running offset is
-    // computed at WORD grain (one row per word — 5–10× fewer rows in
-    // the window sort than subword grain), and each subword's position
-    // is word_start + sym_pos after the explode, an identical value by
-    // construction (word order, then symbol order).
-    // the frame below fans out to THREE consumers (vocab agg, offsets
-    // agg, final join) — checkpoint it eagerly so the segment kernel
-    // tail + the corpus-scale doc-keyed window run ONCE, not once per
-    // consumer (ADVICE r16; the repo's multi-consumer checkpoint
-    // doctrine). Checkpointing at WORD grain — before the posexplode —
-    // stores 5–10× fewer rows than the subword frame while cutting the
-    // same expensive subtree; the explode each consumer replays is a
-    // pure codegen projection.
+    // FAN-OUT AT SEG, WINDOW ONLY ON THE FINAL BRANCH (ADVICE r16,
+    // re-planned r17 after the ×1000 measurement): the three consumers
+    // (vocab, offsets, final) only SHARE the kernel-segmented word
+    // grain — vocabulary counts need no positions (explode the symbol
+    // arrays, count) and per-doc token counts need no positions (sum
+    // of array sizes), so the corpus-scale doc-keyed window sort runs
+    // EXACTLY ONCE, on the one branch that needs word_start. What each
+    // extra consumer recomputes is the map-only kernel chain over the
+    // scan — the NB-family rule (SCALE.md §12): a scan-grained frame's
+    // recompute is one codegen pass, while CHECKPOINTING it at the
+    // ×1000 decade writes ~corpus-sized blocks into the same disk
+    // budget as the window sort's shuffle spill (measured: the r17
+    // first cut eagerly checkpointed this frame and the decade run
+    // died of disk exhaustion mid-sort — 270M words × symbol arrays,
+    // blocks + spill > the box's scratch). ADVICE r16's 3×-window
+    // recompute is gone structurally, not bought with storage.
     val wordPos = seg.withColumn("nsyms", size(col("syms")).cast("long"))
       .withColumn("word_start",
         sum(col("nsyms")).over(Window.partitionBy(col("doc_id"))
           .orderBy(col("word_pos"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           - col("nsyms"))
-      .localCheckpoint(true)
     val pos = wordPos
       .select(col("doc_id"), col("word_start"),
         posexplode(col("syms")).as(Seq("sym_pos", "subword")))
       .withColumn("pos", col("word_start") + col("sym_pos"))
     // trained vocabulary: ≤ alphabet + numMerges distinct subwords by
-    // construction — the rank window is a bounded single task
-    val vocab = pos.groupBy(col("subword"))
+    // construction — the rank window is a bounded single task. Counts
+    // come from the PRE-window explode (one occurrence per subword —
+    // identical multiset to pos's, position-free by construction).
+    val vocab = seg.select(explode(col("syms")).as("subword"))
+      .groupBy(col("subword"))
       .agg(count(lit(1)).as("vc"))
       .select(col("subword"),
         (row_number().over(Window.orderBy(col("vc").desc,
           col("subword").asc)) - 1).cast("long").as("token_id"))
-    // per-doc token counts at WORD grain (sum of per-word symbol counts
-    // ≡ count of exploded subword rows — fewer rows into the agg)
+    // per-doc token counts at WORD grain, pre-window (sum of per-word
+    // symbol counts ≡ count of exploded subword rows)
     val offsets = Terms.packPrepared(
-      wordPos.groupBy(col("doc_id")).agg(sum(col("nsyms")).as("n_tokens"))
+      seg.groupBy(col("doc_id"))
+        .agg(sum(size(col("syms")).cast("long")).as("n_tokens"))
         .join(df.select(col(idCol).as("doc_id"),
           col(shardCol).as("shard")), Seq("doc_id")),
       blockTokens, orderCols = Seq("doc_id"))
@@ -285,7 +303,7 @@ object Bpe {
   def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
                minCount: Long = 2L): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    var words = initWords(df, textCol).localCheckpoint(true)
+    var words = initWords(df, textCol).localCheckpoint(true, DiskOnly)
     // release discipline (dedupClusters doctrine): each round's state is
     // a LAZY checkpoint materialized by the NEXT round's pair-count
     // action — one job per round, not checkpoint-job + count-job. The
@@ -306,7 +324,7 @@ object Bpe {
         merges += ((round, l, r, c))
         val updated = words.withColumn("syms",
             ArrayOps.bpeMergePair(spark, col("syms"), lit(l), lit(r)))
-          .localCheckpoint(false)
+          .localCheckpoint(false, DiskOnly)
         prevWords = words
         words = updated
         round += 1
