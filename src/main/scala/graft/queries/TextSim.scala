@@ -4592,6 +4592,75 @@ object TextSim extends QueryPack {
         FROM unnest([1, 2, 4]) un(np)
         LEFT JOIN hits ON hits.np = un.np CROSS JOIN nq""")),
 
+    // TWO-STAGE RECALL-vs-NPROBE CURVE (r17, the q219 sibling over the
+    // q225 path): recall@10 of ADC-shortlist → exact-re-rank at
+    // nprobe ∈ {1, 2, 4} against brute-force truth — the oracle-checked
+    // form of the ×100 composition evidence (SCALE.md §10 r17
+    // addendum: the two knobs stack because re-ranking makes every
+    // candidate a wider probe admits orderable). Publishing this
+    // beside q219 gives a deployment the full two-dial table: widening
+    // nprobe grows the reachable pool, re-ranking orders it — this
+    // curve is non-decreasing AND dominates q219's pointwise.
+    "q228_ivfpq_rerank_recall" -> Q(
+      (s, d) => Similarity.ivfPqResidualRerankRecallCurve(
+        Tables.embeddings(s, d), "vec_id", "embedding", dims = 64, m = 4,
+        ksub = 8, centroids = 16, coarseIters = 2, pqIters = 2,
+        nprobes = Seq(1, 2, 4), shortlist = 50, k = 10,
+        queryPred = col("vec_id") % 25 === 0),
+      Some(s"""
+        WITH ${trainedAssignCtes(16, 64, 2)},
+        ${pqResidualTrainCtes(4, 8, 16, 2)},
+        q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM en
+              WHERE vec_id % 25 = 0),
+        truth AS (SELECT query_id, en.vec_id
+                  FROM q, en WHERE en.vec_id <> q.query_id
+                  QUALIFY row_number() OVER (PARTITION BY query_id
+                          ORDER BY round(list_dot_product(qv, v)
+                                         / (qn * vn), 6) DESC,
+                                   en.vec_id) <= 10),
+        qprobes AS (SELECT np, query_id, cell
+                    FROM (SELECT vec_id AS query_id, c AS cell,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY ccos DESC, c) AS rn
+                          FROM sc WHERE vec_id % 25 = 0),
+                         unnest([1, 2, 4]) un(np)
+                    WHERE rn <= np),
+        pcells AS (SELECT DISTINCT query_id, cell FROM qprobes),
+        ${residualTableCtes(4, 16)},
+        radc AS (SELECT p.np, p.query_id, rc.vec_id,
+                        sum(t.t_micro)::BIGINT AS adc_micro
+                 FROM rcodes rc
+                 JOIN qprobes p ON p.cell = rc.cell
+                 JOIN rtbl t ON t.query_id = p.query_id
+                            AND t.cell = rc.cell
+                            AND t.subspace = rc.subspace
+                            AND t.code = rc.code
+                 WHERE rc.vec_id <> p.query_id
+                 GROUP BY 1, 2, 3),
+        short AS (SELECT np, query_id, vec_id FROM radc
+                  QUALIFY row_number() OVER (PARTITION BY np, query_id
+                          ORDER BY adc_micro, vec_id) <= 50),
+        rr AS (SELECT np, query_id, vec_id
+               FROM (SELECT s.np, s.query_id, s.vec_id,
+                            row_number() OVER (PARTITION BY s.np, s.query_id
+                              ORDER BY round(list_dot_product(q.qv, e.v)
+                                             / (q.qn * e.vn), 6) DESC,
+                                       s.vec_id) AS rank
+                     FROM short s JOIN en e ON e.vec_id = s.vec_id
+                     JOIN q ON q.query_id = s.query_id)
+               WHERE rank <= 10),
+        hits AS (SELECT np, count(*)::BIGINT AS hit
+                 FROM rr JOIN truth USING (query_id, vec_id)
+                 GROUP BY 1),
+        nq AS (SELECT count(*)::BIGINT AS n FROM q)
+        SELECT un.np AS nprobe, nq.n AS n_queries,
+               coalesce(hits.hit, 0)::BIGINT AS hits,
+               (nq.n * 10)::BIGINT AS possible,
+               floor(coalesce(hits.hit, 0)::DOUBLE * 1e6
+                     / (nq.n * 10)::DOUBLE + 0.5)::BIGINT AS recall_micro
+        FROM unnest([1, 2, 4]) un(np)
+        LEFT JOIN hits ON hits.np = un.np CROSS JOIN nq""")),
+
     // TWO-STAGE RETRIEVAL (VERDICT r16 #1 — ADC shortlist → exact
     // re-rank, the standard IVFADC serving fix): the q218 trained-
     // residual path at shortlist R=50, then exact cosine on the RAW

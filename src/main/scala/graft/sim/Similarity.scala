@@ -2143,6 +2143,59 @@ object Similarity {
       short, k)
   }
 
+  /** Recall-vs-nprobe curve of the TWO-STAGE path (q228 — the
+    * [[ivfPqResidualRecallCurve]] sibling with the exact re-rank
+    * second stage): per sweep point, ADC top-`shortlist` through the
+    * shared trained index, exact-cosine re-rank to top-k, recall vs
+    * the one shared brute-force truth. The evidence the ×100 spot
+    * measured (nprobe=2 24.4% / nprobe=4 30.6% vs one-stage
+    * 12.0/12.8%) as a registered oracle-checked table: re-ranking
+    * makes every candidate a wider probe admits ORDERABLE, so the two
+    * knobs compose — this curve is non-decreasing AND dominates q219's
+    * pointwise. Cost discipline is the sibling's: ONE truth pass, ONE
+    * training, ONE encode shared across points (checkpointed); each
+    * point pays the probe half plus a |queries|×R-bounded re-rank.
+    */
+  def ivfPqResidualRerankRecallCurve(vectors: DataFrame, idCol: String,
+                                     vecCol: String, dims: Int, m: Int,
+                                     ksub: Int, centroids: Int,
+                                     coarseIters: Int, pqIters: Int,
+                                     nprobes: Seq[Int], shortlist: Int,
+                                     k: Int, queryPred: Column): DataFrame = {
+    require(nprobes.nonEmpty,
+      "ivfPqResidualRerankRecallCurve needs at least one sweep point")
+    require(shortlist >= k,
+      s"shortlist $shortlist must be >= k=$k (the re-rank candidate pool)")
+    val queries = vectors.filter(queryPred)
+    val truth = bruteForceTopK(vectors, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint(true)
+    val cents = trainCentroidsExactMatrix(vectors, idCol, vecCol, dims,
+      centroids, coarseIters)
+    val pq = trainPqResidualMatrix(vectors, idCol, vecCol, dims, m, ksub,
+      cents, pqIters)
+    val cells = assignCells(vectors, idCol, vecCol, cents)
+      .select(col("vec_id"), col("v"), col("ccos"), col("cell"))
+      .localCheckpoint(true)
+    val codes = ivfPqEncodeResidual(
+        cells.select(col("vec_id"), col("v")), "vec_id", "v",
+        dims, m, ksub, cents, (s, c) => pq(s)(c))
+      .localCheckpoint(true)
+    val nq = queries.count()
+    val rows = nprobes.map { np =>
+      val short = residualAdcTopK(cells, codes, dims, m, ksub, cents,
+          (s, c) => pq(s)(c), np, shortlist, queryPred)
+        .select(col("query_id"), col("vec_id"))
+      val got = rerankExactWith(vectors, queries, idCol, vecCol, short, k)
+        .select(col("query_id"), col("vec_id"))
+      val hits = got.join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+      (np, nq, hits, nq * k,
+        math.floor(hits.toDouble * 1e6 / (nq * k).toDouble + 0.5).toLong)
+    }
+    import vectors.sparkSession.implicits._
+    rows.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+  }
+
   /** JL plane p over `dims` dimensions: component i = md5("jl{p}_{i}")
     * — a seed family distinct from the LSH planes and both centroid
     * families. */
