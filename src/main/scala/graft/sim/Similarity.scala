@@ -2088,7 +2088,13 @@ object Similarity {
     * Scale shape: the shortlist is |queries|×R-bounded → BROADCAST it
     * into the raws join (one map-side pass over the vector store, no
     * shuffle); the query vectors broadcast like every probe path; the
-    * rank window partitions on query_id over ≤ R rows each.
+    * rank window partitions on query_id over ≤ R rows each. The
+    * broadcast sizing contract is the probe paths' serve-sized cap:
+    * every caller's query batch already passes ivfPq*Probe's qCap
+    * guard (or is a bounded registered sample), so |queries|×R stays
+    * a few MB of (id, id) pairs — a caller bypassing that contract
+    * with corpus-scale "queries" should use the distributed TopK
+    * faces instead, same as for the probe itself.
     */
   def rerankExactWith(raws: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, shortlist: DataFrame,
