@@ -4982,6 +4982,65 @@ object TextSim extends QueryPack {
         WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                      ROWS UNBOUNDED PRECEDING)""")),
 
+    // URL CANONICALIZATION + FUZZY-URL DEDUP (VERDICT r17 #7): the
+    // crawl capstone's stage 0 — before any content stage runs, the
+    // frontier dedups URLs, not documents. Canonicalization (lowercase
+    // scheme/host, default-port strip, fragment drop, trailing-slash
+    // trim, tracking-param removal, param SORT) is one deterministic
+    // codegen string kernel; the dedup is NearDup.exactDedup's shape on
+    // the fuzzy key (scheme→https, www. stripped). Fixture: five
+    // spellings of the same page per 5-doc group (TextOps.urlFixtureSql,
+    // shared-fragment so both engines synthesize identical inputs);
+    // variants 0–3 must collapse to ONE group and variant 4 (root-path
+    // resource) must survive alone — n_copies is the oracle-checked
+    // proof that every rule fired.
+    "q229_url_dedup" -> Q(
+      (s, d) => graft.text.TextOps.urlDedup(
+        Tables.documents(s, d)
+          .withColumn("url", expr(graft.text.TextOps.urlFixtureSql)),
+        "doc_id", "url"),
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id, ${graft.text.TextOps.urlFixtureSql} AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+                 split_part(split_part(url, '#', 1), '://', 2) AS rest
+          FROM u),
+        a AS (
+          SELECT doc_id, scheme,
+                 lower(regexp_extract(rest, '^[^/?]*', 0)) AS auth,
+                 substr(rest, length(regexp_extract(rest, '^[^/?]*', 0)) + 1) AS pq
+          FROM p),
+        c AS (
+          SELECT doc_id, scheme,
+                 CASE WHEN scheme = 'http'  AND auth LIKE '%:80'
+                      THEN substr(auth, 1, length(auth) - 3)
+                      WHEN scheme = 'https' AND auth LIKE '%:443'
+                      THEN substr(auth, 1, length(auth) - 4)
+                      ELSE auth END AS host,
+                 CASE WHEN regexp_replace(split_part(pq, '?', 1), '/+$$', '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(split_part(pq, '?', 1), '/+$$', '') END AS path,
+                 array_to_string(list_sort(list_filter(
+                   string_split(split_part(pq, '?', 2), '&'),
+                   q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|gclid|fbclid|ref)='))),
+                   '&') AS params
+          FROM a),
+        k AS (
+          SELECT doc_id,
+                 scheme || '://' || host || path ||
+                   (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_url,
+                 'https://' || regexp_replace(host, '^www\\.', '') || path ||
+                   (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_key
+          FROM c)
+        SELECT canon_key,
+               min(doc_id) AS keeper_id,
+               min(canon_url) AS canon_url,
+               count(*)::BIGINT AS n_copies
+        FROM k GROUP BY canon_key""")),
+
     // Per-source GINI of the term-frequency vector — token-mass
     // concentration from the count-of-counts histogram (rank blocks in
     // closed form, so the only window is over O(√T) cells; Gini is

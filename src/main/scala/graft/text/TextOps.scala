@@ -836,4 +836,101 @@ object TextOps {
         min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"),
         expr("bit_xor(content_checksum)").as("content_checksum"))
   }
+
+  /** Query params dropped by URL canonicalization: click/campaign
+    * trackers that vary per visit without changing the resource. One
+    * regex alternation so the filter is a single codegen rlike per
+    * param. */
+  private val TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+  /** Decomposed absolute http(s) URL: (scheme, host, path, params) as
+    * canonical Columns. Contract: input is an absolute URL with an
+    * explicit scheme (the crawl-frontier shape); no userinfo. All
+    * built-ins in one map-only pass — no UDF, no shuffle; the only
+    * non-codegen node is the param-filter HOF, which runs once per URL
+    * at document grain (the gopher rule bars HOFs at TOKEN grain). */
+  private def urlParts(url: Column): (Column, Column, Column, Column) = {
+    val defrag = split_part(url, lit("#"), lit(1))
+    val scheme = lower(split_part(defrag, lit("://"), lit(1)))
+    val rest   = split_part(defrag, lit("://"), lit(2))
+    val auth   = lower(regexp_extract(rest, "^[^/?]*", 0))
+    // authority is case-only-normalized, so its length equals the
+    // original's; everything after it is path[?query]
+    val pq     = substr(rest, length(auth) + lit(1), length(rest))
+    val host = when(scheme === "http" && auth.endsWith(":80"),
+        substr(auth, lit(1), length(auth) - lit(3)))
+      .when(scheme === "https" && auth.endsWith(":443"),
+        substr(auth, lit(1), length(auth) - lit(4)))
+      .otherwise(auth)
+    val rawPath = regexp_replace(split_part(pq, lit("?"), lit(1)), "/+$", "")
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val params = array_join(
+      array_sort(filter(split(split_part(pq, lit("?"), lit(2)), "&"),
+        p => p =!= "" && !p.rlike(TRACKING_PARAM_RE))), "&")
+    (scheme, host, path, params)
+  }
+
+  private def assembleUrl(scheme: Column, host: Column, path: Column,
+                          params: Column): Column =
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+
+  /** URL canonicalization (VERDICT r17 #7 — the crawl frontier's stage
+    * 0): lowercase scheme+host, strip the fragment and the scheme's
+    * default port (:80 http / :443 https), drop trailing path slashes
+    * (root stays "/"), remove tracking params ([[TRACKING_PARAM_RE]])
+    * and SORT the survivors so param order never splits a URL into two
+    * frontier entries. Reference behavior class: the dischargeobs
+    * staged downloads key on exact station URLs (reference
+    * WSC_hourly.py builds them by string concat) — canonicalization is
+    * what makes that key stable when the same resource arrives spelled
+    * differently, and what a crawl pipeline runs before any fetch. */
+  def canonicalizeUrl(url: Column): Column = {
+    val (scheme, host, path, params) = urlParts(url)
+    assembleUrl(scheme, host, path, params)
+  }
+
+  /** Fuzzy-URL dedup key: [[canonicalizeUrl]] with the scheme forced to
+    * https and a leading "www." stripped — http://www.x.com/a and
+    * https://x.com/a are one page for dedup purposes even though their
+    * canonical URLs differ. The KEY is fuzzy; the canonical URL kept
+    * alongside it stays faithful. */
+  def fuzzyUrlKey(url: Column): Column = {
+    val (_, host, path, params) = urlParts(url)
+    assembleUrl(lit("https"), regexp_replace(host, "^www\\.", ""), path, params)
+  }
+
+  /** Fuzzy-URL dedup: group by [[fuzzyUrlKey]], keep the smallest id
+    * (NearDup.exactDedup's contract applied to URLs instead of
+    * content). `canon_url` is the group's lexicographically-least
+    * CANONICAL url — the stable spelling a frontier would fetch. One
+    * skew-free map-side-combined shuffle on the key; at 100 TB the key
+    * cardinality is the unique-page count, and no per-group state
+    * exceeds a few strings. */
+  def urlDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+               urlCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(fuzzyUrlKey(col(urlCol)).as("canon_key"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        min(canonicalizeUrl(col(urlCol))).as("canon_url"),
+        count(lit(1)).as("n_copies"))
+
+  /** Deterministic crawl-frontier URL fixture over doc_id — the
+    * Html.fixtureSql precedent: ONE SQL fragment valid in both Spark
+    * SQL and DuckDB (||, cast as string, floor + / division, CASE), so
+    * the two engines synthesize bit-identical inputs. Five spellings
+    * per 5-doc group; variants 0–3 collide on the fuzzy key (host
+    * case, :80/:443 default ports + http scheme, utm/gclid/fbclid
+    * trackers, www prefix, param order, trailing slash, fragment)
+    * while variant 4 is a root-path resource of its own (exercises the
+    * empty-path → "/" rule). */
+  def urlFixtureSql: String = {
+    val g = "cast(cast(floor(doc_id / 5) as bigint) as string)"
+    s"""CASE
+        WHEN doc_id % 5 = 0 THEN 'https://SiTe' || $g || '.Example.COM/a/b?id=' || $g || '&z=2'
+        WHEN doc_id % 5 = 1 THEN 'http://site' || $g || '.example.com:80/a/b/?z=2&id=' || $g
+        WHEN doc_id % 5 = 2 THEN 'HTTPS://site' || $g || '.example.com:443/a/b?z=2&utm_source=news&id=' || $g || '&utm_campaign=x#frag'
+        WHEN doc_id % 5 = 3 THEN 'https://www.site' || $g || '.example.com/a/b?gclid=Z123&id=' || $g || '&z=2&fbclid=F1'
+        ELSE 'https://site' || $g || '.example.com?id=' || $g || '&z=2'
+        END"""
+  }
 }

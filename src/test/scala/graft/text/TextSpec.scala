@@ -812,4 +812,50 @@ class TextSpec extends SparkSpec {
     assert(out(1)._4.exists(j => j > 0.3 && j < 1.0))
     assert(out(2)._3.isEmpty && out(2)._4.isEmpty)
   }
+
+  test("canonicalizeUrl: each rule fires alone; already-canonical is a fixpoint") {
+    import spark.implicits._
+    val cases = Seq(
+      // (input, expected canonical) — one rule per row
+      ("HTTPS://EXAMPLE.com/a", "https://example.com/a"),           // scheme+host case
+      ("http://example.com:80/a", "http://example.com/a"),          // http default port
+      ("https://example.com:443/a", "https://example.com/a"),       // https default port
+      ("http://example.com:8080/a", "http://example.com:8080/a"),   // NON-default port kept
+      ("https://example.com/a/#sec", "https://example.com/a"),      // fragment + trailing slash
+      ("https://example.com//a//", "https://example.com//a"),       // only TRAILING slashes trim
+      ("https://example.com", "https://example.com/"),              // empty path → root
+      ("https://example.com/?", "https://example.com/"),            // empty query drops the ?
+      ("https://example.com/a?utm_source=x&utm_campaign=y", "https://example.com/a"),
+      ("https://example.com/a?gclid=1&id=2&fbclid=3&ref=h", "https://example.com/a?id=2"),
+      ("https://example.com/a?z=1&b=2&a=3", "https://example.com/a?a=3&b=2&z=1"), // param sort
+      ("https://example.com/a?a=3&b=2&z=1", "https://example.com/a?a=3&b=2&z=1")) // fixpoint
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.text.TextOps.canonicalizeUrl($"url")).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g === want, s"canonicalizeUrl($in)") }
+    // canonicalization is idempotent over the whole battery
+    val twice = got.toSeq.toDF("url")
+      .select(graft.text.TextOps.canonicalizeUrl($"url")).as[String].collect()
+    assert(twice.toSeq === got.toSeq)
+  }
+
+  test("fuzzyUrlKey + urlDedup: scheme/www fuzz collapses; distinct resources survive") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "http://www.example.com/a?id=1"),
+      (2L, "https://example.com/a/?id=1#x"),
+      (3L, "HTTPS://WWW.Example.com:443/a?utm_source=t&id=1"),
+      (4L, "https://example.com/b?id=1"), // different path: own group
+      (5L, "https://example.com/a?id=2")) // different kept param: own group
+      .toDF("doc_id", "url")
+    val out = graft.text.TextOps.urlDedup(urls, "doc_id", "url")
+      .as[(String, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.length === 3)
+    val g1 = out(0)
+    assert(g1._1 === "https://example.com/a?id=1" && g1._2 === 1L && g1._4 === 3L)
+    // canon_url keeps the faithful spelling (min = the http variant here)
+    assert(g1._3 === "http://www.example.com/a?id=1")
+    assert(out(1)._2 === 4L && out(1)._4 === 1L)
+    assert(out(2)._2 === 5L && out(2)._4 === 1L)
+  }
 }
