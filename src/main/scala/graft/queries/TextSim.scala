@@ -4897,50 +4897,19 @@ object TextSim extends QueryPack {
     // drop). Newlines in kept_text are re-joined with spaces so the
     // downstream token grammar (split on spaces, both engines) sees
     // clean word boundaries.
+    // Builder body factored into graft.pipeline.CrawlCurate (r18, the
+    // incremental-capstone work): oneShot is this exact stage chain —
+    // extract → line-df filter (checkpoint) → langid+quality attrs →
+    // gate → exact dedup (checkpoint) → LSH pairs over survivors'
+    // signatures → cluster drop → pack — and the curatedCrawlTick read
+    // face re-curates the SAME curate() tail from persisted attrs, so
+    // the one-shot and the tick cannot drift (StreamingSpec pins them
+    // bit-exact).
     "q226_crawl_pipeline" -> Q(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        // 1–2. extract + boilerplate-filter; '' rows (all lines
-        // dropped) exit here, mirroring the oracle's IS NOT NULL
-        val clean0 = TextOps.lineFrequencyFilter(
-            graft.text.Html.mainContent(
-              docs.withColumn("html", expr(graft.text.Html.fixtureSql)),
-              "doc_id", "html")
-              .select(col("doc_id"), col("main_text")),
-            "doc_id", "main_text", maxDocFreq = 9L)
-          .select(col("doc_id"),
-            translate(col("kept_text"), "\n", " ").as("text"))
-          .filter(length(col("text")) > 0)
-          // EAGER checkpoint (q61 doctrine): the codec map + two
-          // line-frequency exchanges feed the langid/quality/dedup
-          // chain's multiple executions below
-          .localCheckpoint(true)
-        // 3–4. langid shard key + quality gate on the cleaned text
-        val gated = TextOps.withLangId(clean0, "text", "pred_lang")
-          .filter(TextOps.qualityScore(col("text")) >= 0.55)
-        // 5a. exact dedup: each content-hash group's min-id keeper
-        val keepers = NearDup.exactDedup(gated, "doc_id", "text")
-          .select(col("keeper_id"))
-        val exact = gated.join(keepers, col("doc_id") === col("keeper_id"),
-          "left_semi")
-          .localCheckpoint(true) // consumed by pair materialization + final
-        // 5b. near-dup drop: LSH candidates verified at J >= 0.5
-        val pairs = NearDup.minhashLshPairsFromRows(
-          TextOps.wordShingleRows(exact, "doc_id", "text", 3),
-          k = 16, bands = 8)
-          .filter(col("jaccard") >= 0.5)
-        val dropNear = NearDup.dedupClusters(pairs, "id_a", "id_b")
-          .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
-        val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
-        // 6. per-(predicted-lang) shard packing
-        Terms.packPrepared(
-          deduped.select(col("doc_id"), col("pred_lang").as("shard"),
-            TextOps.tokenCountFast(s, col("text")).cast("long")
-              .as("n_tokens")),
-          blockTokens = 256, orderCols = Seq("doc_id"))
-          .select(col("doc_id"), col("shard"), col("n_tokens"),
-            col("start_tok"), col("chunk"))
-      },
+      (s, d) => graft.pipeline.CrawlCurate.oneShot(
+        Tables.documents(s, d)
+          .withColumn("html", expr(graft.text.Html.fixtureSql))
+          .select(col("doc_id"), col("html"))),
       Some(s"""
         WITH RECURSIVE
         $htmlExtractCtes,

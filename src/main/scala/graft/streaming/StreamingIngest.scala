@@ -434,61 +434,181 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        crawlFoldBatch(batch, outDir, minChars); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One crawl line/df fold — the [[crawlIngestTick]] foreachBatch body,
+    * shared with [[curatedCrawlTick]] so the two ticks cannot drift.
+    * Returns what the curated tick's delta pass needs: the appended
+    * fresh lines, the merged df grid, the PRE-fold standing grid (both
+    * checkpointed), the post-fold tick counter and whether a replay was
+    * healed.
+    */
+  private def crawlFoldBatch(batch: DataFrame, outDir: String,
+                             minChars: Int)
+      : (DataFrame, DataFrame, Option[DataFrame], Long, Boolean) = {
+    import graft.text.TextOps
+    val sp = batch.sparkSession
+    val linesDir = s"$outDir/_lines"
+    val dfDir = s"$outDir/_linedf"
+    // extract + line grain, consumed by the replay probe, the line
+    // append, and the df fold — one codec pass, checkpointed
+    val lines = TextOps.lineRows(
+        graft.text.Html.mainContent(batch.dropDuplicates("doc_id"),
+          "doc_id", "html", minChars)
+          .select(col("doc_id"), col("main_text")),
+        "doc_id", "main_text")
+      .localCheckpoint(true)
+    val path = new org.apache.hadoop.fs.Path(linesDir)
+    val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
+    val (fresh, replayDetected) =
+      if (fs.exists(path)) {
+        val batchIds = lines.select(col("doc_id")).distinct()
+        // pruned-column store scan, batch side broadcasts
+        val ingested = sp.read.parquet(linesDir).select(col("doc_id"))
+          .join(broadcast(batchIds.select(col("doc_id").as("bid"))),
+            col("doc_id") === col("bid"))
+          .select("doc_id").distinct().localCheckpoint(true)
+        val f = lines.join(broadcast(ingested), Seq("doc_id"),
+          "left_anti").localCheckpoint(true)
+        (f, ingested.count() > 0)
+      } else (lines, false)
+    fresh.write.mode("append").parquet(linesDir)
+    // standing grid checkpointed before its own overwrite (the
+    // manifest-tick race lesson); also the crossing probe's "before"
+    val standing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dfDir)))
+        Some(sp.read.parquet(dfDir).localCheckpoint(true))
+      else None
+    val merged = (if (replayDetected) {
+      System.err.println("[crawl-tick] replay detected (batch docs " +
+        "already in the line store) — rebuilding the df grid from " +
+        "the store instead of folding, healing any crash window")
+      sp.read.parquet(linesDir)
+        .groupBy(col("lh"))
+        .agg(countDistinct(col("doc_id")).as("line_df"))
+    } else {
+      val freshDf = fresh.groupBy(col("lh"))
+        .agg(countDistinct(col("doc_id")).as("line_df"))
+      standing match {
+        case Some(st) => st.unionByName(freshDf)
+          .groupBy(col("lh")).agg(sum(col("line_df")).as("line_df"))
+        case None => freshDf
+      }
+    }).localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(dfDir)
+    val prev = graft.sim.IndexMeta.read(sp, s"$outDir/_meta",
+      Seq("n_docs", "n_lines", "n_ticks"))
+      .getOrElse(Map("n_docs" -> 0L, "n_lines" -> 0L, "n_ticks" -> 0L))
+    val tick = prev("n_ticks") + 1L
+    graft.sim.IndexMeta.write(sp, s"$outDir/_meta", Seq(
+      "n_docs" -> (prev("n_docs") +
+        fresh.select(col("doc_id")).distinct().count()),
+      "n_lines" -> (prev("n_lines") + fresh.count()),
+      "n_ticks" -> tick))
+    (fresh, merged, standing, tick, replayDetected)
+  }
+
+  /** CURATED-CRAWL TICK (VERDICT r17 #2): the full q226 capstone made
+    * incremental end-to-end. One tick (a) runs the line/df fold of
+    * [[crawlIngestTick]] — HTML parsed ONCE per document, frequency
+    * truth maintained cell-wise — and then (b) delta-maintains a
+    * per-document curated-attrs store `outDir/_docs` carrying
+    * everything the downstream stages need: cleaned text, langid shard
+    * key, quality score, token count, content hash, and the per-doc
+    * LSH state (band hashes + hashed shingle set —
+    * [[graft.text.NearDup.signatureIndex]], pure functions of the
+    * doc's own text, hence persistable). The curated corpus itself is
+    * a READ FACE ([[graft.pipeline.CrawlCurate.fromStores]]): latest
+    * attrs version per doc → quality gate → exact dedup → banded LSH
+    * near-dup → pack, all over stored narrow columns — re-curation
+    * never re-parses HTML, never re-counts lines, never re-shingles.
+    *
+    * DIRTY SET (what bounds the tick): attrs are recomputed only for
+    * (1) this batch's docs and (2) docs containing a line whose df
+    * CROSSED `maxDocFreq` in this fold (standing ≤ k < merged) — the
+    * exact retroactivity frontier: a doc's kept text changes iff one
+    * of its lines crossed, df is monotone under appends so crossings
+    * never reverse, and an already-crossed line was handled the tick
+    * it crossed. `maxDocFreq` is therefore pinned per curated index
+    * (the corpusIngestTick minJaccard precedent) while the underlying
+    * line/df stores keep it free for other read faces.
+    *
+    * Crash/replay: `_docs` is VERSION-APPEND (tick column; the read
+    * face takes max-tick per doc, tombstones drop emptied docs) — a
+    * replayed batch appends higher versions recomputed from the
+    * replay-stable line/df truth stores, so repeated replays converge
+    * instead of corrupting. On a detected replay the dirty set widens
+    * to every doc holding any over-threshold line (loudly logged, the
+    * df-rebuild discipline): that set provably contains every doc
+    * whose baked kept-text could have missed a crossing in the crash
+    * window, because a missed crossing leaves the line over threshold
+    * today.
+    */
+  def curatedCrawlTick(spark: SparkSession, stagingDir: String,
+                       outDir: String, checkpointDir: String,
+                       maxDocFreq: Long = 9L, minChars: Int = 20): Unit = {
+    val docs = spark.readStream
+      .schema("doc_id LONG, html STRING")
+      .parquet(stagingDir)
+    val q: StreamingQuery = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.pipeline.CrawlCurate
         import graft.text.TextOps
         val sp = batch.sparkSession
-        val linesDir = s"$outDir/_lines"
-        val dfDir = s"$outDir/_linedf"
-        // extract + line grain, consumed by the replay probe, the line
-        // append, and the df fold — one codec pass, checkpointed
-        val lines = TextOps.lineRows(
-            graft.text.Html.mainContent(batch.dropDuplicates("doc_id"),
-              "doc_id", "html", minChars)
-              .select(col("doc_id"), col("main_text")),
-            "doc_id", "main_text")
+        val (_, merged, standing, tick, replay) =
+          crawlFoldBatch(batch, outDir, minChars)
+        // --- the retroactivity frontier: lines that crossed maxDocFreq
+        val crossed = (standing match {
+          case Some(st) if !replay =>
+            merged.join(st.select(col("lh"), col("line_df").as("__old")),
+                Seq("lh"))
+              .filter(col("__old") <= maxDocFreq &&
+                col("line_df") > maxDocFreq)
+          case Some(_) =>
+            // replay heal: every over-threshold line (see scaladoc)
+            merged.filter(col("line_df") > maxDocFreq)
+          case None =>
+            // first tick: no standing grid, every doc is in the batch
+            merged.filter(lit(false))
+        }).select(col("lh"))
+        val linesStore = sp.read.parquet(s"$outDir/_lines")
+        val crossedDocs = linesStore.join(crossed, Seq("lh"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val dirty = batch.select(col("doc_id")).distinct()
+          .unionByName(crossedDocs).distinct()
           .localCheckpoint(true)
-        val path = new org.apache.hadoop.fs.Path(linesDir)
-        val fs = path.getFileSystem(sp.sessionState.newHadoopConf())
-        val (fresh, replayDetected) =
-          if (fs.exists(path)) {
-            val batchIds = lines.select(col("doc_id")).distinct()
-            // pruned-column store scan, batch side broadcasts
-            val ingested = sp.read.parquet(linesDir).select(col("doc_id"))
-              .join(broadcast(batchIds.select(col("doc_id").as("bid"))),
-                col("doc_id") === col("bid"))
-              .select("doc_id").distinct().localCheckpoint(true)
-            val f = lines.join(broadcast(ingested), Seq("doc_id"),
-              "left_anti").localCheckpoint(true)
-            (f, ingested.count() > 0)
-          } else (lines, false)
-        fresh.write.mode("append").parquet(linesDir)
-        val merged = (if (replayDetected) {
-          System.err.println("[crawl-tick] replay detected (batch docs " +
-            "already in the line store) — rebuilding the df grid from " +
-            "the store instead of folding, healing any crash window")
-          sp.read.parquet(linesDir)
-            .groupBy(col("lh"))
-            .agg(countDistinct(col("doc_id")).as("line_df"))
-        } else {
-          val freshDf = fresh.groupBy(col("lh"))
-            .agg(countDistinct(col("doc_id")).as("line_df"))
-          val p = new org.apache.hadoop.fs.Path(dfDir)
-          if (fs.exists(p))
-            // standing grid checkpointed before its own overwrite (the
-            // manifest-tick race lesson)
-            sp.read.parquet(dfDir).localCheckpoint(true)
-              .unionByName(freshDf)
-              .groupBy(col("lh")).agg(sum(col("line_df")).as("line_df"))
-          else freshDf
-        }).localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(dfDir)
-        val prev = graft.sim.IndexMeta.read(sp, s"$outDir/_meta",
-          Seq("n_docs", "n_lines", "n_ticks"))
-          .getOrElse(Map("n_docs" -> 0L, "n_lines" -> 0L, "n_ticks" -> 0L))
-        graft.sim.IndexMeta.write(sp, s"$outDir/_meta", Seq(
-          "n_docs" -> (prev("n_docs") +
-            fresh.select(col("doc_id")).distinct().count()),
-          "n_lines" -> (prev("n_lines") + fresh.count()),
-          "n_ticks" -> (prev("n_ticks") + 1L)))
+        // --- recompute attrs for dirty docs from the truth stores
+        val kept = TextOps.lineFilterFromRows(
+          TextOps.sizedSemiJoin(linesStore, dirty, "doc_id"),
+          merged, maxDocFreq)
+        val attrs = CrawlCurate.baseAttrs(CrawlCurate.cleanedFromKept(kept))
+          .localCheckpoint(true) // feeds signatures + the two appends
+        val sig = CrawlCurate.signatures(attrs)
+        val aliveRows = attrs
+          .join(sig, attrs("doc_id") === sig("id"), "left_outer")
+          .select(col("doc_id"), col("text"), col("pred_lang"),
+            col("quality"), col("n_tokens"), col("content_hash"),
+            col("bands"), col("sh"),
+            lit(true).as("alive"), lit(tick).as("tick"))
+        // docs whose kept text emptied (or never had lines): tombstone
+        val dead = dirty
+          .join(attrs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit(null).cast("string").as("pred_lang"),
+            lit(null).cast("double").as("quality"),
+            lit(null).cast("long").as("n_tokens"),
+            lit(null).cast("string").as("content_hash"),
+            lit(null).cast("array<string>").as("bands"),
+            lit(null).cast("array<long>").as("sh"),
+            lit(false).as("alive"), lit(tick).as("tick"))
+        aliveRows.unionByName(dead).write.mode("append")
+          .parquet(s"$outDir/_docs")
       }
       .start()
     q.awaitTermination()

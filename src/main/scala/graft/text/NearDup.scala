@@ -233,18 +233,38 @@ object NearDup {
     sigsets.select(col("id"), explode(array(bandCols: _*)).as("band_hash"))
   }
 
-  /** Same, from shingle ROWS (id, g) — pairs with wordShingleRows so the
-    * whole pipeline stays codegen'd end to end. */
-  def minhashLshPairsFromRows(shingleRows: DataFrame,
-                              k: Int = 16, bands: Int = 8): DataFrame = {
+  /** PORTABLE per-doc LSH signature index: (id, bands, sh) where
+    * `bands` is the array of band hashes ([[bandRows]]'s values, same
+    * md5-over-band-idx#mins family) and `sh` the 60-bit hashed shingle
+    * verification set. Because a signature is a pure per-doc function
+    * of its own text, these rows can be PERSISTED and re-joined later
+    * — the column shape the curated-crawl tick stores per document so
+    * its read face never re-shingles the corpus
+    * ([[graft.streaming.StreamingIngest.curatedCrawlTick]]). */
+  def signatureIndex(shingleRows: DataFrame,
+                     k: Int = 16, bands: Int = 8): DataFrame = {
     val sigsets = sigSets(shingleRows, k)
-    val exploded = bandRows(sigsets, k, bands)
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("#", lit(b) +: (b * r until (b + 1) * r).map(i => col(s"m$i")): _*))
+    }
+    sigsets.select(col("id"), array(bandCols: _*).as("bands"), col("sh"))
+  }
+
+  /** Verified LSH pairs from a SIGNATURE INDEX frame (id, bands, sh) —
+    * the band-collision candidate join plus exact hashed-set Jaccard,
+    * identical to [[minhashLshPairsFromRows]]'s tail (which now routes
+    * through here, so a persisted index and a live computation cannot
+    * drift). The candidate join carries only (id, band_hash); `sh`
+    * arrays join back for surviving candidates alone. */
+  def lshPairsFromIndex(idx: DataFrame): DataFrame = {
+    val exploded = idx.select(col("id"), explode(col("bands")).as("band_hash"))
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = sigsets.select(col("id"), col("sh"))
+    val sets = idx.select(col("id"), col("sh"))
     cand
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
@@ -253,6 +273,12 @@ object NearDup {
         (size(col("sh_a")) + size(col("sh_b")) - col("common")), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Same, from shingle ROWS (id, g) — pairs with wordShingleRows so the
+    * whole pipeline stays codegen'd end to end. */
+  def minhashLshPairsFromRows(shingleRows: DataFrame,
+                              k: Int = 16, bands: Int = 8): DataFrame =
+    lshPairsFromIndex(signatureIndex(shingleRows, k, bands))
 
   /** CONTAINMENT for LSH candidate pairs: |A∩B|/|A| and |A∩B|/|B| over
     * the same banded candidates as [[minhashLshPairsFromRows]]. Jaccard

@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   * per-run pipeline pays every run and the tick architecture pays
   * never.
   *
+  * Curated mode (VERDICT r17 #2) runs the FULL incremental capstone
+  * instead: [[graft.streaming.StreamingIngest.curatedCrawlTick]] per
+  * wave (line/df fold + delta-maintained per-doc attrs/signatures),
+  * read face = [[graft.pipeline.CrawlCurate.fromStores]] (the whole
+  * q226 tail over stored narrow columns), one-shot = the q226
+  * pipeline itself.
+  *
   * Usage: runMain graft.tools.CrawlTickSpot <sfDir> <workDir>
-  *        [waves=3] [maxDocFreq=9]
+  *        [waves=3] [maxDocFreq=9] [mode=lines|curated]
   */
 object CrawlTickSpot {
   def main(args: Array[String]): Unit = {
@@ -24,6 +31,7 @@ object CrawlTickSpot {
     def arg(i: Int, d: Int) = if (args.length > i) args(i).toInt else d
     val waves = arg(2, 3)
     val maxDf = arg(3, 9)
+    val curated = args.length > 4 && args(4) == "curated"
     val spark = ToolSession.local()
     val fsPath = new org.apache.hadoop.fs.Path(work)
     val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -34,37 +42,60 @@ object CrawlTickSpot {
     val n = docs.count()
     val staging = s"$work/staging"
     val out = s"$work/corpus"
+    val tag = if (curated) "curatedtick" else "crawltick"
     for (w <- 0 until waves) {
       docs.filter(pmod(col("doc_id"), lit(waves)) === w)
         .write.mode("append").parquet(staging)
       val t0 = System.nanoTime()
-      graft.streaming.StreamingIngest.crawlIngestTick(spark, staging, out,
-        s"$work/ckpt")
+      if (curated)
+        graft.streaming.StreamingIngest.curatedCrawlTick(spark, staging,
+          out, s"$work/ckpt", maxDocFreq = maxDf.toLong)
+      else
+        graft.streaming.StreamingIngest.crawlIngestTick(spark, staging, out,
+          s"$work/ckpt")
       val meta = graft.sim.IndexMeta.read(spark, s"$out/_meta",
         Seq("n_docs", "n_lines", "n_ticks")).get
-      println(f"[crawltick] wave $w/$waves (corpus $n docs): tick wall " +
+      println(f"[$tag] wave $w/$waves (corpus $n docs): tick wall " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s, ingested " +
         f"${meta("n_docs")} docs / ${meta("n_lines")} lines over " +
         f"${meta("n_ticks")} ticks")
     }
-    for (r <- 1 to 3) {
+    if (curated) {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val cur = graft.pipeline.CrawlCurate.fromStores(spark, out)
+          .agg(count(lit(1)), sum(col("n_tokens"))).head()
+        println(f"[$tag] curated read face rep $r/3: " +
+          f"${cur.getLong(0)} docs / ${cur.getLong(1)} tokens packed in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (no HTML/shingle " +
+          "recompute)")
+      }
       val t0 = System.nanoTime()
-      val kept = graft.text.TextOps.lineFilteredCorpus(spark, out, maxDf)
+      val os = graft.pipeline.CrawlCurate.oneShot(docs, maxDocFreq = maxDf.toLong)
+        .agg(count(lit(1)), sum(col("n_tokens"))).head()
+      println(f"[$tag] one-shot q226 recompute (the per-run cost the " +
+        f"tick avoids): ${os.getLong(0)} docs / ${os.getLong(1)} tokens " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } else {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val kept = graft.text.TextOps.lineFilteredCorpus(spark, out, maxDf)
+          .agg(count(lit(1)), sum(col("n_kept"))).head()
+        println(f"[$tag] read face rep $r/3: " +
+          f"${kept.getLong(0)} docs / ${kept.getLong(1)} kept lines in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s (no HTML re-parse)")
+      }
+      val t0 = System.nanoTime()
+      val oneShot = graft.text.TextOps.lineFrequencyFilter(
+        graft.text.Html.mainContent(docs, "doc_id", "html")
+          .select(col("doc_id"), col("main_text")),
+        "doc_id", "main_text", maxDf)
         .agg(count(lit(1)), sum(col("n_kept"))).head()
-      println(f"[crawltick] read face rep $r/3: " +
-        f"${kept.getLong(0)} docs / ${kept.getLong(1)} kept lines in " +
-        f"${(System.nanoTime() - t0) / 1e9}%.1f s (no HTML re-parse)")
+      println(f"[$tag] one-shot q224 recompute (the per-run cost the " +
+        f"tick avoids): ${oneShot.getLong(0)} docs / " +
+        f"${oneShot.getLong(1)} kept lines in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    val t0 = System.nanoTime()
-    val oneShot = graft.text.TextOps.lineFrequencyFilter(
-      graft.text.Html.mainContent(docs, "doc_id", "html")
-        .select(col("doc_id"), col("main_text")),
-      "doc_id", "main_text", maxDf)
-      .agg(count(lit(1)), sum(col("n_kept"))).head()
-    println(f"[crawltick] one-shot q224 recompute (the per-run cost the " +
-      f"tick avoids): ${oneShot.getLong(0)} docs / " +
-      f"${oneShot.getLong(1)} kept lines in " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
