@@ -197,11 +197,35 @@ object Bpe {
       batchMerges)
   }
 
+  /** Tokenize a corpus through a FROZEN, PERSISTED tokenizer (VERDICT
+    * r17 #3 — the IvfPqBuild analog for BPE): same segment → positions
+    * → ids → pack tail as [[tokenizePack]], but the merge table and the
+    * VOCABULARY come from the artifact instead of being retrained, so
+    * many corpora/ticks tokenize against one tokenizer. Two contract
+    * deltas vs the self-trained face, both inherent to freezing:
+    * subwords outside the frozen vocabulary map to token_id = -1 (the
+    * UNK contract — a frozen tokenizer meeting unseen symbols must say
+    * so, never renumber), and `baseOffsets` (shard, base_tok) lets a
+    * TICK continue each shard's running token offset where the standing
+    * corpus ended — global_tok = base + in-batch offset, which equals
+    * the one-shot numbering whenever batches arrive in doc-id order
+    * per shard (the q59 packing order; BpeSpec pins two-tick ≡
+    * one-shot under that contract). */
+  def tokenizeWithTrained(df: DataFrame, idCol: String, textCol: String,
+                          shardCol: String, merges: DataFrame,
+                          vocab: DataFrame, blockTokens: Int,
+                          batchMerges: Int = 32,
+                          baseOffsets: Option[DataFrame] = None): DataFrame =
+    packTrained(df, idCol, textCol, shardCol, merges, blockTokens,
+      batchMerges, vocabOpt = Some(vocab), baseOffsets = baseOffsets)
+
   /** The shared segment → positions → vocab ids → pack tail of the two
     * tokenizePack faces, over an already-trained merge table. */
   private def packTrained(df: DataFrame, idCol: String, textCol: String,
                           shardCol: String, merges: DataFrame,
-                          blockTokens: Int, batchMerges: Int): DataFrame = {
+                          blockTokens: Int, batchMerges: Int,
+                          vocabOpt: Option[DataFrame] = None,
+                          baseOffsets: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seg = segment(df, idCol, textCol, merges, batchMerges)
     // FAN-OUT AT SEG, WINDOW ONLY ON THE FINAL BRANCH (ADVICE r16,
@@ -234,22 +258,40 @@ object Bpe {
     // construction — the rank window is a bounded single task. Counts
     // come from the PRE-window explode (one occurrence per subword —
     // identical multiset to pos's, position-free by construction).
-    val vocab = seg.select(explode(col("syms")).as("subword"))
-      .groupBy(col("subword"))
-      .agg(count(lit(1)).as("vc"))
-      .select(col("subword"),
-        (row_number().over(Window.orderBy(col("vc").desc,
-          col("subword").asc)) - 1).cast("long").as("token_id"))
+    // A FROZEN vocabulary (tokenizeWithTrained) replaces this branch
+    // entirely — ids come from the artifact, never recounted.
+    val vocab = vocabOpt.getOrElse(
+      seg.select(explode(col("syms")).as("subword"))
+        .groupBy(col("subword"))
+        .agg(count(lit(1)).as("vc"))
+        .select(col("subword"),
+          (row_number().over(Window.orderBy(col("vc").desc,
+            col("subword").asc)) - 1).cast("long").as("token_id")))
     // per-doc token counts at WORD grain, pre-window (sum of per-word
     // symbol counts ≡ count of exploded subword rows)
-    val offsets = Terms.packPrepared(
+    val packed = Terms.packPrepared(
       seg.groupBy(col("doc_id"))
         .agg(sum(size(col("syms")).cast("long")).as("n_tokens"))
         .join(df.select(col(idCol).as("doc_id"),
           col(shardCol).as("shard")), Seq("doc_id")),
       blockTokens, orderCols = Seq("doc_id"))
-      .select(col("doc_id"), col("shard"), col("start_tok"))
-    pos.join(broadcast(vocab), Seq("subword"))
+    // tick continuation: shift each shard's offsets past the standing
+    // corpus (base_tok per shard, broadcast — one row per shard)
+    val offsets = (baseOffsets match {
+      case Some(base) => packed
+        .join(broadcast(base.select(col("shard"),
+          col("base_tok"))), Seq("shard"), "left_outer")
+        .withColumn("start_tok",
+          col("start_tok") + coalesce(col("base_tok"), lit(0L)))
+      case None => packed
+    }).select(col("doc_id"), col("shard"), col("start_tok"))
+    val withIds = vocabOpt match {
+      // frozen vocab: OOV subwords (unseen alphabet) are UNK = -1
+      case Some(_) => pos.join(broadcast(vocab), Seq("subword"), "left_outer")
+        .withColumn("token_id", coalesce(col("token_id"), lit(-1L)))
+      case None => pos.join(broadcast(vocab), Seq("subword"))
+    }
+    withIds
       .join(offsets, Seq("doc_id"))
       .select(col("doc_id"), col("shard"), col("pos"), col("subword"),
         col("token_id"),

@@ -208,4 +208,92 @@ class BpeSpec extends SparkSpec {
       assert(gotState === refState, s"trial $trial")
     }
   }
+
+  test("BpeBuild lifecycle: reopened artifact tokenizes bit-identically " +
+      "to the self-trained one-shot; OOV maps to UNK; ticks continue " +
+      "shard offsets; replay converges (VERDICT r17 #3)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("bpebuild").toString
+    // the hand-checked tokenizePack corpus, staged as a parquet sfDir
+    // (Tables.documents reads documents.parquet with doc_id/text/lang)
+    val docs = Seq(
+      (0L, "ab ab", "x"), (1L, "abc", "x"),
+      (2L, "ab c", "y"), (3L, "cc ab", "y")).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.parquet(s"$base/sf/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "pos", "subword", "token_id",
+          "global_tok", "chunk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+    // build once (1 merge, blockTokens=2 — the hand-derivable shape)
+    graft.tools.BpeBuild.build(spark, s"$base/sf", s"$base/index",
+      numMerges = 1, blockTokens = 2)
+    // reopened-artifact one-shot ≡ self-trained q221 face, bit-exact
+    graft.tools.BpeBuild.tokenize(spark, s"$base/index", s"$base/sf",
+      s"$base/oneshot")
+    val selfTrained = key(Bpe.tokenizePack(docs, "doc_id", "text", "lang",
+      numMerges = 1, blockTokens = 2))
+    assert(key(spark.read.parquet(s"$base/oneshot")) === selfTrained,
+      "reopened tokenizer must reproduce the self-trained packing exactly")
+
+    // torn-artifact guard: a vocab that disagrees with _meta refuses
+    spark.read.parquet(s"$base/index/vocab").limit(1).write
+      .mode("overwrite").parquet(s"$base/index2/vocab")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/index/merges"),
+      new org.apache.hadoop.fs.Path(s"$base/index2/merges"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/index/_meta"),
+      new org.apache.hadoop.fs.Path(s"$base/index2/_meta"))
+    intercept[IllegalArgumentException] {
+      graft.tools.BpeBuild.open(spark, s"$base/index2")
+    }
+    // restore the artifact for the tick half
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/index2/merges"),
+      new org.apache.hadoop.fs.Path(s"$base/index/merges"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/index2/_meta"),
+      new org.apache.hadoop.fs.Path(s"$base/index/_meta"))
+
+    // OOV contract: unseen alphabet through the frozen rules is UNK=-1
+    val oov = Bpe.tokenizeWithTrained(
+      Seq((9L, "ab zq", "x")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang",
+      spark.read.parquet(s"$base/index/merges"),
+      spark.read.parquet(s"$base/index/vocab"), blockTokens = 2)
+    val ids = oov.orderBy("pos").select("subword", "token_id")
+      .as[(String, Long)].collect().toList
+    assert(ids === List(("ab", 0L), ("z", -1L), ("q", -1L)),
+      s"frozen vocab must UNK unseen symbols, never renumber: $ids")
+
+    // tokenize TICKS: doc-id-ordered waves continue each shard's
+    // global_tok where the standing corpus ended — ≡ one-shot numbering.
+    // Staging contract is (doc_id, text, shard).
+    val staged = docs.select(col("doc_id"), col("text"),
+      col("lang").as("shard"))
+    staged.filter(col("doc_id") <= 1L).write.mode("append")
+      .parquet(s"$base/staging")
+    graft.tools.BpeBuild.tokenizeTick(spark, s"$base/index",
+      s"$base/staging", s"$base/ticked", s"$base/ckpt")
+    staged.filter(col("doc_id") > 1L).write.mode("append")
+      .parquet(s"$base/staging")
+    graft.tools.BpeBuild.tokenizeTick(spark, s"$base/index",
+      s"$base/staging", s"$base/ticked", s"$base/ckpt")
+    assert(key(spark.read.parquet(s"$base/ticked/tokens")) === selfTrained,
+      "two ticks must equal the one-shot packing bit-exactly")
+
+    // FULL REPLAY: wipe the source checkpoint; the tick must drop the
+    // re-delivered docs and rebuild (not double-fold) the offsets
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+    graft.tools.BpeBuild.tokenizeTick(spark, s"$base/index",
+      s"$base/staging", s"$base/ticked", s"$base/ckpt")
+    assert(key(spark.read.parquet(s"$base/ticked/tokens")) === selfTrained,
+      "replay must converge")
+    val off = spark.read.parquet(s"$base/ticked/_shard_offsets")
+      .as[(String, Long)].collect().toMap
+    assert(off === Map("x" -> 4L, "y" -> 5L),
+      s"rebuilt offsets must equal the per-shard token totals: $off")
+  }
 }
