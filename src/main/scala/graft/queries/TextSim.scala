@@ -4602,10 +4602,13 @@ object TextSim extends QueryPack {
     // nprobe grows the reachable pool, re-ranking orders it — this
     // curve is non-decreasing AND dominates q219's pointwise.
     "q228_ivfpq_rerank_recall" -> Q(
+      // shortlist = 100 since r18: the re-rank-in-the-loop sweep
+      // (SCALE.md §10 r18 addendum) measured R=100 as the knee —
+      // R=50 leaves 3 recall points on the table at equal wall
       (s, d) => Similarity.ivfPqResidualRerankRecallCurve(
         Tables.embeddings(s, d), "vec_id", "embedding", dims = 64, m = 4,
         ksub = 8, centroids = 16, coarseIters = 2, pqIters = 2,
-        nprobes = Seq(1, 2, 4), shortlist = 50, k = 10,
+        nprobes = Seq(1, 2, 4), shortlist = 100, k = 10,
         queryPred = col("vec_id") % 25 === 0),
       Some(s"""
         WITH ${trainedAssignCtes(16, 64, 2)},
@@ -4639,7 +4642,7 @@ object TextSim extends QueryPack {
                  GROUP BY 1, 2, 3),
         short AS (SELECT np, query_id, vec_id FROM radc
                   QUALIFY row_number() OVER (PARTITION BY np, query_id
-                          ORDER BY adc_micro, vec_id) <= 50),
+                          ORDER BY adc_micro, vec_id) <= 100),
         rr AS (SELECT np, query_id, vec_id
                FROM (SELECT s.np, s.query_id, s.vec_id,
                             row_number() OVER (PARTITION BY s.np, s.query_id
@@ -4663,19 +4666,24 @@ object TextSim extends QueryPack {
 
     // TWO-STAGE RETRIEVAL (VERDICT r16 #1 — ADC shortlist → exact
     // re-rank, the standard IVFADC serving fix): the q218 trained-
-    // residual path at shortlist R=50, then exact cosine on the RAW
+    // residual path ADC top-R shortlist, then exact cosine on the RAW
     // vectors of the shortlist, top-10. The r16 codebook-bits sweep
     // pinned the honest ceiling of one-stage ADC (12% recall@10 at the
     // 32-bit knee); re-ranking recovers the ADC-misranking loss INSIDE
     // the candidate pool at |queries|×R extra exact dots — the
     // remaining loss is coarse pruning only (nprobe's knob, q219).
+    // Registered at nprobe=4, R=100 since r18 (VERDICT r17 #1): the
+    // re-rank-in-the-loop sweep (SCALE.md §10 r18 addendum) moved the
+    // binding knobs from code bits to (nprobe, shortlist) — at ×100,
+    // np4/R100 serves 30.6% vs np2/R50's 21.4% for +0.5 s, and the
+    // bits curve flattens (m8k8 ≡ m8k16 once re-ranked).
     // Shortlist + ranking replay the q218 oracle CTEs; the re-rank is
     // q38's exact-cosine convention (round 6, ties to vec_id), so the
     // two stages cannot drift from their one-stage siblings.
     "q225_ivfpq_rerank" -> Q(
       (s, d) => Similarity.ivfPqResidualRerankTopK(Tables.embeddings(s, d),
         "vec_id", "embedding", dims = 64, m = 4, ksub = 8, centroids = 16,
-        coarseIters = 2, pqIters = 2, nprobe = 2, shortlist = 50, k = 10,
+        coarseIters = 2, pqIters = 2, nprobe = 4, shortlist = 100, k = 10,
         queryPred = col("vec_id") % 25 === 0),
       Some(s"""
         WITH ${trainedAssignCtes(16, 64, 2)},
@@ -4685,7 +4693,7 @@ object TextSim extends QueryPack {
                                 row_number() OVER (PARTITION BY vec_id
                                                    ORDER BY ccos DESC, c) AS rn
                          FROM sc WHERE vec_id % 25 = 0)
-                   WHERE rn <= 2),
+                   WHERE rn <= 4),
         ${residualTableCtes(4, 16)},
         radc AS (SELECT t.query_id, rc.vec_id,
                         sum(t.t_micro)::BIGINT AS adc_micro
@@ -4697,7 +4705,7 @@ object TextSim extends QueryPack {
                  GROUP BY 1, 2),
         short AS (SELECT query_id, vec_id FROM radc
                   QUALIFY row_number() OVER (PARTITION BY query_id
-                          ORDER BY adc_micro, vec_id) <= 50),
+                          ORDER BY adc_micro, vec_id) <= 100),
         q AS (SELECT vec_id AS query_id, v AS qv, vn AS qn FROM en
               WHERE vec_id % 25 = 0)
         SELECT query_id, vec_id, cosine, rank
