@@ -498,10 +498,102 @@ object TextSim extends QueryPack {
     * extraction rollup (q222) and the cross-document line-frequency
     * stage it feeds (q224), so the fixture and the block classifier
     * cannot drift between them. */
-  private def htmlExtractCtes: String = s"""
+  /** URL-canonicalization CTE chain (u → k) over a doc-source CTE —
+    * ONE generator for the q229 oracle and q230's frontier stage 0, so
+    * the two cannot drift. Ends in `k (doc_id, canon_url, canon_key)`. */
+  private def urlCanonCtes(src: String): String = {
+    val fix = graft.text.TextOps.urlFixtureSql
+    s"""u AS (
+          SELECT doc_id, $fix AS url
+          FROM $src),
+        p AS (
+          SELECT doc_id,
+                 lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+                 split_part(split_part(url, '#', 1), '://', 2) AS rest
+          FROM u),
+        a AS (
+          SELECT doc_id, scheme,
+                 lower(regexp_extract(rest, '^[^/?]*', 0)) AS auth,
+                 substr(rest, length(regexp_extract(rest, '^[^/?]*', 0)) + 1) AS pq
+          FROM p),
+        c AS (
+          SELECT doc_id, scheme,
+                 CASE WHEN scheme = 'http'  AND auth LIKE '%:80'
+                      THEN substr(auth, 1, length(auth) - 3)
+                      WHEN scheme = 'https' AND auth LIKE '%:443'
+                      THEN substr(auth, 1, length(auth) - 4)
+                      ELSE auth END AS host,
+                 CASE WHEN regexp_replace(split_part(pq, '?', 1), '/+$$', '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(split_part(pq, '?', 1), '/+$$', '') END AS path,
+                 array_to_string(list_sort(list_filter(
+                   string_split(split_part(pq, '?', 2), '&'),
+                   q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|gclid|fbclid|ref)='))),
+                   '&') AS params
+          FROM a),
+        k AS (
+          SELECT doc_id,
+                 scheme || '://' || host || path ||
+                   (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_url,
+                 'https://' || regexp_replace(host, '^www\\.', '') || path ||
+                   (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_key
+          FROM c)"""
+  }
+
+  /** The q226 capstone oracle — extraction → line-df → langid/quality →
+    * exact + LSH dedup closure → pack — over an arbitrary doc-source
+    * CTE, with optional PREFIX CTEs (q230 prepends the URL-frontier
+    * chain and runs the same pipeline over the keepers). ONE generator
+    * for both faces. */
+  private def crawlPipelineOracle(prefixCtes: String, src: String): String = s"""
+        WITH RECURSIVE
+        $prefixCtes${htmlExtractCtesFrom(src)},
+        lfd AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS line_df
+                FROM hb WHERE is_content GROUP BY t),
+        cw AS (SELECT h.doc_id,
+                      string_agg(h.t, ' ' ORDER BY h.bi)
+                        FILTER (d.line_df <= 9) AS text
+               FROM hb h JOIN lfd d USING (t)
+               WHERE h.is_content
+               GROUP BY h.doc_id),
+        c1 AS (SELECT doc_id, text, $langIdCaseSql AS pred_lang
+               FROM cw WHERE text IS NOT NULL AND length(text) > 0),
+        c2 AS (SELECT * FROM c1 WHERE $qualitySql >= 0.55),
+        c3 AS (SELECT * FROM c2
+               QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) = 1),
+        ${minhashCtes(16, 8, src = "c3")},
+        pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sets sa ON sa.doc_id = c.id_a
+          JOIN sets sb ON sb.doc_id = c.id_b
+          WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                      (len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh))::DOUBLE),
+                      4) >= 0.5),
+        ${closureCtes("pairs")},
+        dropn AS (SELECT node AS doc_id FROM reach GROUP BY node
+                  HAVING min(root) <> node),
+        c4 AS (SELECT doc_id, pred_lang AS shard,
+                      len($DUCK_TOKENS)::BIGINT AS n_tokens
+               FROM c3
+               WHERE doc_id NOT IN (SELECT doc_id FROM dropn))
+        SELECT doc_id, shard, n_tokens,
+               (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_tok,
+               (sum(n_tokens) OVER w - n_tokens)::BIGINT // 256 AS chunk
+        FROM c4
+        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)"""
+
+  private def htmlExtractCtes: String = htmlExtractCtesFrom("documents")
+
+  /** [[htmlExtractCtes]] over an arbitrary doc-source CTE — q230 runs
+    * the same extraction chain over the URL-frontier keepers. */
+  private def htmlExtractCtesFrom(src: String): String = s"""
         hfix AS (
           SELECT doc_id, ${graft.text.Html.fixtureSql} AS html
-          FROM documents),
+          FROM $src),
         hnos AS (
           SELECT doc_id,
                  regexp_replace(regexp_replace(html,
@@ -4918,46 +5010,7 @@ object TextSim extends QueryPack {
         Tables.documents(s, d)
           .withColumn("html", expr(graft.text.Html.fixtureSql))
           .select(col("doc_id"), col("html"))),
-      Some(s"""
-        WITH RECURSIVE
-        $htmlExtractCtes,
-        lfd AS (SELECT t, count(DISTINCT doc_id)::BIGINT AS line_df
-                FROM hb WHERE is_content GROUP BY t),
-        cw AS (SELECT h.doc_id,
-                      string_agg(h.t, ' ' ORDER BY h.bi)
-                        FILTER (d.line_df <= 9) AS text
-               FROM hb h JOIN lfd d USING (t)
-               WHERE h.is_content
-               GROUP BY h.doc_id),
-        c1 AS (SELECT doc_id, text, $langIdCaseSql AS pred_lang
-               FROM cw WHERE text IS NOT NULL AND length(text) > 0),
-        c2 AS (SELECT * FROM c1 WHERE $qualitySql >= 0.55),
-        c3 AS (SELECT * FROM c2
-               QUALIFY row_number() OVER (PARTITION BY md5(text)
-                                          ORDER BY doc_id) = 1),
-        ${minhashCtes(16, 8, src = "c3")},
-        pairs AS (
-          SELECT c.id_a, c.id_b
-          FROM cand c
-          JOIN sets sa ON sa.doc_id = c.id_a
-          JOIN sets sb ON sb.doc_id = c.id_b
-          WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-                      (len(sa.sh) + len(sb.sh)
-                       - len(list_intersect(sa.sh, sb.sh))::DOUBLE),
-                      4) >= 0.5),
-        ${closureCtes("pairs")},
-        dropn AS (SELECT node AS doc_id FROM reach GROUP BY node
-                  HAVING min(root) <> node),
-        c4 AS (SELECT doc_id, pred_lang AS shard,
-                      len($DUCK_TOKENS)::BIGINT AS n_tokens
-               FROM c3
-               WHERE doc_id NOT IN (SELECT doc_id FROM dropn))
-        SELECT doc_id, shard, n_tokens,
-               (sum(n_tokens) OVER w - n_tokens)::BIGINT AS start_tok,
-               (sum(n_tokens) OVER w - n_tokens)::BIGINT // 256 AS chunk
-        FROM c4
-        WINDOW w AS (PARTITION BY shard ORDER BY doc_id
-                     ROWS UNBOUNDED PRECEDING)""")),
+      Some(crawlPipelineOracle("", "documents"))),
 
     // URL CANONICALIZATION + FUZZY-URL DEDUP (VERDICT r17 #7): the
     // crawl capstone's stage 0 — before any content stage runs, the
@@ -4977,46 +5030,40 @@ object TextSim extends QueryPack {
           .withColumn("url", expr(graft.text.TextOps.urlFixtureSql)),
         "doc_id", "url"),
       Some(s"""
-        WITH u AS (
-          SELECT doc_id, ${graft.text.TextOps.urlFixtureSql} AS url
-          FROM documents),
-        p AS (
-          SELECT doc_id,
-                 lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
-                 split_part(split_part(url, '#', 1), '://', 2) AS rest
-          FROM u),
-        a AS (
-          SELECT doc_id, scheme,
-                 lower(regexp_extract(rest, '^[^/?]*', 0)) AS auth,
-                 substr(rest, length(regexp_extract(rest, '^[^/?]*', 0)) + 1) AS pq
-          FROM p),
-        c AS (
-          SELECT doc_id, scheme,
-                 CASE WHEN scheme = 'http'  AND auth LIKE '%:80'
-                      THEN substr(auth, 1, length(auth) - 3)
-                      WHEN scheme = 'https' AND auth LIKE '%:443'
-                      THEN substr(auth, 1, length(auth) - 4)
-                      ELSE auth END AS host,
-                 CASE WHEN regexp_replace(split_part(pq, '?', 1), '/+$$', '') = ''
-                      THEN '/'
-                      ELSE regexp_replace(split_part(pq, '?', 1), '/+$$', '') END AS path,
-                 array_to_string(list_sort(list_filter(
-                   string_split(split_part(pq, '?', 2), '&'),
-                   q -> q <> '' AND NOT regexp_matches(q, '^(utm_[^=]*|gclid|fbclid|ref)='))),
-                   '&') AS params
-          FROM a),
-        k AS (
-          SELECT doc_id,
-                 scheme || '://' || host || path ||
-                   (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_url,
-                 'https://' || regexp_replace(host, '^www\\.', '') || path ||
-                   (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon_key
-          FROM c)
+        WITH ${urlCanonCtes("documents")}
         SELECT canon_key,
                min(doc_id) AS keeper_id,
                min(canon_url) AS canon_url,
                count(*)::BIGINT AS n_copies
         FROM k GROUP BY canon_key""")),
+
+    // FRONTIER → CAPSTONE COMPOSITION (r18, closing VERDICT r17 #7's
+    // composition story as its own oracle face): a crawl pipeline
+    // dedups its URL frontier BEFORE it fetches or curates — stage 0
+    // (q229's fuzzy-URL keepers) feeds the full q226 capstone, and the
+    // composition is semantically load-bearing: fewer docs change the
+    // line-df truth (the planted template line's df halves), so the
+    // boilerplate/dedup verdicts differ from q226-over-everything —
+    // exactly why frontier dedup must run FIRST in a real crawl. Both
+    // stages replay through the SAME shared generators (urlCanonCtes +
+    // crawlPipelineOracle), one definition per rule.
+    "q230_frontier_capstone" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("url", expr(graft.text.TextOps.urlFixtureSql))
+        val keepers = graft.text.TextOps.urlDedup(docs, "doc_id", "url")
+          .select(col("keeper_id").as("doc_id"))
+        graft.pipeline.CrawlCurate.oneShot(
+          docs.join(keepers, Seq("doc_id"), "left_semi")
+            .withColumn("html", expr(graft.text.Html.fixtureSql))
+            .select(col("doc_id"), col("html")))
+      },
+      Some(crawlPipelineOracle(
+        s"""${urlCanonCtes("documents")},
+        keep AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY canon_key),
+        fdocs AS (SELECT d.* FROM documents d
+                  JOIN keep USING (doc_id)),
+""", "fdocs"))),
 
     // Per-source GINI of the term-frequency vector — token-mass
     // concentration from the count-of-counts histogram (rank blocks in
