@@ -28,15 +28,19 @@ object CrawlCurate {
       .filter(length(col("text")) > 0)
 
   /** Per-document curated attributes over cleaned text — langid shard
-    * key, quality score, fast token count, content hash. All per-row
-    * pure functions (one map-only pass): the columns the curated tick
-    * persists per doc and the read face re-curates from without ever
-    * touching text again. */
+    * key, quality score, content hash. All per-row pure functions (one
+    * map-only pass): the columns the curated tick persists per doc and
+    * the read face re-curates from without ever touching text again.
+    * Deliberately NO token-count kernel here: a custom-codegen kernel
+    * in this chain lands in BOTH branches of the exact-dedup join plan
+    * and pays the F4 compile term twice per run (measured +2 s on
+    * q226 at the r18 close — Probe q226stages); [[curate]] computes
+    * n_tokens in the PACK plan instead (once, post-checkpoint, the
+    * original q226 placement), and the tick adds it as a separate
+    * batch-grain column. */
   def baseAttrs(cleaned: DataFrame): DataFrame =
     TextOps.withLangId(cleaned, "text", "pred_lang")
       .withColumn("quality", TextOps.qualityScore(col("text")))
-      .withColumn("n_tokens",
-        TextOps.tokenCountFast(cleaned.sparkSession, col("text")).cast("long"))
       .withColumn("content_hash", md5(col("text")))
 
   /** Signature rows (id, bands, sh) for a doc frame — the per-doc pure
@@ -62,8 +66,15 @@ object CrawlCurate {
     val keepers = gated.groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keeper_id"))
       .select(col("keeper_id"))
-    val exact = gated.join(keepers, col("doc_id") === col("keeper_id"),
-      "left_semi")
+    // quality/content_hash are SPENT after the gate + keeper agg — drop
+    // them before the probe branch so column pruning removes their
+    // expressions from it (on the one-shot path `quality` is ~10
+    // tokenize passes per row; carrying it as a projected column
+    // through the checkpoint measured +2 s on q226 at the r18 close,
+    // Probe q226stages — the filter evaluates it, the projection must
+    // not re-evaluate it)
+    val exact = gated.drop("quality", "content_hash")
+      .join(keepers, col("doc_id") === col("keeper_id"), "left_semi")
       // EAGER (q61 doctrine): consumed by pair materialization + final
       .localCheckpoint(true)
     val pairs = NearDup.lshPairsFromIndex(signer(exact))
@@ -71,9 +82,16 @@ object CrawlCurate {
     val dropNear = NearDup.dedupClusters(pairs, "id_a", "id_b")
       .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
     val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+    // n_tokens: stored column on the tick path; computed HERE (the
+    // pack plan — one kernel compile, post-checkpoint) on the one-shot
+    // path. Same value either way (the kernel is a pure row function).
+    val nTokens =
+      if (attrs.columns.contains("n_tokens")) col("n_tokens")
+      else TextOps.tokenCountFast(attrs.sparkSession, col("text"))
+        .cast("long")
     Terms.packPrepared(
       deduped.select(col("doc_id"), col("pred_lang").as("shard"),
-        col("n_tokens")),
+        nTokens.as("n_tokens")),
       blockTokens = blockTokens, orderCols = Seq("doc_id"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("start_tok"), col("chunk"))

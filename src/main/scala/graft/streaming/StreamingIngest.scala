@@ -588,6 +588,10 @@ object StreamingIngest {
           TextOps.sizedSemiJoin(linesStore, dirty, "doc_id"),
           merged, maxDocFreq)
         val attrs = CrawlCurate.baseAttrs(CrawlCurate.cleanedFromKept(kept))
+          // token count at BATCH grain, one plan (baseAttrs leaves the
+          // kernel out on purpose — its scaladoc's compile-term note)
+          .withColumn("n_tokens",
+            TextOps.tokenCountFast(sp, col("text")).cast("long"))
           .localCheckpoint(true) // feeds signatures + the two appends
         val sig = CrawlCurate.signatures(attrs)
         val aliveRows = attrs

@@ -34,6 +34,87 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("q226stages")) {
+      // r18 close adjudication: q226 moved 3.0 → 5.3 s after the
+      // CrawlCurate factoring; time the capstone stage by stage to
+      // find which stage absorbed the 2 s.
+      import graft.pipeline.CrawlCurate
+      val docs = Tables.documents(spark, d)
+        .withColumn("html", expr(graft.text.Html.fixtureSql))
+        .select(col("doc_id"), col("html"))
+      for (r <- 1 to 3) {
+        var t0 = System.nanoTime()
+        val cleaned = CrawlCurate.cleanedFromKept(
+          TextOps.lineFrequencyFilter(
+            graft.text.Html.mainContent(docs, "doc_id", "html")
+              .select(col("doc_id"), col("main_text")),
+            "doc_id", "main_text", maxDocFreq = 9L)).localCheckpoint(true)
+        val tClean = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val attrs = CrawlCurate.baseAttrs(cleaned)
+        val gated = attrs.filter(col("quality") >= 0.55)
+        val keepers = gated.groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("keeper_id")).select(col("keeper_id"))
+        val exact = gated.join(keepers, col("doc_id") === col("keeper_id"),
+          "left_semi").localCheckpoint(true)
+        val tExact = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val pairs = NearDup.lshPairsFromIndex(CrawlCurate.signatures(exact))
+          .filter(col("jaccard") >= 0.5)
+        val dropNear = NearDup.dedupClusters(pairs, "id_a", "id_b")
+          .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+          .localCheckpoint(true)
+        val tPairs = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+        graft.text.Terms.packPrepared(
+          deduped.select(col("doc_id"), col("pred_lang").as("shard"),
+            TextOps.tokenCountFast(spark, col("text")).cast("long")
+              .as("n_tokens")), 256, Seq("doc_id"))
+          .write.format("noop").mode("overwrite").save()
+        val tPack = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] q226stages rep $r: clean $tClean%.2f exact " +
+          f"$tExact%.2f pairs+clusters $tPairs%.2f pack $tPack%.2f")
+        // microscope the exact stage: attrs map alone, keepers agg
+        // alone, then the ORIGINAL inline shape (qualityScore filter +
+        // exactDedup, no projected columns) for comparison
+        t0 = System.nanoTime()
+        attrs.write.format("noop").mode("overwrite").save()
+        val tAttrs = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        keepers.write.format("noop").mode("overwrite").save()
+        val tKeep = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val gated0 = TextOps.withLangId(cleaned, "text", "pred_lang")
+          .filter(TextOps.qualityScore(col("text")) >= 0.55)
+        val keep0 = NearDup.exactDedup(gated0, "doc_id", "text")
+          .select(col("keeper_id"))
+        gated0.join(keep0, col("doc_id") === col("keeper_id"), "left_semi")
+          .localCheckpoint(true)
+        val tOrig = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] q226stages rep $r detail: attrs $tAttrs%.2f " +
+          f"keepers $tKeep%.2f origShape $tOrig%.2f")
+        if (r == 1) {
+          def shape(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+            val p = df.queryExecution.executedPlan.toString
+            println(s"[probe] plan $tag: lines ${p.linesIterator.size} " +
+              s"ex ${p.linesIterator.count(_.contains("Exchange"))} " +
+              s"cg ${p.linesIterator.count(_.contains("WholeStageCodegen"))}")
+            println(p.linesIterator.take(40).mkString("\n"))
+          }
+          shape(gated.join(keepers, col("doc_id") === col("keeper_id"),
+            "left_semi"), "NEW-exact")
+          val gatedX = TextOps.withLangId(cleaned, "text", "pred_lang")
+            .filter(TextOps.qualityScore(col("text")) >= 0.55)
+          val keepX = NearDup.exactDedup(gatedX, "doc_id", "text")
+            .select(col("keeper_id"))
+          shape(gatedX.join(keepX, col("doc_id") === col("keeper_id"),
+            "left_semi"), "ORIG-exact")
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("q54pairs")) {
       // r14 drift adjudication: q54 at ×100 re-measured 41 s vs the
       // recorded 19 s while q35/q42 reproduce exactly — split the body
