@@ -512,6 +512,83 @@ object StreamingIngest {
     (fresh, merged, standing, tick, replayDetected)
   }
 
+  /** LINE-DF GRID AS STREAMING STATE (r18, the structural answer to
+    * the measured §13 ×1000 bound): the parquet-fold design re-shuffles
+    * and rewrites the WHOLE grid every tick — Θ(distinct lines), which
+    * the decade measured at 77 s/tick on 20M lines, more than the
+    * one-shot recompute. This tick maintains the same grid as a
+    * STATEFUL STREAMING AGGREGATE instead: per-doc distinct line
+    * hashes are computed map-side (array_distinct over the split —
+    * zero exchange, and batch-local per-doc distinct ⇒ globally exact
+    * because every doc lands in exactly one batch), and
+    * `groupBy(lh).count()` updates ONLY the touched state keys —
+    * O(batch) state I/O per tick (the state store writes per-batch
+    * DELTA files; snapshots compact in the background). The grid is
+    * read back through Spark's statestore data source
+    * ([[lineDfFromState]]) — no parquet fold ever runs, and because
+    * the state commits atomically with the source's file-tracking
+    * progress in ONE checkpoint, the fold design's crash window
+    * (lines landed, counts never folded) cannot exist here: a wiped
+    * checkpoint replays EVERYTHING into fresh state and converges by
+    * construction. Line TEXT still lives in the `_lines` store
+    * (crawlIngestTick / curatedCrawlTick) — this replaces only the
+    * grid-maintenance term, the one the decade showed dominating.
+    * At cluster scale the state store provider is RocksDB
+    * (spark.sql.streaming.stateStore.providerClass), keeping the
+    * 100 TB-tier key space off-heap.
+    */
+  def dfStateTick(spark: SparkSession, stagingDir: String,
+                  gridCkpt: String, minChars: Int = 20): Unit = {
+    val docs = spark.readStream
+      .schema("doc_id LONG, html STRING")
+      .parquet(stagingDir)
+    // NOTE: no dropDuplicates here — on a streaming frame that is a
+    // second stateful operator (unbounded dedup state). The grid's
+    // exactness contract is the staging one every tick family already
+    // carries: each doc is staged exactly once (file-source tracking
+    // dedups FILES; re-staged doc_ids are the caller's bug, which the
+    // fold ticks guard at the _lines append and this tick documents).
+    val pairs = graft.text.Html.mainContent(docs, "doc_id", "html",
+        minChars)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          filter(split(col("main_text"), "\n"), l => length(l) > 0),
+          l => md5(l)))).as("lh"))
+    val q: StreamingQuery = pairs.groupBy(col("lh")).count()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", gridCkpt)
+      // the state IS the artifact; the changed-cell stream just needs
+      // a full-partition pass (noop write) — a foreachBatch that skips
+      // the frame entirely never commits the state stores
+      // (STATE_STORE_COMMIT_VALIDATION_FAILED)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.format("noop").mode("overwrite").save()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The standing line-df grid straight out of [[dfStateTick]]'s state
+    * store — (lh, line_df), the same shape as the `_linedf` parquet
+    * fold, read via the statestore data source (one scan of the last
+    * snapshot + deltas, no aggregation). */
+  def lineDfFromState(spark: SparkSession, gridCkpt: String): DataFrame =
+    spark.read.format("statestore").load(gridCkpt)
+      .select(col("key.lh").as("lh"),
+        col("value.count").cast("long").as("line_df"))
+
+  /** Boilerplate-filtered corpus with the grid coming from STATE
+    * instead of the parquet fold — [[graft.text.TextOps.lineFilteredCorpus]]'s
+    * exact read-face contract over `linesDir` ⋈ [[lineDfFromState]]. */
+  def lineFilteredCorpusFromState(spark: SparkSession, linesDir: String,
+                                  gridCkpt: String,
+                                  maxDocFreq: Long): DataFrame =
+    graft.text.TextOps.lineFilterFromRows(
+      spark.read.parquet(linesDir),
+      lineDfFromState(spark, gridCkpt), maxDocFreq)
+
   /** CURATED-CRAWL TICK (VERDICT r17 #2): the full q226 capstone made
     * incremental end-to-end. One tick (a) runs the line/df fold of
     * [[crawlIngestTick]] — HTML parsed ONCE per document, frequency

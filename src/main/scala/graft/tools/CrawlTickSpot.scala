@@ -42,6 +42,52 @@ object CrawlTickSpot {
     val n = docs.count()
     val staging = s"$work/staging"
     val out = s"$work/corpus"
+    // state mode (r18): measure ONLY the grid-maintenance term as a
+    // stateful streaming aggregate (dfStateTick) — the A/B against the
+    // fold ticks' Θ(grid) term; args(5) optionally names an existing
+    // _lines store so the state-grid read face can materialize too
+    if (args.length > 4 && args(4) == "state") {
+      // RocksDB provider: the HDFS-backed default holds every
+      // partition's FULL key map on-heap — measured OOM at wave 2 of
+      // the ×1000 decade (14M keys vs the 8 GiB default heap); RocksDB
+      // keeps the key space off-heap/on-disk, which is the contract a
+      // 100 TB grid needs anyway
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val docsS = graft.core.Tables.documents(spark, sfDir)
+        .withColumn("html", expr(graft.text.Html.fixtureSql))
+        .select(col("doc_id"), col("html"))
+      val nS = docsS.count()
+      for (w <- 0 until waves) {
+        docsS.filter(pmod(col("doc_id"), lit(waves)) === w)
+          .write.mode("append").parquet(s"$work/staging")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.dfStateTick(spark,
+          s"$work/staging", s"$work/gridckpt")
+        println(f"[statetick] wave $w/$waves (corpus $nS docs): grid tick " +
+          f"wall ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      val t1 = System.nanoTime()
+      val cells = graft.streaming.StreamingIngest
+        .lineDfFromState(spark, s"$work/gridckpt")
+        .agg(count(lit(1)), sum(col("line_df"))).head()
+      println(f"[statetick] grid read from state: ${cells.getLong(0)} " +
+        f"cells / ${cells.getLong(1)} total df in " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      if (args.length > 5) {
+        for (r <- 1 to 3) {
+          val t2 = System.nanoTime()
+          val kept = graft.streaming.StreamingIngest
+            .lineFilteredCorpusFromState(spark, args(5),
+              s"$work/gridckpt", maxDf)
+            .agg(count(lit(1)), sum(col("n_kept"))).head()
+          println(f"[statetick] state-grid read face rep $r/3: " +
+            f"${kept.getLong(0)} docs / ${kept.getLong(1)} kept lines in " +
+            f"${(System.nanoTime() - t2) / 1e9}%.1f s")
+        }
+      }
+      spark.stop(); return
+    }
     val tag = if (curated) "curatedtick" else "crawltick"
     for (w <- 0 until waves) {
       docs.filter(pmod(col("doc_id"), lit(waves)) === w)

@@ -34,6 +34,40 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("stateproto")) {
+      // r18 API probe: can a stateful streaming count replace the
+      // parquet-fold line-df grid (O(batch) state updates per tick),
+      // and does the Spark 4 statestore reader hand the grid back?
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("stateproto").toString
+      val staging = s"$base/staging"
+      new java.io.File(staging).mkdirs()
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "lh")
+        .write.mode("append").parquet(staging)
+      def tick(): Unit = {
+        val q = spark.readStream.schema("doc_id LONG, lh STRING")
+          .parquet(staging)
+          .groupBy("lh").count()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            println(s"[proto] batch $id updated cells: " +
+              b.collect().mkString(","))
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      tick()
+      Seq((4L, "a"), (5L, "c")).toDF("doc_id", "lh")
+        .write.mode("append").parquet(staging)
+      tick()
+      val st = spark.read.format("statestore").load(s"$base/ckpt")
+      st.printSchema()
+      st.show(10, false)
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("q226stages")) {
       // r18 close adjudication: q226 moved 3.0 → 5.3 s after the
       // CrawlCurate factoring; time the capstone stage by stage to
