@@ -130,6 +130,28 @@ object Bench {
     * skipped; a missing file yields an empty map (tripwire disabled,
     * never a crash path for the bench itself).
     */
+  /** ex/cg/md5 digest of a physical-plan string, with run-varying ids
+    * STRIPPED before hashing (r18, the q104 adjudication lesson):
+    * expression ids (`#103`) depend on what ran earlier in the
+    * session, and `plan_id=`/checkpointed-RDD numbers vary per run —
+    * an un-normalized md5 differed on back-to-back same-tree runs
+    * (e2168137 vs 286a19f1), making cross-run "same digest ⟹ same
+    * plan" false for any plan containing an RDD scan. After
+    * normalization the md5 keys on plan STRUCTURE + expressions only.
+    */
+  def planDigest(p: String): String = {
+    val ex = p.linesIterator.count(_.contains("Exchange"))
+    val cg = p.linesIterator.count(_.contains("WholeStageCodegen"))
+    val normalized = p
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\bExistingRDD\\b[^\\]]*\\]", "ExistingRDD[x]")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    s"ex$ex/cg$cg/$h"
+  }
+
   def parseBaseline(lines: Iterator[String]): Map[String, Double] = {
     val row = """^\|\s*(q\d+[a-z0-9_]*)\s*\|(.*)\|\s*$""".r
     val num = """^\d+(?:\.\d+)?$""".r
@@ -409,13 +431,8 @@ object Bench {
     val baseline = loadBaseline()
     val rawFlags = findFlags(out, baseline).map { r =>
       val plan = try {
-        val p = SparkEntry.queries(r.name)(spark, sfDir)
-          .queryExecution.executedPlan.toString
-        val ex = p.linesIterator.count(_.contains("Exchange"))
-        val cg = p.linesIterator.count(_.contains("WholeStageCodegen"))
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(p.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-        s"ex$ex/cg$cg/$h"
+        planDigest(SparkEntry.queries(r.name)(spark, sfDir)
+          .queryExecution.executedPlan.toString)
       } catch { case e: Throwable => s"digest-failed:${e.getClass.getSimpleName}" }
       Flag(r, baseline(r.name), plan)
     }

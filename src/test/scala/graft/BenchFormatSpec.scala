@@ -223,6 +223,25 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!text.contains("kept as the\ndriver's 2× gate anchor"))
   }
 
+  test("planDigest is id-stable: same structure, different run ids -> same digest") {
+    // r18 (the q104 adjudication): expression ids, plan_id and RDD-scan
+    // contents vary run to run; the md5 must key on structure only
+    val a = """*(1) Project [doc_id#48L, text#103]
++- BroadcastHashJoin [doc_id#48L], [keeper_id#136L], LeftSemi, BuildRight, [plan_id=1892]
+   +- Scan ExistingRDD[doc_id#48L,text#103]"""
+    val b = """*(1) Project [doc_id#948L, text#1103]
++- BroadcastHashJoin [doc_id#948L], [keeper_id#77L], LeftSemi, BuildRight, [plan_id=41]
+   +- Scan ExistingRDD[doc_id#948L,text#1103,extra#7]"""
+    val c = """*(1) Project [doc_id#48L, text#103]
++- SortMergeJoin [doc_id#48L], [keeper_id#136L], LeftSemi, [plan_id=1892]
+   +- Scan ExistingRDD[doc_id#48L,text#103]"""
+    assert(Bench.planDigest(a) === Bench.planDigest(b),
+      "run-varying ids must not change the digest")
+    assert(Bench.planDigest(a) !== Bench.planDigest(c),
+      "a structural change must change the digest")
+    assert(Bench.planDigest(a).startsWith("ex0/cg0/"))
+  }
+
   test("live BASELINE.md parses and covers the registered queries") {
     val b = Bench.loadBaseline("BASELINE.md")
     assert(b.size >= 100, s"only ${b.size} baseline rows parsed")
