@@ -145,7 +145,7 @@ object Bench {
     val normalized = p
       .replaceAll("#\\d+", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
-      .replaceAll("\\bExistingRDD\\b[^\\]]*\\]", "ExistingRDD[x]")
+      .replaceAll("\\bExistingRDD\\b[^\\]\\n]*\\]", "ExistingRDD[x]")
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes("UTF-8")).take(4)
       .map("%02x".format(_)).mkString

@@ -134,25 +134,36 @@ object BpeBuild {
           if (fs.exists(new org.apache.hadoop.fs.Path(offDir)))
             Some(sp.read.parquet(offDir).localCheckpoint(true))
           else None
+        // base offsets for THIS batch's fresh docs (ADVICE r18): on a
+        // detected replay the standing _shard_offsets may be stale (a
+        // crash between the token append and the offset fold), so a
+        // replayed batch that also carries fresh docs must NOT tokenize
+        // them against it — colliding global_tok values appended here
+        // could never be repaired by a later offsets rebuild. Rebuild
+        // the per-shard bases from the token store FIRST (checkpointed:
+        // the frame is read before the append and consumed after it,
+        // and it feeds both the tokenize plan and the offset fold) and
+        // tokenize against those; the fold below then runs the same
+        // base + batch arithmetic on either path.
+        val baseOff = if (replay) {
+          System.err.println("[bpe-tick] replay detected — rebuilding " +
+            "shard offsets from the token store BEFORE tokenizing, " +
+            "healing any crash window between append and offset fold")
+          Some(sp.read.parquet(tokensDir).groupBy(col("shard"))
+            .agg(count(lit(1)).as("base_tok")).localCheckpoint(true))
+        } else standing
         val packed = Bpe.tokenizeWithTrained(fresh, "doc_id", "text",
             "shard", merges, vocab, blockTokens,
-            baseOffsets = standing)
+            baseOffsets = baseOff)
           .localCheckpoint(true) // feeds the append AND the offset fold
         packed.write.mode("append").parquet(tokensDir)
-        val newOffsets = (if (replay) {
-          System.err.println("[bpe-tick] replay detected — rebuilding " +
-            "shard offsets from the token store, healing any crash window")
-          sp.read.parquet(tokensDir).groupBy(col("shard"))
-            .agg(count(lit(1)).as("base_tok"))
-        } else {
-          val batchCounts = packed.groupBy(col("shard"))
-            .agg(count(lit(1)).as("base_tok"))
-          standing match {
-            case Some(st) => st.unionByName(batchCounts)
-              .groupBy(col("shard"))
-              .agg(sum(col("base_tok")).as("base_tok"))
-            case None => batchCounts
-          }
+        val batchCounts = packed.groupBy(col("shard"))
+          .agg(count(lit(1)).as("base_tok"))
+        val newOffsets = (baseOff match {
+          case Some(st) => st.unionByName(batchCounts)
+            .groupBy(col("shard"))
+            .agg(sum(col("base_tok")).as("base_tok"))
+          case None => batchCounts
         }).localCheckpoint(true)
         newOffsets.write.mode("overwrite").parquet(offDir)
       }

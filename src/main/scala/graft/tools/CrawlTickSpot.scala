@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
   * q226 tail over stored narrow columns), one-shot = the q226
   * pipeline itself.
   *
+  * State mode (r18) measures ONLY the grid-maintenance term as the
+  * [[graft.streaming.StreamingIngest.dfStateTick]] stateful aggregate
+  * (the A/B against the fold ticks' Θ(grid) term); the optional
+  * `linesDir` names an existing `_lines` store so the state-grid read
+  * face can materialize too.
+  *
   * Usage: runMain graft.tools.CrawlTickSpot <sfDir> <workDir>
-  *        [waves=3] [maxDocFreq=9] [mode=lines|curated]
+  *        [waves=3] [maxDocFreq=9] [mode=lines|curated|state] [linesDir]
   */
 object CrawlTickSpot {
   def main(args: Array[String]): Unit = {

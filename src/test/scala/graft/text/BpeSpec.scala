@@ -295,5 +295,32 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(off === Map("x" -> 4L, "y" -> 5L),
       s"rebuilt offsets must equal the per-shard token totals: $off")
+
+    // CRASH-WINDOW REPLAY CARRYING FRESH DOCS (ADVICE r18): a crash
+    // between the token append and the offset fold leaves
+    // _shard_offsets stale; if the checkpoint also died, the replayed
+    // batch can carry fresh docs. Those must be numbered from bases
+    // REBUILT from the token store, not from the stale standing
+    // offsets — stale numbering would collide global_tok values that
+    // no later rebuild could repair. Doctor the offsets stale, wipe
+    // the source checkpoint, stage a fresh doc, tick.
+    Seq(("x", 2L), ("y", 2L)).toDF("shard", "base_tok")
+      .write.mode("overwrite").parquet(s"$base/ticked/_shard_offsets")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+    Seq((4L, "ab ab", "x")).toDF("doc_id", "text", "shard")
+      .write.mode("append").parquet(s"$base/staging")
+    graft.tools.BpeBuild.tokenizeTick(spark, s"$base/index",
+      s"$base/staging", s"$base/ticked", s"$base/ckpt")
+    val docs5 = docs.select(col("doc_id"), col("text"), col("lang"))
+      .union(Seq((4L, "ab ab", "x")).toDF("doc_id", "text", "lang"))
+    assert(key(spark.read.parquet(s"$base/ticked/tokens")) ===
+      key(Bpe.tokenizePack(docs5, "doc_id", "text", "lang",
+        numMerges = 1, blockTokens = 2)),
+      "fresh docs in a replayed batch must number from store-rebuilt " +
+        "bases, never from the stale standing offsets")
+    val off2 = spark.read.parquet(s"$base/ticked/_shard_offsets")
+      .as[(String, Long)].collect().toMap
+    assert(off2 === Map("x" -> 6L, "y" -> 5L),
+      s"healed offsets must equal the post-append totals: $off2")
   }
 }
