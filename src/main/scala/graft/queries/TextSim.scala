@@ -5065,6 +5065,56 @@ object TextSim extends QueryPack {
                   JOIN keep USING (doc_id)),
 """, "fdocs"))),
 
+    // PER-HOST CRAWL BUDGET (VERDICT r18 #3): water-filling token
+    // budgets over the CANONICAL HOST axis — the data-side counterpart
+    // of the politeness-capped fetch pool (ingest/Fetch.scala:93's
+    // bounded per-host concurrency): a crawl scheduler caps what each
+    // host may contribute, small hosts keep everything, big hosts
+    // truncate at the SOLVED common water level (Terms.waterfillBudget,
+    // the q119 machinery on a parsed-URL axis — host extraction is
+    // TextOps.urlHost, the same map-only codegen parse as q229's
+    // canonicalization; this is the frontier composition's third
+    // stage: canonicalize → dedup (q229/q230) → allocate). 20k binds
+    // against this corpus at every SF. Host cardinality is
+    // mixture-sized (2 per 5-doc fixture group), inside waterfill's
+    // measured single-task-window contract.
+    "q231_host_budget" -> Q(
+      (s, d) => Terms.waterfillBudget(
+          Tables.documents(s, d).withColumn("host",
+            graft.text.TextOps.urlHost(
+              expr(graft.text.TextOps.urlFixtureSql))),
+          "text", "host", budget = 20000L)
+        .withColumnRenamed("source", "host"),
+      Some(s"""
+        WITH ${urlCanonCtes("documents")},
+        per AS (
+          SELECT host, count(*)::BIGINT AS n_docs,
+                 coalesce(sum(len($DUCK_TOKENS)), 0)::BIGINT AS tokens
+          FROM c JOIN documents USING (doc_id)
+          GROUP BY 1),
+        ord AS (
+          SELECT *, row_number() OVER (ORDER BY tokens, host) AS i,
+                 sum(tokens) OVER (ORDER BY tokens, host
+                                   ROWS UNBOUNDED PRECEDING) AS p,
+                 count(*) OVER () AS n, sum(tokens) OVER () AS g
+          FROM per),
+        seg AS (
+          SELECT *, min(CASE WHEN p + (n - i) * tokens >= 20000
+                             THEN i END) OVER () AS i0
+          FROM ord),
+        capd AS (
+          SELECT *, max(CASE WHEN i = i0 THEN
+                   (20000 - (p - tokens))::DOUBLE / (n - i + 1)::DOUBLE
+                 END) OVER () AS cap
+          FROM seg)
+        SELECT host, n_docs, tokens,
+               CASE WHEN g <= 20000 THEN (-1)::BIGINT
+                    ELSE floor(cap * 1e6 + 0.5)::BIGINT END AS cap_micro,
+               CASE WHEN g <= 20000 THEN tokens * 1000000
+                    ELSE floor(least(tokens::DOUBLE, cap) * 1e6 + 0.5)::BIGINT
+               END AS alloc_micro
+        FROM capd""")),
+
     // Per-source GINI of the term-frequency vector — token-mass
     // concentration from the count-of-counts histogram (rank blocks in
     // closed form, so the only window is over O(√T) cells; Gini is

@@ -440,22 +440,22 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
-  /** One crawl line/df fold — the [[crawlIngestTick]] foreachBatch body,
-    * shared with [[curatedCrawlTick]] so the two ticks cannot drift.
-    * Returns what the curated tick's delta pass needs: the appended
-    * fresh lines, the merged df grid, the PRE-fold standing grid (both
-    * checkpointed), the post-fold tick counter and whether a replay was
-    * healed.
+  /** Line-grain append half of the crawl ticks: extract main content
+    * ONCE (the typed-map codec pass), persist the (doc_id, line_no,
+    * line, lh) grain at `outDir/_lines` (replay-probed: a re-delivered
+    * batch never double-appends), and keep the `_meta` census current.
+    * Shared by [[crawlIngestTick]]'s parquet fold and
+    * [[curatedCrawlTick]]'s state-grid path so the two line stores
+    * cannot drift. Returns the appended fresh lines and whether a
+    * replay was healed.
     */
-  private def crawlFoldBatch(batch: DataFrame, outDir: String,
-                             minChars: Int)
-      : (DataFrame, DataFrame, Option[DataFrame], Long, Boolean) = {
+  private def linesAppendBatch(batch: DataFrame, outDir: String,
+                               minChars: Int): (DataFrame, Boolean) = {
     import graft.text.TextOps
     val sp = batch.sparkSession
     val linesDir = s"$outDir/_lines"
-    val dfDir = s"$outDir/_linedf"
     // extract + line grain, consumed by the replay probe, the line
-    // append, and the df fold — one codec pass, checkpointed
+    // append, and the caller's fold — one codec pass, checkpointed
     val lines = TextOps.lineRows(
         graft.text.Html.mainContent(batch.dropDuplicates("doc_id"),
           "doc_id", "html", minChars)
@@ -477,8 +477,35 @@ object StreamingIngest {
         (f, ingested.count() > 0)
       } else (lines, false)
     fresh.write.mode("append").parquet(linesDir)
+    val prev = graft.sim.IndexMeta.read(sp, s"$outDir/_meta",
+      Seq("n_docs", "n_lines", "n_ticks"))
+      .getOrElse(Map("n_docs" -> 0L, "n_lines" -> 0L, "n_ticks" -> 0L))
+    graft.sim.IndexMeta.write(sp, s"$outDir/_meta", Seq(
+      "n_docs" -> (prev("n_docs") +
+        fresh.select(col("doc_id")).distinct().count()),
+      "n_lines" -> (prev("n_lines") + fresh.count()),
+      "n_ticks" -> (prev("n_ticks") + 1L)))
+    (fresh, replayDetected)
+  }
+
+  /** One crawl line/df fold — the [[crawlIngestTick]] foreachBatch
+    * body: [[linesAppendBatch]] plus the `_linedf` parquet fold. The
+    * fold is Θ(distinct lines) per tick (SCALE.md §13 measured the
+    * decade bound) — [[curatedCrawlTick]] and [[dfStateTick]] maintain
+    * the same grid as O(batch) streaming state instead; this face
+    * stays for consumers of the PARQUET grid artifact
+    * ([[graft.text.TextOps.lineFilteredCorpus]]).
+    */
+  private def crawlFoldBatch(batch: DataFrame, outDir: String,
+                             minChars: Int): Unit = {
+    val sp = batch.sparkSession
+    val linesDir = s"$outDir/_lines"
+    val dfDir = s"$outDir/_linedf"
+    val (fresh, replayDetected) = linesAppendBatch(batch, outDir, minChars)
+    val fs = new org.apache.hadoop.fs.Path(dfDir)
+      .getFileSystem(sp.sessionState.newHadoopConf())
     // standing grid checkpointed before its own overwrite (the
-    // manifest-tick race lesson); also the crossing probe's "before"
+    // manifest-tick race lesson)
     val standing =
       if (fs.exists(new org.apache.hadoop.fs.Path(dfDir)))
         Some(sp.read.parquet(dfDir).localCheckpoint(true))
@@ -500,16 +527,6 @@ object StreamingIngest {
       }
     }).localCheckpoint(true)
     merged.write.mode("overwrite").parquet(dfDir)
-    val prev = graft.sim.IndexMeta.read(sp, s"$outDir/_meta",
-      Seq("n_docs", "n_lines", "n_ticks"))
-      .getOrElse(Map("n_docs" -> 0L, "n_lines" -> 0L, "n_ticks" -> 0L))
-    val tick = prev("n_ticks") + 1L
-    graft.sim.IndexMeta.write(sp, s"$outDir/_meta", Seq(
-      "n_docs" -> (prev("n_docs") +
-        fresh.select(col("doc_id")).distinct().count()),
-      "n_lines" -> (prev("n_lines") + fresh.count()),
-      "n_ticks" -> tick))
-    (fresh, merged, standing, tick, replayDetected)
   }
 
   /** LINE-DF GRID AS STREAMING STATE (r18, the structural answer to
@@ -542,42 +559,116 @@ object StreamingIngest {
     val docs = spark.readStream
       .schema("doc_id LONG, html STRING")
       .parquet(stagingDir)
-    // NOTE: no dropDuplicates here — on a streaming frame that is a
-    // second stateful operator (unbounded dedup state). The grid's
-    // exactness contract is the staging one every tick family already
-    // carries: each doc is staged exactly once (file-source tracking
-    // dedups FILES; re-staged doc_ids are the caller's bug, which the
-    // fold ticks guard at the _lines append and this tick documents).
-    val pairs = graft.text.Html.mainContent(docs, "doc_id", "html",
-        minChars)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          filter(split(col("main_text"), "\n"), l => length(l) > 0),
-          l => md5(l)))).as("lh"))
-    val q: StreamingQuery = pairs.groupBy(col("lh")).count()
-      .writeStream
-      .outputMode("update")
-      .option("checkpointLocation", gridCkpt)
+    gridStateDrain(spark, docs, gridCkpt, minChars,
       // the state IS the artifact; the changed-cell stream just needs
       // a full-partition pass (noop write) — a foreachBatch that skips
       // the frame entirely never commits the state stores
       // (STATE_STORE_COMMIT_VALIDATION_FAILED)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.format("noop").mode("overwrite").save()
-      }
+      b => b.write.format("noop").mode("overwrite").save())
+    warnRestaged(spark, gridCkpt)
+  }
+
+  /** RocksDB is the PINNED state store provider for the grid ticks
+    * (VERDICT r18 #6): the HDFS-backed default holds every partition's
+    * FULL key map on-heap — measured OOM at 14M keys on the ×1000
+    * decade (SCALE.md §13) — while RocksDB keeps the corpus-scale key
+    * space off-heap/on-disk, which is the contract a 100 TB grid needs
+    * anyway. Set session-wide by the tick/read entry points themselves
+    * (not left to the caller); idempotent. */
+  private def pinRocksDb(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+
+  /** The grid drain shared by [[dfStateTick]] and [[curatedCrawlTick]]:
+    * per-doc distinct line hashes computed map-side (array_distinct
+    * over the split — zero exchange, and batch-local per-doc distinct
+    * ⇒ globally exact because every doc lands in exactly one batch)
+    * UNIONED with one `d:<doc_id>` MARKER row per document, then
+    * `groupBy(lh).count()` updating only the touched state keys —
+    * O(batch) state I/O per tick. The markers serve two callers
+    * (ADVICE r18): (a) a marker cell whose count exceeds 1 is EXACT,
+    * LOUD evidence that the staging contract (each doc staged exactly
+    * once) was violated and the grid cells for that doc's lines are
+    * inflated — [[restagedDocs]]/[[warnRestaged]] read them back; (b)
+    * the changed-cell stream's marker rows identify THIS batch's docs,
+    * which [[curatedCrawlTick]] persists as its dirty-batch set before
+    * the checkpoint commits. Marker keys add n_docs state entries next
+    * to n_lines line cells (~1 per 10–15 on this corpus shape) and are
+    * filtered out of every grid read ([[lineDfFromState]]); "d:" can
+    * never collide with an md5 hex line hash.
+    *
+    * NOTE: no dropDuplicates on the stream — that is a second stateful
+    * operator (unbounded dedup state). The exactness contract stays
+    * the staging one; markers make violations detectable instead of
+    * silent.
+    */
+  private def gridStateDrain(spark: SparkSession, docs: DataFrame,
+                             gridCkpt: String, minChars: Int,
+                             sink: DataFrame => Unit): Unit = {
+    pinRocksDb(spark)
+    val lineCells = graft.text.Html.mainContent(docs, "doc_id", "html",
+        minChars)
+      .select(explode(array_distinct(transform(
+        filter(split(col("main_text"), "\n"), l => length(l) > 0),
+        l => md5(l)))).as("lh"))
+    val markers = docs.select(
+      concat(lit("d:"), col("doc_id").cast("string")).as("lh"))
+    val q: StreamingQuery = lineCells.unionByName(markers)
+      .groupBy(col("lh")).count()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", gridCkpt)
+      .foreachBatch { (b: DataFrame, _: Long) => sink(b) }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
 
+  /** Staging-contract violations recorded in the state grid: doc ids
+    * whose marker cell counted more than one staging (each doc must be
+    * staged exactly once — the file source dedups FILES, not doc ids).
+    * A non-empty result means the grid cells for these docs' lines are
+    * inflated; heal by wiping the grid checkpoint and re-draining a
+    * deduplicated staging. */
+  def restagedDocs(spark: SparkSession, gridCkpt: String): DataFrame = {
+    pinRocksDb(spark)
+    spark.read.format("statestore").load(gridCkpt)
+      .select(col("key.lh").as("lh"),
+        col("value.count").cast("long").as("n_staged"))
+      .filter(col("lh").startsWith("d:") && col("n_staged") > 1L)
+      .select(substring(col("lh"), 3, 20).cast("long").as("doc_id"),
+        col("n_staged"))
+  }
+
+  /** Loud per-tick check over [[restagedDocs]] (ADVICE r18: a caller
+    * contract violation must be loud, not silently corrupt frequency
+    * truth). Stderr only — the grid stays serviceable for the
+    * unaffected keys and the heal path is the caller's call. */
+  private def warnRestaged(spark: SparkSession, gridCkpt: String): Unit = {
+    val bad = restagedDocs(spark, gridCkpt).limit(20).collect()
+    if (bad.nonEmpty)
+      System.err.println("[grid-tick] RE-STAGED DOC IDS DETECTED — " +
+        "the staging contract is one staging per doc; the state grid " +
+        "counted these more than once (their lines' df cells are " +
+        "inflated): " +
+        bad.map(r => s"${r.getLong(0)}×${r.getLong(1)}").mkString(", ") +
+        " — wipe the grid checkpoint and re-drain a deduped staging " +
+        "to heal")
+  }
+
   /** The standing line-df grid straight out of [[dfStateTick]]'s state
     * store — (lh, line_df), the same shape as the `_linedf` parquet
     * fold, read via the statestore data source (one scan of the last
-    * snapshot + deltas, no aggregation). */
-  def lineDfFromState(spark: SparkSession, gridCkpt: String): DataFrame =
+    * snapshot + deltas, no aggregation). Doc-marker cells are filtered
+    * out; the provider is pinned to match what the ticks wrote. */
+  def lineDfFromState(spark: SparkSession, gridCkpt: String): DataFrame = {
+    pinRocksDb(spark)
     spark.read.format("statestore").load(gridCkpt)
       .select(col("key.lh").as("lh"),
         col("value.count").cast("long").as("line_df"))
+      .filter(!col("lh").startsWith("d:"))
+  }
 
   /** Boilerplate-filtered corpus with the grid coming from STATE
     * instead of the parquet fold — [[graft.text.TextOps.lineFilteredCorpus]]'s
@@ -589,110 +680,243 @@ object StreamingIngest {
       spark.read.parquet(linesDir),
       lineDfFromState(spark, gridCkpt), maxDocFreq)
 
-  /** CURATED-CRAWL TICK (VERDICT r17 #2): the full q226 capstone made
-    * incremental end-to-end. One tick (a) runs the line/df fold of
-    * [[crawlIngestTick]] — HTML parsed ONCE per document, frequency
-    * truth maintained cell-wise — and then (b) delta-maintains a
-    * per-document curated-attrs store `outDir/_docs` carrying
-    * everything the downstream stages need: cleaned text, langid shard
-    * key, quality score, token count, content hash, and the per-doc
-    * LSH state (band hashes + hashed shingle set —
-    * [[graft.text.NearDup.signatureIndex]], pure functions of the
-    * doc's own text, hence persistable). The curated corpus itself is
-    * a READ FACE ([[graft.pipeline.CrawlCurate.fromStores]]): latest
-    * attrs version per doc → quality gate → exact dedup → banded LSH
-    * near-dup → pack, all over stored narrow columns — re-curation
-    * never re-parses HTML, never re-counts lines, never re-shingles.
+  /** CURATED-CRAWL TICK (VERDICT r17 #2; re-homed on the STATE GRID
+    * r19, VERDICT r18 #1): the full q226 capstone made incremental
+    * end-to-end. One tick runs three phases:
     *
-    * DIRTY SET (what bounds the tick): attrs are recomputed only for
-    * (1) this batch's docs and (2) docs containing a line whose df
-    * CROSSED `maxDocFreq` in this fold (standing ≤ k < merged) — the
-    * exact retroactivity frontier: a doc's kept text changes iff one
-    * of its lines crossed, df is monotone under appends so crossings
-    * never reverse, and an already-crossed line was handled the tick
-    * it crossed. `maxDocFreq` is therefore pinned per curated index
-    * (the corpusIngestTick minJaccard precedent) while the underlying
-    * line/df stores keep it free for other read faces.
+    *  1. LINE DRAIN (`checkpointDir`): [[linesAppendBatch]] — HTML
+    *     parsed ONCE per document, the (doc, line) grain appended to
+    *     `outDir/_lines` under the replay probe. With `urlCol` set the
+    *     batch first passes the FUZZY-URL FRONTIER (VERDICT r18 #2):
+    *     within-batch keepers via [[graft.text.TextOps.urlDedup]],
+    *     then the persisted `_urls` index (canon_key → keeper) —
+    *     first-arrival-wins across ticks, the corpusIngestTick
+    *     streaming contract; only keeper docs are ingested, exactly
+    *     where a production crawl dedups (before fetch/curate, the
+    *     q230 composition). New keys append to `_urls` BEFORE the
+    *     line append so a crash between them replays into "key known,
+    *     lines missing", which the next drain heals (the keeper
+    *     semi-join re-admits the doc, the line probe re-appends).
+    *  2. GRID DRAIN (`outDir/_gridckpt`): [[gridStateDrain]] — the
+    *     line-df grid maintained as a STATEFUL STREAMING AGGREGATE,
+    *     O(batch) state I/O per tick (the §13 answer to the measured
+    *     Θ(grid) fold bound: ×1000 fold ticks grew 13.9→57.4 s while
+    *     state ticks held 10.7–12.9 s flat). The changed-cell stream's
+    *     doc-marker rows are persisted to `_pending` INSIDE
+    *     foreachBatch — durable before the checkpoint commits, so the
+    *     dirty-batch set can never be lost to a crash. Under the
+    *     frontier the grid plan applies the same keeper semi-join
+    *     (stream-static against `_urls`), so dropped duplicates never
+    *     pollute frequency truth.
+    *  3. RE-CURATE ([[recurateDirty]], plain idempotent batch code):
+    *     recompute per-doc curated attrs for the DIRTY SET = `_pending`
+    *     docs ∪ docs holding a line that CROSSED `maxDocFreq`.
+    *     Crossings are derived from durable state only: grid cells
+    *     over threshold MINUS the persisted `_over` handled-set —
+    *     exact because df is monotone under appends (a crossing never
+    *     reverses, and a handled line stays in `_over` forever), and
+    *     crash-safe because every input survives a restart (state
+    *     grid, `_over`, `_pending`). Attrs land in the VERSION-APPEND
+    *     `_docs` store (max-tick-per-doc read face, tombstones for
+    *     docs whose kept text emptied); `_over` is appended AFTER the
+    *     attrs append and `_pending` cleared last, so a crash at any
+    *     point re-runs a superset of the work and converges.
     *
-    * Crash/replay: `_docs` is VERSION-APPEND (tick column; the read
-    * face takes max-tick per doc, tombstones drop emptied docs) — a
-    * replayed batch appends higher versions recomputed from the
-    * replay-stable line/df truth stores, so repeated replays converge
-    * instead of corrupting. On a detected replay the dirty set widens
-    * to every doc holding any over-threshold line (loudly logged, the
-    * df-rebuild discipline): that set provably contains every doc
-    * whose baked kept-text could have missed a crossing in the crash
-    * window, because a missed crossing leaves the line over threshold
-    * today.
+    * The curated corpus itself stays a READ FACE
+    * ([[graft.pipeline.CrawlCurate.fromStores]]): latest attrs per doc
+    * → quality gate → exact dedup → banded LSH near-dup → pack, all
+    * over stored narrow columns — re-curation never re-parses HTML,
+    * never re-counts lines, never re-shingles. `maxDocFreq` is pinned
+    * per curated index (the `_over` set bakes it), the
+    * corpusIngestTick minJaccard precedent.
     */
   def curatedCrawlTick(spark: SparkSession, stagingDir: String,
                        outDir: String, checkpointDir: String,
-                       maxDocFreq: Long = 9L, minChars: Int = 20): Unit = {
-    val docs = spark.readStream
-      .schema("doc_id LONG, html STRING")
-      .parquet(stagingDir)
-    val q: StreamingQuery = docs.writeStream
+                       maxDocFreq: Long = 9L, minChars: Int = 20,
+                       urlCol: Option[String] = None): Unit = {
+    pinRocksDb(spark)
+    val gridCkpt = s"$outDir/_gridckpt"
+    val urlsDir = s"$outDir/_urls"
+    val schema = urlCol match {
+      case Some(u) => s"doc_id LONG, $u STRING, html STRING"
+      case None    => "doc_id LONG, html STRING"
+    }
+    // ---- phase 1: frontier keepers + line-grain append
+    val docs1 = spark.readStream.schema(schema).parquet(stagingDir)
+    val q1: StreamingQuery = docs1.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.pipeline.CrawlCurate
-        import graft.text.TextOps
         val sp = batch.sparkSession
-        val (_, merged, standing, tick, replay) =
-          crawlFoldBatch(batch, outDir, minChars)
-        // --- the retroactivity frontier: lines that crossed maxDocFreq
-        val crossed = (standing match {
-          case Some(st) if !replay =>
-            merged.join(st.select(col("lh"), col("line_df").as("__old")),
-                Seq("lh"))
-              .filter(col("__old") <= maxDocFreq &&
-                col("line_df") > maxDocFreq)
-          case Some(_) =>
-            // replay heal: every over-threshold line (see scaladoc)
-            merged.filter(col("line_df") > maxDocFreq)
-          case None =>
-            // first tick: no standing grid, every doc is in the batch
-            merged.filter(lit(false))
-        }).select(col("lh"))
-        val linesStore = sp.read.parquet(s"$outDir/_lines")
-        val crossedDocs = linesStore.join(crossed, Seq("lh"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val dirty = batch.select(col("doc_id")).distinct()
-          .unionByName(crossedDocs).distinct()
-          .localCheckpoint(true)
-        // --- recompute attrs for dirty docs from the truth stores
-        val kept = TextOps.lineFilterFromRows(
-          TextOps.sizedSemiJoin(linesStore, dirty, "doc_id"),
-          merged, maxDocFreq)
-        val attrs = CrawlCurate.baseAttrs(CrawlCurate.cleanedFromKept(kept))
-          // token count at BATCH grain, one plan (baseAttrs leaves the
-          // kernel out on purpose — its scaladoc's compile-term note)
-          .withColumn("n_tokens",
-            TextOps.tokenCountFast(sp, col("text")).cast("long"))
-          .localCheckpoint(true) // feeds signatures + the two appends
-        val sig = CrawlCurate.signatures(attrs)
-        val aliveRows = attrs
-          .join(sig, attrs("doc_id") === sig("id"), "left_outer")
-          .select(col("doc_id"), col("text"), col("pred_lang"),
-            col("quality"), col("n_tokens"), col("content_hash"),
-            col("bands"), col("sh"),
-            lit(true).as("alive"), lit(tick).as("tick"))
-        // docs whose kept text emptied (or never had lines): tombstone
-        val dead = dirty
-          .join(attrs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), lit(null).cast("string").as("text"),
-            lit(null).cast("string").as("pred_lang"),
-            lit(null).cast("double").as("quality"),
-            lit(null).cast("long").as("n_tokens"),
-            lit(null).cast("string").as("content_hash"),
-            lit(null).cast("array<string>").as("bands"),
-            lit(null).cast("array<long>").as("sh"),
-            lit(false).as("alive"), lit(tick).as("tick"))
-        aliveRows.unionByName(dead).write.mode("append")
-          .parquet(s"$outDir/_docs")
+        val b = batch.dropDuplicates("doc_id")
+        val kept = urlCol match {
+          case Some(u) =>
+            val fs = new org.apache.hadoop.fs.Path(urlsDir)
+              .getFileSystem(sp.sessionState.newHadoopConf())
+            // IndexMeta invariant (the q55 incremental-index shape): a
+            // persisted frontier keyed under a DIFFERENT fuzzy-key
+            // formula would silently split/merge URL groups — refuse
+            // to serve it. fuzzy_v is the formula version, built_n the
+            // key census.
+            graft.sim.IndexMeta.read(sp, s"$urlsDir-meta",
+                Seq("fuzzy_v", "built_n")).foreach { m =>
+              require(m("fuzzy_v") == 1L,
+                s"_urls index at $urlsDir was keyed under fuzzy-key " +
+                  s"formula v${m("fuzzy_v")}, this engine writes v1 — " +
+                  "rebuild the frontier index")
+            }
+            // within-batch fuzzy-key keepers; a key already in the
+            // index keeps its FIRST keeper (anti-join is idempotent,
+            // so a replayed batch never re-appends its keys)
+            val batchKeep = graft.text.TextOps.urlDedup(b, "doc_id", u)
+              .select(col("canon_key"), col("keeper_id"), col("canon_url"))
+            val newKeys =
+              (if (fs.exists(new org.apache.hadoop.fs.Path(urlsDir)))
+                batchKeep.join(
+                  sp.read.parquet(urlsDir).select(col("canon_key")),
+                  Seq("canon_key"), "left_anti")
+              else batchKeep).localCheckpoint(true)
+            newKeys.write.mode("append").parquet(urlsDir)
+            val prevN = graft.sim.IndexMeta.read(sp, s"$urlsDir-meta",
+              Seq("fuzzy_v", "built_n"))
+              .map(_("built_n")).getOrElse(0L)
+            graft.sim.IndexMeta.write(sp, s"$urlsDir-meta", Seq(
+              "fuzzy_v" -> 1L, "built_n" -> (prevN + newKeys.count())))
+            // keepers-ever, re-read POST-append (this batch's keepers
+            // included; replayed keepers self-identify)
+            b.join(sp.read.parquet(urlsDir)
+                .select(col("keeper_id").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi")
+              .drop(u)
+          case None => b
+        }
+        linesAppendBatch(kept, outDir, minChars); ()
       }
       .start()
-    q.awaitTermination()
+    q1.awaitTermination()
+    // ---- phase 2: state-grid drain, dirty-batch capture to _pending
+    val docs2raw = spark.readStream.schema(schema).parquet(stagingDir)
+    val docs2 = urlCol match {
+      case Some(u) =>
+        val fs = new org.apache.hadoop.fs.Path(urlsDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val keepers =
+          if (fs.exists(new org.apache.hadoop.fs.Path(urlsDir)))
+            spark.read.parquet(urlsDir)
+              .select(col("keeper_id")).distinct()
+          else spark.range(0).select(col("id").as("keeper_id"))
+        // stream-static semi join: phase 1 appended this tick's
+        // keepers before this plan was built, so the static side is
+        // current for every file this drain can see
+        docs2raw.join(keepers,
+            docs2raw("doc_id") === keepers("keeper_id"), "left_semi")
+          .drop(u)
+      case None => docs2raw
+    }
+    gridStateDrain(spark, docs2, gridCkpt, minChars, b => {
+      b.persist()
+      // marker cells = THIS batch's docs — durable before the
+      // checkpoint commits (a crash replays the batch and re-appends
+      // the same ids; `_pending` is a candidate set, so duplicates
+      // are harmless and recompute is idempotent)
+      b.filter(col("lh").startsWith("d:"))
+        .select(substring(col("lh"), 3, 20).cast("long").as("doc_id"))
+        .write.mode("append").parquet(s"$outDir/_pending")
+      b.write.format("noop").mode("overwrite").save()
+      b.unpersist(); ()
+    })
+    warnRestaged(spark, gridCkpt)
+    // ---- phase 3: idempotent dirty re-curate from durable truth
+    recurateDirty(spark, outDir, gridCkpt, maxDocFreq)
+  }
+
+  /** Phase 3 of [[curatedCrawlTick]] — recompute curated attrs for the
+    * dirty set and maintain the `_over`/`_pending` bookkeeping. Every
+    * input is durable (state grid, `_lines`, `_over`, `_pending`), so
+    * re-running after a crash anywhere inside converges: `_docs` is
+    * version-append, `_over` is appended only after the attrs landed,
+    * `_pending` cleared last. Scale shape: the grid is consumed twice,
+    * both as STATE SCANS with no grid-sized shuffle — the
+    * over-threshold filter (small output by the boilerplate-threshold
+    * definition) and the dirty-lines cell lookup (semi-join pruned to
+    * the dirty docs' line hashes via the measured-size gate before the
+    * df join, so join inputs stay O(dirty)). */
+  private def recurateDirty(spark: SparkSession, outDir: String,
+                            gridCkpt: String, maxDocFreq: Long): Unit = {
+    import graft.pipeline.CrawlCurate
+    import graft.text.TextOps
+    val pendDir = s"$outDir/_pending"
+    val overDir = s"$outDir/_over"
+    val linesDir = s"$outDir/_lines"
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def exists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+    if (!exists(pendDir) || !exists(linesDir)) return // nothing staged yet
+    val pending = spark.read.parquet(pendDir).distinct()
+      .localCheckpoint(true)
+    val grid = lineDfFromState(spark, gridCkpt)
+    // crossings from durable state: over-threshold cells not yet
+    // handled (df is monotone ⇒ once over, always over; `_over` is the
+    // handled-set). Checkpointed: feeds crossedDocs AND its own append.
+    val over = grid.filter(col("line_df") > maxDocFreq).select(col("lh"))
+    val newOver = (if (exists(overDir))
+        over.join(spark.read.parquet(overDir), Seq("lh"), "left_anti")
+      else over).localCheckpoint(true)
+    val linesStore = spark.read.parquet(linesDir)
+    val crossedDocs = TextOps.sizedSemiJoin(linesStore, newOver, "lh")
+      .select(col("doc_id")).distinct()
+    val dirty = pending.unionByName(crossedDocs).distinct()
+      .localCheckpoint(true)
+    if (dirty.count() > 0) {
+      // dirty docs' line rows (checkpointed: consumed by the cell
+      // lookup and the filter join), then ONLY their grid cells
+      val dirtyLines = TextOps.sizedSemiJoin(linesStore, dirty, "doc_id")
+        .localCheckpoint(true)
+      val cells = TextOps.sizedSemiJoin(grid,
+        dirtyLines.select(col("lh")).distinct(), "lh")
+      val kept = TextOps.lineFilterFromRows(dirtyLines, cells, maxDocFreq)
+      val attrs = CrawlCurate.baseAttrs(CrawlCurate.cleanedFromKept(kept))
+        // token count at BATCH grain, one plan (baseAttrs leaves the
+        // kernel out on purpose — its scaladoc's compile-term note)
+        .withColumn("n_tokens",
+          TextOps.tokenCountFast(spark, col("text")).cast("long"))
+        .localCheckpoint(true) // feeds signatures + the two appends
+      val sig = CrawlCurate.signatures(attrs)
+      // version = max stored tick + 1 (self-contained: a replay after
+      // a partial append lands at a HIGHER version, so max-tick reads
+      // never see duplicates)
+      val tick = (if (exists(s"$outDir/_docs"))
+          spark.read.parquet(s"$outDir/_docs")
+            .agg(max(col("tick"))).head().getLong(0)
+        else 0L) + 1L
+      val aliveRows = attrs
+        .join(sig, attrs("doc_id") === sig("id"), "left_outer")
+        .select(col("doc_id"), col("text"), col("pred_lang"),
+          col("quality"), col("n_tokens"), col("content_hash"),
+          col("bands"), col("sh"),
+          lit(true).as("alive"), lit(tick).as("tick"))
+      // docs whose kept text emptied (or never had lines): tombstone
+      val dead = dirty
+        .join(attrs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(null).cast("string").as("pred_lang"),
+          lit(null).cast("double").as("quality"),
+          lit(null).cast("long").as("n_tokens"),
+          lit(null).cast("string").as("content_hash"),
+          lit(null).cast("array<string>").as("bands"),
+          lit(null).cast("array<long>").as("sh"),
+          lit(false).as("alive"), lit(tick).as("tick"))
+      aliveRows.unionByName(dead).write.mode("append")
+        .parquet(s"$outDir/_docs")
+    }
+    // append only when there are new crossings (a 0-row parquet file
+    // per cron tick would accumulate into a small-file scan tax)
+    if (newOver.count() > 0 || !exists(overDir))
+      newOver.write.mode("append").parquet(overDir)
+    // clear LAST: a crash before this line re-runs the docs above as a
+    // harmless superset next tick
+    spark.range(0).select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(pendDir)
   }
 
   def driftMonitorTick(spark: SparkSession, stagingDir: String,

@@ -890,6 +890,13 @@ object TextOps {
     assembleUrl(scheme, host, path, params)
   }
 
+  /** Canonical host of an absolute URL — [[urlParts]]' authority
+    * component (lowercased, default port stripped). The crawl
+    * scheduler's grouping axis: per-host budgets, politeness pools
+    * (the data-side counterpart of `ingest/Fetch`'s bounded per-host
+    * fetch pool), host-level mixture stats. */
+  def urlHost(url: Column): Column = urlParts(url)._2
+
   /** Fuzzy-URL dedup key: [[canonicalizeUrl]] with the scheme forced to
     * https and a leading "www." stripped — http://www.x.com/a and
     * https://x.com/a are one page for dedup purposes even though their

@@ -27,8 +27,18 @@ import org.apache.spark.sql.functions._
   * `linesDir` names an existing `_lines` store so the state-grid read
   * face can materialize too.
   *
+  * Frontier mode (r19) runs the curated tick WITH the fuzzy-URL
+  * keeper stage: staging carries a url column (the q229/q230 fixture
+  * spellings), so each wave pays canonicalize → persisted-index dedup
+  * before ingest — the q230 composition as a stream.
+  *
+  * Set SPARK_GRAFT_SPOT_NO_ONESHOT=1 to skip the final one-shot
+  * recompute row (reuse a prior run's column when only tick/read-face
+  * terms changed — the one-shot is 21 min at ×1000).
+  *
   * Usage: runMain graft.tools.CrawlTickSpot <sfDir> <workDir>
-  *        [waves=3] [maxDocFreq=9] [mode=lines|curated|state] [linesDir]
+  *        [waves=3] [maxDocFreq=9] [mode=lines|curated|state|frontier]
+  *        [linesDir]
   */
 object CrawlTickSpot {
   def main(args: Array[String]): Unit = {
@@ -37,14 +47,23 @@ object CrawlTickSpot {
     def arg(i: Int, d: Int) = if (args.length > i) args(i).toInt else d
     val waves = arg(2, 3)
     val maxDf = arg(3, 9)
-    val curated = args.length > 4 && args(4) == "curated"
+    val frontier = args.length > 4 && args(4) == "frontier"
+    val curated = frontier || (args.length > 4 && args(4) == "curated")
+    val skipOneShot = sys.env.get("SPARK_GRAFT_SPOT_NO_ONESHOT")
+      .contains("1")
     val spark = ToolSession.local()
     val fsPath = new org.apache.hadoop.fs.Path(work)
     val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(fsPath, true)
-    val docs = graft.core.Tables.documents(spark, sfDir)
-      .withColumn("html", expr(graft.text.Html.fixtureSql))
-      .select(col("doc_id"), col("html"))
+    val docs =
+      if (frontier)
+        graft.core.Tables.documents(spark, sfDir)
+          .withColumn("url", expr(graft.text.TextOps.urlFixtureSql))
+          .withColumn("html", expr(graft.text.Html.fixtureSql))
+          .select(col("doc_id"), col("url"), col("html"))
+      else graft.core.Tables.documents(spark, sfDir)
+        .withColumn("html", expr(graft.text.Html.fixtureSql))
+        .select(col("doc_id"), col("html"))
     val n = docs.count()
     val staging = s"$work/staging"
     val out = s"$work/corpus"
@@ -94,14 +113,22 @@ object CrawlTickSpot {
       }
       spark.stop(); return
     }
-    val tag = if (curated) "curatedtick" else "crawltick"
+    val tag = if (frontier) "frontiertick"
+      else if (curated) "curatedtick" else "crawltick"
     for (w <- 0 until waves) {
-      docs.filter(pmod(col("doc_id"), lit(waves)) === w)
+      // frontier waves split at FIXTURE-GROUP grain (doc_id/5) so a
+      // group's five spellings land in one wave — first-arrival-wins
+      // then equals the one-shot's min-id keeper and the final counts
+      // stay comparable; the persisted-index lookup cost is identical
+      // either way
+      val waveKey = if (frontier) floor(col("doc_id") / 5) else col("doc_id")
+      docs.filter(pmod(waveKey, lit(waves)) === w)
         .write.mode("append").parquet(staging)
       val t0 = System.nanoTime()
       if (curated)
         graft.streaming.StreamingIngest.curatedCrawlTick(spark, staging,
-          out, s"$work/ckpt", maxDocFreq = maxDf.toLong)
+          out, s"$work/ckpt", maxDocFreq = maxDf.toLong,
+          urlCol = if (frontier) Some("url") else None)
       else
         graft.streaming.StreamingIngest.crawlIngestTick(spark, staging, out,
           s"$work/ckpt")
@@ -122,12 +149,23 @@ object CrawlTickSpot {
           f"${(System.nanoTime() - t0) / 1e9}%.1f s (no HTML/shingle " +
           "recompute)")
       }
-      val t0 = System.nanoTime()
-      val os = graft.pipeline.CrawlCurate.oneShot(docs, maxDocFreq = maxDf.toLong)
-        .agg(count(lit(1)), sum(col("n_tokens"))).head()
-      println(f"[$tag] one-shot q226 recompute (the per-run cost the " +
-        f"tick avoids): ${os.getLong(0)} docs / ${os.getLong(1)} tokens " +
-        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      if (!skipOneShot) {
+        val t0 = System.nanoTime()
+        val osDocs =
+          if (frontier) {
+            // the q230 one-shot: fuzzy-URL keepers → capstone
+            val keep = graft.text.TextOps.urlDedup(docs, "doc_id", "url")
+              .select(col("keeper_id").as("doc_id"))
+            docs.join(keep, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("html"))
+          } else docs
+        val os = graft.pipeline.CrawlCurate.oneShot(osDocs,
+            maxDocFreq = maxDf.toLong)
+          .agg(count(lit(1)), sum(col("n_tokens"))).head()
+        println(f"[$tag] one-shot recompute (the per-run cost the " +
+          f"tick avoids): ${os.getLong(0)} docs / ${os.getLong(1)} " +
+          f"tokens in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
     } else {
       for (r <- 1 to 3) {
         val t0 = System.nanoTime()

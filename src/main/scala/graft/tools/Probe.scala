@@ -149,6 +149,58 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("curface")) {
+      // r19 (VERDICT r18 #7): which stage dominates the curated READ
+      // FACE over persisted stores — the ×1000 recurate measured
+      // 59.5–114.4 s with enough variance to suspect one stage widens.
+      // Mirrors CrawlCurate.fromStores/curate stage-for-stage with a
+      // checkpoint after each so stage walls are disjoint.
+      //   runMain graft.tools.Probe curface <outDir> [reps=3]
+      val out = args(1)
+      val reps = if (args.length > 2) args(2).toInt else 3
+      import graft.pipeline.CrawlCurate
+      for (r <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val docsAll = CrawlCurate.latestDocAttrs(spark, out)
+          .localCheckpoint(true)
+        val tAttrs = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val gated = docsAll.drop("bands", "sh")
+          .filter(col("quality") >= 0.55)
+        val keepers = gated.groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("keeper_id"))
+          .select(col("keeper_id"))
+        val exact = gated.drop("quality", "content_hash")
+          .join(keepers, col("doc_id") === col("keeper_id"), "left_semi")
+          .localCheckpoint(true)
+        val tExact = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val signer = docsAll
+          .select(col("doc_id").as("id"), col("bands"), col("sh"))
+          .join(exact.select(col("doc_id").as("id")), Seq("id"),
+            "left_semi")
+          .filter(col("bands").isNotNull)
+        val pairs = NearDup.lshPairsFromIndex(signer)
+          .filter(col("jaccard") >= 0.5)
+        val dropNear = NearDup.dedupClusters(pairs, "id_a", "id_b")
+          .filter(col("doc_id") =!= col("keeper_id"))
+          .select(col("doc_id")).localCheckpoint(true)
+        val tPairs = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val deduped = exact.join(dropNear, Seq("doc_id"), "left_anti")
+        val packed = graft.text.Terms.packPrepared(
+          deduped.select(col("doc_id"), col("pred_lang").as("shard"),
+            col("n_tokens")),
+          blockTokens = 256, orderCols = Seq("doc_id"))
+        val nOut = packed.count()
+        val tPack = (System.nanoTime() - t3) / 1e9
+        println(f"[probe] curface rep $r: attrs $tAttrs%.1f s, exact " +
+          f"$tExact%.1f s, neardup $tPairs%.1f s, pack $tPack%.1f s " +
+          f"($nOut rows)")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("q54pairs")) {
       // r14 drift adjudication: q54 at ×100 re-measured 41 s vs the
       // recorded 19 s while q35/q42 reproduce exactly — split the body

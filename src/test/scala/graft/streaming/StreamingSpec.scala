@@ -1144,6 +1144,26 @@ class StreamingSpec extends SparkSpec {
       .delete(ckptPath, true)
     StreamingIngest.dfStateTick(spark, staging, grid)
     assert(stateGrid() === folded, "replay-from-nothing must converge")
+
+    // the tick pins the RocksDB provider itself (VERDICT r18 #6) —
+    // grid-scale key spaces must never land on the on-heap default
+    // (measured OOM at 14M keys, SCALE.md §13)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"),
+      "grid ticks must pin the RocksDB state store provider")
+
+    // RE-STAGED DOC DETECTION (ADVICE r18): a clean grid reports no
+    // violations; staging doc 3 a SECOND time (a new file — the file
+    // source dedups files, not doc ids) must be detected loudly via
+    // its marker cell instead of silently inflating frequency truth
+    assert(StreamingIngest.restagedDocs(spark, grid).count() === 0L,
+      "a contract-clean grid must report no re-staged docs")
+    docs(Seq(3L)).coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.dfStateTick(spark, staging, grid)
+    val bad = StreamingIngest.restagedDocs(spark, grid)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bad === Map(3L -> 2L),
+      s"the double-staged doc must surface with its staging count: $bad")
   }
 
   test("curated-crawl ticks: two waves equal the one-shot q226 capstone " +
@@ -1220,5 +1240,93 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/_lines").count() === linesBefore,
       "a replayed batch must never re-append lines")
     assert(key(curated()) === oneShot, "replay must converge")
+
+    // WIPED GRID CHECKPOINT (the state-grid crash shape, r19): the
+    // whole staging replays through the grid drain — state rebuilds
+    // from nothing, every doc lands in `_pending`, the full dirty
+    // recompute appends higher versions, and the read face is
+    // unchanged. No restaged-doc flags: marker counts rebuilt with
+    // the state.
+    val gridPath = new org.apache.hadoop.fs.Path(s"$out/_gridckpt")
+    gridPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(gridPath, true)
+    StreamingIngest.curatedCrawlTick(spark, staging, out, s"$base/ckpt")
+    assert(key(curated()) === oneShot,
+      "a rebuilt-from-nothing state grid must converge bit-exactly")
+    assert(StreamingIngest.restagedDocs(spark, s"$out/_gridckpt")
+      .count() === 0L,
+      "a full state replay must not self-flag as re-staging")
+  }
+
+  test("curated-crawl ticks with URL frontier: fuzzy-URL keepers dedup " +
+      "at ingest across waves, two ticks equal the one-shot q230 " +
+      "composition bit-exactly (VERDICT r18 #2)") {
+    import spark.implicits._
+    import graft.pipeline.CrawlCurate
+    val base = Files.createTempDirectory("frontier").toString
+    val staging = s"$base/staging"
+    Files.createDirectories(Paths.get(staging))
+    val out = s"$base/corpus"
+    // quality-passing bodies; urls from the shared q229/q230 fixture
+    // (5 spellings per 5-doc group: variants 0–3 fuzzy-collide, 4 is
+    // its own resource). Waves arrive in doc-id order, so
+    // first-arrival-wins ≡ the one-shot's min-id keeper — the
+    // bit-exact-parity contract (the corpusIngestTick precedent).
+    def body(i: Long): String = {
+      val uniq = (0 until 24).map(j => s"w${(i * 11 + j) % 997}").mkString(" ")
+      s"the corpus of and is doc $uniq"
+    }
+    def docs(ids: Seq[Long]) = ids.map(i => (i, body(i), "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("url", expr(graft.text.TextOps.urlFixtureSql))
+      .withColumn("html", expr(graft.text.Html.fixtureSql))
+      .select(col("doc_id"), col("url"), col("html"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "n_tokens", "start_tok", "chunk")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+
+    docs(1L to 6L).coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.curatedCrawlTick(spark, staging, out, s"$base/ckpt",
+      urlCol = Some("url"))
+    docs(7L to 12L).coalesce(1).write.mode("append").parquet(staging)
+    StreamingIngest.curatedCrawlTick(spark, staging, out, s"$base/ckpt",
+      urlCol = Some("url"))
+
+    // frontier truth: ids 1–3 share group 0's fuzzy key (keeper 1), 4
+    // is its own resource; 5–8 share group 1's key ACROSS THE WAVES
+    // (keeper 5 — docs 7/8 arrive in wave 2 and must be dropped by the
+    // persisted index, the non-vacuous cross-wave case), 9 its own;
+    // 10–12 share group 2's key (keeper 10)
+    val keepers = spark.read.parquet(s"$out/_urls")
+      .select("keeper_id").as[Long].collect().toSet
+    assert(keepers === Set(1L, 4L, 5L, 9L, 10L),
+      s"frontier keepers drifted: $keepers")
+    assert(spark.read.parquet(s"$out/_lines")
+      .select("doc_id").distinct().as[Long].collect().toSet
+      .subsetOf(keepers),
+      "non-keeper docs must never be ingested")
+
+    // the q230 composition as one shot: urlDedup keepers → full
+    // capstone — the tick faces must equal it bit-exactly
+    val all = docs(1L to 12L)
+    val oneShotKeep = graft.text.TextOps.urlDedup(all, "doc_id", "url")
+      .select(col("keeper_id").as("doc_id"))
+    val oneShot = key(CrawlCurate.oneShot(
+      all.join(oneShotKeep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("html"))))
+    assert(key(CrawlCurate.fromStores(spark, out)) === oneShot,
+      "frontier ticks must equal the one-shot q230 composition")
+
+    // torn-index guard: a frontier keyed under a different fuzzy-key
+    // formula version must refuse loudly, never silently re-group
+    graft.sim.IndexMeta.write(spark, s"$out/_urls-meta",
+      Seq("fuzzy_v" -> 2L, "built_n" -> 0L))
+    docs(Seq(13L)).coalesce(1).write.mode("append").parquet(staging)
+    intercept[Exception] {
+      StreamingIngest.curatedCrawlTick(spark, staging, out,
+        s"$base/ckpt", urlCol = Some("url"))
+    }
   }
 }
