@@ -354,16 +354,44 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
       .localCheckpoint(true)
     val nq = vectors.filter(queryPred).count()
-    val rows = nprobes.map { np =>
-      val got = ivfTopK(vectors, idCol, vecCol, dims, centroids, np, k,
-          queryPred)
-        .select(col("query_id"), col("vec_id"))
-      val hits = got.join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+    // r19 sweep-share: the old shape re-ran ivfTopK — assignment pass
+    // INCLUDED — once per sweep point. Now ONE assignment (the index
+    // build) + ONE probe pass at max(nprobes) with each candidate's
+    // cell probe-rank attached; every sweep point is a prank-slice
+    // (a vector's cell has one fixed rank per query, so the slice IS
+    // that point's candidate set), and the |nprobes| hit counts
+    // collect in ONE job. Bit-identical rows per point.
+    val cents = (0 until centroids).map(c => centroidVec(c, dims)).toArray
+    val index = assignCells(vectors, idCol, vecCol, cents)
+      .localCheckpoint(true)
+    val npMax = nprobes.max
+    val q = index.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("vn").as("qn"), posexplode(col("ccos")).as(Seq("cell", "pcos")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("cell"))
+    val probes = q.withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= npMax)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        col("prank"))
+    val sp = vectors.sparkSession
+    val cand = broadcast(probes)
+      .join(index.select(col("vec_id"), col("v"), col("vn"), col("cell")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("prank"))
+    val hitsByNp = sweepTopK(cand, "cosine", scoreAsc = false, nprobes, k)
+      .join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("np")).agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import vectors.sparkSession.implicits._
+    nprobes.map { np =>
+      val hits = hitsByNp.getOrElse(np, 0L)
       (np, nq, hits, nq * k,
         math.floor(hits.toDouble * 1e6 / (nq * k).toDouble + 0.5).toLong)
-    }
-    import vectors.sparkSession.implicits._
-    rows.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+    }.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
   }
 
   /** SIMPLIFIED SILHOUETTE per IVF cell (Rousseeuw 1987's silhouette
@@ -1307,6 +1335,32 @@ object Similarity {
                  pqCodebook: Option[(Int, Int) => Array[Double]] = None,
                  literalDistanceTable: Boolean = false,
                  collectBudgetBytes: Long = ProbeCollectBudgetBytes): DataFrame = {
+    val adc = ivfPqProbeCandidates(index, queries, idCol, vecCol, dims, m,
+      ksub, centroids, nprobe, coarseCodebook, pqCodebook,
+      literalDistanceTable, collectBudgetBytes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
+  }
+
+  /** The candidate half of [[ivfPqProbe]] at probe width `npMax`, each
+    * (query, vec) ADC sum tagged with the probe rank of the vec's cell
+    * (r19 — the [[residualAdcCandidates]] discipline for the raw-PQ
+    * serve path): slicing prank ≤ nprobe reproduces a narrower probe's
+    * candidate set exactly, which lets the recall sweep run ONE probe
+    * at max(nprobes) instead of one per point. Still exactly one
+    * driver collect (the serve-sized qCap guard) and one answer plan.
+    */
+  private def ivfPqProbeCandidates(index: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, dims: Int, m: Int, ksub: Int,
+                 centroids: Int, npMax: Int,
+                 coarseCodebook: Option[Array[Array[Double]]] = None,
+                 pqCodebook: Option[(Int, Int) => Array[Double]] = None,
+                 literalDistanceTable: Boolean = false,
+                 collectBudgetBytes: Long = ProbeCollectBudgetBytes): DataFrame = {
+    val nprobe = npMax
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sp = index.sparkSession
     val dsub = dims / m
@@ -1352,8 +1406,8 @@ object Similarity {
     if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
       System.err.println(f"[scale] ivfPqProbe query collect: " +
         f"${(System.nanoTime() - tq0) / 1e9}%.2f s (${qData.length} queries)")
-    val probePairs: Seq[(Any, Int)] = qData.toSeq.flatMap { r =>
-      if (r.isNullAt(2)) Seq.empty[(Any, Int)]
+    val probePairs: Seq[(Any, Int, Int)] = qData.toSeq.flatMap { r =>
+      if (r.isNullAt(2)) Seq.empty[(Any, Int, Int)]
       else {
         val ccos = r.getSeq[Double](2)
         ccos.indices.map(i => (i, ccos(i)))
@@ -1362,17 +1416,20 @@ object Similarity {
             if (c != 0) c < 0 else ia < ib
           }
           .take(nprobe)
-          .map { case (i, _) => (r.get(0), i) }
+          .zipWithIndex
+          .map { case ((i, _), rk) => (r.get(0), i, rk + 1) }
       }
     }
     val qidField = q.schema.head
     val probesL = sp.createDataFrame(
-      java.util.Arrays.asList(probePairs.map { case (qid, c) =>
-        org.apache.spark.sql.Row(qid, c) }: _*),
+      java.util.Arrays.asList(probePairs.map { case (qid, c, rk) =>
+        org.apache.spark.sql.Row(qid, c, rk) }: _*),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("query_id",
           qidField.dataType, qidField.nullable),
         org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("prank",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
     val qL = sp.createDataFrame(
       java.util.Arrays.asList(qData.map(r =>
@@ -1453,18 +1510,15 @@ object Similarity {
     // pair key, then window re-shuffling on query_id) plus an AQE
     // stage boundary between them. Serving batches bound the shuffle
     // either way (≤ N_q·nprobe·(N/K)·m candidate rows).
-    val adc = pruned.join(broadcast(probesL), Seq("cell"))
+    // min(prank) is exact, not a choice: one cell per vec_id, so every
+    // joined row of a (query, vec) group carries the same prank
+    pruned.join(broadcast(probesL), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(table), Seq("query_id", "subspace", "code"))
-      .select(col("query_id"), col("vec_id"), col("t_micro"))
+      .select(col("query_id"), col("vec_id"), col("t_micro"), col("prank"))
       .repartition(col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("t_micro")).as("adc_micro"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_micro"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
+      .agg(sum(col("t_micro")).as("adc_micro"), min(col("prank")).as("prank"))
   }
 
   def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
@@ -1552,16 +1606,19 @@ object Similarity {
     val idx = ivfPqIndex(vectors, idCol, vecCol, dims, m, ksub, centroids)
       .localCheckpoint(true)
     val nq = queries.count()
-    val rows = nprobes.map { np =>
-      val got = ivfPqProbe(idx, queries, idCol, vecCol, dims, m, ksub,
-          centroids, np, k)
-        .select(col("query_id"), col("vec_id"))
-      val hits = got.join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+    // r19 sweep-share: ONE probe pass at max(nprobes) with prank
+    // attached (one driver collect instead of one per point), each
+    // sweep point a prank-slice of the checkpointed candidates, all
+    // hit counts in ONE job — see ivfPqProbeCandidates.
+    val cand = ivfPqProbeCandidates(idx, queries, idCol, vecCol, dims, m,
+      ksub, centroids, nprobes.max)
+    val hitsByNp = sweepHits(cand, truth, nprobes, k)
+    import vectors.sparkSession.implicits._
+    nprobes.map { np =>
+      val hits = hitsByNp.getOrElse(np, 0L)
       (np, nq, hits, nq * k,
         math.floor(hits.toDouble * 1e6 / (nq * k).toDouble + 0.5).toLong)
-    }
-    import vectors.sparkSession.implicits._
-    rows.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+    }.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
   }
 
   /** Sub-centroid c of subspace s over `dsub` dimensions: component
@@ -1850,20 +1907,48 @@ object Similarity {
                               pqCb: (Int, Int) => Array[Double],
                               nprobe: Int, k: Int,
                               queryPred: Column): DataFrame = {
+    val adc = residualAdcCandidates(cells, codes, dims, m, ksub, cents,
+      pqCb, nprobe, queryPred)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
+  }
+
+  /** Residual-ADC candidate scores at probe width `npMax`, each
+    * candidate tagged with `prank` — the probe rank of ITS cell for
+    * that query (r19, guide §2.4 "remove shuffles outright"): a
+    * vector's cell has ONE fixed rank in a query's coarse ordering, so
+    * the candidate set at any nprobe ≤ npMax is EXACTLY the prank ≤
+    * nprobe slice of this frame, and the ADC sum does not depend on
+    * nprobe at all. The recall sweeps exploit that: ONE codes scan +
+    * ONE broadcast-table join at npMax replaces one full probe per
+    * sweep point (the r18 shape paid |nprobes| scans of the code table
+    * — at 100 TB the dominant term of the sweep, multiplied by the
+    * sweep length for no information).
+    */
+  private def residualAdcCandidates(cells: DataFrame, codes: DataFrame,
+                                    dims: Int, m: Int, ksub: Int,
+                                    cents: Array[Array[Double]],
+                                    pqCb: (Int, Int) => Array[Double],
+                                    npMax: Int,
+                                    queryPred: Column): DataFrame = {
     require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sp = cells.sparkSession
     import sp.implicits._
     val dsub = dims / m
-    // probe list: per query, the nprobe best cells by centroid cosine
-    // (the coarse ranking is unchanged from the raw-PQ path)
+    // probe list: per query, the npMax best cells by centroid cosine
+    // (the coarse ranking is unchanged from the raw-PQ path); prank is
+    // carried so sweep points can slice the shared candidate frame
     val q = cells.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         posexplode(col("ccos")).as(Seq("pcell", "pcos")))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("pcell"))
     val probes = q.withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("pcell").as("cell"))
+      .filter(col("prank") <= npMax)
+      .select(col("query_id"), col("pcell").as("cell"), col("prank"))
     // per-(query, probed cell) residual distance tables
     val cbDf = cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
       .toDF("cell", "ccv")
@@ -1885,22 +1970,20 @@ object Similarity {
           floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"))
       }
     }
-    val table = qcells.select(col("query_id"), col("cell"),
+    val table = qcells.select(col("query_id"), col("cell"), col("prank"),
         explode(array(entries: _*)).as("e"))
-      .select(col("query_id"), col("cell"), col("e.subspace").as("subspace"),
+      .select(col("query_id"), col("cell"), col("prank"),
+        col("e.subspace").as("subspace"),
         col("e.code").as("code"), col("e.t_micro").as("t_micro"))
     // ONE broadcast join does cell pruning AND table lookup: the table
     // only carries (query, probed-cell) rows, so matching on cell
-    // restricts candidates to probed cells with no separate probes join
-    val adc = codes.join(broadcast(table), Seq("cell", "subspace", "code"))
+    // restricts candidates to probed cells with no separate probes join.
+    // min(prank) is exact, not a choice: a vec_id lives in one cell, so
+    // every joined row of a (query, vec) group carries the same prank.
+    codes.join(broadcast(table), Seq("cell", "subspace", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("t_micro")).as("adc_micro"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_micro"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("adc_micro"), col("rank"))
+      .agg(sum(col("t_micro")).as("adc_micro"), min(col("prank")).as("prank"))
   }
 
   /** Probe an ALREADY-BUILT residual IVF-PQ index with external
@@ -2044,35 +2127,96 @@ object Similarity {
                                queryPred: Column): DataFrame = {
     require(nprobes.nonEmpty,
       "ivfPqResidualRecallCurve needs at least one sweep point")
+    val diag = sys.env.contains("SPARK_GRAFT_SCALE_DIAG")
+    var t0 = System.nanoTime()
+    def lap(name: String): Unit = if (diag) {
+      System.err.println(f"[scale] residualRecallCurve $name: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val queries = vectors.filter(queryPred)
     val truth = bruteForceTopK(vectors, queries, idCol, vecCol, k)
       .select(col("query_id"), col("vec_id"))
       .localCheckpoint(true)
+    lap("truth")
     val cents = trainCentroidsExactMatrix(vectors, idCol, vecCol, dims,
       centroids, coarseIters)
+    lap("coarse-train")
     val pq = trainPqResidualMatrix(vectors, idCol, vecCol, dims, m, ksub,
       cents, pqIters)
+    lap("pq-train")
     // ONE assignment + ONE encode shared across the sweep (both
     // checkpointed — they are the expensive terms; each point re-runs
     // only the probe half, the ivfPqRecallCurve discipline)
     val cells = assignCells(vectors, idCol, vecCol, cents)
       .select(col("vec_id"), col("v"), col("ccos"), col("cell"))
       .localCheckpoint(true)
+    lap("cells")
     val codes = ivfPqEncodeResidual(
         cells.select(col("vec_id"), col("v")), "vec_id", "v",
         dims, m, ksub, cents, (s, c) => pq(s)(c))
       .localCheckpoint(true)
+    lap("codes")
     val nq = queries.count()
-    val rows = nprobes.map { np =>
-      val got = residualAdcTopK(cells, codes, dims, m, ksub, cents,
-          (s, c) => pq(s)(c), np, k, queryPred)
-        .select(col("query_id"), col("vec_id"))
-      val hits = got.join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+    // r19 sweep-share: ONE candidate pass at max(nprobes) with prank
+    // attached; each sweep point is a prank-slice of the checkpointed
+    // frame (bit-identical to a per-point probe — residualAdcCandidates
+    // scaladoc), and all |nprobes| hit counts collect in ONE job.
+    val cand = residualAdcCandidates(cells, codes, dims, m, ksub, cents,
+      (s, c) => pq(s)(c), nprobes.max, queryPred)
+    lap("candidates")
+    val hitsByNp = sweepHits(cand, truth, nprobes, k)
+    lap("sweep-hits")
+    import vectors.sparkSession.implicits._
+    nprobes.map { np =>
+      val hits = hitsByNp.getOrElse(np, 0L)
       (np, nq, hits, nq * k,
         math.floor(hits.toDouble * 1e6 / (nq * k).toDouble + 0.5).toLong)
+    }.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+  }
+
+  /** Top-k rows of EVERY sweep point in ONE window pass, tagged with
+    * np. Per-point row_number-within-the-slice is derived as a
+    * conditional RUNNING COUNT over the one global (score, vec_id)
+    * order: a row's rank inside the prank ≤ np slice equals the number
+    * of prank ≤ np rows at or before it — the ordering is total
+    * (vec_id is unique per query), so the ROWS frame is exact. One
+    * WindowExec carries all |nprobes| running sums, replacing
+    * |nprobes| sort exchanges over the candidate frame with one.
+    * `scoreAsc` orders ascending (ADC distances) or descending
+    * (cosines). Emits (np, query_id, vec_id) — per np, bit-identical
+    * to filter(prank ≤ np) + row_number ≤ k.
+    */
+  private def sweepTopK(cand: DataFrame, scoreCol: String, scoreAsc: Boolean,
+                        nprobes: Seq[Int], k: Int): DataFrame = {
+    val order = if (scoreAsc) col(scoreCol).asc else col(scoreCol).desc
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(order, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRk = nprobes.zipWithIndex.foldLeft(cand) { case (df, (np, i)) =>
+      df.withColumn(s"__rk$i",
+        sum(when(col("prank") <= np, lit(1L)).otherwise(lit(0L))).over(w))
     }
-    import vectors.sparkSession.implicits._
-    rows.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+    val entries = array(nprobes.zipWithIndex.map { case (np, i) =>
+      struct(lit(np).as("np"), col(s"__rk$i").as("rk"),
+        (col("prank") <= np).as("m"))
+    }: _*)
+    withRk
+      .select(col("query_id"), col("vec_id"),
+        explode(filter(entries,
+          e => e.getField("m") && e.getField("rk") <= k)).as("e"))
+      .select(col("e.np").as("np"), col("query_id"), col("vec_id"))
+  }
+
+  /** Per-sweep-point recall hits in ONE job: [[sweepTopK]] over the
+    * shared candidate frame, semi-join truth, count grouped by np.
+    * Candidates must carry (query_id, vec_id, adc_micro, prank). */
+  private def sweepHits(cand: DataFrame, truth: DataFrame,
+                        nprobes: Seq[Int], k: Int): Map[Int, Long] = {
+    sweepTopK(cand, "adc_micro", scoreAsc = true, nprobes, k)
+      .join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("np")).agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
   /** EXACT-COSINE RE-RANK of a bounded (query_id, vec_id) shortlist —
@@ -2188,18 +2332,58 @@ object Similarity {
         dims, m, ksub, cents, (s, c) => pq(s)(c))
       .localCheckpoint(true)
     val nq = queries.count()
-    val rows = nprobes.map { np =>
-      val short = residualAdcTopK(cells, codes, dims, m, ksub, cents,
-          (s, c) => pq(s)(c), np, shortlist, queryPred)
-        .select(col("query_id"), col("vec_id"))
-      val got = rerankExactWith(vectors, queries, idCol, vecCol, short, k)
-        .select(col("query_id"), col("vec_id"))
-      val hits = got.join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+    // r19 sweep-share (the q219 discipline): ONE ADC candidate pass at
+    // max(nprobes) with prank attached; each point's shortlist is the
+    // exact per-point ADC top-R derived by slicing prank ≤ np, and the
+    // |nprobes| exact re-ranks collapse into ONE pass over the raw
+    // vectors (the shortlists union with an np tag and the re-rank
+    // window partitions on (np, query) — previously the raw-vector
+    // table was scanned once per sweep point, the 100 TB term).
+    val cand = residualAdcCandidates(cells, codes, dims, m, ksub, cents,
+      (s, c) => pq(s)(c), nprobes.max, queryPred)
+    val shortAll = sweepTopK(cand, "adc_micro", scoreAsc = true,
+      nprobes, shortlist)
+    val got = rerankExactTagged(vectors, queries, idCol, vecCol,
+      shortAll, k)
+    val hitsByNp = got.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("np")).agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import vectors.sparkSession.implicits._
+    nprobes.map { np =>
+      val hits = hitsByNp.getOrElse(np, 0L)
       (np, nq, hits, nq * k,
         math.floor(hits.toDouble * 1e6 / (nq * k).toDouble + 0.5).toLong)
-    }
-    import vectors.sparkSession.implicits._
-    rows.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+    }.toDF("nprobe", "n_queries", "hits", "possible", "recall_micro")
+  }
+
+  /** [[rerankExactWith]] over an np-TAGGED shortlist — the sweep's
+    * batched second stage: one map-side pass over the raw vectors
+    * serves every sweep point at once (the shortlist broadcast carries
+    * (np, query_id, vec_id); ranking partitions on (np, query_id) with
+    * the exact same (cosine DESC, vec_id) order, so each np's rows are
+    * bit-identical to a per-point [[rerankExactWith]] call).
+    */
+  private def rerankExactTagged(raws: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String,
+                                shortlist: DataFrame, k: Int): DataFrame = {
+    val sp = raws.sparkSession
+    val v = raws.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vn", norm(sp, col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(sp, col("qv")))
+    val scored = v
+      .join(broadcast(shortlist.select(col("np"), col("query_id"),
+        col("vec_id"))), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(dot(sp, col("qv"), col("v")) / (col("qn") * col("vn")), 6))
+    val w = Window.partitionBy(col("np"), col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("np"), col("query_id"), col("vec_id"))
   }
 
   /** JL plane p over `dims` dimensions: component i = md5("jl{p}_{i}")
