@@ -518,10 +518,44 @@ object Classify {
       .withColumn("acc_loo_micro",
         floor(col("n_ok").cast("double") * lit(1e6)
           / col("n_scored").cast("double") + lit(0.5)).cast("long"))
-    // full-model accuracy on the same slice, once
-    val full = naiveBayesSelfTest(df, idCol, textCol, labelCol)
-      .join(evalDocs, Seq("doc_id"))
-      .agg(count(lit(1)).as("n_eval"), sum(col("correct").cast("long")).as("ok"))
+    // full-model accuracy on the same slice — DERIVED from the same
+    // count scan as the LOO models (r19 optimization): the full model
+    // is exactly the src-free face of the algebra above (c_all, t_l,
+    // V, n_docs/n_all priors), so scoring the eval slice needs only
+    // ctl/lab/v — already checkpointed — restricted to eval-slice
+    // terms (the same result-neutral grid cut the LOO grid takes: the
+    // grid's sole consumer is the evalToks join, and every eval term
+    // is in the corpus vocabulary, so the inner score join hits
+    // identically). This replaces naiveBayesSelfTest's SECOND corpus
+    // tokenize pass, second term-keyed model exchange, and corpus-wide
+    // doc-keyed score aggregation (it scored EVERY doc, then joined
+    // the slice away). Same integers: s_micro/prior_micro share the
+    // double operand shapes of the LOO grid with the src terms zeroed,
+    // which is the oracle's nbCtes formula (ln(c_all+1) − ln(t_l+V)).
+    val fullGrid = evalToks.select(col("term")).distinct()
+      .crossJoin(broadcast(lab.select(col("label"), col("t_l"))))
+      .join(ctl, Seq("label", "term"), "left").na.fill(0L, Seq("c_all"))
+      .crossJoin(broadcast(v))
+      .select(col("term"), col("label"),
+        floor((log(col("c_all").cast("double") + lit(1.0)) -
+          log((col("t_l") + col("v")).cast("double"))) * lit(1e6)
+          + lit(0.5)).cast("long").as("s_micro"))
+    val fullPriors = lab.crossJoin(broadcast(nAll))
+      .select(col("label"),
+        floor((log(col("n_docs").cast("double")) -
+          log(col("n_all").cast("double"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("prior_micro"))
+    val full = evalToks.join(fullGrid, Seq("term"))
+      .groupBy(col("doc_id"), col("label_true"), col("label"))
+      .agg(sum(col("c") * col("s_micro")).as("ll_micro"))
+      .join(broadcast(fullPriors), Seq("label"))
+      .select(col("doc_id"), col("label_true"),
+        struct((col("ll_micro") + col("prior_micro")).as("s"),
+          col("label").as("l")).as("cand"))
+      .groupBy(col("doc_id"), col("label_true"))
+      .agg(max(col("cand")).as("best"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum((col("best.l") === col("label_true")).cast("long")).as("ok"))
       .select(col("n_eval"),
         floor(col("ok").cast("double") * lit(1e6)
           / col("n_eval").cast("double") + lit(0.5)).cast("long")
