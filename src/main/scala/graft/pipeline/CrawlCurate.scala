@@ -73,6 +73,12 @@ object CrawlCurate {
     // through the checkpoint measured +2 s on q226 at the r18 close,
     // Probe q226stages — the filter evaluates it, the projection must
     // not re-evaluate it)
+    // (r19 note: a row_number()-window form of this dedup — one pass,
+    // one exchange — was tried and REJECTED by the ×10 A/B: it ships
+    // full text rows through the content_hash exchange where this
+    // shape ships 16-byte hashes to the keeper agg and broadcasts the
+    // keeper ids back — guide §2.3's shuffle-metadata-not-payloads.
+    // ×10: window 18.5 s vs this 13.5 s on q226.)
     val exact = gated.drop("quality", "content_hash")
       .join(keepers, col("doc_id") === col("keeper_id"), "left_semi")
       // EAGER (q61 doctrine): consumed by pair materialization + final
@@ -102,6 +108,11 @@ object CrawlCurate {
   def oneShot(docs: DataFrame, maxDocFreq: Long = 9L,
               minQuality: Double = 0.55, minJaccard: Double = 0.5,
               blockTokens: Int = 256): DataFrame = {
+    // (r19 adjudication: checkpointing the doc-grain mainContent output
+    // so the line-frequency filter's two consumers share ONE codec pass
+    // was tried and measured a WASH at both sf0.1 and ×10 — the saved
+    // codec pass is bought back by the corpus-size block write+read —
+    // so the simpler two-pass shape stays.)
     val cleaned = cleanedFromKept(
       TextOps.lineFrequencyFilter(
         graft.text.Html.mainContent(docs, "doc_id", "html")
