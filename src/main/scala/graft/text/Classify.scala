@@ -44,15 +44,33 @@ object Classify {
     * flag — the resubstitution diagnostic a labeling pipeline watches.
     */
   def naiveBayesSelfTest(df: DataFrame, idCol: String, textCol: String,
-                         labelCol: String): DataFrame = {
-    val scored = naiveBayesScores(df, idCol, textCol, labelCol)
-      .select(col("doc_id"), col("label_true"),
-        struct(col("total_micro").as("s"), col("label").as("l")).as("cand"))
-    scored.groupBy(col("doc_id"), col("label_true"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("doc_id"), col("label_true").as("label"),
-        col("best.l").as("pred_label"), col("best.s").as("score_micro"),
-        (col("best.l") === col("label_true")).cast("int").as("correct"))
+                         labelCol: String): DataFrame =
+    wordNbWide(df, idCol, textCol, labelCol) match {
+      case None =>
+        df.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+          col(labelCol).as("pred_label"), lit(0L).as("score_micro"),
+          lit(0).as("correct")).limit(0)
+      case Some(w) =>
+        w.wide.select(col("doc_id"), col("label_true"), bestCand(w).as("best"))
+          .select(col("doc_id"), col("label_true").as("label"),
+            col("best.l").as("pred_label"), col("best.s").as("score_micro"),
+            (col("best.l") === col("label_true")).cast("int").as("correct"))
+    }
+
+  /** Per-doc argmax candidate over the wide score row (r19): the L
+    * struct candidates (ll_i + prior_i, label_i) compared in ONE
+    * projection — `greatest` over structs is exactly the max(struct)
+    * the exploded form aggregated, highest score then greater label,
+    * with NO ×L row explode, NO priors join and NO per-doc
+    * re-aggregation exchange. Priors ride as literals collected from
+    * the same Spark-computed priors frame (never recomputed driver-
+    * side, so the micro-snap doubles are bit-identical by
+    * construction). */
+  private def bestCand(w: NbWide): Column = {
+    val cands = w.labelSeq.indices.map(i =>
+      struct((col(s"ll_$i") + lit(w.priorMicro(i))).as("s"),
+        lit(w.labelSeq(i)).as("l")))
+    if (cands.size == 1) cands.head else greatest(cands: _*)
   }
 
   /** The full per-(document, candidate-label) NB score frame —
@@ -66,6 +84,24 @@ object Classify {
       t => ArrayOps.stringRleCounts(spark, TextOps.tokens(t)),
       t => TextOps.tokenCountFast(spark, t).cast("long"))
   }
+
+  /** The word-token wide core shared by the argmax/top-two faces. */
+  private def wordNbWide(df: DataFrame, idCol: String, textCol: String,
+                         labelCol: String): Option[NbWide] = {
+    val spark = df.sparkSession
+    naiveBayesWide(df, idCol, textCol, labelCol,
+      t => ArrayOps.stringRleCounts(spark, TextOps.tokens(t)),
+      t => TextOps.tokenCountFast(spark, t).cast("long"))
+  }
+
+  /** The wide NB core's hand-off (r19): one row per doc with L integer
+    * log-likelihood columns ll_0..ll_{L-1} (column i = labelSeq(i)),
+    * the sorted label sequence, and the per-label micro-snapped priors
+    * COLLECTED from the Spark-computed priors frame (label-bounded; the
+    * collect is how the argmax/top-two faces inline them as literals
+    * without an explode + join + re-aggregation tail). */
+  private final case class NbWide(wide: DataFrame, labelSeq: Seq[String],
+                                  priorMicro: Seq[Long])
 
   /** [[naiveBayesScores]] generalized over the FEATURE FAMILY — the
     * one NB core the word-token model (q133/q177/q187) and the char-
@@ -96,7 +132,30 @@ object Classify {
   def naiveBayesScoresWith(df: DataFrame, idCol: String, textCol: String,
                            labelCol: String,
                            termPairsOf: Column => Column,
-                           termCountOf: Column => Column): DataFrame = {
+                           termCountOf: Column => Column): DataFrame =
+    naiveBayesWide(df, idCol, textCol, labelCol, termPairsOf,
+        termCountOf) match {
+      case None =>
+        df.select(col(idCol).as("doc_id"),
+          col(labelCol).as("label_true"), col(labelCol).as("label"),
+          lit(0L).as("total_micro")).limit(0)
+      case Some(NbWide(wide, labelSeq, priorMicro)) =>
+        // per-(doc, label) face: totals computed IN the explode values
+        // (ll + prior literal, same long addition the old priors join
+        // performed) — the |docs|·L frame still re-stacks only AFTER
+        // the per-doc aggregation, where it is argmax-sized
+        wide.select(col("doc_id"), col("label_true"),
+          explode(map_from_arrays(
+            array(labelSeq.map(lit(_)): _*),
+            array(labelSeq.indices.map(i =>
+              col(s"ll_$i") + lit(priorMicro(i))): _*)))
+            .as(Seq("label", "total_micro")))
+    }
+
+  private def naiveBayesWide(df: DataFrame, idCol: String, textCol: String,
+                             labelCol: String,
+                             termPairsOf: Column => Column,
+                             termCountOf: Column => Column): Option[NbWide] = {
     // OCCURRENCE COMPRESSION (r15, the q220 lesson): aggregate to
     // per-(doc, term) counts BEFORE anything joins the vocabulary×L
     // grid — char-gram features are ~10× repeat-heavy, so the grid
@@ -164,12 +223,9 @@ object Classify {
     val labelRows = labels.select(col("label"), col("t_l")).collect()
     // degenerate-case guards (ADVICE r15): an empty input used to throw
     // NoSuchElementException at labelSeq.head and a null label NPE'd in
-    // the sort — return the empty score frame / fail with the actual
-    // contract violation instead
-    if (labelRows.isEmpty)
-      return df.select(col(idCol).as("doc_id"),
-        col(labelCol).as("label_true"), col(labelCol).as("label"),
-        lit(0L).as("total_micro")).limit(0)
+    // the sort — return None (the faces emit their empty frames) / fail
+    // with the actual contract violation instead
+    if (labelRows.isEmpty) return None
     require(labelRows.forall(!_.isNullAt(0)),
       "naiveBayesScoresWith: null label value — labels are model keys " +
         "and must be non-null (filter or impute upstream)")
@@ -202,15 +258,13 @@ object Classify {
       .agg(sum(col("c") * element_at(col("s_arr"), 1)).as("ll_0"),
         labelSeq.indices.drop(1).map(i =>
           sum(col("c") * element_at(col("s_arr"), i + 1)).as(s"ll_$i")): _*)
-    wide
-      .select(col("doc_id"), col("label_true"),
-        explode(map_from_arrays(
-          array(labelSeq.map(lit(_)): _*),
-          array(labelSeq.indices.map(i => col(s"ll_$i")): _*)))
-          .as(Seq("label", "ll_micro")))
-      .join(broadcast(priors), Seq("label"))
-      .select(col("doc_id"), col("label_true"), col("label"),
-        (col("ll_micro") + col("prior_micro")).as("total_micro"))
+    // priors collected (label-bounded, from the checkpointed labels
+    // frame) so the consumer faces can inline them as literals — the
+    // snapped values stay the SPARK-computed doubles above, never a
+    // driver-side log recomputation
+    val priorMap = priors.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Some(NbWide(wide, labelSeq, labelSeq.map(priorMap)))
   }
 
   /** TRAINED LANGUAGE-ID confusion census (VERDICT r14 #5): fit the
@@ -230,9 +284,10 @@ object Classify {
     */
   def charLangIdConfusion(df: DataFrame, idCol: String, textCol: String,
                           labelCol: String, n: Int = 3): DataFrame =
-    predCensus(naiveBayesScoresWith(df, idCol, textCol, labelCol,
-      t => ArrayOps.charNgramRleCounts(df.sparkSession, t, n),
-      TextOps.charNgramCount(_, n)))
+    predCensus(df, labelCol,
+      naiveBayesWide(df, idCol, textCol, labelCol,
+        t => ArrayOps.charNgramRleCounts(df.sparkSession, t, n),
+        TextOps.charNgramCount(_, n)))
 
   /** MIXED-WIDTH char-gram language-ID (VERDICT r15 #5): the same NB
     * core over the UNION of several gram widths — each width's per-row
@@ -256,23 +311,30 @@ object Classify {
       widths.distinct.size == widths.size,
       s"charLangIdConfusionMixed: widths must be distinct and >= 1, got $widths")
     val spark = df.sparkSession
-    predCensus(naiveBayesScoresWith(df, idCol, textCol, labelCol,
-      t => concat(widths.map(w =>
-        ArrayOps.charNgramRleCounts(spark, t, w, widthPrefixed = true)): _*),
-      t => widths.map(w => TextOps.charNgramCount(t, w)).reduce(_ + _)))
+    predCensus(df, labelCol,
+      naiveBayesWide(df, idCol, textCol, labelCol,
+        t => concat(widths.map(w =>
+          ArrayOps.charNgramRleCounts(spark, t, w, widthPrefixed = true)): _*),
+        t => widths.map(w => TextOps.charNgramCount(t, w)).reduce(_ + _)))
   }
 
   /** The confusion-census tail (argmax per doc — ties to the greater
     * label, the q133 convention — then (label, pred) cells with row/
     * column shares, the q194 shape) shared by the single-width and
     * mixed-width language-ID faces so the census cannot drift. */
-  private def predCensus(scored: DataFrame): DataFrame = {
-    val pred = scored
-      .select(col("doc_id"), col("label_true"),
-        struct(col("total_micro").as("s"), col("label").as("l")).as("cand"))
-      .groupBy(col("doc_id"), col("label_true"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("label_true").as("label"), col("best.l").as("pred"))
+  private def predCensus(df: DataFrame, labelCol: String,
+                         w: Option[NbWide]): DataFrame = {
+    // argmax in ONE projection over the wide row (r19, see bestCand):
+    // no ×L explode, no priors join, no per-doc re-aggregation — the
+    // census exchange below is the face's first shuffle after the
+    // score aggregation
+    val pred = w match {
+      case None => df.select(col(labelCol).as("label"),
+        col(labelCol).as("pred")).limit(0)
+      case Some(w) =>
+        w.wide.select(col("label_true").as("label"),
+          bestCand(w).getField("l").as("pred"))
+    }
     val cells = pred.groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n")).localCheckpoint(true)
     val rt = cells.groupBy(col("label")).agg(sum(col("n")).as("rt"))
@@ -295,38 +357,51 @@ object Classify {
     * accuracy — a monotone-rising table means the margin is a usable
     * triage knob (auto-accept wide margins, route narrow ones to review).
     *
-    * Exactness + scale: top-1 and top-2 come from TWO max(struct) passes
-    * over the label-bounded score frame (the q95 keeper-argmax doctrine,
-    * no per-doc window sort): best = max(s, l), runner-up = max over the
-    * remaining candidates after an equi-join drops the winner. Ties at
-    * the top give margin 0 — bucket 0 collects exactly the coin-flip
-    * cases. Everything after the NB score frame is per-doc bounded.
+    * Exactness + scale: top-1 and top-2 come from ONE projection over
+    * the wide per-doc score row (r19 — an L-element array_sort of the
+    * candidate structs, L label-bounded): best = max(s, l), runner-up =
+    * the best of the remaining candidates, bit-identical to the old
+    * two-pass max(struct) + equi-join form it replaced. Ties at the
+    * top give margin 0 — bucket 0 collects exactly the coin-flip
+    * cases. Everything after the NB score aggregation is per-doc
+    * bounded.
     */
-  /** Top-1 / top-2 candidate extraction from the NB score frame:
+  /** Top-1 / top-2 candidate extraction from the wide NB core:
     * (doc_id, label_true, pred_label, best_micro, second_micro) — the
     * shared front half of the margin-calibration table and the
-    * label-noise audit. Two keeper-argmax passes (q95 doctrine), no
-    * per-doc window sort.
+    * label-noise audit. One projection, no per-doc window sort, no
+    * runner-up join.
     */
-  private def topTwo(scores: DataFrame): DataFrame = {
-    val best = scores
-      .select(col("doc_id"), col("label_true"),
-        struct(col("total_micro").as("s"), col("label").as("l")).as("cand"))
-      .groupBy(col("doc_id"), col("label_true"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("doc_id"), col("label_true"),
-        col("best.l").as("pred_label"), col("best.s").as("best_micro"))
-    val second = scores.join(best, Seq("doc_id"))
-      .filter(col("label") =!= col("pred_label"))
-      .groupBy(col("doc_id")).agg(max(col("total_micro")).as("second_micro"))
-    best.join(second, Seq("doc_id"))
+  private def topTwo(df: DataFrame, idCol: String, labelCol: String,
+                     w: Option[NbWide]): DataFrame = w match {
+    // L < 2: no runner-up exists — the old equi-join form returned an
+    // empty frame; preserve that (and the empty-input case with it)
+    case Some(w) if w.labelSeq.size >= 2 =>
+      // ONE map over the wide row (r19): the L candidate structs sort
+      // ascending by (score, label); the last element is exactly the
+      // old max(struct) argmax (highest score, ties to greater label)
+      // and the second-to-last is exactly the old "max total among
+      // labels != pred_label" (labels are distinct, so the runner-up
+      // candidate IS the best of the rest). Replaces a per-doc argmax
+      // exchange + a |docs|·L runner-up join + a second per-doc
+      // aggregation — and the scores checkpoint both consumers needed.
+      val arr = array_sort(array(w.labelSeq.indices.map(i =>
+        struct((col(s"ll_$i") + lit(w.priorMicro(i))).as("s"),
+          lit(w.labelSeq(i)).as("l"))): _*))
+      w.wide.select(col("doc_id"), col("label_true"),
+          element_at(arr, -1).as("best"), element_at(arr, -2).as("second"))
+        .select(col("doc_id"), col("label_true"),
+          col("best.l").as("pred_label"), col("best.s").as("best_micro"),
+          col("second.s").as("second_micro"))
+    case _ =>
+      df.select(col(idCol).as("doc_id"), col(labelCol).as("label_true"),
+        col(labelCol).as("pred_label"), lit(0L).as("best_micro"),
+        lit(0L).as("second_micro")).limit(0)
   }
 
   def nbMarginCalibration(df: DataFrame, idCol: String, textCol: String,
                           labelCol: String): DataFrame = {
-    val scores = naiveBayesScores(df, idCol, textCol, labelCol)
-      .localCheckpoint(true) // two argmax consumers + the runner-up join
-    topTwo(scores)
+    topTwo(df, idCol, labelCol, wordNbWide(df, idCol, textCol, labelCol))
       .withColumn("margin", col("best_micro") - col("second_micro"))
       .withColumn("bucket",
         when(col("margin") <= 0, lit(0L))
@@ -579,9 +654,7 @@ object Classify {
   def labelNoiseCandidates(df: DataFrame, idCol: String, textCol: String,
                            labelCol: String,
                            minMarginMicro: Long): DataFrame = {
-    val scores = naiveBayesScores(df, idCol, textCol, labelCol)
-      .localCheckpoint(true)
-    topTwo(scores)
+    topTwo(df, idCol, labelCol, wordNbWide(df, idCol, textCol, labelCol))
       .withColumn("margin_micro", col("best_micro") - col("second_micro"))
       .filter(col("pred_label") =!= col("label_true") &&
         col("margin_micro") >= minMarginMicro)
