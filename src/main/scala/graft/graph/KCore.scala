@@ -35,8 +35,17 @@ object KCore {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
+    // FIXPOINT EARLY EXIT (r19): peeling is monotone — a round that
+    // drops no edge leaves every later round an identity pass, so the
+    // remaining budget can be skipped with a bit-identical result (the
+    // scaladoc's own "equal survivor counts ⇒ converged" argument,
+    // applied per round). The check is one count() per round over the
+    // just-materialized checkpoint blocks — a scalar job, against a
+    // saved round of degree agg + two semi joins + checkpoint each.
+    var prevEdges = e.count()
     var r = 0
-    while (r < rounds) {
+    var converged = prevEdges == 0L
+    while (r < rounds && !converged) {
       val deg = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -46,6 +55,9 @@ object KCore {
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint(true)
+      val nEdges = e.count()
+      converged = nEdges == prevEdges || nEdges == 0L
+      prevEdges = nEdges
       r += 1
     }
     e.select(col("src").as("node")).union(e.select(col("dst").as("node")))

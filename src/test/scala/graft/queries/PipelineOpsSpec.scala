@@ -905,6 +905,28 @@ class PipelineOpsSpec extends SparkSpec {
       "the 3-core is exactly K4 with interior degrees")
   }
 
+  test("q188 k-core: cascading peels run every budgeted round; fixpoint early exit is result-neutral") {
+    import spark.implicits._
+    // path 1-2-3-4-5 into a triangle {5,6,7}: at k=2 the path peels ONE
+    // node per round (a true cascade — the r19 fixpoint early exit must
+    // not fire while edges are still dropping)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (5L, 7L)).toDF("a", "b")
+    val r3 = graft.graph.KCore.peel(edges, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 === Map(4L -> 1L, 5L -> 3L, 6L -> 2L, 7L -> 2L),
+      s"after exactly 3 peels nodes 1..3 are gone and 4 still hangs on, got $r3")
+    // past the fixpoint (round 4 drops node 4, round 5 changes nothing):
+    // any larger budget must return the identical converged core — the
+    // early exit makes rounds 5+ free, never different
+    val r5 = graft.graph.KCore.peel(edges, "a", "b", k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r9 = graft.graph.KCore.peel(edges, "a", "b", k = 2, rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r5 === Map(5L -> 2L, 6L -> 2L, 7L -> 2L), s"converged 2-core is the triangle, got $r5")
+    assert(r9 === r5, "budgets past the fixpoint are result-identical")
+  }
+
   test("q189 Neyman: zero-variance strata get nothing; remainders sum exactly") {
     import spark.implicits._
     val a = Seq(("A", 5L), ("A", 5L), ("B", 0L), ("B", 10L)).toDF("s", "x")
