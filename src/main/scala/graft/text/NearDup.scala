@@ -392,7 +392,20 @@ object NearDup {
     val spark = scoredPairs.sparkSession
     import spark.implicits._
     val t = thresholds.toDF("threshold")
-    val flagged = scoredPairs.crossJoin(broadcast(t))
+    // EAGER checkpoint (r19): the flagged frame has TWO consumers (the
+    // pair count and the coverage distinct), and without a boundary
+    // each re-ran the whole upstream pair pipeline — shingles,
+    // signatures, band join, verification. The pair frame is
+    // LSH-thinned (near-dup-rate-bounded), so materializing it is
+    // cheap at any scale; the sweep itself is |pairs|·|thresholds|.
+    // (Checkpointing the signature INDEX inside lshPairsFromIndex
+    // itself was also tried and REJECTED: its three consumers sit
+    // above a REUSED exchange, so the recompute they pay is only the
+    // final-agg tail, and materializing the sh arrays measured
+    // slower — q35/q103/q226/q230/q61 family 14.2 s vs 11.7 s on a
+    // faster box.)
+    val pairs = scoredPairs.localCheckpoint(true)
+    val flagged = pairs.crossJoin(broadcast(t))
       .filter(col(jaccardCol) >= col("threshold"))
     val perT = flagged.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
     val cov = flagged
