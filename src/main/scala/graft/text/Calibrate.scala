@@ -509,8 +509,16 @@ object Calibrate {
   def conformalPValues(df: DataFrame, idCol: String, calPred: Column,
                        scoreCenti: Column, gridMax: Int = 100): DataFrame = {
     val spark = df.sparkSession
+    // EAGER checkpoint (r19): this frame has THREE consumers (the
+    // stats collect, the calibration histogram, the test side) and a
+    // downstream caller (bhReject) adds two more — without a boundary
+    // every consumer re-evaluated `scoreCenti`, which for the q167
+    // face is the multi-tokenize quality kernel. The rows are three
+    // narrow columns (id, bool, long), so the materialization is
+    // block-cheap at any scale.
     val scored = df.select(col(idCol).as("id"),
       calPred.cast("boolean").as("is_cal"), scoreCenti.as("sc"))
+      .localCheckpoint(true)
     val stats = scored.agg(min(col("sc")), max(col("sc")),
       sum(when(col("is_cal"), 1L).otherwise(0L))).head()
     require(!stats.isNullAt(0) && stats.getLong(0) >= 0L
