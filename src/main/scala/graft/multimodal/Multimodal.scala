@@ -241,6 +241,59 @@ object Multimodal {
       .map { case (id, text) => MediaRow(id, "image", texturedBmpFixture(text)) }
   }
 
+  /** FUSED fixture→dHash (r20, guide §1.2 #2 per-task work): the dHash
+    * of [[texturedBmpFixture]]'s image samples a fixed 9×8 nearest grid
+    * — 72 of the 1152 pixels — so rendering the full BMP, shipping it
+    * through a Dataset row, and decoding it back computes 16× the md5
+    * work the hash reads plus a dead encode/decode round-trip. This
+    * computes ONLY the sampled windows, by the same formulas:
+    * `Bmp.dHash` reads pixel (x·36/9, y·32/8) = (4x, 4y); the fixture's
+    * gray at (px, py) is md5(window((py·36+px)·7 mod L))[0], stored
+    * B=G=R so decoded luma ≡ gray. The composed path stays THE
+    * definition — MultimodalSpec pins this equal to
+    * `Bmp.dHash(texturedBmpFixture(text))` over random corpora
+    * (ASCII and non-ASCII, lengths straddling the 16-char window).
+    */
+  def texturedDHash(text: String): Long = {
+    val l = text.length
+    require(l > 0, "textured fixture needs non-empty text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ascii = bytes.length == l
+    def gray(px: Int, py: Int): Int = {
+      val p = ((py * 36 + px) * 7) % l
+      md.reset()
+      if (ascii) md.update(bytes, p, math.min(16, l - p))
+      else md.update(text.substring(p, math.min(p + 16, l))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest()(0) & 0xff
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      var prev = 0
+      while (x < 9) {
+        val luma = gray(x * 4, y * 4)
+        if (x > 0 && luma > prev) hash |= 1L << (y * 8 + (x - 1))
+        prev = luma
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** (doc_id, dhash) for every document via [[texturedDHash]] — the
+    * fused equivalent of `imageDHashes(s, texturedImageFixtures(s,
+    * docs).toDF())`, one scan-stage map with no payload row. */
+  def texturedImageDHashes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, t) => (id, texturedDHash(t)) })
+      .toDF("doc_id", "dhash")
+  }
+
   /** CONTENT-TEXTURED audio fixture: 65 frames × 64 samples of 16-bit
     * PCM, frame f held constant at the int16 read from the first two
     * md5 bytes of the 16-char text window starting at (f·11 mod L) —
@@ -275,6 +328,50 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) => MediaRow(id, "audio", texturedWavFixture(text)) }
+  }
+
+  /** FUSED fixture→energy-hash (r20 — [[texturedDHash]]'s audio
+    * sibling): [[texturedWavFixture]] holds frame f constant at the
+    * int16 a_f read from md5(window(f·11 mod L)), so
+    * `Wav.frameAbsSums(·, 64)`(f) = 64·|a_f| and the energy-delta bit
+    * f is simply |a_(f+1)| > |a_f| — computable from the 65 window
+    * digests alone, skipping the 8 KB WAV encode/decode round-trip.
+    * Composed path stays THE definition; MultimodalSpec pins equality.
+    */
+  def texturedAudioHash(text: String): Long = {
+    val l = text.length
+    require(l > 0, "textured fixture needs non-empty text")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ascii = bytes.length == l
+    var hash = 0L
+    var prevE = 0L
+    var f = 0
+    while (f < 65) {
+      val p = (f * 11) % l
+      md.reset()
+      if (ascii) md.update(bytes, p, math.min(16, l - p))
+      else md.update(text.substring(p, math.min(p + 16, l))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val u = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      val a = if (u >= 32768) u - 65536 else u
+      val e = 64L * math.abs(a) // frameAbsSums over 64 constant samples
+      if (f > 0 && e > prevE) hash |= 1L << (f - 1)
+      prevE = e
+      f += 1
+    }
+    hash
+  }
+
+  /** (doc_id, ahash) for every document via [[texturedAudioHash]] — the
+    * fused equivalent of `audioEnergyHashes(s, texturedAudioFixtures(s,
+    * docs).toDF())`. */
+  def texturedAudioHashes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions(rows => rows.map { case (id, t) => (id, texturedAudioHash(t)) })
+      .toDF("doc_id", "ahash")
   }
 
   /** ENERGY-DELTA audio fingerprint — (doc_id, ahash LONG): bit f = 1

@@ -5766,9 +5766,10 @@ object TextSim extends QueryPack {
     // proof (recall 1: any pair the bands missed would fail the compare).
     "q183_image_neardup" -> Q(
       (s, d) => {
-        val media = Multimodal.texturedImageFixtures(s,
-          Tables.documents(s, d)).toDF()
-        NearDup.hammingPairs(Multimodal.imageDHashes(s, media),
+        // fused fixture→dHash (r20): only the 72 sampled windows are
+        // hashed; MultimodalSpec pins ≡ imageDHashes∘texturedImageFixtures
+        NearDup.hammingPairs(
+          Multimodal.texturedImageDHashes(s, Tables.documents(s, d)),
           "doc_id", "dhash", bits = 64, bands = 8, maxHamming = 2)
       },
       Some(s"""
@@ -5795,8 +5796,7 @@ object TextSim extends QueryPack {
     // flags pass must not each pay the BMP decode.
     "q214_hamming_corpus_flags" -> Q(
       (s, d) => {
-        val fps = Multimodal.imageDHashes(s,
-          Multimodal.texturedImageFixtures(s, Tables.documents(s, d)).toDF())
+        val fps = Multimodal.texturedImageDHashes(s, Tables.documents(s, d))
           .localCheckpoint(true)
         NearDup.hammingCorpusFlagsAuto(
           fps.filter(col("doc_id") % 11 =!= 0),
@@ -5836,8 +5836,7 @@ object TextSim extends QueryPack {
             k = 16, bands = 8)
           .select(col("id_a"), col("id_b"))
         val img = NearDup.hammingPairs(
-            Multimodal.imageDHashes(s,
-              Multimodal.texturedImageFixtures(s, docs).toDF()),
+            Multimodal.texturedImageDHashes(s, docs),
             "doc_id", "dhash", bits = 64, bands = 8, maxHamming = 2)
           .select(col("id_a"), col("id_b"))
         NearDup.dedupClusters(
@@ -5861,9 +5860,10 @@ object TextSim extends QueryPack {
     // proves banding recall 1.
     "q184_audio_neardup" -> Q(
       (s, d) => {
-        val media = Multimodal.texturedAudioFixtures(s,
-          Tables.documents(s, d)).toDF()
-        NearDup.hammingPairs(Multimodal.audioEnergyHashes(s, media),
+        // fused fixture→energy-hash (r20): the 65 window digests alone;
+        // MultimodalSpec pins ≡ audioEnergyHashes∘texturedAudioFixtures
+        NearDup.hammingPairs(
+          Multimodal.texturedAudioHashes(s, Tables.documents(s, d)),
           "doc_id", "ahash", bits = 64, bands = 8, maxHamming = 2)
       },
       Some(s"""
@@ -5893,13 +5893,11 @@ object TextSim extends QueryPack {
             k = 16, bands = 8)
           .select(col("id_a"), col("id_b"))
         val img = NearDup.hammingPairs(
-            Multimodal.imageDHashes(s,
-              Multimodal.texturedImageFixtures(s, docs).toDF()),
+            Multimodal.texturedImageDHashes(s, docs),
             "doc_id", "dhash", bits = 64, bands = 8, maxHamming = 2)
           .select(col("id_a"), col("id_b"))
         val aud = NearDup.hammingPairs(
-            Multimodal.audioEnergyHashes(s,
-              Multimodal.texturedAudioFixtures(s, docs).toDF()),
+            Multimodal.texturedAudioHashes(s, docs),
             "doc_id", "ahash", bits = 64, bands = 8, maxHamming = 2)
           .select(col("id_a"), col("id_b"))
         NearDup.dedupClusters(

@@ -332,4 +332,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L).width === 5 && out(0L).height === 5 && out(0L).mean_gray === 8.0)
     assert(out(2L).width === 2 && out(2L).height === 2 && out(2L).mean_gray === 2.0)
   }
+
+  test("fused textured hashes equal the composed fixture->codec paths (r20)") {
+    // texturedDHash / texturedAudioHash compute only the windows the
+    // hash reads; the composed path (render fixture, decode, hash) is
+    // THE definition. Pin equality over texts exercising: ASCII,
+    // non-ASCII (byte/char offsets diverge), lengths below/at/above the
+    // 16-char window, and md5-avalanche variety.
+    val rnd = new scala.util.Random(200820L)
+    val texts = Seq("a", "ab", "abcdefghijklmnop", "abcdefghijklmnopq",
+      "\u00e9l\u00e8ve caf\u00e9 \u4e16\u754c",
+      "the quick brown fox jumps over the lazy dog") ++
+      (1 to 40).map(_ => (1 to (1 + rnd.nextInt(300)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString) ++
+      (1 to 10).map(_ => (1 to (1 + rnd.nextInt(60)))
+        .map(_ => "ab\u00e9\u4e16 "(rnd.nextInt(5))).mkString.trim + "x")
+    texts.foreach { t =>
+      assert(Multimodal.texturedDHash(t) ===
+        Bmp.dHash(Multimodal.texturedBmpFixture(t)), s"dhash for '$t'")
+      val e = Wav.frameAbsSums(Multimodal.texturedWavFixture(t), 64)
+      var ref = 0L
+      (0 until math.min(64, e.length - 1)).foreach { f =>
+        if (e(f + 1) > e(f)) ref |= 1L << f
+      }
+      assert(Multimodal.texturedAudioHash(t) === ref, s"ahash for '$t'")
+    }
+    // and the distributed frames agree with the composed operators
+    import spark.implicits._
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dFused = Multimodal.texturedImageDHashes(spark, docs)
+      .as[(Long, Long)].collect().toMap
+    val dComposed = Multimodal.imageDHashes(spark,
+      Multimodal.texturedImageFixtures(spark, docs).toDF())
+      .as[(Long, Long)].collect().toMap
+    assert(dFused === dComposed)
+    val aFused = Multimodal.texturedAudioHashes(spark, docs)
+      .as[(Long, Long)].collect().toMap
+    val aComposed = Multimodal.audioEnergyHashes(spark,
+      Multimodal.texturedAudioFixtures(spark, docs).toDF())
+      .as[(Long, Long)].collect().toMap
+    assert(aFused === aComposed)
+  }
 }
