@@ -166,8 +166,9 @@ object Bpe {
     */
   def tokenizePack(df: DataFrame, idCol: String, textCol: String,
                    shardCol: String, numMerges: Int, blockTokens: Int,
-                   batchMerges: Int = 32): DataFrame = {
-    val (merges, _) = trainBpe(df, textCol, numMerges)
+                   batchMerges: Int = 32,
+                   maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
+    val (merges, words) = trainBpe(df, textCol, numMerges)
     val nTrained = merges.count()
     require(nTrained == numMerges,
       s"tokenizePack: training stopped early ($nTrained of $numMerges " +
@@ -175,7 +176,8 @@ object Bpe {
         "rounds; lower numMerges for this corpus (or use " +
         "tokenizePackLoose, the non-oracle face)")
     packTrained(df, idCol, textCol, shardCol, merges, blockTokens,
-      batchMerges)
+      batchMerges, stateOpt = Some(words),
+      maxBroadcastVocab = maxBroadcastVocab)
   }
 
   /** NON-ORACLE face of [[tokenizePack]] (VERDICT r16 — the contract
@@ -191,10 +193,12 @@ object Bpe {
     */
   def tokenizePackLoose(df: DataFrame, idCol: String, textCol: String,
                         shardCol: String, numMerges: Int, blockTokens: Int,
-                        batchMerges: Int = 32): DataFrame = {
-    val (merges, _) = trainBpe(df, textCol, numMerges)
+                        batchMerges: Int = 32,
+                        maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
+    val (merges, words) = trainBpe(df, textCol, numMerges)
     packTrained(df, idCol, textCol, shardCol, merges, blockTokens,
-      batchMerges)
+      batchMerges, stateOpt = Some(words),
+      maxBroadcastVocab = maxBroadcastVocab)
   }
 
   /** Tokenize a corpus through a FROZEN, PERSISTED tokenizer (VERDICT
@@ -219,15 +223,55 @@ object Bpe {
     packTrained(df, idCol, textCol, shardCol, merges, blockTokens,
       batchMerges, vocabOpt = Some(vocab), baseOffsets = baseOffsets)
 
+  /** SELF-TRAINED SEGMENTATION REUSES THE TRAINING STATE (r20, guide
+    * §1.2 #1 "don't compute things you throw away"): [[trainBpe]]'s
+    * returned `words` frame IS the trained segmentation of every
+    * distinct corpus word — the same `BpeMergePair` kernel applied in
+    * the same training order to the same character split that
+    * [[segment]] would re-derive. When the packing corpus is the
+    * training corpus (both tokenizePack faces; every token is in
+    * `words` by construction), segmentation is therefore ONE broadcast
+    * hash join of the token stream against the vocabulary-bounded
+    * state instead of `numMerges` corpus-wide kernel projections — and
+    * because packTrained's consumers deliberately recompute the
+    * segmented grain rather than checkpoint it (the ×1000 disk-budget
+    * note below), the saving triples. Vocabulary over
+    * `maxBroadcastVocab` (Heaps-bounded, but salted ∝N corpora cross
+    * it) falls back to the kernel chain unchanged — a corpus-sized
+    * token shuffle against an un-broadcastable vocab is not obviously
+    * cheaper than map-only kernel passes, so past the measured bound
+    * the shape stays the one the ×1000 run validated. BpeSpec pins
+    * tier equality (maxBroadcastVocab = 0 vs default).
+    */
+  private val MaxBroadcastVocab = 2000000L
+
   /** The shared segment → positions → vocab ids → pack tail of the two
-    * tokenizePack faces, over an already-trained merge table. */
+    * tokenizePack faces, over an already-trained merge table.
+    * `stateOpt` = trainBpe's word-grain trained state (word, wc, syms),
+    * passed ONLY when `df` is the training corpus itself. */
   private def packTrained(df: DataFrame, idCol: String, textCol: String,
                           shardCol: String, merges: DataFrame,
                           blockTokens: Int, batchMerges: Int,
                           vocabOpt: Option[DataFrame] = None,
-                          baseOffsets: Option[DataFrame] = None): DataFrame = {
+                          baseOffsets: Option[DataFrame] = None,
+                          stateOpt: Option[DataFrame] = None,
+                          maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seg = segment(df, idCol, textCol, merges, batchMerges)
+    // sized dispatch on the MEASURED vocab count (one scalar job over
+    // trainBpe's already-materialized checkpoint blocks — the
+    // sizedSemiJoin doctrine)
+    val segState = stateOpt.filter(_.count() <= maxBroadcastVocab)
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG") && stateOpt.isDefined)
+      System.err.println(s"[scale] packTrained bound=$maxBroadcastVocab " +
+        s"tier=" + (if (segState.isDefined) "state-broadcast" else "kernel-chain"))
+    val seg = segState match {
+      case Some(st) =>
+        df.select(col(idCol).as("doc_id"),
+            posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))
+          .join(broadcast(st.select(col("word"), col("syms"))), Seq("word"))
+          .select(col("doc_id"), col("word_pos"), col("syms"))
+      case None => segment(df, idCol, textCol, merges, batchMerges)
+    }
     // FAN-OUT AT SEG, WINDOW ONLY ON THE FINAL BRANCH (ADVICE r16,
     // re-planned r17 after the ×1000 measurement): the three consumers
     // (vocab, offsets, final) only SHARE the kernel-segmented word
@@ -260,13 +304,21 @@ object Bpe {
     // identical multiset to pos's, position-free by construction).
     // A FROZEN vocabulary (tokenizeWithTrained) replaces this branch
     // entirely — ids come from the artifact, never recounted.
-    val vocab = vocabOpt.getOrElse(
-      seg.select(explode(col("syms")).as("subword"))
+    // with the trained state in hand, occurrence counts need NO corpus
+    // pass at all: each distinct word contributes its subword
+    // multiset × its corpus frequency wc — the identical multiset the
+    // seg-explode computes row by row
+    val vocabCounts = segState match {
+      case Some(st) => st.select(explode(col("syms")).as("subword"), col("wc"))
+        .groupBy(col("subword")).agg(sum(col("wc")).as("vc"))
+      case None => seg.select(explode(col("syms")).as("subword"))
         .groupBy(col("subword"))
         .agg(count(lit(1)).as("vc"))
-        .select(col("subword"),
-          (row_number().over(Window.orderBy(col("vc").desc,
-            col("subword").asc)) - 1).cast("long").as("token_id")))
+    }
+    val vocab = vocabOpt.getOrElse(
+      vocabCounts.select(col("subword"),
+        (row_number().over(Window.orderBy(col("vc").desc,
+          col("subword").asc)) - 1).cast("long").as("token_id")))
     // per-doc token counts at WORD grain, pre-window (sum of per-word
     // symbol counts ≡ count of exploded subword rows)
     val packed = Terms.packPrepared(
@@ -311,14 +363,25 @@ object Bpe {
     */
   def fertility(df: DataFrame, idCol: String, textCol: String,
                 shardCol: String, numMerges: Int,
-                batchMerges: Int = 32): DataFrame = {
-    val (merges, _) = trainBpe(df, textCol, numMerges)
+                batchMerges: Int = 32,
+                maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
+    val (merges, words) = trainBpe(df, textCol, numMerges)
     val nTrained = merges.count()
     require(nTrained == numMerges,
       s"fertility: training stopped early ($nTrained of $numMerges " +
         "merges reached minCount) — the oracle unrolls exactly numMerges " +
         "rounds; lower numMerges for this corpus")
-    val seg = segment(df, idCol, textCol, merges, batchMerges)
+    // same trained-state reuse as packTrained (scaladoc there): the
+    // corpus IS the training corpus, so segmentation = one broadcast
+    // join against the vocabulary-bounded state when it fits
+    val segBase =
+      if (words.count() <= maxBroadcastVocab)
+        df.select(col(idCol).as("doc_id"),
+            posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))
+          .join(broadcast(words.select(col("word"), col("syms"))), Seq("word"))
+          .select(col("doc_id"), col("word_pos"), col("syms"))
+      else segment(df, idCol, textCol, merges, batchMerges)
+    val seg = segBase
       .withColumn("nsyms", size(col("syms")).cast("long"))
       .withColumn("wchars", length(concat_ws("", col("syms"))).cast("long"))
       .join(df.select(col(idCol).as("doc_id"),

@@ -138,6 +138,33 @@ class BpeSpec extends SparkSpec {
       ("y", 4L, 5L, 7L, 1250000L, 1400000L)))
   }
 
+  test("trained-state segmentation tier equals the kernel-chain tier (r20)") {
+    // the r20 sized dispatch (segment the training corpus by broadcast-
+    // joining trainBpe's word-grain state vs re-running the kernel
+    // chain) must be value-invisible: force the kernel chain with a
+    // zero bound and compare both faces row-for-row
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "ab ab cc abc", "x"), (1L, "abc ab", "x"),
+      (2L, "ab c cc cc", "y"), (3L, "cc ab abc abc", "y"),
+      (4L, "b a ab ba", "y")).toDF("doc_id", "text", "lang")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shard", "doc_id", "pos")
+        .select("doc_id", "shard", "pos", "subword", "token_id",
+          "global_tok", "chunk")
+        .as[(Long, String, Long, String, Long, Long, Long)].collect().toList
+    val viaState = key(Bpe.tokenizePack(docs, "doc_id", "text", "lang",
+      numMerges = 2, blockTokens = 3))
+    val viaKernel = key(Bpe.tokenizePack(docs, "doc_id", "text", "lang",
+      numMerges = 2, blockTokens = 3, maxBroadcastVocab = 0L))
+    assert(viaState === viaKernel)
+    val fertState = Bpe.fertility(docs, "doc_id", "text", "lang",
+      numMerges = 2).orderBy("shard").collect().toList
+    val fertKernel = Bpe.fertility(docs, "doc_id", "text", "lang",
+      numMerges = 2, maxBroadcastVocab = 0L).orderBy("shard").collect().toList
+    assert(fertState === fertKernel)
+  }
+
   test("256-merge training parity vs the independent reference (VERDICT r16 #2)") {
     // the registered oracle face stays at 12 merges (the unrolled-CTE
     // tractability adjudication, SCALE.md §12 addendum) — so realistic
