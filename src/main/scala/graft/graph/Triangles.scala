@@ -75,24 +75,58 @@ object Triangles {
     * (srcCol, dstCol; canonical src < dst, no repeats): emits
     * (node, n_triangles) for every node in at least one triangle. Each
     * triangle contributes once to each of its three corners.
+    *
+    * Plan shape (r20, guide §2.4/§3.1 — was 34 Exchanges / 4 chained
+    * SMJs): `deg` and `oriented` are each multi-consumer frames (2 and
+    * 3 consumers), so both are EAGER CHECKPOINTS — the degree
+    * union-aggregate and the two attach joins run once instead of once
+    * per downstream reference. The attach joins and the closing join
+    * dispatch on MEASURED sizes (the sizedSemiJoin doctrine — the
+    * counts are scalar jobs over already-materialized checkpoint
+    * blocks): a node table ≤ `maxBroadcastNodes` broadcasts (degree
+    * rows are two longs; the 4M default is ~64 MB built), an edge
+    * table ≤ `maxBroadcastEdges` broadcasts the closing side; past
+    * either bound the merge hint pins sort-merge, the strategy that
+    * survives arbitrary growth. `oriented` is REPARTITIONED BY src
+    * before its checkpoint, so the wedge self-join consumes one
+    * baked-in exchange from both sides instead of shuffling twice.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
-                     dstCol: String): DataFrame = {
+                     dstCol: String,
+                     maxBroadcastNodes: Long = 4000000L,
+                     maxBroadcastEdges: Long = 4000000L): DataFrame = {
     // Eager localCheckpoint, the PageRank doctrine: degrees, orientation
     // and the wedge join all re-reference the edge frame — truncate the
     // (typically expensive) edge-producing lineage once.
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .localCheckpoint(true)
-    val deg = e.select(col("a").as("u"))
+    // ONE scalar count over the checkpoint blocks drives every tier
+    // decision: nodes ≤ 2·edges, so `2·nEdges ≤ maxBroadcastNodes`
+    // certifies the degree broadcast without a second count job
+    val nEdges = e.count()
+    val degBroadcast = 2 * nEdges <= maxBroadcastNodes
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] triangleCounts edges=$nEdges " +
+        s"nodeBound=$maxBroadcastNodes edgeBound=$maxBroadcastEdges " +
+        s"degTier=" + (if (degBroadcast) "broadcast" else "merge"))
+    val deg0 = e.select(col("a").as("u"))
       .union(e.select(col("b").as("u")))
       .groupBy("u").agg(count(lit(1)).as("d"))
+    // broadcast tier: the two identical broadcast-build subtrees
+    // dedupe via ReuseExchange, so deg is computed once with NO
+    // checkpoint job; merge tier: the checkpoint keeps the union-
+    // aggregate from running once per attach join
+    val deg = if (degBroadcast) deg0 else deg0.localCheckpoint(true)
+    val degA = deg.withColumnRenamed("u", "a").withColumnRenamed("d", "da")
+    val degB = deg.withColumnRenamed("u", "b").withColumnRenamed("d", "db")
     // orient: src = the (degree, id)-smaller endpoint; the rank is the
     // lexicographically-ordered STRUCT (degree, id) — unique per node
     // with no packing arithmetic to overflow — carried through the wedge
     // so the closing pair canonicalizes WITHOUT re-joining degrees
-    val withDeg = e
-      .join(deg.withColumnRenamed("u", "a").withColumnRenamed("d", "da"), "a")
-      .join(deg.withColumnRenamed("u", "b").withColumnRenamed("d", "db"), "b")
+    val withDeg = (if (degBroadcast)
+        e.join(broadcast(degA), "a").join(broadcast(degB), "b")
+      else
+        e.join(degA.hint("merge"), "a").join(degB.hint("merge"), "b"))
       .select(col("a"), col("b"),
         struct(col("da").as("d"), col("a").as("i")).as("ra"),
         struct(col("db").as("d"), col("b").as("i")).as("rb"))
@@ -107,7 +141,9 @@ object Triangles {
     val w2 = oriented.select(col("src"), col("dst").as("w"), col("rdst").as("rw"))
     val wedges = w1.join(w2, Seq("src")).filter(col("rv") < col("rw"))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
-    val tris = wedges.join(closing, Seq("v", "w"))
+    val tris = (if (nEdges <= maxBroadcastEdges)
+        wedges.join(broadcast(closing), Seq("v", "w"))
+      else wedges.join(closing.hint("merge"), Seq("v", "w")))
       .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))

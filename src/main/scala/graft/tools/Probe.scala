@@ -16,7 +16,7 @@ object Probe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
@@ -424,8 +424,11 @@ object Probe {
       time("edges")(edges)
       time("edges-again")(edges)
       time("triangles")(graft.graph.Triangles.triangleCounts(edges, "a", "b"))
+      time("triangles-2")(graft.graph.Triangles.triangleCounts(edges, "a", "b"))
       val e2 = edges.localCheckpoint(true)
+      println(s"[probe] edge-count: ${e2.count()}")
       time("triangles-on-checkpointed")(graft.graph.Triangles.triangleCounts(e2, "a", "b"))
+      time("triangles-on-checkpointed-2")(graft.graph.Triangles.triangleCounts(e2, "a", "b"))
       spark.stop(); return
     }
 

@@ -51,6 +51,25 @@ class TrianglesSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("triangle counts: merge tier (bounds 0) equals broadcast tier") {
+    // the r20 sized dispatch (broadcast degree/closing tables under the
+    // measured bound, merge-hinted SMJ past it) must be value-invisible:
+    // force the merge tier with zero bounds and compare against the
+    // default (broadcast) tier and brute force on a skewed graph
+    import spark.implicits._
+    val edges = (Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L), (5L, 6L), (5L, 7L), (6L, 7L)) ++
+      (10L to 20L).map(i => (1L, i)).toSet).filter(e => e._1 != e._2)
+    val df = edges.toSeq.toDF("a", "b")
+    val viaMerge = Triangles.triangleCounts(df, "a", "b",
+      maxBroadcastNodes = 0L, maxBroadcastEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val viaBroadcast = Triangles.triangleCounts(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaMerge === brute(edges))
+    assert(viaBroadcast === viaMerge)
+  }
+
   test("co-occurrence edges: shared-bucket counting within blocks only") {
     import spark.implicits._
     val rows = Seq(
