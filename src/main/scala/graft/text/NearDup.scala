@@ -327,13 +327,29 @@ object NearDup {
     *
     * Exactness: pair counts are integers; the two ratios divide once.
     * Scale: ONE sigSets materialization feeds ground truth, candidates
-    * and verification (checkpointed — the q124 multi-consumer rule);
-    * the metric rollup is one aggregation over a union of pair lists.
+    * and verification (checkpointed — the q124 multi-consumer rule).
+    *
+    * Cost shape (r20): the within-block quadratic pass already
+    * enumerates every pair the candidate arm could need (a same-block
+    * candidate IS a within-block pair), so under a MEASURED candidate
+    * count the three metrics ride ONE quadratic pass — jaccard
+    * evaluated once per pair, the candidate bit attached by a
+    * broadcast lookup, one map-side-aggregated global rollup. The old
+    * shape scored candidates separately: two sh-attach shuffles of the
+    * doc-set frame, a second jaccard over candidates, and a union
+    * rollup. Past `maxBroadcastPairs` (the sizedSemiJoin doctrine —
+    * the band-pair frame is checkpointed, so sizing it is a scalar
+    * job over materialized blocks) the separate-candidate-scoring
+    * shape returns: a candidate list that outgrows the broadcast
+    * budget must NOT ride the quadratic pass as a broadcast, and
+    * shuffling the quadratic frame by pair key would be worse — the
+    * candidate arm's cost is ∝ the LSH-thinned pair list either way.
     */
   def dedupRecallEval(docs: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], nGram: Int = 3,
                       k: Int = 16, bands: Int = 8,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      maxBroadcastPairs: Long = 4000000L): DataFrame = {
     val shingles = TextOps.wordShingleRows(docs, idCol, textCol, nGram)
     val sigsets = sigSets(shingles, k).localCheckpoint(true)
     val blocks = docs.select(col(idCol).as("id") +: blockCols.map(col): _*)
@@ -343,27 +359,54 @@ object NearDup {
       round(common / (size(shA) + size(shB) - common), 4)
     }
     val sameBlock = blockCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
-    val gt = sets.as("a").join(sets.as("b"), sameBlock && col("a.id") < col("b.id"))
-      .filter(jaccard(col("a.sh"), col("b.sh")) >= minJaccard)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val cand = bandRows(sigsets, k, bands).as("ba")
+    // banded candidate pairs (LSH-thinned, block-agnostic at this
+    // point). Checkpointed: the count that picks the tier and the join
+    // that consumes the list share one materialization.
+    val candIds = bandRows(sigsets, k, bands).as("ba")
       .join(bandRows(sigsets, k, bands).as("bb"),
         col("ba.band_hash") === col("bb.band_hash") && col("ba.id") < col("bb.id"))
       .select(col("ba.id").as("id_a"), col("bb.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(sets.select(Seq(col("id").as("id_a"), col("sh").as("sh_a")) ++
-        blockCols.map(c => col(c).as(s"a_$c")): _*), Seq("id_a"))
-      .join(sets.select(Seq(col("id").as("id_b"), col("sh").as("sh_b")) ++
-        blockCols.map(c => col(c).as(s"b_$c")): _*), Seq("id_b"))
-      .filter(blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _))
-      .withColumn("verified",
-        (jaccard(col("sh_a"), col("sh_b")) >= minJaccard).cast("long"))
-      .select(col("id_a"), col("id_b"), col("verified"))
-    // one rollup over the union: per pair, is it truth / candidate / both
-    val labeled = gt.select(col("id_a"), col("id_b"),
-        lit(1L).as("t"), lit(0L).as("c"), lit(0L).as("v"))
-      .unionByName(cand.select(col("id_a"), col("id_b"),
-        lit(0L).as("t"), lit(1L).as("c"), col("verified").as("v")))
+      .localCheckpoint(true)
+    val nCand = candIds.count()
+    if (sys.env.contains("SPARK_GRAFT_SCALE_DIAG"))
+      System.err.println(s"[scale] dedupRecallEval candidates=$nCand " +
+        s"bound=$maxBroadcastPairs tier=" +
+        (if (nCand <= maxBroadcastPairs) "single-pass" else "split"))
+    val labeled =
+      if (nCand <= maxBroadcastPairs) {
+        // single-pass tier: jaccard once per within-block pair; the
+        // candidate bit is a broadcast hash lookup riding the same pass
+        sets.as("a").join(sets.as("b"), sameBlock && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            (jaccard(col("a.sh"), col("b.sh")) >= minJaccard).as("dup"))
+          .join(broadcast(candIds.withColumn("isc", lit(1L))),
+            Seq("id_a", "id_b"), "left")
+          .select(col("dup").cast("long").as("t"),
+            coalesce(col("isc"), lit(0L)).as("c"),
+            (col("dup") && col("isc").isNotNull).cast("long").as("v"))
+      } else {
+        // split tier (the pre-r20 shape, candidate list from the same
+        // checkpoint): ground truth and candidate scoring as separate
+        // arms, rolled up over their union
+        val gt = sets.as("a").join(sets.as("b"), sameBlock && col("a.id") < col("b.id"))
+          .filter(jaccard(col("a.sh"), col("b.sh")) >= minJaccard)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        val cand = candIds
+          .join(sets.select(Seq(col("id").as("id_a"), col("sh").as("sh_a")) ++
+            blockCols.map(c => col(c).as(s"a_$c")): _*), Seq("id_a"))
+          .join(sets.select(Seq(col("id").as("id_b"), col("sh").as("sh_b")) ++
+            blockCols.map(c => col(c).as(s"b_$c")): _*), Seq("id_b"))
+          .filter(blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _))
+          .withColumn("verified",
+            (jaccard(col("sh_a"), col("sh_b")) >= minJaccard).cast("long"))
+          .select(col("id_a"), col("id_b"), col("verified"))
+        gt.select(col("id_a"), col("id_b"),
+            lit(1L).as("t"), lit(0L).as("c"), lit(0L).as("v"))
+          .unionByName(cand.select(col("id_a"), col("id_b"),
+            lit(0L).as("t"), lit(1L).as("c"), col("verified").as("v")))
+          .select(col("t"), col("c"), col("v"))
+      }
     labeled.agg(sum(col("t")).as("n_truth"), sum(col("c")).as("n_cand"),
         sum(col("v")).as("n_verified"))
       .select(col("n_truth"), col("n_cand"), col("n_verified"),

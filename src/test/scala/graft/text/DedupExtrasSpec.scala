@@ -90,4 +90,17 @@ class DedupExtrasSpec extends SparkSpec {
       .filter(col("f.c").isNull || col("m.c").isNull || col("f.c") =!= col("m.c"))
     assert(diff.count() === 0)
   }
+
+  test("dedupRecallEval: single-pass tier equals the split tier (r20)") {
+    // maxBroadcastPairs = 0 forces the split (pre-r20) shape; the
+    // default rides the candidate bit on the quadratic pass. Same five
+    // output cells on a corpus with real dups, cross-block twins (band
+    // candidates that must NOT count), and a no-shingle short doc.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(bound: Long) = NearDup.dedupRecallEval(docs, "doc_id", "text",
+        Seq("lang", "source"), nGram = 3, k = 16, bands = 8,
+        minJaccard = 0.5, maxBroadcastPairs = bound)
+      .collect().map(_.toSeq).toSeq
+    assert(run(Long.MaxValue) === run(0L))
+  }
 }
