@@ -102,9 +102,24 @@ object Trend {
         ev.withColumn("srn", row_number().over(wS))
           .filter(col("srn") <= cap).drop("srn")
       }
-    val base = sampled.join(
-        sampled.groupBy(col("user_id")).agg(min(col("tus")).as("t0")),
-        Seq("user_id"))
+    // t0 re-base (r20): on the EXACT face the window-min form replaces
+    // the groupBy+join-back — every stage of this operator clusters on
+    // user_id, so one user_id exchange feeds the re-base, both pair
+    // self-join sides (deduped via ReuseExchange) and the median
+    // windows (q195 plan 12 → 6 Exchanges, ABAB 2.6 → 1.7/1.8 s). The
+    // CAPPED face keeps the agg+join shape: its self-join sides
+    // re-evaluate everything above the reused exchange per side, and
+    // stacking a second WindowExec on the sample window there measured
+    // a consistent ~0.8× ABAB regression (q227 0.87/0.91 → 1.10/1.24)
+    // — the capped frame is ≤ cap rows/user, so the tiny agg+broadcast
+    // join was never its cost.
+    val base = (if (cap <= 0)
+        sampled.withColumn("t0",
+          min(col("tus")).over(Window.partitionBy(col("user_id"))))
+      else
+        sampled.join(
+          sampled.groupBy(col("user_id")).agg(min(col("tus")).as("t0")),
+          Seq("user_id")))
       .withColumn("x", expr("(tus - t0) div 3600000000"))
       .select(col("user_id"), col("event_id"), col("x"), col("yc"))
     val a = base.select(col("user_id"), col("x").as("x1"),
