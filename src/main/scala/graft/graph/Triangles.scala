@@ -31,7 +31,18 @@ object Triangles {
   /** Weighted co-occurrence edges: ids sharing at least `minShared`
     * distinct buckets (the bucketCols tuple) become an undirected edge
     * (a, b, shared) with a < b. One distinct pass, one within-bucket
-    * pair join, one pair-keyed count — no cross-bucket term.
+    * pair join, one pair-keyed count — no cross-bucket term. Two r20
+    * restructures were tried and REJECTED on measurement: (1) an
+    * in-row pair-explode variant (bucket-keyed collect_set +
+    * Generate×Generate, no join) — ×10 edge build 94/82 s vs the
+    * join's 55/57 s; the per-element `filter(ids)` array allocations
+    * lose to the streaming sort-merge join, which materializes
+    * nothing; (2) an eager checkpoint of the distinct pass — sf0.1
+    * q113/q114/q210 ABAB 6.06 → 7.52 s and ×10 a wash (54.7 vs
+    * 51.7 s with the materialization cost excluded): ReuseExchange
+    * already dedupes the distinct's exchange across the self-join
+    * sides, so the checkpoint buys no recompute and pays one
+    * materialization per bench rep.
     *
     * `maxOccupancy` is the HUB-BUCKET CAP this scaladoc always
     * documented as the 100 TB dial, now a first-class parameter

@@ -412,6 +412,22 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("triedges")) {
+      // edge-build-only leg for the coOccurrenceEdges A/B (r20): the
+      // full `tri` mode spends 10+ min on the triangle tail at x10
+      val ev = Tables.events(spark, d).select(col("user_id"),
+        col("event_type"), expr("unix_micros(ts) div 3600000000").as("hb"))
+      val edges = graft.graph.Triangles.coOccurrenceEdges(ev, "user_id",
+        Seq("event_type", "hb"), 4L)
+      time("edges-1")(edges)
+      time("edges-2")(edges)
+      val capped = graft.graph.Triangles.coOccurrenceEdges(ev, "user_id",
+        Seq("event_type", "hb"), 4L, maxOccupancy = 64L)
+      time("edges-capped-1")(capped)
+      time("edges-capped-2")(capped)
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("tri")) {
       // q113/q114 decomposition: bucket distinct, pair join, triangles
       val ev = Tables.events(spark, d).select(col("user_id"),
