@@ -412,6 +412,20 @@ object Probe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("digests")) {
+      // plan digest (exN/cgM/md5) for EVERY registered query — the r20
+      // operator-coverage sweep: exchange counts for the checklist
+      // without dumping 231 full plans
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, q) =>
+        val dig = try {
+          graft.Bench.planDigest(
+            q(spark, d).queryExecution.executedPlan.toString)
+        } catch { case e: Throwable => s"failed:${e.getClass.getSimpleName}" }
+        println(s"[digest] $n $dig")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("triedges")) {
       // edge-build-only leg for the coOccurrenceEdges A/B (r20): the
       // full `tri` mode spends 10+ min on the triangle tail at x10
